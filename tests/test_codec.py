@@ -1,0 +1,63 @@
+"""Gorilla/DoD codec bit-exact roundtrip tests (FIXTURES.md F5)."""
+
+import numpy as np
+import pytest
+
+from cesium_ray.oracle.codec import crc32, decode_chunk, encode_chunk
+
+
+def _roundtrip(ts, vals):
+    payload = encode_chunk(ts, vals)
+    t2, v2 = decode_chunk(payload, len(ts))
+    np.testing.assert_array_equal(t2, np.asarray(ts, dtype=np.int64))
+    np.testing.assert_array_equal(
+        v2.view(np.uint64), np.asarray(vals, dtype=np.float64).view(np.uint64)
+    )
+    return payload
+
+
+def test_random_roundtrip():
+    rng = np.random.default_rng(0)
+    ts = np.cumsum(rng.integers(1, 10**8, 2000)).astype(np.int64)
+    vals = rng.normal(0, 100, 2000)
+    _roundtrip(ts, vals)
+
+
+def test_adversarial_floats():
+    ts = np.arange(0, 9 * 60_000_000, 60_000_000, dtype=np.int64)
+    vals = np.array([np.nan, -0.0, 0.0, np.inf, -np.inf, 5e-324, 1.7e308, -1.5, np.nan])
+    _roundtrip(ts, vals)
+
+
+def test_constant_values_compress_well():
+    ts = np.arange(0, 4096 * 1_000_000, 1_000_000, dtype=np.int64)  # regular 1s cadence
+    vals = np.full(4096, 42.5)
+    payload = _roundtrip(ts, vals)
+    raw = 16 * 4096
+    assert raw / len(payload) > 20  # Gorilla shines on constants + regular cadence
+
+
+def test_irregular_microsecond_timestamps():
+    rng = np.random.default_rng(1)
+    ts = np.cumsum(rng.exponential(45e6, 500)).astype(np.int64) + 10**15
+    vals = rng.lognormal(3, 1, 500)
+    _roundtrip(ts, vals)
+
+
+def test_negative_and_zero_deltas():
+    ts = np.array([100, 100, 99, 150, 150, 10**12], dtype=np.int64)
+    vals = np.array([1.0, 1.0, 2.0, 2.0, 3.0, 3.0])
+    _roundtrip(ts, vals)
+
+
+def test_single_point_and_empty():
+    _roundtrip(np.array([123456789], dtype=np.int64), np.array([np.pi]))
+    assert encode_chunk(np.array([], dtype=np.int64), np.array([])) == b""
+    t, v = decode_chunk(b"", 0)
+    assert len(t) == 0 and len(v) == 0
+
+
+def test_crc():
+    p = encode_chunk(np.array([1, 2], dtype=np.int64), np.array([1.0, 2.0]))
+    assert crc32(p) == crc32(p)
+    assert crc32(p) != crc32(p + b"x")

@@ -1,0 +1,112 @@
+"""Rollup kernel + Ray stage parity tests (FIXTURES.md F5): engine
+tier points must be bit-equal to the oracle after sorting by
+(conv_id, channel, bucket); DuckDB cross-check of the exact-quantile
+semantics."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from cesium_ray.oracle.rollup import (
+    bucket_floor_us,
+    derive_channels_pandas,
+    rollup_pandas,
+)
+from cesium_ray.stages import derive_points, rollup_points, rollup_turns
+
+
+def test_bucket_floor():
+    us = np.array([0, 59_999_999, 60_000_000, 61_000_000], dtype=np.int64)
+    np.testing.assert_array_equal(
+        bucket_floor_us(us, 60), [0, 0, 60_000_000, 60_000_000]
+    )
+
+
+def test_derive_channels_latency(tiny_turns):
+    pts = derive_channels_pandas(tiny_turns.to_pandas())
+    lat = pts[pts.channel == "turn_latency"]
+    # first turn of each conv: NaN latency
+    assert lat[lat.turn_idx == 0]["value"].isna().all()
+    # all other latencies present and non-negative (ts monotone per synth)
+    rest = lat[lat.turn_idx > 0]["value"]
+    assert rest.notna().all() and (rest >= 0).all()
+
+
+def test_rollup_quantiles_match_numpy(tiny_points):
+    r = rollup_pandas(tiny_points, "1h")
+    df = tiny_points.copy()
+    ts_us = df["ts"].to_numpy("datetime64[us]").astype("int64")
+    df["bucket"] = bucket_floor_us(ts_us, 3600).astype("datetime64[us]")
+    for _, row in r.sample(min(50, len(r)), random_state=0).iterrows():
+        grp = df[
+            (df.conv_id == row.conv_id)
+            & (df.channel == row.channel)
+            & (df.bucket == row.bucket)
+        ]["value"].dropna()
+        if len(grp):
+            assert row.p50 == np.quantile(grp, 0.5, method="linear")
+            assert row.p99 == np.quantile(grp, 0.99, method="linear")
+            assert row.cnt == len(grp)
+            assert row.vmin == grp.min() and row.vmax == grp.max()
+
+
+def test_rollup_against_duckdb(tiny_points):
+    r = rollup_pandas(tiny_points, "1m").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("pts", tiny_points)
+    want = con.sql(
+        """
+        SELECT conv_id, channel, date_trunc('minute', ts) AS bucket,
+               count(value) AS cnt,
+               count(*) - count(value) AS count_null,
+               sum(value) AS vsum, avg(value) AS vmean,
+               min(value) AS vmin, max(value) AS vmax,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.99) AS p99
+        FROM pts GROUP BY 1,2,3 ORDER BY 1,2,3
+        """
+    ).df()
+    assert len(want) == len(r)
+    for col in ["cnt", "count_null"]:
+        np.testing.assert_array_equal(r[col].to_numpy(), want[col].to_numpy())
+    for col in ["vsum", "vmean", "vmin", "vmax", "p50", "p99"]:
+        np.testing.assert_allclose(
+            r[col].to_numpy(), want[col].to_numpy(), rtol=1e-9, equal_nan=True
+        )
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_ray_rollup_bit_equal_oracle(tiny_turns, tier):
+    ds = ray.data.from_arrow(tiny_turns)
+    got = (
+        rollup_turns(ds, tier, num_partitions=8)
+        .to_pandas()
+        .sort_values(["conv_id", "channel", "bucket"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    oracle = (
+        rollup_pandas(derive_channels_pandas(tiny_turns.to_pandas()), tier)
+        .sort_values(["conv_id", "channel", "bucket"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, oracle, check_exact=True)
+
+
+def test_salted_rollup_points_bit_equal(tiny_turns):
+    """Salt-by-bucket partitioning must not change a single tier point
+    (SURVEY §7 hard-part (a))."""
+    pts_ds = derive_points(ray.data.from_arrow(tiny_turns), num_partitions=8)
+    got = (
+        rollup_points(pts_ds, "1m", num_partitions=16, salt=True)
+        .to_pandas()
+        .sort_values(["conv_id", "channel", "bucket"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    oracle = (
+        rollup_pandas(derive_channels_pandas(tiny_turns.to_pandas()), "1m")
+        .sort_values(["conv_id", "channel", "bucket"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, oracle, check_exact=True)
