@@ -4,41 +4,49 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in cesium_ray library code.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (SURVEY.md §3) on /root/testdata/sf0.001:
+    events adapted to the transcript shape → normalize → one conv-keyed
+    hash shuffle → rollup 1m/1h/1d + gap-fill + Gorilla/DoD chunks +
+    cesium general features, with per-partition manifests.  Returns the
+    per-partition metrics (lineage) table."""
+    import ray.data
+
+    from cesium_ray.pipelines import run_flagship
+    from cesium_ray.sources import events_as_turns
+
+    turns = events_as_turns("/root/testdata/sf0.001")
+    out_root = tempfile.mkdtemp(prefix="cesium-ray-flagship-")
+    metrics = run_flagship(
+        turns, out_root, num_partitions=8, features="general", resume=False
+    )
+    return metrics
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from cesium_ray.pipelines.driver_queries import QUERIES
+    from cesium_ray.pipelines.extra_queries import EXTRA_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {**QUERIES, **EXTRA_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle for each SQL-expressible query; non-SQL ops
+    (feature extraction, codec, LS periodicity) are rows-only."""
+    from cesium_ray.pipelines.driver_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

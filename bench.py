@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Headline benchmarks (SURVEY.md §6, BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "bench_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, "throughput": {...}}
+
+``--scaling`` runs the headline pipeline twice in FRESH processes
+(ray.init(num_cpus=8) vs num_cpus=32, same input) and reports both
+throughputs + scaling efficiency (sandbox substitute for the
+north-rule's N→4N cluster criterion, per driver instruction).
+
+Env:
+  GRAFT_SF_DIR      default /root/testdata/sf0.1
+  RAY_GRAFT_CPUS    default 32
+  GRAFT_BENCH_TURNS target synthetic turn count (default 2_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+TARGET_TURNS = int(os.environ.get("GRAFT_BENCH_TURNS", "2000000"))
+CACHE_ROOT = "/tmp/cesium_ray_bench"
+
+
+def synth_turns_path() -> str:
+    """Generate (once, cached) the deterministic synthetic transcript
+    table: ~TARGET_TURNS turns, Zipf-skewed conv sizes (hot convs up
+    to 2000 turns — exercises salting)."""
+    n_convs = max(64, TARGET_TURNS // 250)  # mean conv size ≈ 250
+    path = os.path.join(CACHE_ROOT, f"turns-{n_convs}-42")
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        from cesium_ray.synth import write_turns
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_turns(path, n_convs=n_convs, seed=42, shards=32)
+        open(done, "w").write("ok")
+    return path
+
+
+def bench_flagship_rollup(results, thr):
+    """Headline: normalize → conv-hash shuffle → 1m/1h/1d rollup with
+    exact quantiles + partitioned writes + manifests."""
+    import ray.data
+
+    from cesium_ray.pipelines import run_flagship
+
+    turns_path = synth_turns_path()
+    ds = ray.data.read_parquet(turns_path)
+    n_turns = ds.count()
+    out_root = tempfile.mkdtemp(prefix="bench-flagship-", dir=CACHE_ROOT)
+    t0 = time.time()
+    metrics = run_flagship(
+        ds,
+        out_root,
+        num_partitions=4 * NCPU,
+        features=None,
+        codec=False,
+        gapfill_tier=None,
+        resume=False,
+    )
+    dt = time.time() - t0
+    results["flagship_rollup"] = round(dt, 3)
+    thr["turns_per_sec"] = round(n_turns / dt)
+    thr["rollup_points_per_sec"] = round(int(metrics.rollup_rows.sum()) / dt)
+    thr["n_turns"] = n_turns
+    shutil.rmtree(out_root, ignore_errors=True)
+
+
+def bench_events_rollup(results, thr):
+    from cesium_ray.pipelines.driver_queries import q_rollup_1h
+
+    t0 = time.time()
+    out = q_rollup_1h(SF_DIR)
+    dt = time.time() - t0
+    results["events_rollup_1h"] = round(dt, 3)
+    thr["events_rollup_rows"] = len(out)
+
+
+def bench_gapfill(results, thr):
+    import ray.data
+
+    from cesium_ray.stages import derive_points, gapfill_points
+
+    ds = ray.data.read_parquet(synth_turns_path()).limit(300_000)
+    pts = derive_points(ds, num_partitions=2 * NCPU)
+    t0 = time.time()
+    n = gapfill_points(pts, "1m", "locf", num_partitions=2 * NCPU).count()
+    dt = time.time() - t0
+    results["gapfill_1m"] = round(dt, 3)
+    thr["gapfill_rows_per_sec"] = round(n / dt)
+
+
+def bench_codec(results, thr):
+    import numpy as np
+
+    from cesium_ray.oracle.codec import decode_chunk, encode_chunk
+
+    rng = np.random.default_rng(0)
+    n = 200_000
+    ts = (np.cumsum(rng.exponential(45e6, n)) + 1e15).astype(np.int64)
+    vals = np.round(rng.lognormal(3, 1, n), 1)  # quantized → realistic XOR runs
+    t0 = time.time()
+    payload = encode_chunk(ts, vals)
+    enc_dt = time.time() - t0
+    t0 = time.time()
+    decode_chunk(payload, n)
+    dec_dt = time.time() - t0
+    results["codec_encode"] = round(enc_dt, 3)
+    results["codec_decode"] = round(dec_dt, 3)
+    thr["codec_encode_mb_s"] = round(16 * n / 1e6 / enc_dt, 2)
+    thr["codec_ratio"] = round(16 * n / len(payload), 2)
+
+
+def bench_features(results, thr):
+    import ray.data
+
+    from cesium_ray.stages import derive_points, extract_features
+
+    ds = ray.data.read_parquet(synth_turns_path()).limit(200_000)
+    pts = derive_points(ds, num_partitions=2 * NCPU)
+    t0 = time.time()
+    n = extract_features(pts, num_partitions=2 * NCPU).count()
+    dt = time.time() - t0
+    results["features_general"] = round(dt, 3)
+    thr["feature_series_per_sec"] = round(n / dt)
+
+
+BENCHES = {
+    "flagship_rollup": bench_flagship_rollup,
+    "events_rollup_1h": bench_events_rollup,
+    "gapfill_1m": bench_gapfill,
+    "codec": bench_codec,
+    "features_general": bench_features,
+}
+
+
+def run_benches(only=None) -> dict:
+    import ray
+
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    # generate input BEFORE init so it never counts against bench time
+    synth_turns_path()
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    results: dict = {}
+    thr: dict = {}
+    for name, fn in BENCHES.items():
+        if only and name not in only:
+            continue
+        fn(results, thr)
+    ray.shutdown()
+    return {
+        "metric": "bench_total_sec",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "throughput": thr,
+    }
+
+
+def run_scaling():
+    """Same headline job, fresh processes, 8 vs 32 CPUs."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_ONLY="flagship_rollup",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    t_lo = lo["queries"]["flagship_rollup"]
+    t_hi = hi["queries"]["flagship_rollup"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    line = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8cpu": t_lo,
+        "sec_32cpu": t_hi,
+        "turns_per_sec_8cpu": lo["throughput"]["turns_per_sec"],
+        "turns_per_sec_32cpu": hi["throughput"]["turns_per_sec"],
+        "n_turns": lo["throughput"]["n_turns"],
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        only = os.environ.get("GRAFT_BENCH_ONLY")
+        only = set(only.split(",")) if only else None
+        print(json.dumps(run_benches(only)))

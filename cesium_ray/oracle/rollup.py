@@ -104,7 +104,12 @@ def derive_channels_pandas(
     lat[0] = np.nan
     lat[1:] = (ts_us[1:] - ts_us[:-1]) / 1e6
     lat[new_conv] = np.nan
-    tlen = df["text"].str.len().to_numpy(dtype=np.float64) if "text" in df else None
+    if "text_len" in df:
+        tlen = df["text_len"].to_numpy(dtype=np.float64)
+    elif "text" in df:
+        tlen = df["text"].str.len().to_numpy(dtype=np.float64)
+    else:
+        tlen = None
 
     frames = [
         pd.DataFrame(

@@ -1,0 +1,489 @@
+"""Driver-conformance queries over /root/testdata (SURVEY.md §5.2.3).
+
+Each ``q*`` function takes ``sf_dir`` and returns a result whose column
+names AND values match the DuckDB oracle SQL in ``ORACLE_SQL`` (driver
+compares row-count + schema + order-insensitive value-hash at sf0.01).
+
+Float columns are rounded to 6 decimals on BOTH sides with identical
+half-away-from-zero semantics (DuckDB ROUND), so benign FP summation-
+order differences between engines can't flip the hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..oracle.gapfill import gapfill_pandas
+from ..oracle.rollup import rollup_pandas
+from ..stages.partition import group_apply
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def round6(df: pd.DataFrame, cols=None) -> pd.DataFrame:
+    """Half-away-from-zero round to 6 decimals (matches DuckDB ROUND)."""
+    if cols is None:
+        cols = [c for c in df.columns if df[c].dtype == np.float64]
+    for c in cols:
+        v = df[c].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore"):
+            r = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        df[c] = np.where(np.isnan(v), np.nan, r)
+    return df
+
+
+def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns or EVENT_COLS)
+
+
+def _event_points(sf_dir: str) -> ray.data.Dataset:
+    """events → points keyed by user_id with channel 'value'."""
+
+    def to_points(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "channel": pa.array(["value"] * len(b), pa.string()),
+                "ts": b["ts"],
+                "value": b["value"],
+                "event_id": b["event_id"],
+            }
+        )
+
+    return _events(sf_dir, ["event_id", "ts", "user_id", "value"]).map_batches(
+        to_points, batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------------ rollups
+def _rollup_events(sf_dir: str, tier: str) -> pd.DataFrame:
+    pts = _event_points(sf_dir)
+    out = group_apply(
+        pts,
+        lambda df: rollup_pandas(df, tier, keys=("user_id", "channel")),
+        num_partitions=16,
+        key="user_id",
+        salt_tier_s={"1m": 60, "1h": 3600, "1d": 86400}[tier],
+    ).to_pandas()
+    out = out.drop(columns=["channel"])
+    return round6(out)
+
+
+def q_rollup_1m(sf_dir):
+    return _rollup_events(sf_dir, "1m")
+
+
+def q_rollup_1h(sf_dir):
+    return _rollup_events(sf_dir, "1h")
+
+
+def q_rollup_1d(sf_dir):
+    return _rollup_events(sf_dir, "1d")
+
+
+def _ROLLUP_SQL(unit: str) -> str:
+    return f"""
+    SELECT user_id, date_trunc('{unit}', ts) AS bucket,
+           count(value) AS cnt,
+           count(*) - count(value) AS count_null,
+           round(sum(value), 6) AS vsum,
+           round(avg(value), 6) AS vmean,
+           round(min(value), 6) AS vmin,
+           round(max(value), 6) AS vmax,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1, 2
+    """
+
+
+# -------------------------------------------- inter-event latency rollup
+def q_latency_rollup_1h(sf_dir):
+    """Per-user inter-event latency (analogue of turn_latency: Δts
+    seconds ordered by (ts, event_id); null for the first event),
+    rolled up hourly with exact quantiles."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        uid = df["user_id"].to_numpy()
+        lat = np.empty(len(df))
+        lat[0] = np.nan
+        lat[1:] = (ts_us[1:] - ts_us[:-1]) / 1e6
+        lat[np.r_[True, uid[1:] != uid[:-1]]] = np.nan
+        pts = pd.DataFrame(
+            {"user_id": uid, "channel": "lat", "ts": df["ts"].to_numpy(), "value": lat}
+        )
+        return rollup_pandas(pts, "1h", keys=("user_id", "channel"))
+
+    out = group_apply(
+        _events(sf_dir, ["event_id", "ts", "user_id"]),
+        fn,
+        num_partitions=16,
+        key="user_id",
+    ).to_pandas()
+    return round6(out.drop(columns=["channel"]))
+
+
+LATENCY_SQL = """
+WITH lat AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         CASE WHEN lag(ts) OVER w IS NULL THEN NULL
+              ELSE date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0 END AS v
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, bucket,
+       count(v) AS cnt, count(*) - count(v) AS count_null,
+       round(sum(v), 6) AS vsum, round(avg(v), 6) AS vmean,
+       round(min(v), 6) AS vmin, round(max(v), 6) AS vmax,
+       round(quantile_cont(v, 0.5), 6) AS p50,
+       round(quantile_cont(v, 0.99), 6) AS p99
+FROM lat GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------ cadence stats
+def q_cadence_stats(sf_dir):
+    """Per-user cadence statistics C1/C3 over event times."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        uid = df["user_id"].to_numpy()
+        rows = []
+        for u in pd.unique(uid):
+            sel = uid == u
+            tt = ts_us[sel]
+            # diff in integer µs FIRST, then convert — bit-identical to
+            # the SQL (epoch_us − lag(epoch_us)) / 1e6
+            c = np.diff(tt) / 1e6
+            rows.append(
+                {
+                    "user_id": u,
+                    "n_epochs": np.int64(len(tt)),
+                    "total_time": (tt[-1] - tt[0]) / 1e6,
+                    "cads_avg": np.mean(c) if len(c) else np.nan,
+                    "cads_med": np.median(c) if len(c) else np.nan,
+                    "cads_std": np.std(c) if len(c) else np.nan,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = group_apply(
+        _events(sf_dir, ["event_id", "ts", "user_id"]), fn, num_partitions=16, key="user_id"
+    ).to_pandas()
+    return round6(out)
+
+
+CADENCE_SQL = """
+WITH d AS (
+  SELECT user_id, ts AS ts_raw,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS cad
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) AS n_epochs,
+       round((max(epoch_us(ts_raw)) - min(epoch_us(ts_raw))) / 1000000.0, 6) AS total_time,
+       round(avg(cad), 6) AS cads_avg,
+       round(quantile_cont(cad, 0.5), 6) AS cads_med,
+       round(stddev_pop(cad), 6) AS cads_std
+FROM d GROUP BY 1
+"""
+
+
+# ----------------------------------------------------- common features
+def q_amplitude_stats(sf_dir):
+    """Per-user amplitude / percentile features (A1/A6/A8/A11-subset)
+    over ``value``."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for u, grp in df.groupby("user_id", sort=False):
+            v = grp["value"].to_numpy(dtype=np.float64)
+            p5, p25, p40, p50, p60, p75, p95 = np.percentile(
+                v, [5, 25, 40, 50, 60, 75, 95], method="linear"
+            )
+            rows.append(
+                {
+                    "user_id": u,
+                    "vmean": v.mean(),
+                    "vmedian": p50,
+                    "amplitude": (v.max() - v.min()) / 2,
+                    "mad": np.median(np.abs(v - p50)),
+                    "fpr_mid20": (p60 - p40) / (p95 - p5),
+                    "fpr_mid50": (p75 - p25) / (p95 - p5),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = group_apply(
+        _events(sf_dir, ["user_id", "value"]), fn, num_partitions=16, key="user_id"
+    ).to_pandas()
+    return round6(out)
+
+
+AMPLITUDE_SQL = """
+SELECT user_id,
+       round(avg(value), 6) AS vmean,
+       round(quantile_cont(value, 0.5), 6) AS vmedian,
+       round((max(value) - min(value)) / 2, 6) AS amplitude,
+       round(mad(value), 6) AS mad,
+       round((quantile_cont(value, 0.6) - quantile_cont(value, 0.4))
+             / (quantile_cont(value, 0.95) - quantile_cont(value, 0.05)), 6) AS fpr_mid20,
+       round((quantile_cont(value, 0.75) - quantile_cont(value, 0.25))
+             / (quantile_cont(value, 0.95) - quantile_cont(value, 0.05)), 6) AS fpr_mid50
+FROM events GROUP BY 1
+"""
+
+
+def q_max_slope(sf_dir):
+    """Per-user max |Δvalue/Δt| (A13) ordered by (ts, event_id)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        v = df["value"].to_numpy(dtype=np.float64)
+        uid = df["user_id"].to_numpy()
+        dt = np.diff(ts_us) / 1e6  # integer µs diff first (matches SQL)
+        dv = np.abs(np.diff(v))
+        same = uid[1:] == uid[:-1]
+        ok = same & (dt > 0)
+        slopes = pd.DataFrame({"user_id": uid[1:][ok], "s": dv[ok] / dt[ok]})
+        return slopes.groupby("user_id", as_index=False)["s"].max().rename(
+            columns={"s": "max_slope"}
+        )
+
+    out = group_apply(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]),
+        fn, num_partitions=16, key="user_id",
+    ).to_pandas()
+    return round6(out)
+
+
+MAX_SLOPE_SQL = """
+WITH d AS (
+  SELECT user_id,
+         abs(value - lag(value) OVER w)
+           / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) AS slope,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, round(max(slope), 6) AS max_slope
+FROM d WHERE dt > 0 GROUP BY 1
+"""
+
+
+# --------------------------------------------------- top-k / semi-join
+def q_top_users(sf_dir):
+    """Hot-key detection A18: top 10 users by event count."""
+    out = (
+        _events(sf_dir, ["user_id"])
+        .groupby("user_id")
+        .count()
+        .rename_columns({"count()": "cnt"})
+        .sort(["cnt", "user_id"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return out
+
+
+TOP_USERS_SQL = """
+SELECT user_id, count(*) AS cnt FROM events
+GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 10
+"""
+
+
+def q_semi_join_hot(sf_dir):
+    """Semi-join via broadcast key set (J1 derivative): per-type event
+    counts restricted to the 5 hottest users."""
+    top = set(q_top_users(sf_dir).head(5)["user_id"].tolist())
+    ref = ray.put(top)
+
+    def filt(b: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pc.is_in(b["user_id"], value_set=pa.array(list(keys), pa.int64()))
+        return b.filter(mask)
+
+    return (
+        _events(sf_dir, ["user_id", "event_type"])
+        .map_batches(filt, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .count()
+        .rename_columns({"count()": "cnt"})
+        .to_pandas()
+    )
+
+
+SEMI_JOIN_SQL = """
+WITH top5 AS (
+  SELECT user_id FROM events GROUP BY 1
+  ORDER BY count(*) DESC, user_id LIMIT 5
+)
+SELECT user_id, event_type, count(*) AS cnt
+FROM events WHERE user_id IN (SELECT user_id FROM top5)
+GROUP BY 1, 2
+"""
+
+
+def q_event_type_agg(sf_dir):
+    """Native Ray groupby-aggregate path (no custom kernel)."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    out = (
+        _events(sf_dir, ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="cnt"),
+            Mean("value", alias_name="vmean"),
+            Min("value", alias_name="vmin"),
+            Max("value", alias_name="vmax"),
+        )
+        .to_pandas()
+    )
+    return round6(out)
+
+
+EVENT_TYPE_SQL = """
+SELECT event_type, count(*) AS cnt,
+       round(avg(value), 6) AS vmean,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------ gap-fill
+def q_gapfill_1h_locf(sf_dir):
+    """Hourly LOCF gap-fill of per-user mean value (G2)."""
+    pts = _event_points(sf_dir)
+    out = group_apply(
+        pts,
+        lambda df: gapfill_pandas(df, "1h", "locf", keys=("user_id",)),
+        num_partitions=16,
+        key="user_id",
+    ).to_pandas()
+    return round6(out)
+
+
+GAPFILL_SQL = """
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS b, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+)
+SELECT g.user_id, g.bucket,
+       round(last_value(o.v IGNORE NULLS) OVER
+             (PARTITION BY g.user_id ORDER BY g.bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+       CASE WHEN o.v IS NOT NULL THEN 'observed' ELSE 'locf' END AS fill_method
+FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.b = g.bucket
+"""
+
+
+# ------------------------------------------------- documents / text ops
+def q_dedup_exact(sf_dir):
+    """Exact dedup over documents.text: keeper doc_id + copy count per
+    distinct text (hash-partitioned groupby — same text always lands in
+    one partition)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text", as_index=False).agg(
+            keeper_id=("doc_id", "min"), n_copies=("doc_id", "count")
+        )
+        return g
+
+    return group_apply(docs, fn, num_partitions=8, key="text").to_pandas()
+
+
+DEDUP_SQL = """
+SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_text_stats(sf_dir):
+    """Per-document text statistics (length, token count)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": df["text"].str.len().astype("int64"),
+                "token_count": df["text"].str.count(r"\S+").astype("int64"),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas").to_pandas()
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id, length(text) AS n_chars,
+       len(regexp_extract_all(text, '\\S+')) AS token_count
+FROM documents
+"""
+
+
+def q_lang_profile(sf_dir):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    from ray.data.aggregate import Count, Mean
+
+    out = (
+        docs.groupby("lang")
+        .aggregate(Count(alias_name="cnt"), Mean("n_chars", alias_name="avg_chars"))
+        .to_pandas()
+    )
+    return round6(out)
+
+
+LANG_SQL = """
+SELECT lang, count(*) AS cnt, round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
+QUERIES = {
+    "rollup_1m": q_rollup_1m,
+    "rollup_1h": q_rollup_1h,
+    "rollup_1d": q_rollup_1d,
+    "latency_rollup_1h": q_latency_rollup_1h,
+    "cadence_stats": q_cadence_stats,
+    "amplitude_stats": q_amplitude_stats,
+    "max_slope": q_max_slope,
+    "top_users": q_top_users,
+    "semi_join_hot": q_semi_join_hot,
+    "event_type_agg": q_event_type_agg,
+    "gapfill_1h_locf": q_gapfill_1h_locf,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "lang_profile": q_lang_profile,
+}
+
+ORACLE_SQL = {
+    "rollup_1m": _ROLLUP_SQL("minute"),
+    "rollup_1h": _ROLLUP_SQL("hour"),
+    "rollup_1d": _ROLLUP_SQL("day"),
+    "latency_rollup_1h": LATENCY_SQL,
+    "cadence_stats": CADENCE_SQL,
+    "amplitude_stats": AMPLITUDE_SQL,
+    "max_slope": MAX_SLOPE_SQL,
+    "top_users": TOP_USERS_SQL,
+    "semi_join_hot": SEMI_JOIN_SQL,
+    "event_type_agg": EVENT_TYPE_SQL,
+    "gapfill_1h_locf": GAPFILL_SQL,
+    "dedup_exact": DEDUP_SQL,
+    "text_stats": TEXT_STATS_SQL,
+    "lang_profile": LANG_SQL,
+}

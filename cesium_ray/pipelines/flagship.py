@@ -1,0 +1,190 @@
+"""Flagship pipeline (SURVEY.md §3 "Our engine's flagship lifecycle").
+
+    read_parquet(turns) → map_batches(normalize M1, zero-copy Arrow)
+    → hash-partition on conv_id (G1) → ONE groupby shuffle →
+    per-partition processor (vectorized pandas):
+        sort (M2) → derive channels → rollup 1m/1h/1d (G4, exact
+        p50/p99) → gap-fill (G2) → Gorilla/DoD chunks (G3) →
+        [optional] cesium feature extraction (T1)
+    → atomic partitioned writes + per-partition manifest (G7)
+    → returns a small metrics table (lineage).
+
+Scale design: exactly one all-to-all exchange (the conv_id groupby);
+every downstream product is computed inside the same partition visit,
+so adding tiers/products costs zero extra shuffles.  Outputs are
+``tier=<t>/date=<d>/part-<pid>.parquet`` — resumable + retention-ready
+(G5).  A re-run skips partitions whose manifest fingerprint matches
+(G7); kill-and-rerun yields identical bytes (tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from ..oracle.gapfill import gapfill_pandas
+from ..oracle.rollup import derive_channels_pandas, rollup_pandas
+from ..stages.codec import ChunkCodec
+from ..stages.features import FeatureExtractor
+from ..stages.normalize import normalize_turns
+from ..stages.partition import with_partition
+from ..state.manifest import Manifest, ManifestRow, partition_fingerprint
+
+METRICS_COLUMNS = [
+    "partition_id", "input_fingerprint", "rows_in", "points", "rollup_rows",
+    "gapfilled_rows", "chunk_rows", "payload_bytes", "feature_rows", "skipped",
+]
+
+
+def _atomic_file_write(df: pd.DataFrame, path: str):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, path)
+
+
+class PartitionProcessor:
+    """One call = one hash partition (many whole conversations)."""
+
+    def __init__(
+        self,
+        out_root: str,
+        tiers=("1m", "1h", "1d"),
+        write_points: bool = False,
+        gapfill_tier: str | None = "1m",
+        gapfill_method: str = "locf",
+        codec: bool = True,
+        features=None,  # None → skip; list of names or "general"
+        by: str = "conv_id",
+        order=("turn_idx",),
+        resume: bool = True,
+    ):
+        self.out_root = out_root
+        self.tiers = tiers
+        self.write_points = write_points
+        self.gapfill_tier = gapfill_tier
+        self.gapfill_method = gapfill_method
+        self.codec = ChunkCodec() if codec else None
+        if features == "general":
+            from ..oracle.graphs import GENERAL_FEATURES
+
+            features = list(GENERAL_FEATURES)
+        self.extractor = (
+            FeatureExtractor(features_to_use=features) if features else None
+        )
+        self.by = by
+        self.order = order
+        self.resume = resume
+        self.manifest = Manifest(out_root, "flagship")
+
+    def _write_dated(self, df: pd.DataFrame, tier: str, pid: str, time_col: str):
+        n = 0
+        for day, grp in df.groupby(df[time_col].dt.date, sort=True):
+            _atomic_file_write(
+                grp.reset_index(drop=True),
+                os.path.join(
+                    self.out_root, f"tier={tier}", f"date={day}", f"part-{pid}.parquet"
+                ),
+            )
+            n += len(grp)
+        return n
+
+    def __call__(self, part: pd.DataFrame) -> pd.DataFrame:
+        pid = f"{int(part['_part'].iloc[0]):05d}"
+        df = part.drop(columns=["_part"])
+        fp = partition_fingerprint(df, key_cols=(self.by, *self.order))
+        if self.resume and self.manifest.is_done(pid, fp):
+            prev = self.manifest.get(pid)
+            return pd.DataFrame(
+                [{
+                    "partition_id": pid, "input_fingerprint": fp,
+                    "rows_in": len(df), "points": 0, "rollup_rows": prev.rows_out,
+                    "gapfilled_rows": 0, "chunk_rows": 0, "payload_bytes": 0,
+                    "feature_rows": 0, "skipped": True,
+                }]
+            )
+
+        pts = derive_channels_pandas(df, by=self.by, order=self.order)
+        metrics = {
+            "partition_id": pid, "input_fingerprint": fp, "rows_in": len(df),
+            "points": len(pts), "rollup_rows": 0, "gapfilled_rows": 0,
+            "chunk_rows": 0, "payload_bytes": 0, "feature_rows": 0, "skipped": False,
+        }
+        if self.write_points:
+            self._write_dated(pts, "raw", pid, "ts")
+        for tier in self.tiers:
+            r = rollup_pandas(pts, tier)
+            metrics["rollup_rows"] += self._write_dated(r, tier, pid, "bucket")
+        if self.gapfill_tier:
+            gf = gapfill_pandas(pts, self.gapfill_tier, self.gapfill_method)
+            _atomic_file_write(
+                gf,
+                os.path.join(
+                    self.out_root, f"gapfilled_{self.gapfill_tier}",
+                    f"part={pid}", "data.parquet",
+                ),
+            )
+            metrics["gapfilled_rows"] = len(gf)
+        if self.codec is not None:
+            chunks = self.codec(pts)
+            _atomic_file_write(
+                chunks, os.path.join(self.out_root, "chunks", f"part={pid}", "data.parquet")
+            )
+            metrics["chunk_rows"] = len(chunks)
+            metrics["payload_bytes"] = int(chunks["payload"].str.len().sum()) if len(chunks) else 0
+        if self.extractor is not None:
+            feats = self.extractor(pts)
+            _atomic_file_write(
+                feats, os.path.join(self.out_root, "features", f"part={pid}", "data.parquet")
+            )
+            metrics["feature_rows"] = len(feats)
+
+        self.manifest.mark(
+            ManifestRow(
+                partition_id=pid,
+                input_fingerprint=fp,
+                rows_in=len(df),
+                rows_out=int(metrics["rollup_rows"]),
+                checksum=f"{zlib.crc32(str(sorted(metrics.items())).encode()):08x}",
+                state="done",
+            )
+        )
+        return pd.DataFrame([metrics])
+
+
+def run_flagship(
+    turns: ray.data.Dataset | str,
+    out_root: str,
+    num_partitions: int = 64,
+    concurrency=None,
+    **proc_kw,
+) -> pd.DataFrame:
+    """Run the flagship pipeline; returns the per-partition metrics
+    table (small — one row per partition)."""
+    if isinstance(turns, str):
+        turns = ray.data.read_parquet(turns)
+    ds = normalize_turns(turns)
+    keep = [c for c in ["conv_id", "turn_idx", "ts", "text_len", "value"] if c in ds.columns()]
+    ds = ds.select_columns(keep)
+    parted = with_partition(ds, num_partitions, key="conv_id")
+    if concurrency is None:
+        # autoscaling (1, ncpu): a full-size fixed pool can reserve all
+        # CPUs and deadlock the upstream shuffle on small clusters
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(1, min(ncpu, num_partitions)))
+    kw = {"concurrency": concurrency}
+    metrics = parted.groupby("_part").map_groups(
+        PartitionProcessor,
+        batch_format="pandas",
+        fn_constructor_kwargs={"out_root": out_root, **proc_kw},
+        **kw,
+    )
+    return metrics.to_pandas()

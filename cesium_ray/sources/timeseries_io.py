@@ -20,7 +20,9 @@ DEFAULT_ERROR_VALUE = 1e-4
 def parse_ts_data(filepath: str, sep: str = ",") -> np.ndarray:
     """Load a delimited .dat/.csv series file, keeping the first ≤3
     numeric columns as (t, m, e) (cesium/data_management.py::parse_ts_data)."""
-    arr = np.atleast_2d(np.genfromtxt(filepath, delimiter=sep, dtype=np.float64))
+    arr = np.genfromtxt(filepath, delimiter=sep, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]  # single-column file → (n, 1)
     if arr.shape[1] > 3:
         arr = arr[:, :3]
     bad = np.isnan(arr).all(axis=1)

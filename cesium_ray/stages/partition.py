@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
 
 
@@ -65,6 +66,12 @@ def group_apply(
 
     if isinstance(fn, type):  # callable class → actor pool
         wrapped = fn
+        if "concurrency" not in map_groups_kw:
+            # AUTOSCALING pool (1, ncpu): a fixed pool of ncpu actors
+            # would reserve every CPU and deadlock the upstream shuffle
+            # on small clusters; min_size=1 keeps the pipeline moving
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+            map_groups_kw["concurrency"] = (1, max(1, min(ncpu, num_partitions)))
     else:
         def wrapped(df: pd.DataFrame) -> pd.DataFrame:
             return fn(df.drop(columns=["_part"]))

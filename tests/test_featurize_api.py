@@ -1,0 +1,135 @@
+"""cesium-compatible API tests (SURVEY.md §5.1 — semantics of
+cesium/tests/test_featurize.py / test_time_series.py /
+test_data_management.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cesium_ray.pipelines import (
+    featurize_time_series,
+    featurize_ts_files,
+    load_featureset,
+    save_featureset,
+)
+from cesium_ray.sources import (
+    DEFAULT_ERROR_VALUE,
+    DEFAULT_MAX_TIME,
+    normalize_series,
+    parse_headerfile,
+    parse_ts_data,
+)
+from cesium_ray.stages import impute_featureset
+
+
+def test_single_series_shapes():
+    t = np.linspace(0, 10, 50)
+    m = np.sin(t)
+    out = featurize_time_series(times=t, values=m, features_to_use=["mean", "amplitude"])
+    assert len(out) == 1
+    assert set(["series_id", "channel", "mean", "amplitude"]) <= set(out.columns)
+    assert out["amplitude"].iloc[0] == pytest.approx((m.max() - m.min()) / 2)
+
+
+def test_defaulting_no_time_no_error():
+    # cesium: missing t → linspace(0, DEFAULT_MAX_TIME, n); missing e → const
+    m = np.array([1.0, 2.0, 3.0, 4.0])
+    out = featurize_time_series(values=m, features_to_use=["total_time", "avg_err", "mean"])
+    assert out["total_time"].iloc[0] == pytest.approx(DEFAULT_MAX_TIME)
+    assert out["avg_err"].iloc[0] == pytest.approx(DEFAULT_ERROR_VALUE)
+
+
+def test_multichannel_ragged():
+    t = np.linspace(0, 1, 20)
+    out = featurize_time_series(
+        times=[t], values=[[np.ones(20), np.arange(10.0)]],
+        features_to_use=["n_epochs", "mean"],
+    )
+    assert len(out) == 2  # two channels
+    assert list(out["channel"]) == [0, 1]
+    assert out["n_epochs"].tolist() == [20.0, 10.0]
+
+
+def test_labels_and_meta_passthrough():
+    out = featurize_time_series(
+        times=[None, None],
+        values=[np.arange(5.0), np.arange(6.0)],
+        labels=["classA", "classB"],
+        meta_features=[{"meta1": 0.5}, {"meta1": 0.7}],
+        names=["s1", "s2"],
+        features_to_use=["mean"],
+    )
+    assert list(out["label"]) == ["classA", "classB"]
+    assert list(out["meta1"]) == [0.5, 0.7]
+
+
+def test_sort_applied():
+    # unsorted time must be sorted before features (M2)
+    t = np.array([3.0, 1.0, 2.0, 0.0])
+    m = np.array([30.0, 10.0, 20.0, 0.0])
+    out = featurize_time_series(times=t, values=m, features_to_use=["max_slope"])
+    assert out["max_slope"].iloc[0] == pytest.approx(10.0)
+
+
+def test_parse_ts_data_columns(tmp_path):
+    p1 = tmp_path / "a.dat"
+    p1.write_text("0.0,1.0,0.1\n1.0,2.0,0.1\n")
+    arr = parse_ts_data(str(p1))
+    assert arr.shape == (2, 3)
+    p2 = tmp_path / "b.dat"
+    p2.write_text("1.0\n2.0\n3.0\n")
+    arr2 = parse_ts_data(str(p2))
+    assert arr2.shape[0] == 3
+    # 4-column file → first 3 kept
+    p3 = tmp_path / "c.dat"
+    p3.write_text("0,1,0.1,9\n1,2,0.1,9\n")
+    assert parse_ts_data(str(p3)).shape == (2, 3)
+
+
+def test_featurize_ts_files_with_header(tmp_path):
+    for name, vals in [("s1", [1.0, 2.0, 3.0]), ("s2", [5.0, 5.0, 8.0])]:
+        (tmp_path / f"{name}.dat").write_text(
+            "\n".join(f"{i},{v},0.1" for i, v in enumerate(vals))
+        )
+    hdr = tmp_path / "header.csv"
+    hdr.write_text("filename,label,meta1\ns1,x,1.5\ns2,y,2.5\n")
+    out = featurize_ts_files(
+        [str(tmp_path / "s1.dat"), str(tmp_path / "s2.dat")],
+        features_to_use=["mean", "amplitude"],
+        header_df=parse_headerfile(str(hdr)),
+    )
+    assert list(out["label"]) == ["x", "y"]
+    assert list(out["meta1"]) == [1.5, 2.5]
+    assert out["mean"].tolist() == [2.0, 6.0]
+
+
+def test_save_load_featureset_roundtrip(tmp_path):
+    out = featurize_time_series(values=np.arange(10.0), features_to_use=["mean", "std"])
+    path = str(tmp_path / "fset.parquet")
+    save_featureset(out, path)
+    back = load_featureset(path)
+    pd.testing.assert_frame_equal(out, back)
+
+
+def test_normalize_series_broadcast_scalar_error():
+    t, m, e = normalize_series([0, 1, 2], [1.0, 2.0, 3.0], 0.5)
+    np.testing.assert_allclose(e, [0.5, 0.5, 0.5])
+
+
+def test_impute_featureset_constant_and_mean():
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "b", "c"],
+            "channel": ["x", "x", "x"],
+            "f1": [1.0, np.nan, 3.0],
+            "f2": [np.inf, 2.0, 4.0],
+        }
+    )
+    const = impute_featureset(ray.data.from_pandas(df), "constant", value=-1.0).to_pandas()
+    assert const["f1"].tolist() == [1.0, -1.0, 3.0]
+    assert const["f2"].tolist() == [-1.0, 2.0, 4.0]  # inf clipped → filled
+    mean = impute_featureset(ray.data.from_pandas(df), "mean").to_pandas()
+    assert mean["f1"].tolist() == [1.0, 2.0, 3.0]
+    assert mean["f2"].tolist() == [3.0, 2.0, 4.0]

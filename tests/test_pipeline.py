@@ -1,0 +1,128 @@
+"""End-to-end flagship pipeline + stage tests (SURVEY.md §3)."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from cesium_ray.oracle.codec import decode_chunk
+from cesium_ray.oracle.rollup import derive_channels_pandas, rollup_pandas
+from cesium_ray.pipelines import run_flagship
+from cesium_ray.stages import decode_chunks, derive_points, encode_points, extract_features
+from cesium_ray.stages.features import FeatureExtractor
+
+
+def test_derive_points_matches_oracle(tiny_turns):
+    got = (
+        derive_points(ray.data.from_arrow(tiny_turns), num_partitions=8)
+        .to_pandas()
+        .sort_values(["conv_id", "channel", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = (
+        derive_channels_pandas(tiny_turns.to_pandas())
+        .sort_values(["conv_id", "channel", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_codec_stage_roundtrip(tiny_turns):
+    pts = derive_points(ray.data.from_arrow(tiny_turns), num_partitions=8)
+    chunks = encode_points(pts, max_points=64, num_partitions=8)
+    decoded = (
+        decode_chunks(chunks)
+        .to_pandas()
+        .sort_values(["conv_id", "channel", "ts", "value"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    orig = (
+        pts.to_pandas()[["conv_id", "channel", "ts", "value"]]
+        .sort_values(["conv_id", "channel", "ts", "value"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    # bit-exact value roundtrip incl. NaNs
+    np.testing.assert_array_equal(
+        decoded.value.to_numpy().view(np.uint64), orig.value.to_numpy().view(np.uint64)
+    )
+    np.testing.assert_array_equal(
+        decoded.ts.to_numpy("datetime64[us]"), orig.ts.to_numpy("datetime64[us]")
+    )
+
+
+def test_feature_stage_matches_oracle(tiny_turns):
+    from cesium_ray.oracle.graphs import compute_features
+
+    pts = derive_points(ray.data.from_arrow(tiny_turns), num_partitions=4)
+    feats = extract_features(
+        pts, features_to_use=["mean", "amplitude", "n_epochs", "cads_med"],
+        num_partitions=4,
+    ).to_pandas().set_index(["conv_id", "channel"]).sort_index()
+
+    pdf = derive_channels_pandas(tiny_turns.to_pandas())
+    one = pdf[(pdf.conv_id == "conv-00000000") & (pdf.channel == "text_len")]
+    one = one.sort_values("turn_idx")
+    ts_us = one.ts.to_numpy("datetime64[us]").astype("int64")
+    t = (ts_us - ts_us[0]) / 1e6
+    want = compute_features(t, one.value.to_numpy(),
+                            features_to_use=["mean", "amplitude", "n_epochs", "cads_med"])
+    got = feats.loc[("conv-00000000", "text_len")]
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-9), k
+
+
+def test_flagship_end_to_end(tiny_turns, tmp_path):
+    out = str(tmp_path / "flagship")
+    metrics = run_flagship(
+        ray.data.from_arrow(tiny_turns), out, num_partitions=8, features="general"
+    )
+    assert not metrics.skipped.any()
+    assert metrics.rows_in.sum() == tiny_turns.num_rows
+    # every tier written and bit-equal to oracle
+    pdf = tiny_turns.to_pandas()
+    pdf["text_len"] = pdf["text"].str.len().astype(float)
+    pts = derive_channels_pandas(pdf)
+    for tier in ("1m", "1h", "1d"):
+        files = glob.glob(f"{out}/tier={tier}/date=*/part-*.parquet")
+        assert files
+        got = (
+            pd.concat([pd.read_parquet(f) for f in files])
+            .sort_values(["conv_id", "channel", "bucket"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        want = (
+            rollup_pandas(pts, tier)
+            .sort_values(["conv_id", "channel", "bucket"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # chunks decode back to the exact point count
+    chunk_files = glob.glob(f"{out}/chunks/part=*/data.parquet")
+    chunks = pd.concat([pd.read_parquet(f) for f in chunk_files])
+    assert chunks.n.sum() == len(pts)
+    row = chunks.iloc[0]
+    ts, vals = decode_chunk(row.payload, int(row.n))
+    assert len(ts) == row.n
+    # features written for both channels
+    feat_files = glob.glob(f"{out}/features/part=*/data.parquet")
+    feats = pd.concat([pd.read_parquet(f) for f in feat_files])
+    assert set(feats.channel.unique()) == {"turn_latency", "text_len"}
+    assert feats.conv_id.nunique() == pdf.conv_id.nunique()
+
+
+def test_extractor_nan_on_bad_series():
+    ex = FeatureExtractor(features_to_use=["mean", "cads_med"], min_points=2)
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a"],
+            "channel": ["turn_latency"],
+            "ts": [np.datetime64("2026-01-01", "us")],
+            "value": [1.0],
+            "turn_idx": [0],
+        }
+    )
+    out = ex(df)
+    assert len(out) == 1 and np.isnan(out["mean"].iloc[0])
