@@ -44,46 +44,79 @@ def rollup_pandas(
     bucket = bucket_floor_us(ts_us, tier_s).astype("datetime64[us]")
     vals = df[value_col].to_numpy(dtype=np.float64)
 
-    g = pd.DataFrame({k: df[k].to_numpy() for k in keys})
-    g["bucket"] = bucket
-    g["value"] = vals
-
+    # Pure-NumPy group kernel: factorize keys → one lexsort by
+    # (keys, bucket, value-with-NaN-last) → reduceat aggregates +
+    # positional exact quantiles.  No per-group Python, no pandas
+    # groupby hashing of string keys in the hot path.
     keycols = list(keys) + ["bucket"]
-    # count/sum/mean/min/max via pandas C groupby kernels
-    gb = g.groupby(keycols, sort=True, dropna=False)["value"]
-    base = gb.agg(cnt="count", vsum="sum", vmean="mean", vmin="min", vmax="max")
-    base["count_null"] = gb.size() - base["cnt"]
-    # exact quantiles, fully vectorized: sort once by (keys, value) with
-    # NaN last, then index the np.quantile 'linear' positions per group
-    order = g.sort_values(keycols + ["value"], kind="mergesort", na_position="last")
-    codes = order.groupby(keycols, sort=True, dropna=False).ngroup().to_numpy()
-    vals_sorted = order["value"].to_numpy(dtype=np.float64)
-    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
-    cnt = base["cnt"].to_numpy(dtype=np.int64)  # aligned: both key-sorted
+    key_codes = []
+    key_uniques = []
+    for k in keys:
+        c, u = pd.factorize(df[k].to_numpy(), sort=True)
+        key_codes.append(c.astype(np.int64))
+        key_uniques.append(u)
+    bcodes, buniq = pd.factorize(bucket, sort=True)
+    key_codes.append(bcodes.astype(np.int64))
+    key_uniques.append(buniq)
+
+    # lexsort: last key is primary → order (keys…, bucket, value)
+    order = np.lexsort((vals,) + tuple(reversed(key_codes)))
+    sc = [c[order] for c in key_codes]
+    sv = vals[order]
+    n = len(sv)
+    changed = np.zeros(n, dtype=bool)
+    changed[0] = True
+    for c in sc:
+        changed[1:] |= c[1:] != c[:-1]
+    starts = np.flatnonzero(changed)
+    ends = np.r_[starts[1:], n]
+    total = ends - starts
+
+    isnan = np.isnan(sv)
+    nn_cum = np.r_[0, np.cumsum(~isnan)]
+    cnt = nn_cum[ends] - nn_cum[starts]
+    count_null = total - cnt
+
+    sv0 = np.where(isnan, 0.0, sv)
+    vsum = np.add.reduceat(sv0, starts)  # per-group sums (no cumsum cancellation)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vmean = np.where(cnt > 0, vsum / cnt, np.nan)
+    vsum = np.where(cnt > 0, vsum, np.nan)
+    # values are ascending within each group with NaN last → min/max by position
+    has = cnt > 0
+    vmin = np.full(len(starts), np.nan)
+    vmax = np.full(len(starts), np.nan)
+    vmin[has] = sv[starts[has]]
+    vmax[has] = sv[starts[has] + cnt[has] - 1]
 
     def _vq(p):
         q = np.full(len(starts), np.nan)
-        ok = cnt > 0
-        pos = (cnt[ok] - 1) * p
-        lo = starts[ok] + np.floor(pos).astype(np.int64)
-        hi = starts[ok] + np.ceil(pos).astype(np.int64)
+        pos = (cnt[has] - 1) * p
+        lo = starts[has] + np.floor(pos).astype(np.int64)
+        hi = starts[has] + np.ceil(pos).astype(np.int64)
         frac = pos - np.floor(pos)
-        a, b = vals_sorted[lo], vals_sorted[hi]
+        a, b = sv[lo], sv[hi]
         # replicate np.quantile(method='linear') _lerp exactly (it
         # switches formula at t>=0.5 for FP symmetry)
         diff = b - a
-        q[ok] = np.where(frac >= 0.5, b - diff * (1 - frac), a + diff * frac)
+        q[has] = np.where(frac >= 0.5, b - diff * (1 - frac), a + diff * frac)
         return q
 
-    out = base.reset_index()
+    out = {}
+    for k, c, u in zip(keycols, (c[order] for c in key_codes), key_uniques):
+        kv = np.asarray(u)[c[starts]]
+        out[k] = kv
+    out["cnt"] = cnt.astype(np.int64)
+    out["count_null"] = count_null.astype(np.int64)
+    out["vsum"] = vsum
+    out["vmean"] = vmean
+    out["vmin"] = vmin
+    out["vmax"] = vmax
     out["p50"] = _vq(0.5)
     out["p99"] = _vq(0.99)
-    out["cnt"] = out["cnt"].astype("int64")
-    out["count_null"] = out["count_null"].astype("int64")
-    # empty-value groups: sums of all-NaN are 0.0 under pandas — force NaN
-    allnull = out["cnt"] == 0
-    out.loc[allnull, ["vsum", "vmean", "vmin", "vmax"]] = np.nan
-    return out[keycols + ["cnt", "count_null", "vsum", "vmean", "vmin", "vmax", "p50", "p99"]]
+    res = pd.DataFrame(out)
+    res["bucket"] = res["bucket"].astype("datetime64[us]")
+    return res[keycols + ["cnt", "count_null", "vsum", "vmean", "vmin", "vmax", "p50", "p99"]]
 
 
 def derive_channels_pandas(
@@ -96,10 +129,15 @@ def derive_channels_pandas(
     channels ``turn_latency`` (Δts seconds within conversation, NaN at
     turn 0) and ``text_len`` (utf8 length).  Vectorized over all
     conversations in the frame at once (no per-conv Python)."""
-    df = turns.sort_values([by, *order], kind="mergesort").reset_index(drop=True)
+    # factorize the conversation key once, then integer lexsort — avoids
+    # repeated object-string comparisons in the per-partition hot path
+    codes, _ = pd.factorize(turns[by].to_numpy(), sort=False)
+    sort_keys = [turns[c].to_numpy() for c in reversed(order)] + [codes]
+    pos = np.lexsort(tuple(sort_keys))
+    df = turns.iloc[pos].reset_index(drop=True)
     ts_us = df[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
-    conv = df[by].to_numpy()
-    new_conv = np.r_[True, conv[1:] != conv[:-1]]
+    sc = codes[pos]
+    new_conv = np.r_[True, sc[1:] != sc[:-1]]
     lat = np.empty(len(df), dtype=np.float64)
     lat[0] = np.nan
     lat[1:] = (ts_us[1:] - ts_us[:-1]) / 1e6
