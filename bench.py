@@ -63,7 +63,7 @@ def bench_flagship_rollup(results, thr):
     metrics = run_flagship(
         ds,
         out_root,
-        num_partitions=4 * NCPU,
+        num_partitions=2 * NCPU,
         features=None,
         codec=False,
         gapfill_tier=None,

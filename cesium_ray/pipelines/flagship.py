@@ -176,10 +176,12 @@ def run_flagship(
     ds = ds.select_columns(keep)
     parted = with_partition(ds, num_partitions, key="conv_id")
     if concurrency is None:
-        # autoscaling (1, ncpu): a full-size fixed pool can reserve all
-        # CPUs and deadlock the upstream shuffle on small clusters
+        # autoscaling (ncpu//2, ncpu): full-size fixed pools deadlock
+        # the upstream shuffle on small clusters; a half-size floor
+        # avoids the slow 1-actor ramp-up without starving the exchange
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(1, min(ncpu, num_partitions)))
+        hi = max(1, min(ncpu, num_partitions))
+        concurrency = (max(1, hi // 2), hi)
     kw = {"concurrency": concurrency}
     metrics = parted.groupby("_part").map_groups(
         PartitionProcessor,

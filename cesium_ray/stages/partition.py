@@ -67,11 +67,13 @@ def group_apply(
     if isinstance(fn, type):  # callable class → actor pool
         wrapped = fn
         if "concurrency" not in map_groups_kw:
-            # AUTOSCALING pool (1, ncpu): a fixed pool of ncpu actors
-            # would reserve every CPU and deadlock the upstream shuffle
-            # on small clusters; min_size=1 keeps the pipeline moving
+            # AUTOSCALING pool (ncpu//2, ncpu): a fixed pool of ncpu
+            # actors would reserve every CPU and deadlock the upstream
+            # shuffle on small clusters; half-size min starts the stage
+            # wide immediately while leaving CPUs for the exchange
             ncpu = int(ray.cluster_resources().get("CPU", 4))
-            map_groups_kw["concurrency"] = (1, max(1, min(ncpu, num_partitions)))
+            hi = max(1, min(ncpu, num_partitions))
+            map_groups_kw["concurrency"] = (max(1, hi // 2), hi)
     else:
         def wrapped(df: pd.DataFrame) -> pd.DataFrame:
             return fn(df.drop(columns=["_part"]))

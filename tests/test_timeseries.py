@@ -1,0 +1,54 @@
+"""TimeSeries container tests (cesium/tests/test_time_series.py
+semantics: broadcast/ragged channels, sort, save/load round-trip)."""
+
+import numpy as np
+import pytest
+
+from cesium_ray.sources.timeseries_io import DEFAULT_ERROR_VALUE, DEFAULT_MAX_TIME
+from cesium_ray.timeseries import TimeSeries, load
+
+
+def test_defaults():
+    ts = TimeSeries(m=[1.0, 2.0, 3.0])
+    t, m, e = next(ts.channels())
+    np.testing.assert_allclose(t, np.linspace(0, DEFAULT_MAX_TIME, 3))
+    np.testing.assert_allclose(e, DEFAULT_ERROR_VALUE)
+
+
+def test_broadcast_shared_t():
+    t = np.arange(4.0)
+    ts = TimeSeries(t=t, m=[np.ones(4), np.zeros(4)])
+    chans = list(ts.channels())
+    assert len(chans) == 2
+    np.testing.assert_array_equal(chans[0][0], t)
+    np.testing.assert_array_equal(chans[1][0], t)
+
+
+def test_ragged_channels_default_fill():
+    ts = TimeSeries(t=np.arange(4.0), m=[np.ones(4), np.zeros(2)])
+    chans = list(ts.channels())
+    assert len(chans[1][0]) == 2  # ragged channel got its own default grid
+
+
+def test_sort():
+    ts = TimeSeries(t=[3.0, 1.0, 2.0], m=[30.0, 10.0, 20.0])
+    ts.sort()
+    t, m, e = next(ts.channels())
+    np.testing.assert_array_equal(t, [1, 2, 3])
+    np.testing.assert_array_equal(m, [10, 20, 30])
+
+
+def test_save_load_roundtrip(tmp_path):
+    ts = TimeSeries(
+        t=np.arange(5.0), m=np.arange(5.0) ** 2, e=np.full(5, 0.1),
+        label="cls", meta_features={"m1": 1.5}, name="s1",
+    )
+    p = str(tmp_path / "ts.npz")
+    ts.save(p)
+    back = load(p)
+    assert back.label == "cls" and back.name == "s1"
+    assert back.meta_features == {"m1": 1.5}
+    for (t1, m1, e1), (t2, m2, e2) in zip(ts.channels(), back.channels()):
+        np.testing.assert_array_equal(t1, t2)
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_array_equal(e1, e2)
