@@ -57,6 +57,14 @@ def bench_flagship_rollup(results, thr):
 
     turns_path = synth_turns_path()
     ds = ray.data.read_parquet(turns_path)
+    # untimed warmup: full read through worker processes (page cache +
+    # worker import of the library) so both scaling runs measure
+    # compute + shuffle, not cold start (ray_guide bench guidance)
+    def _warm(b):
+        import cesium_ray  # noqa: F401
+        return b
+
+    ds.map_batches(_warm, batch_format="pyarrow").count()
     n_turns = ds.count()
     out_root = tempfile.mkdtemp(prefix="bench-flagship-", dir=CACHE_ROOT)
     t0 = time.time()
@@ -188,6 +196,9 @@ def run_scaling():
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_ONLY="flagship_rollup",
+            # larger input for the scaling criterion so per-session
+            # constants (startup, barrier) don't mask the scalable work
+            GRAFT_BENCH_TURNS=os.environ.get("GRAFT_SCALING_TURNS", "8000000"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -53,11 +53,14 @@ def cads_std(c):
     return float(np.std(c)) if len(c) else float("nan")
 
 
-def cad_prob(c, T):
+def cad_prob(c, T, c_sorted=None):
     """Empirical P(next obs within T) = fraction of cadences ≤ T
-    (SURVEY §2.8 C4 semantics of ::cad_prob)."""
+    (SURVEY §2.8 C4 semantics of ::cad_prob).  With ``c_sorted``
+    supplied, one binary search replaces a full-array comparison."""
     if len(c) == 0:
         return float("nan")
+    if c_sorted is not None:
+        return float(np.searchsorted(c_sorted, T, side="right") / len(c_sorted))
     return float(np.mean(c <= T))
 
 

@@ -80,24 +80,40 @@ def percent_beyond_1_std(m, e):  # ::percent_beyond_1_std
     return float(np.mean(np.abs(m - wa) > np.std(m)))
 
 
+_FLUX_QS = [5.0, 10.0, 17.5, 25.0, 32.5, 40.0, 50.0, 60.0, 67.5, 75.0, 82.5, 90.0, 95.0]
+_FLUX_IDX = {q: i for i, q in enumerate(_FLUX_QS)}
+
+
+def flux_percentiles(m):
+    """Shared intermediate: ONE percentile pass for the whole flux
+    family (each ratio would otherwise re-sort the series)."""
+    return np.percentile(m, _FLUX_QS, method="linear")
+
+
 def _flux_percentile(m, lo, hi):
     p_lo, p_hi = np.percentile(m, [lo, hi], method="linear")
     return p_hi - p_lo
 
 
-def flux_percentile_ratio(m, k):  # ::flux_percentile_ratio_mid{k}
+def flux_percentile_ratio(m, k, pcts=None):  # ::flux_percentile_ratio_mid{k}
     """(P(50+k/2) − P(50−k/2)) / (P95 − P5)  for k ∈ {20,35,50,65,80}."""
-    denom = _flux_percentile(m, 5, 95)
+    if pcts is None:
+        pcts = flux_percentiles(m)
+    denom = pcts[_FLUX_IDX[95.0]] - pcts[_FLUX_IDX[5.0]]
     if denom == 0:
         return float("nan")
-    return float(_flux_percentile(m, 50 - k / 2, 50 + k / 2) / denom)
+    return float(
+        (pcts[_FLUX_IDX[50 + k / 2]] - pcts[_FLUX_IDX[50 - k / 2]]) / denom
+    )
 
 
-def percent_difference_flux_percentile(m):  # ::percent_difference_flux_percentile
-    med = np.median(m)
+def percent_difference_flux_percentile(m, pcts=None):  # ::percent_difference_flux_percentile
+    if pcts is None:
+        pcts = flux_percentiles(m)
+    med = pcts[_FLUX_IDX[50.0]]
     if med == 0:
         return float("nan")
-    return float(_flux_percentile(m, 5, 95) / abs(med))
+    return float((pcts[_FLUX_IDX[95.0]] - pcts[_FLUX_IDX[5.0]]) / abs(med))
 
 
 def max_slope(t, m):  # ::max_slope

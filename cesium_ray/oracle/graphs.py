@@ -46,7 +46,6 @@ def _build_graph():
         "median_absolute_deviation": (co.median_absolute_deviation, "m"),
         "percent_close_to_median": (co.percent_close_to_median, "m"),
         "percent_beyond_1_std": (co.percent_beyond_1_std, "m", "e"),
-        "percent_difference_flux_percentile": (co.percent_difference_flux_percentile, "m"),
         "max_slope": (co.max_slope, "t", "m"),
         "stetson_j": (co.stetson_j, "m", "e"),
         "stetson_k": (co.stetson_k, "m", "e"),
@@ -66,13 +65,22 @@ def _build_graph():
         # P3 --------------------------------------------------------
         "period_fast": (period_fast, "t", "m"),
     }
+    g["_flux_pcts"] = (co.flux_percentiles, "m")
+    g["percent_difference_flux_percentile"] = (
+        (lambda m, p: co.percent_difference_flux_percentile(m, pcts=p)),
+        "m", "_flux_pcts",
+    )
     for k in (20, 35, 50, 65, 80):
         g[f"flux_percentile_ratio_mid{k}"] = (
-            (lambda m, kk=k: co.flux_percentile_ratio(m, kk)),
-            "m",
+            (lambda m, p, kk=k: co.flux_percentile_ratio(m, kk, pcts=p)),
+            "m", "_flux_pcts",
         )
+    g["_cads_sorted"] = (np.sort, "_cads")
     for T in cf.CAD_PROB_THRESHOLDS:
-        g[f"cad_probs_{T}"] = ((lambda c, TT=T: cf.cad_prob(c, TT)), "_cads")
+        g[f"cad_probs_{T}"] = (
+            (lambda c, cs, TT=T: cf.cad_prob(c, TT, c_sorted=cs)),
+            "_cads", "_cads_sorted",
+        )
     # C7 histogram-peak features ------------------------------------
     nhist_keys = (
         ["all_times_nhist_numpeaks", "all_times_nhist_peak_val"]
@@ -168,7 +176,7 @@ def compute_features(
     NaN unless ``raise_exceptions`` (cesium's NaN-on-failure semantic).
     ``e`` defaults to the constant DEFAULT_ERROR_VALUE fill (§1.1).
     """
-    from ..sources.timeseries_io import DEFAULT_ERROR_VALUE
+    from ..constants import DEFAULT_ERROR_VALUE
 
     t = np.asarray(t, dtype=np.float64)
     m = np.asarray(m, dtype=np.float64)
@@ -176,7 +184,7 @@ def compute_features(
         e = np.full(len(m), DEFAULT_ERROR_VALUE)
     e = np.asarray(e, dtype=np.float64)
 
-    graph = dict(FEATURE_GRAPH)
+    graph = FEATURE_GRAPH if not (ls_kwargs or custom_functions) else dict(FEATURE_GRAPH)
     if ls_kwargs:
         graph["_ls_model"] = (
             (lambda t_, m_, e_: lomb_scargle_model(t_, m_, e_, **ls_kwargs)),

@@ -13,8 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-DEFAULT_MAX_TIME = 1.0
-DEFAULT_ERROR_VALUE = 1e-4
+from ..constants import DEFAULT_ERROR_VALUE, DEFAULT_MAX_TIME  # noqa: F401
 
 
 def parse_ts_data(filepath: str, sep: str = ",") -> np.ndarray:

@@ -37,7 +37,10 @@ class FeatureExtractor:
     ):
         self.features = list(features_to_use) if features_to_use else list(GENERAL_FEATURES)
         self.custom = custom_functions
-        self.ls_kwargs = ls_kwargs or {"day": 86400.0}
+        from ..oracle.graphs import LS_FEATURES
+
+        needs_ls = bool(set(self.features) & set(LS_FEATURES))
+        self.ls_kwargs = (ls_kwargs or {"day": 86400.0}) if needs_ls else None
         self.channels = set(channels) if channels else None
         self.min_points = min_points
         self.raise_exceptions = raise_exceptions
