@@ -13,6 +13,18 @@ Nothing here calls ``ray.init()``: the driver / bench / test fixture owns
 the Ray session.
 """
 
+import os as _os
+
+# glibc malloc tuning for Ray worker processes (inherited from the
+# driver env when set before ray.init): without this, every large
+# NumPy/pandas temporary is mmap'd and munmap'd, and at 32 concurrent
+# workers the kernel page-table churn + TLB shootdowns put the box at
+# ~90% system time (measured: 2.3× end-to-end on the flagship rollup).
+# Keeping big allocations on the sbrk heap removes the storm.
+_os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+_os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+_os.environ.setdefault("MALLOC_ARENA_MAX", "2")
+
 __version__ = "0.1.0"
 
 TIERS = {"1m": 60, "1h": 3600, "1d": 86400}

@@ -63,10 +63,29 @@ def rollup_pandas(
     order = np.lexsort((vals,) + tuple(reversed(key_codes)))
     sc = [c[order] for c in key_codes]
     sv = vals[order]
+    starts, stats = _grouped_stats(sv, sc)
+
+    out = {}
+    for k, c, u in zip(keycols, sc, key_uniques):
+        out[k] = np.asarray(u)[c[starts]]
+    out.update(stats)
+    res = pd.DataFrame(out)
+    res["bucket"] = res["bucket"].astype("datetime64[us]")
+    return res[keycols + ["cnt", "count_null", "vsum", "vmean", "vmin", "vmax", "p50", "p99"]]
+
+
+def _grouped_stats(sv: np.ndarray, group_key_arrays) -> tuple[np.ndarray, dict]:
+    """Shared group-stats kernel: ``sv`` = values sorted by
+    (*group_key_arrays, value-with-NaN-last); ``group_key_arrays`` =
+    the key arrays in the SAME sorted order.  Returns (group start
+    positions, stats dict).  Every rollup path (pandas wrapper AND the
+    fused per-partition array path) runs through this one function —
+    identical within-group value ordering → bit-identical sums and
+    quantiles (exact-parity gate)."""
     n = len(sv)
     changed = np.zeros(n, dtype=bool)
     changed[0] = True
-    for c in sc:
+    for c in group_key_arrays:
         changed[1:] |= c[1:] != c[:-1]
     starts = np.flatnonzero(changed)
     ends = np.r_[starts[1:], n]
@@ -102,21 +121,87 @@ def rollup_pandas(
         q[has] = np.where(frac >= 0.5, b - diff * (1 - frac), a + diff * frac)
         return q
 
-    out = {}
-    for k, c, u in zip(keycols, (c[order] for c in key_codes), key_uniques):
-        kv = np.asarray(u)[c[starts]]
-        out[k] = kv
-    out["cnt"] = cnt.astype(np.int64)
-    out["count_null"] = count_null.astype(np.int64)
-    out["vsum"] = vsum
-    out["vmean"] = vmean
-    out["vmin"] = vmin
-    out["vmax"] = vmax
-    out["p50"] = _vq(0.5)
-    out["p99"] = _vq(0.99)
-    res = pd.DataFrame(out)
-    res["bucket"] = res["bucket"].astype("datetime64[us]")
-    return res[keycols + ["cnt", "count_null", "vsum", "vmean", "vmin", "vmax", "p50", "p99"]]
+    stats = {
+        "cnt": cnt.astype(np.int64),
+        "count_null": count_null.astype(np.int64),
+        "vsum": vsum,
+        "vmean": vmean,
+        "vmin": vmin,
+        "vmax": vmax,
+        "p50": _vq(0.5),
+        "p99": _vq(0.99),
+    }
+    return starts, stats
+
+
+def derive_channel_arrays(
+    turns: pd.DataFrame,
+    by: str = "conv_id",
+    order=("turn_idx",),
+    ts_col: str = "ts",
+):
+    """Array-level channel derivation (fused hot path): factorize the
+    conversation key ONCE, integer lexsort, derive latency/text_len as
+    bare arrays.  Returns (codes, uniques, ts_us, turn_idx, channels)
+    with rows sorted by (conv, *order)."""
+    codes, uniques = pd.factorize(turns[by].to_numpy(), sort=False)
+    sort_keys = [turns[c].to_numpy() for c in reversed(order)] + [codes]
+    pos = np.lexsort(tuple(sort_keys))
+    sc = codes[pos]
+    ts_us = turns[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")[pos]
+    new_conv = np.r_[True, sc[1:] != sc[:-1]]
+    lat = np.empty(len(sc), dtype=np.float64)
+    lat[0] = np.nan
+    lat[1:] = (ts_us[1:] - ts_us[:-1]) / 1e6
+    lat[new_conv] = np.nan
+    channels = {"turn_latency": lat}
+    if "text_len" in turns:
+        channels["text_len"] = turns["text_len"].to_numpy(dtype=np.float64)[pos]
+    elif "text" in turns:
+        channels["text_len"] = turns["text"].str.len().to_numpy(dtype=np.float64)[pos]
+    if "value" in turns.columns:
+        channels["value"] = turns["value"].to_numpy(dtype=np.float64)[pos]
+    tidx = (
+        turns[order[0]].to_numpy()[pos]
+        if order[0] in turns.columns
+        else np.arange(len(sc))
+    )
+    return sc, uniques, ts_us, tidx, channels
+
+
+def rollup_arrays(
+    conv_codes: np.ndarray,
+    conv_uniques,
+    ts_us: np.ndarray,
+    channels: dict,
+    tier: str,
+    key_name: str = "conv_id",
+) -> pd.DataFrame:
+    """Fused rollup over derived channel arrays — one row per
+    (conv, channel, bucket), stats bit-identical to
+    ``rollup_pandas(derive_channels_pandas(...), tier)`` (same
+    ``_grouped_stats`` kernel, same within-group value ordering);
+    only row order differs."""
+    bucket = bucket_floor_us(ts_us, TIER_SECONDS[tier])
+    frames = []
+    uniq = np.asarray(conv_uniques)
+    for name, vals in channels.items():
+        order = np.lexsort((vals, bucket, conv_codes))
+        sc = conv_codes[order]
+        sb = bucket[order]
+        starts, stats = _grouped_stats(vals[order], (sc, sb))
+        out = {
+            key_name: uniq[sc[starts]],
+            "channel": name,
+            "bucket": sb[starts].astype("datetime64[us]"),
+        }
+        out.update(stats)
+        frames.append(pd.DataFrame(out))
+    res = pd.concat(frames, ignore_index=True)
+    return res[
+        [key_name, "channel", "bucket", "cnt", "count_null", "vsum", "vmean",
+         "vmin", "vmax", "p50", "p99"]
+    ]
 
 
 def derive_channels_pandas(

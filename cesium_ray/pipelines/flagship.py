@@ -28,7 +28,7 @@ import ray
 import ray.data
 
 from ..oracle.gapfill import gapfill_pandas
-from ..oracle.rollup import derive_channels_pandas, rollup_pandas
+from ..oracle.rollup import derive_channel_arrays, rollup_arrays
 from ..stages.codec import ChunkCodec
 from ..stages.features import FeatureExtractor
 from ..stages.normalize import normalize_turns
@@ -63,6 +63,8 @@ class PartitionProcessor:
         gapfill_method: str = "locf",
         codec: bool = True,
         features=None,  # None → skip; list of names or "general"
+        ls_features=None,  # None → skip; "ls" or list; hot convs only
+        ls_min_turns: int = 500,
         by: str = "conv_id",
         order=("turn_idx",),
         resume: bool = True,
@@ -80,6 +82,20 @@ class PartitionProcessor:
         self.extractor = (
             FeatureExtractor(features_to_use=features) if features else None
         )
+        if ls_features == "ls":
+            from ..oracle.graphs import LS_FEATURES
+
+            ls_features = list(LS_FEATURES)
+        # Lomb-Scargle family is the expensive kernel (SURVEY §2.7):
+        # computed only for conversations with ≥ ls_min_turns turns —
+        # a deterministic, documented cap (hot conversations are the
+        # ones with enough samples for meaningful periodicity)
+        self.ls_extractor = (
+            FeatureExtractor(features_to_use=ls_features, ls_kwargs={"day": 86400.0})
+            if ls_features
+            else None
+        )
+        self.ls_min_turns = ls_min_turns
         self.by = by
         self.order = order
         self.resume = resume
@@ -112,16 +128,43 @@ class PartitionProcessor:
                 }]
             )
 
-        pts = derive_channels_pandas(df, by=self.by, order=self.order)
+        # fused array path: factorize + sort ONCE, then all tiers /
+        # products reuse the same derived arrays (bit-identical stats to
+        # the oracle's rollup_pandas — shared _grouped_stats kernel)
+        codes, uniques, ts_us, tidx, channels = derive_channel_arrays(
+            df, by=self.by, order=self.order
+        )
+        n_points = len(codes) * len(channels)
         metrics = {
             "partition_id": pid, "input_fingerprint": fp, "rows_in": len(df),
-            "points": len(pts), "rollup_rows": 0, "gapfilled_rows": 0,
+            "points": n_points, "rollup_rows": 0, "gapfilled_rows": 0,
             "chunk_rows": 0, "payload_bytes": 0, "feature_rows": 0, "skipped": False,
         }
+        pts = None
+        if (self.gapfill_tier or self.codec is not None or self.extractor is not None
+                or self.ls_extractor is not None or self.write_points):
+            # long-format points built from the already-derived arrays
+            conv_str = np.asarray(uniques)[codes]
+            ts_dt = ts_us.astype("datetime64[us]")
+            pts = pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "conv_id": conv_str,
+                            "channel": name,
+                            "ts": ts_dt,
+                            "value": vals,
+                            "turn_idx": tidx,
+                        }
+                    )
+                    for name, vals in channels.items()
+                ],
+                ignore_index=True,
+            )
         if self.write_points:
             self._write_dated(pts, "raw", pid, "ts")
         for tier in self.tiers:
-            r = rollup_pandas(pts, tier)
+            r = rollup_arrays(codes, uniques, ts_us, channels, tier, key_name="conv_id")
             metrics["rollup_rows"] += self._write_dated(r, tier, pid, "bucket")
         if self.gapfill_tier:
             gf = gapfill_pandas(pts, self.gapfill_tier, self.gapfill_method)
@@ -146,6 +189,19 @@ class PartitionProcessor:
                 feats, os.path.join(self.out_root, "features", f"part={pid}", "data.parquet")
             )
             metrics["feature_rows"] = len(feats)
+        if self.ls_extractor is not None:
+            sizes = np.bincount(codes, minlength=len(np.asarray(uniques)))
+            hot = np.flatnonzero(sizes >= self.ls_min_turns)
+            if len(hot):
+                hot_mask = np.isin(codes, hot)
+                n_ch = len(channels)
+                pts_hot = pts[np.tile(hot_mask, n_ch)]
+                ls_feats = self.ls_extractor(pts_hot)
+                _atomic_file_write(
+                    ls_feats,
+                    os.path.join(self.out_root, "features_ls", f"part={pid}", "data.parquet"),
+                )
+                metrics["feature_rows"] += len(ls_feats)
 
         self.manifest.mark(
             ManifestRow(

@@ -1,6 +1,8 @@
 import numpy as np
 import pandas as pd
 import pytest
+
+import cesium_ray  # noqa: F401  (sets malloc env before ray.init forks workers)
 import ray
 
 
