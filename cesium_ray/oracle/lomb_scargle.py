@@ -29,7 +29,11 @@ from __future__ import annotations
 import numpy as np
 
 MAX_NUMF = 20_000
-FREQ_CHUNK = 512
+# frequency-chunk size for the vectorized scan: 64 keeps the per-chunk
+# trig temporaries (~6 × chunk × n doubles) L2/L3-resident, so 32
+# concurrent extractor actors scale linearly instead of fighting for
+# DRAM bandwidth (measured: 512 → 2.7× slowdown at 32-way; 64 → none)
+FREQ_CHUNK = 64
 
 
 def _weighted_linear_trend(t, m, w):

@@ -454,6 +454,67 @@ FROM documents GROUP BY 1
 """
 
 
+def q_distinct_users(sf_dir):
+    """A17 — global distinct key universe (manifest planning)."""
+    n = len(_events(sf_dir, ["user_id"]).unique("user_id"))
+    return pd.DataFrame({"n_users": [np.int64(n)]})
+
+
+DISTINCT_SQL = "SELECT count(DISTINCT user_id) AS n_users FROM events"
+
+
+def q_union_backfill(sf_dir):
+    """O4 — union of two event slices re-rolled into one daily tier
+    (backfill path: old + new data union → re-aggregate)."""
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def split(pred):
+        def fn(b: pa.Table) -> pa.Table:
+            even = pc.equal(pc.bit_wise_and(b["event_id"], 1), 0)
+            return b.filter(even if pred else pc.invert(even))
+        return fn
+
+    even_ds = ev.map_batches(split(True), batch_format="pyarrow")
+    odd_ds = ev.map_batches(split(False), batch_format="pyarrow")
+    merged = even_ds.union(odd_ds)
+
+    def to_points(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "channel": pa.array(["value"] * len(b), pa.string()),
+                "ts": b["ts"],
+                "value": b["value"],
+            }
+        )
+
+    pts = merged.map_batches(to_points, batch_format="pyarrow")
+    out = group_apply(
+        pts,
+        lambda df: rollup_pandas(df, "1d", keys=("user_id", "channel")),
+        num_partitions=16,
+        key="user_id",
+        salt_tier_s=86400,
+    ).to_pandas()
+    return round6(out.drop(columns=["channel"]))
+
+
+UNION_SQL = """
+WITH merged AS (
+  SELECT * FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT * FROM events WHERE event_id % 2 = 1
+)
+SELECT user_id, date_trunc('day', ts) AS bucket,
+       count(value) AS cnt, count(*) - count(value) AS count_null,
+       round(sum(value), 6) AS vsum, round(avg(value), 6) AS vmean,
+       round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM merged GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
@@ -466,6 +527,8 @@ QUERIES = {
     "semi_join_hot": q_semi_join_hot,
     "event_type_agg": q_event_type_agg,
     "gapfill_1h_locf": q_gapfill_1h_locf,
+    "distinct_users": q_distinct_users,
+    "union_backfill": q_union_backfill,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "lang_profile": q_lang_profile,
@@ -483,6 +546,8 @@ ORACLE_SQL = {
     "semi_join_hot": SEMI_JOIN_SQL,
     "event_type_agg": EVENT_TYPE_SQL,
     "gapfill_1h_locf": GAPFILL_SQL,
+    "distinct_users": DISTINCT_SQL,
+    "union_backfill": UNION_SQL,
     "dedup_exact": DEDUP_SQL,
     "text_stats": TEXT_STATS_SQL,
     "lang_profile": LANG_SQL,

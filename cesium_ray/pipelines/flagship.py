@@ -20,6 +20,7 @@ so adding tiers/products costs zero extra shuffles.  Outputs are
 from __future__ import annotations
 
 import os
+import time as _time
 import zlib
 
 import numpy as np
@@ -90,8 +91,14 @@ class PartitionProcessor:
         # computed only for conversations with ≥ ls_min_turns turns —
         # a deterministic, documented cap (hot conversations are the
         # ones with enough samples for meaningful periodicity)
+        # ofac=2 (vs library default 4) halves the scan grid for the
+        # bulk flagship pass; full-resolution fits remain available via
+        # featurize_time_series / extract_features with default kwargs
         self.ls_extractor = (
-            FeatureExtractor(features_to_use=ls_features, ls_kwargs={"day": 86400.0})
+            FeatureExtractor(
+                features_to_use=ls_features,
+                ls_kwargs={"day": 86400.0, "ofac": 2.0},
+            )
             if ls_features
             else None
         )
@@ -114,6 +121,7 @@ class PartitionProcessor:
         return n
 
     def __call__(self, part: pd.DataFrame) -> pd.DataFrame:
+        _t0 = _time.time()
         pid = f"{int(part['_part'].iloc[0]):05d}"
         df = part.drop(columns=["_part"])
         fp = partition_fingerprint(df, key_cols=(self.by, *self.order))
@@ -203,6 +211,9 @@ class PartitionProcessor:
                 )
                 metrics["feature_rows"] += len(ls_feats)
 
+        metrics["duration_s"] = round(_time.time() - _t0, 3)
+        metrics["worker_pid"] = os.getpid()
+        metrics["t_end"] = _time.time()
         self.manifest.mark(
             ManifestRow(
                 partition_id=pid,
@@ -231,6 +242,18 @@ def run_flagship(
     keep = [c for c in ["conv_id", "turn_idx", "ts", "text_len", "value"] if c in ds.columns()]
     ds = ds.select_columns(keep)
     parted = with_partition(ds, num_partitions, key="conv_id")
+    if concurrency == "tasks":
+        # elastic task pool: no actor ramp-up — every CPU picks up a
+        # partition task the moment the exchange finishes (worker
+        # processes are reused, so import cost amortizes after wave 1)
+        ctor_kw = {"out_root": out_root, **proc_kw}
+
+        def process(df: pd.DataFrame, _kw=ctor_kw) -> pd.DataFrame:
+            return PartitionProcessor(**_kw)(df)
+
+        return parted.groupby("_part").map_groups(
+            process, batch_format="pandas"
+        ).to_pandas()
     if concurrency is None:
         # autoscaling (ncpu//2, ncpu): full-size fixed pools deadlock
         # the upstream shuffle on small clusters; a half-size floor
