@@ -308,7 +308,7 @@ def run_scaling():
         return json.loads(out.strip().splitlines()[-1])
 
     n_lo, n_hi = (
-        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
     )
     lo, hi = one(n_lo), one(n_hi)
 
