@@ -70,8 +70,14 @@ class Manifest:
         p = self._path(part_id)
         if not os.path.exists(p):
             return None
-        with open(p) as f:
-            return ManifestRow(**json.load(f))
+        try:
+            with open(p) as f:
+                return ManifestRow(**json.load(f))
+        except (json.JSONDecodeError, TypeError, KeyError):
+            # a corrupt/truncated manifest (crash mid-write, external
+            # damage) means "not done" — recompute the partition
+            # idempotently instead of failing the job
+            return None
 
     def is_done(self, part_id: str, fingerprint: str) -> bool:
         row = self.get(part_id)
