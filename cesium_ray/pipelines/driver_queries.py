@@ -454,6 +454,55 @@ FROM documents GROUP BY 1
 """
 
 
+def q_join_user_totals(sf_dir):
+    """J1 large-side variant: Ray-native hash join (Dataset.join) of
+    events against a derived per-user dimension, then a grouped count
+    — per (user_id, event_type) with the user's total alongside."""
+    ev = _events(sf_dir, ["user_id", "event_type"])
+    totals = (
+        _events(sf_dir, ["user_id"])
+        .groupby("user_id")
+        .count()
+        .rename_columns({"count()": "user_total"})
+    )
+    joined = ev.join(totals, "inner", num_partitions=8, on=("user_id",))
+    from ray.data.aggregate import Count, Max
+
+    res = (
+        joined.groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="cnt"), Max("user_total", alias_name="user_total"))
+        .to_pandas()
+    )
+    return res
+
+
+JOIN_SQL = """
+WITH totals AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY 1)
+SELECT e.user_id, e.event_type, count(*) AS cnt, max(t.user_total) AS user_total
+FROM events e JOIN totals t ON e.user_id = t.user_id
+GROUP BY 1, 2
+"""
+
+
+def q_hot_key_sample(sf_dir):
+    """O3 — seeded sampling for skew statistics: estimate per-user row
+    share from a 20% sample, report users whose estimated share
+    exceeds 2× the uniform share.  Deterministic (seeded) but not
+    SQL-reproducible → rows-only check."""
+    sampled = _events(sf_dir, ["user_id"]).random_sample(0.2, seed=42)
+    counts = (
+        sampled.groupby("user_id").count().rename_columns({"count()": "cnt"}).to_pandas()
+    )
+    total = counts.cnt.sum()
+    counts["share"] = counts.cnt / total
+    hot = (
+        counts.sort_values(["share", "user_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return round6(hot)
+
+
 def q_distinct_users(sf_dir):
     """A17 — global distinct key universe (manifest planning)."""
     n = len(_events(sf_dir, ["user_id"]).unique("user_id"))
@@ -527,6 +576,8 @@ QUERIES = {
     "semi_join_hot": q_semi_join_hot,
     "event_type_agg": q_event_type_agg,
     "gapfill_1h_locf": q_gapfill_1h_locf,
+    "join_user_totals": q_join_user_totals,
+    "hot_key_sample": q_hot_key_sample,
     "distinct_users": q_distinct_users,
     "union_backfill": q_union_backfill,
     "dedup_exact": q_dedup_exact,
@@ -546,6 +597,7 @@ ORACLE_SQL = {
     "semi_join_hot": SEMI_JOIN_SQL,
     "event_type_agg": EVENT_TYPE_SQL,
     "gapfill_1h_locf": GAPFILL_SQL,
+    "join_user_totals": JOIN_SQL,
     "distinct_users": DISTINCT_SQL,
     "union_backfill": UNION_SQL,
     "dedup_exact": DEDUP_SQL,

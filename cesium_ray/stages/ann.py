@@ -1,0 +1,188 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(training-data pipeline op).
+
+Two paths, same result schema ``(query_id, vec_id, sim)``:
+
+  * ``brute_force_topk`` — the exact baseline: broadcast the
+    normalized query matrix (``ray.put`` once), per-batch numpy
+    matmul in ``map_batches``, driver-side top-k merge of per-batch
+    candidates (each batch already reduces to ≤ k rows per query).
+  * ``lsh_topk`` — the scale path: random-hyperplane LSH.  A
+    signature stage hashes every vector into ``n_tables`` bucket ids
+    (stateful actor pool: the projection matrix is built once per
+    actor from a fixed seed); candidates co-locate via a bucket
+    groupby; exact cosine re-ranking happens inside each bucket, and a
+    final per-query groupby keeps the global top-k.  Only vectors
+    sharing a bucket with the query are scored — at scale this is the
+    difference between scanning 100 TB and scanning the collision set.
+
+Determinism: projections are seeded; ties broken by vec_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from .partition import group_apply
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return X / n
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Exact cosine top-k: one broadcast of the query matrix, one
+    streaming pass over the corpus."""
+    Qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    ref = ray.put((qids, Qn))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ids, qn = ray.get(ref)
+        X = _normalize(_stack(df[emb_col]))
+        sims = X @ qn.T
+        vid = df[id_col].to_numpy()
+        frames = []
+        for j, qid in enumerate(ids):
+            s = sims[:, j]
+            order = np.lexsort((vid, -s))[: k + 1]  # per-batch partial top-k
+            frames.append(pd.DataFrame({"query_id": qid, "vec_id": vid[order], "sim": s[order]}))
+        return pd.concat(frames, ignore_index=True)
+
+    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if exclude_self:
+        cand = cand[cand.query_id != cand.vec_id]
+    return (
+        cand.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True],
+                         kind="mergesort")
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+class LshSigner:
+    """Actor-pool signature stage: seeded random hyperplanes built once
+    per actor; emits one (bucket, vec_id, embedding) row per table."""
+
+    def __init__(self, dim: int, n_tables: int = 8, n_bits: int = 10, seed: int = 7,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(size=(n_tables, n_bits, dim))
+        self.pows = (1 << np.arange(n_bits)).astype(np.int64)
+        self.n_tables = n_tables
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def signatures(self, X: np.ndarray) -> np.ndarray:
+        """(n, n_tables) int64 bucket ids."""
+        out = np.empty((len(X), self.n_tables), dtype=np.int64)
+        for t in range(self.n_tables):
+            bits = (X @ self.planes[t].T) > 0
+            out[:, t] = bits @ self.pows + t * (1 << 20)  # table-disjoint ids
+        return out
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        X = _stack(df[self.emb_col])
+        sig = self.signatures(X)
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "bucket": sig.reshape(-1, order="F"),
+                self.id_col: np.tile(df[self.id_col].to_numpy(), self.n_tables),
+                self.emb_col: list(df[self.emb_col]) * self.n_tables,
+            }
+        )
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 5,
+    dim: int | None = None,
+    n_tables: int = 8,
+    n_bits: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """LSH-bucketed cosine top-k (the 100-TB path: score only bucket
+    collisions).  Recall < 1 by construction; raise n_tables for more."""
+    Q = np.asarray(queries, dtype=np.float64)
+    if dim is None:
+        dim = Q.shape[1]
+    signer = LshSigner(dim, n_tables, n_bits, seed, id_col, emb_col)
+    q_sigs = signer.signatures(Q)  # (nq, n_tables)
+    Qn = _normalize(Q)
+    qids = np.asarray(query_ids)
+    # bucket → list of query indexes that probe it
+    probe: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for b in q_sigs[qi]:
+            probe.setdefault(int(b), []).append(qi)
+    ref = ray.put((probe, qids, Qn))
+
+    sigs = ds.select_columns([id_col, emb_col]).map_batches(
+        LshSigner,
+        batch_format="pandas",
+        fn_constructor_kwargs={
+            "dim": dim, "n_tables": n_tables, "n_bits": n_bits, "seed": seed,
+            "id_col": id_col, "emb_col": emb_col,
+        },
+        concurrency=(1, 8),
+    )
+
+    def bucket_scan(df: pd.DataFrame) -> pd.DataFrame:
+        probe_, qids_, qn = ray.get(ref)
+        frames = []
+        for b, grp in df.groupby("bucket", sort=False):
+            qidx = probe_.get(int(b))
+            if not qidx:
+                continue
+            X = _normalize(_stack(grp[emb_col]))
+            vid = grp[id_col].to_numpy()
+            sims = X @ qn[qidx].T
+            for j, qi in enumerate(qidx):
+                s = sims[:, j]
+                order = np.lexsort((vid, -s))[: k + 1]
+                frames.append(pd.DataFrame(
+                    {"query_id": qids_[qi], "vec_id": vid[order], "sim": s[order]}
+                ))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    cand = group_apply(sigs, bucket_scan, num_partitions=num_partitions,
+                       key="bucket").to_pandas()
+    if exclude_self:
+        cand = cand[cand.query_id != cand.vec_id]
+    cand = cand.drop_duplicates(["query_id", "vec_id"])
+    return (
+        cand.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True],
+                         kind="mergesort")
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,69 @@
+"""Similarity-search tests: exact brute-force baseline + LSH scale
+path over the embeddings table."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from cesium_ray.stages.ann import brute_force_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb():
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = ds.to_pandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return ds, pdf, X
+
+
+def _exact_topk(X, ids, Q, qids, k=5):
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Xn @ Qn.T
+    out = []
+    for j, qid in enumerate(qids):
+        s = sims[:, j].copy()
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -s[mask]))[:k]
+        out.append(set(ids[mask][order]))
+    return out
+
+
+def test_brute_force_matches_numpy(emb):
+    ds, pdf, X = emb
+    qids = pdf["vec_id"].to_numpy()[:3]
+    Q = X[:3]
+    got = brute_force_topk(ds, Q, qids, k=5)
+    want = _exact_topk(X, pdf["vec_id"].to_numpy(), Q, qids, k=5)
+    for j, qid in enumerate(qids):
+        got_set = set(got[got.query_id == qid]["vec_id"])
+        assert got_set == want[j], f"query {qid}"
+
+
+def test_lsh_recall_reasonable(emb):
+    ds, pdf, X = emb
+    qids = pdf["vec_id"].to_numpy()[:5]
+    Q = X[:5]
+    exact = _exact_topk(X, pdf["vec_id"].to_numpy(), Q, qids, k=5)
+    # testdata embeddings are near-random (weak neighbor structure):
+    # use short signatures + many tables so collision probability for
+    # sim≈0.3 neighbors stays high (bits=4, tables=16 → ~0.85)
+    got = lsh_topk(ds, Q, qids, k=5, n_tables=16, n_bits=4, num_partitions=8)
+    hits = total = 0
+    for j, qid in enumerate(qids):
+        got_set = set(got[got.query_id == qid]["vec_id"])
+        hits += len(got_set & exact[j])
+        total += len(exact[j])
+    recall = hits / total
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_lsh_deterministic(emb):
+    ds, pdf, X = emb
+    qids = pdf["vec_id"].to_numpy()[:2]
+    a = lsh_topk(ds, X[:2], qids, k=3, num_partitions=4)
+    b = lsh_topk(ds, X[:2], qids, k=3, num_partitions=4)
+    pd.testing.assert_frame_equal(a, b)
