@@ -459,12 +459,17 @@ def q_join_user_totals(sf_dir):
     events against a derived per-user dimension, then a grouped count
     — per (user_id, event_type) with the user's total alongside."""
     ev = _events(sf_dir, ["user_id", "event_type"])
-    totals = (
+    totals_pdf = (
         _events(sf_dir, ["user_id"])
         .groupby("user_id")
         .count()
         .rename_columns({"count()": "user_total"})
+        .to_pandas()
     )
+    # re-wrap as a single clean Arrow block: the aggregate output can
+    # contain empty schema-less blocks that break the hash-join's key
+    # resolution (observed intermittently on Ray 2.49)
+    totals = ray.data.from_pandas(totals_pdf)
     joined = ev.join(totals, "inner", num_partitions=8, on=("user_id",))
     from ray.data.aggregate import Count, Max
 
