@@ -36,10 +36,10 @@ from ..stages.normalize import normalize_turns
 from ..stages.partition import with_partition
 from ..state.manifest import Manifest, ManifestRow, partition_fingerprint
 
-METRICS_COLUMNS = [
-    "partition_id", "input_fingerprint", "rows_in", "points", "rollup_rows",
-    "gapfilled_rows", "chunk_rows", "payload_bytes", "feature_rows", "skipped",
-]
+# metrics table (lineage, G7): one row per partition —
+# partition_id, input_fingerprint, rows_in, points, rollup_rows,
+# gapfilled_rows, chunk_rows, payload_bytes, feature_rows, skipped,
+# duration_s, worker_pid, t_end
 
 
 def _atomic_file_write(df: pd.DataFrame, path: str):
