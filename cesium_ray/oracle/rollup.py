@@ -134,6 +134,36 @@ def _grouped_stats(sv: np.ndarray, group_key_arrays) -> tuple[np.ndarray, dict]:
     return starts, stats
 
 
+def reaggregate_pandas(
+    rollup: pd.DataFrame,
+    tier: str,
+    keys=("conv_id", "channel"),
+) -> pd.DataFrame:
+    """Continuous-aggregate cascade (SURVEY §2.9 G4): re-aggregate a
+    finer tier into a coarser one WITHOUT touching raw data.  Only the
+    re-aggregable stats survive — cnt/count_null/vsum/vmin/vmax summed
+    or min/maxed, vmean = vsum/cnt; exact p50/p99 are NOT re-aggregable
+    and are intentionally absent (recompute from raw when quantiles are
+    needed — the flagship default)."""
+    tier_s = TIER_SECONDS[tier]
+    b_us = rollup["bucket"].to_numpy("datetime64[us]").astype("int64")
+    df = rollup.copy()
+    df["bucket"] = bucket_floor_us(b_us, tier_s).astype("datetime64[us]")
+    keycols = list(keys) + ["bucket"]
+    g = df.groupby(keycols, sort=True, dropna=False)
+    out = g.agg(
+        cnt=("cnt", "sum"),
+        count_null=("count_null", "sum"),
+        vsum=("vsum", "sum"),
+        vmin=("vmin", "min"),
+        vmax=("vmax", "max"),
+    ).reset_index()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out["vmean"] = np.where(out["cnt"] > 0, out["vsum"] / out["cnt"], np.nan)
+    out.loc[out["cnt"] == 0, ["vsum", "vmin", "vmax"]] = np.nan
+    return out[keycols + ["cnt", "count_null", "vsum", "vmean", "vmin", "vmax"]]
+
+
 def derive_channel_arrays(
     turns: pd.DataFrame,
     by: str = "conv_id",

@@ -454,6 +454,41 @@ FROM documents GROUP BY 1
 """
 
 
+def q_reagg_1d_from_1h(sf_dir):
+    """G4 cascade — 1d tier re-aggregated from 1h partials (no raw
+    re-read; quantiles intentionally absent: not re-aggregable).
+    Salting by the COARSE (1d) bucket keeps both tiers' groups intact
+    in one partition, so the cascade is exact and fully distributed."""
+    from ..oracle.rollup import reaggregate_pandas
+
+    pts = _event_points(sf_dir)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        hourly = rollup_pandas(df, "1h", keys=("user_id", "channel"))
+        return reaggregate_pandas(hourly, "1d", keys=("user_id", "channel"))
+
+    out = group_apply(
+        pts, fn, num_partitions=16, key="user_id", salt_tier_s=86400
+    ).to_pandas()
+    return round6(out.drop(columns=["channel"]))
+
+
+REAGG_SQL = """
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS b,
+         count(value) AS cnt, count(*) - count(value) AS cn,
+         sum(value) AS s, min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, date_trunc('day', b) AS bucket,
+       sum(cnt) AS cnt, sum(cn) AS count_null,
+       round(sum(s), 6) AS vsum,
+       round(sum(s) / sum(cnt), 6) AS vmean,
+       round(min(mn), 6) AS vmin, round(max(mx), 6) AS vmax
+FROM h GROUP BY 1, 2
+"""
+
+
 def q_join_user_totals(sf_dir):
     """J1 large-side variant: Ray-native hash join (Dataset.join) of
     events against a derived per-user dimension, then a grouped count
@@ -581,6 +616,7 @@ QUERIES = {
     "semi_join_hot": q_semi_join_hot,
     "event_type_agg": q_event_type_agg,
     "gapfill_1h_locf": q_gapfill_1h_locf,
+    "reagg_1d_from_1h": q_reagg_1d_from_1h,
     "join_user_totals": q_join_user_totals,
     "hot_key_sample": q_hot_key_sample,
     "distinct_users": q_distinct_users,
@@ -602,6 +638,7 @@ ORACLE_SQL = {
     "semi_join_hot": SEMI_JOIN_SQL,
     "event_type_agg": EVENT_TYPE_SQL,
     "gapfill_1h_locf": GAPFILL_SQL,
+    "reagg_1d_from_1h": REAGG_SQL,
     "join_user_totals": JOIN_SQL,
     "distinct_users": DISTINCT_SQL,
     "union_backfill": UNION_SQL,

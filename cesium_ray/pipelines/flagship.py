@@ -133,6 +133,8 @@ class PartitionProcessor:
                     "rows_in": len(df), "points": 0, "rollup_rows": prev.rows_out,
                     "gapfilled_rows": 0, "chunk_rows": 0, "payload_bytes": 0,
                     "feature_rows": 0, "skipped": True,
+                    "duration_s": round(_time.time() - _t0, 3),
+                    "worker_pid": os.getpid(), "t_end": _time.time(),
                 }]
             )
 

@@ -110,3 +110,29 @@ def test_salted_rollup_points_bit_equal(tiny_turns):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, oracle, check_exact=True)
+
+
+def test_reaggregate_cascade_matches_direct(tiny_points):
+    """1h→1d cascade equals the direct 1d rollup on the re-aggregable
+    columns (quantiles intentionally absent from the cascade)."""
+    from cesium_ray.oracle.rollup import reaggregate_pandas
+
+    hourly = rollup_pandas(tiny_points, "1h")
+    cascaded = (
+        reaggregate_pandas(hourly, "1d")
+        .sort_values(["conv_id", "channel", "bucket"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    direct = (
+        rollup_pandas(tiny_points, "1d")
+        .sort_values(["conv_id", "channel", "bucket"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(cascaded) == len(direct)
+    np.testing.assert_array_equal(cascaded.cnt, direct.cnt)
+    np.testing.assert_array_equal(cascaded.count_null, direct.count_null)
+    for col in ["vsum", "vmean", "vmin", "vmax"]:
+        np.testing.assert_allclose(
+            cascaded[col], direct[col], rtol=1e-9, equal_nan=True
+        )
+    assert "p50" not in cascaded.columns  # not re-aggregable
