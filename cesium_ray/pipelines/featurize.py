@@ -201,6 +201,29 @@ def featurize_ts_files(
     )
 
 
+def to_cesium_frame(fset: pd.DataFrame) -> pd.DataFrame:
+    """Reshape the flat featureset into cesium's assemble_featureset
+    layout: one row per series, MultiIndex columns (feature, channel),
+    row index = series name (cesium/featurize.py::assemble_featureset).
+    Non-feature columns (label, meta) are carried with channel ''."""
+    meta_cols = [
+        c for c in fset.columns
+        if c not in ("series_id", "channel") and fset[c].dtype == object
+        or c == "label"
+    ]
+    feat_cols = [c for c in fset.columns if c not in ("series_id", "channel", *meta_cols)]
+    wide = fset.pivot(index="series_id", columns="channel", values=feat_cols)
+    wide.columns = pd.MultiIndex.from_tuples(
+        [(f, ch) for f, ch in wide.columns], names=["feature", "channel"]
+    )
+    if meta_cols:
+        meta = fset.drop_duplicates("series_id").set_index("series_id")[meta_cols]
+        for c in meta_cols:
+            wide[(c, "")] = meta[c]
+    wide.index.name = "name"
+    return wide
+
+
 def save_featureset(fset: pd.DataFrame, path: str):
     """S6 — parquet replaces cesium's joblib dump
     (cesium/featurize.py::save_featureset)."""

@@ -133,3 +133,22 @@ def test_impute_featureset_constant_and_mean():
     mean = impute_featureset(ray.data.from_pandas(df), "mean").to_pandas()
     assert mean["f1"].tolist() == [1.0, 2.0, 3.0]
     assert mean["f2"].tolist() == [3.0, 2.0, 4.0]
+
+
+def test_to_cesium_frame_multiindex():
+    """cesium featureset layout: MultiIndex (feature, channel) columns,
+    one row per series (assemble_featureset parity)."""
+    from cesium_ray.pipelines.featurize import to_cesium_frame
+
+    out = featurize_time_series(
+        times=[None, None],
+        values=[[np.arange(5.0), np.arange(10.0)], np.arange(6.0)],
+        names=["a", "b"],
+        features_to_use=["mean", "n_epochs"],
+    )
+    wide = to_cesium_frame(out)
+    assert isinstance(wide.columns, pd.MultiIndex)
+    assert wide.loc["a", ("n_epochs", 0)] == 5.0
+    assert wide.loc["a", ("n_epochs", 1)] == 10.0
+    assert wide.loc["b", ("n_epochs", 0)] == 6.0
+    assert np.isnan(wide.loc["b", ("n_epochs", 1)])  # single-channel series
