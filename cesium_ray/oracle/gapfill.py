@@ -53,6 +53,7 @@ def gapfill_group(
 def gapfill_pandas(
     points: pd.DataFrame, tier: str, method: str = "locf",
     keys=("conv_id", "channel"),
+    value_scale: float | None = None,
 ) -> pd.DataFrame:
     """Gap-fill a whole points frame — fully vectorized across ALL
     (conv, channel) groups at once (no per-group Python; the per-group
@@ -93,9 +94,15 @@ def gapfill_pandas(
     # per-(group,bucket) means
     gb_change = np.r_[True, (g_s[1:] != g_s[:-1]) | (b_s[1:] != b_s[:-1])]
     starts = np.flatnonzero(gb_change)
-    obs_sum = np.add.reduceat(v_s, starts)
     obs_cnt = np.diff(np.r_[starts, len(v_s)])
-    ov = obs_sum / obs_cnt
+    if value_scale is not None:
+        # exact bucket means for 1/scale-quantized values (int64 sums
+        # — order-independent, bit-identical to the SQL oracle's
+        # CAST(sum(round(v·scale)) AS DOUBLE)/scale/count)
+        k_s = np.round(v_s * value_scale).astype(np.int64)
+        ov = np.add.reduceat(k_s, starts).astype(np.float64) / value_scale / obs_cnt
+    else:
+        ov = np.add.reduceat(v_s, starts) / obs_cnt
     og = g_s[starts]
     ob = b_s[starts]
 

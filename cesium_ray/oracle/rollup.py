@@ -10,9 +10,18 @@ Semantics (spec of record, FIXTURES.md F5):
   cnt      = # non-null values in bucket
   count_null = # null values (turn-0 latency rows)
   vsum/vmean/vmin/vmax over non-null values
-  p50/p99  = np.quantile(values, [.5, .99], method='linear') — exact,
+  p50/p99  = exact linear-interpolated quantiles (``duck_quantile``
+             formula below — bit-identical to DuckDB quantile_cont,
+             empirically verified; equal to np.quantile at p=0.5),
              never sketched.  Under salting, per-salt value arrays are
              merged before the quantile (SURVEY §7 hard-part (a)).
+
+``value_scale``: when the input values are exact multiples of
+1/scale (2-decimal event values → 100, integer-µs latencies → 1e6),
+vsum/vmean are computed by EXACT int64 arithmetic on round(v·scale),
+so they are bit-identical to any other exact implementation (e.g. a
+DuckDB oracle using sum(CAST(round(value*scale) AS BIGINT))) —
+independent of summation order.  Quantiles/min/max are unaffected.
 """
 
 from __future__ import annotations
@@ -29,12 +38,30 @@ def bucket_floor_us(ts_us: np.ndarray, tier_s: int) -> np.ndarray:
     return (ts_us // step) * step
 
 
+def duck_quantile(sorted_vals: np.ndarray, p: float) -> float:
+    """Linear-interpolated quantile of an ASCENDING array, bit-exact to
+    DuckDB ``quantile_cont`` (verified empirically vs duckdb 1.0.0:
+    ``a*(1-frac) + b*frac`` at pos=(n-1)·p; plain ``a+(b-a)·frac`` and
+    np.quantile's symmetric-switch lerp differ in the last ulp).
+    At p=0.5 this equals np.median bitwise (scaling by powers of two
+    commutes with rounding)."""
+    n = len(sorted_vals)
+    if n == 0:
+        return np.nan
+    pos = (n - 1) * p
+    fl = np.floor(pos)
+    lo, hi = int(fl), int(np.ceil(pos))
+    frac = pos - fl
+    return sorted_vals[lo] * (1 - frac) + sorted_vals[hi] * frac
+
+
 def rollup_pandas(
     df: pd.DataFrame,
     tier: str,
     keys=("conv_id", "channel"),
     ts_col: str = "ts",
     value_col: str = "value",
+    value_scale: float | None = None,
 ) -> pd.DataFrame:
     """Exact rollup of a points frame.  ``ts`` must be datetime64;
     ``value`` float64 (nullable via NaN).  Returns one row per
@@ -63,7 +90,7 @@ def rollup_pandas(
     order = np.lexsort((vals,) + tuple(reversed(key_codes)))
     sc = [c[order] for c in key_codes]
     sv = vals[order]
-    starts, stats = _grouped_stats(sv, sc)
+    starts, stats = _grouped_stats(sv, sc, value_scale=value_scale)
 
     out = {}
     for k, c, u in zip(keycols, sc, key_uniques):
@@ -74,15 +101,23 @@ def rollup_pandas(
     return res[keycols + ["cnt", "count_null", "vsum", "vmean", "vmin", "vmax", "p50", "p99"]]
 
 
-def _grouped_stats(sv: np.ndarray, group_key_arrays) -> tuple[np.ndarray, dict]:
+def _grouped_stats(
+    sv: np.ndarray, group_key_arrays, value_scale: float | None = None
+) -> tuple[np.ndarray, dict]:
     """Shared group-stats kernel: ``sv`` = values sorted by
     (*group_key_arrays, value-with-NaN-last); ``group_key_arrays`` =
     the key arrays in the SAME sorted order.  Returns (group start
     positions, stats dict).  Every rollup path (pandas wrapper AND the
     fused per-partition array path) runs through this one function —
     identical within-group value ordering → bit-identical sums and
-    quantiles (exact-parity gate)."""
+    quantiles (exact-parity gate).  ``value_scale`` → exact int64
+    sums (see module docstring)."""
     n = len(sv)
+    if n == 0:  # ADVICE: empty partition must not IndexError
+        z = np.array([], dtype=np.int64)
+        f = np.array([], dtype=np.float64)
+        return z, {"cnt": z, "count_null": z, "vsum": f, "vmean": f,
+                   "vmin": f, "vmax": f, "p50": f, "p99": f}
     changed = np.zeros(n, dtype=bool)
     changed[0] = True
     for c in group_key_arrays:
@@ -97,7 +132,15 @@ def _grouped_stats(sv: np.ndarray, group_key_arrays) -> tuple[np.ndarray, dict]:
     count_null = total - cnt
 
     sv0 = np.where(isnan, 0.0, sv)
-    vsum = np.add.reduceat(sv0, starts)  # per-group sums (no cumsum cancellation)
+    if value_scale is not None:
+        # exact path: round(v·scale) are integers by precondition →
+        # int64 reduceat is exact regardless of order; the only float
+        # ops (int→double, ÷scale, ÷cnt) match the SQL oracle's
+        # CAST(sum(BIGINT) AS DOUBLE)/scale[/cnt] bit-for-bit
+        k = np.round(sv0 * value_scale).astype(np.int64)
+        vsum = np.add.reduceat(k, starts).astype(np.float64) / value_scale
+    else:
+        vsum = np.add.reduceat(sv0, starts)  # per-group sums (no cumsum cancellation)
     with np.errstate(invalid="ignore", divide="ignore"):
         vmean = np.where(cnt > 0, vsum / cnt, np.nan)
     vsum = np.where(cnt > 0, vsum, np.nan)
@@ -111,14 +154,15 @@ def _grouped_stats(sv: np.ndarray, group_key_arrays) -> tuple[np.ndarray, dict]:
     def _vq(p):
         q = np.full(len(starts), np.nan)
         pos = (cnt[has] - 1) * p
-        lo = starts[has] + np.floor(pos).astype(np.int64)
+        fl = np.floor(pos)
+        lo = starts[has] + fl.astype(np.int64)
         hi = starts[has] + np.ceil(pos).astype(np.int64)
-        frac = pos - np.floor(pos)
+        frac = pos - fl
         a, b = sv[lo], sv[hi]
-        # replicate np.quantile(method='linear') _lerp exactly (it
-        # switches formula at t>=0.5 for FP symmetry)
-        diff = b - a
-        q[has] = np.where(frac >= 0.5, b - diff * (1 - frac), a + diff * frac)
+        # DuckDB quantile_cont's exact lerp (a·(1−f) + b·f) — see
+        # duck_quantile; one shared formula engine/oracle/SQL so
+        # round-to-6 comparisons can never flip on a last-ulp diff
+        q[has] = a * (1 - frac) + b * frac
         return q
 
     stats = {
@@ -138,26 +182,40 @@ def reaggregate_pandas(
     rollup: pd.DataFrame,
     tier: str,
     keys=("conv_id", "channel"),
+    value_scale: float | None = None,
 ) -> pd.DataFrame:
     """Continuous-aggregate cascade (SURVEY §2.9 G4): re-aggregate a
     finer tier into a coarser one WITHOUT touching raw data.  Only the
     re-aggregable stats survive — cnt/count_null/vsum/vmin/vmax summed
     or min/maxed, vmean = vsum/cnt; exact p50/p99 are NOT re-aggregable
     and are intentionally absent (recompute from raw when quantiles are
-    needed — the flagship default)."""
+    needed — the flagship default).  With ``value_scale`` (and a finer
+    tier built with the same scale) the cascade sums are exact int64
+    arithmetic — bit-identical to a from-raw SQL oracle."""
     tier_s = TIER_SECONDS[tier]
     b_us = rollup["bucket"].to_numpy("datetime64[us]").astype("int64")
     df = rollup.copy()
     df["bucket"] = bucket_floor_us(b_us, tier_s).astype("datetime64[us]")
     keycols = list(keys) + ["bucket"]
+    if value_scale is not None:
+        # the finer tier's vsum is float(k)/scale with k exactly
+        # recoverable → cascade in integers
+        df["_ks"] = np.round(
+            np.nan_to_num(df["vsum"].to_numpy(np.float64)) * value_scale
+        ).astype(np.int64)
     g = df.groupby(keycols, sort=True, dropna=False)
-    out = g.agg(
+    agg_spec = dict(
         cnt=("cnt", "sum"),
         count_null=("count_null", "sum"),
         vsum=("vsum", "sum"),
         vmin=("vmin", "min"),
         vmax=("vmax", "max"),
-    ).reset_index()
+    )
+    if value_scale is not None:
+        agg_spec["_ks"] = ("_ks", "sum")
+    out = g.agg(**agg_spec).reset_index()
+    if value_scale is not None:
+        out["vsum"] = out.pop("_ks").to_numpy(np.float64) / value_scale
     with np.errstate(invalid="ignore", divide="ignore"):
         out["vmean"] = np.where(out["cnt"] > 0, out["vsum"] / out["cnt"], np.nan)
     out.loc[out["cnt"] == 0, ["vsum", "vmin", "vmax"]] = np.nan

@@ -5,8 +5,20 @@ names AND values match the DuckDB oracle SQL in ``ORACLE_SQL`` (driver
 compares row-count + schema + order-insensitive value-hash at sf0.01).
 
 Float columns are rounded to 6 decimals on BOTH sides with identical
-half-away-from-zero semantics (DuckDB ROUND), so benign FP summation-
-order differences between engines can't flip the hash.
+half-away-from-zero semantics (DuckDB ROUND).  Rounding alone is NOT
+enough: testdata values are decimal-quantized (value = k/100,
+latency = k_µs/1e6), so true means/sums frequently land EXACTLY on a
+.5·1e-6 rounding boundary where a 1-ulp summation-order difference
+flips the rounded digit (the round-1 hash failures).  Therefore every
+float column here is computed so the pre-round doubles are
+bit-identical on both sides:
+
+  * sums/means — exact int64 arithmetic on round(v·scale) (engine)
+    vs sum(CAST(round(v*scale) AS BIGINT)) (SQL), then identical
+    float divisions;
+  * quantiles/median/mad — the shared ``duck_quantile`` lerp,
+    verified bit-equal to DuckDB quantile_cont/mad;
+  * min/max/ratios — identical primitive ops on identical inputs.
 """
 
 from __future__ import annotations
@@ -19,10 +31,22 @@ import ray
 import ray.data
 
 from ..oracle.gapfill import gapfill_pandas
-from ..oracle.rollup import rollup_pandas
+from ..oracle.rollup import duck_quantile, rollup_pandas
 from ..stages.partition import group_apply
 
 EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+# events.value is generated with exactly 2 decimals (verified against
+# /root/testdata: round(v·100) is integer for every row) → exact int64
+# sums at scale 100; derived latencies are integer-µs / 1e6 → scale 1e6
+VALUE_SCALE = 100
+LATENCY_SCALE = 1_000_000
+
+# SQL fragment: exact mean/sum of a 1/scale-quantized double column —
+# the int64 sum is order-independent, the float ops mirror the engine
+def _exact_sum_sql(col: str, scale: int) -> str:
+    return (f"CAST(sum(CAST(round({col}*{scale}) AS BIGINT)) AS DOUBLE)"
+            f"/{scale}.0")
 
 
 def round6(df: pd.DataFrame, cols=None) -> pd.DataFrame:
@@ -65,7 +89,9 @@ def _rollup_events(sf_dir: str, tier: str) -> pd.DataFrame:
     pts = _event_points(sf_dir)
     out = group_apply(
         pts,
-        lambda df: rollup_pandas(df, tier, keys=("user_id", "channel")),
+        lambda df: rollup_pandas(
+            df, tier, keys=("user_id", "channel"), value_scale=VALUE_SCALE
+        ),
         num_partitions=16,
         key="user_id",
         salt_tier_s={"1m": 60, "1h": 3600, "1d": 86400}[tier],
@@ -87,12 +113,13 @@ def q_rollup_1d(sf_dir):
 
 
 def _ROLLUP_SQL(unit: str) -> str:
+    s = _exact_sum_sql("value", VALUE_SCALE)
     return f"""
     SELECT user_id, date_trunc('{unit}', ts) AS bucket,
            count(value) AS cnt,
            count(*) - count(value) AS count_null,
-           round(sum(value), 6) AS vsum,
-           round(avg(value), 6) AS vmean,
+           round({s}, 6) AS vsum,
+           round({s}/count(value), 6) AS vmean,
            round(min(value), 6) AS vmin,
            round(max(value), 6) AS vmax,
            round(quantile_cont(value, 0.5), 6) AS p50,
@@ -118,7 +145,9 @@ def q_latency_rollup_1h(sf_dir):
         pts = pd.DataFrame(
             {"user_id": uid, "channel": "lat", "ts": df["ts"].to_numpy(), "value": lat}
         )
-        return rollup_pandas(pts, "1h", keys=("user_id", "channel"))
+        return rollup_pandas(
+            pts, "1h", keys=("user_id", "channel"), value_scale=LATENCY_SCALE
+        )
 
     out = group_apply(
         _events(sf_dir, ["event_id", "ts", "user_id"]),
@@ -129,7 +158,7 @@ def q_latency_rollup_1h(sf_dir):
     return round6(out.drop(columns=["channel"]))
 
 
-LATENCY_SQL = """
+LATENCY_SQL = f"""
 WITH lat AS (
   SELECT user_id, date_trunc('hour', ts) AS bucket,
          CASE WHEN lag(ts) OVER w IS NULL THEN NULL
@@ -139,7 +168,8 @@ WITH lat AS (
 )
 SELECT user_id, bucket,
        count(v) AS cnt, count(*) - count(v) AS count_null,
-       round(sum(v), 6) AS vsum, round(avg(v), 6) AS vmean,
+       round({_exact_sum_sql('v', LATENCY_SCALE)}, 6) AS vsum,
+       round({_exact_sum_sql('v', LATENCY_SCALE)}/count(v), 6) AS vmean,
        round(min(v), 6) AS vmin, round(max(v), 6) AS vmax,
        round(quantile_cont(v, 0.5), 6) AS p50,
        round(quantile_cont(v, 0.99), 6) AS p99
@@ -161,15 +191,27 @@ def q_cadence_stats(sf_dir):
             tt = ts_us[sel]
             # diff in integer µs FIRST, then convert — bit-identical to
             # the SQL (epoch_us − lag(epoch_us)) / 1e6
-            c = np.diff(tt) / 1e6
+            k = np.diff(tt)  # int64 µs gaps
+            c = k / 1e6
+            n_c = len(k)
+            if n_c:
+                s1 = int(k.sum())
+                s2 = int((k.astype(object) ** 2).sum())  # exact (k² can pass int64)
+                mean_term = float(s1) / n_c / 1e6
+                var = float(s2) / n_c / 1e12 - mean_term * mean_term
+                cads_avg = float(s1) / 1e6 / n_c
+                cads_med = duck_quantile(np.sort(c), 0.5)
+                cads_std = np.sqrt(max(var, 0.0))
+            else:
+                cads_avg = cads_med = cads_std = np.nan
             rows.append(
                 {
                     "user_id": u,
                     "n_epochs": np.int64(len(tt)),
                     "total_time": (tt[-1] - tt[0]) / 1e6,
-                    "cads_avg": np.mean(c) if len(c) else np.nan,
-                    "cads_med": np.median(c) if len(c) else np.nan,
-                    "cads_std": np.std(c) if len(c) else np.nan,
+                    "cads_avg": cads_avg,
+                    "cads_med": cads_med,
+                    "cads_std": cads_std,
                 }
             )
         return pd.DataFrame(rows)
@@ -180,17 +222,26 @@ def q_cadence_stats(sf_dir):
     return round6(out)
 
 
+# cads_std: exact-moment formula (Σk²·exact, Σk·exact in µs ints) so
+# the pre-round double is bit-identical to the engine's — stddev_pop's
+# internal accumulation order would not be
 CADENCE_SQL = """
 WITH d AS (
   SELECT user_id, ts AS ts_raw,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS cad_us,
          (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS cad
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id, count(*) AS n_epochs,
        round((max(epoch_us(ts_raw)) - min(epoch_us(ts_raw))) / 1000000.0, 6) AS total_time,
-       round(avg(cad), 6) AS cads_avg,
+       round(CAST(sum(cad_us) AS DOUBLE) / 1000000.0 / count(cad_us), 6) AS cads_avg,
        round(quantile_cont(cad, 0.5), 6) AS cads_med,
-       round(stddev_pop(cad), 6) AS cads_std
+       round(sqrt(greatest(
+           CAST(sum(CAST(cad_us AS HUGEINT) * cad_us) AS DOUBLE)
+             / count(cad_us) / 1000000000000.0
+           - (CAST(sum(cad_us) AS DOUBLE) / count(cad_us) / 1000000.0)
+             * (CAST(sum(cad_us) AS DOUBLE) / count(cad_us) / 1000000.0),
+           0.0)), 6) AS cads_std
 FROM d GROUP BY 1
 """
 
@@ -204,16 +255,19 @@ def q_amplitude_stats(sf_dir):
         rows = []
         for u, grp in df.groupby("user_id", sort=False):
             v = grp["value"].to_numpy(dtype=np.float64)
-            p5, p25, p40, p50, p60, p75, p95 = np.percentile(
-                v, [5, 25, 40, 50, 60, 75, 95], method="linear"
+            s = np.sort(v)
+            p5, p25, p40, p50, p60, p75, p95 = (
+                duck_quantile(s, p) for p in (0.05, 0.25, 0.4, 0.5, 0.6, 0.75, 0.95)
             )
+            ksum = int(np.round(v * VALUE_SCALE).astype(np.int64).sum())
             rows.append(
                 {
                     "user_id": u,
-                    "vmean": v.mean(),
+                    "vmean": float(ksum) / VALUE_SCALE / len(v),
                     "vmedian": p50,
                     "amplitude": (v.max() - v.min()) / 2,
-                    "mad": np.median(np.abs(v - p50)),
+                    # DuckDB mad() ≡ quantile_cont(|v − median|, .5)
+                    "mad": duck_quantile(np.sort(np.abs(v - p50)), 0.5),
                     "fpr_mid20": (p60 - p40) / (p95 - p5),
                     "fpr_mid50": (p75 - p25) / (p95 - p5),
                 }
@@ -226,9 +280,9 @@ def q_amplitude_stats(sf_dir):
     return round6(out)
 
 
-AMPLITUDE_SQL = """
+AMPLITUDE_SQL = f"""
 SELECT user_id,
-       round(avg(value), 6) AS vmean,
+       round({_exact_sum_sql('value', VALUE_SCALE)}/count(value), 6) AS vmean,
        round(quantile_cont(value, 0.5), 6) AS vmedian,
        round((max(value) - min(value)) / 2, 6) AS amplitude,
        round(mad(value), 6) AS mad,
@@ -331,26 +385,34 @@ GROUP BY 1, 2
 
 
 def q_event_type_agg(sf_dir):
-    """Native Ray groupby-aggregate path (no custom kernel)."""
-    from ray.data.aggregate import Count, Max, Mean, Min
+    """Native Ray groupby-aggregate path (no custom kernel).  The mean
+    rides an exact int64 Sum of round(value·100) — Ray's block-combine
+    order can't perturb an integer sum."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def scaled(b: pa.Table) -> pa.Table:
+        k = pc.round(pc.multiply(b["value"], pa.scalar(float(VALUE_SCALE))))
+        return b.append_column("value_c", pc.cast(k, pa.int64()))
 
     out = (
         _events(sf_dir, ["event_type", "value"])
+        .map_batches(scaled, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(
             Count(alias_name="cnt"),
-            Mean("value", alias_name="vmean"),
+            Sum("value_c", alias_name="ksum"),
             Min("value", alias_name="vmin"),
             Max("value", alias_name="vmax"),
         )
         .to_pandas()
     )
-    return round6(out)
+    out["vmean"] = out.pop("ksum").to_numpy(np.float64) / VALUE_SCALE / out["cnt"].to_numpy()
+    return round6(out[["event_type", "cnt", "vmean", "vmin", "vmax"]])
 
 
-EVENT_TYPE_SQL = """
+EVENT_TYPE_SQL = f"""
 SELECT event_type, count(*) AS cnt,
-       round(avg(value), 6) AS vmean,
+       round({_exact_sum_sql('value', VALUE_SCALE)}/count(*), 6) AS vmean,
        round(min(value), 6) AS vmin,
        round(max(value), 6) AS vmax
 FROM events GROUP BY 1
@@ -363,16 +425,19 @@ def q_gapfill_1h_locf(sf_dir):
     pts = _event_points(sf_dir)
     out = group_apply(
         pts,
-        lambda df: gapfill_pandas(df, "1h", "locf", keys=("user_id",)),
+        lambda df: gapfill_pandas(
+            df, "1h", "locf", keys=("user_id",), value_scale=VALUE_SCALE
+        ),
         num_partitions=16,
         key="user_id",
     ).to_pandas()
     return round6(out)
 
 
-GAPFILL_SQL = """
+GAPFILL_SQL = f"""
 WITH obs AS (
-  SELECT user_id, date_trunc('hour', ts) AS b, avg(value) AS v
+  SELECT user_id, date_trunc('hour', ts) AS b,
+         {_exact_sum_sql('value', VALUE_SCALE)}/count(value) AS v
   FROM events GROUP BY 1, 2
 ),
 spans AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY 1),
@@ -464,8 +529,12 @@ def q_reagg_1d_from_1h(sf_dir):
     pts = _event_points(sf_dir)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        hourly = rollup_pandas(df, "1h", keys=("user_id", "channel"))
-        return reaggregate_pandas(hourly, "1d", keys=("user_id", "channel"))
+        hourly = rollup_pandas(
+            df, "1h", keys=("user_id", "channel"), value_scale=VALUE_SCALE
+        )
+        return reaggregate_pandas(
+            hourly, "1d", keys=("user_id", "channel"), value_scale=VALUE_SCALE
+        )
 
     out = group_apply(
         pts, fn, num_partitions=16, key="user_id", salt_tier_s=86400
@@ -473,17 +542,22 @@ def q_reagg_1d_from_1h(sf_dir):
     return round6(out.drop(columns=["channel"]))
 
 
-REAGG_SQL = """
+# sums CAST to BIGINT (DuckDB types sum(BIGINT) as HUGEINT — round-1
+# hash mismatch was exactly this dtype artifact); value sums cascade
+# as exact scaled ints, mirroring the engine's value_scale path
+REAGG_SQL = f"""
 WITH h AS (
   SELECT user_id, date_trunc('hour', ts) AS b,
          count(value) AS cnt, count(*) - count(value) AS cn,
-         sum(value) AS s, min(value) AS mn, max(value) AS mx
+         sum(CAST(round(value*{VALUE_SCALE}) AS BIGINT)) AS ks,
+         min(value) AS mn, max(value) AS mx
   FROM events GROUP BY 1, 2
 )
 SELECT user_id, date_trunc('day', b) AS bucket,
-       sum(cnt) AS cnt, sum(cn) AS count_null,
-       round(sum(s), 6) AS vsum,
-       round(sum(s) / sum(cnt), 6) AS vmean,
+       CAST(sum(cnt) AS BIGINT) AS cnt, CAST(sum(cn) AS BIGINT) AS count_null,
+       round(CAST(CAST(sum(ks) AS BIGINT) AS DOUBLE)/{VALUE_SCALE}.0, 6) AS vsum,
+       round(CAST(CAST(sum(ks) AS BIGINT) AS DOUBLE)/{VALUE_SCALE}.0
+             / CAST(sum(cnt) AS BIGINT), 6) AS vmean,
        round(min(mn), 6) AS vmin, round(max(mx), 6) AS vmax
 FROM h GROUP BY 1, 2
 """
@@ -580,7 +654,9 @@ def q_union_backfill(sf_dir):
     pts = merged.map_batches(to_points, batch_format="pyarrow")
     out = group_apply(
         pts,
-        lambda df: rollup_pandas(df, "1d", keys=("user_id", "channel")),
+        lambda df: rollup_pandas(
+            df, "1d", keys=("user_id", "channel"), value_scale=VALUE_SCALE
+        ),
         num_partitions=16,
         key="user_id",
         salt_tier_s=86400,
@@ -588,7 +664,7 @@ def q_union_backfill(sf_dir):
     return round6(out.drop(columns=["channel"]))
 
 
-UNION_SQL = """
+UNION_SQL = f"""
 WITH merged AS (
   SELECT * FROM events WHERE event_id % 2 = 0
   UNION ALL
@@ -596,7 +672,8 @@ WITH merged AS (
 )
 SELECT user_id, date_trunc('day', ts) AS bucket,
        count(value) AS cnt, count(*) - count(value) AS count_null,
-       round(sum(value), 6) AS vsum, round(avg(value), 6) AS vmean,
+       round({_exact_sum_sql('value', VALUE_SCALE)}, 6) AS vsum,
+       round({_exact_sum_sql('value', VALUE_SCALE)}/count(value), 6) AS vmean,
        round(min(value), 6) AS vmin, round(max(value), 6) AS vmax,
        round(quantile_cont(value, 0.5), 6) AS p50,
        round(quantile_cont(value, 0.99), 6) AS p99

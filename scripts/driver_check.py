@@ -66,8 +66,10 @@ def main(sf="/root/testdata/sf0.01"):
             for c in g.columns:
                 a, b = g[c], w[c]
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
-                    eq = np.isclose(a.astype(float), b.astype(float),
-                                    rtol=0, atol=1.1e-6, equal_nan=True)
+                    # EXACT — the driver hashes values, so local green
+                    # must mean bit-equal after round6, not "close"
+                    av, bv = a.astype(float).to_numpy(), b.astype(float).to_numpy()
+                    eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
                 else:
                     eq = (a == b) | (pd.isna(a) & pd.isna(b))
                 ne = int((~np.asarray(eq)).sum())

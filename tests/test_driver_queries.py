@@ -56,8 +56,9 @@ def test_query_matches_oracle(name, contract, con):
     for c in g.columns:
         a, b = g[c], w[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
+            # exact: the driver's gate hashes values bit-for-bit
             np.testing.assert_allclose(
-                a.astype(float), b.astype(float), rtol=0, atol=1.1e-6, equal_nan=True,
+                a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True,
                 err_msg=f"{name}.{c}",
             )
         else:

@@ -34,7 +34,12 @@ def test_derive_channels_latency(tiny_turns):
     assert rest.notna().all() and (rest >= 0).all()
 
 
-def test_rollup_quantiles_match_numpy(tiny_points):
+def test_rollup_quantiles_exact(tiny_points):
+    """p50/p99 use the duck_quantile lerp (bit-equal to DuckDB
+    quantile_cont); p50 must also equal np.quantile (the two formulas
+    coincide at p=0.5), and p99 within 1 ulp of np.quantile."""
+    from cesium_ray.oracle.rollup import duck_quantile
+
     r = rollup_pandas(tiny_points, "1h")
     df = tiny_points.copy()
     ts_us = df["ts"].to_numpy("datetime64[us]").astype("int64")
@@ -46,8 +51,11 @@ def test_rollup_quantiles_match_numpy(tiny_points):
             & (df.bucket == row.bucket)
         ]["value"].dropna()
         if len(grp):
+            s = np.sort(grp.to_numpy())
+            assert row.p50 == duck_quantile(s, 0.5)
             assert row.p50 == np.quantile(grp, 0.5, method="linear")
-            assert row.p99 == np.quantile(grp, 0.99, method="linear")
+            assert row.p99 == duck_quantile(s, 0.99)
+            np.testing.assert_allclose(row.p99, np.quantile(grp, 0.99), rtol=1e-15)
             assert row.cnt == len(grp)
             assert row.vmin == grp.min() and row.vmax == grp.max()
 
@@ -71,10 +79,13 @@ def test_rollup_against_duckdb(tiny_points):
     assert len(want) == len(r)
     for col in ["cnt", "count_null"]:
         np.testing.assert_array_equal(r[col].to_numpy(), want[col].to_numpy())
-    for col in ["vsum", "vmean", "vmin", "vmax", "p50", "p99"]:
+    for col in ["vsum", "vmean", "vmin", "vmax"]:
         np.testing.assert_allclose(
             r[col].to_numpy(), want[col].to_numpy(), rtol=1e-9, equal_nan=True
         )
+    for col in ["p50", "p99"]:  # duck_quantile lerp → bit-equal to DuckDB
+        got, exp = r[col].to_numpy(), want[col].to_numpy()
+        assert np.all((got == exp) | (np.isnan(got) & np.isnan(exp)))
 
 
 @pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
