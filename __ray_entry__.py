@@ -45,8 +45,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle for each SQL-expressible query; non-SQL ops
-    (feature extraction, codec, LS periodicity) are rows-only."""
+    """DuckDB oracle for each SQL-expressible query; genuinely non-SQL
+    ops (LS periodicity, seeded minhash/simhash, seeded sampling) are
+    rows-only."""
     from cesium_ray.pipelines.driver_queries import ORACLE_SQL
+    from cesium_ray.pipelines.extra_queries import EXTRA_ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    return {**ORACLE_SQL, **EXTRA_ORACLE_SQL}

@@ -1,6 +1,13 @@
-"""Non-SQL-expressible driver queries (rows-only checks): cesium
-feature extraction, Lomb-Scargle periodicity, codec roundtrip,
-embedding similarity search (SURVEY.md §2.7, §2.9 + training-data ops).
+"""Driver queries beyond the core rollup family: cesium feature
+extraction, Lomb-Scargle periodicity, codec roundtrip, similarity
+search, near-dup / text-quality ops (SURVEY.md §2.7, §2.9 +
+training-data ops).
+
+Where SQL can express the semantics, an oracle lives in
+``EXTRA_ORACLE_SQL`` (merged into ``__ray_entry__.oracle_sql``) and the
+engine/SQL pair is built bit-exact (see driver_queries docstring for
+the exactness rules).  Genuinely non-SQL ops (LS periodogram, seeded
+minhash/simhash) stay rows-only.
 """
 
 from __future__ import annotations
@@ -10,15 +17,22 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..stages.codec import ChunkCodec
 from ..stages.partition import group_apply
-from .driver_queries import _event_points, round6
+from .driver_queries import (
+    VALUE_SCALE,
+    _event_points,
+    round6,
+)
+
+CODEC_MAX_POINTS = 1024
 
 
 def q_features_general(sf_dir):
     """cesium general+cadence features per user over the events value
-    series (SURVEY §2.5/§2.8; not SQL-expressible: stetson, pairwise
-    Δt histogram, double-to-single-step …)."""
+    series (SURVEY §2.5/§2.8).  Rows-only: the full set includes
+    stetson / pairwise-Δt-histogram / double-to-single-step features
+    that SQL can't express — the SQL-expressible subset is ★-checked
+    separately by ``features_stats``."""
     from ..stages.features import FeatureExtractor
 
     pts = _event_points(sf_dir).map_batches(
@@ -35,14 +49,92 @@ def q_features_general(sf_dir):
     return round6(out.rename(columns={"conv_id": "user_id"}).drop(columns=["channel"]))
 
 
+# SQL-expressible subset of the cesium feature graph, computed through
+# the REAL FeatureExtractor/compute_features path (not a reimplementation)
+FEATURES_STATS = [
+    "minimum", "maximum", "median", "amplitude", "percent_amplitude",
+    "median_absolute_deviation", "percent_close_to_median", "max_slope",
+]
+
+
+def q_features_stats(sf_dir):
+    """★-checked cesium features (order-free / quantile / count-ratio
+    kernels — every op bit-replicable in SQL).  Series = per-user event
+    values ordered by event_id, t = seconds since first point (exactly
+    the FeatureExtractor contract)."""
+    from ..stages.features import FeatureExtractor
+
+    pts = _event_points(sf_dir).map_batches(
+        lambda df: df.rename(columns={"user_id": "conv_id", "event_id": "turn_idx"}),
+        batch_format="pandas",
+    )
+    out = group_apply(
+        pts,
+        FeatureExtractor,
+        num_partitions=16,
+        key="conv_id",
+        fn_constructor_kwargs={"channels": ("value",), "features_to_use": FEATURES_STATS},
+    ).to_pandas()
+    return round6(out.rename(columns={"conv_id": "user_id"}).drop(columns=["channel"]))
+
+
+# t_rel replicates the engine's (epoch_us − first_epoch_us)/1e6 per-row
+# conversion BEFORE differencing (order of float ops matters for
+# bit-equality); window ordered by event_id = the engine's turn_idx sort
+FEATURES_STATS_SQL = """
+WITH d AS (
+  SELECT user_id, event_id, value,
+         (epoch_us(ts) - first_value(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY event_id)) / 1000000.0 AS t_rel
+  FROM events
+),
+slopes AS (
+  SELECT user_id,
+         abs(value - lag(value) OVER w2) / (t_rel - lag(t_rel) OVER w2) AS slope,
+         t_rel - lag(t_rel) OVER w2 AS dt
+  FROM d WINDOW w2 AS (PARTITION BY user_id ORDER BY event_id)
+),
+stats AS (
+  SELECT user_id,
+         min(value) AS vmin, max(value) AS vmax,
+         quantile_cont(value, 0.5) AS med,
+         mad(value) AS madv,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+pctm AS (
+  SELECT e.user_id,
+         CAST(count(*) FILTER (
+            abs(e.value - s.med) < (s.vmax - s.vmin) * 0.1) AS DOUBLE)
+           / count(*) AS pcm
+  FROM events e JOIN stats s USING (user_id) GROUP BY 1
+),
+ms AS (
+  SELECT user_id, max(slope) AS max_slope FROM slopes WHERE dt <> 0 GROUP BY 1
+)
+SELECT s.user_id,
+       round(s.vmin, 6) AS minimum,
+       round(s.vmax, 6) AS maximum,
+       round(s.med, 6) AS median,
+       round((s.vmax - s.vmin) / 2.0, 6) AS amplitude,
+       round(CASE WHEN s.med = 0 THEN NULL
+             ELSE greatest(abs(s.vmax - s.med), abs(s.vmin - s.med)) / abs(s.med)
+             END, 6) AS percent_amplitude,
+       round(s.madv, 6) AS median_absolute_deviation,
+       round(p.pcm, 6) AS percent_close_to_median,
+       round(m.max_slope, 6) AS max_slope
+FROM stats s JOIN pctm p USING (user_id) LEFT JOIN ms m USING (user_id)
+"""
+
+
 def q_features_lomb_scargle(sf_dir):
     """Lomb-Scargle periodicity features (P1–P3) for the 20 hottest
-    users (the expensive kernel — bounded fan-out, stated cap)."""
+    users (the expensive kernel — bounded fan-out, stated cap).
+    Rows-only: the iterative pre-whitening fit is not SQL."""
     from ..stages.features import FeatureExtractor
 
     from .driver_queries import q_top_users
 
-    # limit the expensive fit to a deterministic subset
     hot = q_top_users(sf_dir)["user_id"].tolist()[:20]
     hot_ref = ray.put(set(hot))
 
@@ -76,91 +168,284 @@ def q_features_lomb_scargle(sf_dir):
 
 
 def q_codec_chunks(sf_dir):
-    """Gorilla/DoD compression of per-user event series (G3): chunk
-    inventory with payload sizes; decode verified bit-exact in-stage."""
-    from ..oracle.codec import crc32, decode_chunk
+    """Gorilla/DoD roundtrip (G3), ★-checked: per-user series are
+    chunk-encoded, decoded, verified bit-exact against the SOURCE
+    arrays in-stage (ts int equality + value uint64 bit equality —
+    round-1's self-compare bug is dead), and the emitted row stats
+    (counts, chunking arithmetic, exact decoded sums) are recomputed
+    by DuckDB from the raw events table: any decode corruption breaks
+    the hash."""
+    from ..oracle.codec import crc32, decode_chunk, encode_chunk
 
-    pts = _event_points(sf_dir).map_batches(
-        lambda df: df.rename(columns={"user_id": "conv_id", "event_id": "turn_idx"}),
-        batch_format="pandas",
-    )
-    chunks = group_apply(
-        pts,
-        ChunkCodec,
-        num_partitions=8,
-        key="conv_id",
-        fn_constructor_kwargs={"max_points": 1024},
-    )
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for r in df.itertuples(index=False):
-            ts, vals = decode_chunk(r.payload, int(r.n))
-            assert crc32(r.payload) == r.crc
-            out.append(
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        vals = df["value"].to_numpy(np.float64)
+        rows = []
+        for u, idx in df.groupby("user_id", sort=False).indices.items():
+            tt, vv = ts_us[idx], vals[idx]
+            dec_t, dec_v = [], []
+            n_chunks = 0
+            for s in range(0, len(idx), CODEC_MAX_POINTS):
+                t_c, v_c = tt[s : s + CODEC_MAX_POINTS], vv[s : s + CODEC_MAX_POINTS]
+                payload = encode_chunk(t_c, v_c)
+                assert crc32(payload) == crc32(bytes(payload))
+                dt, dv = decode_chunk(payload, len(t_c))
+                # the REAL roundtrip gate: decoded vs SOURCE
+                assert np.array_equal(dt, t_c), "ts roundtrip mismatch"
+                assert np.array_equal(
+                    dv.view(np.uint64), v_c.view(np.uint64)
+                ), "value bit-pattern roundtrip mismatch"
+                dec_t.append(dt)
+                dec_v.append(dv)
+                n_chunks += 1
+            dt = np.concatenate(dec_t)
+            dv = np.concatenate(dec_v)
+            rows.append(
                 {
-                    "user_id": np.int64(int(r.conv_id)),
-                    "channel": r.channel,
-                    "n": np.int64(r.n),
-                    "payload_bytes": np.int64(len(r.payload)),
-                    "raw_bytes": np.int64(16 * int(r.n)),
-                    "roundtrip_ok": bool(
-                        np.array_equal(
-                            vals.view(np.uint64),
-                            vals.view(np.uint64),
-                        )
+                    "user_id": np.int64(u),
+                    "n_points": np.int64(len(dt)),
+                    "n_chunks": np.int64(n_chunks),
+                    "ts_mod_sum": np.int64((dt % 1_000_000_000).sum()),
+                    "v_scaled_sum": np.int64(
+                        np.round(dv * VALUE_SCALE).astype(np.int64).sum()
                     ),
+                    "v_min": dv.min(),
+                    "v_max": dv.max(),
                 }
             )
-        return pd.DataFrame(out)
+        return pd.DataFrame(rows)
 
-    return chunks.map_batches(verify, batch_format="pandas").to_pandas()
+    out = group_apply(_event_points_with_id(sf_dir), fn, num_partitions=8,
+                      key="user_id").to_pandas()
+    return round6(out)
+
+
+def _event_points_with_id(sf_dir):
+    from .driver_queries import _events
+
+    return _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+
+CODEC_SQL = f"""
+SELECT user_id,
+       count(*) AS n_points,
+       CAST(ceil(count(*) / {CODEC_MAX_POINTS}.0) AS BIGINT) AS n_chunks,
+       CAST(sum(epoch_us(ts) % 1000000000) AS BIGINT) AS ts_mod_sum,
+       CAST(sum(CAST(round(value*{VALUE_SCALE}) AS BIGINT)) AS BIGINT) AS v_scaled_sum,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max
+FROM events GROUP BY 1
+"""
 
 
 def q_knn_cosine(sf_dir):
-    """Brute-force cosine top-5 neighbors for the 5 lowest vec_ids
-    (broadcast query matrix + per-batch numpy matmul — the baseline
-    similarity-search path)."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding"])
-    qdf = (
-        emb.sort("vec_id").limit(5).to_pandas()
+    """Brute-force cosine top-5 neighbors for the 5 lowest vec_ids via
+    ``stages.ann.brute_force_topk`` — broadcast query matrix, per-batch
+    matmul with per-batch partial top-k (only ≤ k+1 rows per query
+    leave each batch; round-1 shipped the full scored cross-product to
+    the driver)."""
+    from ..stages.ann import brute_force_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    q_ids = qdf["vec_id"].to_numpy()
-    ref = ray.put((q_ids, Qn))
+    qdf = emb.sort("vec_id").limit(5).to_pandas()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    top = brute_force_topk(emb, Q, qdf["vec_id"].to_numpy(), k=5)
+    top["query_id"] = top["query_id"].astype(np.int64)
+    return round6(top.reset_index(drop=True))
+
+
+KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim FROM ranked WHERE rn <= 5
+"""
+
+
+def q_jaccard_topk(sf_dir):
+    """Exact character-5-gram Jaccard similarity search: broadcast the
+    5 lowest doc_ids' shingle sets, stream the corpus once, keep the
+    top-3 positive-overlap matches per query (ngram_jaccard kernel —
+    the near-dup verification primitive, ★-checked end to end;
+    Jaccard = |∩|/|∪| is a ratio of exact ints → bit-equal to SQL)."""
+    from ..stages.dedup import _char_shingles
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    qdf = docs.sort("doc_id").limit(5).to_pandas()
+    q_sets = {int(r.doc_id): _char_shingles(r.text, 5) for r in qdf.itertuples()}
+    ref = ray.put(q_sets)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        ids, qn = ray.get(ref)
-        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        sims = Xn @ qn.T  # (batch, nq)
+        qs = ray.get(ref)
         out = []
-        vid = df["vec_id"].to_numpy()
-        for j, qid in enumerate(ids):
-            out.append(pd.DataFrame({
-                "query_id": np.int64(qid),
-                "vec_id": vid,
-                "sim": sims[:, j],
-            }))
-        return pd.concat(out, ignore_index=True)
+        for r in df.itertuples(index=False):
+            s = _char_shingles(r.text, 5)
+            for qid, sq in qs.items():
+                if r.doc_id == qid:
+                    continue
+                inter = len(s & sq)
+                if inter:
+                    out.append((qid, int(r.doc_id), inter / (len(s) + len(sq) - inter)))
+        res = pd.DataFrame(out, columns=["query_id", "doc_id", "jaccard"])
+        # per-batch partial top-k: only k rows per query leave the batch
+        return (
+            res.sort_values(["query_id", "jaccard", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+            .groupby("query_id", as_index=False)
+            .head(3)
+        )
 
-    scored = emb.map_batches(score, batch_format="pandas").to_pandas()
-    scored = scored[scored.query_id != scored.vec_id]
+    cand = docs.map_batches(score, batch_format="pandas").to_pandas()
     top = (
-        scored.sort_values(["query_id", "sim", "vec_id"],
-                           ascending=[True, False, True], kind="mergesort")
+        cand.sort_values(["query_id", "jaccard", "doc_id"],
+                         ascending=[True, False, True], kind="mergesort")
         .groupby("query_id", as_index=False)
-        .head(5)
+        .head(3)
         .reset_index(drop=True)
     )
     return round6(top)
 
 
+JACCARD_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(text, i, 5) AS g
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+    FROM documents
+  )
+),
+q AS (SELECT doc_id AS query_id FROM documents ORDER BY doc_id LIMIT 5),
+qs AS (SELECT query_id, g FROM sh JOIN q ON sh.doc_id = q.query_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT qs.query_id, sh.doc_id, count(*) AS i
+  FROM qs JOIN sh ON qs.g = sh.g AND sh.doc_id <> qs.query_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT i.query_id, i.doc_id,
+         CAST(i.i AS DOUBLE) / (sq.n + sd.n - i.i) AS jac
+  FROM inter i JOIN sizes sq ON sq.doc_id = i.query_id
+               JOIN sizes sd ON sd.doc_id = i.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, jac,
+         row_number() OVER (PARTITION BY query_id ORDER BY jac DESC, doc_id) AS rn
+  FROM j
+)
+SELECT query_id, doc_id, round(jac, 6) AS jaccard FROM ranked WHERE rn <= 3
+"""
+
+
+def q_quality_scores(sf_dir):
+    """★-checked text-quality features (QualityScorer actor stage):
+    every ratio is exact-int / exact-int, so the engine's vectorized
+    regex kernels and the SQL reproduce identical doubles."""
+    from ..stages.text import quality_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = quality_score(docs).to_pandas()
+    return round6(out.sort_values("doc_id").reset_index(drop=True))
+
+
+QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\\S+')) AS token_count
+  FROM documents
+)
+SELECT doc_id, n_chars, token_count,
+       round(CASE WHEN token_count = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '\\s', '', 'g')) / token_count
+             END, 6) AS mean_word_len,
+       round(len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(n_chars, 1), 6)
+           AS punct_ratio,
+       round(len(regexp_extract_all(text, '[A-Za-z]')) / greatest(n_chars, 1), 6)
+           AS alpha_ratio,
+       round(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                 x -> x IN ('the','and','of','to','a','in','is','that','it','for')))
+             / greatest(token_count, 1), 6) AS stopword_ratio,
+       round(1.0 - len(list_distinct(regexp_extract_all(text, '\\S+')))
+             / greatest(token_count, 1), 6) AS repetition_ratio
+FROM t
+"""
+
+
+def q_minhash_pairs(sf_dir):
+    """MinHash+LSH near-dup pairs over documents (rows-only: the
+    seeded blake2b shingle hashes aren't SQL-reproducible).  Executes
+    the full signature → band-explode → bucket-groupby → verify
+    pipeline under the driver."""
+    from ..stages.dedup import minhash_lsh_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = minhash_lsh_dedup(docs, jaccard_threshold=0.5, num_partitions=8).to_pandas()
+    return round6(pairs.sort_values("doc_id").reset_index(drop=True))
+
+
+def q_simhash_fingerprint(sf_dir):
+    """SimHash64 + winnowing fingerprint per document (rows-only:
+    blake2b-based).  Deterministic across processes by construction
+    (stable_hash64); hamming distance to doc 0's simhash included so
+    the near-dup metric itself is exercised."""
+    from ..stages.dedup import fingerprint_stage, simhash_stage
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sh = simhash_stage(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    fp = fingerprint_stage(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out = sh.merge(fp, on="doc_id")
+    ref = np.uint64(out.loc[out.doc_id.idxmin(), "simhash"])
+    x = out["simhash"].to_numpy(np.uint64) ^ ref
+    out["hamming_to_doc0"] = np.array(
+        [bin(int(v)).count("1") for v in x], dtype=np.int64
+    )
+    # uint64 → stable int64 view for parquet/driver friendliness
+    for c in ("simhash", "min_fingerprint", "content_hash"):
+        out[c] = out[c].to_numpy(np.uint64).astype(np.int64)
+    return out
+
+
 EXTRA_QUERIES = {
     "features_general": q_features_general,
+    "features_stats": q_features_stats,
     "features_lomb_scargle": q_features_lomb_scargle,
     "codec_chunks": q_codec_chunks,
     "knn_cosine": q_knn_cosine,
+    "jaccard_topk": q_jaccard_topk,
+    "quality_scores": q_quality_scores,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_fingerprint": q_simhash_fingerprint,
+}
+
+EXTRA_ORACLE_SQL = {
+    "features_stats": FEATURES_STATS_SQL,
+    "codec_chunks": CODEC_SQL,
+    "knn_cosine": KNN_SQL,
+    "jaccard_topk": JACCARD_SQL,
+    "quality_scores": QUALITY_SQL,
 }

@@ -26,11 +26,23 @@ _LANG_PROFILES = {
 
 
 class LangId:
-    """Stopword-overlap language classifier; 'und' when nothing matches."""
+    """Stopword-overlap language classifier; 'und' when nothing matches.
+
+    Score = number of DISTINCT profile stopwords present as whole
+    words.  Vectorized: one compiled whole-word regex per stopword
+    (50 total), each a C-speed ``str.contains`` pass over the batch —
+    no per-row Python in ``__call__`` (``classify`` kept for
+    single-string API use)."""
 
     def __init__(self, text_col: str = "text"):
         self.word = re.compile(r"[a-zà-ÿ]+", re.IGNORECASE)
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.langs = list(_LANG_PROFILES)
+        self.word_res = {
+            lang: [re.compile(rf"(?<![a-zà-ÿ]){re.escape(w)}(?![a-zà-ÿ])")
+                   for w in sorted(stop)]
+            for lang, stop in _LANG_PROFILES.items()
+        }
         self.text_col = text_col
 
     def classify(self, text: str) -> str:
@@ -44,42 +56,61 @@ class LangId:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["lang_pred"] = [self.classify(t) for t in df[self.text_col]]
+        low = df[self.text_col].astype(str).str.lower()
+        scores = np.zeros((len(df), len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            for rx in self.word_res[lang]:
+                scores[:, j] += low.str.contains(rx, regex=True).to_numpy()
+        best = np.asarray(self.langs + ["und"], dtype=object)[
+            np.where(scores.max(axis=1) > 0, scores.argmax(axis=1), len(self.langs))
+        ]
+        df["lang_pred"] = best
         return df
 
 
 class QualityScorer:
     """Heuristic document quality features: length, punctuation ratio,
-    stopword ratio, alpha ratio, mean word length, repetition ratio."""
+    stopword ratio, alpha ratio, mean word length, repetition ratio.
+
+    Fully vectorized pandas/C-regex kernels (no per-row ``.map(lambda)``
+    in the ratio math — this stage runs on every document at 100 TB):
+    mean word length = non-whitespace chars / tokens; stopword hits via
+    one whole-token alternation regex; distinct-token counts via
+    explode + grouped nunique."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
+        # whole-token stopword match: a token is a maximal \S+ run, so
+        # (?<!\S)word(?!\S) ≡ "token == word"
+        alt = "|".join(sorted(_LANG_PROFILES["en"]))
+        self.stop_re = re.compile(rf"(?<!\S)(?:{alt})(?!\S)")
         self.word = re.compile(r"\S+")
-        self.stop = _LANG_PROFILES["en"]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         t = df[self.text_col].astype(str)
-        n_chars = t.str.len().to_numpy(np.float64)
-        toks = t.str.findall(self.word)
-        n_tok = toks.map(len).to_numpy(np.float64)
+        n_chars = t.str.len().to_numpy(np.int64)
+        n_tok = t.str.count(r"\S+").to_numpy(np.int64)
+        nonws = t.str.count(r"\S").to_numpy(np.int64)
         out = pd.DataFrame(index=df.index)
         for c in df.columns:
             if c != self.text_col:
                 out[c] = df[c]
-        out["n_chars"] = n_chars.astype(np.int64)
-        out["token_count"] = n_tok.astype(np.int64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out["mean_word_len"] = np.where(
-                n_tok > 0, toks.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0), 0.0
-            )
-            out["punct_ratio"] = t.str.count(r"[^\w\s]").to_numpy(np.float64) / np.maximum(n_chars, 1)
-            out["alpha_ratio"] = t.str.count(r"[A-Za-z]").to_numpy(np.float64) / np.maximum(n_chars, 1)
-            out["stopword_ratio"] = toks.map(
-                lambda ws: sum(w.lower() in self.stop for w in ws) / max(1, len(ws))
-            ).astype(np.float64)
-            out["repetition_ratio"] = toks.map(
-                lambda ws: 1.0 - len(set(ws)) / max(1, len(ws))
-            ).astype(np.float64)
+        out["n_chars"] = n_chars
+        out["token_count"] = n_tok
+        denom_c = np.maximum(n_chars, 1).astype(np.float64)
+        denom_t = np.maximum(n_tok, 1).astype(np.float64)
+        out["mean_word_len"] = np.where(n_tok > 0, nonws / denom_t, 0.0)
+        out["punct_ratio"] = t.str.count(r"[^\w\s]").to_numpy(np.float64) / denom_c
+        out["alpha_ratio"] = t.str.count(r"[A-Za-z]").to_numpy(np.float64) / denom_c
+        out["stopword_ratio"] = (
+            t.str.lower().str.count(self.stop_re).to_numpy(np.float64) / denom_t
+        )
+        # distinct tokens per row without per-row Python: explode the
+        # token lists once, grouped nunique (C-speed hash agg)
+        toks = t.str.findall(self.word)
+        nun = toks.explode().groupby(level=0).nunique()
+        nun = nun.reindex(toks.index, fill_value=0).to_numpy(np.float64)
+        out["repetition_ratio"] = 1.0 - nun / denom_t
         return out
 
 
