@@ -109,7 +109,10 @@ class PartitionProcessor:
         self.manifest = Manifest(out_root, "flagship")
 
     def _write_dated(self, df: pd.DataFrame, tier: str, pid: str, time_col: str):
+        import glob
+
         n = 0
+        written = set()
         for day, grp in df.groupby(df[time_col].dt.date, sort=True):
             _atomic_file_write(
                 grp.reset_index(drop=True),
@@ -117,14 +120,25 @@ class PartitionProcessor:
                     self.out_root, f"tier={tier}", f"date={day}", f"part-{pid}.parquet"
                 ),
             )
+            written.add(str(day))
             n += len(grp)
+        # sweep stale date files from a previous generation of THIS
+        # partition: a recompute spanning fewer/different dates must not
+        # leave old tier=/date= files mixing generations (ADVICE round 1)
+        for p in glob.glob(
+            os.path.join(self.out_root, f"tier={tier}", "date=*", f"part-{pid}.parquet")
+        ):
+            if os.path.basename(os.path.dirname(p))[5:] not in written:
+                os.remove(p)
         return n
 
     def __call__(self, part: pd.DataFrame) -> pd.DataFrame:
         _t0 = _time.time()
         pid = f"{int(part['_part'].iloc[0]):05d}"
         df = part.drop(columns=["_part"])
-        fp = partition_fingerprint(df, key_cols=(self.by, *self.order))
+        # fingerprint over ALL columns: a value/ts-only change must
+        # invalidate the checkpoint (ADVICE round 1)
+        fp = partition_fingerprint(df)
         if self.resume and self.manifest.is_done(pid, fp):
             prev = self.manifest.get(pid)
             return pd.DataFrame(

@@ -57,13 +57,15 @@ def _char_shingles(text: str, k: int = 5) -> set:
 
 
 def _minhash_sig(shingles: set, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm minhashes via universal hashing of shingle hash64s."""
+    """num_perm minhashes via universal hashing of shingle hash64s.
+    Shingle hashing is one vectorized siphash pass (pd.util.hash_array
+    uses a fixed key — deterministic across Ray workers), not a
+    per-shingle Python loop."""
     if not shingles:
         return np.zeros(len(a), dtype=np.uint64)
-    hv = np.array(
-        [np.uint64(stable_hash64(s) & 0x7FFFFFFFFFFFFFFF) for s in shingles],
-        dtype=np.uint64,
-    )
+    hv = pd.util.hash_array(
+        np.array(list(shingles), dtype=object), categorize=False
+    ) & np.uint64(0x7FFFFFFFFFFFFFFF)
     with np.errstate(over="ignore"):
         m = (a[:, None] * hv[None, :] + b[:, None]) % _PRIME
     return m.min(axis=1)
@@ -92,6 +94,22 @@ class MinHasher:
         return out
 
 
+def _band_hashes(sig_mat: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n, num_perm) uint64 signatures → (n, bands) uint64 band hashes
+    (vectorized FNV-1a over the band's lanes — deterministic, no
+    per-row hashing loop)."""
+    n = len(sig_mat)
+    out = np.empty((n, bands), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+            for lane in range(rows_per_band):
+                h = (h ^ sig_mat[:, b * rows_per_band + lane]) * prime
+            out[:, b] = h
+    return out
+
+
 def minhash_lsh_dedup(
     ds: ray.data.Dataset,
     num_perm: int = 64,
@@ -102,13 +120,22 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     num_partitions: int = 32,
     concurrency=None,
+    max_bucket: int = 1024,
 ) -> ray.data.Dataset:
-    """MinHash+LSH near-dup: per-doc signatures (actor pool) → explode
-    to (band_id, band_hash, doc_id) rows → bucket groupby → candidate
-    pairs verified by signature-estimated Jaccard.
+    """MinHash+LSH near-dup: per-doc signatures (actor pool) → NARROW
+    band rows ``(doc_id, band_id, band_hash)`` (24 bytes — round 1
+    shipped the full num_perm·8-byte signature into every band row,
+    ≈16× shuffle volume) → bucket groupby → vectorized candidate-pair
+    enumeration → signatures fetched back by two hash joins on the
+    (small) pair set → vectorized Jaccard estimate.
 
-    Returns a dataset of ``(doc_id, dup_of)`` pairs (doc_id > dup_of)
-    whose estimated Jaccard ≥ threshold."""
+    Degenerate buckets (> ``max_bucket`` members — e.g. a boilerplate
+    band shared by millions of docs) are star-linked to their min id:
+    O(B) pairs instead of O(B²), with the same transitive keeper
+    outcome for dedup purposes.
+
+    Returns a dataset of ``(doc_id, dup_of, est_jaccard)`` pairs
+    (doc_id > dup_of) whose estimated Jaccard ≥ threshold."""
     rows_per_band = num_perm // bands
     sigs = ds.select_columns([id_col, text_col]).map_batches(
         MinHasher,
@@ -120,86 +147,178 @@ def minhash_lsh_dedup(
     )
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hash, sig_list = [], [], [], []
-        for did, sb in zip(df[id_col], df["sig"]):
-            sig = np.frombuffer(sb, dtype=np.uint64)
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                ids.append(did)
-                band_ids.append(bi)
-                band_hash.append(stable_hash64(chunk.tobytes()))
-                sig_list.append(sb)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "band_id": pd.Series(dtype="int64"),
+                                 "band_hash": pd.Series(dtype="uint64")})
+        sig_mat = np.frombuffer(b"".join(df["sig"]), dtype=np.uint64).reshape(n, num_perm)
+        bh = _band_hashes(sig_mat, bands, rows_per_band)
         return pd.DataFrame(
-            {id_col: ids, "band_id": band_ids, "band_hash": band_hash, "sig": sig_list}
+            {
+                id_col: np.repeat(df[id_col].to_numpy(), bands),
+                "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+                "band_hash": bh.reshape(-1),
+            }
         )
 
     exploded = sigs.map_batches(explode_bands, batch_format="pandas")
-    exploded = exploded.map_batches(
-        lambda df: df.assign(
-            bucket=(pd.util.hash_pandas_object(
-                df[["band_id", "band_hash"]], index=False
-            ).to_numpy() % np.uint64(num_partitions)).astype(np.int32)
-        ),
-        batch_format="pandas",
-    )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (_, _), grp in df.groupby(["band_id", "band_hash"], sort=False):
-            if len(grp) < 2:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        d = df.sort_values(["band_id", "band_hash", id_col], kind="mergesort")
+        bid = d["band_id"].to_numpy()
+        bh = d["band_hash"].to_numpy()
+        ids = d[id_col].to_numpy()
+        change = np.r_[True, (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(d)]
+        A, B = [], []
+        for s, e in zip(starts, ends):
+            sz = e - s
+            if sz < 2:
                 continue
-            g = grp.sort_values(id_col, kind="mergesort")
-            ids = g[id_col].to_numpy()
-            sigs_ = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    est = float(np.mean(sigs_[i] == sigs_[j]))
-                    if est >= jaccard_threshold:
-                        out.append((int(ids[j]), int(ids[i]), est))
-        if not out:
-            return pd.DataFrame(columns=[id_col, "dup_of", "est_jaccard"]).astype(
-                {id_col: "int64", "dup_of": "int64", "est_jaccard": "float64"}
-            )
-        df2 = pd.DataFrame(out, columns=[id_col, "dup_of", "est_jaccard"])
-        return df2.sort_values("dup_of").groupby(id_col, as_index=False).first()
+            g = ids[s:e]
+            if sz > max_bucket:
+                A.append(np.full(sz - 1, g[0]))
+                B.append(g[1:])
+            else:
+                iu, ju = np.triu_indices(sz, k=1)
+                A.append(g[iu])
+                B.append(g[ju])
+        if not A:
+            return empty
+        out = pd.DataFrame({"a": np.concatenate(A), "b": np.concatenate(B)})
+        return out.drop_duplicates(["a", "b"])
 
-    pairs = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = group_apply(exploded, bucket_pairs, num_partitions=num_partitions,
+                        key="band_hash")
+    # global pair dedup across bands (same pair collides in several bands)
+    pairs = group_apply(pairs, lambda df: df.drop_duplicates(["a", "b"]),
+                        num_partitions=8, key="a")
 
-    # dedup pair list across bands: keep min dup_of per doc
+    # fetch signatures for the candidate set: two keyed co-group merges
+    # (union the pair rows with the sig rows under one key column, hash
+    # partition once, pd.merge inside each partition).  The sig table
+    # is shuffled once per pass instead of ×bands through the band
+    # exchange.  (Dataset.join is avoided: Ray 2.49's hash join rejects
+    # the schema-less empty blocks map_groups emits for empty
+    # partitions.)
+    def _sig_rows(key, other, sig_col, extra=()):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = {key: df[id_col].to_numpy(),
+                   other: np.full(len(df), -1, dtype=np.int64)}
+            for c in extra:
+                out[c] = b""
+            out[sig_col] = df["sig"]
+            out["_is_sig"] = np.ones(len(df), dtype=bool)
+            return pd.DataFrame(out)
+        return fn
+
+    def _merge(key, other, sig_col, carry=()):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            s = df[df["_is_sig"]]
+            p = df[~df["_is_sig"]]
+            cols = [key, other, *carry]
+            return p[cols].merge(s[[key, sig_col]], on=key, how="inner")
+        return fn
+
+    pair_rows = pairs.map_batches(
+        lambda df: df.assign(sig_a=b"", _is_sig=False), batch_format="pandas"
+    )
+    u1 = sigs.map_batches(_sig_rows("a", "b", "sig_a"),
+                          batch_format="pandas").union(pair_rows)
+    with_a = group_apply(u1, _merge("a", "b", "sig_a"), num_partitions=8, key="a")
+
+    pair_rows2 = with_a.map_batches(
+        lambda df: df.assign(sig_b=b"", _is_sig=False), batch_format="pandas"
+    )
+    u2 = sigs.map_batches(_sig_rows("b", "a", "sig_b", extra=("sig_a",)),
+                          batch_format="pandas").union(
+        pair_rows2.map_batches(
+            lambda df: df[["b", "a", "sig_a", "sig_b", "_is_sig"]],
+            batch_format="pandas",
+        )
+    )
+    j = group_apply(u2, _merge("b", "a", "sig_b", carry=("sig_a",)),
+                    num_partitions=8, key="b")
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "dup_of": pd.Series(dtype="int64"),
+                                 "est_jaccard": pd.Series(dtype="float64")})
+        A = np.frombuffer(b"".join(df["sig_a"]), dtype=np.uint64).reshape(len(df), num_perm)
+        B = np.frombuffer(b"".join(df["sig_b"]), dtype=np.uint64).reshape(len(df), num_perm)
+        est = (A == B).mean(axis=1)
+        out = pd.DataFrame(
+            {id_col: df["b"].to_numpy(), "dup_of": df["a"].to_numpy(), "est_jaccard": est}
+        )
+        return out[out.est_jaccard >= jaccard_threshold]
+
+    verified = j.map_batches(estimate, batch_format="pandas")
+
+    # keep min dup_of per doc
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["dup_of", "est_jaccard"]).groupby(
             id_col, as_index=False
         ).first()
 
-    return group_apply(pairs, final, num_partitions=8, key=id_col)
+    return group_apply(verified, final, num_partitions=8, key=id_col)
+
+
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+
+
+def _simhash_from_hashes(hs: np.ndarray, doc_starts: np.ndarray,
+                         doc_counts: np.ndarray) -> np.ndarray:
+    """Token hashes (flat uint64) + per-doc boundaries → per-doc
+    simhash.  One (T, 64) bit-unpack + reduceat — no per-token loop."""
+    if len(hs) == 0:
+        return np.zeros(len(doc_counts), dtype=np.uint64)
+    ones = ((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(np.int64)
+    sums = np.zeros((len(doc_counts), 64), dtype=np.int64)
+    has = doc_counts > 0
+    if has.any():
+        sums[has] = np.add.reduceat(ones, doc_starts[has], axis=0)
+    acc = 2 * sums - doc_counts[:, None]  # (+1/−1 vote totals)
+    bits = (acc > 0).astype(np.uint64)
+    return (bits << _BIT_IDX[None, :]).sum(axis=1, dtype=np.uint64)
 
 
 def simhash64(tokens: list) -> int:
-    """64-bit SimHash over token hashes."""
+    """64-bit SimHash over token hashes (vectorized siphash of the
+    whole token list + one bit-matrix pass)."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h = np.uint64(stable_hash64(tok))
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    hs = pd.util.hash_array(np.asarray(tokens, dtype=object), categorize=False)
+    return int(_simhash_from_hashes(
+        hs, np.array([0]), np.array([len(tokens)]))[0])
 
 
 def simhash_stage(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
+    """Batch-vectorized: one tokenize pass, one siphash over ALL tokens
+    in the batch, reduceat per doc (bit-identical to per-doc
+    ``simhash64``)."""
+
     def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.lower().str.findall(r"\S+")
+        counts = toks.str.len().to_numpy(np.int64)
+        flat = [t for ws in toks for t in ws]
+        hs = (
+            pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
+            if flat else np.array([], dtype=np.uint64)
+        )
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
         return pd.DataFrame(
             {
                 id_col: df[id_col].to_numpy(),
-                "simhash": [
-                    np.uint64(simhash64(str(t).lower().split())) for t in df[text_col]
-                ],
+                "simhash": _simhash_from_hashes(hs, starts, counts),
             }
         )
 

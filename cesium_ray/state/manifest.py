@@ -33,16 +33,22 @@ import pandas as pd
 DEFAULT_RETENTION = {"raw": "7d", "1m": "30d", "1h": "365d", "1d": None}
 
 
-def partition_fingerprint(df: pd.DataFrame, key_cols=("conv_id", "turn_idx")) -> str:
+def partition_fingerprint(df: pd.DataFrame, key_cols=None) -> str:
     """Order-insensitive deterministic fingerprint of a partition's
-    input rows (row count + XOR-ish sum of stable row hashes)."""
-    cols = [c for c in key_cols if c in df.columns]
-    h = np.uint64(0)
+    input rows.  Hashes ALL columns by default (a re-run whose input
+    changed only in ts/text/value for the same keys MUST recompute —
+    key-only hashing silently kept stale outputs), combined with a
+    multiset-safe reducer: sum mod 2⁶⁴ AND xor of row hashes plus row
+    count (plain XOR cancels pair-swaps of equal multiplicity)."""
+    cols = list(df.columns) if key_cols is None else [c for c in key_cols if c in df.columns]
+    s = np.uint64(0)
+    x = np.uint64(0)
     if cols:
         hh = pd.util.hash_pandas_object(df[list(cols)], index=False).to_numpy()
         with np.errstate(over="ignore"):
-            h = np.bitwise_xor.reduce(hh) + np.uint64(len(hh))
-    return f"{len(df)}-{int(h):016x}"
+            s = hh.sum(dtype=np.uint64)
+            x = np.bitwise_xor.reduce(hh)
+    return f"{len(df)}-{int(s):016x}-{int(x):016x}"
 
 
 @dataclass

@@ -31,6 +31,9 @@ class TimeSeries:
             raise ValueError("measurement values are required")
         if isinstance(m, (list, tuple)) and len(m) and not np.isscalar(m[0]):
             self.m = [np.asarray(c, dtype=np.float64) for c in m]
+        elif isinstance(m, np.ndarray) and m.ndim == 2:
+            # (n_channels, n) array input — channels along axis 0
+            self.m = [np.asarray(c, dtype=np.float64) for c in m]
         else:
             self.m = [np.asarray(m, dtype=np.float64)]
         self.n_channels = len(self.m)
@@ -41,6 +44,8 @@ class TimeSeries:
             if isinstance(x, (list, tuple)) and len(x) and not np.isscalar(x[0]):
                 return [np.asarray(c, dtype=np.float64) for c in x]
             arr = np.asarray(x, dtype=np.float64)
+            if arr.ndim == 2:  # list-of-channels given as a 2-D array
+                return [np.asarray(c, dtype=np.float64) for c in arr]
             # broadcast shared axis where it fits; default otherwise
             return [
                 arr if len(arr) == len(c) else default_fn(c) for c in self.m

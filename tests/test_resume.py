@@ -75,3 +75,46 @@ def test_retention_sweep(tmp_path):
     assert os.path.exists(f"{root}/tier=1m/date=2026-02-25")
     assert f"{root}/tier=1h/date=2025-01-01" in deleted
     assert os.path.exists(f"{root}/tier=1d/date=2020-01-01")
+
+
+def test_fingerprint_sensitive_to_value_columns():
+    """ADVICE round 1: same keys + changed ts/value must change the
+    fingerprint (key-only hashing silently kept stale outputs)."""
+    df = pd.DataFrame({"conv_id": ["a", "b"], "turn_idx": [0, 0],
+                       "ts": pd.to_datetime(["2026-01-01", "2026-01-02"]),
+                       "value": [1.0, 2.0]})
+    fp1 = partition_fingerprint(df)
+    changed = df.copy()
+    changed["value"] = [1.0, 99.0]
+    assert partition_fingerprint(changed) != fp1
+    shifted = df.copy()
+    shifted["ts"] = shifted["ts"] + pd.Timedelta(hours=1)
+    assert partition_fingerprint(shifted) != fp1
+    # still order-insensitive
+    assert partition_fingerprint(df.iloc[::-1].reset_index(drop=True)) == fp1
+
+
+def test_fingerprint_multiset_not_pair_cancelling():
+    """XOR alone cancels swapping one duplicated pair for another; the
+    sum+xor combiner must not."""
+    a = pd.DataFrame({"k": ["x", "x", "y"]})
+    b = pd.DataFrame({"k": ["x", "y", "y"]})
+    assert partition_fingerprint(a) != partition_fingerprint(b)
+
+
+def test_recompute_sweeps_stale_date_files(tiny_turns, tmp_path):
+    """ADVICE round 1: when a partition recomputes with fewer dates,
+    the previous generation's tier=/date= files must disappear."""
+    out = str(tmp_path / "o")
+    pdf = tiny_turns.to_pandas()
+    run_flagship(ray.data.from_pandas(pdf), out, num_partitions=2,
+                 features=None, codec=False, gapfill_tier=None)
+    before = set(glob.glob(f"{out}/tier=1d/date=*/part-*.parquet"))
+    assert before
+    # shift every timestamp far forward: all old dates become stale
+    pdf2 = pdf.copy()
+    pdf2["ts"] = pdf2["ts"] + pd.Timedelta(days=3650)
+    run_flagship(ray.data.from_pandas(pdf2), out, num_partitions=2,
+                 features=None, codec=False, gapfill_tier=None)
+    after = set(glob.glob(f"{out}/tier=1d/date=*/part-*.parquet"))
+    assert after and not (before & after), "old-generation date files survived"

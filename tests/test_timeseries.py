@@ -52,3 +52,17 @@ def test_save_load_roundtrip(tmp_path):
         np.testing.assert_array_equal(t1, t2)
         np.testing.assert_array_equal(m1, m2)
         np.testing.assert_array_equal(e1, e2)
+
+
+def test_2d_array_channels():
+    """ADVICE round 1: (n_channels, n) ndarray inputs for m/t/e must be
+    treated as channel lists, not silently replaced by defaults."""
+    import numpy as np
+    from cesium_ray.timeseries import TimeSeries
+
+    m = np.arange(6.0).reshape(2, 3)
+    t = np.array([[0.0, 1.0, 2.0], [0.0, 10.0, 20.0]])
+    ts = TimeSeries(t=t, m=m)
+    assert ts.n_channels == 2
+    np.testing.assert_array_equal(ts.t[1], [0.0, 10.0, 20.0])
+    np.testing.assert_array_equal(ts.m[0], [0.0, 1.0, 2.0])
