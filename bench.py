@@ -121,13 +121,14 @@ def bench_flagship_full(results, thr):
     metrics = run_flagship(
         ds,
         out_root,
-        num_partitions=2 * NCPU,
+        num_partitions=4 * NCPU,
         features="general",
         ls_features=LS_BENCH_FEATURES,
         ls_min_turns=1000,
         codec=True,
         gapfill_tier="1m",
         resume=False,
+        concurrency="tasks",  # elastic task pool — no actor ramp-up
     )
     dt = time.time() - t0
     results["flagship_full"] = round(dt, 3)

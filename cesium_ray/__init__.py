@@ -25,6 +25,20 @@ _os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 _os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 _os.environ.setdefault("MALLOC_ARENA_MAX", "2")
 
+# The env vars above only take effect at process START — they fix the
+# forked Ray workers, not the process importing this module.  Apply the
+# same tuning to the CURRENT process via mallopt(3) so driver-side
+# kernels (bench codec, oracle checks) get the fix too.
+try:
+    import ctypes as _ctypes
+
+    _libc = _ctypes.CDLL(None, use_errno=True)
+    _M_MMAP_THRESHOLD, _M_TRIM_THRESHOLD = -3, -1
+    _libc.mallopt(_M_MMAP_THRESHOLD, 1 << 30)
+    _libc.mallopt(_M_TRIM_THRESHOLD, 1 << 30)
+except Exception:  # non-glibc platform — the env vars still help workers
+    pass
+
 __version__ = "0.1.0"
 
 TIERS = {"1m": 60, "1h": 3600, "1d": 86400}

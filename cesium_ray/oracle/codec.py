@@ -132,9 +132,12 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
     return e - over
 
 
-def _dod_fields(dods: np.ndarray) -> list:
-    """Vectorized (value, nbits) fields for a delta-of-delta array —
-    bit-identical to per-value _write_dod."""
+def _dod_fields(dods: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (values u64, nbits) field arrays for a delta-of-delta
+    array — bit-identical to per-value _write_dod.  Fields wider than
+    64 bits (the rare 69-bit giant-jump bucket) are pre-split into a
+    37-bit high + 32-bit low field so every array entry fits uint64
+    (the packer requires it; the emitted bitstream is unchanged)."""
     d = dods.astype(np.int64)
     nb = np.select(
         [d == 0, (d >= -63) & (d <= 64), (d >= -255) & (d <= 256),
@@ -151,12 +154,34 @@ def _dod_fields(dods: np.ndarray) -> list:
          (0b1110 << 12) + d + 2047,
          (0b11110 << 32) + d + (2**31 - 1)],
         default=0,
-    )
-    fields = list(zip(val.tolist(), nb.tolist()))
-    if (nb == 69).any():  # rare giant jumps: 69-bit Python ints
-        for i in np.flatnonzero(nb == 69):
-            fields[i] = ((0b11111 << 64) | ((int(d[i]) + 2**63 - 1) & _MASK64), 69)
-    return fields
+    ).astype(np.uint64)
+    if not (nb == 69).any():
+        return val, nb.astype(np.int64)
+    reps = np.where(nb == 69, 2, 1)
+    idx = np.repeat(np.arange(len(d)), reps)
+    second = np.r_[False, idx[1:] == idx[:-1]]
+    is69 = nb[idx] == 69
+    with np.errstate(over="ignore"):
+        u = d[idx].astype(np.uint64) + np.uint64(2**63 - 1)
+    hi = (np.uint64(0b11111) << np.uint64(32)) | (u >> np.uint64(32))
+    lo = u & np.uint64(0xFFFFFFFF)
+    vals = np.where(second, lo, np.where(is69, hi, val[idx]))
+    nbs = np.where(second, 32, np.where(is69, 37, nb[idx])).astype(np.int64)
+    return vals, nbs
+
+
+def _pack_fields(vals: np.ndarray, nbs: np.ndarray) -> bytes:
+    """MSB-first bitstream packer: scatter each field's bits into a
+    flat bit array, one np.packbits — bit-identical to sequential
+    BitWriter.write calls (which remain as the scalar reference), with
+    the same zero-padded final byte.  Every field must be ≤ 64 bits."""
+    offs = np.concatenate([[0], np.cumsum(nbs)])
+    total = int(offs[-1])
+    f = np.repeat(np.arange(len(nbs)), nbs)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], nbs)
+    shift = (nbs[f] - 1 - pos).astype(np.uint64)
+    bits = ((vals[f] >> shift) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits).tobytes()
 
 
 def encode_chunk(ts_us: np.ndarray, values: np.ndarray) -> bytes:
@@ -172,47 +197,70 @@ def encode_chunk(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     n = len(ts)
     if n == 0:
         return b""
-    w = BitWriter()
+    segs = []  # list of (uint64 value array, int64 nbits array)
     # --- timestamps: delta-of-delta ---
-    fields = [(int(ts[0]) & _MASK64, 64)]
+    segs.append((np.array([int(ts[0]) & _MASK64], dtype=np.uint64),
+                 np.array([64], dtype=np.int64)))
     if n > 1:
         deltas = ts[1:] - ts[:-1]
         dods = np.empty(n - 1, dtype=np.int64)
         dods[0] = deltas[0]
         dods[1:] = deltas[1:] - deltas[:-1]
-        fields += _dod_fields(dods)
+        segs.append(_dod_fields(dods))
     # --- values: Gorilla XOR ---
-    fields.append((int(vb[0]), 64))
+    segs.append((np.array([int(vb[0])], dtype=np.uint64),
+                 np.array([64], dtype=np.int64)))
     if n > 1:
         xors = vb[1:] ^ vb[:-1]
         nz = xors != 0
-        lz = np.zeros(n - 1, dtype=np.int64)
-        tz = np.zeros(n - 1, dtype=np.int64)
-        if nz.any():
+        nz_any = bool(nz.any())
+        if nz_any:
             x = xors[nz]
-            lz_nz = 64 - _bit_length_u64(x)
+            l_nz = np.minimum(64 - _bit_length_u64(x), 31)
             t = x & (~x + np.uint64(1))  # lowest set bit (power of two)
-            tz_nz = np.frexp(t.astype(np.float64))[1].astype(np.int64) - 1
-            lz[nz] = np.minimum(lz_nz, 31)
-            tz[nz] = tz_nz
-        prev_lz, prev_tz = 65, 65
-        ap = fields.append
-        for x, l, t in zip(xors.tolist(), lz.tolist(), tz.tolist()):
-            if x == 0:
-                ap((0, 1))
-                continue
-            if prev_lz <= 64 and l >= prev_lz and t >= prev_tz:
-                ap((0b10, 2))
-                ap((x >> prev_tz, 64 - prev_lz - prev_tz))
-            else:
-                sig = 64 - l - t
-                ap((0b11, 2))
-                ap((l, 5))
-                ap((sig - 1, 6))
-                ap((x >> t, sig))
-                prev_lz, prev_tz = l, t
-    w.write_many(fields)
-    return w.getvalue()
+            t_nz = np.frexp(t.astype(np.float64))[1].astype(np.int64) - 1
+            # control policy: reuse the window ('10') iff this xor's
+            # (lz, tz) EQUAL the previous nonzero xor's — the decoder's
+            # window state then matches exactly.  The Gorilla paper's
+            # greedy containment rule (reuse when the window merely
+            # covers the bits) is an encoder CHOICE, not a format
+            # requirement: any mix of '10'/'11' records decodes
+            # identically.  Equality vectorizes (no sequential chain);
+            # quantized series repeat (lz, tz) patterns, so the
+            # compression delta is ≤11 bits only on the rare covered-
+            # but-unequal records.
+            same = np.r_[False, (l_nz[1:] == l_nz[:-1]) & (t_nz[1:] == t_nz[:-1])]
+            sig = 64 - l_nz - t_nz
+            payload = x >> t_nz.astype(np.uint64)
+            counts = np.ones(n - 1, dtype=np.int64)
+            counts[nz] = np.where(same, 2, 4)
+            off = np.r_[0, np.cumsum(counts)[:-1]]
+            total = int(off[-1] + counts[-1])
+            out_v = np.zeros(total, dtype=np.uint64)
+            out_n = np.ones(total, dtype=np.int64)  # default: zero-xor '0' bit
+            pos = off[nz]
+            pr = pos[same]
+            out_v[pr] = 0b10
+            out_n[pr] = 2
+            out_v[pr + 1] = payload[same]
+            out_n[pr + 1] = sig[same]
+            ps = pos[~same]
+            out_v[ps] = 0b11
+            out_n[ps] = 2
+            out_v[ps + 1] = l_nz[~same].astype(np.uint64)
+            out_n[ps + 1] = 5
+            out_v[ps + 2] = (sig[~same] - 1).astype(np.uint64)
+            out_n[ps + 2] = 6
+            out_v[ps + 3] = payload[~same]
+            out_n[ps + 3] = sig[~same]
+            segs.append((out_v, out_n))
+        else:
+            segs.append((np.zeros(n - 1, dtype=np.uint64),
+                         np.ones(n - 1, dtype=np.int64)))
+    return _pack_fields(
+        np.concatenate([s[0] for s in segs]),
+        np.concatenate([s[1] for s in segs]),
+    )
 
 
 def decode_chunk(payload: bytes, n: int):

@@ -222,6 +222,14 @@ def reaggregate_pandas(
     return out[keycols + ["cnt", "count_null", "vsum", "vmean", "vmin", "vmax"]]
 
 
+def _key_codes(col: pd.Series):
+    """(codes, uniques) for a key column — Categorical codes when the
+    column rode the exchange dictionary-encoded, factorize otherwise."""
+    if isinstance(col.dtype, pd.CategoricalDtype):
+        return col.cat.codes.to_numpy().astype(np.int64), col.cat.categories.to_numpy()
+    return pd.factorize(col.to_numpy(), sort=False)
+
+
 def derive_channel_arrays(
     turns: pd.DataFrame,
     by: str = "conv_id",
@@ -231,8 +239,10 @@ def derive_channel_arrays(
     """Array-level channel derivation (fused hot path): factorize the
     conversation key ONCE, integer lexsort, derive latency/text_len as
     bare arrays.  Returns (codes, uniques, ts_us, turn_idx, channels)
-    with rows sorted by (conv, *order)."""
-    codes, uniques = pd.factorize(turns[by].to_numpy(), sort=False)
+    with rows sorted by (conv, *order).  Categorical input (the
+    dictionary-encoded exchange path) short-circuits factorize — codes
+    come straight off the Categorical."""
+    codes, uniques = _key_codes(turns[by])
     sort_keys = [turns[c].to_numpy() for c in reversed(order)] + [codes]
     pos = np.lexsort(tuple(sort_keys))
     sc = codes[pos]
@@ -304,7 +314,7 @@ def derive_channels_pandas(
     conversations in the frame at once (no per-conv Python)."""
     # factorize the conversation key once, then integer lexsort — avoids
     # repeated object-string comparisons in the per-partition hot path
-    codes, _ = pd.factorize(turns[by].to_numpy(), sort=False)
+    codes, _ = _key_codes(turns[by])
     sort_keys = [turns[c].to_numpy() for c in reversed(order)] + [codes]
     pos = np.lexsort(tuple(sort_keys))
     df = turns.iloc[pos].reset_index(drop=True)

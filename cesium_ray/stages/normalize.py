@@ -33,8 +33,10 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
             batch["ts"].cast(pa.timestamp("us")),
         )
     if "text" in cols and "text_len" not in cols:
+        # int32, not float64: text_len rides the conv exchange in the
+        # flagship — half the shuffled bytes; kernels upcast on use
         batch = batch.append_column(
-            "text_len", pc.cast(pc.utf8_length(batch["text"]), pa.float64())
+            "text_len", pc.cast(pc.utf8_length(batch["text"]), pa.int32())
         )
     return batch
 

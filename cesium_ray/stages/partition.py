@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -32,12 +33,19 @@ def with_partition(
     key: str = "conv_id",
     bucket_us: np.ndarray | None = None,
     salt_tier_s: int | None = None,
+    dict_cols: tuple = (),
 ) -> ray.data.Dataset:
     """Add ``_part = hash(key [, floor(ts, salt_tier)]) % P``.
 
     With ``salt_tier_s`` set, the partition key includes the tier
     bucket: a hot conversation's buckets spread over all partitions
-    while every (key, bucket) group stays whole."""
+    while every (key, bucket) group stays whole.
+
+    ``dict_cols``: string columns to dictionary-encode in the same
+    pass (AFTER hashing) — e.g. ``conv_id`` shrinks from ~17 B/row to
+    ~2 B/row through the all-to-all exchange; Arrow unifies the
+    per-block dictionaries on concat and pandas sees a Categorical
+    (derive_channel_arrays has a codes fast path)."""
 
     def add_part(batch: pa.Table) -> pa.Table:
         k = batch[key].to_numpy(zero_copy_only=False)
@@ -47,6 +55,10 @@ def with_partition(
             step = np.int64(salt_tier_s) * 1_000_000
             h = h ^ _stable_hash((ts_us // step) * step)
         part = (h % np.uint64(num_partitions)).astype(np.int32)
+        for c in dict_cols:
+            i = batch.schema.get_field_index(c)
+            if i >= 0 and pa.types.is_string(batch.schema.field(i).type):
+                batch = batch.set_column(i, c, pc.dictionary_encode(batch[c]))
         return batch.append_column("_part", pa.array(part, pa.int32()))
 
     return ds.map_batches(add_part, batch_format="pyarrow")
