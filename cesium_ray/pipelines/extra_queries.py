@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -430,6 +431,136 @@ def q_simhash_fingerprint(sf_dir):
     return out
 
 
+def q_impute_features(sf_dir):
+    """★-checked imputation M4: per-user features via FeatureExtractor,
+    max_slope deterministically nulled for user_id % 5 == 0, then
+    ``impute_featureset(strategy='median')`` fills with the exact
+    median of the surviving values (np.nanmedian ≡ DuckDB
+    quantile_cont at p=0.5 bitwise)."""
+    from ..stages.features import FeatureExtractor
+    from ..stages.impute import impute_featureset
+
+    pts = _event_points(sf_dir).map_batches(
+        lambda df: df.rename(columns={"user_id": "conv_id", "event_id": "turn_idx"}),
+        batch_format="pandas",
+    )
+    fset = group_apply(
+        pts,
+        FeatureExtractor,
+        num_partitions=16,
+        key="conv_id",
+        fn_constructor_kwargs={
+            "channels": ("value",),
+            "features_to_use": ["median", "median_absolute_deviation", "max_slope"],
+        },
+    )
+
+    def poke_nulls(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        uid = df["conv_id"].astype(np.int64)
+        df.loc[(uid % 5 == 0).to_numpy(), "max_slope"] = np.nan
+        return df
+
+    fset = fset.map_batches(poke_nulls, batch_format="pandas")
+    out = impute_featureset(fset, strategy="median").to_pandas()
+    out = out.rename(columns={"conv_id": "user_id"}).drop(columns=["channel"])
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return round6(out)
+
+
+IMPUTE_SQL = """
+WITH d AS (
+  SELECT user_id, value,
+         (epoch_us(ts) - first_value(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY event_id)) / 1000000.0 AS t_rel,
+         event_id
+  FROM events
+),
+slopes AS (
+  SELECT user_id,
+         abs(value - lag(value) OVER w2) / (t_rel - lag(t_rel) OVER w2) AS slope,
+         t_rel - lag(t_rel) OVER w2 AS dt
+  FROM d WINDOW w2 AS (PARTITION BY user_id ORDER BY event_id)
+),
+feats AS (
+  SELECT s.user_id,
+         s.median,
+         s.madv AS median_absolute_deviation,
+         CASE WHEN s.user_id % 5 = 0 THEN NULL ELSE m.ms END AS max_slope
+  FROM (SELECT user_id, quantile_cont(value, 0.5) AS median,
+               mad(value) AS madv
+        FROM events GROUP BY 1) s
+  LEFT JOIN (SELECT user_id, max(slope) AS ms FROM slopes WHERE dt <> 0
+             GROUP BY 1) m USING (user_id)
+),
+fill AS (SELECT quantile_cont(max_slope, 0.5) AS f FROM feats)
+SELECT user_id,
+       round(median, 6) AS median,
+       round(median_absolute_deviation, 6) AS median_absolute_deviation,
+       round(coalesce(max_slope, (SELECT f FROM fill)), 6) AS max_slope
+FROM feats
+"""
+
+
+def q_knn_lsh(sf_dir):
+    """LSH-bucketed ANN (the 100-TB similarity-search path): seeded
+    hyperplanes, bucket-groupby candidate scoring, exact in-bucket
+    re-rank.  Deterministic but recall < 1 by construction → rows-only
+    (the exact brute-force path is the ★-checked ``knn_cosine``);
+    in-query assertion: every LSH hit's similarity must equal the
+    brute-force score for that pair."""
+    from ..stages.ann import brute_force_topk, lsh_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qdf = emb.sort("vec_id").limit(5).to_pandas()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    lsh = lsh_topk(emb, Q, qids, k=5, n_tables=8, n_bits=8, seed=7)
+    brute = brute_force_topk(emb, Q, qids, k=50)
+    merged = lsh.merge(brute, on=["query_id", "vec_id"], suffixes=("", "_bf"),
+                       how="left")
+    have = merged["sim_bf"].notna()
+    ok = np.isclose(merged.loc[have, "sim"], merged.loc[have, "sim_bf"],
+                    rtol=0, atol=1e-12)
+    assert ok.all(), "LSH similarity disagrees with brute-force for a found pair"
+    lsh["query_id"] = lsh["query_id"].astype(np.int64)
+    return round6(lsh.reset_index(drop=True))
+
+
+def q_multimodal_features(sf_dir):
+    """Multimodal plumbing under the driver (rows-only): documents'
+    text bytes stand in for opaque binary payloads (no media libs in
+    this container — decode is the documented deterministic stub);
+    exercises the pyarrow-native binary column path, the actor-pool
+    decode stage, and frame sampling."""
+    from ..stages.multimodal import decode_media, frame_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payload = pa.array(
+            [t.encode() for t in b["text"].to_pylist()], pa.binary()
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "frame_idx": b["doc_id"],
+                "payload": payload,
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    sampled = frame_sample(media, every_n=10)
+    feats = decode_media(sampled, feature_dim=4, batch_size=64).to_pandas()
+    feats["n_features"] = feats["features"].map(len).astype(np.int64)
+    out = feats[["doc_id", "frame_idx", "n_features"]].sort_values("doc_id")
+    return out.reset_index(drop=True)
+
+
 EXTRA_QUERIES = {
     "features_general": q_features_general,
     "features_stats": q_features_stats,
@@ -440,6 +571,9 @@ EXTRA_QUERIES = {
     "quality_scores": q_quality_scores,
     "minhash_pairs": q_minhash_pairs,
     "simhash_fingerprint": q_simhash_fingerprint,
+    "impute_features": q_impute_features,
+    "knn_lsh": q_knn_lsh,
+    "multimodal_features": q_multimodal_features,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -448,4 +582,5 @@ EXTRA_ORACLE_SQL = {
     "knn_cosine": KNN_SQL,
     "jaccard_topk": JACCARD_SQL,
     "quality_scores": QUALITY_SQL,
+    "impute_features": IMPUTE_SQL,
 }

@@ -6,3 +6,4 @@ from .timeseries_io import (  # noqa: F401
     parse_ts_data,
 )
 from .transcripts import read_turns, events_as_turns  # noqa: F401
+from .archive import extract_time_series, featurize_archive  # noqa: F401

@@ -152,3 +152,55 @@ def test_to_cesium_frame_multiindex():
     assert wide.loc["a", ("n_epochs", 1)] == 10.0
     assert wide.loc["b", ("n_epochs", 0)] == 6.0
     assert np.isnan(wide.loc["b", ("n_epochs", 1)])  # single-channel series
+
+
+def test_archive_extraction_roundtrip(tmp_path):
+    """S3 (cesium/util.py::extract_time_series): tar.gz and zip of
+    .dat series files featurize end-to-end; unsafe member paths are
+    rejected."""
+    import tarfile
+    import zipfile
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cesium_ray.sources import extract_time_series, featurize_archive
+
+    d = tmp_path / "series"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        t = np.sort(rng.uniform(0, 100, 50))
+        m = rng.normal(0, 1, 50)
+        np.savetxt(d / f"s{i}.dat", np.c_[t, m], delimiter=",")
+    tar_p = tmp_path / "a.tar.gz"
+    with tarfile.open(tar_p, "w:gz") as tf:
+        for f in sorted(d.iterdir()):
+            tf.add(f, arcname=f.name)
+    zip_p = tmp_path / "a.zip"
+    with zipfile.ZipFile(zip_p, "w") as zf:
+        for f in sorted(d.iterdir()):
+            zf.write(f, arcname=f.name)
+
+    with extract_time_series(str(tar_p)) as paths:
+        assert len(paths) == 3 and all(p.endswith(".dat") for p in paths)
+
+    feats = ["mean", "std", "amplitude"]
+    out_tar = featurize_archive(str(tar_p), features_to_use=feats)
+    out_zip = featurize_archive(str(zip_p), features_to_use=feats)
+    assert len(out_tar) == 3 and len(out_zip) == 3
+    for c in feats:
+        np.testing.assert_allclose(
+            sorted(out_tar[c]), sorted(out_zip[c]), rtol=0, atol=0
+        )
+
+    evil = tmp_path / "evil.tar"
+    with tarfile.open(evil, "w") as tf:
+        ti = tarfile.TarInfo("../escape.dat")
+        data = b"1,2\n"
+        import io
+        ti.size = len(data)
+        tf.addfile(ti, io.BytesIO(data))
+    with _pytest.raises(ValueError, match="unsafe"):
+        with extract_time_series(str(evil)):
+            pass
