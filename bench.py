@@ -87,6 +87,7 @@ def bench_flagship_rollup(results, thr):
         codec=False,
         gapfill_tier=None,
         resume=False,
+        concurrency="tasks",
     )
     dt = time.time() - t0
     results["flagship_rollup"] = round(dt, 3)

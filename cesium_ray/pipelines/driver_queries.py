@@ -477,25 +477,149 @@ FROM documents GROUP BY text
 
 
 def q_text_stats(sf_dir):
-    """Per-document text statistics (length, token count)."""
+    """Per-document text statistics via the real token-counting stage
+    (whitespace tokens + BPE-ish regex pieces — stages/text.py::
+    bpe_ish_token_count)."""
+    from ..stages.text import bpe_ish_token_count
+
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "n_chars": df["text"].str.len().astype("int64"),
-                "token_count": df["text"].str.count(r"\S+").astype("int64"),
-            }
-        )
-
-    return docs.map_batches(fn, batch_format="pandas").to_pandas()
+    docs = docs.map_batches(
+        lambda df: df.assign(n_chars=df["text"].str.len().astype("int64")),
+        batch_format="pandas",
+    )
+    return bpe_ish_token_count(docs).to_pandas()
 
 
 TEXT_STATS_SQL = """
 SELECT doc_id, length(text) AS n_chars,
-       len(regexp_extract_all(text, '\\S+')) AS token_count
+       len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS bpe_ish_tokens
 FROM documents
+"""
+
+
+def q_lang_id_pred(sf_dir):
+    """Language-ID predictions from the LangId actor stage (distinct
+    whole-word stopword overlap, first-wins ties) — the heuristic is
+    count-based, so SQL reproduces it exactly."""
+    from ..stages.text import language_id
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = language_id(docs).to_pandas()
+    return out[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _lang_id_sql() -> str:
+    from ..stages.text import _LANG_PROFILES
+
+    scores = []
+    for lang, stop in _LANG_PROFILES.items():
+        lst = ", ".join(f"'{w}'" for w in sorted(stop))
+        scores.append(
+            f"len(list_intersect(list_distinct("
+            f"regexp_extract_all(lower(text), '[a-zà-ÿ]+')), [{lst}])) AS s_{lang}"
+        )
+    return f"""
+WITH s AS (SELECT doc_id, {", ".join(scores)} FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) = 0 THEN 'und'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_it THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_it THEN 'de'
+            WHEN s_fr >= s_es AND s_fr >= s_it THEN 'fr'
+            WHEN s_es >= s_it THEN 'es'
+            ELSE 'it' END AS lang_pred
+FROM s
+"""
+
+
+def q_pricing_summary(sf_dir):
+    """TPC-H-Q1-style pricing summary over lineitem — the generic
+    wide-table aggregation path: pruned read → vectorized Arrow
+    derive (filter + exact int64 scaling of the decimal-quantized
+    measures) → native Ray hash-aggregate (map-side partials combine
+    before the exchange) → tiny finalize.  Every float is an exact
+    int sum ÷ scale [÷ count], bit-equal to the SQL."""
+    from ray.data.aggregate import Count, Sum
+
+    cutoff = np.datetime64("2001-09-02T00:00:00", "us").astype("int64")
+
+    def prep(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        b = b.filter(pc.less_equal(ship, pa.scalar(cutoff)))
+        price = b["l_extendedprice"]
+        disc = b["l_discount"]
+        tax = b["l_tax"]
+        disc_price = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), tax))
+
+        def scaled(col, scale):
+            return pc.cast(pc.round(pc.multiply(col, pa.scalar(float(scale)))), pa.int64())
+
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_i": scaled(b["l_quantity"], 1),
+                "price_c": scaled(price, 100),
+                "dp_c": scaled(disc_price, 10_000),
+                "ch_c": scaled(charge, 1_000_000),
+                "disc_c": scaled(disc, 100),
+            }
+        )
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate"]
+    agg = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_i", alias_name="sq"),
+            Sum("price_c", alias_name="sp"),
+            Sum("dp_c", alias_name="sdp"),
+            Sum("ch_c", alias_name="sch"),
+            Sum("disc_c", alias_name="sd"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    n = agg["count_order"].to_numpy()
+    out = pd.DataFrame(
+        {
+            "l_returnflag": agg["l_returnflag"],
+            "l_linestatus": agg["l_linestatus"],
+            "sum_qty": agg["sq"].to_numpy(np.float64),
+            "sum_base_price": agg["sp"].to_numpy(np.float64) / 100.0,
+            "sum_disc_price": agg["sdp"].to_numpy(np.float64) / 10000.0,
+            "sum_charge": agg["sch"].to_numpy(np.float64) / 1000000.0,
+            "avg_qty": agg["sq"].to_numpy(np.float64) / n,
+            "avg_price": agg["sp"].to_numpy(np.float64) / 100.0 / n,
+            "avg_disc": agg["sd"].to_numpy(np.float64) / 100.0 / n,
+            "count_order": agg["count_order"],
+        }
+    )
+    return round6(out)
+
+
+PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE), 6) AS sum_qty,
+       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0, 6)
+           AS sum_base_price,
+       round(CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+             AS DOUBLE)/10000.0, 6) AS sum_disc_price,
+       round(CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000)
+             AS BIGINT)) AS DOUBLE)/1000000.0, 6) AS sum_charge,
+       round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)/count(*), 6)
+           AS avg_qty,
+       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
+             /count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0
+             /count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY 1, 2
 """
 
 
@@ -701,6 +825,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "lang_profile": q_lang_profile,
+    "lang_id_pred": q_lang_id_pred,
+    "pricing_summary": q_pricing_summary,
 }
 
 ORACLE_SQL = {
@@ -722,4 +848,6 @@ ORACLE_SQL = {
     "dedup_exact": DEDUP_SQL,
     "text_stats": TEXT_STATS_SQL,
     "lang_profile": LANG_SQL,
+    "lang_id_pred": _lang_id_sql(),
+    "pricing_summary": PRICING_SQL,
 }

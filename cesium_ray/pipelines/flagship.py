@@ -264,11 +264,15 @@ def run_flagship(
     turns: ray.data.Dataset | str,
     out_root: str,
     num_partitions: int = 64,
-    concurrency=None,
+    concurrency="tasks",
     **proc_kw,
 ) -> pd.DataFrame:
     """Run the flagship pipeline; returns the per-partition metrics
-    table (small — one row per partition)."""
+    table (small — one row per partition).
+
+    ``concurrency``: "tasks" (default — elastic task pool, no actor
+    ramp-up; measured fastest AND best-scaling at every CPU count),
+    None (autoscaling actor pool), or an explicit (min, max) pool."""
     if isinstance(turns, str):
         turns = ray.data.read_parquet(turns)
     ds = normalize_turns(turns)
