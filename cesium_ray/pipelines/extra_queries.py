@@ -176,7 +176,7 @@ def q_codec_chunks(sf_dir):
     (counts, chunking arithmetic, exact decoded sums) are recomputed
     by DuckDB from the raw events table: any decode corruption breaks
     the hash."""
-    from ..oracle.codec import crc32, decode_chunk, encode_chunk
+    from ..oracle.codec import decode_chunk, encode_chunk
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -190,7 +190,6 @@ def q_codec_chunks(sf_dir):
             for s in range(0, len(idx), CODEC_MAX_POINTS):
                 t_c, v_c = tt[s : s + CODEC_MAX_POINTS], vv[s : s + CODEC_MAX_POINTS]
                 payload = encode_chunk(t_c, v_c)
-                assert crc32(payload) == crc32(bytes(payload))
                 dt, dv = decode_chunk(payload, len(t_c))
                 # the REAL roundtrip gate: decoded vs SOURCE
                 assert np.array_equal(dt, t_c), "ts roundtrip mismatch"
@@ -529,6 +528,35 @@ def q_knn_lsh(sf_dir):
     return round6(lsh.reset_index(drop=True))
 
 
+# synthetic embeddings are near-orthogonal (max pairwise cosine ≈0.51)
+# — 0.4 yields a meaningful pair set at both test scales
+NEAR_DUP_COS_THRESHOLD = 0.4
+
+
+def q_embedding_near_dup(sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact broadcast baseline
+    — ★-checked vs a DuckDB self-join; the LSH-bucketed variant is the
+    100-TB path, exercised by test_dedup + knn_lsh)."""
+    from ..stages.dedup import embedding_near_dup
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = embedding_near_dup(
+        emb, threshold=NEAR_DUP_COS_THRESHOLD, exact=True
+    ).to_pandas()
+    return round6(pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+EMB_NEAR_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= {NEAR_DUP_COS_THRESHOLD}
+"""
+
+
 def q_multimodal_features(sf_dir):
     """Multimodal plumbing under the driver (rows-only): documents'
     text bytes stand in for opaque binary payloads (no media libs in
@@ -574,6 +602,7 @@ EXTRA_QUERIES = {
     "impute_features": q_impute_features,
     "knn_lsh": q_knn_lsh,
     "multimodal_features": q_multimodal_features,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -583,4 +612,5 @@ EXTRA_ORACLE_SQL = {
     "jaccard_topk": JACCARD_SQL,
     "quality_scores": QUALITY_SQL,
     "impute_features": IMPUTE_SQL,
+    "embedding_near_dup": EMB_NEAR_DUP_SQL,
 }

@@ -201,6 +201,33 @@ def featurize_ts_files(
     )
 
 
+def featurize_npz_files(paths, features_to_use=None, **kw):
+    """E3 (SURVEY.md §3): persisted ``TimeSeries`` .npz archives →
+    featureset — the cesium ``time_series.load → featurize_single_ts``
+    workflow (cesium/time_series.py::load) on the distributed
+    featurizer."""
+    import os
+
+    from ..timeseries import load
+
+    times, vals, errs, names, labels, metas = [], [], [], [], [], []
+    for p in paths:
+        ts = load(p)
+        single = ts.n_channels == 1
+        times.append(ts.t[0] if single else ts.t)
+        vals.append(ts.m[0] if single else ts.m)
+        errs.append(ts.e[0] if single else ts.e)
+        names.append(ts.name or os.path.splitext(os.path.basename(p))[0])
+        labels.append(ts.label)
+        metas.append(ts.meta_features or None)
+    return featurize_time_series(
+        times=times, values=vals, errors=errs, names=names,
+        labels=labels if any(l is not None for l in labels) else None,
+        meta_features=metas if any(metas) else None,
+        features_to_use=features_to_use, **kw,
+    )
+
+
 def to_cesium_frame(fset: pd.DataFrame) -> pd.DataFrame:
     """Reshape the flat featureset into cesium's assemble_featureset
     layout: one row per series, MultiIndex columns (feature, channel),

@@ -333,6 +333,107 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def embedding_near_dup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_partitions: int = 16,
+    n_tables: int = 8,
+    n_bits: int = 8,
+    seed: int = 7,
+    exact: bool = True,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs ``(id_a < id_b, sim)``
+    with cosine ≥ threshold.
+
+    ``exact=True`` (the oracle-checkable baseline): broadcast the full
+    normalized matrix once (``ray.put``), stream the corpus, per-batch
+    matmul against the broadcast side, emit only above-threshold pairs
+    with id_a < id_b.  O(n²/P) compute but one broadcast + one
+    streaming pass — correct while the matrix fits object-store memory
+    (10⁶×256-d float32 ≈ 1 GB; beyond that use ``exact=False``).
+
+    ``exact=False`` (the 100-TB path): LSH-bucket co-location (random
+    hyperplanes, seeded per actor) and exact re-ranking inside each
+    bucket — recall < 1 by construction, scored pairs only among
+    bucket collisions."""
+    import ray as _ray
+
+    if exact:
+        import pandas as _pd
+
+        all_df = ds.select_columns([id_col, emb_col]).to_pandas()
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in all_df[emb_col]])
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        Xn = X / norms
+        ids = all_df[id_col].to_numpy()
+        ref = _ray.put((ids, Xn))
+
+        def score(df: _pd.DataFrame) -> _pd.DataFrame:
+            all_ids, xn = _ray.get(ref)
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in df[emb_col]])
+            bn = np.linalg.norm(B, axis=1, keepdims=True)
+            bn[bn == 0] = 1.0
+            sims = (B / bn) @ xn.T  # (batch, n)
+            bid = df[id_col].to_numpy()
+            hit_b, hit_a = np.nonzero(sims >= threshold)
+            a, b = bid[hit_b], all_ids[hit_a]
+            keep = a < b  # each unordered pair once, self excluded
+            return _pd.DataFrame(
+                {"id_a": a[keep].astype(np.int64),
+                 "id_b": b[keep].astype(np.int64),
+                 "sim": sims[hit_b, hit_a][keep].astype(np.float64)}
+            )
+
+        return ds.select_columns([id_col, emb_col]).map_batches(
+            score, batch_format="pandas"
+        )
+
+    from .ann import LshSigner
+
+    dim = len(ds.take(1)[0][emb_col])
+    sigs = ds.select_columns([id_col, emb_col]).map_batches(
+        LshSigner,
+        batch_format="pandas",
+        fn_constructor_kwargs={
+            "dim": dim, "n_tables": n_tables, "n_bits": n_bits, "seed": seed,
+            "id_col": id_col, "emb_col": emb_col,
+        },
+        concurrency=(1, 8),
+    )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in df.groupby("bucket", sort=False):
+            if len(grp) < 2:
+                continue
+            g = grp.sort_values(id_col, kind="mergesort")
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in g[emb_col]])
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            Xn = X / norms
+            sims = Xn @ Xn.T
+            ids = g[id_col].to_numpy()
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = sims[iu, ju] >= threshold
+            for i, j, s in zip(ids[iu[hit]], ids[ju[hit]], sims[iu[hit], ju[hit]]):
+                out.append((int(i), int(j), float(s)))
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        return pd.DataFrame(out, columns=["id_a", "id_b", "sim"]).drop_duplicates(
+            ["id_a", "id_b"]
+        )
+
+    pairs = group_apply(sigs, bucket_pairs, num_partitions=num_partitions,
+                        key="bucket")
+    return group_apply(pairs, lambda df: df.drop_duplicates(["id_a", "id_b"]),
+                       num_partitions=8, key="id_a")
+
+
 def fingerprint_stage(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
     window: int = 8,

@@ -204,3 +204,33 @@ def test_archive_extraction_roundtrip(tmp_path):
     with _pytest.raises(ValueError, match="unsafe"):
         with extract_time_series(str(evil)):
             pass
+
+
+def test_featurize_npz_files_e3(tmp_path):
+    """E3: TimeSeries.save → load → featurize workflow."""
+    import numpy as np
+
+    from cesium_ray.pipelines import featurize_npz_files, featurize_time_series
+    from cesium_ray.timeseries import TimeSeries
+
+    rng = np.random.default_rng(3)
+    paths, raw = [], []
+    for i in range(3):
+        t = np.sort(rng.uniform(0, 50, 40))
+        m = rng.normal(0, 1, 40)
+        ts = TimeSeries(t=t, m=m, name=f"s{i}", label="c1",
+                        meta_features={"mf": float(i)})
+        p = str(tmp_path / f"s{i}.npz")
+        ts.save(p)
+        paths.append(p)
+        raw.append((t, m))
+    feats = ["mean", "std", "amplitude"]
+    got = featurize_npz_files(paths, features_to_use=feats)
+    want = featurize_time_series(
+        times=[t for t, _ in raw], values=[m for _, m in raw],
+        names=[f"s{i}" for i in range(3)], features_to_use=feats,
+    )
+    assert len(got) == 3
+    assert set(got["label"]) == {"c1"} and "mf" in got.columns
+    for c in feats:
+        np.testing.assert_allclose(sorted(got[c]), sorted(want[c]), rtol=1e-12)
