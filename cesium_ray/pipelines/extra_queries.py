@@ -557,6 +557,31 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= {NEAR_DUP_COS_THRESHOLD}
 """
 
 
+def q_knn_ivf(sf_dir):
+    """IVF-bucketed ANN (k-means coarse quantizer + inverted lists,
+    n_probe nearest lists scored).  Deterministic (seeded) but
+    recall < 1 → rows-only; in-query cross-check: every IVF hit's
+    similarity equals the brute-force score for that pair."""
+    from ..stages.ann import brute_force_topk, ivf_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qdf = emb.sort("vec_id").limit(5).to_pandas()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    ivf = ivf_topk(emb, Q, qids, k=5, n_centroids=16, n_probe=4, seed=7)
+    brute = brute_force_topk(emb, Q, qids, k=50)
+    merged = ivf.merge(brute, on=["query_id", "vec_id"], suffixes=("", "_bf"),
+                       how="left")
+    have = merged["sim_bf"].notna()
+    ok = np.isclose(merged.loc[have, "sim"], merged.loc[have, "sim_bf"],
+                    rtol=0, atol=1e-12)
+    assert ok.all(), "IVF similarity disagrees with brute-force for a found pair"
+    ivf["query_id"] = ivf["query_id"].astype(np.int64)
+    return round6(ivf.reset_index(drop=True))
+
+
 def q_multimodal_features(sf_dir):
     """Multimodal plumbing under the driver (rows-only): documents'
     text bytes stand in for opaque binary payloads (no media libs in
@@ -601,6 +626,7 @@ EXTRA_QUERIES = {
     "simhash_fingerprint": q_simhash_fingerprint,
     "impute_features": q_impute_features,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "multimodal_features": q_multimodal_features,
     "embedding_near_dup": q_embedding_near_dup,
 }

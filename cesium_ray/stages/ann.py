@@ -78,6 +78,114 @@ def brute_force_topk(
     )
 
 
+def _kmeans_fit(X: np.ndarray, n_centroids: int, seed: int, n_iter: int = 10) -> np.ndarray:
+    """Seeded Lloyd's k-means on a (sampled) matrix — the IVF coarse
+    quantizer.  Pure NumPy, deterministic; empty clusters re-seeded
+    from the farthest points."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    C = X[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1) if len(X) * len(C) < 2_000_000 \
+            else (X**2).sum(1)[:, None] - 2 * X @ C.T + (C**2).sum(1)[None, :]
+        assign = d2.argmin(1)
+        for ci in range(len(C)):
+            members = X[assign == ci]
+            if len(members):
+                C[ci] = members.mean(0)
+            else:  # re-seed an empty cluster at the worst-served point
+                C[ci] = X[d2.min(1).argmax()]
+    return C
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    seed: int = 7,
+    train_sample: int = 10_000,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """IVF-style ANN: a seeded k-means coarse quantizer (trained once
+    on a bounded sample), inverted lists built by a broadcast-assign
+    ``map_batches`` stage, queries probe their ``n_probe`` nearest
+    centroids, exact cosine re-rank inside the probed lists only.
+
+    The 100-TB shape: the train sample and centroid matrix are tiny
+    and broadcast (``ray.put``); the corpus is touched in ONE
+    streaming assign pass + one bucket-grouped scoring pass over
+    probed lists (fraction ≈ n_probe / n_centroids of the data)."""
+    Q = np.asarray(queries, dtype=np.float64)
+    qids = np.asarray(query_ids)
+    sample = ds.select_columns([emb_col]).limit(train_sample).to_pandas()
+    Xs = _normalize(_stack(sample[emb_col]))
+    C = _kmeans_fit(Xs, n_centroids, seed)
+    Cn = _normalize(C)
+    Qn = _normalize(Q)
+    # queries → probed centroid set
+    q_cent = np.argsort(-(Qn @ Cn.T), axis=1)[:, :n_probe]
+    probe: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in q_cent[qi]:
+            probe.setdefault(int(c), []).append(qi)
+    ref = ray.put((Cn, probe, qids, Qn))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cn, _, _, _ = ray.get(ref)
+        X = _normalize(_stack(df[emb_col]))
+        cid = (X @ cn.T).argmax(1)
+        return pd.DataFrame(
+            {"centroid": cid.astype(np.int64),
+             id_col: df[id_col].to_numpy(),
+             emb_col: df[emb_col]}
+        )
+
+    lists = ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pandas"
+    )
+
+    def list_scan(df: pd.DataFrame) -> pd.DataFrame:
+        _, probe_, qids_, qn = ray.get(ref)
+        frames = []
+        for c, grp in df.groupby("centroid", sort=False):
+            qidx = probe_.get(int(c))
+            if not qidx:
+                continue
+            X = _normalize(_stack(grp[emb_col]))
+            vid = grp[id_col].to_numpy()
+            sims = X @ qn[qidx].T
+            for j, qi in enumerate(qidx):
+                s = sims[:, j]
+                order = np.lexsort((vid, -s))[: k + 1]
+                frames.append(pd.DataFrame(
+                    {"query_id": qids_[qi], "vec_id": vid[order], "sim": s[order]}
+                ))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    cand = group_apply(lists, list_scan, num_partitions=num_partitions,
+                       key="centroid").to_pandas()
+    if exclude_self:
+        cand = cand[cand.query_id != cand.vec_id]
+    cand = cand.drop_duplicates(["query_id", "vec_id"])
+    return (
+        cand.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True],
+                         kind="mergesort")
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 class LshSigner:
     """Actor-pool signature stage: seeded random hyperplanes built once
     per actor; emits one (bucket, vec_id, embedding) row per table."""

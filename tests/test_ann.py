@@ -67,3 +67,27 @@ def test_lsh_deterministic(emb):
     a = lsh_topk(ds, X[:2], qids, k=3, num_partitions=4)
     b = lsh_topk(ds, X[:2], qids, k=3, num_partitions=4)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_recall_and_determinism(emb):
+    from cesium_ray.stages.ann import ivf_topk
+
+    ds, pdf, X = emb
+    qids = pdf["vec_id"].to_numpy()[:4]
+    Q = X[:4]
+    got1 = ivf_topk(ds, Q, qids, k=5, n_centroids=16, n_probe=4, seed=7)
+    got2 = ivf_topk(ds, Q, qids, k=5, n_centroids=16, n_probe=4, seed=7)
+    pd.testing.assert_frame_equal(
+        got1.reset_index(drop=True), got2.reset_index(drop=True)
+    )
+    want = _exact_topk(X, pdf["vec_id"].to_numpy(), Q, qids, k=5)
+    hits = total = 0
+    for j, qid in enumerate(qids):
+        got_set = set(got1[got1.query_id == qid]["vec_id"])
+        hits += len(got_set & want[j])
+        total += len(want[j])
+    assert hits / total >= 0.5, f"IVF recall too low: {hits}/{total}"
+    # probing ALL centroids must recover the exact top-k
+    full = ivf_topk(ds, Q, qids, k=5, n_centroids=16, n_probe=16, seed=7)
+    for j, qid in enumerate(qids):
+        assert set(full[full.query_id == qid]["vec_id"]) == want[j]
