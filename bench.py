@@ -250,6 +250,54 @@ def bench_features(results, thr):
     thr["feature_series_per_sec"] = round(n / dt)
 
 
+def bench_text_dedup(results, thr):
+    """LLM-data ops throughput: 100k synthetic docs (5% exact dups,
+    5% near-dups) → quality scoring, simhash, exact dedup, and the
+    full MinHash+LSH near-dup pipeline."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from cesium_ray.synth import generate_documents
+
+    path = os.path.join(CACHE_ROOT, "docs-100k-42.parquet")
+    if not os.path.exists(path):
+        pq.write_table(generate_documents(100_000, seed=42), path)
+    # one file → force enough blocks that every stage parallelizes
+    ds = ray.data.read_parquet(path, override_num_blocks=4 * NCPU)
+    n = ds.count()
+
+    from cesium_ray.stages.dedup import exact_dedup, minhash_lsh_dedup, simhash_stage
+    from cesium_ray.stages.text import quality_score
+
+    t0 = time.time()
+    quality_score(ds).count()
+    dt = time.time() - t0
+    results["quality_score"] = round(dt, 3)
+    thr["quality_docs_per_sec"] = round(n / dt)
+
+    t0 = time.time()
+    simhash_stage(ds).count()
+    dt = time.time() - t0
+    results["simhash"] = round(dt, 3)
+    thr["simhash_docs_per_sec"] = round(n / dt)
+
+    t0 = time.time()
+    kept = exact_dedup(ds, num_partitions=2 * NCPU).count()
+    dt = time.time() - t0
+    results["exact_dedup"] = round(dt, 3)
+    thr["exact_dedup_docs_per_sec"] = round(n / dt)
+    thr["exact_dedup_kept"] = kept
+
+    t0 = time.time()
+    pairs = minhash_lsh_dedup(ds, jaccard_threshold=0.7,
+                              num_partitions=2 * NCPU).count()
+    dt = time.time() - t0
+    results["minhash_lsh"] = round(dt, 3)
+    thr["minhash_docs_per_sec"] = round(n / dt)
+    thr["minhash_dup_pairs"] = pairs
+
+
 BENCHES = {
     "flagship_rollup": bench_flagship_rollup,
     "flagship_full": bench_flagship_full,
@@ -258,6 +306,7 @@ BENCHES = {
     "gapfill_1m": bench_gapfill,
     "codec": bench_codec,
     "features_general": bench_features,
+    "text_dedup": bench_text_dedup,
 }
 
 

@@ -145,6 +145,11 @@ def minhash_lsh_dedup(
         },
         concurrency=concurrency or (1, 8),
     )
+    # the signature table feeds THREE consumers (band explode + both
+    # verify joins): materialize once — num_perm·8 B/doc in the object
+    # store (spillable) — instead of re-running the shingle/minhash
+    # pass per consumer (measured 4× the whole pipeline otherwise)
+    sigs = sigs.materialize()
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -199,6 +204,7 @@ def minhash_lsh_dedup(
     # global pair dedup across bands (same pair collides in several bands)
     pairs = group_apply(pairs, lambda df: df.drop_duplicates(["a", "b"]),
                         num_partitions=8, key="a")
+    pairs = pairs.materialize()  # small candidate set, read by both joins
 
     # fetch signatures for the candidate set: two keyed co-group merges
     # (union the pair rows with the sig rows under one key column, hash

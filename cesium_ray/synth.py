@@ -126,6 +126,45 @@ def write_turns(
     return out_dir
 
 
+def generate_documents(
+    n_docs: int = 100_000,
+    seed: int = 42,
+    dup_frac: float = 0.05,
+    near_dup_frac: float = 0.05,
+) -> pa.Table:
+    """Deterministic synthetic documents table (doc_id, text) with
+    planted exact duplicates and near-duplicates (one token swapped) —
+    benchmark/test corpus for the dedup/text stages.
+
+    Vocabulary is wide (20k tokens) so unrelated documents are
+    near-orthogonal in shingle space (real-corpus behavior — with a
+    tiny vocab every pair has Jaccard ≈0.3 and LSH floods with false
+    candidates)."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:05d}" for i in range(20_000)], dtype=object)
+    n_tok = np.maximum(5, rng.lognormal(3.6, 0.5, n_docs).astype(np.int64))
+    tok_flat = vocab[rng.integers(0, len(vocab), int(n_tok.sum()))]
+    bounds = np.concatenate([[0], np.cumsum(n_tok)])
+    texts = [
+        " ".join(tok_flat[bounds[i] : bounds[i + 1]]) for i in range(n_docs)
+    ]
+    n_dup = int(n_docs * dup_frac)
+    n_near = int(n_docs * near_dup_frac)
+    src = rng.integers(0, n_docs - n_dup - n_near, n_dup + n_near)
+    for j in range(n_dup):  # exact copies at the tail
+        texts[n_docs - n_dup - n_near + j] = texts[src[j]]
+    for j in range(n_near):  # near copies: one token replaced
+        words = texts[src[n_dup + j]].split()
+        words[int(rng.integers(0, len(words)))] = "mutated"
+        texts[n_docs - n_near + j] = " ".join(words)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
 def regular_periodic(
     freq: float = 0.31, n: int = 500, T: float = 100.0, amplitudes=(1.0,), phase: float = 0.1
 ):

@@ -82,3 +82,22 @@ def test_dedup_on_testdata_documents():
     pdf = ds.to_pandas()
     want = pdf.sort_values("doc_id").groupby("text", as_index=False).first()
     assert len(out) == len(want)
+
+
+def test_synthetic_corpus_planted_dups():
+    """generate_documents plants exact+near dups that the dedup
+    stages recover; deterministic in seed."""
+    import pyarrow as pa
+
+    from cesium_ray.synth import generate_documents
+
+    t1 = generate_documents(400, seed=11)
+    t2 = generate_documents(400, seed=11)
+    assert t1.equals(t2)
+    ds = ray.data.from_arrow(t1)
+    kept = exact_dedup(ds, num_partitions=4).to_pandas()
+    assert len(kept) == 400 - 20  # 5% exact dups collapsed
+    pairs = minhash_lsh_dedup(ds, jaccard_threshold=0.7, num_partitions=4).to_pandas()
+    # all 20 exact-dup docs and most one-token near-dups found
+    assert len(pairs) >= 35
+    assert (pairs.est_jaccard >= 0.7).all()
