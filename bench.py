@@ -260,11 +260,18 @@ def bench_text_dedup(results, thr):
 
     from cesium_ray.synth import generate_documents
 
-    path = os.path.join(CACHE_ROOT, "docs-100k-42.parquet")
-    if not os.path.exists(path):
-        pq.write_table(generate_documents(100_000, seed=42), path)
-    # one file → force enough blocks that every stage parallelizes
-    ds = ray.data.read_parquet(path, override_num_blocks=4 * NCPU)
+    path = os.path.join(CACHE_ROOT, "docs-100k-42")
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        os.makedirs(path, exist_ok=True)
+        tbl = generate_documents(100_000, seed=42)
+        per = len(tbl) // 32
+        for s in range(32):
+            lo = s * per
+            hi = len(tbl) if s == 31 else (s + 1) * per
+            pq.write_table(tbl.slice(lo, hi - lo),
+                           os.path.join(path, f"docs-{s:04d}.parquet"))
+        open(os.path.join(path, "_DONE"), "w").write("ok")
+    ds = ray.data.read_parquet(path)
     n = ds.count()
 
     from cesium_ray.stages.dedup import exact_dedup, minhash_lsh_dedup, simhash_stage
