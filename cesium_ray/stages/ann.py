@@ -188,16 +188,26 @@ def ivf_topk(
 
 class LshSigner:
     """Actor-pool signature stage: seeded random hyperplanes built once
-    per actor; emits one (bucket, vec_id, embedding) row per table."""
+    per actor; emits one (bucket, vec_id, embedding) row per table.
+
+    ``keep_buckets`` (optional sorted int64 array): emit ONLY rows
+    landing in these buckets — for query-driven search the probed
+    bucket set is tiny, so the shuffle carries just the collision
+    candidates instead of the full corpus ×n_tables."""
 
     def __init__(self, dim: int, n_tables: int = 8, n_bits: int = 10, seed: int = 7,
-                 id_col: str = "vec_id", emb_col: str = "embedding"):
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 keep_buckets=None):
         rng = np.random.default_rng(seed)
         self.planes = rng.normal(size=(n_tables, n_bits, dim))
         self.pows = (1 << np.arange(n_bits)).astype(np.int64)
         self.n_tables = n_tables
         self.id_col = id_col
         self.emb_col = emb_col
+        self.keep_buckets = (
+            np.sort(np.asarray(list(keep_buckets), dtype=np.int64))
+            if keep_buckets is not None else None
+        )
 
     def signatures(self, X: np.ndarray) -> np.ndarray:
         """(n, n_tables) int64 bucket ids."""
@@ -207,15 +217,34 @@ class LshSigner:
             out[:, t] = bits @ self.pows + t * (1 << 20)  # table-disjoint ids
         return out
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, df: pd.DataFrame):
+        import pyarrow as pa
+
         X = _stack(df[self.emb_col])
         sig = self.signatures(X)
-        n = len(df)
-        return pd.DataFrame(
+        buckets = sig.reshape(-1, order="F")
+        ids = np.tile(df[self.id_col].to_numpy(), self.n_tables)
+        src = np.tile(np.arange(len(df)), self.n_tables)
+        if self.keep_buckets is not None:
+            if len(self.keep_buckets) == 0:
+                mask = np.zeros(len(buckets), dtype=bool)
+            else:
+                pos = np.minimum(np.searchsorted(self.keep_buckets, buckets),
+                                 len(self.keep_buckets) - 1)
+                mask = self.keep_buckets[pos] == buckets
+            buckets, ids, src = buckets[mask], ids[mask], src[mask]
+        emb_vals = df[self.emb_col].to_numpy()
+        # explicit Arrow schema: filtered batches can be tiny/empty, and
+        # pandas object-of-ndarray columns don't survive the shuffle's
+        # block merging with a stable type
+        return pa.table(
             {
-                "bucket": sig.reshape(-1, order="F"),
-                self.id_col: np.tile(df[self.id_col].to_numpy(), self.n_tables),
-                self.emb_col: list(df[self.emb_col]) * self.n_tables,
+                "bucket": pa.array(buckets, pa.int64()),
+                self.id_col: pa.array(ids),
+                self.emb_col: pa.array(
+                    [np.asarray(emb_vals[i], dtype=np.float64) for i in src],
+                    pa.list_(pa.float64()),
+                ),
             }
         )
 
@@ -250,14 +279,12 @@ def lsh_topk(
             probe.setdefault(int(b), []).append(qi)
     ref = ray.put((probe, qids, Qn))
 
+    # only rows landing in a PROBED bucket enter the shuffle — the
+    # collision candidates, not the corpus ×n_tables
     sigs = ds.select_columns([id_col, emb_col]).map_batches(
-        LshSigner,
+        LshSigner(dim, n_tables, n_bits, seed, id_col, emb_col,
+                  keep_buckets=list(probe)),
         batch_format="pandas",
-        fn_constructor_kwargs={
-            "dim": dim, "n_tables": n_tables, "n_bits": n_bits, "seed": seed,
-            "id_col": id_col, "emb_col": emb_col,
-        },
-        concurrency=(1, 8),
     )
 
     def bucket_scan(df: pd.DataFrame) -> pd.DataFrame:
