@@ -29,6 +29,17 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 TARGET_TURNS = int(os.environ.get("GRAFT_BENCH_TURNS", "2000000"))
+# FIXED partition counts: the scaling criterion runs the SAME job at two
+# cluster sizes, so the logical partitioning must not depend on NCPU —
+# at real scale partition count follows data size (target bytes per
+# partition), not cluster size.  Per-workload values: featurize wants
+# fine grain (384 ≈ 12 tasks/CPU at 32 — LS stragglers pack; measured
+# 45.3s → 36.7s vs 128), flagship wants coarser grain (128 — its
+# per-partition fixed costs, manifest row + per-tier/date parquet
+# files, dominate below ~15k turns/partition; 384 parts cost +27% at
+# 32 CPUs).
+NPARTS_FEATURIZE = int(os.environ.get("GRAFT_BENCH_PARTS_FEATURIZE", "384"))
+NPARTS_FLAGSHIP = int(os.environ.get("GRAFT_BENCH_PARTS_FLAGSHIP", "128"))
 CACHE_ROOT = "/tmp/cesium_ray_bench"
 
 # LS family minus the second full periodogram scan (period_fast)
@@ -82,7 +93,7 @@ def bench_flagship_rollup(results, thr):
     metrics = run_flagship(
         ds,
         out_root,
-        num_partitions=2 * NCPU,
+        num_partitions=NPARTS_FLAGSHIP,
         features=None,
         codec=False,
         gapfill_tier=None,
@@ -122,7 +133,7 @@ def bench_flagship_full(results, thr):
     metrics = run_flagship(
         ds,
         out_root,
-        num_partitions=4 * NCPU,
+        num_partitions=NPARTS_FLAGSHIP,
         features="general",
         ls_features=LS_BENCH_FEATURES,
         ls_min_turns=1000,
@@ -165,7 +176,7 @@ def bench_featurize(results, thr):
     metrics = run_flagship(
         ds,
         out_root,
-        num_partitions=4 * NCPU,
+        num_partitions=NPARTS_FEATURIZE,
         tiers=(),
         features="general",
         ls_features=LS_BENCH_FEATURES,

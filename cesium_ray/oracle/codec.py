@@ -263,8 +263,10 @@ def encode_chunk(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     )
 
 
-def decode_chunk(payload: bytes, n: int):
-    """Inverse of encode_chunk → (ts_us int64[n], values float64[n])."""
+def _decode_chunk_scalar(payload: bytes, n: int):
+    """Scalar reference decoder (kept as the bit-exact spec for
+    tests/test_codec.py::test_fast_decode_matches_scalar; decode_chunk
+    below is the production path)."""
     ts = np.empty(n, dtype=np.int64)
     vals = np.empty(n, dtype=np.uint64)
     if n == 0:
@@ -301,6 +303,141 @@ def decode_chunk(payload: bytes, n: int):
         prev_bits ^= xor
         vals[i] = prev_bits
     return ts, vals.view(np.float64)
+
+
+def _extract_fields(buf: np.ndarray, pos: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """Vectorized MSB-first bit-field gather: value of the ``nb[i]``-bit
+    field at bit offset ``pos[i]`` (1 ≤ nb ≤ 64).  ``buf`` must be the
+    payload bytes padded with ≥8 trailing zero bytes (misaligned 64-bit
+    window reads run past the last field)."""
+    byte0 = pos >> 3
+    idx = byte0[:, None] + np.arange(8)
+    b = buf[idx].astype(np.uint64)
+    hi = np.zeros(len(pos), dtype=np.uint64)
+    for k in range(8):
+        hi |= b[:, k] << np.uint64(56 - 8 * k)
+    shift = (pos & 7).astype(np.uint64)
+    w = hi << shift  # uint64 wraps mod 2^64 (top `shift` bits discarded)
+    b8 = buf[byte0 + 8].astype(np.uint64)
+    w |= b8 >> (np.uint64(8) - shift)  # shift==0 → b8>>8 == 0
+    return w >> (np.uint64(64) - nb.astype(np.uint64))
+
+
+def decode_chunk(payload: bytes, n: int):
+    """Inverse of encode_chunk → (ts_us int64[n], values float64[n]).
+
+    Two passes: a light Python scan over an unpacked bit list records
+    only (record index, payload offset, width, shift) — all multi-bit
+    payloads are then gathered vectorized (_extract_fields) and the
+    series reconstructed with cumsum / bitwise_xor.accumulate.
+    Bit-identical to _decode_chunk_scalar (spec'd by the same Gorilla
+    stream; tests cross-check on adversarial floats)."""
+    ts = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return ts, np.empty(0, dtype=np.float64)
+    data = payload + b"\x00" * 12  # pad: window reads past the last field
+    buf = np.frombuffer(data, dtype=np.uint8)
+    t0 = int.from_bytes(payload[:8], "big")
+    if t0 >= 1 << 63:
+        t0 -= 1 << 64
+    pos = 64
+    tab = _TS_TAB
+    # --- timestamps: delta-of-delta records ---
+    if n > 1:
+        ridx: list[int] = []
+        rpos: list[int] = []
+        rnb: list[int] = []
+        bias: list[int] = []
+        for i in range(n - 1):
+            bi = pos >> 3
+            o = pos & 7
+            w24 = (data[bi] << 16) | (data[bi + 1] << 8) | data[bi + 2]
+            plen, nb, bs = tab[(w24 >> (19 - o)) & 31]
+            if nb:
+                ridx.append(i)
+                rpos.append(pos + plen)
+                rnb.append(nb)
+                bias.append(bs)
+            pos += plen + nb
+        dods = np.zeros(n - 1, dtype=np.uint64)
+        if ridx:
+            vals = _extract_fields(buf, np.asarray(rpos, dtype=np.int64),
+                                   np.asarray(rnb, dtype=np.int64))
+            # stored = d + bias (mod 2^64); wrap-subtract then reinterpret
+            dods[np.asarray(ridx, dtype=np.int64)] = \
+                vals - np.asarray(bias, dtype=np.uint64)
+        deltas = np.cumsum(dods.view(np.int64))
+        ts[0] = t0
+        ts[1:] = t0 + np.cumsum(deltas)
+    else:
+        ts[0] = t0
+    # --- values: Gorilla XOR records ---
+    bi = pos >> 3
+    v0 = (int.from_bytes(data[bi : bi + 9], "big")
+          >> (8 - (pos & 7))) & _MASK64
+    pos += 64
+    vals_u = np.empty(n, dtype=np.uint64)
+    vals_u[0] = v0
+    if n > 1:
+        xidx: list[int] = []
+        xpos: list[int] = []
+        xnb: list[int] = []
+        xshift: list[int] = []
+        sig = 0
+        tz = 0
+        for i in range(n - 1):
+            bi = pos >> 3
+            o = pos & 7
+            w24 = (data[bi] << 16) | (data[bi + 1] << 8) | data[bi + 2]
+            c2 = (w24 >> (22 - o)) & 3
+            if c2 < 2:  # '0x': zero xor, 1 bit
+                pos += 1
+                continue
+            if c2 == 2:  # '10': reuse current (lz, tz) window
+                xidx.append(i + 1)
+                xpos.append(pos + 2)
+                xnb.append(sig)
+                xshift.append(tz)
+                pos += 2 + sig
+            else:  # '11': explicit 5-bit lz + 6-bit (sig-1)
+                w = ((w24 << 8) | data[bi + 3]) >> (19 - o)  # 11 bits at pos+2
+                lz = (w >> 6) & 31
+                sig = (w & 63) + 1
+                tz = 64 - lz - sig
+                xidx.append(i + 1)
+                xpos.append(pos + 13)
+                xnb.append(sig)
+                xshift.append(tz)
+                pos += 13 + sig
+        xors = np.zeros(n, dtype=np.uint64)
+        if xidx:
+            xors[np.asarray(xidx, dtype=np.int64)] = _extract_fields(
+                buf, np.asarray(xpos, dtype=np.int64),
+                np.asarray(xnb, dtype=np.int64),
+            ) << np.asarray(xshift, dtype=np.uint64)
+        xors[0] = v0
+        vals_u = np.bitwise_xor.accumulate(xors)
+    return ts, vals_u.view(np.float64)
+
+
+def _build_ts_tab():
+    """5-bit-window → (prefix_len, payload_bits, bias) for DoD records.
+    Window bit 4 == 0 → the 1-bit zero record (payload_bits 0)."""
+    tab = []
+    buckets = [(2, 7, 63), (3, 9, 255), (4, 12, 2047),
+               (5, 32, 2**31 - 1), (5, 64, 2**63 - 1)]
+    for w5 in range(32):
+        if not (w5 >> 4):
+            tab.append((1, 0, 0))
+            continue
+        depth = 0
+        while depth < 4 and (w5 >> (3 - depth)) & 1:
+            depth += 1
+        tab.append(buckets[depth])
+    return tuple(tab)
+
+
+_TS_TAB = _build_ts_tab()
 
 
 def crc32(payload: bytes) -> int:

@@ -57,6 +57,38 @@ def test_single_point_and_empty():
     assert len(t) == 0 and len(v) == 0
 
 
+def test_fast_decode_matches_scalar():
+    """The production decoder (byte-window scan + vectorized field
+    gather) must agree bit-for-bit with the scalar reference on every
+    value class, including the giant-jump 69-bit DoD bucket."""
+    from cesium_ray.oracle.codec import _decode_chunk_scalar
+
+    rng = np.random.default_rng(11)
+    for kind in range(5):
+        n = int(rng.integers(1, 500))
+        deltas = rng.choice(
+            [0, 1, 7, 60_000_000, -3, 2**34, 13], size=n,
+            p=[.1, .2, .2, .2, .1, .05, .15])
+        ts = np.cumsum(deltas).astype(np.int64) + 10**15
+        if kind == 0:
+            vals = rng.normal(size=n)
+        elif kind == 1:
+            vals = np.round(rng.normal(size=n) * 100) / 100
+        elif kind == 2:
+            vals = np.full(n, 3.25)
+            vals[rng.random(n) < .1] = np.nan
+        elif kind == 3:
+            vals = rng.choice(
+                [0.0, -0.0, np.inf, -np.inf, np.nan, 5e-324, 1.0], size=n)
+        else:
+            vals = rng.integers(0, 3, size=n).astype(np.float64)
+        payload = encode_chunk(ts, vals)
+        t1, v1 = _decode_chunk_scalar(payload, n)
+        t2, v2 = decode_chunk(payload, n)
+        np.testing.assert_array_equal(t1, t2)
+        np.testing.assert_array_equal(v1.view(np.uint64), v2.view(np.uint64))
+
+
 def test_crc():
     p = encode_chunk(np.array([1, 2], dtype=np.int64), np.array([1.0, 2.0]))
     assert crc32(p) == crc32(p)
