@@ -342,23 +342,33 @@ def decode_chunk(payload: bytes, n: int):
         t0 -= 1 << 64
     pos = 64
     tab = _TS_TAB
+    zrun = _ZRUN
     # --- timestamps: delta-of-delta records ---
     if n > 1:
         ridx: list[int] = []
         rpos: list[int] = []
         rnb: list[int] = []
         bias: list[int] = []
-        for i in range(n - 1):
+        i = 0
+        end = n - 1
+        while i < end:
             bi = pos >> 3
             o = pos & 7
+            z = zrun[data[bi]][o]
+            if z:  # run of zero-DoD records: z consecutive 0 bits
+                if z > end - i:
+                    z = end - i
+                i += z
+                pos += z
+                continue
             w24 = (data[bi] << 16) | (data[bi + 1] << 8) | data[bi + 2]
             plen, nb, bs = tab[(w24 >> (19 - o)) & 31]
-            if nb:
-                ridx.append(i)
-                rpos.append(pos + plen)
-                rnb.append(nb)
-                bias.append(bs)
+            ridx.append(i)
+            rpos.append(pos + plen)
+            rnb.append(nb)
+            bias.append(bs)
             pos += plen + nb
+            i += 1
         dods = np.zeros(n - 1, dtype=np.uint64)
         if ridx:
             vals = _extract_fields(buf, np.asarray(rpos, dtype=np.int64),
@@ -385,16 +395,23 @@ def decode_chunk(payload: bytes, n: int):
         xshift: list[int] = []
         sig = 0
         tz = 0
-        for i in range(n - 1):
+        i = 0
+        end = n - 1
+        while i < end:
             bi = pos >> 3
             o = pos & 7
+            z = zrun[data[bi]][o]
+            if z:  # run of zero-xor records: z consecutive 0 bits
+                if z > end - i:
+                    z = end - i
+                i += z
+                pos += z
+                continue
+            i += 1
             w24 = (data[bi] << 16) | (data[bi + 1] << 8) | data[bi + 2]
             c2 = (w24 >> (22 - o)) & 3
-            if c2 < 2:  # '0x': zero xor, 1 bit
-                pos += 1
-                continue
             if c2 == 2:  # '10': reuse current (lz, tz) window
-                xidx.append(i + 1)
+                xidx.append(i)
                 xpos.append(pos + 2)
                 xnb.append(sig)
                 xshift.append(tz)
@@ -404,7 +421,7 @@ def decode_chunk(payload: bytes, n: int):
                 lz = (w >> 6) & 31
                 sig = (w & 63) + 1
                 tz = 64 - lz - sig
-                xidx.append(i + 1)
+                xidx.append(i)
                 xpos.append(pos + 13)
                 xnb.append(sig)
                 xshift.append(tz)
@@ -438,6 +455,24 @@ def _build_ts_tab():
 
 
 _TS_TAB = _build_ts_tab()
+
+def _build_zrun():
+    """(byte, bit offset) → length of the run of 0 bits starting at
+    that offset (MSB-first), capped at the byte boundary."""
+    out = []
+    for b in range(256):
+        row = []
+        for o in range(8):
+            z = 0
+            while o + z < 8 and not (b >> (7 - o - z)) & 1:
+                z += 1
+            row.append(z)
+        out.append(tuple(row))
+    return tuple(out)
+
+
+_ZRUN = _build_zrun()
+
 
 
 def crc32(payload: bytes) -> int:

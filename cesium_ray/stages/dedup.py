@@ -89,24 +89,41 @@ def _window_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
 class MinHasher:
     """Actor-pool batch stage: permutation coefficients built once per
     actor (T-style stateful setup).  Fully vectorized: one numeric
-    window-hash pass over the whole batch, then per-permutation
-    ``minimum.reduceat`` over doc boundaries — no per-doc signature
-    loop (the round-1 kernel hashed Python string shingles per doc)."""
+    window-hash pass over the whole batch, then per-doc lane minima —
+    no per-doc signature loop (the round-1 kernel hashed Python string
+    shingles per doc).
+
+    ``scheme="oph"`` (default, the 100-TB path) is One-Permutation
+    Hashing (Li, Owen & Zhang, NIPS 2012): each window hash is assigned
+    to one of ``num_perm`` bins by its high bits and the signature is
+    the per-bin minimum — ONE pass over the windows (argsort +
+    minimum.reduceat) instead of num_perm modmul passes (~10× less
+    compute at num_perm=64).  Empty bins are filled by rotation
+    densification (Shrivastava & Li, ICML 2014): borrow the nearest
+    filled bin to the right (circular), salted by the borrow distance,
+    which preserves lane-collision probability ≈ Jaccard.
+
+    ``scheme="perm"`` is the classic k-independent-permutations kernel
+    (kept as the reference estimator)."""
 
     # cap the (num_perm × windows) working set per inner block
     _BLOCK_WINDOWS = 2_000_000
 
     def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 7,
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 scheme: str = "oph"):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, int(_PRIME), num_perm, dtype=np.uint64)
         self.b = rng.integers(0, int(_PRIME), num_perm, dtype=np.uint64)
+        if scheme == "oph" and num_perm & (num_perm - 1):
+            raise ValueError("oph scheme needs a power-of-two num_perm")
         self.num_perm = num_perm
         self.k = k
         self.text_col = text_col
         self.id_col = id_col
+        self.scheme = scheme
 
-    def _sigs(self, texts) -> np.ndarray:
+    def _sigs_perm(self, texts) -> np.ndarray:
         hv, counts = _window_hashes(texts, self.k)
         n = len(counts)
         out = np.empty((n, self.num_perm), dtype=np.uint64)
@@ -125,6 +142,45 @@ class MinHasher:
                     out[d0:d1, p] = np.minimum.reduceat(m, seg_starts)
             d0 = d1
         return out
+
+    def _sigs_oph(self, texts) -> np.ndarray:
+        hv, counts = _window_hashes(texts, self.k)
+        n = len(counts)
+        P = self.num_perm
+        pbits = P.bit_length() - 1
+        EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+        sig = np.full((n, P), EMPTY, dtype=np.uint64)
+        if len(hv):
+            # bin by high hash bits (top bit is zeroed by the 63-bit
+            # mask in _window_hashes, so use bits [62, 62-pbits))
+            bins = (hv >> np.uint64(62 - pbits)) & np.uint64(P - 1)
+            doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+            key = doc * P + bins.astype(np.int64)
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            sig.reshape(-1)[ks[starts]] = np.minimum.reduceat(hv[order], starts)
+        # rotation densification: nearest filled bin rightward, circular
+        filled = sig != EMPTY
+        none_at_all = ~filled.any(axis=1)
+        cols = np.arange(2 * P, dtype=np.int64)
+        A = np.where(np.concatenate([filled, filled], axis=1), cols, 4 * P)
+        B = np.minimum.accumulate(A[:, ::-1], axis=1)[:, ::-1][:, :P]
+        B = np.minimum(B, 2 * P - 1)  # all-empty docs: clamp the gather
+        dist = (B - cols[:P]).astype(np.uint64)
+        borrowed = np.take_along_axis(
+            np.concatenate([sig, sig], axis=1), B, axis=1)
+        with np.errstate(over="ignore"):
+            dense = np.where(
+                filled, sig,
+                borrowed + dist * np.uint64(0x9E3779B97F4A7C15))
+        dense[none_at_all] = 0  # empty text: all-zero signature
+        return dense
+
+    def _sigs(self, texts) -> np.ndarray:
+        if self.scheme == "oph":
+            return self._sigs_oph(texts)
+        return self._sigs_perm(texts)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         sigs = self._sigs(list(df[self.text_col]))
@@ -317,6 +373,63 @@ def minhash_lsh_dedup(
 
 _BIT_IDX = np.arange(64, dtype=np.uint64)
 
+# numeric tokenizer tables: ASCII lowercase + ASCII whitespace classes
+_LOWER_TAB = np.arange(256, dtype=np.uint8)
+_LOWER_TAB[65:91] += 32
+_WS_TAB = np.zeros(256, dtype=bool)
+_WS_TAB[[9, 10, 11, 12, 13, 32]] = True
+
+_POW31 = np.array([1], dtype=np.uint64)
+
+
+def _pow31(upto: int) -> np.ndarray:
+    """31^k mod 2^64 for k in [0, upto] (cached, grown geometrically)."""
+    global _POW31
+    if len(_POW31) <= upto:
+        m = max(upto + 1, 2 * len(_POW31))
+        with np.errstate(over="ignore"):
+            p = np.multiply.accumulate(np.full(m, 31, dtype=np.uint64))
+        _POW31 = np.concatenate([[np.uint64(1)], p])
+    return _POW31
+
+
+def _hash_token_bytes(bb: np.ndarray, tstarts: np.ndarray,
+                      lens: np.ndarray) -> np.ndarray:
+    """Polynomial token hash over concatenated token bytes: for a token
+    of length L, sum(byte_i · 31^(L−1−i)) mod 2^64, splitmix64-finalized
+    (the raw polynomial's high bits are too regular for SimHash votes)."""
+    pos = np.arange(len(bb), dtype=np.int64) - np.repeat(tstarts, lens)
+    exp = np.repeat(lens, lens) - 1 - pos
+    with np.errstate(over="ignore"):
+        h = np.add.reduceat(bb.astype(np.uint64) * _pow31(int(exp.max(initial=0)))[exp],
+                            tstarts)
+    return _splitmix64(h)
+
+
+def _doc_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace tokenization + token hashing with NO per-token Python
+    strings: utf-8 bytes → ASCII-lowercase table → non-whitespace runs
+    → segmented polynomial hash.  Returns (flat token hash64s, per-doc
+    token counts)."""
+    per = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = _LOWER_TAB[np.frombuffer(str(t).encode(), dtype=np.uint8)]
+        nonws = ~_WS_TAB[b]
+        if not nonws.any():
+            continue
+        starts_mask = nonws & np.r_[True, ~nonws[:-1]]
+        tidv = (np.cumsum(starts_mask) - 1)[nonws]
+        bb = b[nonws]
+        tstarts = np.flatnonzero(np.r_[True, tidv[1:] != tidv[:-1]])
+        lens = np.diff(np.r_[tstarts, len(bb)])
+        h = _hash_token_bytes(bb, tstarts, lens)
+        per.append(h)
+        counts[i] = len(h)
+    flat = (np.concatenate(per) if per
+            else np.array([], dtype=np.uint64))
+    return flat, counts
+
 
 def _simhash_from_hashes(hs: np.ndarray, doc_starts: np.ndarray,
                          doc_counts: np.ndarray) -> np.ndarray:
@@ -335,30 +448,33 @@ def _simhash_from_hashes(hs: np.ndarray, doc_starts: np.ndarray,
 
 
 def simhash64(tokens: list) -> int:
-    """64-bit SimHash over token hashes (vectorized siphash of the
-    whole token list + one bit-matrix pass)."""
+    """64-bit SimHash over a token list (polynomial byte hash per
+    token, same kernel as ``simhash_stage``'s tokenizer — a doc whose
+    lowercased whitespace-split tokens equal ``tokens`` gets the same
+    simhash from the stage)."""
     if not tokens:
         return 0
-    hs = pd.util.hash_array(np.asarray(tokens, dtype=object), categorize=False)
+    enc = [str(t).encode() for t in tokens]
+    bb = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    keep = lens > 0
+    if not keep.any():
+        return 0
+    tstarts = np.r_[0, np.cumsum(lens)[:-1]][keep]
+    hs = _hash_token_bytes(bb, tstarts, lens[keep])
     return int(_simhash_from_hashes(
-        hs, np.array([0]), np.array([len(tokens)]))[0])
+        hs, np.array([0]), np.array([len(hs)]))[0])
 
 
 def simhash_stage(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """Batch-vectorized: one tokenize pass, one siphash over ALL tokens
-    in the batch, reduceat per doc (bit-identical to per-doc
-    ``simhash64``)."""
+    """Batch-vectorized, string-free: byte-level tokenize + segmented
+    polynomial hash over the whole batch (_doc_token_hashes — no
+    per-token Python strings), reduceat per doc."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].astype(str).str.lower().str.findall(r"\S+")
-        counts = toks.str.len().to_numpy(np.int64)
-        flat = [t for ws in toks for t in ws]
-        hs = (
-            pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
-            if flat else np.array([], dtype=np.uint64)
-        )
+        hs, counts = _doc_token_hashes(list(df[text_col]))
         starts = np.r_[0, np.cumsum(counts)[:-1]]
         return pd.DataFrame(
             {
