@@ -36,7 +36,18 @@ def _normalize(X: np.ndarray) -> np.ndarray:
 
 
 def _stack(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+    """Embedding cells → (n, d) float64 matrix.  Fast path for the
+    common Ray pandas-batch layout (object column of equal-length
+    ndarrays): ONE concatenate + ONE cast, instead of a per-row
+    ``np.asarray(v, float64)`` copy each."""
+    vals = col.to_numpy() if hasattr(col, "to_numpy") else list(col)
+    n = len(vals)
+    if n and isinstance(vals[0], np.ndarray) and vals[0].ndim == 1:
+        d = len(vals[0])
+        flat = np.concatenate(vals)
+        if flat.size == n * d:
+            return flat.astype(np.float64, copy=False).reshape(n, d)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vals])
 
 
 def brute_force_topk(
@@ -233,18 +244,20 @@ class LshSigner:
                                  len(self.keep_buckets) - 1)
                 mask = self.keep_buckets[pos] == buckets
             buckets, ids, src = buckets[mask], ids[mask], src[mask]
-        emb_vals = df[self.emb_col].to_numpy()
         # explicit Arrow schema: filtered batches can be tiny/empty, and
         # pandas object-of-ndarray columns don't survive the shuffle's
-        # block merging with a stable type
+        # block merging with a stable type.  The list column is built
+        # from one flat gather (X[src]) — no per-row Python.
+        d = X.shape[1] if X.ndim == 2 else 0
+        emb_arr = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(src) + 1, dtype=np.int32) * d),
+            pa.array(X[src].ravel(), pa.float64()),
+        )
         return pa.table(
             {
                 "bucket": pa.array(buckets, pa.int64()),
                 self.id_col: pa.array(ids),
-                self.emb_col: pa.array(
-                    [np.asarray(emb_vals[i], dtype=np.float64) for i in src],
-                    pa.list_(pa.float64()),
-                ),
+                self.emb_col: emb_arr,
             }
         )
 

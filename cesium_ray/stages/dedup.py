@@ -70,20 +70,33 @@ def _window_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     """All k-byte-window hash64s for a batch of texts, flat, plus the
     per-doc window counts.  Numeric end-to-end: utf-8 bytes → sliding
     windows → injective base-256 uint64 keys (k ≤ 8) → splitmix64.
-    No per-shingle Python strings; duplicates are kept (the minhash
-    MIN is multiset-invariant, so dedup is unnecessary)."""
-    per_doc = []
-    counts = np.empty(len(texts), dtype=np.int64)
-    pows = (np.uint64(256) ** np.arange(k - 1, -1, -1, dtype=np.uint64))
-    for i, t in enumerate(texts):
-        b = np.frombuffer(str(t).encode(), dtype=np.uint8)
-        if len(b) < k:
-            b = np.pad(b, (0, k - len(b)))
-        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-        per_doc.append(win @ pows)
-        counts[i] = len(per_doc[-1])
-    flat = np.concatenate(per_doc) if per_doc else np.array([], dtype=np.uint64)
-    return _splitmix64(flat) & np.uint64(0x7FFFFFFFFFFFFFFF), counts
+    No per-shingle Python strings and no per-doc numpy passes: all
+    docs concatenate into one byte array (short docs zero-padded to k,
+    exactly like the old per-doc pad), the base-256 key rolls over the
+    whole array in k shifted-add passes, and per-doc window starts
+    gather out the windows that don't span doc boundaries.  Duplicates
+    are kept (the minhash MIN is multiset-invariant, so dedup is
+    unnecessary)."""
+    n = len(texts)
+    empty = np.array([], dtype=np.uint64)
+    if n == 0:
+        return empty, np.zeros(0, dtype=np.int64)
+    enc = [str(t).encode() for t in texts]
+    if any(len(e) < k for e in enc):
+        enc = [e if len(e) >= k else e.ljust(k, b"\0") for e in enc]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    bb = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    counts = lens - k + 1
+    m = len(bb) - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = h * np.uint64(256) + bb[j : m + j]
+    doc_starts = np.r_[0, np.cumsum(lens)[:-1]]
+    idx = (np.repeat(doc_starts, counts)
+           + np.arange(counts.sum()) - np.repeat(
+               np.r_[0, np.cumsum(counts)[:-1]], counts))
+    return _splitmix64(h[idx]) & np.uint64(0x7FFFFFFFFFFFFFFF), counts
 
 
 class MinHasher:
@@ -276,11 +289,12 @@ def minhash_lsh_dedup(
         change = np.r_[True, (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])]
         starts = np.flatnonzero(change)
         ends = np.r_[starts[1:], len(d)]
+        # singletons dominate — drop them before the Python loop so it
+        # only visits true collision buckets
+        keep = (ends - starts) >= 2
         A, B = [], []
-        for s, e in zip(starts, ends):
+        for s, e in zip(starts[keep], ends[keep]):
             sz = e - s
-            if sz < 2:
-                continue
             g = ids[s:e]
             if sz > max_bucket:
                 A.append(np.full(sz - 1, g[0]))
@@ -408,43 +422,71 @@ def _hash_token_bytes(bb: np.ndarray, tstarts: np.ndarray,
 
 def _doc_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     """Whitespace tokenization + token hashing with NO per-token Python
-    strings: utf-8 bytes → ASCII-lowercase table → non-whitespace runs
-    → segmented polynomial hash.  Returns (flat token hash64s, per-doc
-    token counts)."""
-    per = []
-    counts = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        b = _LOWER_TAB[np.frombuffer(str(t).encode(), dtype=np.uint8)]
-        nonws = ~_WS_TAB[b]
-        if not nonws.any():
-            continue
-        starts_mask = nonws & np.r_[True, ~nonws[:-1]]
-        tidv = (np.cumsum(starts_mask) - 1)[nonws]
-        bb = b[nonws]
-        tstarts = np.flatnonzero(np.r_[True, tidv[1:] != tidv[:-1]])
-        lens = np.diff(np.r_[tstarts, len(bb)])
-        h = _hash_token_bytes(bb, tstarts, lens)
-        per.append(h)
-        counts[i] = len(h)
-    flat = (np.concatenate(per) if per
-            else np.array([], dtype=np.uint64))
-    return flat, counts
+    strings and NO per-doc numpy passes: all docs are joined with a
+    newline separator (whitespace, so tokens never span docs), then ONE
+    utf-8 → ASCII-lowercase table pass, ONE non-whitespace-run
+    tokenize, ONE segmented polynomial hash; tokens map back to docs by
+    searchsorted on doc byte offsets.  Returns (flat token hash64s in
+    doc order, per-doc token counts)."""
+    n = len(texts)
+    if n == 0:
+        return np.array([], dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    enc = [str(t).encode() for t in texts]
+    b = _LOWER_TAB[np.frombuffer(b"\n".join(enc), dtype=np.uint8)]
+    blens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    doc_starts = np.r_[0, np.cumsum(blens + 1)[:-1]]
+    nonws = ~_WS_TAB[b]
+    if not nonws.any():
+        return np.array([], dtype=np.uint64), np.zeros(n, dtype=np.int64)
+    starts_mask = nonws & np.r_[True, ~nonws[:-1]]
+    tok_pos = np.flatnonzero(starts_mask)
+    tidv = (np.cumsum(starts_mask) - 1)[nonws]
+    bb = b[nonws]
+    tstarts = np.flatnonzero(np.r_[True, tidv[1:] != tidv[:-1]])
+    lens = np.diff(np.r_[tstarts, len(bb)])
+    h = _hash_token_bytes(bb, tstarts, lens)
+    doc_of = np.searchsorted(doc_starts, tok_pos, side="right") - 1
+    counts = np.bincount(doc_of, minlength=n).astype(np.int64)
+    return h, counts
+
+
+# unpackbits column j ↔ uint64 bit position (little-endian bytes, MSB-
+# first within each byte); weights make the reconstruction bit-identical
+# to the old `(hs >> i) & 1` formulation
+_UNPACK_W = np.uint64(1) << np.uint64(
+    8 * (np.arange(64) // 8) + 7 - (np.arange(64) % 8))
+_SIMHASH_CHUNK_TOKENS = 1_000_000  # 64 MB unpacked bit matrix
 
 
 def _simhash_from_hashes(hs: np.ndarray, doc_starts: np.ndarray,
                          doc_counts: np.ndarray) -> np.ndarray:
     """Token hashes (flat uint64) + per-doc boundaries → per-doc
-    simhash.  One (T, 64) bit-unpack + reduceat — no per-token loop."""
+    simhash.  Bits come from ``np.unpackbits`` (uint8 — 64 B/token vs
+    512 B for an int64 matrix), processed in ~1M-token chunks aligned
+    to doc boundaries so batch memory stays bounded regardless of
+    batch size; per-doc bit sums via one reduceat per chunk."""
+    n = len(doc_counts)
     if len(hs) == 0:
-        return np.zeros(len(doc_counts), dtype=np.uint64)
-    ones = ((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(np.int64)
-    sums = np.zeros((len(doc_counts), 64), dtype=np.int64)
-    has = doc_counts > 0
-    if has.any():
-        sums[has] = np.add.reduceat(ones, doc_starts[has], axis=0)
+        return np.zeros(n, dtype=np.uint64)
+    sums = np.zeros((n, 64), dtype=np.int64)
+    hdocs = np.flatnonzero(doc_counts > 0)
+    doc_ends = doc_starts + doc_counts
+    i = 0
+    while i < len(hdocs):
+        tok0 = doc_starts[hdocs[i]]
+        # widest doc range whose tokens fit the chunk (≥1 doc always)
+        j = int(np.searchsorted(doc_ends[hdocs[i:]],
+                                tok0 + _SIMHASH_CHUNK_TOKENS, "right")) + i
+        j = max(j, i + 1)
+        d = hdocs[i:j]
+        chunk = np.ascontiguousarray(hs[tok0:doc_ends[d[-1]]])
+        bits = np.unpackbits(chunk.view(np.uint8).reshape(-1, 8), axis=1)
+        sums[d] = np.add.reduceat(bits, doc_starts[d] - tok0, axis=0,
+                                  dtype=np.int64)
+        i = j
     acc = 2 * sums - doc_counts[:, None]  # (+1/−1 vote totals)
-    bits = (acc > 0).astype(np.uint64)
-    return (bits << _BIT_IDX[None, :]).sum(axis=1, dtype=np.uint64)
+    return ((acc > 0).astype(np.uint64)
+            * _UNPACK_W[None, :]).sum(axis=1, dtype=np.uint64)
 
 
 def simhash64(tokens: list) -> int:
@@ -525,7 +567,8 @@ def embedding_near_dup(
         import pandas as _pd
 
         all_df = ds.select_columns([id_col, emb_col]).to_pandas()
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in all_df[emb_col]])
+        from .ann import _stack
+        X = _stack(all_df[emb_col])
         norms = np.linalg.norm(X, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         Xn = X / norms
@@ -534,7 +577,8 @@ def embedding_near_dup(
 
         def score(df: _pd.DataFrame) -> _pd.DataFrame:
             all_ids, xn = _ray.get(ref)
-            B = np.stack([np.asarray(v, dtype=np.float64) for v in df[emb_col]])
+            from .ann import _stack
+            B = _stack(df[emb_col])
             bn = np.linalg.norm(B, axis=1, keepdims=True)
             bn[bn == 0] = 1.0
             sims = (B / bn) @ xn.T  # (batch, n)
@@ -571,7 +615,8 @@ def embedding_near_dup(
             if len(grp) < 2:
                 continue
             g = grp.sort_values(id_col, kind="mergesort")
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in g[emb_col]])
+            from .ann import _stack
+            X = _stack(g[emb_col])
             norms = np.linalg.norm(X, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             Xn = X / norms
@@ -600,22 +645,35 @@ def fingerprint_stage(
     window: int = 8,
 ) -> ray.data.Dataset:
     """Document fingerprint: min rolling-hash over ``window``-byte
-    windows (winnowing-style) + full content hash."""
+    windows (winnowing-style) + full content hash.  The rolling hash is
+    batch-vectorized: long docs concatenate into one byte array, the
+    window hash accumulates in ``window`` shifted-add passes, and the
+    per-doc minimum falls out of one ``minimum.reduceat`` — no per-doc
+    numpy passes (bit-identical to the old per-doc kernel)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        fps, chs = [], []
-        for t in df[text_col]:
-            b = str(t).encode()
-            if len(b) <= window:
-                fps.append(np.uint64(stable_hash64(b)))
-            else:
-                arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-                pw = np.uint64(31) ** np.arange(window, dtype=np.uint64)
-                with np.errstate(over="ignore"):
-                    win = np.lib.stride_tricks.sliding_window_view(arr, window)
-                    hv = (win * pw[None, :]).sum(axis=1)
-                fps.append(np.uint64(hv.min()))
-            chs.append(np.uint64(stable_hash64(b)))
+        texts = [str(t).encode() for t in df[text_col]]
+        chs = np.array([stable_hash64(b) for b in texts], dtype=np.uint64)
+        lens = np.fromiter((len(b) for b in texts), dtype=np.int64,
+                           count=len(texts))
+        fps = chs.copy()  # docs with ≤window bytes: fp = content hash
+        long = np.flatnonzero(lens > window)
+        if len(long):
+            ll = lens[long]
+            bu = np.frombuffer(
+                b"".join(texts[i] for i in long), dtype=np.uint8
+            ).astype(np.uint64)
+            pw = np.uint64(31) ** np.arange(window, dtype=np.uint64)
+            m = len(bu) - window + 1
+            h = np.zeros(m, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(window):
+                    h += bu[j : m + j] * pw[j]
+            counts = ll - window + 1
+            bstarts = np.r_[0, np.cumsum(counts)[:-1]]
+            idx = (np.repeat(np.r_[0, np.cumsum(ll)[:-1]], counts)
+                   + np.arange(counts.sum()) - np.repeat(bstarts, counts))
+            fps[long] = np.minimum.reduceat(h[idx], bstarts)
         return pd.DataFrame(
             {id_col: df[id_col].to_numpy(), "min_fingerprint": fps, "content_hash": chs}
         )

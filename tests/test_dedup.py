@@ -101,3 +101,66 @@ def test_synthetic_corpus_planted_dups():
     # all 20 exact-dup docs and most one-token near-dups found
     assert len(pairs) >= 35
     assert (pairs.est_jaccard >= 0.7).all()
+
+
+def test_tokenizer_kernels_edge_cases():
+    """Batch-vectorized byte kernels: empty batch, empty/whitespace
+    docs, docs shorter than the window, unicode bytes — counts line up
+    and doc order is preserved."""
+    from cesium_ray.stages.dedup import _doc_token_hashes, _window_hashes
+
+    h, c = _doc_token_hashes([])
+    assert len(h) == 0 and len(c) == 0
+    h, c = _doc_token_hashes(["", "  \t\n", "One two  THREE", "ü ✓"])
+    assert c.tolist() == [0, 0, 3, 2] and len(h) == 5
+    # case-folding: the tokenizer lowercases ASCII before hashing
+    h1, _ = _doc_token_hashes(["ONE TWO"])
+    h2, _ = _doc_token_hashes(["one two"])
+    assert np.array_equal(h1, h2)
+
+    h, c = _window_hashes([], 5)
+    assert len(h) == 0 and len(c) == 0
+    h, c = _window_hashes(["", "abc", "abcde", "abcdef"], 5)
+    # short docs zero-pad to one window; len>=k docs give len-k+1
+    assert c.tolist() == [1, 1, 1, 2] and len(h) == 5
+    # same text, same windows, regardless of batch neighbors
+    a, _ = _window_hashes(["hello world"], 5)
+    b, cb = _window_hashes(["xxxx", "hello world", "yy"], 5)
+    assert np.array_equal(a, b[cb[0]:cb[0] + cb[1]])
+
+
+def test_oph_minhash_estimates_jaccard():
+    """One-permutation-hashing signatures: lane-collision rate tracks
+    true shingle Jaccard within estimator noise."""
+    from cesium_ray.stages.dedup import MinHasher, ngram_jaccard
+
+    rng = np.random.default_rng(5)
+    words = ["tok%d" % i for i in range(300)]
+    base = " ".join(rng.choice(words, 120))
+    docs = [base]
+    for frac in (0.05, 0.2, 0.5):
+        toks = base.split()
+        n_swap = int(len(toks) * frac)
+        idx = rng.choice(len(toks), n_swap, replace=False)
+        for i in idx:
+            toks[i] = "sub%d" % rng.integers(10_000)
+        docs.append(" ".join(toks))
+    mh = MinHasher(num_perm=128, k=5, seed=7)
+    sigs = mh._sigs(docs)
+    for i in range(1, len(docs)):
+        est = float((sigs[0] == sigs[i]).mean())
+        true = ngram_jaccard(docs[0], docs[i], k=5)
+        assert abs(est - true) < 0.12, (i, est, true)
+
+
+def test_simhash_stage_matches_simhash64():
+    """The batch stage and the scalar helper share one kernel: a doc's
+    stage simhash equals simhash64 of its lowercased token list."""
+    from cesium_ray.stages.dedup import simhash64, simhash_stage
+
+    texts = ["The quick brown Fox", "", "one", "a b  c\td"]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = simhash_stage(ds).to_pandas().sort_values("doc_id")
+    for t, sh in zip(texts, got["simhash"]):
+        assert int(sh) == simhash64(t.lower().split())
