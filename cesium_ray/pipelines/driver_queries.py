@@ -805,6 +805,105 @@ FROM merged GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------- as-of join ★
+def q_asof_enrich(sf_dir):
+    """★-checked as-of join (stages/joins.py): every event enriched
+    with the most recent fully-completed hourly rollup row for its
+    user (bucket ≤ ts − 1h) — the partitioned path (one hash exchange
+    + per-partition merge_asof); inner semantics like DuckDB ASOF
+    JOIN.  Exact prev_vsum via int64 sums at VALUE_SCALE."""
+    import pyarrow.compute as _pc
+
+    from ..stages.joins import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def hourly_fn(df: pd.DataFrame) -> pd.DataFrame:
+        b_us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        bucket = (b_us // 3_600_000_000) * 3_600_000_000
+        v = df["value"].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        iv = np.zeros(len(v), dtype=np.int64)
+        iv[ok] = np.round(v[ok] * VALUE_SCALE).astype(np.int64)
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "bucket": bucket, "iv": iv,
+                          "ok": ok.astype(np.int64)})
+        out = g.groupby(["user_id", "bucket"], as_index=False).agg(
+            prev_cnt=("iv", "size"), _ivsum=("iv", "sum"), _vcnt=("ok", "sum"))
+        vsum = out["_ivsum"].to_numpy(np.float64) / float(VALUE_SCALE)
+        out["prev_vsum"] = np.where(out["_vcnt"].to_numpy() == 0, np.nan, vsum)
+        out["bucket"] = out["bucket"].to_numpy().astype("datetime64[us]")
+        return out.drop(columns=["_ivsum", "_vcnt"])
+
+    hourly = group_apply(ev, hourly_fn, num_partitions=16, key="user_id")
+
+    def add_match(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us"))
+        mt = _pc.subtract(ts.cast(pa.int64()),
+                          pa.scalar(3_600_000_000, pa.int64()))
+        return batch.append_column("_match_ts", mt.cast(pa.timestamp("us")))
+
+    left = ev.map_batches(add_match, batch_format="pyarrow")
+    joined = asof_join(
+        left, hourly, by="user_id", left_on="_match_ts", right_on="bucket",
+        right_vals=("prev_cnt", "prev_vsum"), how="inner", num_partitions=16,
+    ).to_pandas()
+    out = (joined.drop(columns=["_match_ts"])
+           .rename(columns={"bucket_r": "prev_bucket"})
+           .sort_values("event_id").reset_index(drop=True))
+    return round6(out)
+
+
+ASOF_SQL = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         count(*) AS prev_cnt,
+         {_exact_sum_sql('value', VALUE_SCALE)} AS prev_vsum
+  FROM events GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, e.ts, round(e.value, 6) AS value,
+       h.bucket AS prev_bucket, h.prev_cnt,
+       round(h.prev_vsum, 6) AS prev_vsum
+FROM events e ASOF JOIN hourly h
+  ON e.user_id = h.user_id AND h.bucket <= e.ts - INTERVAL 1 HOUR
+"""
+
+
+# ------------------------------------- sliding-window aggregate ★
+def q_window_24h(sf_dir):
+    """★-checked RANGE-window aggregate (stages/window.py): per event,
+    count / non-null count / exact sum / mean over the user's events in
+    the trailing 24 h (peers included — SQL RANGE frame semantics).
+    One hash exchange, composite-key searchsorted kernel."""
+    from ..stages.window import windowed_aggregate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = windowed_aggregate(
+        ev, by="user_id", on="ts", value="value",
+        window_s=86400, value_scale=VALUE_SCALE, num_partitions=16,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    return round6(out)
+
+
+WINDOW_SQL = """
+SELECT event_id, user_id, ts,
+  count(*) OVER w AS w_cnt,
+  count(value) OVER w AS w_vcnt,
+  round(CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)/100.0,
+        6) AS w_vsum,
+  round(CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)/100.0
+        / count(value) OVER w, 6) AS w_vavg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
@@ -827,6 +926,8 @@ QUERIES = {
     "lang_profile": q_lang_profile,
     "lang_id_pred": q_lang_id_pred,
     "pricing_summary": q_pricing_summary,
+    "asof_enrich": q_asof_enrich,
+    "window_24h": q_window_24h,
 }
 
 ORACLE_SQL = {
@@ -850,4 +951,6 @@ ORACLE_SQL = {
     "lang_profile": LANG_SQL,
     "lang_id_pred": _lang_id_sql(),
     "pricing_summary": PRICING_SQL,
+    "asof_enrich": ASOF_SQL,
+    "window_24h": WINDOW_SQL,
 }

@@ -614,7 +614,60 @@ def q_multimodal_features(sf_dir):
     return out.reset_index(drop=True)
 
 
+def q_dup_clusters(sf_dir):
+    """★-checked dup clustering (stages/components.py): rare-shingle
+    blocking edges (docs sharing a 32-char gram seen in 2–3 docs) →
+    distributed min-label-propagation connected components → one
+    cluster id (= min doc_id of the component) per document, singletons
+    included.  The pairs→clusters step every near-dup dedup pipeline
+    needs; the oracle reproduces it with a recursive-CTE transitive
+    closure."""
+    from ..stages.components import connected_components, rare_shingle_edges
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    edges = rare_shingle_edges(docs, k=32, max_docs=3, num_partitions=16)
+    labels = connected_components(edges, num_partitions=16)
+    all_ids = np.sort(
+        docs.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    )
+    out = pd.DataFrame({"doc_id": all_ids})
+    lmap = pd.Series(labels["cluster"].to_numpy(),
+                     index=labels["node"].to_numpy())
+    cl = lmap.reindex(all_ids)
+    out["cluster"] = cl.fillna(pd.Series(all_ids, index=all_ids)).astype(np.int64)
+    sizes = out.groupby("cluster")["doc_id"].transform("size")
+    out["cluster_size"] = sizes.astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+DUP_CLUSTERS_SQL = """
+WITH RECURSIVE grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 31, 1)),
+           i -> substr(text, i, 32)))) AS g
+  FROM documents),
+rare AS (SELECT g FROM grams GROUP BY g
+         HAVING count(DISTINCT doc_id) BETWEEN 2 AND 3),
+rd AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM rare)),
+edges AS (SELECT DISTINCT r1.doc_id AS a, r2.doc_id AS b
+          FROM rd r1 JOIN rd r2 USING (g) WHERE r1.doc_id < r2.doc_id),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(src, dst) AS (SELECT a, b FROM sym UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+           FROM reach GROUP BY src),
+lab AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN labels l USING (doc_id))
+SELECT doc_id, cluster,
+       count(*) OVER (PARTITION BY cluster) AS cluster_size
+FROM lab
+"""
+
+
 EXTRA_QUERIES = {
+    "dup_clusters": q_dup_clusters,
     "features_general": q_features_general,
     "features_stats": q_features_stats,
     "features_lomb_scargle": q_features_lomb_scargle,
@@ -632,6 +685,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "dup_clusters": DUP_CLUSTERS_SQL,
     "features_stats": FEATURES_STATS_SQL,
     "codec_chunks": CODEC_SQL,
     "knn_cosine": KNN_SQL,

@@ -1,0 +1,190 @@
+"""Time-aware joins Ray Data lacks natively (SURVEY.md §2 custom-op
+rule: compose map_batches + hash partition + vectorized per-partition
+kernels, and document the partitioning assumption).
+
+As-of join: for each left row, attach the single right row with the
+greatest ``right_on`` value ≤ the left row's ``left_on`` (per ``by``
+key; "backward", exact matches allowed) — the timeseries enrich
+primitive (latest dimension state as of event time).
+
+Two paths, one semantics:
+
+  * ``asof_join_broadcast`` — dimension-sized right side: per-key
+    sorted arrays built once, shipped via ``ray.put`` (ONE object-store
+    copy regardless of task count), per-batch ``searchsorted`` inside
+    ``map_batches``.  No shuffle; the left side streams.  The 100-TB
+    default whenever the right side fits in memory.
+  * ``asof_join`` — both sides large: tag + union into one unified
+    Arrow schema, ONE hash exchange on ``by`` (group_apply), then a
+    vectorized ``pd.merge_asof`` per partition.  Partitioning
+    assumption: all rows of one key hash to one partition; a single
+    key's rows must fit partition memory.
+
+Determinism: requires ``right_on`` unique per (by, right_on) pair —
+with duplicates ``merge_asof`` keeps the last sorted row; keep the
+right side deduplicated for reproducible output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .partition import group_apply
+
+
+def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+    """Arrow schema of a Dataset, whether its blocks are Arrow or
+    pandas (from_pandas gives a PandasBlockSchema of numpy dtypes)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(s.names, s.types):
+        fields.append(pa.field(n, t if isinstance(t, pa.DataType)
+                               else pa.from_numpy_dtype(t)))
+    return pa.schema(fields)
+
+
+def _as_int_us(arr: np.ndarray) -> np.ndarray:
+    """Comparable int64 view of a time/numeric ``on`` column."""
+    a = np.asarray(arr)
+    if a.dtype.kind == "M":
+        return a.astype("datetime64[us]").astype(np.int64)
+    return a.astype(np.int64)
+
+
+def asof_join_broadcast(
+    left_ds: ray.data.Dataset,
+    right_df: pd.DataFrame,
+    by: str = "user_id",
+    left_on: str = "ts",
+    right_on: str = "ts",
+    right_vals: tuple = ("value",),
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Broadcast as-of join (small right side).  ``right_vals`` columns
+    (plus the matched ``right_on`` as ``<right_on>_r``) attach to every
+    left row; ``how='inner'`` drops left rows with no match."""
+    r = right_df.sort_values([by, right_on], kind="mergesort").reset_index(drop=True)
+    rk = r[by].to_numpy()
+    uk, starts = np.unique(rk, return_index=True)
+    ends = np.r_[starts[1:], len(r)]
+    slices = {k: (int(s), int(e)) for k, s, e in zip(uk, starts, ends)}
+    times = _as_int_us(r[right_on].to_numpy())
+    vals = {c: r[c].to_numpy() for c in right_vals}
+    vals[right_on + "_r"] = r[right_on].to_numpy()
+    ref = ray.put((slices, times, vals))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        slices_, times_, vals_ = ray.get(ref)
+        lt = _as_int_us(df[left_on].to_numpy())
+        hit = np.full(len(df), -1, dtype=np.int64)
+        codes, uniques = pd.factorize(df[by])
+        for ci, kv in enumerate(uniques):
+            sl = slices_.get(kv)
+            if sl is None:
+                continue
+            s, e = sl
+            m = codes == ci
+            pos = np.searchsorted(times_[s:e], lt[m], side="right") - 1
+            hit[m] = np.where(pos >= 0, s + pos, -1)
+        out = df.copy()
+        ok = hit >= 0
+        idx = np.where(ok, hit, 0)
+        for c, v in vals_.items():
+            col = v[idx]
+            if not ok.all():
+                col = pd.Series(col).where(ok).to_numpy()
+            out[c] = col
+        if how == "inner":
+            out = out[ok]
+        return out
+
+    return left_ds.map_batches(fn, batch_format="pandas")
+
+
+def asof_join(
+    left_ds: ray.data.Dataset,
+    right_ds: ray.data.Dataset,
+    by: str = "user_id",
+    left_on: str = "ts",
+    right_on: str = "ts",
+    right_vals: tuple = ("value",),
+    how: str = "inner",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Partitioned as-of join (both sides large): one hash exchange on
+    ``by``, per-partition ``pd.merge_asof``.  Output = left columns +
+    ``right_vals`` + matched ``<right_on>_r``."""
+    lschema = _arrow_schema(left_ds)
+    rschema = _arrow_schema(right_ds)
+    left_cols = [n for n in lschema.names]
+    on_type = lschema.field(left_on).type
+    fields = [pa.field("_on", on_type), pa.field("_side", pa.uint8())]
+    fields += [lschema.field(n) for n in left_cols]
+    rval_fields = [pa.field(c + "_rv", rschema.field(c).type) for c in right_vals]
+    fields += rval_fields
+    fields.append(pa.field(right_on + "_r", rschema.field(right_on).type))
+    unified = pa.schema(fields)
+    if by not in left_cols:
+        raise ValueError(f"by column {by!r} missing from left side")
+
+    def tag(side: int, on_col: str, src_names) -> callable:
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            arrays = []
+            for f in unified:
+                if f.name == "_on":
+                    arrays.append(batch[on_col].cast(f.type))
+                elif f.name == "_side":
+                    arrays.append(pa.array(np.full(n, side, dtype=np.uint8)))
+                elif f.name == right_on + "_r":
+                    arrays.append(batch[right_on].cast(f.type) if side == 1
+                                  else pa.nulls(n, f.type))
+                elif f.name.endswith("_rv") and f.name[:-3] in right_vals and side == 1:
+                    arrays.append(batch[f.name[:-3]].cast(f.type))
+                elif f.name in src_names and not (side == 1 and f.name != by):
+                    arrays.append(batch[f.name].cast(f.type))
+                else:
+                    arrays.append(pa.nulls(n, f.type))
+            return pa.Table.from_arrays(arrays, schema=unified)
+
+        return fn
+
+    lt = left_ds.map_batches(tag(0, left_on, set(left_cols)),
+                             batch_format="pyarrow")
+    rt = right_ds.map_batches(tag(1, right_on, {by}), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    rv_names = [c + "_rv" for c in right_vals] + [right_on + "_r"]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0]
+        r = df[df["_side"] == 1]
+        l = l.sort_values("_on", kind="mergesort")
+        r = r.sort_values("_on", kind="mergesort")
+        out = pd.merge_asof(
+            l[[*left_cols, "_on"]],
+            r[[by, "_on", *rv_names]],
+            on="_on", by=by, direction="backward", allow_exact_matches=True,
+        )
+        if how == "inner":
+            out = out[out[right_on + "_r"].notna()]
+        out = out.drop(columns=["_on"])
+        ren = {c + "_rv": c for c in right_vals}
+        out = out.rename(columns=ren)
+        # restore integer dtypes: the tagged union fills each side's
+        # missing columns with nulls, so int64 columns arrive as float
+        for c, want in [(c, rschema.field(c).type) for c in right_vals] + [
+            (c, lschema.field(c).type) for c in left_cols
+        ]:
+            if pa.types.is_integer(want) and out[c].notna().all():
+                out[c] = out[c].astype(np.int64)
+        return out.reset_index(drop=True)
+
+    return group_apply(both, fn, num_partitions=num_partitions, key=by)

@@ -1,0 +1,101 @@
+"""Sliding time-range window aggregates (SURVEY.md §2 custom-op rule —
+the "windowed aggregate" Ray Data lacks natively).
+
+For each row, aggregate all rows of the same key whose time lies in
+``[t − window, t]`` — SQL ``RANGE BETWEEN <window> PRECEDING AND
+CURRENT ROW`` semantics (peers with the exact same time are included,
+on both ends).
+
+Distributed shape: ONE hash exchange on the key (group_apply), then a
+fully vectorized per-partition kernel — sort by (key, t), prefix sums,
+and two global ``searchsorted`` calls on a composite ``key·SPAN + t``
+integer (the gapfill composite-key trick: SPAN exceeds every per-key
+time range plus the window, so a search for ``t − window`` can never
+cross into a neighboring key's range).  No per-key Python loop.
+
+Partitioning assumption: all rows of one key hash to one partition.
+Exact sums: values quantized at ``1/value_scale`` are summed in int64
+(order-independent), mirroring the SQL oracle's
+``sum(CAST(round(v*scale) AS BIGINT))``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from .partition import group_apply
+
+
+def window_range_agg_pandas(
+    df: pd.DataFrame,
+    by: str = "user_id",
+    on: str = "ts",
+    value: str = "value",
+    window_s: int = 86400,
+    value_scale: int = 100,
+) -> pd.DataFrame:
+    """Vectorized multi-key RANGE-window aggregate over one partition.
+    Returns the input's identifying columns + ``w_cnt`` (rows in
+    window), ``w_vcnt`` (non-null values), ``w_vsum`` (exact), and
+    ``w_vavg`` (NaN when the window holds no non-null value)."""
+    if not len(df):
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in [
+            ("event_id", "int64"), (by, "int64"), (on, "datetime64[us]"),
+            ("w_cnt", "int64"), ("w_vcnt", "int64"),
+            ("w_vsum", "float64"), ("w_vavg", "float64")]})
+    t_us = df[on].to_numpy("datetime64[us]").astype(np.int64)
+    codes, _ = pd.factorize(df[by])
+    order = np.lexsort((t_us, codes))
+    t = t_us[order]
+    c = codes[order].astype(np.int64)
+    v = df[value].to_numpy(dtype=np.float64)[order]
+    w_us = np.int64(window_s) * 1_000_000
+    t0 = t.min()
+    span = np.int64(t.max() - t0) + w_us + 2
+    if (c.max() + 1) * span >= np.iinfo(np.int64).max // 2:
+        raise OverflowError("window composite key overflow — shrink "
+                            "partition key-count or time span")
+    comp = c * span + (t - t0)
+    hi = np.searchsorted(comp, comp, side="right")
+    lo = np.searchsorted(comp, comp - w_us, side="left")
+    ok = ~np.isnan(v)
+    iv = np.zeros(len(v), dtype=np.int64)
+    iv[ok] = np.round(v[ok] * value_scale).astype(np.int64)
+    csum = np.r_[0, np.cumsum(iv)]
+    ccnt = np.r_[0, np.cumsum(ok.astype(np.int64))]
+    vsum_i = csum[hi] - csum[lo]
+    vcnt = ccnt[hi] - ccnt[lo]
+    vsum = vsum_i.astype(np.float64) / float(value_scale)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vavg = vsum / vcnt
+    vsum = np.where(vcnt == 0, np.nan, vsum)
+    vavg = np.where(vcnt == 0, np.nan, vavg)
+    out = df.iloc[order].drop(columns=[value]).copy()
+    out["w_cnt"] = hi - lo
+    out["w_vcnt"] = vcnt
+    out["w_vsum"] = vsum
+    out["w_vavg"] = vavg
+    return out.reset_index(drop=True)
+
+
+def windowed_aggregate(
+    ds: ray.data.Dataset,
+    by: str = "user_id",
+    on: str = "ts",
+    value: str = "value",
+    window_s: int = 86400,
+    value_scale: int = 100,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Distributed RANGE-window aggregate: hash exchange on ``by``,
+    vectorized window kernel per partition."""
+    return group_apply(
+        ds,
+        lambda df: window_range_agg_pandas(
+            df, by=by, on=on, value=value,
+            window_s=window_s, value_scale=value_scale),
+        num_partitions=num_partitions,
+        key=by,
+    )

@@ -1,0 +1,131 @@
+"""As-of join (stages/joins.py) and RANGE-window aggregate
+(stages/window.py): both distributed paths vs pandas/DuckDB ground
+truth."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def _fixture(seed=0, nl=3000, nr=300, nkeys=25):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "event_id": np.arange(nl),
+        "user_id": rng.integers(0, nkeys, nl),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, nl) * 10**6,
+                             unit="us").astype("datetime64[us]"),
+        "value": np.round(rng.normal(50, 10, nl), 2),
+    })
+    right = (pd.DataFrame({
+        "user_id": rng.integers(0, nkeys, nr),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, nr) * 10**6,
+                             unit="us").astype("datetime64[us]"),
+        "cnt": rng.integers(1, 100, nr).astype("int64"),
+    }).drop_duplicates(["user_id", "ts"]).reset_index(drop=True))
+    return left, right
+
+
+def _want_asof(left, right):
+    lt = left.sort_values("ts", kind="mergesort")
+    rt = right.sort_values("ts", kind="mergesort").copy()
+    rt["ts_r"] = rt["ts"]
+    w = pd.merge_asof(lt, rt, on="ts", by="user_id", direction="backward")
+    return (w[w["ts_r"].notna()].sort_values("event_id")
+            .reset_index(drop=True))
+
+
+def test_asof_join_partitioned_matches_merge_asof(ray_session):
+    left, right = _fixture()
+    want = _want_asof(left, right)
+    from cesium_ray.stages.joins import asof_join
+
+    got = asof_join(
+        ray.data.from_pandas(left).repartition(6),
+        ray.data.from_pandas(right).repartition(3),
+        by="user_id", left_on="ts", right_on="ts", right_vals=("cnt",),
+        num_partitions=8,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy().astype(np.int64)).all()
+    assert (got["ts_r"].to_numpy() == want["ts_r"].to_numpy()).all()
+    assert got["cnt"].dtype == np.int64 and got["event_id"].dtype == np.int64
+
+
+def test_asof_join_broadcast_matches_partitioned(ray_session):
+    left, right = _fixture(seed=3)
+    want = _want_asof(left, right)
+    from cesium_ray.stages.joins import asof_join_broadcast
+
+    got = asof_join_broadcast(
+        ray.data.from_pandas(left).repartition(6), right,
+        by="user_id", left_on="ts", right_on="ts", right_vals=("cnt",),
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy().astype(np.int64)).all()
+    assert (got["ts_r"].to_numpy() == want["ts_r"].to_numpy()).all()
+
+
+def test_asof_left_keeps_unmatched(ray_session):
+    left, right = _fixture(seed=5, nl=500, nr=40)
+    from cesium_ray.stages.joins import asof_join
+
+    got = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        by="user_id", left_on="ts", right_on="ts", right_vals=("cnt",),
+        how="left", num_partitions=4,
+    ).to_pandas()
+    assert len(got) == len(left)
+
+
+def test_window_range_agg_matches_duckdb(ray_session):
+    left, _ = _fixture(seed=9, nl=4000)
+    # plant some null values so count(*) vs count(value) differ
+    left.loc[left.index % 17 == 0, "value"] = np.nan
+    from cesium_ray.stages.window import windowed_aggregate
+
+    got = windowed_aggregate(
+        ray.data.from_pandas(left).repartition(6),
+        by="user_id", on="ts", value="value", window_s=120,
+        value_scale=100, num_partitions=8,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("t", left)
+    want = con.sql("""
+        SELECT event_id,
+          count(*) OVER w AS w_cnt,
+          count(value) OVER w AS w_vcnt,
+          CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)/100.0
+            AS w_vsum
+        FROM t
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 2 MINUTES PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY event_id
+    """).df()
+    assert len(got) == len(want)
+    assert (got.w_cnt.to_numpy() == want.w_cnt.to_numpy()).all()
+    assert (got.w_vcnt.to_numpy() == want.w_vcnt.to_numpy()).all()
+    g, w = got.w_vsum.to_numpy(), want.w_vsum.to_numpy()
+    nan = np.isnan(w)
+    assert (np.isnan(g) == nan).all() and (g[~nan] == w[~nan]).all()
+
+
+def test_window_peers_included(ray_session):
+    """Rows with the exact same (key, ts) are mutual peers — each sees
+    the other in its frame (RANGE semantics, not ROWS)."""
+    df = pd.DataFrame({
+        "event_id": [0, 1, 2],
+        "user_id": [1, 1, 1],
+        "ts": pd.to_datetime([10**6, 10**6, 2 * 10**6],
+                             unit="us").astype("datetime64[us]"),
+        "value": [1.0, 2.0, 4.0],
+    })
+    from cesium_ray.stages.window import window_range_agg_pandas
+
+    out = window_range_agg_pandas(df, window_s=10, value_scale=100)
+    out = out.sort_values("event_id").reset_index(drop=True)
+    assert out.w_cnt.tolist() == [2, 2, 3]
+    assert out.w_vsum.tolist() == [3.0, 3.0, 7.0]
