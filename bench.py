@@ -315,6 +315,37 @@ def bench_text_dedup(results, thr):
     thr["minhash_docs_per_sec"] = round(n / dt)
     thr["minhash_dup_pairs"] = pairs
 
+    from cesium_ray.stages.components import (
+        connected_components, rare_shingle_edges)
+
+    t0 = time.time()
+    edges = rare_shingle_edges(ds, k=32, max_docs=3,
+                               num_partitions=2 * NCPU)
+    labels = connected_components(edges, num_partitions=NCPU)
+    dt = time.time() - t0
+    results["dup_clusters"] = round(dt, 3)
+    thr["cluster_docs_per_sec"] = round(n / dt)
+    thr["dup_cluster_nodes"] = len(labels)
+
+
+def bench_timeseries_ops(results, thr):
+    """As-of join + RANGE-window aggregate over the sf events table
+    (the two time-aware operators Ray Data lacks natively)."""
+    from cesium_ray.pipelines.driver_queries import (
+        q_asof_enrich, q_window_24h)
+
+    t0 = time.time()
+    df = q_asof_enrich(SF_DIR)
+    dt = time.time() - t0
+    results["asof_enrich"] = round(dt, 3)
+    thr["asof_rows_per_sec"] = round(len(df) / dt)
+
+    t0 = time.time()
+    df = q_window_24h(SF_DIR)
+    dt = time.time() - t0
+    results["window_24h"] = round(dt, 3)
+    thr["window_rows_per_sec"] = round(len(df) / dt)
+
 
 BENCHES = {
     "flagship_rollup": bench_flagship_rollup,
@@ -325,6 +356,7 @@ BENCHES = {
     "codec": bench_codec,
     "features_general": bench_features,
     "text_dedup": bench_text_dedup,
+    "timeseries_ops": bench_timeseries_ops,
 }
 
 

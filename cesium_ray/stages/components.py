@@ -39,6 +39,47 @@ import ray.data
 
 from .partition import group_apply
 
+_MASK64 = (1 << 64) - 1
+
+
+def _inv64(b: int) -> int:
+    """Multiplicative inverse of odd ``b`` mod 2^64 (Newton iteration)."""
+    x = b
+    for _ in range(6):
+        x = (x * (2 - b * x)) & _MASK64
+    return x
+
+
+_B1 = 0x100000001B3          # FNV-1a prime (odd)
+_B2 = 0x9E3779B97F4A7C15 | 1  # golden-ratio constant, forced odd
+_B1_INV = _inv64(_B1)
+_B2_INV = _inv64(_B2)
+
+
+def _window_poly_hash(cp: np.ndarray, starts: np.ndarray, wlens: np.ndarray,
+                      base: int, base_inv: int) -> np.ndarray:
+    """Hash of each window ``cp[s : s+L]`` as ``Σ cp[s+j]·base^j`` mod
+    2^64, for all (starts, wlens) at once: one weighted-prefix-sum pass
+    plus a gather (Rabin-Karp: ``(P[s+L] − P[s]) · base^{−s}``)."""
+    n = len(cp)
+    with np.errstate(over="ignore"):
+        # pw[i] = base^i, ipw[i] = base^{-i} (mod 2^64): cumprod of a
+        # [1, b, b, …] fill
+        pw = np.full(n, np.uint64(base & _MASK64), dtype=np.uint64)
+        ipw = np.full(n, np.uint64(base_inv), dtype=np.uint64)
+        if n:
+            pw[0] = 1
+            ipw[0] = 1
+            np.multiply.accumulate(pw, out=pw)
+            np.multiply.accumulate(ipw, out=ipw)
+        P = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(cp * pw, out=P[1:])
+        h = (P[starts + wlens] - P[starts]) * ipw[starts]
+        # fold the window length in so a short doc-gram can never
+        # alias a full k-window
+        h ^= np.uint64(0x9E3779B97F4A7C15) * wlens.astype(np.uint64)
+    return h
+
 
 def rare_shingle_edges(
     ds: ray.data.Dataset,
@@ -54,26 +95,53 @@ def rare_shingle_edges(
     contribute themselves as their only gram."""
 
     def grams(df: pd.DataFrame) -> pd.DataFrame:
-        ids, gs = [], []
-        for i, t in zip(df[id_col], df[text_col]):
-            t = str(t)
-            if len(t) <= k:
-                uniq = {t}
-            else:
-                uniq = {t[j:j + k] for j in range(len(t) - k + 1)}
-            ids.extend([i] * len(uniq))
-            gs.extend(uniq)
-        return pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
-                             "g": gs})
+        # character-exact k-grams WITHOUT shipping gram strings: all
+        # docs' code points concatenate (utf-32), ONE prefix-polynomial
+        # pass per hash base gives every window hash in O(n) (Rabin-
+        # Karp via modular inverse of the base, arithmetic mod 2^64),
+        # and the group key becomes (h1, h2, glen) — 28 B/row instead
+        # of a k-char string, with two independent 64-bit hashes + the
+        # exact length making cross-gram collisions ~2^-128 (same
+        # content-hash-equality convention as exact_dedup).  Docs with
+        # ≤ k chars contribute themselves as their single gram
+        # (matching SQL substr semantics).
+        texts = [str(t) for t in df[text_col]]
+        if not texts:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "h1": pd.Series(dtype="uint64"),
+                                 "h2": pd.Series(dtype="uint64"),
+                                 "glen": pd.Series(dtype="int64")})
+        enc = [t.encode("utf-32-le") for t in texts]
+        lens = np.fromiter((len(e) >> 2 for e in enc), dtype=np.int64,
+                           count=len(enc))
+        cp = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.uint64)
+        counts = np.maximum(lens - (k - 1), 1)
+        doc_starts = np.r_[0, np.cumsum(lens)[:-1]]
+        starts = (np.repeat(doc_starts, counts)
+                  + np.arange(counts.sum())
+                  - np.repeat(np.r_[0, np.cumsum(counts)[:-1]], counts))
+        glen = np.minimum(np.repeat(lens, counts), k)
+        h1 = _window_poly_hash(cp, starts, glen, _B1, _B1_INV)
+        h2 = _window_poly_hash(cp, starts, glen, _B2, _B2_INV)
+        out = pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(np.int64), counts),
+            "h1": h1, "h2": h2, "glen": glen,
+        })
+        # docs are whole rows within a batch → per-batch dedup IS the
+        # per-doc list_distinct
+        return out.drop_duplicates([id_col, "h1", "h2", "glen"])
 
     gram_rows = ds.select_columns([id_col, text_col]).map_batches(
         grams, batch_format="pandas")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.sort_values(["g", id_col], kind="mergesort")
-        gv = d["g"].to_numpy()
+        d = df.sort_values(["h1", "h2", "glen", id_col], kind="mergesort")
+        a1 = d["h1"].to_numpy()
+        a2 = d["h2"].to_numpy()
+        a3 = d["glen"].to_numpy()
         ids = d[id_col].to_numpy()
-        change = np.r_[True, gv[1:] != gv[:-1]]
+        change = np.r_[True, (a1[1:] != a1[:-1]) | (a2[1:] != a2[:-1])
+                       | (a3[1:] != a3[:-1])]
         starts = np.flatnonzero(change)
         ends = np.r_[starts[1:], len(d)]
         sizes = ends - starts
@@ -91,7 +159,7 @@ def rare_shingle_edges(
         return out.drop_duplicates(["a", "b"])
 
     pairs = group_apply(gram_rows, bucket_pairs,
-                        num_partitions=num_partitions, key="g")
+                        num_partitions=num_partitions, key="h1")
     return group_apply(pairs, lambda df: df.drop_duplicates(["a", "b"]),
                        num_partitions=8, key="a")
 
@@ -104,16 +172,45 @@ _MSG_SCHEMA = pa.schema([
 ])
 
 
+def _cc_numpy(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """Vectorized small-graph CC: min-label over edges + pointer
+    jumping (numpy, O(E·log d))."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ea, lab[eb])
+        np.minimum.at(new, eb, lab[ea])
+        changed = bool((new != lab).any())
+        lab = new
+        while True:  # pointer jumping: collapse chains immediately
+            nn = lab[lab]
+            if (nn == lab).all():
+                break
+            lab = nn
+        if not changed:
+            break
+    return pd.DataFrame({"node": nodes, "cluster": nodes[lab]})
+
+
 def connected_components(
     edges_ds: ray.data.Dataset,
     a_col: str = "a",
     b_col: str = "b",
     num_partitions: int = 32,
     max_iters: int = 50,
+    driver_threshold: int = 2_000_000,
 ) -> pd.DataFrame:
     """Labels ``(node, cluster)`` with ``cluster`` = min node id in the
     node's connected component.  Only nodes appearing in the edge list
-    are returned (callers union in singletons if needed)."""
+    are returned (callers union in singletons if needed).
+
+    Edge lists up to ``driver_threshold`` rows collapse on the driver
+    (vectorized min-label + pointer jumping — dedup edge sets are pair
+    lists, orders of magnitude smaller than the corpus, so this is the
+    broadcast-small-side rule applied to graphs); larger graphs run the
+    distributed label-propagation rounds."""
 
     def to_sym(batch: pa.Table) -> pa.Table:
         a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -128,9 +225,14 @@ def connected_components(
             schema=_MSG_SCHEMA)
 
     sym = edges_ds.map_batches(to_sym, batch_format="pyarrow").materialize()
-    if sym.count() == 0:
+    n_sym = sym.count()
+    if n_sym == 0:
         return pd.DataFrame({"node": pd.Series(dtype="int64"),
                              "cluster": pd.Series(dtype="int64")})
+    if n_sym <= 2 * driver_threshold:
+        ed = sym.select_columns(["node", "other"]).to_pandas()
+        return _cc_numpy(ed["node"].to_numpy(np.int64),
+                         ed["other"].to_numpy(np.int64))
 
     def init_labels(batch: pa.Table) -> pa.Table:
         node = np.unique(batch["node"].to_numpy(zero_copy_only=False))

@@ -121,6 +121,11 @@ def asof_join(
     """Partitioned as-of join (both sides large): one hash exchange on
     ``by``, per-partition ``pd.merge_asof``.  Output = left columns +
     ``right_vals`` + matched ``<right_on>_r``."""
+    # materialize the right side first: schema inspection on a lazy
+    # shuffle-produced dataset executes it for the first block, and the
+    # union below would re-execute it from scratch — one materialize
+    # (the right side is the smaller table by convention) pays once
+    right_ds = right_ds.materialize()
     lschema = _arrow_schema(left_ds)
     rschema = _arrow_schema(right_ds)
     left_cols = [n for n in lschema.names]

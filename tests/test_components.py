@@ -34,10 +34,14 @@ def test_cc_matches_union_find(ray_session):
                           "b": rng.integers(0, 300, 500)})
     edges = edges[edges.a != edges.b].drop_duplicates().reset_index(drop=True)
     want = _union_find_labels(edges)
-    got = connected_components(ray.data.from_pandas(edges), num_partitions=6)
-    assert len(got) == len(want)
-    gm = dict(zip(got.node, got.cluster))
-    assert all(gm[n] == want[n] for n in want)
+    # both paths: driver-side numpy collapse and distributed rounds
+    for thresh in (2_000_000, 0):
+        got = connected_components(ray.data.from_pandas(edges),
+                                   num_partitions=6,
+                                   driver_threshold=thresh)
+        assert len(got) == len(want)
+        gm = dict(zip(got.node, got.cluster))
+        assert all(gm[n] == want[n] for n in want)
 
 
 def test_cc_chain_diameter(ray_session):
