@@ -904,6 +904,72 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+# ---------------------------------------------- sessionization ★
+def q_sessionize(sf_dir):
+    """★-checked gap-based sessionization (stages/window.py): per-user
+    sessions split on >30 min inactivity (exact integer-µs gap
+    compare), one summary row per session."""
+    from ..stages.window import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    out = sessionize(ev, by="user_id", on="ts", tie_col="event_id",
+                     gap_s=1800, num_partitions=16).to_pandas()
+    return (out.sort_values(["user_id", "session_idx"])
+            .reset_index(drop=True))
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       date_diff('microsecond', min(ts), max(ts)) AS duration_us
+FROM s GROUP BY 1, 2
+"""
+
+
+# ------------------------------------- stratified per-key sample ★
+def q_stratified_sample(sf_dir):
+    """★-checked deterministic stratified sample (stages/sample.py):
+    up to 5 events per user by a seeded LCG hash order — reproducible
+    sampling whose oracle is a plain row_number() window."""
+    from ..stages.sample import stratified_sample
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    out = stratified_sample(ev, by="user_id", id_col="event_id",
+                            n_per_key=5, num_partitions=16).to_pandas()
+    out = out.sort_values(["user_id", "sample_rank"]).reset_index(drop=True)
+    return round6(out)
+
+
+STRATIFIED_SQL = """
+WITH h AS (
+  SELECT user_id, event_id, ts, value,
+         (event_id * 1103515245 + 12345) % 2147483648 AS hh
+  FROM events),
+r AS (
+  SELECT user_id, event_id, ts, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY hh, event_id)
+      AS sample_rank
+  FROM h)
+SELECT user_id, event_id, ts, round(value, 6) AS value, sample_rank
+FROM r WHERE sample_rank <= 5
+"""
+
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
@@ -928,6 +994,8 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "asof_enrich": q_asof_enrich,
     "window_24h": q_window_24h,
+    "sessionize": q_sessionize,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -953,4 +1021,6 @@ ORACLE_SQL = {
     "pricing_summary": PRICING_SQL,
     "asof_enrich": ASOF_SQL,
     "window_24h": WINDOW_SQL,
+    "sessionize": SESSIONIZE_SQL,
+    "stratified_sample": STRATIFIED_SQL,
 }

@@ -80,6 +80,70 @@ def window_range_agg_pandas(
     return out.reset_index(drop=True)
 
 
+def sessionize_pandas(
+    df: pd.DataFrame,
+    by: str = "user_id",
+    on: str = "ts",
+    tie_col: str = "event_id",
+    gap_s: int = 1800,
+) -> pd.DataFrame:
+    """Gap-based sessionization, vectorized across all keys in one
+    partition: sort by (key, t, tie), break where the µs gap exceeds
+    ``gap_s`` (exact integer compare — mirrors the SQL oracle's
+    ``date_diff('microsecond', …) > gap·1e6``), per-key session index
+    via one global cumsum.  Returns one row per session:
+    (key, session_idx, n_events, session_start, session_end,
+    duration_us)."""
+    if not len(df):
+        return pd.DataFrame({
+            by: pd.Series(dtype="int64"),
+            "session_idx": pd.Series(dtype="int64"),
+            "n_events": pd.Series(dtype="int64"),
+            "session_start": pd.Series(dtype="datetime64[us]"),
+            "session_end": pd.Series(dtype="datetime64[us]"),
+            "duration_us": pd.Series(dtype="int64")})
+    t_us = df[on].to_numpy("datetime64[us]").astype(np.int64)
+    key = df[by].to_numpy()
+    tie = df[tie_col].to_numpy()
+    order = np.lexsort((tie, t_us, key))
+    k = key[order]
+    t = t_us[order]
+    first = np.r_[True, k[1:] != k[:-1]]
+    gap_us = np.int64(gap_s) * 1_000_000
+    brk = first.copy()
+    brk[1:] |= (t[1:] - t[:-1]) > gap_us
+    cum = np.cumsum(brk.astype(np.int64))
+    kstarts = np.flatnonzero(first)
+    kcounts = np.diff(np.r_[kstarts, len(k)])
+    sidx = cum - np.repeat(cum[kstarts] - 1, kcounts)
+    g = pd.DataFrame({by: k, "session_idx": sidx, "_t": t})
+    out = g.groupby([by, "session_idx"], as_index=False).agg(
+        n_events=("_t", "size"), _start=("_t", "min"), _end=("_t", "max"))
+    out["duration_us"] = (out["_end"] - out["_start"]).astype(np.int64)
+    out["session_start"] = out["_start"].to_numpy().astype("datetime64[us]")
+    out["session_end"] = out["_end"].to_numpy().astype("datetime64[us]")
+    return out.drop(columns=["_start", "_end"])
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    by: str = "user_id",
+    on: str = "ts",
+    tie_col: str = "event_id",
+    gap_s: int = 1800,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Distributed gap-based sessionization: one hash exchange on the
+    key, vectorized session kernel per partition."""
+    return group_apply(
+        ds,
+        lambda df: sessionize_pandas(df, by=by, on=on, tie_col=tie_col,
+                                     gap_s=gap_s),
+        num_partitions=num_partitions,
+        key=by,
+    )
+
+
 def windowed_aggregate(
     ds: ray.data.Dataset,
     by: str = "user_id",

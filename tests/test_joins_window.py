@@ -129,3 +129,60 @@ def test_window_peers_included(ray_session):
     out = out.sort_values("event_id").reset_index(drop=True)
     assert out.w_cnt.tolist() == [2, 2, 3]
     assert out.w_vsum.tolist() == [3.0, 3.0, 7.0]
+
+
+def test_sessionize_gap_semantics(ray_session):
+    """Sessions split strictly on gap > threshold (µs-exact): a gap of
+    exactly the threshold stays in-session."""
+    import pandas as pd
+
+    base = 10**12
+    df = pd.DataFrame({
+        "event_id": np.arange(5),
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime(
+            [base, base + 60_000_000, base + 60_000_000 + 1800_000_000,
+             base, base + 1800_000_001], unit="us").astype("datetime64[us]"),
+    })
+    from cesium_ray.stages.window import sessionize
+
+    out = sessionize(ray.data.from_pandas(df), gap_s=1800,
+                     num_partitions=2).to_pandas()
+    out = out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    # user 1: gap of exactly 1800s does NOT split -> one session of 3
+    u1 = out[out.user_id == 1]
+    assert len(u1) == 1 and u1.n_events.iloc[0] == 3
+    # user 2: gap of 1800s + 1µs splits -> two singleton sessions
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 2 and (u2.n_events == 1).all()
+    assert (u2.duration_us == 0).all()
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import pandas as pd
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "event_id": np.arange(2000),
+        "user_id": rng.integers(0, 20, 2000),
+        "ts": pd.to_datetime(np.arange(2000) * 10**6,
+                             unit="us").astype("datetime64[us]"),
+        "value": np.round(rng.normal(0, 1, 2000), 2),
+    })
+    from cesium_ray.stages.sample import lcg_hash, stratified_sample
+
+    a = stratified_sample(ray.data.from_pandas(df), n_per_key=3,
+                          num_partitions=4).to_pandas()
+    b = stratified_sample(ray.data.from_pandas(df), n_per_key=3,
+                          num_partitions=8).to_pandas()
+    key = ["user_id", "sample_rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert (a["event_id"].to_numpy() == b["event_id"].to_numpy()).all()
+    assert a.groupby("user_id").size().max() <= 3
+    # rank-1 row per user is the LCG-min row of that user
+    for u, grp in df.groupby("user_id"):
+        h = lcg_hash(grp.event_id.to_numpy())
+        best = grp.event_id.to_numpy()[np.lexsort((grp.event_id, h))][0]
+        got = a[(a.user_id == u) & (a.sample_rank == 1)].event_id.iloc[0]
+        assert got == best
