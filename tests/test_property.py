@@ -95,3 +95,111 @@ def test_rollup_kernel_vs_duckdb_property(n, n_keys, seed, null_frac):
     for col in ["vsum", "vmean", "vmin", "vmax", "p50", "p99"]:
         g, w = got[col].to_numpy(), want[col].to_numpy()
         assert np.all((g == w) | (np.isnan(g) & np.isnan(w))), col
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    nkeys=st.integers(min_value=1, max_value=12),
+    window_s=st.integers(min_value=1, max_value=500),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_window_agg_vs_bruteforce_property(n, nkeys, window_s, seed):
+    """RANGE-window kernel vs a literal O(n²) per-row definition, with
+    duplicate timestamps and planted nulls."""
+    from cesium_ray.stages.window import window_range_agg_pandas
+
+    rng = np.random.default_rng(seed)
+    t_us = rng.integers(0, 10**9, n) * 1000
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, nkeys, n),
+        "ts": pd.to_datetime(t_us, unit="us").astype("datetime64[us]"),
+        "value": np.where(rng.random(n) < 0.15, np.nan,
+                          np.round(rng.normal(0, 10, n), 2)),
+    })
+    got = window_range_agg_pandas(df, window_s=window_s, value_scale=100)
+    got = got.sort_values("event_id").reset_index(drop=True)
+    w_us = window_s * 1_000_000
+    for i in range(0, n, max(1, n // 17)):  # spot rows, incl. first/last
+        row = df.iloc[i]
+        t0 = t_us[i]
+        m = (df.user_id == row.user_id) & (t_us >= t0 - w_us) & (t_us <= t0)
+        g = got[got.event_id == i].iloc[0]
+        assert g.w_cnt == int(m.sum())
+        vals = df.value[m]
+        assert g.w_vcnt == int(vals.notna().sum())
+        if vals.notna().any():
+            want = int(np.round(vals.dropna() * 100).sum()) / 100.0
+            assert g.w_vsum == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    nkeys=st.integers(min_value=1, max_value=10),
+    gap_s=st.integers(min_value=1, max_value=1000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_sessionize_vs_bruteforce_property(n, nkeys, gap_s, seed):
+    from cesium_ray.stages.window import sessionize_pandas
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, nkeys, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**9, n) * 1000,
+                             unit="us").astype("datetime64[us]"),
+    })
+    got = sessionize_pandas(df, gap_s=gap_s)
+    gap_us = gap_s * 1_000_000
+    total_sessions = 0
+    total_events = 0
+    for u, grp in df.groupby("user_id"):
+        t = np.sort(grp.ts.to_numpy("datetime64[us]").astype(np.int64))
+        breaks = 1 + int(((t[1:] - t[:-1]) > gap_us).sum()) if len(t) else 0
+        total_sessions += breaks
+        total_events += len(t)
+    assert len(got) == total_sessions
+    assert got.n_events.sum() == total_events
+    assert (got.duration_us >= 0).all()
+    # every session's span never exceeds (n_events-1)·gap is NOT an
+    # invariant; but within-session consecutive gaps are ≤ gap_us,
+    # so duration ≤ (n_events−1)·gap_us holds
+    assert (got.duration_us <= (got.n_events - 1) * gap_us).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    ne=st.integers(min_value=0, max_value=300),
+    nn=st.integers(min_value=2, max_value=60),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_cc_numpy_vs_union_find_property(ne, nn, seed):
+    from cesium_ray.stages.components import _cc_numpy
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, nn, ne)
+    b = rng.integers(0, nn, ne)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    par = {}
+
+    def find(x):
+        while par.get(x, x) != x:
+            par[x] = par.get(par[x], par[x])
+            x = par[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            par[max(rx, ry)] = min(rx, ry)
+    if not len(a):
+        return
+    got = _cc_numpy(a.astype(np.int64), b.astype(np.int64))
+    comp = {}
+    for n_ in got.node:
+        comp.setdefault(find(int(n_)), []).append(int(n_))
+    want = {n_: min(comp[find(int(n_))]) for n_ in got.node}
+    assert all(int(c) == want[int(n_)] for n_, c in zip(got.node, got.cluster))
