@@ -315,15 +315,25 @@ def minhash_lsh_dedup(
                         num_partitions=8, key="a")
     pairs = pairs.materialize()  # small candidate set, read by both joins
 
+    # broadcast semi-join filter: the candidate doc-id set is tiny
+    # relative to the corpus, so ship it once (ray.put) and drop
+    # non-candidate sig rows MAP-SIDE — the verify exchanges then carry
+    # only collision-set signatures, not the full sig table
+    cand_df = pairs.to_pandas()
+    cand_ref = ray.put((np.unique(cand_df["a"].to_numpy()),
+                        np.unique(cand_df["b"].to_numpy())))
+
     # fetch signatures for the candidate set: two keyed co-group merges
     # (union the pair rows with the sig rows under one key column, hash
-    # partition once, pd.merge inside each partition).  The sig table
-    # is shuffled once per pass instead of ×bands through the band
-    # exchange.  (Dataset.join is avoided: Ray 2.49's hash join rejects
-    # the schema-less empty blocks map_groups emits for empty
-    # partitions.)
-    def _sig_rows(key, other, sig_col, extra=()):
+    # partition once, pd.merge inside each partition).  Only candidate
+    # sigs are shuffled, once per pass.  (Dataset.join is avoided:
+    # Ray 2.49's hash join rejects the schema-less empty blocks
+    # map_groups emits for empty partitions.)
+    def _sig_rows(key, other, sig_col, extra=(), side=0):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
+            cand = ray.get(cand_ref)[side]
+            keep = np.isin(df[id_col].to_numpy(), cand, assume_unique=False)
+            df = df[keep]
             out = {key: df[id_col].to_numpy(),
                    other: np.full(len(df), -1, dtype=np.int64)}
             for c in extra:
@@ -344,14 +354,15 @@ def minhash_lsh_dedup(
     pair_rows = pairs.map_batches(
         lambda df: df.assign(sig_a=b"", _is_sig=False), batch_format="pandas"
     )
-    u1 = sigs.map_batches(_sig_rows("a", "b", "sig_a"),
+    u1 = sigs.map_batches(_sig_rows("a", "b", "sig_a", side=0),
                           batch_format="pandas").union(pair_rows)
     with_a = group_apply(u1, _merge("a", "b", "sig_a"), num_partitions=8, key="a")
 
     pair_rows2 = with_a.map_batches(
         lambda df: df.assign(sig_b=b"", _is_sig=False), batch_format="pandas"
     )
-    u2 = sigs.map_batches(_sig_rows("b", "a", "sig_b", extra=("sig_a",)),
+    u2 = sigs.map_batches(_sig_rows("b", "a", "sig_b", extra=("sig_a",),
+                                    side=1),
                           batch_format="pandas").union(
         pair_rows2.map_batches(
             lambda df: df[["b", "a", "sig_a", "sig_b", "_is_sig"]],
