@@ -328,6 +328,80 @@ def bench_text_dedup(results, thr):
     thr["dup_cluster_nodes"] = len(labels)
 
 
+def bench_ann(results, thr):
+    """Similarity search over a deterministic 500k × 64-dim float32
+    corpus: exact brute-force cosine top-k (broadcast query matrix)
+    vs the LSH and IVF scale paths."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from cesium_ray.stages.ann import brute_force_topk, ivf_topk, lsh_topk
+
+    # clustered corpus (mixture of 1000 gaussians): real embedding
+    # spaces have neighborhood structure; on UNstructured iid gaussian
+    # data top-k neighbors are barely closer than random points and
+    # every approximate method degenerates, so recall there measures
+    # nothing
+    n, dim, shards, n_clusters = 500_000, 64, 16, 1000
+    centers = np.random.default_rng(5).standard_normal((n_clusters, dim))
+    path = os.path.join(CACHE_ROOT, f"emb-{n}-c{n_clusters}")
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        os.makedirs(path, exist_ok=True)
+        per = n // shards
+        for s in range(shards):
+            rng = np.random.default_rng(7000 + s)
+            c = rng.integers(0, n_clusters, per)
+            X = (centers[c]
+                 + 0.35 * rng.standard_normal((per, dim))).astype(np.float32)
+            emb = pa.FixedSizeListArray.from_arrays(
+                pa.array(X.ravel()), dim).cast(pa.list_(pa.float32()))
+            pq.write_table(
+                pa.table({"vec_id": pa.array(
+                    np.arange(s * per, (s + 1) * per, dtype=np.int64)),
+                    "embedding": emb}),
+                os.path.join(path, f"emb-{s:04d}.parquet"))
+        open(os.path.join(path, "_DONE"), "w").write("ok")
+    ds = ray.data.read_parquet(path)
+    qrng = np.random.default_rng(99)
+    Q = (centers[qrng.integers(0, n_clusters, 32)]
+         + 0.35 * qrng.standard_normal((32, dim)))
+    qids = np.arange(10**9, 10**9 + 32)
+
+    t0 = time.time()
+    bf = brute_force_topk(ds, Q, qids, k=10)
+    dt = time.time() - t0
+    results["ann_brute"] = round(dt, 3)
+    thr["ann_brute_vecs_per_sec"] = round(n / dt)
+
+    t0 = time.time()
+    lsh = lsh_topk(ds, Q, qids, k=10, n_tables=8, n_bits=12,
+                   num_partitions=NCPU)
+    dt = time.time() - t0
+    results["ann_lsh"] = round(dt, 3)
+    thr["ann_lsh_vecs_per_sec"] = round(n / dt)
+
+    t0 = time.time()
+    ivf = ivf_topk(ds, Q, qids, k=10, n_centroids=64, n_probe=8,
+                   num_partitions=NCPU)
+    dt = time.time() - t0
+    results["ann_ivf"] = round(dt, 3)
+    thr["ann_ivf_vecs_per_sec"] = round(n / dt)
+
+    # recall of the approximate paths vs exact, averaged over queries
+    def recall(approx):
+        got = approx.groupby("query_id")["vec_id"].apply(set)
+        want = bf.groupby("query_id")["vec_id"].apply(set)
+        inter = [len(got.get(q, set()) & want[q]) / max(len(want[q]), 1)
+                 for q in want.index]
+        return round(float(np.mean(inter)), 3)
+
+    thr["ann_lsh_recall_at10"] = recall(lsh)
+    thr["ann_ivf_recall_at10"] = recall(ivf)
+
+
 def bench_timeseries_ops(results, thr):
     """As-of join + RANGE-window aggregate over the sf events table
     (the two time-aware operators Ray Data lacks natively)."""
@@ -357,6 +431,7 @@ BENCHES = {
     "features_general": bench_features,
     "text_dedup": bench_text_dedup,
     "timeseries_ops": bench_timeseries_ops,
+    "ann": bench_ann,
 }
 
 
