@@ -45,8 +45,13 @@ def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
         return base
     fields = []
     for n, t in zip(s.names, s.types):
-        fields.append(pa.field(n, t if isinstance(t, pa.DataType)
-                               else pa.from_numpy_dtype(t)))
+        if isinstance(t, pa.DataType):
+            pt = t
+        elif t is object or np.dtype(t).kind == "O":
+            pt = pa.string()  # pandas object column: string by convention
+        else:
+            pt = pa.from_numpy_dtype(t)
+        fields.append(pa.field(n, pt))
     return pa.schema(fields)
 
 

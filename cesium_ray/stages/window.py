@@ -41,10 +41,11 @@ def window_range_agg_pandas(
     window), ``w_vcnt`` (non-null values), ``w_vsum`` (exact), and
     ``w_vavg`` (NaN when the window holds no non-null value)."""
     if not len(df):
-        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in [
-            ("event_id", "int64"), (by, "int64"), (on, "datetime64[us]"),
-            ("w_cnt", "int64"), ("w_vcnt", "int64"),
-            ("w_vsum", "float64"), ("w_vavg", "float64")]})
+        out = df.drop(columns=[value], errors="ignore").copy()
+        for c, t in [("w_cnt", "int64"), ("w_vcnt", "int64"),
+                     ("w_vsum", "float64"), ("w_vavg", "float64")]:
+            out[c] = pd.Series(dtype=t)
+        return out
     t_us = df[on].to_numpy("datetime64[us]").astype(np.int64)
     codes, _ = pd.factorize(df[by])
     order = np.lexsort((t_us, codes))
@@ -96,7 +97,7 @@ def sessionize_pandas(
     duration_us)."""
     if not len(df):
         return pd.DataFrame({
-            by: pd.Series(dtype="int64"),
+            by: pd.Series(dtype=df[by].dtype if by in df else "int64"),
             "session_idx": pd.Series(dtype="int64"),
             "n_events": pd.Series(dtype="int64"),
             "session_start": pd.Series(dtype="datetime64[us]"),

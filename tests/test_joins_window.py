@@ -186,3 +186,30 @@ def test_stratified_sample_deterministic(ray_session):
         best = grp.event_id.to_numpy()[np.lexsort((grp.event_id, h))][0]
         got = a[(a.user_id == u) & (a.sample_rank == 1)].event_id.iloc[0]
         assert got == best
+
+
+def test_asof_join_string_keys(ray_session):
+    """by-column may be a string key (conv_id-style)."""
+    import pandas as pd
+
+    left = pd.DataFrame({
+        "event_id": np.arange(6),
+        "conv": ["a", "a", "b", "b", "c", "c"],
+        "ts": pd.to_datetime([5, 15, 5, 15, 5, 15],
+                             unit="s").astype("datetime64[us]"),
+    })
+    right = pd.DataFrame({
+        "conv": ["a", "b"],
+        "ts": pd.to_datetime([10, 4], unit="s").astype("datetime64[us]"),
+        "tag": np.array([100, 200], dtype="int64"),
+    })
+    from cesium_ray.stages.joins import asof_join
+
+    got = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        by="conv", left_on="ts", right_on="ts", right_vals=("tag",),
+        num_partitions=4,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # a@5 has no match; a@15 -> 100; b@5, b@15 -> 200; c -> none
+    assert got.event_id.tolist() == [1, 2, 3]
+    assert got.tag.tolist() == [100, 200, 200]
