@@ -970,6 +970,57 @@ FROM r WHERE sample_rank <= 5
 """
 
 
+# ------------------------------------------------ range join ★
+def q_range_join_busy(sf_dir):
+    """★-checked broadcast range join (stages/joins.py): events falling
+    inside the 20 busiest 5-minute windows (windows = top-20 minutes by
+    event count, deterministic (count DESC, minute) order; windows
+    overlap, so one event can match several).  The window set is built
+    by map-side partial counts (combiner before the driver-side top-k —
+    distinct minutes ≪ events), then broadcast; the left side streams
+    with no shuffle."""
+    from ..stages.joins import range_join_broadcast
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def minute_counts(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+             // 60_000_000) * 60_000_000
+        g = pd.DataFrame({"m": m}).groupby("m", as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    partial = ev.map_batches(minute_counts, batch_format="pandas").to_pandas()
+    mc = partial.groupby("m", as_index=False)["c"].sum()
+    top = mc.sort_values(["c", "m"], ascending=[False, True],
+                         kind="mergesort").head(20)
+    iv = pd.DataFrame({
+        "start": top["m"].to_numpy().astype("datetime64[us]"),
+        "end": (top["m"].to_numpy()
+                + 300_000_000).astype("datetime64[us]"),
+        "window_cnt": top["c"].to_numpy(np.int64),
+    })
+    out = range_join_broadcast(
+        ev, iv, on="ts", start_col="start", end_col="end",
+        carry=("window_cnt",),
+    ).to_pandas().rename(columns={"start_w": "window_start",
+                                  "window_cnt_w": "window_cnt"})
+    return (out.sort_values(["event_id", "window_start"])
+            .reset_index(drop=True))
+
+
+RANGE_JOIN_SQL = """
+WITH mc AS (
+  SELECT date_trunc('minute', ts) AS m, count(*) AS c
+  FROM events GROUP BY 1),
+topw AS (SELECT m, c FROM mc ORDER BY c DESC, m LIMIT 20)
+SELECT e.event_id, e.user_id, e.ts,
+       w.m AS window_start, w.c AS window_cnt
+FROM events e JOIN topw w
+  ON e.ts >= w.m AND e.ts < w.m + INTERVAL 5 MINUTE
+"""
+
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
@@ -996,6 +1047,7 @@ QUERIES = {
     "window_24h": q_window_24h,
     "sessionize": q_sessionize,
     "stratified_sample": q_stratified_sample,
+    "range_join_busy": q_range_join_busy,
 }
 
 ORACLE_SQL = {
@@ -1023,4 +1075,5 @@ ORACLE_SQL = {
     "window_24h": WINDOW_SQL,
     "sessionize": SESSIONIZE_SQL,
     "stratified_sample": STRATIFIED_SQL,
+    "range_join_busy": RANGE_JOIN_SQL,
 }

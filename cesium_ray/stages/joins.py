@@ -113,6 +113,39 @@ def asof_join_broadcast(
     return left_ds.map_batches(fn, batch_format="pandas")
 
 
+def range_join_broadcast(
+    left_ds: ray.data.Dataset,
+    intervals: pd.DataFrame,
+    on: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    carry: tuple = (),
+) -> ray.data.Dataset:
+    """Broadcast range join: one output row per (left row, interval)
+    with ``start ≤ on < end`` — intervals may overlap, so a row can
+    match several.  The interval table is dimension-sized (alert
+    windows, maintenance windows, experiment spans): ship it once via
+    ``ray.put`` and test membership vectorized per batch; the left side
+    streams with NO shuffle.  ``carry``: interval columns to attach."""
+    iv = intervals.reset_index(drop=True)
+    starts = _as_int_us(iv[start_col].to_numpy())
+    ends = _as_int_us(iv[end_col].to_numpy())
+    vals = {c: iv[c].to_numpy() for c in (start_col, *carry)}
+    ref = ray.put((starts, ends, vals))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        starts_, ends_, vals_ = ray.get(ref)
+        t = _as_int_us(df[on].to_numpy())
+        hit = (t[:, None] >= starts_[None, :]) & (t[:, None] < ends_[None, :])
+        ri, wi = np.nonzero(hit)
+        out = df.iloc[ri].reset_index(drop=True)
+        for c, v in vals_.items():
+            out[c + "_w"] = v[wi]
+        return out
+
+    return left_ds.map_batches(fn, batch_format="pandas")
+
+
 def asof_join(
     left_ds: ray.data.Dataset,
     right_ds: ray.data.Dataset,

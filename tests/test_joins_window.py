@@ -213,3 +213,27 @@ def test_asof_join_string_keys(ray_session):
     # a@5 has no match; a@15 -> 100; b@5, b@15 -> 200; c -> none
     assert got.event_id.tolist() == [1, 2, 3]
     assert got.tag.tolist() == [100, 200, 200]
+
+
+def test_range_join_broadcast_overlapping(ray_session):
+    """Overlapping intervals produce one row per (row, interval); rows
+    outside every interval are dropped; [start, end) bounds exact."""
+    import pandas as pd
+
+    left = pd.DataFrame({
+        "event_id": np.arange(4),
+        "ts": pd.to_datetime([5, 10, 14, 20], unit="s").astype("datetime64[us]"),
+    })
+    iv = pd.DataFrame({
+        "start": pd.to_datetime([4, 9], unit="s").astype("datetime64[us]"),
+        "end": pd.to_datetime([11, 15], unit="s").astype("datetime64[us]"),
+        "tag": np.array([1, 2], dtype="int64"),
+    })
+    from cesium_ray.stages.joins import range_join_broadcast
+
+    got = range_join_broadcast(
+        ray.data.from_pandas(left), iv, on="ts",
+        start_col="start", end_col="end", carry=("tag",),
+    ).to_pandas().sort_values(["event_id", "tag_w"]).reset_index(drop=True)
+    # ts=5 -> iv1; ts=10 -> both; ts=14 -> iv2; ts=20 -> none
+    assert list(zip(got.event_id, got.tag_w)) == [(0, 1), (1, 1), (1, 2), (2, 2)]
