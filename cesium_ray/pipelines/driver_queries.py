@@ -1021,6 +1021,37 @@ FROM events e JOIN topw w
 """
 
 
+# ------------------------------------------------------- pivot ★
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_event_types(sf_dir):
+    """★-checked pivot (stages/pivot.py): per-user wide row of
+    count + exact sum per event_type.  Map-side combiner partials →
+    one keyed exchange → vectorized widen."""
+    from ..stages.pivot import pivot_aggregate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+    out = pivot_aggregate(
+        ev, key="user_id", col="event_type", categories=_EVENT_TYPES,
+        value="value", value_scale=VALUE_SCALE, num_partitions=16,
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    return round6(out)
+
+
+def _pivot_sql() -> str:
+    cols = []
+    for t in _EVENT_TYPES:
+        cols.append(f"count(*) FILTER (event_type = '{t}') AS {t}_cnt")
+        cols.append(
+            "round(CAST(sum(CAST(round(value*100) AS BIGINT)) "
+            f"FILTER (event_type = '{t}') AS DOUBLE)/100.0, 6) AS {t}_vsum")
+    return ("SELECT user_id, " + ", ".join(cols)
+            + " FROM events GROUP BY user_id")
+
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
@@ -1048,6 +1079,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "stratified_sample": q_stratified_sample,
     "range_join_busy": q_range_join_busy,
+    "pivot_event_types": q_pivot_event_types,
 }
 
 ORACLE_SQL = {
@@ -1076,4 +1108,5 @@ ORACLE_SQL = {
     "sessionize": SESSIONIZE_SQL,
     "stratified_sample": STRATIFIED_SQL,
     "range_join_busy": RANGE_JOIN_SQL,
+    "pivot_event_types": _pivot_sql(),
 }

@@ -237,3 +237,30 @@ def test_range_join_broadcast_overlapping(ray_session):
     ).to_pandas().sort_values(["event_id", "tag_w"]).reset_index(drop=True)
     # ts=5 -> iv1; ts=10 -> both; ts=14 -> iv2; ts=20 -> none
     assert list(zip(got.event_id, got.tag_w)) == [(0, 1), (1, 1), (1, 2), (2, 2)]
+
+
+def test_pivot_aggregate_combiner(ray_session):
+    """Pivot: unseen categories give zero counts + NaN sums; partials
+    combine across batches exactly."""
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "event_type": ["a", "a", "b", "b", "b"],
+        "value": [1.25, 2.25, np.nan, 4.0, 5.5],
+    })
+    from cesium_ray.stages.pivot import pivot_aggregate
+
+    out = pivot_aggregate(
+        ray.data.from_pandas(df).repartition(3),
+        key="user_id", col="event_type", categories=("a", "b", "c"),
+        value="value", value_scale=100, num_partitions=2,
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert out.a_cnt.tolist() == [2, 0]
+    assert out.b_cnt.tolist() == [1, 2]
+    assert out.c_cnt.tolist() == [0, 0]
+    assert out.a_vsum.tolist()[0] == 3.5
+    assert np.isnan(out.a_vsum.iloc[1])
+    assert np.isnan(out.b_vsum.iloc[0])  # only-null value group -> NaN
+    assert out.b_vsum.iloc[1] == 9.5
+    assert np.isnan(out.c_vsum).all()
