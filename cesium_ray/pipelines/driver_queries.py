@@ -1052,6 +1052,39 @@ def _pivot_sql() -> str:
             + " FROM events GROUP BY user_id")
 
 
+# --------------------------------- histogram quantile sketch ★
+def q_sketch_quantiles(sf_dir):
+    """★-checked mergeable quantile sketch (stages/sketch.py): global
+    p50/p99 of events.value from fixed-bin histogram partials — ONE
+    streaming pass, only bin counts cross the wire (the 100-TB
+    approximate-quantile path; error ≤ bin_width), result bit-
+    reproducible by the same binning arithmetic in SQL."""
+    from ..stages.sketch import histogram_quantile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"])
+    return histogram_quantile(ev, value="value", lo=0.0, hi=1000.0,
+                              n_bins=20000, qs=(0.5, 0.99))
+
+
+SKETCH_SQL = """
+WITH b AS (
+  SELECT least(greatest(CAST(floor(value / (1000.0/20000)) AS BIGINT), 0),
+               19999) AS bin
+  FROM events WHERE value IS NOT NULL),
+c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+cum AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cm
+        FROM c),
+tot AS (SELECT count(*) AS total FROM b)
+SELECT (SELECT total FROM tot) AS total_cnt,
+       (1000.0/20000) AS bin_width,
+       (SELECT min(bin) FROM cum WHERE cm >= ceil(0.5 * (SELECT total FROM tot)))
+         * (1000.0/20000) AS p50_edge,
+       (SELECT min(bin) FROM cum WHERE cm >= ceil(0.99 * (SELECT total FROM tot)))
+         * (1000.0/20000) AS p99_edge
+"""
+
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
@@ -1080,6 +1113,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "range_join_busy": q_range_join_busy,
     "pivot_event_types": q_pivot_event_types,
+    "sketch_quantiles": q_sketch_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1109,4 +1143,5 @@ ORACLE_SQL = {
     "stratified_sample": STRATIFIED_SQL,
     "range_join_busy": RANGE_JOIN_SQL,
     "pivot_event_types": _pivot_sql(),
+    "sketch_quantiles": SKETCH_SQL,
 }

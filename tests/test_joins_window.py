@@ -264,3 +264,25 @@ def test_pivot_aggregate_combiner(ray_session):
     assert np.isnan(out.b_vsum.iloc[0])  # only-null value group -> NaN
     assert out.b_vsum.iloc[1] == 9.5
     assert np.isnan(out.c_vsum).all()
+
+
+def test_histogram_quantile_bound(ray_session):
+    """Sketch quantiles land within one bin width of the exact
+    quantile; partials merge across blocks; nulls skipped."""
+    import pandas as pd
+
+    rng = np.random.default_rng(4)
+    v = np.round(rng.gamma(2.0, 25.0, 20000), 2)
+    v[::31] = np.nan
+    df = pd.DataFrame({"value": v})
+    from cesium_ray.stages.sketch import histogram_quantile
+
+    out = histogram_quantile(
+        ray.data.from_pandas(df).repartition(7),
+        value="value", lo=0.0, hi=1000.0, n_bins=20000, qs=(0.5, 0.99))
+    ok = v[~np.isnan(v)]
+    assert out.total_cnt[0] == len(ok)
+    w = out.bin_width[0]
+    for q, c in ((0.5, "p50_edge"), (0.99, "p99_edge")):
+        exact = np.quantile(ok, q)
+        assert abs(out[c][0] - exact) <= w + 1e-9, (c, out[c][0], exact)
