@@ -37,12 +37,22 @@ def histogram_quantile(
         v = v[~np.isnan(v)]
         b = np.clip(np.floor((v - lo) / w).astype(np.int64), 0, n_bins - 1)
         counts = np.bincount(b, minlength=n_bins)
-        return pd.DataFrame({"bin": np.arange(n_bins, dtype=np.int64),
-                             "cnt": counts.astype(np.int64)})
+        nz = np.flatnonzero(counts)  # sparse partials: nonzero bins only
+        return pd.DataFrame({"bin": nz.astype(np.int64),
+                             "cnt": counts[nz].astype(np.int64)})
 
-    # partials are tiny (n_bins rows/batch): sum them on the driver
-    agg = (ds.map_batches(partial, batch_format="pandas").to_pandas()
-           .groupby("bin")["cnt"].sum())
+    # per-batch sparse partials merge through ONE bin-keyed hash
+    # exchange (group_apply — Ray's own groupby stalls on tens of
+    # thousands of groups in 2.49), so the driver only ever reads the
+    # ≤ n_bins merged rows, independent of batch count
+    from .partition import group_apply
+
+    merged = group_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        lambda df: df.groupby("bin", as_index=False)["cnt"].sum(),
+        num_partitions=8, key="bin",
+    ).to_pandas()
+    agg = merged.set_index("bin")["cnt"]
     counts = agg.reindex(np.arange(n_bins), fill_value=0).to_numpy(np.int64)
     total = int(counts.sum())
     cum = np.cumsum(counts)
