@@ -1085,6 +1085,37 @@ SELECT (SELECT total FROM tot) AS total_cnt,
 """
 
 
+# --------------------------------------- per-group arg-max ★
+def q_latest_event(sf_dir):
+    """★-checked per-group arg-max: each user's most recent event row
+    (tie on ts broken by larger event_id) — the top-1-per-key idiom as
+    one hash exchange + a vectorized first-of-sorted-group kernel."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"],
+                           ascending=[True, False, False],
+                           kind="mergesort")
+        return d.groupby("user_id", as_index=False, sort=False).first()
+
+    out = group_apply(ev, latest, num_partitions=16, key="user_id"
+                      ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    return round6(out)
+
+
+LATEST_SQL = """
+SELECT user_id, event_id, ts, event_type, round(value, 6) AS value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
@@ -1114,6 +1145,7 @@ QUERIES = {
     "range_join_busy": q_range_join_busy,
     "pivot_event_types": q_pivot_event_types,
     "sketch_quantiles": q_sketch_quantiles,
+    "latest_event": q_latest_event,
 }
 
 ORACLE_SQL = {
@@ -1144,4 +1176,5 @@ ORACLE_SQL = {
     "range_join_busy": RANGE_JOIN_SQL,
     "pivot_event_types": _pivot_sql(),
     "sketch_quantiles": SKETCH_SQL,
+    "latest_event": LATEST_SQL,
 }
