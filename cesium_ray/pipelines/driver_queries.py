@@ -1098,7 +1098,9 @@ def q_latest_event(sf_dir):
         d = df.sort_values(["user_id", "ts", "event_id"],
                            ascending=[True, False, False],
                            kind="mergesort")
-        return d.groupby("user_id", as_index=False, sort=False).first()
+        # drop_duplicates keeps the whole first ROW per key; groupby().first()
+        # would splice in the first NON-NULL per column across rows.
+        return d.drop_duplicates("user_id", keep="first").reset_index(drop=True)
 
     out = group_apply(ev, latest, num_partitions=16, key="user_id"
                       ).to_pandas().sort_values("user_id").reset_index(drop=True)

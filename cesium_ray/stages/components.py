@@ -281,6 +281,16 @@ def connected_components(
                         < old.to_numpy(np.int64)).astype(np.int64),
         })
 
+    def relabel(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [batch["node"].cast(pa.int64()),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             batch["label"].cast(pa.int64()),
+             pa.array(np.ones(n, dtype=np.uint8))],
+            schema=_MSG_SCHEMA)
+
+    changed = None
     for _ in range(max_iters):
         msgs = group_apply(labels.union(sym), propagate,
                            num_partitions=num_partitions, key="node")
@@ -289,18 +299,13 @@ def connected_components(
         changed = out.sum("changed")
         if not changed:
             break
-
-        def relabel(batch: pa.Table) -> pa.Table:
-            n = len(batch)
-            return pa.Table.from_arrays(
-                [batch["node"].cast(pa.int64()),
-                 pa.array(np.full(n, -1, dtype=np.int64)),
-                 batch["label"].cast(pa.int64()),
-                 pa.array(np.ones(n, dtype=np.uint8))],
-                schema=_MSG_SCHEMA)
-
         labels = out.drop_columns(["changed"]).map_batches(
             relabel, batch_format="pyarrow").materialize()
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — graph diameter exceeds "
+            f"max_iters; raise max_iters for this input")
     final = out.drop_columns(["changed"]).to_pandas()
     return (final.rename(columns={"label": "cluster"})
             .sort_values("node").reset_index(drop=True))

@@ -206,7 +206,15 @@ def asof_join(
 
     rv_names = [c + "_rv" for c in right_vals] + [right_on + "_r"]
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
+    # integer columns travel the exchange as Arrow nullable ints and
+    # land in pandas as Int64/Int32 extension arrays — no float64
+    # roundtrip (which silently corrupts ints > 2^53) and ONE stable
+    # output schema for every partition regardless of null patterns
+    _INT_MAP = {pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype(),
+                pa.int16(): pd.Int16Dtype(), pa.uint8(): pd.UInt8Dtype()}
+
+    def fn(tbl: pa.Table) -> pd.DataFrame:
+        df = tbl.to_pandas(types_mapper=_INT_MAP.get)
         l = df[df["_side"] == 0]
         r = df[df["_side"] == 1]
         l = l.sort_values("_on", kind="mergesort")
@@ -219,15 +227,23 @@ def asof_join(
         if how == "inner":
             out = out[out[right_on + "_r"].notna()]
         out = out.drop(columns=["_on"])
-        ren = {c + "_rv": c for c in right_vals}
-        out = out.rename(columns=ren)
-        # restore integer dtypes: the tagged union fills each side's
-        # missing columns with nulls, so int64 columns arrive as float
-        for c, want in [(c, rschema.field(c).type) for c in right_vals] + [
-            (c, lschema.field(c).type) for c in left_cols
-        ]:
-            if pa.types.is_integer(want) and out[c].notna().all():
+        out = out.rename(columns={c + "_rv": c for c in right_vals})
+        out = out.reset_index(drop=True)
+        # rule-based (data-independent) downcast so every partition
+        # emits the same schema: inner joins and left-side columns are
+        # non-null by construction → plain int64; right values under
+        # how="left" may be unmatched → stay nullable Int64.  A null in
+        # a supposedly non-null source column raises here (loudly)
+        # instead of silently flipping the column to float.
+        nullable_int = ("Int64", "Int32", "Int16", "UInt8")
+        for c in left_cols:
+            if str(out[c].dtype) in nullable_int:
                 out[c] = out[c].astype(np.int64)
-        return out.reset_index(drop=True)
+        if how == "inner":
+            for c in [*right_vals, right_on + "_r"]:
+                if str(out[c].dtype) in nullable_int:
+                    out[c] = out[c].astype(np.int64)
+        return out
 
-    return group_apply(both, fn, num_partitions=num_partitions, key=by)
+    return group_apply(both, fn, num_partitions=num_partitions, key=by,
+                       batch_format="pyarrow")

@@ -70,10 +70,14 @@ def group_apply(
     num_partitions: int = 64,
     key: str = "conv_id",
     salt_tier_s: int | None = None,
+    batch_format: str = "pandas",
     **map_groups_kw,
 ) -> ray.data.Dataset:
-    """Hash-partition by ``key`` and run ``fn(pandas_partition) ->
-    pandas`` once per partition (vectorized inside)."""
+    """Hash-partition by ``key`` and run ``fn(partition) -> block``
+    once per partition (vectorized inside).  ``batch_format="pyarrow"``
+    hands ``fn`` the partition as a ``pa.Table`` (no pandas conversion
+    — int-with-null columns keep their Arrow types instead of
+    float64-roundtripping)."""
     parted = with_partition(ds, num_partitions, key=key, salt_tier_s=salt_tier_s)
 
     if isinstance(fn, type):  # callable class → actor pool
@@ -86,10 +90,13 @@ def group_apply(
             ncpu = int(ray.cluster_resources().get("CPU", 4))
             hi = max(1, min(ncpu, num_partitions))
             map_groups_kw["concurrency"] = (max(1, hi // 2), hi)
+    elif batch_format == "pyarrow":
+        def wrapped(tbl: pa.Table) -> pa.Table:
+            return fn(tbl.drop_columns(["_part"]))
     else:
         def wrapped(df: pd.DataFrame) -> pd.DataFrame:
             return fn(df.drop(columns=["_part"]))
 
     return parted.groupby("_part").map_groups(
-        wrapped, batch_format="pandas", **map_groups_kw
+        wrapped, batch_format=batch_format, **map_groups_kw
     )

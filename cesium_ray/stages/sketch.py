@@ -59,9 +59,14 @@ def histogram_quantile(
     out = {"total_cnt": np.array([total], dtype=np.int64),
            "bin_width": np.array([w], dtype=np.float64)}
     for q in qs:
-        r = int(np.ceil(q * total)) if total else 0
-        r = max(r, 1) if total else 0
-        b = int(np.searchsorted(cum, r, side="left")) if total else 0
+        if total:
+            r = max(int(np.ceil(q * total)), 1)
+            b = int(np.searchsorted(cum, r, side="left"))
+            edge = lo + b * w
+        else:
+            # empty input: SQL oracle's min(bin) subquery yields NULL —
+            # emit NaN (pandas' NULL) so engine and oracle hash-match
+            edge = np.nan
         out[f"p{int(round(q * 100))}_edge"] = np.array(
-            [lo + b * w], dtype=np.float64)
+            [edge], dtype=np.float64)
     return pd.DataFrame(out)

@@ -78,19 +78,27 @@ class QualityScorer:
     one whole-token alternation regex; distinct-token counts via
     explode + grouped nunique."""
 
+    # Explicit ASCII character classes (not \S/\w/\s) so the engine's
+    # Python-regex semantics match DuckDB/RE2's ASCII-only classes in
+    # QUALITY_SQL on non-ASCII input (e.g. U+00A0, Unicode letters).
+    _WS = " \\t\\n\\r\\f\\v"
+    _NONWS = f"[^{_WS}]"
+    _WORDCH = "0-9A-Za-z_"
+
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        # whole-token stopword match: a token is a maximal \S+ run, so
-        # (?<!\S)word(?!\S) ≡ "token == word"
+        # whole-token stopword match: a token is a maximal nonws+ run,
+        # so (?<!nonws)word(?!nonws) ≡ "token == word"
         alt = "|".join(sorted(_LANG_PROFILES["en"]))
-        self.stop_re = re.compile(rf"(?<!\S)(?:{alt})(?!\S)")
-        self.word = re.compile(r"\S+")
+        self.stop_re = re.compile(
+            rf"(?<![^{self._WS}])(?:{alt})(?![^{self._WS}])")
+        self.word = re.compile(self._NONWS + "+")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         t = df[self.text_col].astype(str)
         n_chars = t.str.len().to_numpy(np.int64)
-        n_tok = t.str.count(r"\S+").to_numpy(np.int64)
-        nonws = t.str.count(r"\S").to_numpy(np.int64)
+        n_tok = t.str.count(self._NONWS + "+").to_numpy(np.int64)
+        nonws = t.str.count(self._NONWS).to_numpy(np.int64)
         out = pd.DataFrame(index=df.index)
         for c in df.columns:
             if c != self.text_col:
@@ -100,7 +108,9 @@ class QualityScorer:
         denom_c = np.maximum(n_chars, 1).astype(np.float64)
         denom_t = np.maximum(n_tok, 1).astype(np.float64)
         out["mean_word_len"] = np.where(n_tok > 0, nonws / denom_t, 0.0)
-        out["punct_ratio"] = t.str.count(r"[^\w\s]").to_numpy(np.float64) / denom_c
+        out["punct_ratio"] = (
+            t.str.count(f"[^{self._WORDCH}{self._WS}]").to_numpy(np.float64)
+            / denom_c)
         out["alpha_ratio"] = t.str.count(r"[A-Za-z]").to_numpy(np.float64) / denom_c
         out["stopword_ratio"] = (
             t.str.lower().str.count(self.stop_re).to_numpy(np.float64) / denom_t
