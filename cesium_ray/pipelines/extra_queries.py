@@ -406,6 +406,51 @@ def q_minhash_pairs(sf_dir):
     return round6(pairs.sort_values("doc_id").reset_index(drop=True))
 
 
+def q_minhash_exact_pairs(sf_dir):
+    """★-checked near-dup precision+recall: LSH candidates (r=2 rows ×
+    32 bands — per-pair miss probability at s=0.7 is (1−0.49)³² ≈
+    4e-10, deterministic under the seeded hashes) verified with EXACT
+    char-5-gram Jaccard ≥ 0.7.  The oracle enumerates ALL pairs with
+    exact Jaccard ≥ 0.7 (full O(n²) SQL), so a hash match proves the
+    engine's pair set has precision = recall = 1 on this corpus."""
+    from ..stages.dedup import lsh_exact_near_dup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = lsh_exact_near_dup(
+        docs, k=5, jaccard_threshold=0.7, num_perm=64, bands=32,
+        num_partitions=8,
+    ).to_pandas()
+    return round6(
+        pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+MINHASH_EXACT_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(text, i, 5) AS g
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+    FROM documents
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT ia AS id_a, ib AS id_b,
+         CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jac
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.ia
+               JOIN sizes sb ON sb.doc_id = i.ib
+)
+SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.7
+"""
+
+
 def q_simhash_fingerprint(sf_dir):
     """SimHash64 + winnowing fingerprint per document (rows-only:
     blake2b-based).  Deterministic across processes by construction
@@ -676,6 +721,7 @@ EXTRA_QUERIES = {
     "jaccard_topk": q_jaccard_topk,
     "quality_scores": q_quality_scores,
     "minhash_pairs": q_minhash_pairs,
+    "minhash_exact_pairs": q_minhash_exact_pairs,
     "simhash_fingerprint": q_simhash_fingerprint,
     "impute_features": q_impute_features,
     "knn_lsh": q_knn_lsh,
@@ -690,6 +736,7 @@ EXTRA_ORACLE_SQL = {
     "codec_chunks": CODEC_SQL,
     "knn_cosine": KNN_SQL,
     "jaccard_topk": JACCARD_SQL,
+    "minhash_exact_pairs": MINHASH_EXACT_SQL,
     "quality_scores": QUALITY_SQL,
     "impute_features": IMPUTE_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,

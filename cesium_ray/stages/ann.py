@@ -97,7 +97,12 @@ def _kmeans_fit(X: np.ndarray, n_centroids: int, seed: int, n_iter: int = 10) ->
     n = len(X)
     C = X[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
     for _ in range(n_iter):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1) if len(X) * len(C) < 2_000_000 \
+        # points × centroids × dim bounds the broadcast tensor — at
+        # 10k×64×64 it is a 327 MB alloc PER ITERATION (measured 26 s
+        # of page faults); the gemm form is O(points·dim·centroids)
+        # flops with no giant intermediate
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1) \
+            if len(X) * len(C) * X.shape[1] < 2_000_000 \
             else (X**2).sum(1)[:, None] - 2 * X @ C.T + (C**2).sum(1)[None, :]
         assign = d2.argmin(1)
         for ci in range(len(C)):
@@ -124,14 +129,20 @@ def ivf_topk(
     num_partitions: int = 16,
 ) -> pd.DataFrame:
     """IVF-style ANN: a seeded k-means coarse quantizer (trained once
-    on a bounded sample), inverted lists built by a broadcast-assign
-    ``map_batches`` stage, queries probe their ``n_probe`` nearest
+    on a bounded sample), queries probe their ``n_probe`` nearest
     centroids, exact cosine re-rank inside the probed lists only.
 
-    The 100-TB shape: the train sample and centroid matrix are tiny
-    and broadcast (``ray.put``); the corpus is touched in ONE
-    streaming assign pass + one bucket-grouped scoring pass over
-    probed lists (fraction ≈ n_probe / n_centroids of the data)."""
+    One-shot shape (this function): assign + probe-scan fused in ONE
+    streaming ``map_batches`` pass — each batch assigns its rows to
+    centroids, scores only the rows whose centroid some query probes
+    against exactly those queries, and emits a per-batch partial top-k
+    (≤ k+1 rows per (query, batch)).  NO corpus exchange: the only
+    data movement is the tiny top-k partials.  Compute is the IVF win
+    (scan fraction ≈ n_probe / n_centroids of each batch); a persisted
+    inverted-list index (hash-partition by centroid once, reuse across
+    many query rounds) only pays off when the same corpus serves many
+    query batches — that variant is the bucket-grouped ``group_apply``
+    this code used before and is deliberately not the default."""
     Q = np.asarray(queries, dtype=np.float64)
     qids = np.asarray(query_ids)
     sample = ds.select_columns([emb_col]).limit(train_sample).to_pandas()
@@ -147,44 +158,42 @@ def ivf_topk(
             probe.setdefault(int(c), []).append(qi)
     ref = ray.put((Cn, probe, qids, Qn))
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        cn, _, _, _ = ray.get(ref)
+    _EMPTY = {"query_id": pd.Series(dtype="int64"),
+              "vec_id": pd.Series(dtype="int64"),
+              "sim": pd.Series(dtype="float64")}
+
+    def assign_scan(df: pd.DataFrame) -> pd.DataFrame:
+        cn, probe_, qids_, qn = ray.get(ref)
         X = _normalize(_stack(df[emb_col]))
         cid = (X @ cn.T).argmax(1)
-        return pd.DataFrame(
-            {"centroid": cid.astype(np.int64),
-             id_col: df[id_col].to_numpy(),
-             emb_col: df[emb_col]}
-        )
-
-    lists = ds.select_columns([id_col, emb_col]).map_batches(
-        assign, batch_format="pandas"
-    )
-
-    def list_scan(df: pd.DataFrame) -> pd.DataFrame:
-        _, probe_, qids_, qn = ray.get(ref)
-        frames = []
-        for c, grp in df.groupby("centroid", sort=False):
-            qidx = probe_.get(int(c))
+        vid = df[id_col].to_numpy()
+        order_c = np.argsort(cid, kind="stable")
+        cs = cid[order_c]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        ends = np.r_[starts[1:], len(cs)]
+        q_out, v_out, s_out = [], [], []
+        for s, e in zip(starts, ends):
+            qidx = probe_.get(int(cs[s]))
             if not qidx:
-                continue
-            X = _normalize(_stack(grp[emb_col]))
-            vid = grp[id_col].to_numpy()
-            sims = X @ qn[qidx].T
+                continue  # unprobed list: rows never scored or shipped
+            rows = order_c[s:e]
+            sims = X[rows] @ qn[qidx].T
+            v = vid[rows]
             for j, qi in enumerate(qidx):
-                s = sims[:, j]
-                order = np.lexsort((vid, -s))[: k + 1]
-                frames.append(pd.DataFrame(
-                    {"query_id": qids_[qi], "vec_id": vid[order], "sim": s[order]}
-                ))
-        if not frames:
-            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                 "vec_id": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
-        return pd.concat(frames, ignore_index=True)
+                sc = sims[:, j]
+                top = np.lexsort((v, -sc))[: k + 1]
+                q_out.append(np.full(len(top), qids_[qi], dtype=np.int64))
+                v_out.append(v[top])
+                s_out.append(sc[top])
+        if not q_out:
+            return pd.DataFrame(_EMPTY)
+        return pd.DataFrame({"query_id": np.concatenate(q_out),
+                             "vec_id": np.concatenate(v_out),
+                             "sim": np.concatenate(s_out)})
 
-    cand = group_apply(lists, list_scan, num_partitions=num_partitions,
-                       key="centroid").to_pandas()
+    cand = ds.select_columns([id_col, emb_col]).map_batches(
+        assign_scan, batch_format="pandas"
+    ).to_pandas()
     if exclude_self:
         cand = cand[cand.query_id != cand.vec_id]
     cand = cand.drop_duplicates(["query_id", "vec_id"])

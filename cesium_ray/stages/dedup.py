@@ -244,6 +244,26 @@ def minhash_lsh_dedup(
 
     Returns a dataset of ``(doc_id, dup_of, est_jaccard)`` pairs
     (doc_id > dup_of) whose estimated Jaccard ≥ threshold."""
+    sigs, pairs = _lsh_candidates(
+        ds, num_perm=num_perm, bands=bands, k=k, text_col=text_col,
+        id_col=id_col, num_partitions=num_partitions,
+        concurrency=concurrency, max_bucket=max_bucket)
+    return _verify_estimate(sigs, pairs, num_perm, jaccard_threshold, id_col)
+
+
+def _lsh_candidates(
+    ds: ray.data.Dataset,
+    num_perm: int,
+    bands: int,
+    k: int,
+    text_col: str,
+    id_col: str,
+    num_partitions: int,
+    concurrency,
+    max_bucket: int,
+):
+    """Shared LSH candidate generation: signatures (materialized once)
+    + globally-deduped candidate ``(a, b)`` pair dataset (a < b)."""
     rows_per_band = num_perm // bands
     # elastic task pool: the hasher's state (two num_perm coefficient
     # arrays) costs microseconds to build, so a width-capped actor
@@ -253,7 +273,7 @@ def minhash_lsh_dedup(
     sigs = ds.select_columns([id_col, text_col]).map_batches(
         mh, batch_format="pandas", **kw
     )
-    # the signature table feeds THREE consumers (band explode + both
+    # the signature table feeds multiple consumers (band explode +
     # verify joins): materialize once — num_perm·8 B/doc in the object
     # store (spillable) — instead of re-running the shingle/minhash
     # pass per consumer (measured 4× the whole pipeline otherwise)
@@ -314,7 +334,11 @@ def minhash_lsh_dedup(
     pairs = group_apply(pairs, lambda df: df.drop_duplicates(["a", "b"]),
                         num_partitions=8, key="a")
     pairs = pairs.materialize()  # small candidate set, read by both joins
+    return sigs, pairs
 
+
+def _verify_estimate(sigs, pairs, num_perm, jaccard_threshold, id_col):
+    """Signature-estimate verification of LSH candidate pairs."""
     # broadcast semi-join filter: the candidate doc-id set is tiny
     # relative to the corpus, so ship it once (ray.put) and drop
     # non-candidate sig rows MAP-SIDE — the verify exchanges then carry
@@ -394,6 +418,95 @@ def minhash_lsh_dedup(
         ).first()
 
     return group_apply(verified, final, num_partitions=8, key=id_col)
+
+
+def lsh_exact_near_dup(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    jaccard_threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+    concurrency=None,
+    max_bucket: int = 1024,
+) -> ray.data.Dataset:
+    """Exact-verified near-dup pairs: LSH proposes candidates, exact
+    char-``k``-gram Jaccard (the ``ngram_jaccard`` kernel) keeps pairs
+    ≥ threshold.  With the default r=2 rows/band × 32 bands the
+    per-pair miss probability at s=0.7 is (1−0.7²)³² ≈ 4e-10, so the
+    result equals the full O(n²) enumeration — which is what the SQL
+    oracle computes — making BOTH recall and precision driver-checked
+    (the estimate-based ``minhash_lsh_dedup`` stays rows-only).
+
+    Texts are attached to the (small) candidate pair set by the same
+    two keyed co-group merges the signature verify uses — only
+    candidate docs' texts enter the exchanges, never the corpus.
+    Returns ``(id_a < id_b, jaccard)``."""
+    _, pairs = _lsh_candidates(
+        ds, num_perm=num_perm, bands=bands, k=k, text_col=text_col,
+        id_col=id_col, num_partitions=num_partitions,
+        concurrency=concurrency, max_bucket=max_bucket)
+    cand_df = pairs.to_pandas()
+    cand_ref = ray.put((np.unique(cand_df["a"].to_numpy()),
+                        np.unique(cand_df["b"].to_numpy())))
+    docs = ds.select_columns([id_col, text_col])
+
+    def _text_rows(key, other, txt_col, extra=(), side=0):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            cand = ray.get(cand_ref)[side]
+            keep = np.isin(df[id_col].to_numpy(), cand)
+            df = df[keep]
+            out = {key: df[id_col].to_numpy(),
+                   other: np.full(len(df), -1, dtype=np.int64)}
+            for c in extra:
+                out[c] = ""
+            out[txt_col] = df[text_col].to_numpy()
+            out["_is_doc"] = np.ones(len(df), dtype=bool)
+            return pd.DataFrame(out)
+        return fn
+
+    def _tmerge(key, other, txt_col, carry=()):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            s = df[df["_is_doc"]]
+            p = df[~df["_is_doc"]]
+            return p[[key, other, *carry]].merge(
+                s[[key, txt_col]], on=key, how="inner")
+        return fn
+
+    pair_rows = pairs.map_batches(
+        lambda df: df.assign(text_a="", _is_doc=False), batch_format="pandas")
+    u1 = docs.map_batches(_text_rows("a", "b", "text_a", side=0),
+                          batch_format="pandas").union(pair_rows)
+    with_a = group_apply(u1, _tmerge("a", "b", "text_a"),
+                         num_partitions=8, key="a")
+    pair_rows2 = with_a.map_batches(
+        lambda df: df.assign(text_b="", _is_doc=False), batch_format="pandas")
+    u2 = docs.map_batches(
+        _text_rows("b", "a", "text_b", extra=("text_a",), side=1),
+        batch_format="pandas",
+    ).union(pair_rows2.map_batches(
+        lambda df: df[["b", "a", "text_a", "text_b", "_is_doc"]],
+        batch_format="pandas"))
+    j = group_apply(u2, _tmerge("b", "a", "text_b", carry=("text_a",)),
+                    num_partitions=8, key="b")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64")})
+        jac = np.fromiter(
+            (ngram_jaccard(a_, b_, k)
+             for a_, b_ in zip(df["text_a"], df["text_b"])),
+            dtype=np.float64, count=len(df))
+        out = pd.DataFrame({"id_a": df["a"].to_numpy(np.int64),
+                            "id_b": df["b"].to_numpy(np.int64),
+                            "jaccard": jac})
+        return out[out.jaccard >= jaccard_threshold]
+
+    return j.map_batches(verify, batch_format="pandas")
 
 
 _BIT_IDX = np.arange(64, dtype=np.uint64)
@@ -561,12 +674,15 @@ def embedding_near_dup(
     """Embedding-cosine near-duplicate pairs ``(id_a < id_b, sim)``
     with cosine ≥ threshold.
 
-    ``exact=True`` (the oracle-checkable baseline): broadcast the full
-    normalized matrix once (``ray.put``), stream the corpus, per-batch
-    matmul against the broadcast side, emit only above-threshold pairs
-    with id_a < id_b.  O(n²/P) compute but one broadcast + one
-    streaming pass — correct while the matrix fits object-store memory
-    (10⁶×256-d float32 ≈ 1 GB; beyond that use ``exact=False``).
+    ``exact=True`` (the oracle-checkable baseline): broadcast the
+    corpus in CHUNKS — the driver streams ``iter_batches`` (one chunk
+    resident at a time, never the whole table), ``ray.put``s each
+    normalized (ids, matrix) chunk, and the scoring pass matmuls every
+    batch against each chunk ref (zero-copy reads from the object
+    store, which spills as needed).  O(n²/P) compute, no driver-side
+    full materialization; correct while the normalized corpus fits the
+    cluster-wide object store (10⁶×256-d float32 ≈ 1 GB; beyond that
+    use ``exact=False``).
 
     ``exact=False`` (the 100-TB path): LSH-bucket co-location (random
     hyperplanes, seeded per actor) and exact re-ranking inside each
@@ -576,32 +692,42 @@ def embedding_near_dup(
 
     if exact:
         import pandas as _pd
-
-        all_df = ds.select_columns([id_col, emb_col]).to_pandas()
         from .ann import _stack
-        X = _stack(all_df[emb_col])
-        norms = np.linalg.norm(X, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        Xn = X / norms
-        ids = all_df[id_col].to_numpy()
-        ref = _ray.put((ids, Xn))
+
+        def _norm_chunk(df: _pd.DataFrame):
+            X = _stack(df[emb_col])
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            return df[id_col].to_numpy().copy(), X / norms
+
+        chunk_refs = [
+            _ray.put(_norm_chunk(chunk))
+            for chunk in ds.select_columns([id_col, emb_col]).iter_batches(
+                batch_size=65536, batch_format="pandas")
+        ]
 
         def score(df: _pd.DataFrame) -> _pd.DataFrame:
-            all_ids, xn = _ray.get(ref)
-            from .ann import _stack
             B = _stack(df[emb_col])
             bn = np.linalg.norm(B, axis=1, keepdims=True)
             bn[bn == 0] = 1.0
-            sims = (B / bn) @ xn.T  # (batch, n)
+            Bn = B / bn
             bid = df[id_col].to_numpy()
-            hit_b, hit_a = np.nonzero(sims >= threshold)
-            a, b = bid[hit_b], all_ids[hit_a]
-            keep = a < b  # each unordered pair once, self excluded
-            return _pd.DataFrame(
-                {"id_a": a[keep].astype(np.int64),
-                 "id_b": b[keep].astype(np.int64),
-                 "sim": sims[hit_b, hit_a][keep].astype(np.float64)}
-            )
+            frames = []
+            for cref in chunk_refs:
+                all_ids, xn = _ray.get(cref)  # zero-copy local read
+                sims = Bn @ xn.T  # (batch, chunk)
+                hit_b, hit_a = np.nonzero(sims >= threshold)
+                a, b = bid[hit_b], all_ids[hit_a]
+                keep = a < b  # each unordered pair once, self excluded
+                frames.append(_pd.DataFrame(
+                    {"id_a": a[keep].astype(np.int64),
+                     "id_b": b[keep].astype(np.int64),
+                     "sim": sims[hit_b, hit_a][keep].astype(np.float64)}))
+            if not frames:
+                return _pd.DataFrame({"id_a": _pd.Series(dtype="int64"),
+                                      "id_b": _pd.Series(dtype="int64"),
+                                      "sim": _pd.Series(dtype="float64")})
+            return _pd.concat(frames, ignore_index=True)
 
         return ds.select_columns([id_col, emb_col]).map_batches(
             score, batch_format="pandas"
