@@ -491,6 +491,10 @@ def run_scaling():
             # constants (startup, barrier) don't mask the scalable work
             GRAFT_BENCH_TURNS=os.environ.get("GRAFT_SCALING_TURNS", "2000000"),
         )
+        # steady-state at BOTH levels: the cold first-touch penalty is
+        # an absolute cost (pages touched, not CPUs), so without a
+        # warmup pass it deflates the high-CPU side's efficiency
+        env.setdefault("GRAFT_BENCH_WARMUP", "1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -451,6 +451,43 @@ SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.7
 """
 
 
+def q_substring_dups(sf_dir):
+    """★-checked substring dedup: document pairs sharing a common
+    substring of ≥ 50 characters, with the count of distinct shared
+    50-grams.  Candidates come from winnowed Rabin-Karp fingerprints
+    (recall 1 for runs ≥ 50 by the winnowing guarantee), verification
+    is the exact dual-hash 50-gram set intersection; the oracle is the
+    full 50-gram self-join, so the hash check proves precision AND
+    recall on this corpus."""
+    from ..stages.dedup import substring_dup_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = substring_dup_pairs(
+        docs, min_len=50, window=8, num_partitions=8
+    ).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SUBSTRING_SQL = """
+WITH g AS (
+  SELECT DISTINCT doc_id, substring(text, i, 50) AS g
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - 49)) AS i
+    FROM documents
+  )
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared FROM p
+"""
+
+
 def q_simhash_fingerprint(sf_dir):
     """SimHash64 + winnowing fingerprint per document (rows-only:
     blake2b-based).  Deterministic across processes by construction
@@ -722,6 +759,7 @@ EXTRA_QUERIES = {
     "quality_scores": q_quality_scores,
     "minhash_pairs": q_minhash_pairs,
     "minhash_exact_pairs": q_minhash_exact_pairs,
+    "substring_dups": q_substring_dups,
     "simhash_fingerprint": q_simhash_fingerprint,
     "impute_features": q_impute_features,
     "knn_lsh": q_knn_lsh,
@@ -737,6 +775,7 @@ EXTRA_ORACLE_SQL = {
     "knn_cosine": KNN_SQL,
     "jaccard_topk": JACCARD_SQL,
     "minhash_exact_pairs": MINHASH_EXACT_SQL,
+    "substring_dups": SUBSTRING_SQL,
     "quality_scores": QUALITY_SQL,
     "impute_features": IMPUTE_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,

@@ -420,34 +420,18 @@ def _verify_estimate(sigs, pairs, num_perm, jaccard_threshold, id_col):
     return group_apply(verified, final, num_partitions=8, key=id_col)
 
 
-def lsh_exact_near_dup(
+def attach_pair_texts(
+    pairs: ray.data.Dataset,
     ds: ray.data.Dataset,
-    k: int = 5,
-    jaccard_threshold: float = 0.7,
-    num_perm: int = 64,
-    bands: int = 32,
-    text_col: str = "text",
     id_col: str = "doc_id",
-    num_partitions: int = 32,
-    concurrency=None,
-    max_bucket: int = 1024,
+    text_col: str = "text",
 ) -> ray.data.Dataset:
-    """Exact-verified near-dup pairs: LSH proposes candidates, exact
-    char-``k``-gram Jaccard (the ``ngram_jaccard`` kernel) keeps pairs
-    ≥ threshold.  With the default r=2 rows/band × 32 bands the
-    per-pair miss probability at s=0.7 is (1−0.7²)³² ≈ 4e-10, so the
-    result equals the full O(n²) enumeration — which is what the SQL
-    oracle computes — making BOTH recall and precision driver-checked
-    (the estimate-based ``minhash_lsh_dedup`` stays rows-only).
-
-    Texts are attached to the (small) candidate pair set by the same
-    two keyed co-group merges the signature verify uses — only
-    candidate docs' texts enter the exchanges, never the corpus.
-    Returns ``(id_a < id_b, jaccard)``."""
-    _, pairs = _lsh_candidates(
-        ds, num_perm=num_perm, bands=bands, k=k, text_col=text_col,
-        id_col=id_col, num_partitions=num_partitions,
-        concurrency=concurrency, max_bucket=max_bucket)
+    """Attach both documents' texts to a (small) candidate pair set
+    ``(a, b)`` → ``(a, b, text_a, text_b)``: broadcast the candidate
+    id sets (``ray.put``), drop non-candidate docs MAP-SIDE, then two
+    keyed co-group merges — only candidate docs' texts ever enter an
+    exchange, never the corpus."""
+    pairs = pairs.materialize()
     cand_df = pairs.to_pandas()
     cand_ref = ray.put((np.unique(cand_df["a"].to_numpy()),
                         np.unique(cand_df["b"].to_numpy())))
@@ -489,8 +473,39 @@ def lsh_exact_near_dup(
     ).union(pair_rows2.map_batches(
         lambda df: df[["b", "a", "text_a", "text_b", "_is_doc"]],
         batch_format="pandas"))
-    j = group_apply(u2, _tmerge("b", "a", "text_b", carry=("text_a",)),
-                    num_partitions=8, key="b")
+    return group_apply(u2, _tmerge("b", "a", "text_b", carry=("text_a",)),
+                       num_partitions=8, key="b")
+
+
+def lsh_exact_near_dup(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    jaccard_threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+    concurrency=None,
+    max_bucket: int = 1024,
+) -> ray.data.Dataset:
+    """Exact-verified near-dup pairs: LSH proposes candidates, exact
+    char-``k``-gram Jaccard (the ``ngram_jaccard`` kernel) keeps pairs
+    ≥ threshold.  With the default r=2 rows/band × 32 bands the
+    per-pair miss probability at s=0.7 is (1−0.7²)³² ≈ 4e-10, so the
+    result equals the full O(n²) enumeration — which is what the SQL
+    oracle computes — making BOTH recall and precision driver-checked
+    (the estimate-based ``minhash_lsh_dedup`` stays rows-only).
+
+    Texts are attached to the (small) candidate pair set by the same
+    two keyed co-group merges the signature verify uses — only
+    candidate docs' texts enter the exchanges, never the corpus.
+    Returns ``(id_a < id_b, jaccard)``."""
+    _, pairs = _lsh_candidates(
+        ds, num_perm=num_perm, bands=bands, k=k, text_col=text_col,
+        id_col=id_col, num_partitions=num_partitions,
+        concurrency=concurrency, max_bucket=max_bucket)
+    j = attach_pair_texts(pairs, ds, id_col=id_col, text_col=text_col)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -775,6 +790,184 @@ def embedding_near_dup(
                         key="bucket")
     return group_apply(pairs, lambda df: df.drop_duplicates(["id_a", "id_b"]),
                        num_partitions=8, key="id_a")
+
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _lgram_hash_set(cp: np.ndarray, L: int) -> np.ndarray:
+    """Distinct dual-64-bit hashes of every ``L``-code-point window of
+    one document, as a structured (u8, u8) array sorted for set ops."""
+    from .components import _B1, _B1_INV, _B2, _B2_INV, _window_poly_hash
+
+    if len(cp) < L:
+        return np.empty(0, dtype=[("a", "<u8"), ("b", "<u8")])
+    starts = np.arange(len(cp) - L + 1, dtype=np.int64)
+    wl = np.full(len(starts), L, dtype=np.int64)
+    h1 = _window_poly_hash(cp, starts, wl, _B1, _B1_INV)
+    h2 = _window_poly_hash(cp, starts, wl, _B2, _B2_INV)
+    out = np.empty(len(h1), dtype=[("a", "<u8"), ("b", "<u8")])
+    out["a"], out["b"] = h1, h2
+    return np.unique(out)
+
+
+def substring_dup_pairs(
+    ds: ray.data.Dataset,
+    min_len: int = 50,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+    max_docs: int = 100_000,
+) -> ray.data.Dataset:
+    """Substring (suffix-window) dedup: pairs of documents sharing a
+    common substring of ≥ ``min_len`` characters, with the count of
+    distinct shared ``min_len``-grams — the training-data dedup flavor
+    of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better"), expressed Ray-Data-first instead of via a global
+    suffix array.
+
+    Candidates: winnowing (Schleimer et al., SIGMOD 2003) over
+    ``k``-gram Rabin-Karp hashes with ``k = min_len − window + 1`` —
+    each length-``window`` run of gram hashes contributes its minimum,
+    so any shared run of ≥ k + window − 1 = min_len chars shares a
+    selected fingerprint (recall 1 by the winnowing guarantee, hash
+    ties aside at ~2⁻⁶⁴), at ~2/(window+1) of full gram density.  The
+    sliding minima are computed batch-vectorized: docs' gram hashes
+    concatenate with ``window−1`` sentinel MAX values between docs,
+    forward window-min F then backward window-MAX-of-F B are
+    2(window−1) shifted minimum/maximum passes, and position i is
+    selected iff ``h[i] == B[i]`` (≡ some covering window's min is
+    h[i]; doc-boundary windows are effectively truncated, selecting a
+    superset of standard winnowing — recall preserved).
+
+    Verification: candidate pairs get texts attached (broadcast
+    semi-join — only candidate texts move) and the exact count of
+    distinct shared ``min_len``-gram dual hashes is computed per pair;
+    pairs with count ≥ 1 are returned.  Output matches the SQL
+    ``min_len``-gram self-join exactly (dual-64-bit hash equality ≡
+    string equality at ~2⁻¹²⁸, the repo's content-hash convention).
+
+    ``max_docs`` caps the per-fingerprint bucket fan-out (candidate
+    pairs per bucket is O(B²)); buckets above it are DROPPED, which
+    sacrifices recall on boilerplate shared by huge doc sets — leave
+    at the default for oracle-exact runs on corpora without such
+    grams.  Returns ``(id_a < id_b, n_shared)``."""
+    from .components import _B1, _B1_INV, _B2, _B2_INV, _window_poly_hash
+
+    k = min_len - window + 1
+    w = window
+
+    def fingerprints(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "h1": pd.Series(dtype="uint64"),
+                              "h2": pd.Series(dtype="uint64")})
+        texts = [str(t) for t in df[text_col]]
+        ids = df[id_col].to_numpy(np.int64)
+        enc = [t.encode("utf-32-le") for t in texts]
+        lens = np.fromiter((len(e) >> 2 for e in enc), dtype=np.int64,
+                           count=len(enc))
+        keep = lens >= min_len  # shorter docs have no min_len-gram
+        if not keep.any():
+            return empty
+        enc = [e for e, kp in zip(enc, keep) if kp]
+        ids, lens = ids[keep], lens[keep]
+        cp = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.uint64)
+        n_grams = lens - (k - 1)
+        doc_starts = np.r_[0, np.cumsum(lens)[:-1]]
+        gram_off = np.r_[0, np.cumsum(n_grams)[:-1]]
+        starts = (np.repeat(doc_starts, n_grams)
+                  + np.arange(n_grams.sum()) - np.repeat(gram_off, n_grams))
+        wl = np.full(len(starts), k, dtype=np.int64)
+        h1 = _window_poly_hash(cp, starts, wl, _B1, _B1_INV)
+        h2 = _window_poly_hash(cp, starts, wl, _B2, _B2_INV)
+        # pad with w-1 sentinels between docs so no window-min crosses
+        # a doc boundary
+        nd = len(lens)
+        pad_off = gram_off + (w - 1) * np.arange(nd)
+        pad_len = int(n_grams.sum() + (w - 1) * nd)
+        pos = (np.repeat(pad_off, n_grams)
+               + np.arange(n_grams.sum()) - np.repeat(gram_off, n_grams))
+        ph = np.full(pad_len, _U64_MAX, dtype=np.uint64)
+        ph[pos] = h1
+        F = ph.copy()
+        for sh in range(1, w):
+            np.minimum(F[:-sh], ph[sh:], out=F[:-sh])
+        # i is selected iff SOME window covering i has min == h[i];
+        # every covering window's min is ≤ h[i], so that is h[i] ==
+        # max over covering windows' mins (backward window-MAX of F)
+        B = F.copy()
+        for sh in range(1, w):
+            np.maximum(B[sh:], F[:-sh], out=B[sh:])
+        sel = ph[pos] == B[pos]
+        out = pd.DataFrame({
+            id_col: np.repeat(ids, n_grams)[sel],
+            "h1": h1[sel], "h2": h2[sel],
+        })
+        return out.drop_duplicates([id_col, "h1", "h2"])
+
+    fps = ds.select_columns([id_col, text_col]).map_batches(
+        fingerprints, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        d = df.sort_values(["h1", "h2", id_col], kind="mergesort")
+        a1, a2 = d["h1"].to_numpy(), d["h2"].to_numpy()
+        ids = d[id_col].to_numpy()
+        change = np.r_[True, (a1[1:] != a1[:-1]) | (a2[1:] != a2[:-1])]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(d)]
+        sizes = ends - starts
+        keep = (sizes >= 2) & (sizes <= max_docs)
+        A, B = [], []
+        for s, e in zip(starts[keep], ends[keep]):
+            g = ids[s:e]
+            iu, ju = np.triu_indices(e - s, k=1)
+            A.append(g[iu])
+            B.append(g[ju])
+        if not A:
+            return empty
+        out = pd.DataFrame({"a": np.concatenate(A), "b": np.concatenate(B)})
+        out = out[out.a != out.b]  # same doc twice in a bucket: skip
+        return out.drop_duplicates(["a", "b"])
+
+    pairs = group_apply(fps, bucket_pairs, num_partitions=num_partitions,
+                        key="h1")
+    pairs = group_apply(pairs, lambda df: df.drop_duplicates(["a", "b"]),
+                        num_partitions=8, key="a")
+    j = attach_pair_texts(pairs, ds, id_col=id_col, text_col=text_col)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "n_shared": pd.Series(dtype="int64")})
+        # gram-hash sets are recomputed per distinct doc once per batch
+        cache: dict = {}
+
+        def gset(i, t):
+            if i not in cache:
+                cp = np.frombuffer(
+                    str(t).encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                cache[i] = _lgram_hash_set(cp, min_len)
+            return cache[i]
+
+        ns = np.fromiter(
+            (len(np.intersect1d(gset(a_, ta), gset(b_, tb),
+                                assume_unique=True))
+             for a_, b_, ta, tb in zip(df["a"], df["b"],
+                                       df["text_a"], df["text_b"])),
+            dtype=np.int64, count=len(df))
+        out = pd.DataFrame({"id_a": df["a"].to_numpy(np.int64),
+                            "id_b": df["b"].to_numpy(np.int64),
+                            "n_shared": ns})
+        return out[out.n_shared > 0]
+
+    return j.map_batches(verify, batch_format="pandas")
 
 
 def fingerprint_stage(

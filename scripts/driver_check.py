@@ -22,7 +22,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(cols, kind="mergesort").reset_index(drop=True)
 
 
-def main(sf="/root/testdata/sf0.01"):
+def main(sf="/root/testdata/sf0.01", only=None):
     import ray
 
     ray.init(address="local", num_cpus=16, include_dashboard=False,
@@ -33,10 +33,11 @@ def main(sf="/root/testdata/sf0.01"):
 
     import __ray_entry__ as E
 
-    t0 = time.time()
-    m = E.entry()
-    print(f"entry(): {len(m)} rows in {time.time()-t0:.1f}s; "
-          f"turns={m.rows_in.sum()}, rollup_rows={m.rollup_rows.sum()}")
+    if only is None:
+        t0 = time.time()
+        m = E.entry()
+        print(f"entry(): {len(m)} rows in {time.time()-t0:.1f}s; "
+              f"turns={m.rows_in.sum()}, rollup_rows={m.rollup_rows.sum()}")
 
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -44,6 +45,9 @@ def main(sf="/root/testdata/sf0.01"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
     Q, S = E.queries(), E.oracle_sql()
+    if only is not None:
+        want_names = set(only.split(","))
+        Q = {k: v for k, v in Q.items() if k in want_names}
     fails = 0
     for name, qfn in Q.items():
         t0 = time.time()

@@ -164,3 +164,77 @@ def test_simhash_stage_matches_simhash64():
     got = simhash_stage(ds).to_pandas().sort_values("doc_id")
     for t, sh in zip(texts, got["simhash"]):
         assert int(sh) == simhash64(t.lower().split())
+
+
+def _brute_substring_pairs(texts, ids, L=50):
+    def gset(t):
+        return {t[i:i + L] for i in range(len(t) - L + 1)} if len(t) >= L else set()
+
+    sets = {i: gset(t) for i, t in zip(ids, texts)}
+    out = {}
+    for i in ids:
+        for j in ids:
+            if i < j:
+                n = len(sets[i] & sets[j])
+                if n:
+                    out[(i, j)] = n
+    return out
+
+
+def test_substring_dup_pairs_matches_bruteforce(ray_session):
+    """Planted ≥50-char shared runs are found with exact shared-gram
+    counts; unrelated and short docs yield nothing."""
+    from cesium_ray.stages.dedup import substring_dup_pairs
+
+    rng = np.random.default_rng(3)
+    alpha = list("abcdefghij ")
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha, n))
+
+    shared80 = rand_text(80)
+    shared50 = rand_text(50)  # exactly the guarantee length
+    texts = [
+        rand_text(200) + shared80 + rand_text(100),
+        rand_text(150) + shared80,
+        shared50 + rand_text(300),
+        rand_text(120) + shared50,
+        rand_text(400),
+        "short doc",
+    ]
+    ids = list(range(len(texts)))
+    want = _brute_substring_pairs(texts, ids)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                      "text": texts}))
+    got = substring_dup_pairs(ds, min_len=50, window=8,
+                              num_partitions=4).to_pandas()
+    got_map = {(int(r.id_a), int(r.id_b)): int(r.n_shared)
+               for r in got.itertuples()}
+    assert got_map == want
+    assert (0, 1) in got_map and (2, 3) in got_map
+
+
+def test_substring_winnow_guarantee_many_seeds(ray_session):
+    """Recall for a shared run of exactly min_len chars across many
+    random placements (the winnowing guarantee's boundary case)."""
+    from cesium_ray.stages.dedup import substring_dup_pairs
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcdefghijklmnop")
+    rows = []
+    for s in range(20):
+        shared = "".join(rng.choice(alpha, 50))
+        pre_a = "".join(rng.choice(alpha, int(rng.integers(0, 200))))
+        post_a = "".join(rng.choice(alpha, int(rng.integers(0, 200))))
+        pre_b = "".join(rng.choice(alpha, int(rng.integers(0, 200))))
+        rows.append((2 * s, pre_a + shared + post_a))
+        rows.append((2 * s + 1, pre_b + shared))
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+         "text": [r[1] for r in rows]}))
+    got = substring_dup_pairs(ds, min_len=50, window=8,
+                              num_partitions=4).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+    for s in range(20):
+        assert (2 * s, 2 * s + 1) in found, f"planted pair {s} missed"
