@@ -171,17 +171,44 @@ def _dod_fields(dods: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _pack_fields(vals: np.ndarray, nbs: np.ndarray) -> bytes:
-    """MSB-first bitstream packer: scatter each field's bits into a
-    flat bit array, one np.packbits — bit-identical to sequential
-    BitWriter.write calls (which remain as the scalar reference), with
-    the same zero-padded final byte.  Every field must be ≤ 64 bits."""
-    offs = np.concatenate([[0], np.cumsum(nbs)])
-    total = int(offs[-1])
-    f = np.repeat(np.arange(len(nbs)), nbs)
-    pos = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], nbs)
-    shift = (nbs[f] - 1 - pos).astype(np.uint64)
-    bits = ((vals[f] >> shift) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits).tobytes()
+    """MSB-first bitstream packer, word-based: each ≤64-bit field
+    spans at most two big-endian uint64 output words, so its value
+    splits into a low part (shifted into the word holding the field's
+    last bit) and, when it crosses a word boundary, a high part.  Both
+    word-index sequences are non-decreasing (field offsets are), and
+    fields never overlap bit ranges, so per-word accumulation is
+    ``np.add.reduceat`` (sum ≡ OR with disjoint bits — no carries).
+    Bit-identical to sequential BitWriter.write calls (the scalar
+    reference), including the zero-padded final byte; O(fields) work
+    instead of O(stream bits)."""
+    nbs = nbs.astype(np.int64, copy=False)
+    sh = nbs.astype(np.uint64)
+    mask = np.full(len(nbs), np.uint64(0xFFFFFFFFFFFFFFFF))
+    lt = nbs < 64
+    mask[lt] = (np.uint64(1) << sh[lt]) - np.uint64(1)
+    v = vals.astype(np.uint64, copy=False) & mask
+    ends = np.cumsum(nbs)
+    total = int(ends[-1])
+    nwords = (total + 63) >> 6
+    offs = ends - nbs
+    w1 = (ends - 1) >> 6  # word holding the field's last bit
+    w0 = offs >> 6        # word holding the field's first bit
+    last = (ends - 1) & 63
+    # low part: LSB lands at word bit 63-last (numpy << wraps mod 2^64,
+    # discarding the bits that belong to the previous word)
+    c1 = v << (np.uint64(63) - last.astype(np.uint64))
+    words = np.zeros(nwords, dtype=np.uint64)
+    starts = np.flatnonzero(np.r_[True, w1[1:] != w1[:-1]])
+    words[w1[starts]] = np.add.reduceat(c1, starts)
+    span = np.flatnonzero(w0 != w1)
+    if len(span):
+        # when a field crosses a boundary its last word holds
+        # last+1 ∈ [1, 63] of its bits; the rest go one word up
+        c0 = v[span] >> (last[span] + 1).astype(np.uint64)
+        w0s = w0[span]
+        s0 = np.flatnonzero(np.r_[True, w0s[1:] != w0s[:-1]])
+        words[w0s[s0]] |= np.add.reduceat(c0, s0)
+    return words.byteswap().tobytes()[: (total + 7) >> 3]
 
 
 def encode_chunk(ts_us: np.ndarray, values: np.ndarray) -> bytes:
