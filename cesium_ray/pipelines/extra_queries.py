@@ -279,40 +279,18 @@ SELECT query_id, vec_id, round(sim, 6) AS sim FROM ranked WHERE rn <= 5
 
 def q_jaccard_topk(sf_dir):
     """Exact character-5-gram Jaccard similarity search: broadcast the
-    5 lowest doc_ids' shingle sets, stream the corpus once, keep the
-    top-3 positive-overlap matches per query (ngram_jaccard kernel —
-    the near-dup verification primitive, ★-checked end to end;
-    Jaccard = |∩|/|∪| is a ratio of exact ints → bit-equal to SQL)."""
-    from ..stages.dedup import _char_shingles
+    5 lowest doc_ids' gram sets, stream the corpus once keeping the
+    top-3 positive-overlap matches per query per batch (fully
+    batch-vectorized — dedup.gram_jaccard_topk; Jaccard = |∩|/|∪| is a
+    ratio of exact ints → bit-equal to SQL)."""
+    from ..stages.dedup import gram_jaccard_topk
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     qdf = docs.sort("doc_id").limit(5).to_pandas()
-    q_sets = {int(r.doc_id): _char_shingles(r.text, 5) for r in qdf.itertuples()}
-    ref = ray.put(q_sets)
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        qs = ray.get(ref)
-        out = []
-        for r in df.itertuples(index=False):
-            s = _char_shingles(r.text, 5)
-            for qid, sq in qs.items():
-                if r.doc_id == qid:
-                    continue
-                inter = len(s & sq)
-                if inter:
-                    out.append((qid, int(r.doc_id), inter / (len(s) + len(sq) - inter)))
-        res = pd.DataFrame(out, columns=["query_id", "doc_id", "jaccard"])
-        # per-batch partial top-k: only k rows per query leave the batch
-        return (
-            res.sort_values(["query_id", "jaccard", "doc_id"],
-                            ascending=[True, False, True], kind="mergesort")
-            .groupby("query_id", as_index=False)
-            .head(3)
-        )
-
-    cand = docs.map_batches(score, batch_format="pandas").to_pandas()
+    queries = {int(r.doc_id): r.text for r in qdf.itertuples()}
+    cand = gram_jaccard_topk(docs, queries, k=5, topk=3).to_pandas()
     top = (
         cand.sort_values(["query_id", "jaccard", "doc_id"],
                          ascending=[True, False, True], kind="mergesort")

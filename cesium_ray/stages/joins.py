@@ -136,8 +136,19 @@ def range_join_broadcast(
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         starts_, ends_, vals_ = ray.get(ref)
         t = _as_int_us(df[on].to_numpy())
-        hit = (t[:, None] >= starts_[None, :]) & (t[:, None] < ends_[None, :])
-        ri, wi = np.nonzero(hit)
+        # offline stabbing query: with batch times sorted, each
+        # interval's matches are one contiguous run — O((rows + n)·log
+        # + hits) instead of a dense rows × n bool matrix
+        order = np.argsort(t, kind="stable")
+        ts = t[order]
+        lo = np.searchsorted(ts, starts_, side="left")
+        hi = np.searchsorted(ts, ends_, side="left")
+        cnt = hi - lo
+        wi = np.repeat(np.arange(len(starts_)), cnt)
+        offs = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ri = order[np.repeat(lo, cnt) + offs]
+        keep = np.lexsort((wi, ri))  # (row, interval) order, as nonzero gave
+        ri, wi = ri[keep], wi[keep]
         out = df.iloc[ri].reset_index(drop=True)
         for c, v in vals_.items():
             out[c + "_w"] = v[wi]

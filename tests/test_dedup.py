@@ -238,3 +238,40 @@ def test_substring_winnow_guarantee_many_seeds(ray_session):
     found = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
     for s in range(20):
         assert (2 * s, 2 * s + 1) in found, f"planted pair {s} missed"
+
+
+def test_gram_jaccard_topk_matches_bruteforce(ray_session):
+    """Vectorized gram_jaccard_topk == per-row Python-set brute force,
+    including the short-doc whole-text-gram edge and self-exclusion."""
+    from cesium_ray.stages.dedup import _char_shingles, gram_jaccard_topk
+
+    rng = np.random.default_rng(7)
+    alpha = list("abcdef ")
+    texts = ["".join(rng.choice(alpha, int(rng.integers(3, 120))))
+             for _ in range(40)]
+    texts[5] = texts[0][:60] + "xyz"  # planted overlap
+    texts[9] = "ab"                   # shorter than k
+    ids = list(range(100, 140))
+    queries = {ids[i]: texts[i] for i in range(3)}
+
+    want = []
+    for qid, qt in queries.items():
+        sq = _char_shingles(qt, 5)
+        for i, t in zip(ids, texts):
+            if i == qid:
+                continue
+            s = _char_shingles(t, 5)
+            inter = len(s & sq)
+            if inter:
+                want.append((qid, i, inter / (len(s) + len(sq) - inter)))
+    wdf = (pd.DataFrame(want, columns=["query_id", "doc_id", "jaccard"])
+           .sort_values(["query_id", "jaccard", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+           .groupby("query_id", as_index=False).head(3)
+           .sort_values(["query_id", "doc_id"]).reset_index(drop=True))
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.array(ids, dtype=np.int64), "text": texts}))
+    got = (gram_jaccard_topk(ds, queries, k=5, topk=3).to_pandas()
+           .sort_values(["query_id", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, wdf, check_dtype=False)
