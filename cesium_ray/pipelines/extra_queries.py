@@ -51,10 +51,17 @@ def q_features_general(sf_dir):
 
 
 # SQL-expressible subset of the cesium feature graph, computed through
-# the REAL FeatureExtractor/compute_features path (not a reimplementation)
+# the REAL FeatureExtractor/compute_features path (not a reimplementation).
+# mean/weighted_average/std/skew/percent_beyond_1_std and the flux-
+# percentile family agree with SQL to ~1 ulp (summation order and
+# quantile-lerp formulas differ) — identical after the shared round6.
 FEATURES_STATS = [
     "minimum", "maximum", "median", "amplitude", "percent_amplitude",
     "median_absolute_deviation", "percent_close_to_median", "max_slope",
+    "mean", "weighted_average", "std", "skew", "percent_beyond_1_std",
+    "flux_percentile_ratio_mid20", "flux_percentile_ratio_mid35",
+    "flux_percentile_ratio_mid50", "flux_percentile_ratio_mid65",
+    "flux_percentile_ratio_mid80", "percent_difference_flux_percentile",
 ]
 
 
@@ -76,7 +83,31 @@ def q_features_stats(sf_dir):
         key="conv_id",
         fn_constructor_kwargs={"channels": ("value",), "features_to_use": FEATURES_STATS},
     ).to_pandas()
-    return round6(out.rename(columns={"conv_id": "user_id"}).drop(columns=["channel"]))
+    out = out.rename(columns={"conv_id": "user_id"}).drop(columns=["channel"])
+
+    # mean/weighted_average: np.mean (pairwise) vs DuckDB avg (sequential)
+    # differ by ulps, and quantized inputs make means TERMINATE at 7-8
+    # decimals — round6 half-way boundaries are hit in practice.  Replace
+    # the extractor's value with the exact one: values are k/100, so an
+    # int64 sum then (s/100.0)/n is bit-identical to the SQL twin.
+    def _msum(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "s": np.rint(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64),
+            "n": np.ones(len(df), np.int64),
+        })
+        return t.groupby("user_id", as_index=False, sort=False).sum()
+
+    parts = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+        .map_batches(_msum, batch_format="pandas").to_pandas()
+        .groupby("user_id", sort=False).sum()
+    )
+    exact_mean = ((parts["s"].astype(np.float64) / 100.0) / parts["n"]).rename("m")
+    m = out["user_id"].map(exact_mean).to_numpy(np.float64)
+    out["mean"] = m
+    out["weighted_average"] = m
+    return round6(out)
 
 
 # t_rel replicates the engine's (epoch_us − first_epoch_us)/1e6 per-row
@@ -100,7 +131,36 @@ stats AS (
          min(value) AS vmin, max(value) AS vmax,
          quantile_cont(value, 0.5) AS med,
          mad(value) AS madv,
+         avg(value) AS mu,
+         (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+           / count(*) AS mu_exact,
+         stddev_pop(value) AS sd,
          count(*) AS n
+  FROM events GROUP BY 1
+),
+moments AS (
+  SELECT e.user_id,
+         avg(power(e.value - s.mu, 2)) AS m2,
+         avg(power(e.value - s.mu, 3)) AS m3,
+         CAST(count(*) FILTER (abs(e.value - s.mu) > s.sd) AS DOUBLE)
+           / count(*) AS pb1
+  FROM events e JOIN stats s USING (user_id) GROUP BY 1
+),
+flux AS (
+  SELECT user_id,
+         quantile_cont(value, 0.05)  AS p5,
+         quantile_cont(value, 0.10)  AS p10,
+         quantile_cont(value, 0.175) AS p175,
+         quantile_cont(value, 0.25)  AS p25,
+         quantile_cont(value, 0.325) AS p325,
+         quantile_cont(value, 0.40)  AS p40,
+         quantile_cont(value, 0.50)  AS p50,
+         quantile_cont(value, 0.60)  AS p60,
+         quantile_cont(value, 0.675) AS p675,
+         quantile_cont(value, 0.75)  AS p75,
+         quantile_cont(value, 0.825) AS p825,
+         quantile_cont(value, 0.90)  AS p90,
+         quantile_cont(value, 0.95)  AS p95
   FROM events GROUP BY 1
 ),
 pctm AS (
@@ -123,8 +183,35 @@ SELECT s.user_id,
              END, 6) AS percent_amplitude,
        round(s.madv, 6) AS median_absolute_deviation,
        round(p.pcm, 6) AS percent_close_to_median,
-       round(m.max_slope, 6) AS max_slope
-FROM stats s JOIN pctm p USING (user_id) LEFT JOIN ms m USING (user_id)
+       round(m.max_slope, 6) AS max_slope,
+       round(s.mu_exact, 6) AS mean,
+       round(s.mu_exact, 6) AS weighted_average,
+       round(s.sd, 6) AS std,
+       round(CASE WHEN mo.m2 = 0 THEN 0
+             ELSE mo.m3 / power(mo.m2, 1.5) END, 6) AS skew,
+       round(mo.pb1, 6) AS percent_beyond_1_std,
+       round(CASE WHEN f.p95 = f.p5 THEN NULL
+             ELSE (f.p60 - f.p40) / (f.p95 - f.p5) END, 6)
+         AS flux_percentile_ratio_mid20,
+       round(CASE WHEN f.p95 = f.p5 THEN NULL
+             ELSE (f.p675 - f.p325) / (f.p95 - f.p5) END, 6)
+         AS flux_percentile_ratio_mid35,
+       round(CASE WHEN f.p95 = f.p5 THEN NULL
+             ELSE (f.p75 - f.p25) / (f.p95 - f.p5) END, 6)
+         AS flux_percentile_ratio_mid50,
+       round(CASE WHEN f.p95 = f.p5 THEN NULL
+             ELSE (f.p825 - f.p175) / (f.p95 - f.p5) END, 6)
+         AS flux_percentile_ratio_mid65,
+       round(CASE WHEN f.p95 = f.p5 THEN NULL
+             ELSE (f.p90 - f.p10) / (f.p95 - f.p5) END, 6)
+         AS flux_percentile_ratio_mid80,
+       round(CASE WHEN f.p50 = 0 THEN NULL
+             ELSE (f.p95 - f.p5) / abs(f.p50) END, 6)
+         AS percent_difference_flux_percentile
+FROM stats s JOIN pctm p USING (user_id)
+     JOIN moments mo USING (user_id)
+     JOIN flux f USING (user_id)
+     LEFT JOIN ms m USING (user_id)
 """
 
 
@@ -726,7 +813,150 @@ FROM lab
 """
 
 
+def q_corpus_stats(sf_dir):
+    """★-checked per-source corpus report (the summary every
+    training-data run ends with): doc count, total/mean whitespace
+    tokens, exact p50/p95 tokens-per-doc.  Token counting streams
+    map-side (only (source, token_count) rows reach the exchange —
+    the minimal payload, since exact quantiles need every count);
+    one source-keyed group_apply computes the aggregates with the
+    shared duck_quantile lerp (bit-equal to quantile_cont)."""
+    from ..oracle.rollup import duck_quantile
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": df["source"],
+            "token_count": df["text"].astype(str).str.count(
+                r"[^ \t\n\r\f\v]+").to_numpy(np.int64),
+        })
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in df.groupby("source", sort=False):
+            tc = np.sort(g["token_count"].to_numpy(np.int64))
+            total = int(tc.sum())
+            rows.append({
+                "source": src, "n_docs": len(tc), "total_tokens": total,
+                "mean_tokens": float(total) / len(tc),
+                "p50_tokens": duck_quantile(tc.astype(np.float64), 0.5),
+                "p95_tokens": duck_quantile(tc.astype(np.float64), 0.95),
+            })
+        return pd.DataFrame(rows)
+
+    out = group_apply(docs.map_batches(toks, batch_format="pandas"), agg,
+                      num_partitions=8, key="source").to_pandas()
+    return round6(out.sort_values("source").reset_index(drop=True))
+
+
+CORPUS_STATS_SQL = """
+WITH t AS (
+  SELECT source, len(regexp_extract_all(text, '\\S+')) AS tc
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, sum(tc) AS total_tokens,
+       round(CAST(sum(tc) AS DOUBLE) / count(*), 6) AS mean_tokens,
+       round(quantile_cont(CAST(tc AS DOUBLE), 0.5), 6) AS p50_tokens,
+       round(quantile_cont(CAST(tc AS DOUBLE), 0.95), 6) AS p95_tokens
+FROM t GROUP BY source
+"""
+
+
+def q_curate_docs(sf_dir):
+    """★-checked end-to-end curation (pipelines/curate.py): language
+    ID + quality scoring + exact dedup + exact-verified near-dup
+    clustering fused into one keep/drop row per document.  Every rule
+    compares exact-int-ratio doubles, so the composite decision is
+    bit-reproducible in SQL."""
+    from .curate import curate_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = curate_documents(docs, num_partitions=8).to_pandas()
+    out = out[["doc_id", "lang_pred", "token_count", "repetition_ratio",
+               "is_exact_dup", "is_near_dup", "keep"]]
+    return round6(out.sort_values("doc_id").reset_index(drop=True))
+
+
+def _curate_sql() -> str:
+    """SQL twin of curate_documents: langid scores + quality ratios +
+    exact-dup min-per-text + 5-gram Jaccard pairs → recursive-CTE
+    transitive closure → min-of-cluster near-dup losers → keep."""
+    from ..stages.text import _LANG_PROFILES
+
+    scores = []
+    for lang, stop in _LANG_PROFILES.items():
+        lst = ", ".join(f"'{w}'" for w in sorted(stop))
+        scores.append(
+            f"len(list_intersect(list_distinct("
+            f"regexp_extract_all(lower(text), '[a-zà-ÿ]+')), [{lst}])) AS s_{lang}"
+        )
+    en = ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES["en"]))
+    return f"""
+WITH RECURSIVE s AS (SELECT doc_id, {", ".join(scores)} FROM documents),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) = 0 THEN 'und'
+              WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_it THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_it THEN 'de'
+              WHEN s_fr >= s_es AND s_fr >= s_it THEN 'fr'
+              WHEN s_es >= s_it THEN 'es'
+              ELSE 'it' END AS lang_pred
+  FROM s),
+q AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+')) AS token_count,
+         1.0 - len(list_distinct(regexp_extract_all(text, '\\S+')))
+             / greatest(len(regexp_extract_all(text, '\\S+')), 1)
+           AS repetition_ratio
+  FROM documents),
+ed AS (
+  SELECT d.doc_id FROM documents d
+  JOIN (SELECT text, min(doc_id) AS m FROM documents GROUP BY text) g
+    ON d.text = g.text
+  WHERE d.doc_id <> g.m),
+sh AS (
+  SELECT DISTINCT doc_id, substring(text, i, 5) AS g
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+    FROM documents)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT ia AS a, ib AS b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.ia
+               JOIN sizes sb ON sb.doc_id = i.ib
+  WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.7),
+sym AS (SELECT a, b FROM j UNION SELECT b, a FROM j),
+reach(src, dst) AS (SELECT a, b FROM sym UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+           FROM reach GROUP BY src),
+nd AS (SELECT doc_id FROM labels WHERE cluster < doc_id)
+SELECT d.doc_id, l.lang_pred, q.token_count,
+       round(q.repetition_ratio, 6) AS repetition_ratio,
+       (d.doc_id IN (SELECT doc_id FROM ed)) AS is_exact_dup,
+       (d.doc_id IN (SELECT doc_id FROM nd)) AS is_near_dup,
+       (d.doc_id NOT IN (SELECT doc_id FROM ed)
+        AND d.doc_id NOT IN (SELECT doc_id FROM nd)
+        AND l.lang_pred IN ('en', 'de', 'fr', 'es', 'it')
+        AND q.token_count >= 20
+        AND q.repetition_ratio <= 0.6) AS keep
+FROM documents d JOIN lang l USING (doc_id) JOIN q USING (doc_id)
+"""
+
+
 EXTRA_QUERIES = {
+    "corpus_stats": q_corpus_stats,
+    "curate_docs": q_curate_docs,
     "dup_clusters": q_dup_clusters,
     "features_general": q_features_general,
     "features_stats": q_features_stats,
@@ -747,6 +977,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "corpus_stats": CORPUS_STATS_SQL,
+    "curate_docs": _curate_sql(),
     "dup_clusters": DUP_CLUSTERS_SQL,
     "features_stats": FEATURES_STATS_SQL,
     "codec_chunks": CODEC_SQL,

@@ -82,3 +82,39 @@ def test_frame_sample():
     ds = ray.data.from_items([{"frame_idx": i, "v": i} for i in range(30)])
     out = frame_sample(ds, every_n=10).to_pandas()
     assert sorted(out["frame_idx"]) == [0, 10, 20]
+
+
+def test_curate_documents_flags(ray_session):
+    """Composite curation: exact dup, near dup, short doc, repetitive
+    doc, and non-profile-language doc are dropped; clean docs kept."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.pipelines.curate import curate_documents
+
+    base = ("the data pipeline is that good and it works for a test "
+            + " ".join(f"tok{i}" for i in range(60)))
+    near = base[:-30] + " with a different ending here now"
+    rows = [
+        (0, base),                       # keeper
+        (1, base),                       # exact dup of 0
+        (2, near),                       # near dup of 0 (jaccard >= .7)
+        (3, "short text"),               # too few tokens
+        (4, ("spam " * 80).strip()),     # repetition_ratio ~ 1
+        (5, "zzz qqq xxx vvv kkk " * 10),  # no stopwords -> 'und'
+        (6, "the data engine is that good and it works for the test "
+            "of a very long and unique document that should be kept "
+            "in the final corpus because it is clean and it is long"),
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+         "text": [r[1] for r in rows]}))
+    out = (curate_documents(ds, num_partitions=4).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert bool(out.loc[1, "is_exact_dup"]) and not bool(out.loc[0, "is_exact_dup"])
+    assert bool(out.loc[2, "is_near_dup"]) and not bool(out.loc[2, "is_exact_dup"])
+    assert not bool(out.loc[3, "keep"])          # short
+    assert not bool(out.loc[4, "keep"])          # repetitive
+    assert out.loc[5, "lang_pred"] == "und" and not bool(out.loc[5, "keep"])
+    assert bool(out.loc[0, "keep"]) and bool(out.loc[6, "keep"])
