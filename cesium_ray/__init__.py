@@ -39,6 +39,37 @@ try:
 except Exception:  # non-glibc platform — the env vars still help workers
     pass
 
+# Two benign, Ray-internal log lines are demoted here (applies in every
+# process that loads this library, workers included):
+#   1. "RefBundle with a different schema ... new schema: ." — sort-based
+#      map_groups never calls the UDF on an empty shuffle partition, so
+#      Ray emits a schema-LESS empty block; the bundle is empty and
+#      harmless.  Only the empty-new-schema form is dropped — a REAL
+#      divergence (two different non-empty schemas) still warns, and the
+#      stages that used to produce those (asof int dtypes, untyped empty
+#      frames) now emit one declared schema per stage.
+#   2. "Failed to hash the schemas (for deduplication)" — pandas block
+#      schemas are unhashable dataclasses; Ray falls through to full
+#      unification (transform_pyarrow.py:181), nothing is lost.
+import logging as _logging
+
+
+class _BenignRayDataNoise(_logging.Filter):
+    def filter(self, rec: _logging.LogRecord) -> bool:  # True = keep
+        m = rec.getMessage()
+        if "new schema: ." in m and "different schema" in m:
+            return False
+        if "Failed to hash the schemas (for deduplication)" in m:
+            return False
+        return True
+
+
+for _name in (
+    "ray.data._internal.execution.streaming_executor_state",
+    "ray.data._internal.arrow_ops.transform_pyarrow",
+):
+    _logging.getLogger(_name).addFilter(_BenignRayDataNoise())
+
 __version__ = "0.1.0"
 
 TIERS = {"1m": 60, "1h": 3600, "1d": 86400}
