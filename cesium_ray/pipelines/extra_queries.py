@@ -813,6 +813,107 @@ FROM lab
 """
 
 
+def q_decontaminate(sf_dir):
+    """★-checked benchmark decontamination (stages/decontam.py): flag
+    corpus docs sharing any word 8-gram with a benchmark set (here the
+    deterministic subset doc_id % 50 == 0 — the driver has no separate
+    benchmark table).  Benchmark gram hashes + exact gram strings ride
+    one broadcast; the corpus streams through a single stateless
+    map_batches — no shuffle.  Every hash hit is re-verified against
+    the exact gram-string set, so n_hits is collision-free."""
+    from ..stages.decontam import decontaminate
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bench = (docs.map_batches(lambda df: df[df["doc_id"] % 50 == 0],
+                              batch_format="pandas")
+             .to_pandas().sort_values("doc_id"))
+    out = decontaminate(docs, list(bench["text"]), n=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DECONTAM_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+') AS toks
+  FROM documents
+),
+dgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM w, LATERAL unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS t(i)
+),
+bgrams AS (SELECT DISTINCT gram FROM dgrams WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM dgrams g JOIN bgrams USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_vocab_topk(sf_dir):
+    """★-checked vocabulary build (stages/pack.py::vocab_topk): exact
+    global top-50 token frequencies.  Only per-batch (token, count)
+    partials enter the exchange; per-partition top-k is exact because
+    the token-keyed hash exchange puts each token's whole count in one
+    partition."""
+    from ..stages.pack import vocab_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return vocab_topk(docs, k=50, num_partitions=8)
+
+
+VOCAB_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS cnt FROM tok GROUP BY token
+ORDER BY cnt DESC, token LIMIT 50
+"""
+
+
+def q_pack_sequences(sf_dir):
+    """★-checked greedy sequence packing (stages/pack.py): docs in
+    doc_id order per source, first-fit into 256-token windows; the
+    deterministic bin walk has a recursive-CTE SQL twin."""
+    from ..stages.pack import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "doc_id", "text"]
+    )
+    out = pack_sequences(docs, capacity=256, num_partitions=8).to_pandas()
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+PACK_SQL = """
+WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         len(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS token_count,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+p AS (
+  SELECT source, doc_id, token_count, rn,
+         CAST(0 AS BIGINT) AS bin, token_count AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.token_count, t.rn,
+         CASE WHEN p.fill + t.token_count > 256
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.fill + t.token_count > 256
+              THEN t.token_count ELSE p.fill + t.token_count END
+  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
+)
+SELECT source, doc_id, token_count, bin FROM p
+"""
+
+
 def q_corpus_stats(sf_dir):
     """★-checked per-source corpus report (the summary every
     training-data run ends with): doc count, total/mean whitespace
@@ -956,6 +1057,9 @@ FROM documents d JOIN lang l USING (doc_id) JOIN q USING (doc_id)
 
 EXTRA_QUERIES = {
     "corpus_stats": q_corpus_stats,
+    "decontaminate": q_decontaminate,
+    "vocab_topk": q_vocab_topk,
+    "pack_sequences": q_pack_sequences,
     "curate_docs": q_curate_docs,
     "dup_clusters": q_dup_clusters,
     "features_general": q_features_general,
@@ -978,6 +1082,9 @@ EXTRA_QUERIES = {
 
 EXTRA_ORACLE_SQL = {
     "corpus_stats": CORPUS_STATS_SQL,
+    "decontaminate": DECONTAM_SQL,
+    "vocab_topk": VOCAB_SQL,
+    "pack_sequences": PACK_SQL,
     "curate_docs": _curate_sql(),
     "dup_clusters": DUP_CLUSTERS_SQL,
     "features_stats": FEATURES_STATS_SQL,

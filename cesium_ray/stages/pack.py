@@ -1,0 +1,104 @@
+"""Sequence packing + vocabulary building (training-data ops).
+
+``vocab_topk``: exact global top-k token frequencies.  Map-side
+partial counts (one ``value_counts`` per batch, so only vocab-sized
+``(token, count)`` rows enter the exchange), a token-keyed hash
+exchange to sum partials (each token wholly in one partition), then a
+per-partition top-k — exact because a token's global count lives in
+exactly one partition — and a driver merge of P·k candidate rows.
+
+``pack_sequences``: greedy first-fit packing of documents into fixed
+token-capacity context windows, the standard pre-training batching
+step.  Deterministic contract (bit-reproducible, SQL-oracle-able):
+within each group (``source``), docs are taken in ``doc_id`` order;
+``bin`` starts at 0 with ``fill = t_0`` (an oversize doc still owns a
+bin), and each next doc starts a new bin iff ``fill + t_i >
+capacity``.  Parallelism is per group — the partitioning assumption is
+that groups (sources / input shards) outnumber cores at scale; the
+within-group walk is inherently sequential (each bin depends on every
+earlier size), so it runs as a tight per-group loop over a numpy array
+on the worker, O(docs) with trivial per-step work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from .partition import group_apply
+
+_TOKEN_RE = r"[^ \t\n\r\f\v]+"
+
+
+def vocab_topk(
+    ds: ray.data.Dataset,
+    k: int = 50,
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Top-``k`` most frequent whitespace tokens (lowercased) with
+    exact occurrence counts; ties broken by token ascending."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (df[text_col].astype(str).str.lower()
+              .str.findall(_TOKEN_RE).explode().dropna().value_counts())
+        return pd.DataFrame({"token": vc.index.to_numpy(object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    def topk_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False, sort=False)["cnt"].sum()
+        return (g.sort_values(["cnt", "token"], ascending=[False, True],
+                              kind="mergesort").head(k))
+
+    cand = group_apply(
+        ds.select_columns([text_col]).map_batches(partial, batch_format="pandas"),
+        topk_part, num_partitions=num_partitions, key="token",
+    ).to_pandas()
+    return (cand.sort_values(["cnt", "token"], ascending=[False, True],
+                             kind="mergesort").head(k).reset_index(drop=True))
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    capacity: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """One row per doc: ``token_count`` and the greedy-first-fit
+    ``bin`` (0-based per group, docs in ``id_col`` order)."""
+
+    def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            group_col: df[group_col].to_numpy(),
+            id_col: df[id_col].to_numpy(),
+            "token_count": df[text_col].astype(str)
+                .str.count(_TOKEN_RE).to_numpy(np.int64),
+        })
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, id_col], kind="mergesort")
+        sizes = df["token_count"].to_numpy(np.int64)
+        grp = df[group_col].to_numpy()
+        new_grp = np.r_[True, grp[1:] != grp[:-1]]
+        bins = np.empty(len(df), dtype=np.int64)
+        b, fill = 0, 0
+        for i in range(len(df)):  # sequential by construction (greedy)
+            if new_grp[i]:
+                b, fill = 0, sizes[i]
+            elif fill + sizes[i] > capacity:
+                b, fill = b + 1, sizes[i]
+            else:
+                fill += sizes[i]
+            bins[i] = b
+        out = df[[group_col, id_col, "token_count"]].copy()
+        out["bin"] = bins
+        return out.reset_index(drop=True)
+
+    counted = ds.select_columns([group_col, id_col, text_col]).map_batches(
+        count_tokens, batch_format="pandas")
+    return group_apply(counted, pack, num_partitions=num_partitions,
+                       key=group_col)

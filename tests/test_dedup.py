@@ -275,3 +275,85 @@ def test_gram_jaccard_topk_matches_bruteforce(ray_session):
     got = (gram_jaccard_topk(ds, queries, k=5, topk=3).to_pandas()
            .sort_values(["query_id", "doc_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, wdf, check_dtype=False)
+
+
+def test_decontaminate_planted(ray_session):
+    """Benchmark decontamination: a doc containing a copied 8-word run
+    from a benchmark doc is flagged with the exact distinct-gram count;
+    a 7-word overlap is NOT flagged; n_hits matches brute force."""
+    import ray.data
+
+    from cesium_ray.stages.decontam import _gram_strings, decontaminate
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    mk = lambda k: " ".join(rng.choice(vocab, size=k))
+    bench = [mk(40), mk(35)]
+    b_words = bench[0].split()
+    docs = [
+        mk(30),                                       # clean
+        mk(10) + " " + " ".join(b_words[5:13]) + " " + mk(10),   # 8-word copy
+        mk(10) + " " + " ".join(b_words[20:27]) + " " + mk(10),  # only 7 words
+        bench[1],                                     # verbatim benchmark member
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64), "text": docs}))
+    out = (decontaminate(ds, bench, n=8).to_pandas()
+           .set_index("doc_id").sort_index())
+
+    bgrams = set()
+    for t in bench:
+        bgrams |= _gram_strings(t, 8)
+    for i, t in enumerate(docs):
+        want = len(_gram_strings(t, 8) & bgrams)
+        assert out.loc[i, "n_hits"] == want, (i, want)
+        assert bool(out.loc[i, "contaminated"]) == (want > 0)
+    assert not bool(out.loc[0, "contaminated"])
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_hits"] == 1
+    assert not bool(out.loc[2, "contaminated"])
+    assert bool(out.loc[3, "contaminated"])
+
+
+def test_vocab_topk_exact(ray_session):
+    """Exact global top-k with deterministic tie-break vs brute force."""
+    import collections
+
+    import ray.data
+
+    from cesium_ray.stages.pack import vocab_topk
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i:03d}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+             for _ in range(60)]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    got = vocab_topk(ds, k=10, num_partitions=4)
+
+    cnt = collections.Counter(w for t in texts for w in t.lower().split())
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["token"], got["cnt"])) == want
+
+
+def test_pack_sequences_greedy(ray_session):
+    """Greedy first-fit parity with a reference walk; oversize doc owns
+    a bin; bins reset per group."""
+    import ray.data
+
+    from cesium_ray.stages.pack import pack_sequences
+
+    rows = [
+        ("s1", 0, 40), ("s1", 1, 50), ("s1", 2, 20),  # bins 0,0,1 (C=100: 40+50=90, +20>100)
+        ("s1", 3, 150),                                # oversize -> bin 2
+        ("s1", 4, 10),                                 # 150+10>100 -> bin 3
+        ("s2", 10, 60), ("s2", 11, 60),                # bins 0,1
+    ]
+    df = pd.DataFrame({
+        "source": [r[0] for r in rows],
+        "doc_id": np.array([r[1] for r in rows], dtype=np.int64),
+        "text": [" ".join(["w"] * r[2]) for r in rows],
+    })
+    out = (pack_sequences(ray.data.from_pandas(df), capacity=100,
+                          num_partitions=3).to_pandas()
+           .sort_values(["source", "doc_id"]).reset_index(drop=True))
+    assert out["token_count"].tolist() == [40, 50, 20, 150, 10, 60, 60]
+    assert out["bin"].tolist() == [0, 0, 1, 2, 3, 0, 1]
