@@ -421,6 +421,59 @@ def bench_timeseries_ops(results, thr):
     thr["window_rows_per_sec"] = round(len(df) / dt)
 
 
+def bench_curation(results, thr):
+    """Round-3 curation ops over the 100k-doc corpus: benchmark
+    decontamination (2k-doc broadcast benchmark, shuffle-free
+    streaming membership), exact global vocab top-k, and greedy
+    sequence packing into 1024-token windows (64 source shards)."""
+    import pandas as pd
+
+    import ray.data
+
+    from cesium_ray.stages.decontam import decontaminate
+    from cesium_ray.stages.pack import pack_sequences, vocab_topk
+
+    path = os.path.join(CACHE_ROOT, "docs-100k-42")
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        bench_text_dedup({}, {})  # builds + caches the corpus
+    ds = ray.data.read_parquet(path)
+    n = ds.count()
+
+    bench_texts = (ds.map_batches(
+        lambda df: df[df["doc_id"] % 50 == 0][["text"]],
+        batch_format="pandas").to_pandas()["text"].tolist())
+
+    t0 = time.time()
+    hits = decontaminate(ds, bench_texts, n=8).map_batches(
+        lambda df: pd.DataFrame({"c": [int(df["contaminated"].sum())]}),
+        batch_format="pandas").to_pandas()["c"].sum()
+    dt = time.time() - t0
+    results["decontaminate"] = round(dt, 3)
+    thr["decontam_docs_per_sec"] = round(n / dt)
+    thr["decontam_flagged"] = int(hits)
+
+    t0 = time.time()
+    vocab = vocab_topk(ds, k=100, num_partitions=NCPU)
+    dt = time.time() - t0
+    results["vocab_topk"] = round(dt, 3)
+    thr["vocab_docs_per_sec"] = round(n / dt)
+    thr["vocab_rows"] = len(vocab)
+
+    with_src = ds.map_batches(
+        lambda df: df.assign(source=(df["doc_id"] % 64).astype("int64")),
+        batch_format="pandas")
+    t0 = time.time()
+    packed = pack_sequences(with_src, capacity=1024, num_partitions=64)
+    per_src = packed.map_batches(
+        lambda df: df.groupby("source", as_index=False)["bin"].max(),
+        batch_format="pandas").to_pandas()
+    n_bins = int((per_src.groupby("source")["bin"].max() + 1).sum())
+    dt = time.time() - t0
+    results["pack_sequences"] = round(dt, 3)
+    thr["pack_docs_per_sec"] = round(n / dt)
+    thr["pack_bins"] = n_bins
+
+
 BENCHES = {
     "flagship_rollup": bench_flagship_rollup,
     "flagship_full": bench_flagship_full,
@@ -431,6 +484,7 @@ BENCHES = {
     "features_general": bench_features,
     "text_dedup": bench_text_dedup,
     "timeseries_ops": bench_timeseries_ops,
+    "curation": bench_curation,
     "ann": bench_ann,
 }
 
