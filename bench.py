@@ -473,6 +473,26 @@ def bench_curation(results, thr):
     thr["pack_docs_per_sec"] = round(n / dt)
     thr["pack_bins"] = n_bins
 
+    # real multimodal decode: 2k genuine RIFF/PCM16 payloads (~16 MB)
+    import numpy as np
+    import pyarrow as pa
+
+    from cesium_ray.stages.multimodal import encode_wav_pcm16, wav_features
+
+    rng = np.random.default_rng(7)
+    payloads = [encode_wav_pcm16(
+        rng.integers(-32768, 32768, size=4096, dtype=np.int16))
+        for _ in range(2000)]
+    total_mb = sum(len(p) for p in payloads) / 1e6
+    wav_ds = ray.data.from_arrow(pa.table({
+        "media_id": pa.array(range(2000), pa.int64()),
+        "payload": pa.array(payloads, pa.binary())}))
+    t0 = time.time()
+    wav_features(wav_ds, batch_size=64).to_pandas()
+    dt = time.time() - t0
+    results["wav_decode"] = round(dt, 3)
+    thr["wav_decode_mb_per_sec"] = round(total_mb / dt, 1)
+
 
 BENCHES = {
     "flagship_rollup": bench_flagship_rollup,

@@ -854,6 +854,111 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_wav_features(sf_dir):
+    """★-checked REAL multimodal path (stages/multimodal.py): each
+    user's event values (ordered by event_id, quantized to int16 via
+    round(value·100) mod 32768) become a genuine RIFF/WAVE PCM16
+    payload; the actor-pool decode stage parses the RIFF chunk walk
+    and emits exact integer-space audio features.  The oracle
+    recomputes the same features from the source samples in SQL — so
+    the binary encode→decode roundtrip itself is driver-verified."""
+    from ..stages.multimodal import encode_wav_pcm16, wav_features
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+
+    def to_wav(df: pd.DataFrame) -> pa.Table:
+        uids, payloads = [], []
+        for uid, g in df.sort_values(["user_id", "event_id"],
+                                     kind="mergesort").groupby("user_id"):
+            k = np.rint(g["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+            uids.append(int(uid))
+            payloads.append(encode_wav_pcm16((k % 32768).astype(np.int16)))
+        return pa.table({"user_id": pa.array(uids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    wavs = group_apply(ev, to_wav, num_partitions=8, key="user_id")
+    out = wav_features(wavs, batch_size=16).to_pandas()
+    return round6(out.sort_values("user_id").reset_index(drop=True))
+
+
+WAV_SQL = """
+WITH k AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) % 32768 AS s
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_samples,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       round(count(*) / 16000.0, 6) AS duration_s,
+       max(abs(s)) AS peak,
+       round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)), 6) AS rms
+FROM k GROUP BY user_id
+"""
+
+
+def q_image_features(sf_dir):
+    """★-checked REAL image modality: each user's first ⌊n/64⌋·64
+    event values (event_id order) become a 64-wide P6 PPM image
+    (r = k mod 256, g = ⌊k/256⌋ mod 256, b = (r+g) mod 256 with
+    k = round(value·100)); the actor-pool decode stage parses the real
+    PPM header + raw RGB bytes and emits exact per-channel means the
+    oracle recomputes from the source rows."""
+    from ..stages.multimodal import encode_ppm, ppm_features
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+
+    def to_ppm(df: pd.DataFrame) -> pa.Table:
+        uids, payloads = [], []
+        for uid, g in df.sort_values(["user_id", "event_id"],
+                                     kind="mergesort").groupby("user_id"):
+            k = np.rint(g["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+            h = len(k) // 64
+            if h == 0:
+                continue
+            k = k[:h * 64]
+            r = (k % 256).astype(np.uint8)
+            gg = ((k // 256) % 256).astype(np.uint8)
+            b = ((r.astype(np.int64) + gg) % 256).astype(np.uint8)
+            img = np.stack([r, gg, b], axis=1).reshape(h, 64, 3)
+            uids.append(int(uid))
+            payloads.append(encode_ppm(img))
+        return pa.table({"user_id": pa.array(uids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    ppms = group_apply(ev, to_ppm, num_partitions=8, key="user_id")
+    out = ppm_features(ppms, batch_size=16).to_pandas()
+    return round6(out.sort_values("user_id").reset_index(drop=True))
+
+
+IMAGE_SQL = """
+WITH k AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS k,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+sized AS (
+  SELECT user_id, (count(*) // 64) * 64 AS keep FROM k GROUP BY user_id
+),
+px AS (
+  SELECT k.user_id, k.k % 256 AS r, (k.k // 256) % 256 AS g,
+         (k.k % 256 + (k.k // 256) % 256) % 256 AS b
+  FROM k JOIN sized USING (user_id) WHERE k.rn <= sized.keep
+)
+SELECT user_id,
+       CAST(64 AS BIGINT) AS width,
+       count(*) // 64 AS height,
+       count(*) AS n_pixels,
+       round(CAST(sum(r) AS DOUBLE) / count(*), 6) AS mean_r,
+       round(CAST(sum(g) AS DOUBLE) / count(*), 6) AS mean_g,
+       round(CAST(sum(b) AS DOUBLE) / count(*), 6) AS mean_b
+FROM px GROUP BY user_id
+"""
+
+
 def q_vocab_topk(sf_dir):
     """★-checked vocabulary build (stages/pack.py::vocab_topk): exact
     global top-50 token frequencies.  Only per-batch (token, count)
@@ -1060,6 +1165,8 @@ EXTRA_QUERIES = {
     "decontaminate": q_decontaminate,
     "vocab_topk": q_vocab_topk,
     "pack_sequences": q_pack_sequences,
+    "wav_features": q_wav_features,
+    "image_features": q_image_features,
     "curate_docs": q_curate_docs,
     "dup_clusters": q_dup_clusters,
     "features_general": q_features_general,
@@ -1085,6 +1192,8 @@ EXTRA_ORACLE_SQL = {
     "decontaminate": DECONTAM_SQL,
     "vocab_topk": VOCAB_SQL,
     "pack_sequences": PACK_SQL,
+    "wav_features": WAV_SQL,
+    "image_features": IMAGE_SQL,
     "curate_docs": _curate_sql(),
     "dup_clusters": DUP_CLUSTERS_SQL,
     "features_stats": FEATURES_STATS_SQL,

@@ -1,6 +1,14 @@
-"""Multimodal (binary-payload) stages — Ray-side plumbing is real;
-decode kernels are STUBBED (no image/audio libraries in this
-container), clearly marked, and swappable per actor.
+"""Multimodal (binary-payload) stages.
+
+Two modalities have REAL decoders implemented here with numpy/struct
+only (RIFF/WAVE PCM16 audio, binary P6 PPM images — both are pure
+container formats, so no external media library is needed); payloads
+are genuine files any media tool can open, and both paths are
+driver-verified end-to-end (`wav_features` / `image_features` ★).
+Compressed codecs (JPEG/PNG/MP3/H.264) need libraries this container
+does not ship — those remain behind the clearly-marked
+``MediaDecodeStub`` with the same actor signature, swappable per
+actor in a real deployment.
 
 Schema convention: media rides as an opaque ``payload: binary`` column
 with typed metadata columns (``media_type``, ``width``, ``height``,
@@ -61,6 +69,173 @@ def decode_media(
         batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs={"feature_dim": feature_dim},
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio path: RIFF/WAVE PCM16 is a pure container format — encode
+# and decode are implemented here with numpy + struct only (no external
+# media libraries needed), so this modality is NOT a stub: payloads are
+# genuine .wav bytes any audio tool can open, and the decoder walks the
+# RIFF chunk list like a real parser (unknown chunks are skipped).
+
+import struct
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono PCM16 WAV bytes for an int16 sample array."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    data = s.tobytes()
+    byte_rate = sample_rate * 2
+    return b"".join([
+        b"RIFF", struct.pack("<I", 36 + len(data)), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                             byte_rate, 2, 16),
+        b"data", struct.pack("<I", len(data)), data,
+    ])
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a RIFF/WAVE payload → (sample_rate, int16 samples).
+
+    Real chunk walk: 'fmt ' and 'data' may appear in any order with
+    other chunks (LIST, fact, …) interleaved; chunk bodies are padded
+    to even length per the RIFF spec.  Raises ValueError on anything
+    that is not mono PCM16."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated RIFF chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if (audio_fmt, n_ch, bits) != (1, 1, 16):
+        raise ValueError(f"unsupported wav layout {fmt}")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+class WavFeatures:
+    """Actor-pool decode stage over REAL wav payloads: parses each
+    payload and emits exact integer-space features (``n_samples``,
+    ``sample_rate``, ``duration_s``, ``peak``, ``rms``) — every value
+    reproducible by an oracle that knows the source samples."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"n_samples": [], "sample_rate": [], "duration_s": [],
+                "peak": [], "rms": []}
+        for p in batch["payload"]:
+            rate, s = decode_wav_pcm16(p.as_py())
+            si = s.astype(np.int64)
+            n = len(si)
+            ssq = int((si * si).sum())
+            rows["n_samples"].append(n)
+            rows["sample_rate"].append(rate)
+            rows["duration_s"].append(n / float(rate))
+            rows["peak"].append(int(np.abs(si).max()) if n else 0)
+            rows["rms"].append(float(np.sqrt(ssq / n)) if n else 0.0)
+        out = batch.drop_columns(["payload"])
+        for k, v in rows.items():
+            t = pa.int64() if k in ("n_samples", "sample_rate", "peak") \
+                else pa.float64()
+            out = out.append_column(k, pa.array(v, t))
+        return out
+
+
+def wav_features(
+    ds: ray.data.Dataset, batch_size: int = 64, concurrency=(1, 8)
+) -> ray.data.Dataset:
+    """payload:binary (mono PCM16 wav) → exact audio features."""
+    return ds.map_batches(
+        WavFeatures, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# REAL image path: P6 PPM (binary RGB) is likewise a pure container —
+# ASCII header (+ optional '#' comments) followed by raw RGB bytes.
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary P6 PPM bytes."""
+    a = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("P6 needs 3 channels")
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM → (H, W, 3) uint8.  Parses the real header
+    grammar: magic, then 3 whitespace-separated ints with '#' comments
+    allowed between tokens."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos:pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    pos += 1  # single whitespace after maxval, then raw data
+    data = payload[pos:pos + w * h * 3]
+    if len(data) < w * h * 3:
+        raise ValueError("truncated PPM data")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+class PpmFeatures:
+    """Actor-pool decode over real P6 payloads → exact integer-space
+    image features (width, height, per-channel means)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {"width": [], "height": [], "n_pixels": [],
+                "mean_r": [], "mean_g": [], "mean_b": []}
+        for p in batch["payload"]:
+            img = decode_ppm(p.as_py())
+            h, w, _ = img.shape
+            n = h * w
+            sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["n_pixels"].append(n)
+            for i, ch in enumerate(("mean_r", "mean_g", "mean_b")):
+                cols[ch].append(float(sums[i]) / n if n else 0.0)
+        out = batch.drop_columns(["payload"])
+        for k, v in cols.items():
+            t = pa.int64() if k in ("width", "height", "n_pixels") \
+                else pa.float64()
+            out = out.append_column(k, pa.array(v, t))
+        return out
+
+
+def ppm_features(
+    ds: ray.data.Dataset, batch_size: int = 64, concurrency=(1, 8)
+) -> ray.data.Dataset:
+    """payload:binary (P6 PPM) → exact image features."""
+    return ds.map_batches(
+        PpmFeatures, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
     )
 
 

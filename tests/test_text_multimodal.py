@@ -118,3 +118,102 @@ def test_curate_documents_flags(ray_session):
     assert not bool(out.loc[4, "keep"])          # repetitive
     assert out.loc[5, "lang_pred"] == "und" and not bool(out.loc[5, "keep"])
     assert bool(out.loc[0, "keep"]) and bool(out.loc[6, "keep"])
+
+
+def test_wav_roundtrip_bit_exact():
+    """encode→decode recovers samples and rate bit-exactly; the
+    decoder walks RIFF chunks (survives an interleaved LIST chunk) and
+    rejects malformed/unsupported payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cesium_ray.stages.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(-32768, 32768, size=777, dtype=np.int16)
+    payload = encode_wav_pcm16(s, sample_rate=22050)
+    rate, got = decode_wav_pcm16(payload)
+    assert rate == 22050 and np.array_equal(got, s)
+
+    # interleave an odd-sized unknown chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    hacked = payload[:fmt_end] + extra + payload[fmt_end:]
+    hacked = hacked[:4] + struct.pack("<I", len(hacked) - 8) + hacked[8:]
+    rate2, got2 = decode_wav_pcm16(hacked)
+    assert rate2 == 22050 and np.array_equal(got2, s)
+
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(payload[:20])
+
+
+def test_wav_features_stage(ray_session):
+    """Actor-pool decode over real wav payloads: exact integer-space
+    features match a direct computation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cesium_ray.stages.multimodal import encode_wav_pcm16, wav_features
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(5):
+        s = rng.integers(-2000, 2000, size=int(rng.integers(10, 500)),
+                         dtype=np.int16)
+        rows.append((i, s))
+    tbl = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "payload": pa.array([encode_wav_pcm16(r[1], 8000) for r in rows],
+                            pa.binary()),
+    })
+    out = (wav_features(ray.data.from_arrow(tbl), batch_size=2).to_pandas()
+           .set_index("media_id").sort_index())
+    for i, s in rows:
+        si = s.astype(np.int64)
+        assert out.loc[i, "n_samples"] == len(s)
+        assert out.loc[i, "sample_rate"] == 8000
+        assert out.loc[i, "peak"] == int(np.abs(si).max())
+        assert out.loc[i, "rms"] == float(np.sqrt(int((si * si).sum()) / len(s)))
+        assert out.loc[i, "duration_s"] == len(s) / 8000.0
+
+
+def test_ppm_roundtrip_and_features(ray_session):
+    """P6 encode→decode roundtrip (incl. header comments) and exact
+    channel means through the actor-pool stage."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from cesium_ray.stages.multimodal import decode_ppm, encode_ppm, ppm_features
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    payload = encode_ppm(img)
+    assert np.array_equal(decode_ppm(payload), img)
+
+    # header with a comment line (real PPM grammar)
+    commented = b"P6\n# made by a camera\n5 7\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(commented), img)
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError):
+        decode_ppm(payload[:-4])
+
+    tbl = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "payload": pa.array([payload], pa.binary()),
+    })
+    out = ppm_features(ray.data.from_arrow(tbl), batch_size=4).to_pandas()
+    sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert out.loc[0, "width"] == 5 and out.loc[0, "height"] == 7
+    assert out.loc[0, "n_pixels"] == 35
+    assert out.loc[0, "mean_r"] == sums[0] / 35
+    assert out.loc[0, "mean_g"] == sums[1] / 35
+    assert out.loc[0, "mean_b"] == sums[2] / 35
