@@ -854,6 +854,83 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_counter_rate(sf_dir):
+    """★-checked PromQL-style counter rate (stages/counters.py): per
+    user series ordered by (ts, event_id), negative deltas are counter
+    resets (contribution = current value); increase accumulates in
+    exact int space (values are k/100-quantized) so the SQL twin is
+    bit-identical."""
+    from ..stages.counters import counter_rate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    out = counter_rate(ev, num_partitions=8).to_pandas()
+    return round6(out.sort_values("user_id").reset_index(drop=True))
+
+
+COUNTER_RATE_SQL = """
+WITH o AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS k,
+         lag(CAST(round(value * 100) AS BIGINT)) OVER w AS pk,
+         epoch_us(ts) AS tus
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT user_id,
+         sum(CASE WHEN pk IS NULL THEN 0
+                  WHEN k >= pk THEN k - pk ELSE k END) AS inc_k,
+         count(*) FILTER (pk IS NOT NULL AND k < pk) AS n_resets,
+         (max(tus) - min(tus)) / 1000000.0 AS duration_s
+  FROM o GROUP BY user_id
+)
+SELECT user_id, n_resets,
+       round(CAST(inc_k AS DOUBLE) / 100.0, 6) AS total_increase,
+       round(CASE WHEN duration_s > 0.0
+             THEN (CAST(inc_k AS DOUBLE) / 100.0) / duration_s
+             ELSE NULL END, 6) AS rate_per_sec
+FROM c
+"""
+
+
+def q_minmax_downsample(sf_dir):
+    """★-checked TSDB min-max downsample (stages/counters.py): per
+    (user, 1h bucket) keep the min- and max-value rows, ties to the
+    earliest (ts, event_id) — row_number oracle."""
+    from ..stages.counters import minmax_downsample
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    out = minmax_downsample(ev, bucket_s=3600, num_partitions=8).to_pandas()
+    out["value"] = np.round(out["value"].to_numpy(np.float64), 6)
+    return (out.sort_values(["user_id", "bucket_us", "kind"])
+            .reset_index(drop=True))
+
+
+MINMAX_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, ts, value,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+         row_number() OVER (PARTITION BY user_id,
+                            (epoch_us(ts) // 3600000000)
+                            ORDER BY value ASC, ts, event_id) AS rn_min,
+         row_number() OVER (PARTITION BY user_id,
+                            (epoch_us(ts) // 3600000000)
+                            ORDER BY value DESC, ts, event_id) AS rn_max
+  FROM events
+)
+SELECT user_id, bucket_us, 'min' AS kind, ts, event_id,
+       round(value, 6) AS value
+FROM b WHERE rn_min = 1
+UNION ALL
+SELECT user_id, bucket_us, 'max' AS kind, ts, event_id,
+       round(value, 6) AS value
+FROM b WHERE rn_max = 1
+"""
+
+
 def q_wav_features(sf_dir):
     """★-checked REAL multimodal path (stages/multimodal.py): each
     user's event values (ordered by event_id, quantized to int16 via
@@ -1167,6 +1244,8 @@ EXTRA_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "wav_features": q_wav_features,
     "image_features": q_image_features,
+    "counter_rate": q_counter_rate,
+    "minmax_downsample": q_minmax_downsample,
     "curate_docs": q_curate_docs,
     "dup_clusters": q_dup_clusters,
     "features_general": q_features_general,
@@ -1194,6 +1273,8 @@ EXTRA_ORACLE_SQL = {
     "pack_sequences": PACK_SQL,
     "wav_features": WAV_SQL,
     "image_features": IMAGE_SQL,
+    "counter_rate": COUNTER_RATE_SQL,
+    "minmax_downsample": MINMAX_SQL,
     "curate_docs": _curate_sql(),
     "dup_clusters": DUP_CLUSTERS_SQL,
     "features_stats": FEATURES_STATS_SQL,

@@ -142,7 +142,9 @@ class WavFeatures:
             rows["sample_rate"].append(rate)
             rows["duration_s"].append(n / float(rate))
             rows["peak"].append(int(np.abs(si).max()) if n else 0)
-            rows["rms"].append(float(np.sqrt(ssq / n)) if n else 0.0)
+            # float(ssq) FIRST (like SQL's CAST(sum AS DOUBLE)) so the
+            # op sequence matches the oracle even when ssq ≥ 2^53
+            rows["rms"].append(float(np.sqrt(float(ssq) / n)) if n else 0.0)
         out = batch.drop_columns(["payload"])
         for k, v in rows.items():
             t = pa.int64() if k in ("n_samples", "sample_rate", "peak") \
