@@ -1237,6 +1237,191 @@ FROM documents d JOIN lang l USING (doc_id) JOIN q USING (doc_id)
 """
 
 
+def q_ohlc_1h(sf_dir):
+    """★-checked OHLC candlestick rollup (stages/tsmath.py): per
+    (user, 1h bucket) open/high/low/close/count with (ts, event_id)
+    order defining open/close.  Pure row selection — no float math —
+    so the engine/SQL doubles are the source values verbatim."""
+    from ..stages.tsmath import ohlc_rollup
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    out = ohlc_rollup(ev, bucket_s=3600, num_partitions=8).to_pandas()
+    return (out.sort_values(["user_id", "bucket_us"])
+            .reset_index(drop=True))
+
+
+OHLC_SQL = """
+SELECT user_id,
+       (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+       first(value ORDER BY ts, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       count(*) AS n
+FROM events
+GROUP BY user_id, (epoch_us(ts) // 3600000000) * 3600000000
+"""
+
+
+def q_twa_1d(sf_dir):
+    """★-checked LOCF time-weighted average (stages/tsmath.py): per
+    (user, 1d bucket) Σ vᵢ·Δtᵢ / span with Δt to the next point in
+    the same bucket; zero-span buckets degrade to the plain mean.
+    Σ k·Δt_us accumulates in exact int64 so the lead()-window SQL
+    twin is bit-identical."""
+    from ..stages.tsmath import time_weighted_avg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    out = time_weighted_avg(ev, bucket_s=86400, num_partitions=8).to_pandas()
+    out = round6(out, cols=["twa"])
+    return (out.sort_values(["user_id", "bucket_us"])
+            .reset_index(drop=True))
+
+
+TWA_SQL = """
+WITH o AS (
+  SELECT user_id,
+         (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+         CAST(round(value * 100) AS BIGINT) AS k,
+         epoch_us(ts) AS tus,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id, epoch_us(ts) // 86400000000
+           ORDER BY ts, event_id) AS next_tus
+  FROM events
+),
+c AS (
+  SELECT user_id, bucket_us,
+         sum(k * coalesce(next_tus - tus, 0)) AS kdt,
+         sum(coalesce(next_tus - tus, 0)) AS span_us,
+         sum(k) AS sk,
+         count(*) AS n
+  FROM o GROUP BY user_id, bucket_us
+)
+SELECT user_id, bucket_us,
+       round(CASE WHEN span_us > 0
+             THEN CAST(kdt AS DOUBLE) / (CAST(span_us AS DOUBLE) * 100.0)
+             ELSE CAST(sk AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+             END, 6) AS twa,
+       span_us, n
+FROM c
+"""
+
+
+def q_zscore_anomalies(sf_dir):
+    """★-checked population z-score anomaly flags (stages/tsmath.py):
+    rows > 2.5σ from the per-user mean.  µ and σ² from exact int64
+    Σk/Σk² with the float expression (skk/n − (sk/n)²) mirrored
+    operation-for-operation in the SQL twin."""
+    from ..stages.tsmath import zscore_anomalies
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+    out = zscore_anomalies(ev, thresh=2.5, num_partitions=8).to_pandas()
+    out = round6(out, cols=["z"])
+    return (out.sort_values(["user_id", "event_id"])
+            .reset_index(drop=True))
+
+
+ZSCORE_SQL = """
+WITH k AS (
+  SELECT user_id, event_id, value,
+         CAST(round(value * 100) AS BIGINT) AS kv
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(kv) AS DOUBLE) AS sk,
+         CAST(sum(kv * kv) AS DOUBLE) AS skk
+  FROM k GROUP BY user_id
+),
+z AS (
+  SELECT k.user_id, k.event_id, k.value,
+         (k.kv - s.sk / s.n) / sqrt(s.skk / s.n - (s.sk / s.n) * (s.sk / s.n)) AS z,
+         s.skk / s.n - (s.sk / s.n) * (s.sk / s.n) AS var
+  FROM k JOIN s USING (user_id)
+)
+SELECT user_id, event_id, value, round(z, 6) AS z
+FROM z WHERE var > 0 AND abs(z) > 2.5
+"""
+
+
+def q_diurnal_profile(sf_dir):
+    """★-checked hour-of-day seasonal profile (stages/tsmath.py):
+    mean value + count by (event_type, UTC hour).  Map-side partial
+    combine — each block reduces to ≤ types×24 exact-int cells, so
+    the exchange carries ~120 rows regardless of input size."""
+    from ..stages.tsmath import diurnal_profile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    out = diurnal_profile(ev)
+    out = round6(out, cols=["mean_value"])
+    return (out.sort_values(["event_type", "hour"])
+            .reset_index(drop=True))
+
+
+DIURNAL_SQL = """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       count(*) AS n,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 100.0), 6) AS mean_value
+FROM events
+GROUP BY event_type, (epoch_us(ts) // 3600000000) % 24
+"""
+
+
+def q_trend_corr(sf_dir):
+    """★-checked per-series trend correlation (stages/tsmath.py):
+    Pearson r between value (k-space int) and elapsed whole seconds
+    since the series' first point.  All five sums are exact int64;
+    the final double expression mirrors the SQL twin bitwise."""
+    from ..stages.tsmath import trend_corr
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    out = trend_corr(ev, num_partitions=8).to_pandas()
+    out = round6(out, cols=["trend_r"])
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+TREND_CORR_SQL = """
+WITH t0 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events GROUP BY user_id
+),
+xy AS (
+  SELECT e.user_id,
+         CAST(round(e.value * 100) AS BIGINT) AS x,
+         (epoch_us(e.ts) - t0.t0) // 1000000 AS y
+  FROM events e JOIN t0 USING (user_id)
+),
+s AS (
+  SELECT user_id,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM xy GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0.0
+             THEN (n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             ELSE NULL END, 6) AS trend_r
+FROM s
+"""
+
+
 EXTRA_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
@@ -1246,6 +1431,11 @@ EXTRA_QUERIES = {
     "image_features": q_image_features,
     "counter_rate": q_counter_rate,
     "minmax_downsample": q_minmax_downsample,
+    "ohlc_1h": q_ohlc_1h,
+    "twa_1d": q_twa_1d,
+    "zscore_anomalies": q_zscore_anomalies,
+    "diurnal_profile": q_diurnal_profile,
+    "trend_corr": q_trend_corr,
     "curate_docs": q_curate_docs,
     "dup_clusters": q_dup_clusters,
     "features_general": q_features_general,
@@ -1275,6 +1465,11 @@ EXTRA_ORACLE_SQL = {
     "image_features": IMAGE_SQL,
     "counter_rate": COUNTER_RATE_SQL,
     "minmax_downsample": MINMAX_SQL,
+    "ohlc_1h": OHLC_SQL,
+    "twa_1d": TWA_SQL,
+    "zscore_anomalies": ZSCORE_SQL,
+    "diurnal_profile": DIURNAL_SQL,
+    "trend_corr": TREND_CORR_SQL,
     "curate_docs": _curate_sql(),
     "dup_clusters": DUP_CLUSTERS_SQL,
     "features_stats": FEATURES_STATS_SQL,

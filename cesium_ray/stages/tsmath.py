@@ -1,0 +1,236 @@
+"""TSDB rollup math Ray Data lacks natively: OHLC candlesticks,
+time-weighted averages (LOCF integral), population z-score anomaly
+flagging, diurnal (hour-of-day) profiles, and per-series trend
+correlation.
+
+All five ride the engine's one wide primitive (``group_apply``
+conv-hash exchange — stages/partition.py) with fully vectorized
+per-partition kernels (lexsort + reduceat / bincount), and all are
+defined in exact integer space — values are k/100-quantized doubles
+and timestamps are int64 microseconds — so every emitted number is
+bit-reproducible by a DuckDB oracle that mirrors the same operation
+order (SURVEY.md §2.12).
+
+Scale notes: each operator performs exactly one hash exchange keyed
+on the series id; per-partition work is O(n log n) in the partition,
+no driver-side materialization; diurnal_profile is a map-side partial
+combine (24×types cells per block) followed by a tiny final groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from .partition import group_apply
+
+_US = np.int64(1_000_000)
+
+
+def _quantize(v: np.ndarray) -> np.ndarray:
+    """Values are k/100-quantized doubles; work in exact int64 k-space."""
+    return np.rint(np.asarray(v, np.float64) * 100.0).astype(np.int64)
+
+
+def ohlc_rollup(
+    ds: ray.data.Dataset,
+    bucket_s: int = 3600,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per (series, bucket): open/high/low/close/count — the
+    candlestick rollup.  Open/close take the first/last row by
+    (ts, order); high/low are value extrema.  No float arithmetic, so
+    output doubles are the exact source values."""
+    step = np.int64(bucket_s) * _US
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, order_col], kind="mergesort")
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        b = (tus // step) * step
+        g = df[key].to_numpy()
+        v = df[val_col].to_numpy(np.float64)
+        new = np.r_[True, (g[1:] != g[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(g)] - 1
+        return pd.DataFrame({
+            key: g[starts],
+            "bucket_us": b[starts],
+            "open": v[starts],
+            "high": np.maximum.reduceat(v, starts) if len(starts) else v[:0],
+            "low": np.minimum.reduceat(v, starts) if len(starts) else v[:0],
+            "close": v[ends],
+            "n": (np.r_[starts[1:], len(g)] - starts).astype(np.int64),
+        })
+
+    return group_apply(ds, fn, num_partitions=num_partitions, key=key)
+
+
+def time_weighted_avg(
+    ds: ray.data.Dataset,
+    bucket_s: int = 86400,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per (series, bucket): the LOCF time-weighted average — each
+    point holds its value until the next point in the same bucket;
+    TWA = Σ v_i·Δt_i / span.  A zero-span bucket (single point or all
+    ties) degrades to the plain mean.  Accumulated as Σ k·Δt_us in
+    int64 (exact), divided once at the end."""
+    step = np.int64(bucket_s) * _US
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, order_col], kind="mergesort")
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        b = (tus // step) * step
+        g = df[key].to_numpy()
+        k = _quantize(df[val_col].to_numpy())
+        new = np.r_[True, (g[1:] != g[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(new)
+        n = len(starts)
+        counts = np.r_[starts[1:], len(g)] - starts
+        # Δt to the NEXT point inside the same (series, bucket); last
+        # point of each bucket contributes 0 (its value ends the span).
+        dt = np.r_[tus[1:] - tus[:-1], np.int64(0)]
+        last = np.zeros(len(g), bool)
+        last[np.r_[starts[1:], len(g)] - 1] = True
+        dt[last] = 0
+        kdt = np.add.reduceat(k * dt, starts) if n else k[:0]
+        span = np.add.reduceat(dt, starts) if n else dt[:0]
+        sk = np.add.reduceat(k, starts) if n else k[:0]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            twa = np.where(
+                span > 0,
+                kdt.astype(np.float64) / (span.astype(np.float64) * 100.0),
+                sk.astype(np.float64) / (counts.astype(np.float64) * 100.0),
+            )
+        return pd.DataFrame({
+            key: g[starts],
+            "bucket_us": b[starts],
+            "twa": twa,
+            "span_us": span.astype(np.int64),
+            "n": counts.astype(np.int64),
+        })
+
+    return group_apply(ds, fn, num_partitions=num_partitions, key=key)
+
+
+def zscore_anomalies(
+    ds: ray.data.Dataset,
+    thresh: float = 2.5,
+    key: str = "user_id",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Flag rows whose value sits > ``thresh`` population standard
+    deviations from the per-series mean.  µ and σ² come from exact
+    int64 Σk / Σk² with the float expression mirrored by the SQL twin
+    (skk/n − (sk/n)², IEEE-identical); σ = 0 series flag nothing."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_col], kind="mergesort")
+        g = df[key].to_numpy()
+        k = _quantize(df[val_col].to_numpy())
+        new = np.r_[True, g[1:] != g[:-1]]
+        gid = np.cumsum(new) - 1
+        n = int(gid[-1]) + 1 if len(gid) else 0
+        cnt = np.bincount(gid, minlength=n).astype(np.float64)
+        sk = np.bincount(gid, weights=k, minlength=n)
+        skk = np.bincount(gid, weights=(k * k).astype(np.float64), minlength=n)
+        mu = sk / cnt
+        var = skk / cnt - (sk / cnt) * (sk / cnt)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sigma = np.sqrt(var)
+            z = (k - mu[gid]) / sigma[gid]
+        keep = (sigma[gid] > 0.0) & (np.abs(z) > thresh)
+        out = df.loc[keep, [key, order_col, val_col]].copy()
+        out["z"] = z[keep]
+        return out.reset_index(drop=True)
+
+    return group_apply(ds, fn, num_partitions=num_partitions, key=key)
+
+
+def diurnal_profile(
+    ds: ray.data.Dataset,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> pd.DataFrame:
+    """Mean value and count by (group, UTC hour-of-day) — the seasonal
+    baseline profile.  Map-side partial combine: each block reduces to
+    ≤ groups×24 cells of exact int sums, so the final exchange carries
+    a few hundred rows regardless of input size."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        hour = ((tus // (3600 * _US)) % 24).astype(np.int64)
+        k = _quantize(df[val_col].to_numpy())
+        gv, gcode = np.unique(df[group_col].to_numpy(), return_inverse=True)
+        cell = gcode * 24 + hour
+        ncell = len(gv) * 24
+        cnt = np.bincount(cell, minlength=ncell)
+        sk = np.bincount(cell, weights=k, minlength=ncell).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({
+            group_col: gv[nz // 24],
+            "hour": (nz % 24).astype(np.int64),
+            "_cnt": cnt[nz].astype(np.int64),
+            "_sk": sk[nz],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby([group_col, "hour"], as_index=False).agg(
+        n=("_cnt", "sum"), sk=("_sk", "sum"))
+    agg["mean_value"] = agg["sk"].to_numpy(np.float64) / (
+        agg["n"].to_numpy(np.float64) * 100.0)
+    return agg[[group_col, "hour", "n", "mean_value"]]
+
+
+def trend_corr(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per series: Pearson correlation between value and elapsed time
+    (whole seconds since the series' first point) — the monotone-trend
+    detector.  x = k (int), y = Δt_s (int floor): all five sums are
+    exact int64; the final expression mirrors the SQL twin so the
+    doubles agree bitwise.  Degenerate series (σx·σy = 0, or a single
+    point) emit NaN."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        g = df[key].to_numpy()
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        x = _quantize(df[val_col].to_numpy())
+        new = np.r_[True, g[1:] != g[:-1]]
+        gid = np.cumsum(new) - 1
+        ng = int(gid[-1]) + 1 if len(gid) else 0
+        t0 = np.minimum.reduceat(tus, np.flatnonzero(new))
+        y = (tus - t0[gid]) // _US  # whole seconds, exact
+        n = np.bincount(gid, minlength=ng).astype(np.float64)
+        sx = np.bincount(gid, weights=x, minlength=ng)
+        sy = np.bincount(gid, weights=y, minlength=ng)
+        sxx = np.bincount(gid, weights=(x * x).astype(np.float64), minlength=ng)
+        syy = np.bincount(gid, weights=(y * y).astype(np.float64), minlength=ng)
+        sxy = np.bincount(gid, weights=(x * y).astype(np.float64), minlength=ng)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+            r = np.where(denom > 0.0, (n * sxy - sx * sy) / denom, np.nan)
+        return pd.DataFrame({
+            key: g[new],
+            "n": n.astype(np.int64),
+            "trend_r": r,
+        })
+
+    return group_apply(ds, fn, num_partitions=num_partitions, key=key)

@@ -1,0 +1,174 @@
+"""TSDB math stage (stages/tsmath.py): OHLC, time-weighted average,
+z-score anomalies, diurnal profile, trend correlation — distributed
+paths vs brute-force pandas/DuckDB ground truth."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def _events(seed=0, n=4000, nkeys=20):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, nkeys, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 5 * 86400, n) * 10**6, unit="us"
+        ).astype("datetime64[us]"),
+        "value": np.round(rng.gamma(2.0, 25.0, n), 2),
+    })
+
+
+def test_ohlc_matches_duckdb(ray_session):
+    from cesium_ray.stages.tsmath import ohlc_rollup
+
+    ev = _events()
+    got = (ohlc_rollup(ray.data.from_pandas(ev).repartition(6),
+                       bucket_s=3600, num_partitions=5)
+           .to_pandas().sort_values(["user_id", "bucket_us"])
+           .reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT user_id,
+               (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+               first(value ORDER BY ts, event_id) AS open,
+               max(value) AS high, min(value) AS low,
+               last(value ORDER BY ts, event_id) AS close,
+               count(*) AS n
+        FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    for c in ["user_id", "bucket_us", "open", "high", "low", "close", "n"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_twa_single_point_and_ties(ray_session):
+    from cesium_ray.stages.tsmath import time_weighted_avg
+
+    ev = pd.DataFrame({
+        "event_id": [0, 1, 2, 3, 4],
+        "user_id": [1, 2, 2, 2, 3],
+        "ts": pd.to_datetime(
+            [0, 0, 600 * 10**6, 600 * 10**6, 5 * 10**6], unit="us"
+        ).astype("datetime64[us]"),
+        "value": [7.25, 10.0, 20.0, 30.0, 4.0],
+    })
+    got = (time_weighted_avg(ray.data.from_pandas(ev), bucket_s=86400,
+                             num_partitions=3)
+           .to_pandas().set_index("user_id"))
+    # single point → plain value; zero-span bucket → mean
+    assert got.loc[1, "twa"] == 7.25
+    assert got.loc[3, "twa"] == 4.0
+    # user 2: 10.0 holds 600s, then 20.0 for 0s (tie), 30.0 ends →
+    # TWA = (1000*600e6 + 2000*0) / (600e6*100) = 10.0
+    assert got.loc[2, "twa"] == 10.0
+    assert got.loc[2, "span_us"] == 600 * 10**6
+
+
+def test_twa_matches_duckdb(ray_session):
+    from cesium_ray.stages.tsmath import time_weighted_avg
+
+    ev = _events(seed=3)
+    got = (time_weighted_avg(ray.data.from_pandas(ev).repartition(4),
+                             bucket_s=86400, num_partitions=5)
+           .to_pandas().sort_values(["user_id", "bucket_us"])
+           .reset_index(drop=True))
+    want = duckdb.sql("""
+        WITH o AS (
+          SELECT user_id,
+                 (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+                 CAST(round(value * 100) AS BIGINT) AS k,
+                 epoch_us(ts) AS tus,
+                 lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, epoch_us(ts) // 86400000000
+                   ORDER BY ts, event_id) AS next_tus
+          FROM ev)
+        SELECT user_id, bucket_us,
+               CASE WHEN sum(coalesce(next_tus - tus, 0)) > 0
+               THEN CAST(sum(k * coalesce(next_tus - tus, 0)) AS DOUBLE)
+                    / (CAST(sum(coalesce(next_tus - tus, 0)) AS DOUBLE) * 100.0)
+               ELSE CAST(sum(k) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 100.0)
+               END AS twa
+        FROM o GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    assert (got["twa"].to_numpy() == want["twa"].to_numpy()).all()
+
+
+def test_zscore_flags_planted_outliers(ray_session):
+    from cesium_ray.stages.tsmath import zscore_anomalies
+
+    rng = np.random.default_rng(1)
+    n = 2000
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 10, n),
+        "value": np.round(rng.normal(100, 5, n), 2),
+    })
+    planted = [5, 777, 1500]
+    ev.loc[planted, "value"] = 500.0
+    got = (zscore_anomalies(ray.data.from_pandas(ev).repartition(4),
+                            thresh=2.5, num_partitions=4).to_pandas())
+    assert set(planted) <= set(got["event_id"])
+    # brute force per user
+    for uid, g in ev.groupby("user_id"):
+        k = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        mu, sd = k.mean(), k.std()
+        want_ids = g["event_id"].to_numpy()[np.abs((k - mu) / sd) > 2.5]
+        got_ids = got.loc[got["user_id"] == uid, "event_id"].to_numpy()
+        assert set(want_ids) == set(got_ids)
+
+
+def test_zscore_constant_series_flags_nothing(ray_session):
+    from cesium_ray.stages.tsmath import zscore_anomalies
+
+    ev = pd.DataFrame({"event_id": [0, 1, 2], "user_id": [1, 1, 1],
+                       "value": [5.0, 5.0, 5.0]})
+    got = zscore_anomalies(ray.data.from_pandas(ev), num_partitions=2).to_pandas()
+    assert len(got) == 0
+
+
+def test_diurnal_profile_exact(ray_session):
+    from cesium_ray.stages.tsmath import diurnal_profile
+
+    ev = _events(seed=7).assign(
+        event_type=np.random.default_rng(7).choice(["a", "b"], 4000))
+    got = (diurnal_profile(ray.data.from_pandas(ev).repartition(8))
+           .sort_values(["event_type", "hour"]).reset_index(drop=True))
+    tus = ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+    ev2 = ev.assign(hour=(tus // 3600000000) % 24,
+                    k=np.rint(ev["value"] * 100).astype(np.int64))
+    want = (ev2.groupby(["event_type", "hour"], as_index=False)
+            .agg(n=("k", "size"), sk=("k", "sum")))
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert np.allclose(got["mean_value"], want["sk"] / (want["n"] * 100.0),
+                       rtol=0, atol=0)
+
+
+def test_trend_corr_recovers_monotone_trend(ray_session):
+    from cesium_ray.stages.tsmath import trend_corr
+
+    n = 500
+    ts = pd.to_datetime(np.arange(n) * 60 * 10**6, unit="us").astype(
+        "datetime64[us]")
+    ev = pd.concat([
+        pd.DataFrame({"user_id": 1, "ts": ts,
+                      "value": np.round(np.linspace(1, 50, n), 2)}),
+        pd.DataFrame({"user_id": 2, "ts": ts,
+                      "value": np.round(np.linspace(50, 1, n), 2)}),
+        pd.DataFrame({"user_id": 3, "ts": ts[:1], "value": [5.0]}),
+    ])
+    got = (trend_corr(ray.data.from_pandas(ev), num_partitions=3)
+           .to_pandas().set_index("user_id"))
+    assert got.loc[1, "trend_r"] > 0.999
+    assert got.loc[2, "trend_r"] < -0.999
+    assert np.isnan(got.loc[3, "trend_r"])
+    # vs numpy corrcoef on a noisy series
+    rng = np.random.default_rng(5)
+    noisy = pd.DataFrame({
+        "user_id": 9,
+        "ts": ts,
+        "value": np.round(np.linspace(0, 20, n) + rng.normal(0, 5, n), 2)})
+    got9 = trend_corr(ray.data.from_pandas(noisy),
+                      num_partitions=2).to_pandas()
+    k = np.rint(noisy["value"].to_numpy() * 100)
+    y = np.arange(n) * 60.0
+    assert abs(got9["trend_r"].iloc[0] - np.corrcoef(k, y)[0, 1]) < 1e-9
