@@ -1422,6 +1422,114 @@ FROM s
 """
 
 
+def q_heavy_hitters(sf_dir):
+    """★-checked EXACT heavy hitters (stages/heavy.py): items in
+    ≥0.75% of rows via mergeable Misra-Gries block summaries + a
+    broadcast exact recount — two streaming passes, zero shuffles.
+    The sketch only bounds the candidate set; the output counts are
+    exact, so the plain HAVING oracle matches bit-for-bit."""
+    from ..stages.heavy import heavy_hitters
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    return heavy_hitters(ev, col="user_id", threshold_frac=0.0075)
+
+
+HEAVY_SQL = """
+SELECT user_id, count(*) AS n
+FROM events
+GROUP BY user_id
+HAVING count(*) >= (SELECT CAST(ceil(count(*) * 0.0075) AS BIGINT) FROM events)
+"""
+
+
+def q_bloom_semi_join(sf_dir):
+    """★-checked Bloom-prefiltered semi-join (stages/heavy.py): keep
+    events of users with ≥70 total events.  The broadcast Bloom drops
+    non-members map-side (~10 bits/key — the form that still
+    broadcasts at 10⁹ keys); a hash join on the survivors removes
+    false positives, so the result is the exact semi-join."""
+    from ..stages.heavy import bloom_semi_join
+
+    counts = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .groupby("user_id").count().to_pandas()
+    )
+    keys = counts.loc[counts["count()"] >= 70, "user_id"].to_numpy(np.int64)
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+    out = bloom_semi_join(ev, keys, col="user_id", num_partitions=8).to_pandas()
+    return (out.sort_values("event_id").reset_index(drop=True))
+
+
+BLOOM_SEMI_SQL = """
+WITH hot AS (
+  SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 70
+)
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e SEMI JOIN hot USING (user_id)
+"""
+
+
+def q_interval_merge(sf_dir):
+    """★-checked variable-length interval union (stages/intervals.py):
+    each event opens an interval of (k mod 600 + 60) seconds; merge
+    overlapping-or-touching intervals per user via a segmented-scan
+    running max.  int64-µs throughout — the windowed gaps-and-islands
+    oracle is bit-identical."""
+    from ..stages.intervals import merge_intervals
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df["ts"].to_numpy("datetime64[us]").view(np.int64)
+        k = np.rint(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "event_id": df["event_id"].to_numpy(),
+            "start_us": tus,
+            "end_us": tus + (k % 600 + 60) * 1_000_000,
+        })
+
+    iv = ev.map_batches(derive, batch_format="pandas")
+    out = merge_intervals(iv, num_partitions=8).to_pandas()
+    return (out.sort_values(["user_id", "start_us"])
+            .reset_index(drop=True))
+
+
+INTERVAL_MERGE_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts)
+         + (CAST(round(value * 100) AS BIGINT) % 600 + 60) * 1000000 AS e
+  FROM events
+),
+o AS (
+  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS pm
+  FROM iv
+),
+fl AS (
+  SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS flag
+  FROM o
+),
+isl AS (
+  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+)
+SELECT user_id, min(s) AS start_us, max(e) AS end_us,
+       count(*) AS n_intervals
+FROM isl GROUP BY user_id, island
+"""
+
+
 EXTRA_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
@@ -1436,6 +1544,9 @@ EXTRA_QUERIES = {
     "zscore_anomalies": q_zscore_anomalies,
     "diurnal_profile": q_diurnal_profile,
     "trend_corr": q_trend_corr,
+    "heavy_hitters": q_heavy_hitters,
+    "bloom_semi_join": q_bloom_semi_join,
+    "interval_merge": q_interval_merge,
     "curate_docs": q_curate_docs,
     "dup_clusters": q_dup_clusters,
     "features_general": q_features_general,
@@ -1470,6 +1581,9 @@ EXTRA_ORACLE_SQL = {
     "zscore_anomalies": ZSCORE_SQL,
     "diurnal_profile": DIURNAL_SQL,
     "trend_corr": TREND_CORR_SQL,
+    "heavy_hitters": HEAVY_SQL,
+    "bloom_semi_join": BLOOM_SEMI_SQL,
+    "interval_merge": INTERVAL_MERGE_SQL,
     "curate_docs": _curate_sql(),
     "dup_clusters": DUP_CLUSTERS_SQL,
     "features_stats": FEATURES_STATS_SQL,

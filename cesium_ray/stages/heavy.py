@@ -1,0 +1,177 @@
+"""Sketch-accelerated EXACT operators: Misra-Gries heavy hitters with
+an exact recount pass, and a Bloom-prefiltered semi-join.
+
+Both follow the same scale pattern — an approximate, mergeable,
+broadcast-size summary bounds the candidate set, then one exact pass
+over only the candidates produces a provably exact answer:
+
+- heavy_hitters: two streaming map passes, ZERO shuffles.  Pass 1
+  compresses each block to a Misra-Gries summary (≤ capacity entries,
+  error ≤ n_block/(cap+1)); merged summaries keep every item with true
+  frequency ≥ threshold (capacity is sized 2/threshold_frac so the
+  summed error stays under threshold/2).  Pass 2 recounts ONLY the
+  candidates via a broadcast id set + per-block bincount partials, so
+  the driver sees a few hundred exact counters, never a groupby.
+
+- bloom_semi_join: the small side becomes a bit array (~10 bits/key
+  vs 64+ for the raw keys — the broadcastable form at 10⁹ keys); the
+  big side drops non-members map-side (no false negatives), and a
+  real hash join on the survivors removes the ~1% false positives, so
+  the output is the exact semi-join with the exchange shrunk to the
+  match fraction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+# ---------------------------------------------------------------- MG
+
+def _mg_compress(ids: np.ndarray, counts: np.ndarray, capacity: int):
+    """Misra-Gries compression of exact (id, count) pairs: subtract
+    the (capacity+1)-th largest count from all, keep positives.  The
+    subtracted amount d satisfies d·(capacity+1) ≤ Σcounts, giving the
+    classic error bound."""
+    if len(ids) <= capacity:
+        return ids, counts
+    order = np.argsort(counts, kind="stable")[::-1]
+    d = counts[order[capacity]]
+    keep = counts > d
+    return ids[keep], counts[keep] - d
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str = "user_id",
+    threshold_frac: float = 0.008,
+) -> pd.DataFrame:
+    """EXACT set of items occurring in ≥ ``threshold_frac`` of rows,
+    with exact counts — via mergeable Misra-Gries candidate summaries
+    plus a broadcast recount.  Returns (col, n) for items with
+    n ≥ ceil(threshold_frac · total_rows)."""
+    capacity = int(np.ceil(2.0 / threshold_frac))
+
+    def summarize(tbl: pa.Table) -> pa.Table:
+        v = tbl[col].to_numpy(zero_copy_only=False)
+        ids, counts = np.unique(v, return_counts=True)
+        cids, ccounts = _mg_compress(ids, counts.astype(np.int64), capacity)
+        if len(cids) == 0 and len(ids):
+            # fully-uniform block compressed to nothing — keep one id at
+            # residual 0 so the block's row count still reaches the driver
+            cids, ccounts = ids[:1], np.zeros(1, np.int64)
+        block_n = np.zeros(len(cids), np.int64)
+        if len(block_n):
+            block_n[0] = len(v)  # first summary row carries the block size
+        return pa.table({
+            col: pa.array(cids),
+            "_residual": pa.array(ccounts, pa.int64()),
+            "_block_n": pa.array(block_n),
+        })
+
+    parts = ds.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    total = int(parts["_block_n"].sum())
+    thresh = int(np.ceil(threshold_frac * total))
+    merged = parts.groupby(col, as_index=False)["_residual"].sum()
+    # merged summary error < total·threshold_frac/2 < thresh, so every
+    # true heavy hitter has a positive merged residual → candidates
+    cand = np.sort(merged[col].to_numpy())
+    cand_ref = ray.put(cand)
+
+    def recount(tbl: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        v = tbl[col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(c, v)
+        pos[pos >= len(c)] = 0
+        hit = c[pos] == v
+        n = np.bincount(pos[hit], minlength=len(c)).astype(np.int64)
+        return pa.table({col: pa.array(c), "_n": pa.array(n, pa.int64())})
+
+    counts = (ds.map_batches(recount, batch_format="pyarrow").to_pandas()
+              .groupby(col, as_index=False)["_n"].sum())
+    out = counts[counts["_n"] >= thresh].rename(columns={"_n": "n"})
+    return out.sort_values(col).reset_index(drop=True)
+
+
+# ------------------------------------------------------------- Bloom
+
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche over uint64 (vectorized)."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(33)
+        x *= _MIX1
+        x ^= x >> np.uint64(33)
+        x *= _MIX2
+        x ^= x >> np.uint64(33)
+    return x
+
+
+class BloomFilter:
+    """Packed-uint64 Bloom filter with double hashing; build and probe
+    are fully vectorized.  ~10 bits/key at k=7 → ~1% false positives;
+    never a false negative."""
+
+    def __init__(self, n_keys: int, bits_per_key: int = 10, k: int = 7):
+        self.m = np.uint64(max(64, n_keys * bits_per_key))
+        self.k = k
+        self.words = np.zeros((int(self.m) + 63) // 64, np.uint64)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        u = keys.astype(np.int64).view(np.uint64)
+        h1 = _mix64(u)
+        h2 = _mix64(u ^ _MIX2) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return (h1[None, :] + i * h2[None, :]) % self.m  # (k, n)
+
+    def add(self, keys: np.ndarray) -> None:
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, bool)
+        pos = self._positions(keys)
+        bits = (self.words[(pos >> np.uint64(6)).astype(np.int64)]
+                >> (pos & np.uint64(63))) & np.uint64(1)
+        return bits.all(axis=0)
+
+
+def bloom_semi_join(
+    big: ray.data.Dataset,
+    keys: np.ndarray,
+    col: str = "user_id",
+    num_partitions: int = 8,
+    _verify: str = "join",
+) -> ray.data.Dataset:
+    """Exact semi-join of ``big`` against a key set, with a broadcast
+    Bloom prefilter shrinking the verify join's input to roughly the
+    true match fraction.  ``_verify="join"`` runs a real hash join on
+    the survivors (the at-scale path); ``"none"`` returns the bloom
+    survivors (supersets output by ≤ FP rate — for tests)."""
+    bloom = BloomFilter(len(keys))
+    bloom.add(np.asarray(keys))
+    bloom_ref = ray.put(bloom)
+
+    def prefilter(tbl: pa.Table) -> pa.Table:
+        b = ray.get(bloom_ref)
+        v = tbl[col].to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(b.contains(v)))
+
+    survivors = big.map_batches(prefilter, batch_format="pyarrow")
+    if _verify == "none":
+        return survivors
+    right = ray.data.from_pandas(
+        pd.DataFrame({col: np.sort(np.asarray(keys))}))
+    return survivors.join(right, "inner", num_partitions=num_partitions,
+                          on=(col,))
