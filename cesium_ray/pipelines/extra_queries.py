@@ -1530,6 +1530,141 @@ FROM isl GROUP BY user_id, island
 """
 
 
+def q_redact_props(sf_dir):
+    """★-checked PII/number redaction (stages/textprep.py): URLs →
+    emails → digit runs scrubbed sequentially from events.props with
+    per-rule match counts.  Engine regexes run on pyarrow's RE2 — the
+    same engine as DuckDB — so clean text and counts match
+    byte-for-byte with identical patterns."""
+    from ..stages.textprep import redact
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+    out = redact(ev, col="props", id_col="event_id").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+REDACT_SQL = """
+WITH s1 AS (
+  SELECT event_id,
+         len(regexp_extract_all(props, 'https?://[^ ]+')) AS n_urls,
+         regexp_replace(props, 'https?://[^ ]+', '<URL>', 'g') AS t
+  FROM events
+),
+s2 AS (
+  SELECT event_id, n_urls,
+         len(regexp_extract_all(t, '[A-Za-z0-9_.+-]+@[A-Za-z0-9.-]+')) AS n_emails,
+         regexp_replace(t, '[A-Za-z0-9_.+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS t
+  FROM s1
+)
+SELECT event_id,
+       regexp_replace(t, '[0-9]+', '<NUM>', 'g') AS clean_text,
+       n_urls, n_emails,
+       len(regexp_extract_all(t, '[0-9]+')) AS n_numbers
+FROM s2
+"""
+
+
+def q_chunk_docs(sf_dir):
+    """★-checked sliding-window chunking (stages/textprep.py): 120-char
+    chunks at stride 90 (25% overlap) per document, one vectorized
+    slice pass per chunk index.  The generate_series + substring
+    oracle reproduces every chunk byte-for-byte (ASCII corpus:
+    codeunits == chars)."""
+    from ..stages.textprep import chunk_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = chunk_documents(docs, size=120, stride=90).to_pandas()
+    return (out.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))
+
+
+CHUNK_SQL = """
+WITH e AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           CAST(ceil(greatest(length(text) - 120, 0) / 90.0) AS BIGINT)))
+         AS chunk_idx
+  FROM documents
+)
+SELECT doc_id, chunk_idx,
+       substring(text, chunk_idx * 90 + 1, 120) AS chunk_text,
+       length(substring(text, chunk_idx * 90 + 1, 120)) AS chunk_len
+FROM e
+"""
+
+
+def q_repetition_scores(sf_dir):
+    """★-checked in-document repetition signals (stages/textprep.py):
+    token/distinct counts, duplicate-token ratio, top-token fraction
+    per doc via one whole-batch split + factorize + reduceat.  Split
+    semantics mirror SQL string_split (empty tokens kept)."""
+    from ..stages.textprep import repetition_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = repetition_score(docs).to_pandas()
+    out = round6(out, cols=["dup_ratio", "top_token_frac"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+per AS (
+  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+),
+agg AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+         max(c) AS top
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS dup_ratio,
+       round(CAST(top AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS top_token_frac
+FROM agg
+"""
+
+
+def q_props_extract(sf_dir):
+    """★-checked semi-structured projection (stages/textprep.py): pull
+    the integer ``k`` out of the JSON props string with one RE2 pass,
+    then aggregate per event_type in exact int space."""
+    from ..stages.textprep import extract_json_field
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    k = extract_json_field(ev, col="props", field="k").to_pandas()
+    agg = k.groupby("event_type", as_index=False).agg(
+        n=("k", "size"), n_k=("k", "count"), sum_k=("k", "sum"))
+    agg["avg_k"] = agg["sum_k"].to_numpy(np.float64) / agg["n_k"].to_numpy(
+        np.float64)
+    agg = round6(agg, cols=["avg_k"])
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
+PROPS_SQL = """
+WITH k AS (
+  SELECT event_type,
+         CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)
+           AS kv
+  FROM events
+)
+SELECT event_type, count(*) AS n, count(kv) AS n_k, sum(kv) AS sum_k,
+       round(CAST(sum(kv) AS DOUBLE) / CAST(count(kv) AS DOUBLE), 6) AS avg_k
+FROM k GROUP BY event_type
+"""
+
+
 EXTRA_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
@@ -1547,6 +1682,10 @@ EXTRA_QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "bloom_semi_join": q_bloom_semi_join,
     "interval_merge": q_interval_merge,
+    "redact_props": q_redact_props,
+    "chunk_docs": q_chunk_docs,
+    "repetition_scores": q_repetition_scores,
+    "props_extract": q_props_extract,
     "curate_docs": q_curate_docs,
     "dup_clusters": q_dup_clusters,
     "features_general": q_features_general,
@@ -1584,6 +1723,10 @@ EXTRA_ORACLE_SQL = {
     "heavy_hitters": HEAVY_SQL,
     "bloom_semi_join": BLOOM_SEMI_SQL,
     "interval_merge": INTERVAL_MERGE_SQL,
+    "redact_props": REDACT_SQL,
+    "chunk_docs": CHUNK_SQL,
+    "repetition_scores": REPETITION_SQL,
+    "props_extract": PROPS_SQL,
     "curate_docs": _curate_sql(),
     "dup_clusters": DUP_CLUSTERS_SQL,
     "features_stats": FEATURES_STATS_SQL,
