@@ -1665,6 +1665,62 @@ FROM k GROUP BY event_type
 """
 
 
+def q_topk_per_day(sf_dir):
+    """★-checked exact top-3 hottest users per day (stages/heavy.py):
+    map-side partial counts compress blocks to (bucket, user) cells
+    before the one bucket-keyed exchange; ties break to the smaller
+    user id, mirrored by the row_number oracle."""
+    from ..stages.heavy import topk_per_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    out = topk_per_window(ev, k=3, bucket_s=86400,
+                          num_partitions=8).to_pandas()
+    return (out.sort_values(["bucket_us", "rank"])
+            .reset_index(drop=True))
+
+
+TOPK_WINDOW_SQL = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+         user_id, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket_us
+                               ORDER BY n DESC, user_id) AS rank
+  FROM c
+)
+SELECT bucket_us, user_id, n, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_hll_distinct(sf_dir):
+    """HyperLogLog distinct-count sketch (stages/sketch.py): one
+    streaming pass, blocks reduce to nonzero (register, rank) pairs
+    merged by max — constant-size exchange at any scale.  Rows-only
+    (the estimator is not SQL), but the query ASSERTS the estimate
+    lands within 5% of the exact distinct count computed alongside."""
+    from ..stages.sketch import hll_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    est = hll_distinct(ev, col="user_id")
+    exact = int(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .unique("user_id").__len__()
+    )
+    rel_err = abs(est - exact) / exact
+    assert rel_err < 0.05, (est, exact)
+    return pd.DataFrame({
+        "hll_estimate": [float(np.round(est, 3))],
+        "exact_distinct": [exact],
+        "rel_err": [float(np.round(rel_err, 6))],
+    })
+
+
 EXTRA_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
@@ -1682,6 +1738,8 @@ EXTRA_QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "bloom_semi_join": q_bloom_semi_join,
     "interval_merge": q_interval_merge,
+    "topk_per_day": q_topk_per_day,
+    "hll_distinct": q_hll_distinct,
     "redact_props": q_redact_props,
     "chunk_docs": q_chunk_docs,
     "repetition_scores": q_repetition_scores,
@@ -1723,6 +1781,7 @@ EXTRA_ORACLE_SQL = {
     "heavy_hitters": HEAVY_SQL,
     "bloom_semi_join": BLOOM_SEMI_SQL,
     "interval_merge": INTERVAL_MERGE_SQL,
+    "topk_per_day": TOPK_WINDOW_SQL,
     "redact_props": REDACT_SQL,
     "chunk_docs": CHUNK_SQL,
     "repetition_scores": REPETITION_SQL,

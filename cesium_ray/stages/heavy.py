@@ -175,3 +175,48 @@ def bloom_semi_join(
         pd.DataFrame({col: np.sort(np.asarray(keys))}))
     return survivors.join(right, "inner", num_partitions=num_partitions,
                           on=(col,))
+
+
+# -------------------------------------------------- windowed top-k
+
+def topk_per_window(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    bucket_s: int = 86400,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Exact top-k hottest keys per time bucket (count desc, key asc
+    tie-break).  Map-side partial counts compress each block to its
+    distinct (bucket, key) cells BEFORE the exchange, so the shuffle
+    carries cells, not rows; one bucket-keyed exchange then merges
+    partials and ranks — the bucket count bounds reduce fan-in."""
+    from .partition import group_apply
+
+    step = np.int64(bucket_s) * 1_000_000
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        tus = tbl[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        b = (tus // step) * step
+        v = tbl[key].to_numpy(zero_copy_only=False)
+        cells, counts = np.unique(np.stack([b, v]), axis=1,
+                                  return_counts=True)
+        return pa.table({
+            "bucket_us": pa.array(cells[0], pa.int64()),
+            key: pa.array(cells[1]),
+            "_cnt": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby(["bucket_us", key], as_index=False)["_cnt"].sum()
+        m = m.sort_values(["bucket_us", "_cnt", key],
+                          ascending=[True, False, True], kind="mergesort")
+        m["rank"] = m.groupby("bucket_us").cumcount() + 1
+        out = m[m["rank"] <= k].rename(columns={"_cnt": "n"})
+        return out.reset_index(drop=True)
+
+    cells = ds.map_batches(partial, batch_format="pyarrow")
+    return group_apply(cells, rank, num_partitions=num_partitions,
+                       key="bucket_us")

@@ -70,3 +70,78 @@ def histogram_quantile(
         out[f"p{int(round(q * 100))}_edge"] = np.array(
             [edge], dtype=np.float64)
     return pd.DataFrame(out)
+
+
+# ------------------------------------------------------- HyperLogLog
+
+_HLL_P = 12  # 4096 registers → ~1.6% standard error
+
+
+def _hll_mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 avalanche (vectorized uint64)."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _hll_registers(keys: np.ndarray, p: int = _HLL_P) -> np.ndarray:
+    """Dense register array (max leading-zero rank per bucket) for one
+    block of int64 keys — fully vectorized."""
+    m = 1 << p
+    h = _hll_mix64(keys.astype(np.int64).view(np.uint64))
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits
+    # rank = leading zeros of `rest` + 1, in [1, 64-p+1]
+    rank = np.zeros(len(h), np.int64)
+    cur = rest
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+        rank[mask] += shift
+        with np.errstate(over="ignore"):
+            cur = np.where(mask, cur << np.uint64(shift), cur)
+    rank += 1
+    out = np.zeros(m, np.int64)
+    np.maximum.at(out, reg, rank)
+    return out
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction — deterministic given the merged registers."""
+    m = len(registers)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(
+    ds: ray.data.Dataset,
+    col: str = "user_id",
+    p: int = _HLL_P,
+) -> float:
+    """Approximate COUNT DISTINCT in one streaming pass: each block
+    reduces to its nonzero (register, rank) pairs (≤ 2^p rows, usually
+    far fewer), merged by max — the mergeable-sketch property that
+    makes this a constant-size exchange at any input scale."""
+    import pyarrow as pa
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        regs = _hll_registers(tbl[col].to_numpy(zero_copy_only=False), p)
+        nz = np.flatnonzero(regs)
+        return pa.table({"reg": pa.array(nz, pa.int64()),
+                         "rank": pa.array(regs[nz], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = np.zeros(1 << p, np.int64)
+    if len(parts):
+        np.maximum.at(merged, parts["reg"].to_numpy(),
+                      parts["rank"].to_numpy())
+    return hll_estimate(merged)

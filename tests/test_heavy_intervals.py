@@ -144,3 +144,55 @@ def test_segmented_cummax_resets_at_boundaries():
     for i in range(len(x)):
         run = x[i] if seg[i] else max(run, x[i])
         assert got[i] == run
+
+
+def test_topk_per_window_bruteforce(ray_session):
+    from cesium_ray.stages.heavy import topk_per_window
+
+    rng = np.random.default_rng(6)
+    n = 6000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.to_datetime(rng.integers(0, 3 * 86400, n) * 10**6,
+                             unit="us").astype("datetime64[us]"),
+    })
+    got = (topk_per_window(ray.data.from_pandas(df).repartition(7), k=3,
+                           bucket_s=86400, num_partitions=4)
+           .to_pandas().sort_values(["bucket_us", "rank"])
+           .reset_index(drop=True))
+    tus = df["ts"].to_numpy("datetime64[us]").view(np.int64)
+    c = (df.assign(bucket_us=(tus // 86400000000) * 86400000000)
+         .groupby(["bucket_us", "user_id"], as_index=False).size()
+         .rename(columns={"size": "n"}))
+    c = c.sort_values(["bucket_us", "n", "user_id"],
+                      ascending=[True, False, True], kind="mergesort")
+    c["rank"] = c.groupby("bucket_us").cumcount() + 1
+    want = c[c["rank"] <= 3].reset_index(drop=True)
+    for col in ["bucket_us", "user_id", "n", "rank"]:
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_hll_error_across_cardinalities(ray_session):
+    from cesium_ray.stages.sketch import hll_distinct
+
+    rng = np.random.default_rng(7)
+    for true_n in (50, 1000, 40000):
+        keys = rng.choice(10**12, true_n, replace=False).astype(np.int64)
+        vals = np.repeat(keys, 3)  # duplicates must not inflate
+        rng.shuffle(vals)
+        est = hll_distinct(
+            ray.data.from_pandas(pd.DataFrame({"user_id": vals}))
+            .repartition(6))
+        assert abs(est - true_n) / true_n < 0.06, (true_n, est)
+
+
+def test_hll_registers_mergeable():
+    from cesium_ray.stages.sketch import _hll_registers, hll_estimate
+
+    rng = np.random.default_rng(8)
+    keys = rng.choice(10**12, 30000, replace=False).astype(np.int64)
+    whole = _hll_registers(keys)
+    shard_merge = np.maximum.reduce(
+        [_hll_registers(s) for s in np.array_split(keys, 7)])
+    assert (whole == shard_merge).all()
+    assert hll_estimate(whole) == hll_estimate(shard_merge)
