@@ -494,6 +494,97 @@ def bench_curation(results, thr):
     thr["wav_decode_mb_per_sec"] = round(total_mb / dt, 1)
 
 
+def bench_tsdb_math(results, thr):
+    """Session-3 TSDB operators over the full 2M-turn transcript
+    cache: OHLC, time-weighted average, z-score anomaly flags,
+    variable-interval union, exact heavy hitters (zero-shuffle MG +
+    recount), per-day top-k, and the HLL distinct sketch."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from cesium_ray.stages.heavy import heavy_hitters, topk_per_window
+    from cesium_ray.stages.intervals import merge_intervals
+    from cesium_ray.stages.sketch import hll_distinct
+    from cesium_ray.stages.tsmath import (
+        ohlc_rollup, time_weighted_avg, zscore_anomalies)
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        # int64 conv key (FNV-ish of the trailing digits) + text_len value
+        key = pd.to_numeric(df["conv_id"].str.slice(5)).astype("int64")
+        tus = df["ts"].to_numpy("datetime64[us]").view(np.int64)
+        return pd.DataFrame({
+            "user_id": key,
+            "event_id": df["turn_idx"].astype("int64"),
+            "ts": df["ts"],
+            "value": df["text"].str.len().astype("float64"),
+            "start_us": tus,
+            "end_us": tus + 120_000_000,
+        })
+
+    base = ray.data.read_parquet(
+        synth_turns_path(), columns=["conv_id", "turn_idx", "ts", "text"]
+    ).map_batches(derive, batch_format="pandas").materialize()
+    n = base.count()
+
+    for name, fn in [
+        ("ohlc_1h", lambda: ohlc_rollup(
+            base, bucket_s=3600, num_partitions=2 * NCPU).count()),
+        ("twa_1d", lambda: time_weighted_avg(
+            base, bucket_s=86400, num_partitions=2 * NCPU).count()),
+        ("zscore", lambda: zscore_anomalies(
+            base, num_partitions=2 * NCPU).count()),
+        ("interval_merge", lambda: merge_intervals(
+            base, num_partitions=2 * NCPU).count()),
+        ("heavy_hitters", lambda: len(heavy_hitters(
+            base, threshold_frac=0.001))),
+        ("topk_per_day", lambda: topk_per_window(
+            base, k=10, bucket_s=86400, num_partitions=NCPU).count()),
+        ("hll_distinct", lambda: hll_distinct(base)),
+    ]:
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        results[f"tsdb_{name}"] = round(dt, 3)
+        thr[f"tsdb_{name}_rows_per_sec"] = round(n / dt)
+        thr[f"tsdb_{name}_out"] = round(float(out), 1)
+
+
+def bench_textprep(results, thr):
+    """Text-prep curation ops over the cached 100k-doc corpus:
+    sliding-window chunking, repetition scoring, PII redaction."""
+    import ray.data
+
+    from cesium_ray.stages.textprep import (
+        chunk_documents, redact, repetition_score)
+
+    path = os.path.join(CACHE_ROOT, "docs-100k-42")
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        bench_text_dedup({}, {})
+    ds = ray.data.read_parquet(path).materialize()
+    n = ds.count()
+
+    t0 = time.time()
+    n_chunks = chunk_documents(ds, size=512, stride=384).count()
+    dt = time.time() - t0
+    results["chunk_docs"] = round(dt, 3)
+    thr["chunk_docs_per_sec"] = round(n / dt)
+    thr["chunk_count"] = int(n_chunks)
+
+    t0 = time.time()
+    repetition_score(ds).count()
+    dt = time.time() - t0
+    results["repetition"] = round(dt, 3)
+    thr["repetition_docs_per_sec"] = round(n / dt)
+
+    t0 = time.time()
+    redact(ds).count()
+    dt = time.time() - t0
+    results["redact"] = round(dt, 3)
+    thr["redact_docs_per_sec"] = round(n / dt)
+
+
 BENCHES = {
     "flagship_rollup": bench_flagship_rollup,
     "flagship_full": bench_flagship_full,
@@ -505,6 +596,8 @@ BENCHES = {
     "text_dedup": bench_text_dedup,
     "timeseries_ops": bench_timeseries_ops,
     "curation": bench_curation,
+    "tsdb_math": bench_tsdb_math,
+    "textprep": bench_textprep,
     "ann": bench_ann,
 }
 
