@@ -42,3 +42,54 @@ def events_as_turns(sf_dir: str) -> ray.data.Dataset:
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
     return ds.map_batches(_events_batch_to_turns, batch_format="pyarrow")
+
+
+def read_turns_jsonl(path: str, **kw) -> ray.data.Dataset:
+    """Read transcripts from JSONL (one turn object per line) into the
+    canonical turns schema.  ``ray.data.read_json`` streams line-
+    delimited JSON per block; we then coerce types (ts strings →
+    timestamp[us], turn_idx → int32, missing tool → null) so downstream
+    stages see exactly the Parquet schema."""
+
+    def coerce(batch: pa.Table) -> pa.Table:
+        cols = {}
+        n = len(batch)
+        names = set(batch.column_names)
+        cols["conv_id"] = pc.cast(batch["conv_id"], pa.string())
+        cols["turn_idx"] = pc.cast(batch["turn_idx"], pa.int32())
+        cols["role"] = (pc.cast(batch["role"], pa.string())
+                        if "role" in names else pa.nulls(n, pa.string()))
+        cols["text"] = (pc.cast(batch["text"], pa.string())
+                        if "text" in names else pa.nulls(n, pa.string()))
+        cols["tool"] = (pc.cast(batch["tool"], pa.string())
+                        if "tool" in names else pa.nulls(n, pa.string()))
+        ts = batch["ts"]
+        if pa.types.is_timestamp(ts.type):
+            cols["ts"] = pc.cast(ts, pa.timestamp("us"))
+        elif pa.types.is_integer(ts.type):
+            # integer epoch micros
+            cols["ts"] = pc.cast(ts, pa.timestamp("us"))
+        else:
+            cols["ts"] = pc.cast(
+                pc.strptime(pc.cast(ts, pa.string()),
+                            format="%Y-%m-%dT%H:%M:%S", unit="us"),
+                pa.timestamp("us"))
+        return pa.table(cols)
+
+    return ray.data.read_json(path, **kw).map_batches(
+        coerce, batch_format="pyarrow")
+
+
+def write_turns_jsonl(ds: ray.data.Dataset, out_dir: str, **kw) -> None:
+    """Write turns as partitioned JSONL (one file per block) — the
+    interchange format for non-Parquet consumers.  Timestamps are
+    written as int64 epoch microseconds (NOT ISO strings) so the
+    round-trip through ``read_turns_jsonl`` is µs-exact."""
+
+    def intify(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        i = batch.schema.get_field_index("ts")
+        return batch.set_column(i, "ts", ts)
+
+    ds.map_batches(intify, batch_format="pyarrow").write_json(
+        out_dir, **kw)

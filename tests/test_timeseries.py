@@ -66,3 +66,27 @@ def test_2d_array_channels():
     assert ts.n_channels == 2
     np.testing.assert_array_equal(ts.t[1], [0.0, 10.0, 20.0])
     np.testing.assert_array_equal(ts.m[0], [0.0, 1.0, 2.0])
+
+
+def test_jsonl_turns_roundtrip_exact(ray_session, tmp_path):
+    import numpy as np
+    import ray.data
+
+    from cesium_ray.sources.transcripts import (
+        read_turns_jsonl, write_turns_jsonl)
+    from cesium_ray.synth import generate_turns
+
+    turns = generate_turns(30, seed=11)
+    out = str(tmp_path / "jsonl")
+    write_turns_jsonl(ray.data.from_arrow(turns), out)
+    back = (read_turns_jsonl(out).to_pandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    orig = (turns.to_pandas().sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True))
+    assert len(back) == len(orig)
+    # per-turn text equality under stable (conv_id, turn_idx) order
+    assert (back["text"].to_numpy() == orig["text"].to_numpy()).all()
+    # µs-exact timestamps through the int64 round-trip
+    assert (back["ts"].to_numpy("datetime64[us]")
+            == orig["ts"].to_numpy("datetime64[us]")).all()
+    assert back["turn_idx"].dtype == np.int32
