@@ -1721,6 +1721,74 @@ def q_hll_distinct(sf_dir):
     })
 
 
+def q_cohort_retention(sf_dir):
+    """★-checked retention triangle (stages/analytics.py): distinct
+    users active per (first-seen cohort day, age in days).  Users are
+    whole within a partition, so map-side cell counts are already
+    distinct-user counts; the cohort-keyed exchange carries cells
+    bounded by days², not rows."""
+    from ..stages.analytics import cohort_retention
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    out = cohort_retention(ev, num_partitions=8).to_pandas()
+    return (out.sort_values(["cohort_day", "age_days"])
+            .reset_index(drop=True))
+
+
+COHORT_SQL = """
+WITH f AS (
+  SELECT user_id, min(epoch_us(ts)) // 86400000000 AS cohort_day
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         epoch_us(e.ts) // 86400000000 - f.cohort_day AS age_days
+  FROM events e JOIN f USING (user_id)
+)
+SELECT cohort_day, age_days, count(*) AS n_users
+FROM c GROUP BY cohort_day, age_days
+"""
+
+
+def q_funnel(sf_dir):
+    """★-checked strict-order funnel (stages/analytics.py): users
+    reaching signup → click → purchase, each step strictly after the
+    user's earliest completion of the previous one.  Constant number
+    of masked min-reduce passes per partition, int64-µs exact."""
+    from ..stages.analytics import funnel_steps
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return funnel_steps(ev, steps=("signup", "click", "purchase"),
+                        num_partitions=8)
+
+
+FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+),
+s1 AS (
+  SELECT user_id, min(tus) AS t FROM e
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.tus) AS t FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.tus > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.tus) AS t FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.tus > s2.t GROUP BY e.user_id
+)
+SELECT 1 AS step_idx, 'signup' AS step,
+       (SELECT count(*) FROM s1) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+"""
+
+
 EXTRA_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
@@ -1740,6 +1808,8 @@ EXTRA_QUERIES = {
     "interval_merge": q_interval_merge,
     "topk_per_day": q_topk_per_day,
     "hll_distinct": q_hll_distinct,
+    "cohort_retention": q_cohort_retention,
+    "funnel": q_funnel,
     "redact_props": q_redact_props,
     "chunk_docs": q_chunk_docs,
     "repetition_scores": q_repetition_scores,
@@ -1782,6 +1852,8 @@ EXTRA_ORACLE_SQL = {
     "bloom_semi_join": BLOOM_SEMI_SQL,
     "interval_merge": INTERVAL_MERGE_SQL,
     "topk_per_day": TOPK_WINDOW_SQL,
+    "cohort_retention": COHORT_SQL,
+    "funnel": FUNNEL_SQL,
     "redact_props": REDACT_SQL,
     "chunk_docs": CHUNK_SQL,
     "repetition_scores": REPETITION_SQL,

@@ -1,0 +1,92 @@
+"""Cohort retention and funnel analytics (stages/analytics.py) vs
+brute-force pandas ground truth."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+_DAY_US = 86_400_000_000
+
+
+def _events(seed=0, n=5000, nusers=60, span_days=20):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "user_id": rng.integers(0, nusers, n),
+        "event_type": rng.choice(
+            ["signup", "click", "purchase", "view"], n,
+            p=[0.1, 0.4, 0.1, 0.4]),
+        "ts": pd.to_datetime(
+            rng.integers(0, span_days * 86400, n) * 10**6, unit="us"
+        ).astype("datetime64[us]"),
+    })
+
+
+def test_cohort_retention_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import cohort_retention
+
+    ev = _events()
+    got = (cohort_retention(ray.data.from_pandas(ev).repartition(6),
+                            num_partitions=5)
+           .to_pandas().sort_values(["cohort_day", "age_days"])
+           .reset_index(drop=True))
+    day = ev["ts"].to_numpy("datetime64[us]").view(np.int64) // _DAY_US
+    e2 = ev.assign(day=day)
+    first = e2.groupby("user_id")["day"].min().rename("cohort_day")
+    cells = (e2.join(first, on="user_id")
+             .assign(age_days=lambda d: d["day"] - d["cohort_day"])
+             [["user_id", "cohort_day", "age_days"]].drop_duplicates())
+    want = (cells.groupby(["cohort_day", "age_days"], as_index=False)
+            .size().rename(columns={"size": "n_users"})
+            .sort_values(["cohort_day", "age_days"]).reset_index(drop=True))
+    assert got.shape == want.shape
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def _brute_funnel(ev, steps):
+    reached = []
+    for uid, g in ev.groupby("user_id"):
+        tus = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        et = g["event_type"].to_numpy()
+        prev = -(2**62)
+        depth = 0
+        for s in steps:
+            cand = tus[(et == s) & (tus > prev)]
+            if len(cand) == 0:
+                break
+            prev = cand.min()
+            depth += 1
+        reached.append(depth)
+    reached = np.array(reached)
+    return [int((reached >= i).sum()) for i in range(1, len(steps) + 1)]
+
+
+def test_funnel_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import funnel_steps
+
+    ev = _events(seed=3)
+    steps = ("signup", "click", "purchase")
+    got = funnel_steps(ray.data.from_pandas(ev).repartition(7),
+                       steps=steps, num_partitions=4)
+    want = _brute_funnel(ev, steps)
+    assert list(got["n_users"]) == want
+    # monotone non-increasing by construction
+    assert (np.diff(got["n_users"].to_numpy()) <= 0).all()
+
+
+def test_funnel_strict_order_semantics(ray_session):
+    from cesium_ray.stages.analytics import funnel_steps
+
+    # user 1: click BEFORE signup only → must not reach step 2;
+    # user 2: full ordered funnel; user 3: click at the SAME us as
+    # signup (strict > excludes it)
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 2, 2, 2, 3, 3],
+        "event_type": ["click", "signup", "signup", "click", "purchase",
+                       "signup", "click"],
+        "ts": pd.to_datetime(
+            [100, 200, 10, 20, 30, 50, 50], unit="s"
+        ).astype("datetime64[us]"),
+    })
+    got = funnel_steps(ray.data.from_pandas(ev), num_partitions=2)
+    assert list(got["n_users"]) == [3, 1, 1]
