@@ -1789,6 +1789,56 @@ UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
 """
 
 
+def q_irate(sf_dir):
+    """★-checked PromQL irate (stages/tsmath.py): instantaneous rate
+    from the last two samples per series, reset-aware; single-point
+    series emit NaN (SQL NULL).  Pure selection + one exact-int delta,
+    so the row_number oracle is bit-identical."""
+    from ..stages.tsmath import irate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    out = irate(ev, num_partitions=8).to_pandas()
+    out = round6(out, cols=["irate_per_sec"])
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+IRATE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS k,
+         epoch_us(ts) AS tus,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+l AS (SELECT user_id, ts AS last_ts, k, tus FROM o WHERE rn = 1),
+p AS (SELECT user_id, k AS pk, tus AS ptus FROM o WHERE rn = 2)
+SELECT l.user_id, l.last_ts,
+       round(CASE WHEN p.user_id IS NULL OR l.tus <= p.ptus THEN NULL
+             ELSE (CASE WHEN l.k >= p.pk THEN l.k - p.pk ELSE l.k END)
+                  / 100.0 / ((l.tus - p.ptus) / 1000000.0)
+             END, 6) AS irate_per_sec
+FROM l LEFT JOIN p USING (user_id)
+"""
+
+
+def q_ewma(sf_dir):
+    """EWMA smoothing level per series (stages/tsmath.py, α=0.3).
+    Rows-only: the recurrence is order-dependent float math SQL can't
+    reproduce bitwise — the closed-form kernel is pandas-ewm-verified
+    in tests instead."""
+    from ..stages.tsmath import ewma_last
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    out = ewma_last(ev, alpha=0.3, num_partitions=8).to_pandas()
+    out = round6(out, cols=["ewma"])
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 EXTRA_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
@@ -1810,6 +1860,8 @@ EXTRA_QUERIES = {
     "hll_distinct": q_hll_distinct,
     "cohort_retention": q_cohort_retention,
     "funnel": q_funnel,
+    "irate": q_irate,
+    "ewma": q_ewma,
     "redact_props": q_redact_props,
     "chunk_docs": q_chunk_docs,
     "repetition_scores": q_repetition_scores,
@@ -1854,6 +1906,7 @@ EXTRA_ORACLE_SQL = {
     "topk_per_day": TOPK_WINDOW_SQL,
     "cohort_retention": COHORT_SQL,
     "funnel": FUNNEL_SQL,
+    "irate": IRATE_SQL,
     "redact_props": REDACT_SQL,
     "chunk_docs": CHUNK_SQL,
     "repetition_scores": REPETITION_SQL,

@@ -234,3 +234,81 @@ def trend_corr(
         })
 
     return group_apply(ds, fn, num_partitions=num_partitions, key=key)
+
+
+def irate(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """PromQL ``irate``: instantaneous rate from the LAST TWO samples
+    of each series (reset-aware: a negative delta means the counter
+    restarted, so the current value is the increase).  Single-point
+    series emit NaN.  Pure selection + one exact-int delta, so the
+    row_number-based SQL twin is bit-identical."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, order_col], kind="mergesort")
+        g = df[key].to_numpy()
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        k = _quantize(df[val_col].to_numpy())
+        new = np.r_[True, g[1:] != g[:-1]]
+        last = np.r_[new[1:], True]
+        li = np.flatnonzero(last)            # last row per series
+        multi = ~new[li]                     # series with ≥ 2 points
+        pi = li - 1                          # previous row (valid iff multi)
+        d = np.where(multi, k[li] - k[np.maximum(pi, 0)], 0)
+        inc = np.where(d >= 0, d, k[li])     # reset → current value
+        dt_s = np.where(multi, (tus[li] - tus[np.maximum(pi, 0)]), 0) / 1e6
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(multi & (dt_s > 0),
+                         (inc.astype(np.float64) / 100.0) / dt_s, np.nan)
+        return pd.DataFrame({
+            key: g[li],
+            "last_ts": df[ts_col].to_numpy()[li],
+            "irate_per_sec": r,
+        })
+
+    return group_apply(ds, fn, num_partitions=num_partitions, key=key)
+
+
+def ewma_last(
+    ds: ray.data.Dataset,
+    alpha: float = 0.3,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Final EWMA level per series (yᵢ = α·xᵢ + (1−α)·yᵢ₋₁, y₀ = x₀),
+    the standard smoothing baseline.  Rows-only vs SQL (the recurrence
+    is order-dependent float math), closed-form-tested instead: the
+    kernel evaluates y_n = Σ wⱼ xⱼ with wⱼ = α(1−α)^(n−1−j) (w₀ lacks
+    the α factor) via one vectorized weight product per series —
+    still no per-row Python."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha in (0, 1]")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, order_col], kind="mergesort")
+        g = df[key].to_numpy()
+        v = df[val_col].to_numpy(np.float64)
+        new = np.r_[True, g[1:] != g[:-1]]
+        gid = np.cumsum(new) - 1
+        ng = int(gid[-1]) + 1 if len(gid) else 0
+        starts = np.flatnonzero(new)
+        counts = np.r_[starts[1:], len(g)] - starts
+        # position from the END of each series: n-1-j
+        pos = np.arange(len(g)) - starts[gid]
+        from_end = (counts[gid] - 1) - pos
+        w = alpha * np.power(1.0 - alpha, from_end)
+        w[new] = np.power(1.0 - alpha, counts[gid[new]] - 1)  # y0 term
+        lvl = np.bincount(gid, weights=w * v, minlength=ng)
+        return pd.DataFrame({key: g[new], "ewma": lvl,
+                             "n": counts.astype(np.int64)})
+
+    return group_apply(ds, fn, num_partitions=num_partitions, key=key)

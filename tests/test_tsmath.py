@@ -172,3 +172,45 @@ def test_trend_corr_recovers_monotone_trend(ray_session):
     k = np.rint(noisy["value"].to_numpy() * 100)
     y = np.arange(n) * 60.0
     assert abs(got9["trend_r"].iloc[0] - np.corrcoef(k, y)[0, 1]) < 1e-9
+
+
+def test_irate_reset_and_single_point(ray_session):
+    from cesium_ray.stages.tsmath import irate
+
+    ev = pd.DataFrame({
+        "event_id": [0, 1, 2, 3, 4],
+        "user_id": [1, 1, 2, 2, 3],
+        "ts": pd.to_datetime([0, 10 * 10**6, 0, 5 * 10**6, 0],
+                             unit="us").astype("datetime64[us]"),
+        "value": [10.0, 14.0, 50.0, 20.0, 9.0],
+    })
+    got = (irate(ray.data.from_pandas(ev), num_partitions=3)
+           .to_pandas().set_index("user_id"))
+    assert got.loc[1, "irate_per_sec"] == (14.0 - 10.0) / 10.0
+    # counter reset: contribution is the current value
+    assert got.loc[2, "irate_per_sec"] == 20.0 / 5.0
+    assert np.isnan(got.loc[3, "irate_per_sec"])
+
+
+def test_ewma_matches_pandas_ewm(ray_session):
+    from cesium_ray.stages.tsmath import ewma_last
+
+    rng = np.random.default_rng(9)
+    frames = []
+    for uid, n in [(1, 1), (2, 2), (3, 50), (4, 500)]:
+        frames.append(pd.DataFrame({
+            "user_id": uid,
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(np.arange(n) * 10**6,
+                                 unit="us").astype("datetime64[us]"),
+            "value": np.round(rng.gamma(2, 20, n), 2),
+        }))
+    ev = pd.concat(frames, ignore_index=True)
+    got = (ewma_last(ray.data.from_pandas(ev).repartition(3), alpha=0.3,
+                     num_partitions=3)
+           .to_pandas().set_index("user_id"))
+    for uid, g in ev.groupby("user_id"):
+        want = g.sort_values("event_id")["value"].ewm(
+            alpha=0.3, adjust=False).mean().iloc[-1]
+        assert abs(got.loc[uid, "ewma"] - want) < 1e-9, uid
+    assert got.loc[1, "ewma"] == ev.loc[ev["user_id"] == 1, "value"].iloc[0]
