@@ -678,22 +678,22 @@ def run_scaling():
         return round((lo["queries"][name] / hi["queries"][name]) / (n_hi / n_lo), 3)
 
     line = {
-        # primary: the featurize pipeline (cache-resident per-series
-        # kernels — the workload whose throughput tracks CPU count);
-        # flagship_full reported alongside (its rollup/exchange phases
-        # are DRAM-bound: one box cannot 4× its memory bandwidth, a
-        # real N→4N cluster can — see BASELINE.md)
+        # primary: the flagship rollup pipeline — the north rule's own
+        # metric is rolled-up points/sec, so its scaling efficiency is
+        # the gated number; the featurize pipeline (cache-resident
+        # per-series kernels) is reported alongside.  Both workloads'
+        # raw seconds are emitted for either reading.
         "metric": "scaling_efficiency",
-        "value": eff("featurize"),
+        "value": eff("flagship_full"),
         "unit": "ratio",
         "cpus": [n_lo, n_hi],
+        "flagship_full_sec_lo": lo["queries"]["flagship_full"],
+        "flagship_full_sec_hi": hi["queries"]["flagship_full"],
+        "featurize_efficiency": eff("featurize"),
         "featurize_sec_lo": lo["queries"]["featurize"],
         "featurize_sec_hi": hi["queries"]["featurize"],
         "featurize_turns_per_sec_lo": lo["throughput"]["featurize_turns_per_sec"],
         "featurize_turns_per_sec_hi": hi["throughput"]["featurize_turns_per_sec"],
-        "flagship_full_efficiency": eff("flagship_full"),
-        "flagship_full_sec_lo": lo["queries"]["flagship_full"],
-        "flagship_full_sec_hi": hi["queries"]["flagship_full"],
         "n_turns": lo["throughput"]["n_turns"],
     }
     print(json.dumps(line))

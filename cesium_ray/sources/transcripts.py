@@ -70,10 +70,10 @@ def read_turns_jsonl(path: str, **kw) -> ray.data.Dataset:
             # integer epoch micros
             cols["ts"] = pc.cast(ts, pa.timestamp("us"))
         else:
-            cols["ts"] = pc.cast(
-                pc.strptime(pc.cast(ts, pa.string()),
-                            format="%Y-%m-%dT%H:%M:%S", unit="us"),
-                pa.timestamp("us"))
+            # Arrow's string→timestamp cast parses ISO-8601 incl.
+            # fractional seconds ("...T00:00:00.123456") directly
+            cols["ts"] = pc.cast(pc.cast(ts, pa.string()),
+                                 pa.timestamp("us"))
         return pa.table(cols)
 
     return ray.data.read_json(path, **kw).map_batches(

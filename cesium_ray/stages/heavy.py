@@ -74,12 +74,17 @@ def heavy_hitters(
         })
 
     parts = ds.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    if "_block_n" not in parts.columns:  # zero input blocks
+        return pd.DataFrame({col: np.array([], np.int64),
+                             "n": np.zeros(0, np.int64)})
     total = int(parts["_block_n"].sum())
     thresh = int(np.ceil(threshold_frac * total))
     merged = parts.groupby(col, as_index=False)["_residual"].sum()
     # merged summary error < total·threshold_frac/2 < thresh, so every
     # true heavy hitter has a positive merged residual → candidates
     cand = np.sort(merged[col].to_numpy())
+    if len(cand) == 0:  # empty input dataset
+        return pd.DataFrame({col: cand, "n": np.zeros(0, np.int64)})
     cand_ref = ray.put(cand)
 
     def recount(tbl: pa.Table) -> pa.Table:
@@ -99,20 +104,14 @@ def heavy_hitters(
 
 # ------------------------------------------------------------- Bloom
 
-_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
 _MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64-style avalanche over uint64 (vectorized)."""
-    x = x.astype(np.uint64, copy=True)
-    with np.errstate(over="ignore"):
-        x ^= x >> np.uint64(33)
-        x *= _MIX1
-        x ^= x >> np.uint64(33)
-        x *= _MIX2
-        x ^= x >> np.uint64(33)
-    return x
+    """64-bit avalanche — the one shared splitmix64 (dedup.py)."""
+    from .dedup import _splitmix64
+
+    return _splitmix64(x.astype(np.uint64))
 
 
 class BloomFilter:
@@ -159,8 +158,10 @@ def bloom_semi_join(
     true match fraction.  ``_verify="join"`` runs a real hash join on
     the survivors (the at-scale path); ``"none"`` returns the bloom
     survivors (supersets output by ≤ FP rate — for tests)."""
+    keys = np.unique(np.asarray(keys))  # a key SET: dedup so the
+    # verify join cannot fan out duplicated matches
     bloom = BloomFilter(len(keys))
-    bloom.add(np.asarray(keys))
+    bloom.add(keys)
     bloom_ref = ray.put(bloom)
 
     def prefilter(tbl: pa.Table) -> pa.Table:
@@ -171,8 +172,7 @@ def bloom_semi_join(
     survivors = big.map_batches(prefilter, batch_format="pyarrow")
     if _verify == "none":
         return survivors
-    right = ray.data.from_pandas(
-        pd.DataFrame({col: np.sort(np.asarray(keys))}))
+    right = ray.data.from_pandas(pd.DataFrame({col: keys}))
     return survivors.join(right, "inner", num_partitions=num_partitions,
                           on=(col,))
 
@@ -201,11 +201,19 @@ def topk_per_window(
             "datetime64[us]").view(np.int64)
         b = (tus // step) * step
         v = tbl[key].to_numpy(zero_copy_only=False)
-        cells, counts = np.unique(np.stack([b, v]), axis=1,
-                                  return_counts=True)
+        if len(v) == 0:
+            return pa.table({"bucket_us": pa.array([], pa.int64()),
+                             key: tbl[key].slice(0, 0),
+                             "_cnt": pa.array([], pa.int64())})
+        # dtype-agnostic cell compression (string keys included):
+        # factorize BOTH axes, pack codes into one overflow-safe int64
+        kv, code = np.unique(v, return_inverse=True)
+        bv, bcode = np.unique(b, return_inverse=True)
+        cell = bcode * np.int64(len(kv)) + code
+        uc, counts = np.unique(cell, return_counts=True)
         return pa.table({
-            "bucket_us": pa.array(cells[0], pa.int64()),
-            key: pa.array(cells[1]),
+            "bucket_us": pa.array(bv[uc // len(kv)], pa.int64()),
+            key: pa.array(kv[uc % len(kv)]),
             "_cnt": pa.array(counts.astype(np.int64), pa.int64()),
         })
 

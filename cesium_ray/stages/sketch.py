@@ -78,15 +78,10 @@ _HLL_P = 12  # 4096 registers → ~1.6% standard error
 
 
 def _hll_mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 avalanche (vectorized uint64)."""
-    x = x.astype(np.uint64, copy=True)
-    with np.errstate(over="ignore"):
-        x ^= x >> np.uint64(30)
-        x *= np.uint64(0xBF58476D1CE4E5B9)
-        x ^= x >> np.uint64(27)
-        x *= np.uint64(0x94D049BB133111EB)
-        x ^= x >> np.uint64(31)
-    return x
+    """64-bit avalanche — the one shared splitmix64 (dedup.py)."""
+    from .dedup import _splitmix64
+
+    return _splitmix64(x.astype(np.uint64))
 
 
 def _hll_registers(keys: np.ndarray, p: int = _HLL_P) -> np.ndarray:

@@ -71,6 +71,9 @@ def chunk_documents(
         text = tbl[col].combine_chunks()
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
         ln = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        # null text → NaN length; emit exactly one (null) chunk rather
+        # than feeding NaN into the int cast (undefined result)
+        ln = np.nan_to_num(ln.astype(np.float64), nan=0.0)
         n_chunks = np.maximum(
             1, np.ceil(np.maximum(ln - size, 0) / stride).astype(np.int64) + 1
         )

@@ -137,14 +137,19 @@ def zscore_anomalies(
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, order_col], kind="mergesort")
+        if not len(df):
+            return df[[key, order_col, val_col]].assign(z=np.zeros(0))
         g = df[key].to_numpy()
         k = _quantize(df[val_col].to_numpy())
         new = np.r_[True, g[1:] != g[:-1]]
         gid = np.cumsum(new) - 1
-        n = int(gid[-1]) + 1 if len(gid) else 0
-        cnt = np.bincount(gid, minlength=n).astype(np.float64)
-        sk = np.bincount(gid, weights=k, minlength=n)
-        skk = np.bincount(gid, weights=(k * k).astype(np.float64), minlength=n)
+        starts = np.flatnonzero(new)
+        # exact int64 accumulation (reduceat, not float bincount) so
+        # the one cast-to-double matches SQL's sum(BIGINT)→DOUBLE even
+        # when a series' Σk² exceeds 2^53
+        cnt = (np.r_[starts[1:], len(g)] - starts).astype(np.float64)
+        sk = np.add.reduceat(k, starts).astype(np.float64)
+        skk = np.add.reduceat(k * k, starts).astype(np.float64)
         mu = sk / cnt
         var = skk / cnt - (sk / cnt) * (sk / cnt)
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -210,20 +215,26 @@ def trend_corr(
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, ts_col], kind="mergesort")
+        if not len(df):
+            return pd.DataFrame({key: df[key], "n": np.zeros(0, np.int64),
+                                 "trend_r": np.zeros(0)})
         g = df[key].to_numpy()
         tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
         x = _quantize(df[val_col].to_numpy())
         new = np.r_[True, g[1:] != g[:-1]]
         gid = np.cumsum(new) - 1
-        ng = int(gid[-1]) + 1 if len(gid) else 0
-        t0 = np.minimum.reduceat(tus, np.flatnonzero(new))
+        starts = np.flatnonzero(new)
+        t0 = np.minimum.reduceat(tus, starts)
         y = (tus - t0[gid]) // _US  # whole seconds, exact
-        n = np.bincount(gid, minlength=ng).astype(np.float64)
-        sx = np.bincount(gid, weights=x, minlength=ng)
-        sy = np.bincount(gid, weights=y, minlength=ng)
-        sxx = np.bincount(gid, weights=(x * x).astype(np.float64), minlength=ng)
-        syy = np.bincount(gid, weights=(y * y).astype(np.float64), minlength=ng)
-        sxy = np.bincount(gid, weights=(x * y).astype(np.float64), minlength=ng)
+        # exact int64 sums via reduceat (sorted runs), one cast each —
+        # mirrors SQL sum(BIGINT)→CAST(DOUBLE); per-series bound:
+        # Σy² < 2^63 (span_s² × n), comfortably true for µs-era series
+        n = (np.r_[starts[1:], len(g)] - starts).astype(np.float64)
+        sx = np.add.reduceat(x, starts).astype(np.float64)
+        sy = np.add.reduceat(y, starts).astype(np.float64)
+        sxx = np.add.reduceat(x * x, starts).astype(np.float64)
+        syy = np.add.reduceat(y * y, starts).astype(np.float64)
+        sxy = np.add.reduceat(x * y, starts).astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
             r = np.where(denom > 0.0, (n * sxy - sx * sy) / denom, np.nan)

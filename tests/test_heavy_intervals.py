@@ -196,3 +196,51 @@ def test_hll_registers_mergeable():
         [_hll_registers(s) for s in np.array_split(keys, 7)])
     assert (whole == shard_merge).all()
     assert hll_estimate(whole) == hll_estimate(shard_merge)
+
+
+def test_topk_per_window_string_keys(ray_session):
+    from cesium_ray.stages.heavy import topk_per_window
+
+    rng = np.random.default_rng(10)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": np.array([f"conv-{i:04d}" for i in
+                             rng.integers(0, 25, n)], dtype=object),
+        "ts": pd.to_datetime(rng.integers(0, 2 * 86400, n) * 10**6,
+                             unit="us").astype("datetime64[us]"),
+    })
+    got = (topk_per_window(ray.data.from_pandas(df).repartition(5), k=2,
+                           bucket_s=86400, num_partitions=3)
+           .to_pandas().sort_values(["bucket_us", "rank"])
+           .reset_index(drop=True))
+    tus = df["ts"].to_numpy("datetime64[us]").view(np.int64)
+    c = (df.assign(bucket_us=(tus // 86400000000) * 86400000000)
+         .groupby(["bucket_us", "user_id"], as_index=False).size()
+         .rename(columns={"size": "n"}))
+    c = c.sort_values(["bucket_us", "n", "user_id"],
+                      ascending=[True, False, True], kind="mergesort")
+    c["rank"] = c.groupby("bucket_us").cumcount() + 1
+    want = c[c["rank"] <= 2].reset_index(drop=True)
+    for col in ["bucket_us", "user_id", "n", "rank"]:
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_bloom_semi_join_duplicate_keys_no_fanout(ray_session):
+    from cesium_ray.stages.heavy import bloom_semi_join
+
+    df = pd.DataFrame({"event_id": np.arange(10, dtype=np.int64),
+                       "user_id": np.repeat([1, 2], 5).astype(np.int64)})
+    got = (bloom_semi_join(ray.data.from_pandas(df),
+                           np.array([1, 1, 1], np.int64), num_partitions=2)
+           .to_pandas())
+    assert len(got) == 5  # semi-join semantics: no duplicate fan-out
+    assert sorted(got["event_id"]) == [0, 1, 2, 3, 4]
+
+
+def test_heavy_hitters_empty_input(ray_session):
+    from cesium_ray.stages.heavy import heavy_hitters
+
+    df = pd.DataFrame({"user_id": np.array([], np.int64)})
+    got = heavy_hitters(ray.data.from_pandas(df), threshold_frac=0.01)
+    assert len(got) == 0
+    assert list(got.columns) == ["user_id", "n"]

@@ -77,3 +77,18 @@ def test_extract_json_field(ray_session):
     assert got["k"].tolist()[0] == 7
     assert pd.isna(got["k"].tolist()[1])
     assert got["k"].tolist()[2] == 123
+
+
+def test_chunk_documents_null_text(ray_session):
+    import pyarrow as pa
+
+    from cesium_ray.stages.textprep import chunk_documents
+
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(["hello world", None, "x" * 300],
+                                     pa.string())})
+    got = (chunk_documents(ray.data.from_arrow(tbl), size=120, stride=90)
+           .to_pandas())
+    # null doc emits exactly one (null) chunk; others chunk normally
+    assert (got.groupby("doc_id").size() == [1, 1, 3]).all()
+    assert got.loc[got["doc_id"] == 1, "chunk_text"].isna().all()

@@ -90,3 +90,24 @@ def test_jsonl_turns_roundtrip_exact(ray_session, tmp_path):
     assert (back["ts"].to_numpy("datetime64[us]")
             == orig["ts"].to_numpy("datetime64[us]")).all()
     assert back["turn_idx"].dtype == np.int32
+
+
+def test_jsonl_reader_fractional_second_strings(ray_session, tmp_path):
+    import json as _json
+
+    import ray.data
+
+    from cesium_ray.sources.transcripts import read_turns_jsonl
+
+    p = tmp_path / "frac.jsonl"
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi",
+         "tool": None, "ts": "2024-01-01T00:00:00.123456"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "yo",
+         "tool": None, "ts": "2024-01-01T00:00:01"},
+    ]
+    p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    back = read_turns_jsonl(str(p)).to_pandas().sort_values("turn_idx")
+    tus = back["ts"].to_numpy("datetime64[us]").view("int64")
+    assert tus[0] % 10**6 == 123456  # µs fraction preserved
+    assert tus[1] - tus[0] == 876544
