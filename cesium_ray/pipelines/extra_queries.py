@@ -1839,6 +1839,52 @@ def q_ewma(sf_dir):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_daily_active(sf_dir):
+    """★-checked exact distinct-users-per-day (stages/analytics.py):
+    blocks reduce to distinct (bucket, user) cells before the one
+    bucket-keyed exchange — traffic bounded by buckets × keys."""
+    from ..stages.analytics import distinct_per_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    out = distinct_per_window(ev, bucket_s=86400,
+                              num_partitions=8).to_pandas()
+    return out.sort_values("bucket_us").reset_index(drop=True)
+
+
+DAILY_ACTIVE_SQL = """
+SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY (epoch_us(ts) // 86400000000) * 86400000000
+"""
+
+
+def q_value_percent_rank(sf_dir):
+    """★-checked tie-aware percent rank within each user's value
+    distribution (stages/analytics.py) — SQL percent_rank()
+    semantics, (min-rank − 1)/(n − 1) mirrored as one double
+    division."""
+    from ..stages.analytics import percent_rank_in_group
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+    out = percent_rank_in_group(ev, num_partitions=8).to_pandas()
+    out = round6(out, cols=["pr"])
+    return (out.sort_values(["user_id", "event_id"])
+            .reset_index(drop=True))
+
+
+PERCENT_RANK_SQL = """
+SELECT user_id, event_id, value,
+       round(percent_rank() OVER (PARTITION BY user_id ORDER BY value), 6)
+         AS pr
+FROM events
+"""
+
+
 EXTRA_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
@@ -1862,6 +1908,8 @@ EXTRA_QUERIES = {
     "funnel": q_funnel,
     "irate": q_irate,
     "ewma": q_ewma,
+    "daily_active": q_daily_active,
+    "value_percent_rank": q_value_percent_rank,
     "redact_props": q_redact_props,
     "chunk_docs": q_chunk_docs,
     "repetition_scores": q_repetition_scores,
@@ -1907,6 +1955,8 @@ EXTRA_ORACLE_SQL = {
     "cohort_retention": COHORT_SQL,
     "funnel": FUNNEL_SQL,
     "irate": IRATE_SQL,
+    "daily_active": DAILY_ACTIVE_SQL,
+    "value_percent_rank": PERCENT_RANK_SQL,
     "redact_props": REDACT_SQL,
     "chunk_docs": CHUNK_SQL,
     "repetition_scores": REPETITION_SQL,

@@ -109,3 +109,66 @@ def funnel_steps(
     out = (parts.groupby(["step_idx", "step"], as_index=False)["_n"].sum()
            .rename(columns={"_n": "n_users"}))
     return out.sort_values("step_idx").reset_index(drop=True)
+
+
+def distinct_per_window(
+    ds: ray.data.Dataset,
+    bucket_s: int = 86400,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Exact distinct-key count per time bucket (the daily-active-users
+    aggregate).  Each block first reduces to its distinct
+    (bucket, key) cells — bounded by buckets × keys, not rows — then
+    one bucket-keyed exchange dedups across blocks and counts."""
+    step = np.int64(bucket_s) * 1_000_000
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        out = pd.DataFrame({"bucket_us": (tus // step) * step,
+                            key: df[key].to_numpy()})
+        return out.drop_duplicates(["bucket_us", key])
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["bucket_us", key])
+        out = d.groupby("bucket_us", as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    c = ds.map_batches(cells, batch_format="pandas")
+    return group_apply(c, count, num_partitions=num_partitions,
+                       key="bucket_us")
+
+
+def percent_rank_in_group(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Tie-aware percent rank of each row's value within its group —
+    SQL ``percent_rank()`` semantics: (min-rank − 1)/(n − 1), 0 for
+    single-row groups.  One sort + run-boundary scan per partition."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, val_col, id_col], kind="mergesort")
+        if not len(df):
+            return df[[key, id_col, val_col]].assign(pr=np.zeros(0))
+        g = df[key].to_numpy()
+        v = df[val_col].to_numpy()
+        new_k = np.r_[True, g[1:] != g[:-1]]
+        new_v = np.r_[True, new_k[1:] | (v[1:] != v[:-1])]
+        idx = np.arange(len(g))
+        kstart = idx[new_k][np.cumsum(new_k) - 1]       # group start idx
+        vstart = idx[new_v][np.cumsum(new_v) - 1]       # value-run start
+        starts = np.flatnonzero(new_k)
+        n = (np.r_[starts[1:], len(g)] - starts)[np.cumsum(new_k) - 1]
+        r = (vstart - kstart).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr = np.where(n > 1, r / (n - 1).astype(np.float64), 0.0)
+        out = df[[key, id_col, val_col]].copy()
+        out["pr"] = pr
+        return out.reset_index(drop=True)
+
+    return group_apply(ds, fn, num_partitions=num_partitions, key=key)

@@ -90,3 +90,44 @@ def test_funnel_strict_order_semantics(ray_session):
     })
     got = funnel_steps(ray.data.from_pandas(ev), num_partitions=2)
     assert list(got["n_users"]) == [3, 1, 1]
+
+
+def test_distinct_per_window_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import distinct_per_window
+
+    ev = _events(seed=5)
+    got = (distinct_per_window(ray.data.from_pandas(ev).repartition(6),
+                               bucket_s=86400, num_partitions=4)
+           .to_pandas().sort_values("bucket_us").reset_index(drop=True))
+    day = (ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+           // _DAY_US) * _DAY_US
+    want = (ev.assign(bucket_us=day)
+            .groupby("bucket_us")["user_id"].nunique()
+            .reset_index(name="n_users"))
+    assert (got["bucket_us"].to_numpy() == want["bucket_us"].to_numpy()).all()
+    assert (got["n_users"].to_numpy() == want["n_users"].to_numpy()).all()
+
+
+def test_percent_rank_ties_and_single(ray_session):
+    import duckdb
+
+    from cesium_ray.stages.analytics import percent_rank_in_group
+
+    rng = np.random.default_rng(6)
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 15, 1500),
+        "event_id": np.arange(1500, dtype=np.int64),
+        "value": np.round(rng.integers(0, 30, 1500) / 2.0, 1),  # many ties
+    })
+    ev.loc[len(ev)] = [99, 9999, 5.0]  # single-row group → pr 0
+    got = (percent_rank_in_group(ray.data.from_pandas(ev).repartition(5),
+                                 num_partitions=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT event_id,
+               percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pr
+        FROM ev ORDER BY event_id
+    """).df()
+    assert np.allclose(got["pr"].to_numpy(), want["pr"].to_numpy(),
+                       rtol=0, atol=0)
+    assert got.loc[got["event_id"] == 9999, "pr"].iloc[0] == 0.0
