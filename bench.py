@@ -504,6 +504,9 @@ def bench_tsdb_math(results, thr):
 
     import ray.data
 
+    from cesium_ray.stages.analytics import (
+        cohort_retention, distinct_per_window, funnel_steps,
+        percent_rank_in_group)
     from cesium_ray.stages.heavy import heavy_hitters, topk_per_window
     from cesium_ray.stages.intervals import merge_intervals
     from cesium_ray.stages.sketch import hll_distinct
@@ -511,20 +514,22 @@ def bench_tsdb_math(results, thr):
         ohlc_rollup, time_weighted_avg, zscore_anomalies)
 
     def derive(df: pd.DataFrame) -> pd.DataFrame:
-        # int64 conv key (FNV-ish of the trailing digits) + text_len value
+        # int64 conv key (trailing digits) + text_len value; role rides
+        # along as the funnel's event_type
         key = pd.to_numeric(df["conv_id"].str.slice(5)).astype("int64")
         tus = df["ts"].to_numpy("datetime64[us]").view(np.int64)
         return pd.DataFrame({
             "user_id": key,
             "event_id": df["turn_idx"].astype("int64"),
             "ts": df["ts"],
+            "event_type": df["role"],
             "value": df["text"].str.len().astype("float64"),
             "start_us": tus,
             "end_us": tus + 120_000_000,
         })
 
     base = ray.data.read_parquet(
-        synth_turns_path(), columns=["conv_id", "turn_idx", "ts", "text"]
+        synth_turns_path(), columns=["conv_id", "turn_idx", "role", "ts", "text"]
     ).map_batches(derive, batch_format="pandas").materialize()
     n = base.count()
 
@@ -542,6 +547,15 @@ def bench_tsdb_math(results, thr):
         ("topk_per_day", lambda: topk_per_window(
             base, k=10, bucket_s=86400, num_partitions=NCPU).count()),
         ("hll_distinct", lambda: hll_distinct(base)),
+        ("cohort_retention", lambda: cohort_retention(
+            base, num_partitions=NCPU).count()),
+        ("funnel", lambda: int(funnel_steps(
+            base, steps=("user", "assistant", "tool"),
+            num_partitions=NCPU)["n_users"].iloc[-1])),
+        ("daily_active", lambda: distinct_per_window(
+            base, num_partitions=NCPU).count()),
+        ("percent_rank", lambda: percent_rank_in_group(
+            base, num_partitions=NCPU).count()),
     ]:
         t0 = time.time()
         out = fn()

@@ -1885,6 +1885,30 @@ FROM events
 """
 
 
+def q_global_topn(sf_dir):
+    """★-checked global total-order top-N (Ray-native distributed
+    sort → limit): the 100 highest-value events with deterministic
+    (value DESC, event_id ASC) tie-break — the one operator family
+    (global sort) the engine otherwise never needs, exercised through
+    Ray Data's own range-partitioned sort rather than a bespoke
+    kernel."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    # sort by (value desc, event_id asc): Ray's multi-key sort takes
+    # one descending flag list
+    top = ev.sort(["value", "event_id"], descending=[True, False]).limit(100)
+    return top.to_pandas().reset_index(drop=True)
+
+
+GLOBAL_TOPN_SQL = """
+SELECT event_id, user_id, value
+FROM events
+ORDER BY value DESC, event_id
+LIMIT 100
+"""
+
+
 EXTRA_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
@@ -1910,6 +1934,7 @@ EXTRA_QUERIES = {
     "ewma": q_ewma,
     "daily_active": q_daily_active,
     "value_percent_rank": q_value_percent_rank,
+    "global_topn": q_global_topn,
     "redact_props": q_redact_props,
     "chunk_docs": q_chunk_docs,
     "repetition_scores": q_repetition_scores,
@@ -1957,6 +1982,7 @@ EXTRA_ORACLE_SQL = {
     "irate": IRATE_SQL,
     "daily_active": DAILY_ACTIVE_SQL,
     "value_percent_rank": PERCENT_RANK_SQL,
+    "global_topn": GLOBAL_TOPN_SQL,
     "redact_props": REDACT_SQL,
     "chunk_docs": CHUNK_SQL,
     "repetition_scores": REPETITION_SQL,
