@@ -1909,6 +1909,122 @@ LIMIT 100
 """
 
 
+def q_anti_join_cold(sf_dir):
+    """★-checked broadcast anti-join (stages/joins.py): events of
+    users NOT in the hot set (≥70 events — the exact complement of
+    ``bloom_semi_join``).  The exact sorted key array broadcasts once
+    via ray.put; membership is searchsorted — no shuffle.  A Bloom
+    filter can't serve here: anti-join needs proof of
+    NON-membership."""
+    from ..stages.joins import broadcast_anti_join
+
+    counts = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .groupby("user_id").count().to_pandas()
+    )
+    hot = counts.loc[counts["count()"] >= 70, "user_id"].to_numpy(np.int64)
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    out = broadcast_anti_join(ev, hot).to_pandas()
+    if out.empty:  # an empty Dataset loses its schema through to_pandas
+        out = pd.DataFrame({"event_id": np.array([], np.int64),
+                            "user_id": np.array([], np.int64)})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ANTI_JOIN_SQL = """
+WITH hot AS (
+  SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 70
+)
+SELECT e.event_id, e.user_id
+FROM events e ANTI JOIN hot USING (user_id)
+"""
+
+
+def q_user_profile(sf_dir):
+    """★-checked per-key lifecycle profile (stages/analytics.py):
+    count, first/last ts, first/last event_type by (ts, event_id),
+    active span in whole seconds — pure selection + int µs division,
+    bit-exact vs ordered first/last aggregates."""
+    from ..stages.analytics import group_profile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    out = group_profile(ev, num_partitions=8).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+USER_PROFILE_SQL = """
+SELECT user_id, count(*) AS n,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       first(event_type ORDER BY ts, event_id) AS first_event_type,
+       last(event_type ORDER BY ts, event_id) AS last_event_type,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_s
+FROM events GROUP BY user_id
+"""
+
+
+def q_value_histogram(sf_dir):
+    """★-checked per-group value histogram (stages/sketch.py): exact
+    counts in 50 clamped bins over [0, 500) per event_type — map-side
+    partial combine, the exchange carries groups × bins cells."""
+    from ..stages.sketch import grouped_histogram
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    out = grouped_histogram(ev, lo=0.0, hi=500.0, n_bins=50)
+    return out.reset_index(drop=True)
+
+
+VALUE_HIST_SQL = """
+WITH b AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(floor(value / 10.0) AS BIGINT), 0), 49) AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bin, bin * 10.0 AS lo_edge, count(*) AS n
+FROM b GROUP BY event_type, bin
+"""
+
+
+def q_tokenize_vocab(sf_dir):
+    """★-checked vocabulary tokenization (stages/pack.py): documents
+    split to (doc, 1-based position, token, token_id) against the
+    exact global top-100 vocabulary (count desc, token asc; ids are
+    the rank); out-of-vocab tokens get null ids.  Split semantics =
+    SQL string_split (empties kept)."""
+    from ..stages.pack import tokenize_with_vocab
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = tokenize_with_vocab(docs, vocab_size=100,
+                              num_partitions=8).to_pandas()
+    return (out.sort_values(["doc_id", "pos"])
+            .reset_index(drop=True))
+
+
+TOKENIZE_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY c DESC, token) AS token_id
+  FROM cnt ORDER BY c DESC, token LIMIT 100
+)
+SELECT t.doc_id, t.pos, t.token, v.token_id
+FROM tok t LEFT JOIN vocab v USING (token)
+"""
+
+
 EXTRA_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
@@ -1935,6 +2051,10 @@ EXTRA_QUERIES = {
     "daily_active": q_daily_active,
     "value_percent_rank": q_value_percent_rank,
     "global_topn": q_global_topn,
+    "anti_join_cold": q_anti_join_cold,
+    "user_profile": q_user_profile,
+    "value_histogram": q_value_histogram,
+    "tokenize_vocab": q_tokenize_vocab,
     "redact_props": q_redact_props,
     "chunk_docs": q_chunk_docs,
     "repetition_scores": q_repetition_scores,
@@ -1983,6 +2103,10 @@ EXTRA_ORACLE_SQL = {
     "daily_active": DAILY_ACTIVE_SQL,
     "value_percent_rank": PERCENT_RANK_SQL,
     "global_topn": GLOBAL_TOPN_SQL,
+    "anti_join_cold": ANTI_JOIN_SQL,
+    "user_profile": USER_PROFILE_SQL,
+    "value_histogram": VALUE_HIST_SQL,
+    "tokenize_vocab": TOKENIZE_SQL,
     "redact_props": REDACT_SQL,
     "chunk_docs": CHUNK_SQL,
     "repetition_scores": REPETITION_SQL,

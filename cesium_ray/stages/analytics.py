@@ -172,3 +172,38 @@ def percent_rank_in_group(
         return out.reset_index(drop=True)
 
     return group_apply(ds, fn, num_partitions=num_partitions, key=key)
+
+
+def group_profile(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    attr_col: str = "event_type",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-key lifecycle profile: row count, first/last timestamp,
+    first/last attribute value (by (ts, order)), and active span in
+    whole seconds — the summary row a user-facing dashboard keys on.
+    Pure selection + int64 µs arithmetic (bit-exact vs ordered
+    first/last SQL aggregates)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, order_col], kind="mergesort")
+        g = df[key].to_numpy()
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        a = df[attr_col].to_numpy()
+        new = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(g)] - 1
+        return pd.DataFrame({
+            key: g[starts],
+            "n": (np.r_[starts[1:], len(g)] - starts).astype(np.int64),
+            "first_ts": df[ts_col].to_numpy()[starts],
+            "last_ts": df[ts_col].to_numpy()[ends],
+            "first_" + attr_col: a[starts],
+            "last_" + attr_col: a[ends],
+            "span_s": ((tus[ends] - tus[starts]) // 1_000_000).astype(np.int64),
+        })
+
+    return group_apply(ds, fn, num_partitions=num_partitions, key=key)

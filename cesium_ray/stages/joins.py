@@ -258,3 +258,30 @@ def asof_join(
 
     return group_apply(both, fn, num_partitions=num_partitions, key=by,
                        batch_format="pyarrow")
+
+
+def broadcast_anti_join(
+    big: ray.data.Dataset,
+    keys: np.ndarray,
+    col: str = "user_id",
+) -> ray.data.Dataset:
+    """Exact anti-join: keep rows of ``big`` whose ``col`` is NOT in
+    the key set.  The small side broadcasts once (``ray.put`` of a
+    sorted array — membership by searchsorted, no per-batch reship, no
+    shuffle at all).  Unlike the Bloom prefilter (heavy.py) this needs
+    the EXACT set: a Bloom filter cannot prove non-membership."""
+    import ray as _ray
+
+    skeys = np.unique(np.asarray(keys))
+    ref = _ray.put(skeys)
+
+    def drop_members(tbl: pa.Table) -> pa.Table:
+        s = _ray.get(ref)
+        v = tbl[col].to_numpy(zero_copy_only=False)
+        if len(s) == 0:
+            return tbl
+        pos = np.searchsorted(s, v)
+        pos[pos >= len(s)] = 0
+        return tbl.filter(pa.array(~(s[pos] == v)))
+
+    return big.map_batches(drop_members, batch_format="pyarrow")

@@ -102,3 +102,50 @@ def pack_sequences(
         count_tokens, batch_format="pandas")
     return group_apply(counted, pack, num_partitions=num_partitions,
                        key=group_col)
+
+
+def tokenize_with_vocab(
+    ds: ray.data.Dataset,
+    vocab_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Tokenize documents against an exact global vocabulary: plain
+    space-split tokens (SQL string_split parity, empties kept), vocab
+    = the ``vocab_size`` most frequent tokens (count desc, token asc),
+    ids 1..vocab_size in that order; out-of-vocab → null.  Two
+    passes: exact map-side token counts → driver top-k (the vocab is
+    broadcast-small by construction) → one broadcast tokenize pass
+    emitting (doc, 1-based position, token, token_id)."""
+    import ray as _ray
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[text_col].astype(str).str.split(" ").explode().value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    parts = (ds.map_batches(counts, batch_format="pandas").to_pandas()
+             .groupby("token", as_index=False)["cnt"].sum())
+    vocab = (parts.sort_values(["cnt", "token"], ascending=[False, True],
+                               kind="mergesort").head(vocab_size))
+    tok2id = dict(zip(vocab["token"], np.arange(1, len(vocab) + 1,
+                                                dtype=np.int64)))
+    ref = _ray.put(tok2id)
+
+    def tokenize(df: pd.DataFrame) -> pd.DataFrame:
+        t2i = _ray.get(ref)
+        toks = df[text_col].astype(str).str.split(" ")
+        n = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().to_numpy(object)
+        pos = (np.arange(int(n.sum()))
+               - np.repeat(np.cumsum(n) - n, n) + 1)
+        ids = pd.Series(flat).map(t2i).astype("Int64")
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), n),
+            "pos": pos.astype(np.int64),
+            "token": flat,
+            "token_id": ids.to_numpy(),
+        })
+
+    return ds.map_batches(tokenize, batch_format="pandas")

@@ -140,3 +140,40 @@ def hll_distinct(
         np.maximum.at(merged, parts["reg"].to_numpy(),
                       parts["rank"].to_numpy())
     return hll_estimate(merged)
+
+
+def grouped_histogram(
+    ds: ray.data.Dataset,
+    group_col: str = "event_type",
+    value: str = "value",
+    lo: float = 0.0,
+    hi: float = 200.0,
+    n_bins: int = 40,
+) -> pd.DataFrame:
+    """Exact per-group value histogram with the same clamped-bin
+    arithmetic as ``histogram_quantile``.  Map-side partial combine:
+    each block reduces to its nonzero (group, bin) cells, so the final
+    merge sees groups × bins rows regardless of input size.  Returns
+    (group, bin, lo_edge, n) for nonzero bins."""
+    w = (hi - lo) / n_bins
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        b = np.clip(np.floor((v[ok] - lo) / w).astype(np.int64), 0, n_bins - 1)
+        gv, gc = np.unique(df[group_col].to_numpy()[ok], return_inverse=True)
+        cell = gc * n_bins + b
+        cnt = np.bincount(cell, minlength=len(gv) * n_bins)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({
+            group_col: gv[nz // n_bins],
+            "bin": (nz % n_bins).astype(np.int64),
+            "_n": cnt[nz].astype(np.int64),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby([group_col, "bin"], as_index=False)["_n"].sum()
+    out["lo_edge"] = lo + out["bin"].to_numpy(np.float64) * w
+    out = out.rename(columns={"_n": "n"})
+    return (out[[group_col, "bin", "lo_edge", "n"]]
+            .sort_values([group_col, "bin"]).reset_index(drop=True))
