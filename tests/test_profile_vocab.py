@@ -1,0 +1,123 @@
+"""Unit tests for the batch-4 operators: broadcast anti-join
+(stages/joins.py), per-key lifecycle profile (stages/analytics.py),
+grouped value histogram (stages/sketch.py), and vocabulary
+tokenization (stages/pack.py) — each vs brute-force pandas truth."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def _events(seed=3, n=4000, nusers=40):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, nusers, n),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "value": np.where(rng.random(n) < 0.05, np.nan,
+                          rng.random(n) * 250.0 - 10.0),
+        "ts": pd.to_datetime(
+            rng.integers(0, 5 * 86400, n) * 10**6, unit="us"
+        ).astype("datetime64[us]"),
+    })
+
+
+def test_broadcast_anti_join_exact(ray_session):
+    from cesium_ray.stages.joins import broadcast_anti_join
+
+    ev = _events()
+    drop = np.array([1, 5, 7, 7, 22, 39], np.int64)  # dup key in set
+    got = (broadcast_anti_join(
+        ray.data.from_pandas(ev).repartition(5), drop)
+        .to_pandas().sort_values("event_id").reset_index(drop=True))
+    want = (ev[~ev["user_id"].isin(drop)]
+            .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+    # empty key set keeps everything
+    got_all = broadcast_anti_join(
+        ray.data.from_pandas(ev), np.array([], np.int64)).count()
+    assert got_all == len(ev)
+
+
+def test_group_profile_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import group_profile
+
+    ev = _events(seed=9)
+    got = (group_profile(ray.data.from_pandas(ev).repartition(6),
+                         num_partitions=4)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    g = s.groupby("user_id")
+    span = ((g["ts"].last().to_numpy("datetime64[us]").view(np.int64)
+             - g["ts"].first().to_numpy("datetime64[us]").view(np.int64))
+            // 1_000_000)
+    want = pd.DataFrame({
+        "user_id": g.size().index.to_numpy(),
+        "n": g.size().to_numpy(np.int64),
+        "first_ts": g["ts"].first().to_numpy(),
+        "last_ts": g["ts"].last().to_numpy(),
+        "first_event_type": g["event_type"].first().to_numpy(),
+        "last_event_type": g["event_type"].last().to_numpy(),
+        "span_s": span.astype(np.int64),
+    })
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_histogram_exact(ray_session):
+    from cesium_ray.stages.sketch import grouped_histogram
+
+    ev = _events(seed=17)
+    got = grouped_histogram(
+        ray.data.from_pandas(ev).repartition(7),
+        lo=0.0, hi=200.0, n_bins=40)
+    v = ev["value"].to_numpy()
+    ok = ~np.isnan(v)
+    b = np.clip(np.floor(v[ok] / 5.0).astype(np.int64), 0, 39)
+    want = (pd.DataFrame({"event_type": ev["event_type"].to_numpy()[ok],
+                          "bin": b})
+            .groupby(["event_type", "bin"], as_index=False).size()
+            .rename(columns={"size": "n"}))
+    want["lo_edge"] = want["bin"] * 5.0
+    want = (want[["event_type", "bin", "lo_edge", "n"]]
+            .sort_values(["event_type", "bin"]).reset_index(drop=True))
+    assert got.shape == want.shape
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # clamped bins: every out-of-range value landed in an edge bin
+    assert int(got["n"].sum()) == int(ok.sum())
+
+
+def test_tokenize_with_vocab_parity(ray_session):
+    from cesium_ray.stages.pack import tokenize_with_vocab
+
+    rng = np.random.default_rng(5)
+    words = ["the", "cat", "sat", "on", "a", "mat", "rare%d" % 0]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(50, dtype=np.int64),
+        "text": [" ".join(rng.choice(words, rng.integers(1, 12)))
+                 for _ in range(50)],
+    })
+    # doc with double space → empty token survives (string_split parity)
+    docs.loc[0, "text"] = "the  cat"
+    got = (tokenize_with_vocab(ray.data.from_pandas(docs), vocab_size=4)
+           .to_pandas().sort_values(["doc_id", "pos"])
+           .reset_index(drop=True))
+    tok = docs.assign(token=docs["text"].str.split(" ")).explode("token")
+    tok["pos"] = tok.groupby("doc_id").cumcount() + 1
+    cnt = tok["token"].value_counts()
+    vocab = (pd.DataFrame({"token": cnt.index, "c": cnt.to_numpy()})
+             .sort_values(["c", "token"], ascending=[False, True],
+                          kind="mergesort").head(4))
+    t2i = {t: i + 1 for i, t in enumerate(vocab["token"])}
+    want = tok[["doc_id", "pos", "token"]].reset_index(drop=True)
+    want["token_id"] = want["token"].map(t2i).astype("Int64")
+    assert len(got) == len(want)
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["token"].to_numpy() == want["token"].to_numpy()).all()
+    gi, wi = got["token_id"], want["token_id"]
+    assert (gi.isna().to_numpy() == wi.isna().to_numpy()).all()
+    m = ~wi.isna().to_numpy()
+    assert (gi.to_numpy()[m] == wi.to_numpy()[m]).all()
+    # empty token from the double space is present at doc 0 pos 2
+    assert got.loc[(got.doc_id == 0) & (got.pos == 2), "token"].iloc[0] == ""
