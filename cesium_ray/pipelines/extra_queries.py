@@ -2025,6 +2025,134 @@ FROM tok t LEFT JOIN vocab v USING (token)
 """
 
 
+def q_rolling_avg(sf_dir):
+    """★-checked ROWS-window moving average (stages/window.py): count
+    and mean of non-null values among the last 5 rows per user ordered
+    by (ts, event_id) — SQL ROWS BETWEEN 4 PRECEDING AND CURRENT ROW.
+    One exchange; int64 prefix-sum kernel per partition."""
+    from ..stages.window import rolling_rows_avg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    out = rolling_rows_avg(ev, n=5, num_partitions=8).to_pandas()
+    return (out.sort_values(["user_id", "event_id"])
+            .reset_index(drop=True))
+
+
+ROLLING_SQL = """
+SELECT user_id, event_id,
+       count(value) OVER w AS roll_cnt,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)
+         / 100.0 / count(value) OVER w AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_mode_event(sf_dir):
+    """★-checked exact per-user modal event type (stages/analytics.py)
+    — map-side cell counts, exchange carries cells not rows; ties go
+    to the lexicographically smallest type (row_number oracle)."""
+    from ..stages.analytics import group_mode
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    out = group_mode(ev, num_partitions=8).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+MODE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+), r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rk
+  FROM c
+)
+SELECT user_id, event_type AS mode_event_type, n FROM r WHERE rk = 1
+"""
+
+
+def q_topk_per_user(sf_dir):
+    """★-checked exact top-3 events by value per user
+    (stages/heavy.py): map-side partial top-k prunes blocks to ≤k rows
+    per key before the exchange; ties by event_id; nulls excluded."""
+    from ..stages.heavy import topk_per_group
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value"],
+    )
+    out = topk_per_group(ev, k=3, num_partitions=8).to_pandas()
+    return (out[["user_id", "rk", "event_id", "value"]]
+            .sort_values(["user_id", "rk"]).reset_index(drop=True))
+
+
+TOPK_GROUP_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, rk, event_id, value FROM r WHERE rk <= 3
+"""
+
+
+def q_grouping_sets(sf_dir):
+    """★-checked GROUPING SETS rollup (stages/analytics.py): count +
+    exact sum at (event_type, day), (event_type), (day) and grand
+    total from ONE input pass over finest-grain int64 cell partials;
+    rolled-up dims are NULL, SQL-style."""
+    from ..stages.analytics import grouping_sets_rollup
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return grouping_sets_rollup(ev)
+
+
+GROUPING_SETS_SQL = """
+SELECT event_type,
+       (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+       count(*) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0
+         AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, bucket_us), (event_type),
+                        (bucket_us), ())
+"""
+
+
+def q_cooccurrence(sf_dir):
+    """★-checked event-type co-occurrence matrix
+    (stages/analytics.py): per unordered type pair, how many users
+    exhibit both.  Distinct (user, type) cells → one exchange →
+    per-partition self-merge → |alphabet|²-bounded combine."""
+    from ..stages.analytics import cooccurrence_pairs
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return cooccurrence_pairs(ev, num_partitions=8)
+
+
+COOCCUR_SQL = """
+WITH c AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_keys
+FROM c a JOIN c b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+
 EXTRA_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
@@ -2055,6 +2183,11 @@ EXTRA_QUERIES = {
     "user_profile": q_user_profile,
     "value_histogram": q_value_histogram,
     "tokenize_vocab": q_tokenize_vocab,
+    "rolling_avg": q_rolling_avg,
+    "mode_event": q_mode_event,
+    "topk_per_user": q_topk_per_user,
+    "grouping_sets": q_grouping_sets,
+    "cooccurrence": q_cooccurrence,
     "redact_props": q_redact_props,
     "chunk_docs": q_chunk_docs,
     "repetition_scores": q_repetition_scores,
@@ -2107,6 +2240,11 @@ EXTRA_ORACLE_SQL = {
     "user_profile": USER_PROFILE_SQL,
     "value_histogram": VALUE_HIST_SQL,
     "tokenize_vocab": TOKENIZE_SQL,
+    "rolling_avg": ROLLING_SQL,
+    "mode_event": MODE_SQL,
+    "topk_per_user": TOPK_GROUP_SQL,
+    "grouping_sets": GROUPING_SETS_SQL,
+    "cooccurrence": COOCCUR_SQL,
     "redact_props": REDACT_SQL,
     "chunk_docs": CHUNK_SQL,
     "repetition_scores": REPETITION_SQL,

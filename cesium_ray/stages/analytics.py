@@ -207,3 +207,134 @@ def group_profile(
         })
 
     return group_apply(ds, fn, num_partitions=num_partitions, key=key)
+
+
+def group_mode(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    attr: str = "event_type",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Exact per-key mode of a categorical column (ties broken by the
+    lexicographically smallest value — SQL row_number over
+    (count DESC, value ASC)).  Map-side (key, value) cell counts shrink
+    every block to its distinct cells before the one hash exchange, so
+    the shuffle carries ≤ keys × |attr alphabet| cells, not rows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([key, attr], as_index=False).size()
+                .rename(columns={"size": "_n"}))
+
+    cells = ds.map_batches(partial, batch_format="pandas")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby([key, attr], as_index=False)["_n"].sum()
+        agg = agg.sort_values([key, "_n", attr],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        top = agg.groupby(key, as_index=False).head(1)
+        return (top.rename(columns={attr: "mode_" + attr, "_n": "n"})
+                .reset_index(drop=True))
+
+    return group_apply(cells, pick, num_partitions=num_partitions, key=key)
+
+
+def cooccurrence_pairs(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    attr: str = "event_type",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Global co-occurrence counts: for every unordered pair of
+    distinct ``attr`` values seen under the same key, the number of
+    keys exhibiting both.  Map-side distinct (key, attr) cells → one
+    hash exchange on key → per-partition vectorized self-merge
+    (bounded by |alphabet|² per key) → tiny pair-count combine on the
+    driver (≤ |alphabet|² rows total).  Assumes a broadcast-small
+    attr alphabet (event types, languages, labels), NOT high-cardinality
+    attrs — documented partitioning assumption."""
+
+    def distinct_cells(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key, attr]].drop_duplicates()
+
+    cells = ds.map_batches(distinct_cells, batch_format="pandas")
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates([key, attr])
+        m = d.merge(d, on=key, suffixes=("_a", "_b"))
+        m = m[m[attr + "_a"] < m[attr + "_b"]]
+        out = (m.groupby([attr + "_a", attr + "_b"], as_index=False)
+               .size().rename(columns={"size": "_n",
+                                       attr + "_a": "type_a",
+                                       attr + "_b": "type_b"}))
+        return out
+
+    parts = group_apply(cells, pair_counts,
+                        num_partitions=num_partitions, key=key).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"type_a": pd.Series(dtype=object),
+                             "type_b": pd.Series(dtype=object),
+                             "n_keys": pd.Series(dtype="int64")})
+    out = (parts.groupby(["type_a", "type_b"], as_index=False)["_n"].sum()
+           .rename(columns={"_n": "n_keys"}))
+    out["n_keys"] = out["n_keys"].astype(np.int64)
+    return (out.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
+
+
+def grouping_sets_rollup(
+    ds: ray.data.Dataset,
+    dim: str = "event_type",
+    ts_col: str = "ts",
+    value: str = "value",
+    value_scale: int = 100,
+) -> pd.DataFrame:
+    """GROUPING SETS ((dim, day), (dim), (day), ()) in ONE input pass:
+    map-side combine to finest-grain (dim, day-bucket) cells; all four
+    aggregation levels derive from the cell table by re-summing exact
+    int64 partials (order-independent, so every level is bit-exact).
+    Rolled-up dimensions emit NULL, SQL-style.  The exchange carries
+    cells (dims × days), never rows."""
+    day_us = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        v = df[value].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        cents = np.where(ok, np.round(v * value_scale), 0.0).astype(np.int64)
+        g = pd.DataFrame({
+            dim: df[dim].to_numpy(),
+            "bucket_us": (tus // day_us) * day_us,
+            "_c": np.ones(len(df), np.int64),
+            "_vc": ok.astype(np.int64),
+            "_s": cents,
+        })
+        return g.groupby([dim, "bucket_us"], as_index=False).sum()
+
+    cells = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+             .groupby([dim, "bucket_us"], as_index=False).sum())
+
+    def level(keep: list) -> pd.DataFrame:
+        if keep:
+            agg = cells.groupby(keep, as_index=False)[["_c", "_vc", "_s"]].sum()
+        else:
+            agg = cells[["_c", "_vc", "_s"]].sum().to_frame().T
+        if dim not in keep:
+            agg[dim] = None
+        if "bucket_us" not in keep:
+            agg["bucket_us"] = np.nan
+        return agg
+
+    out = pd.concat(
+        [level([dim, "bucket_us"]), level([dim]), level(["bucket_us"]),
+         level([])], ignore_index=True)
+    out["n"] = out["_c"].to_numpy(np.int64)
+    s = out["_s"].to_numpy(np.float64)
+    vc = out["_vc"].to_numpy(np.int64)
+    out["sum_value"] = np.where(vc > 0, s / value_scale, np.nan)
+    out["bucket_us"] = pd.array(
+        [None if np.isnan(b) else int(b) for b in out["bucket_us"]],
+        dtype="Int64")
+    return (out[[dim, "bucket_us", "n", "sum_value"]]
+            .sort_values([dim, "bucket_us"], na_position="first")
+            .reset_index(drop=True))

@@ -29,6 +29,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .partition import group_apply
+
 
 # ---------------------------------------------------------------- MG
 
@@ -228,3 +230,38 @@ def topk_per_window(
     cells = ds.map_batches(partial, batch_format="pyarrow")
     return group_apply(cells, rank, num_partitions=num_partitions,
                        key="bucket_us")
+
+
+def topk_per_group(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    value: str = "value",
+    order: str = "event_id",
+    k: int = 3,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Exact top-k rows by ``value`` within each key (ties by ``order``
+    ascending; null values excluded, SQL-style).  Map-side partial
+    top-k per key prunes every block to ≤k rows per key present, so
+    the one hash exchange carries at most k × keys-per-block rows —
+    never the full table.  Final per-partition rank after the
+    exchange assigns rk 1..k."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[value].notna()]
+        df = df.sort_values([key, value, order],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby(key).head(k)
+
+    pruned = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, value, order],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        out = df.groupby(key).head(k).copy()
+        out["rk"] = (out.groupby(key).cumcount() + 1).astype(np.int64)
+        return out.reset_index(drop=True)
+
+    return group_apply(pruned, final, num_partitions=num_partitions, key=key)

@@ -164,3 +164,60 @@ def windowed_aggregate(
         num_partitions=num_partitions,
         key=by,
     )
+
+
+def rolling_rows_avg(
+    ds: ray.data.Dataset,
+    by: str = "user_id",
+    on: str = "ts",
+    order: str = "event_id",
+    value: str = "value",
+    n: int = 5,
+    value_scale: int = 100,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """ROWS-window moving aggregate: for each row, count and average of
+    the non-null values among the last ``n`` rows of the same key
+    ordered by (``on``, ``order``) — SQL ``ROWS BETWEEN n-1 PRECEDING
+    AND CURRENT ROW``.  One hash exchange on the key; per partition a
+    single lexsort + int64 prefix-sum difference (no per-key loop).
+    Exactness: values quantized at 1/``value_scale`` accumulate in
+    int64 (order-independent), the final float division mirrors the
+    SQL oracle's ``CAST(sum AS DOUBLE)/scale/count``."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                by: pd.Series(dtype=df[by].dtype if by in df else "int64"),
+                order: pd.Series(dtype="int64"),
+                "roll_cnt": pd.Series(dtype="int64"),
+                "roll_avg": pd.Series(dtype="float64"),
+            })
+        codes, _ = pd.factorize(df[by])
+        tus = df[on].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, codes))
+        c = codes[perm]
+        v = df[value].to_numpy(np.float64)[perm]
+        ok = ~np.isnan(v)
+        cents = np.where(ok, np.round(v * value_scale), 0.0).astype(np.int64)
+        psum = np.r_[np.int64(0), np.cumsum(cents)]
+        pcnt = np.r_[np.int64(0), np.cumsum(ok.astype(np.int64))]
+        idx = np.arange(len(c), dtype=np.int64)
+        new = np.r_[True, c[1:] != c[:-1]]
+        starts = idx[new][np.cumsum(new) - 1]  # group start, per row
+        lo = np.maximum(idx - (n - 1), starts)
+        wsum = psum[idx + 1] - psum[lo]
+        wcnt = pcnt[idx + 1] - pcnt[lo]
+        avg = np.where(
+            wcnt > 0,
+            (wsum.astype(np.float64) / value_scale) / np.maximum(wcnt, 1),
+            np.nan)
+        return pd.DataFrame({
+            by: df[by].to_numpy()[perm],
+            order: df[order].to_numpy()[perm],
+            "roll_cnt": wcnt.astype(np.int64),
+            "roll_avg": avg,
+        })
+
+    return group_apply(ds, fn, num_partitions=num_partitions, key=by)
