@@ -2153,6 +2153,116 @@ GROUP BY a.event_type, b.event_type
 """
 
 
+def q_transitions(sf_dir):
+    """★-checked Markov transition counts (stages/analytics.py):
+    per ordered pair of consecutive event types within each user's
+    (ts, event_id)-sorted stream — SQL lead() oracle."""
+    from ..stages.analytics import transition_matrix
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    return transition_matrix(ev, num_partitions=8)
+
+
+TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS type_from, nxt AS type_to, count(*) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_user_growth(sf_dir):
+    """★-checked growth accounting (stages/analytics.py): per day the
+    number of first-seen users and the cumulative running total —
+    min-day cells through one exchange, window-sum oracle."""
+    from ..stages.analytics import user_growth
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return user_growth(ev, num_partitions=8)
+
+
+USER_GROWTH_SQL = """
+WITH f AS (
+  SELECT user_id,
+         min((epoch_us(ts) // 86400000000) * 86400000000) AS bucket_us
+  FROM events GROUP BY 1
+),
+d AS (SELECT bucket_us, count(*) AS new_users FROM f GROUP BY 1)
+SELECT bucket_us, new_users,
+       CAST(sum(new_users) OVER (ORDER BY bucket_us) AS BIGINT) AS cum_users
+FROM d
+"""
+
+
+def q_gap_report(sf_dir):
+    """★-checked silence-gap detection (stages/window.py): consecutive
+    same-user event pairs more than 2 h apart, with exact int64-µs gap
+    width — lead() oracle; the inverse view of gapfill."""
+    from ..stages.window import gap_report
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    out = gap_report(ev, gap_us_threshold=7_200_000_000,
+                     num_partitions=8).to_pandas()
+    return (out.sort_values(["user_id", "gap_start"])
+            .reset_index(drop=True))
+
+
+GAP_REPORT_SQL = """
+WITH s AS (
+  SELECT user_id, ts,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT user_id, ts AS gap_start, nxt AS gap_end,
+       epoch_us(nxt) - epoch_us(ts) AS gap_us
+FROM s
+WHERE nxt IS NOT NULL AND epoch_us(nxt) - epoch_us(ts) > 7200000000
+"""
+
+
+def q_interarrival(sf_dir):
+    """★-checked per-type inter-arrival quantiles (stages/tsmath.py):
+    count + exact p50/p99 of the µs delta between consecutive
+    same-type events within each user's stream; duck_quantile lerp is
+    bit-equal to DuckDB quantile_cont."""
+    from ..stages.tsmath import interarrival_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    out = interarrival_quantiles(ev, num_partitions=8).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+INTERARRIVAL_SQL = """
+WITH s AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       round(quantile_cont(CAST(nxt - t AS DOUBLE), 0.5), 6) AS p50_us,
+       round(quantile_cont(CAST(nxt - t AS DOUBLE), 0.99), 6) AS p99_us
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1
+"""
+
+
 EXTRA_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
@@ -2188,6 +2298,10 @@ EXTRA_QUERIES = {
     "topk_per_user": q_topk_per_user,
     "grouping_sets": q_grouping_sets,
     "cooccurrence": q_cooccurrence,
+    "transitions": q_transitions,
+    "user_growth": q_user_growth,
+    "gap_report": q_gap_report,
+    "interarrival": q_interarrival,
     "redact_props": q_redact_props,
     "chunk_docs": q_chunk_docs,
     "repetition_scores": q_repetition_scores,
@@ -2245,6 +2359,10 @@ EXTRA_ORACLE_SQL = {
     "topk_per_user": TOPK_GROUP_SQL,
     "grouping_sets": GROUPING_SETS_SQL,
     "cooccurrence": COOCCUR_SQL,
+    "transitions": TRANSITIONS_SQL,
+    "user_growth": USER_GROWTH_SQL,
+    "gap_report": GAP_REPORT_SQL,
+    "interarrival": INTERARRIVAL_SQL,
     "redact_props": REDACT_SQL,
     "chunk_docs": CHUNK_SQL,
     "repetition_scores": REPETITION_SQL,

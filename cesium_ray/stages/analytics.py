@@ -338,3 +338,90 @@ def grouping_sets_rollup(
     return (out[[dim, "bucket_us", "n", "sum_value"]]
             .sort_values([dim, "bucket_us"], na_position="first")
             .reset_index(drop=True))
+
+
+def transition_matrix(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    order: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Markov transition counts: for every ordered pair of consecutive
+    events in a key's (ts, order)-sorted stream, how many transitions
+    type_from → type_to occur (SQL lead() semantics; a key's last
+    event has no successor).  One key-hash exchange; per partition a
+    single lexsort + shifted-array adjacency mask + pair groupby, so
+    each partition reduces to ≤ |alphabet|² cells before the tiny
+    driver-side combine.  Assumes a broadcast-small attr alphabet."""
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"type_from": pd.Series(dtype=object),
+                                 "type_to": pd.Series(dtype=object),
+                                 "_n": pd.Series(dtype="int64")})
+        codes, _ = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, codes))
+        c = codes[perm]
+        a = df[attr].to_numpy()[perm]
+        same = c[1:] == c[:-1]  # consecutive rows of the same key
+        out = pd.DataFrame({"type_from": a[:-1][same],
+                            "type_to": a[1:][same]})
+        return (out.groupby(["type_from", "type_to"], as_index=False)
+                .size().rename(columns={"size": "_n"}))
+
+    parts = group_apply(ds, cells, num_partitions=num_partitions,
+                        key=key).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"type_from": pd.Series(dtype=object),
+                             "type_to": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    out = (parts.groupby(["type_from", "type_to"], as_index=False)["_n"]
+           .sum().rename(columns={"_n": "n"}))
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["type_from", "type_to"])
+            .reset_index(drop=True))
+
+
+def user_growth(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Growth accounting: per day, the number of first-seen keys and
+    the running cumulative total, ordered by day.  Map-side per-block
+    (key → min day) partials shrink every block to its distinct keys;
+    the one key-hash exchange carries those cells; per partition the
+    true min per key reduces to ≤ days cells; the driver combines
+    day-count cells (bounded by the calendar) and prefix-sums."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        day = (tus // _DAY_US) * _DAY_US
+        g = pd.DataFrame({key: df[key].to_numpy(), "_d": day})
+        return g.groupby(key, as_index=False)["_d"].min()
+
+    cells = ds.map_batches(partial, batch_format="pandas")
+
+    def day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby(key, as_index=False)["_d"].min()
+        out = (first.groupby("_d", as_index=False).size()
+               .rename(columns={"_d": "bucket_us", "size": "_n"}))
+        return out
+
+    parts = group_apply(cells, day_counts,
+                        num_partitions=num_partitions, key=key).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"bucket_us": pd.Series(dtype="int64"),
+                             "new_users": pd.Series(dtype="int64"),
+                             "cum_users": pd.Series(dtype="int64")})
+    out = (parts.groupby("bucket_us", as_index=False)["_n"].sum()
+           .rename(columns={"_n": "new_users"})
+           .sort_values("bucket_us").reset_index(drop=True))
+    out["new_users"] = out["new_users"].astype(np.int64)
+    out["cum_users"] = out["new_users"].cumsum().astype(np.int64)
+    return out

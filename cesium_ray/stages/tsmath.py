@@ -323,3 +323,59 @@ def ewma_last(
                              "n": counts.astype(np.int64)})
 
     return group_apply(ds, fn, num_partitions=num_partitions, key=key)
+
+
+def interarrival_quantiles(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per ``attr`` value: count and exact p50/p99 of the inter-arrival
+    time (µs) between consecutive same-``attr`` events within each
+    key's (ts, order)-sorted stream — lead() deltas, quantile_cont
+    lerp (oracle/rollup.py::duck_quantile, bit-equal to DuckDB).
+
+    Two exchanges by design: a key-hash exchange computes every delta
+    vectorized (lexsort + shifted diff), emitting (attr, delta) rows;
+    an attr-keyed exchange then owns each attr's full delta set for
+    the exact global quantile.  Deltas are int64 µs (< 2⁵³, so the
+    float64 lerp is exact); the alphabet is broadcast-small but the
+    delta sets are not, hence the second exchange instead of a
+    driver-side merge."""
+    from ..oracle.rollup import duck_quantile
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({attr: pd.Series(dtype=object),
+                                 "_dt": pd.Series(dtype="int64")})
+        kc, _ = pd.factorize(df[key])
+        ac, auniq = pd.factorize(df[attr])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, ac, kc))
+        k, a, t = kc[perm], ac[perm], tus[perm]
+        same = (k[1:] == k[:-1]) & (a[1:] == a[:-1])
+        return pd.DataFrame({attr: np.asarray(auniq)[a[:-1][same]],
+                             "_dt": t[1:][same] - t[:-1][same]})
+
+    d = group_apply(ds, deltas, num_partitions=num_partitions, key=key)
+
+    def qtl(df: pd.DataFrame) -> pd.DataFrame:
+        names, ns, p50s, p99s = [], [], [], []
+        for a, g in df.groupby(attr):  # bounded by the attr alphabet
+            v = np.sort(g["_dt"].to_numpy(np.float64))
+            names.append(a)
+            ns.append(len(v))
+            p50s.append(round(duck_quantile(v, 0.5), 6))
+            p99s.append(round(duck_quantile(v, 0.99), 6))
+        return pd.DataFrame({
+            attr: pd.Series(names, dtype=object),
+            "n_gaps": pd.Series(ns, dtype="int64"),
+            "p50_us": pd.Series(p50s, dtype="float64"),
+            "p99_us": pd.Series(p99s, dtype="float64"),
+        })
+
+    return group_apply(d, qtl, num_partitions=8, key=attr)

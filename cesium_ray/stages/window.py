@@ -221,3 +221,45 @@ def rolling_rows_avg(
         })
 
     return group_apply(ds, fn, num_partitions=num_partitions, key=by)
+
+
+def gap_report(
+    ds: ray.data.Dataset,
+    gap_us_threshold: int = 3_600_000_000,
+    by: str = "user_id",
+    on: str = "ts",
+    order: str = "event_id",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Silence-gap detection (the inverse of gapfill): for each key,
+    every pair of consecutive events in (``on``, ``order``) order whose
+    timestamp delta exceeds the threshold, with the gap's endpoints
+    and exact int64-µs width — SQL lead() semantics.  One key-hash
+    exchange; per partition a single lexsort + shifted-diff mask, no
+    per-key loop."""
+    thr = np.int64(gap_us_threshold)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                by: pd.Series(dtype="int64"),
+                "gap_start": pd.Series(dtype="datetime64[us]"),
+                "gap_end": pd.Series(dtype="datetime64[us]"),
+                "gap_us": pd.Series(dtype="int64"),
+            })
+        codes, _ = pd.factorize(df[by])
+        tus = df[on].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, codes))
+        c, t = codes[perm], tus[perm]
+        same = c[1:] == c[:-1]
+        delta = t[1:] - t[:-1]
+        hit = same & (delta > thr)
+        return pd.DataFrame({
+            by: df[by].to_numpy()[perm][:-1][hit],
+            "gap_start": t[:-1][hit].view("datetime64[us]"),
+            "gap_end": t[1:][hit].view("datetime64[us]"),
+            "gap_us": delta[hit],
+        })
+
+    return group_apply(ds, fn, num_partitions=num_partitions, key=by)
