@@ -2263,6 +2263,115 @@ GROUP BY 1
 """
 
 
+def q_rolling_std(sf_dir):
+    """★-checked ROWS-window rolling volatility (stages/window.py):
+    sample stddev of the last 5 rows per user; int64 cents/cents²
+    prefix sums, variance float expression mirrored verbatim by the
+    SQL oracle (clamped at 0 before sqrt on both sides)."""
+    from ..stages.window import rolling_rows_std
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    out = rolling_rows_std(ev, n=5, num_partitions=8).to_pandas()
+    return (out.sort_values(["user_id", "event_id"])
+            .reset_index(drop=True))
+
+
+ROLLING_STD_SQL = """
+WITH w AS (
+  SELECT user_id, event_id,
+         count(value) OVER win AS cnt,
+         sum(CAST(round(value*100) AS BIGINT)) OVER win AS s,
+         sum(CAST(round(value*100) AS BIGINT)
+             * CAST(round(value*100) AS BIGINT)) OVER win AS s2
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, cnt AS roll_cnt,
+       CASE WHEN cnt > 1 THEN
+         sqrt(greatest(
+           (CAST(s2 AS DOUBLE)/10000.0
+            - (CAST(s AS DOUBLE)/100.0)*(CAST(s AS DOUBLE)/100.0)/cnt)
+           / (cnt - 1), 0.0))
+       END AS roll_std
+FROM w
+"""
+
+
+def q_dwell_time(sf_dir):
+    """★-checked time-in-state (stages/tsmath.py): total µs attributed
+    to each event type (elapsed time to the user's next event credits
+    the earlier event's type) — lead() + exact int64 sum oracle."""
+    from ..stages.tsmath import dwell_time
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    return dwell_time(ev, num_partitions=8)
+
+
+DWELL_SQL = """
+WITH s AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(nxt - t) AS BIGINT) AS total_us
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_weekly_profile(sf_dir):
+    """★-checked 7×24 seasonality grid (stages/tsmath.py): count +
+    exact mean value per (event_type, day-of-week, hour); dow is pure
+    epoch arithmetic ((epoch_day + 4) % 7) mirrored in SQL."""
+    from ..stages.tsmath import weekly_profile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return round6(weekly_profile(ev))
+
+
+WEEKLY_SQL = """
+SELECT event_type,
+       ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       count(value) AS n,
+       round(CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+             / (count(value) * 100.0), 6) AS mean_value
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+def q_type_variety(sf_dir):
+    """★-checked variety histogram (stages/analytics.py): number of
+    users per distinct-event-type count — count(DISTINCT) oracle."""
+    from ..stages.analytics import type_variety
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return type_variety(ev, num_partitions=8)
+
+
+TYPE_VARIETY_SQL = """
+WITH c AS (
+  SELECT user_id, count(DISTINCT event_type) AS n_types
+  FROM events GROUP BY 1
+)
+SELECT n_types, count(*) AS n_users FROM c GROUP BY 1
+"""
+
+
 EXTRA_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
@@ -2302,6 +2411,10 @@ EXTRA_QUERIES = {
     "user_growth": q_user_growth,
     "gap_report": q_gap_report,
     "interarrival": q_interarrival,
+    "rolling_std": q_rolling_std,
+    "dwell_time": q_dwell_time,
+    "weekly_profile": q_weekly_profile,
+    "type_variety": q_type_variety,
     "redact_props": q_redact_props,
     "chunk_docs": q_chunk_docs,
     "repetition_scores": q_repetition_scores,
@@ -2363,6 +2476,10 @@ EXTRA_ORACLE_SQL = {
     "user_growth": USER_GROWTH_SQL,
     "gap_report": GAP_REPORT_SQL,
     "interarrival": INTERARRIVAL_SQL,
+    "rolling_std": ROLLING_STD_SQL,
+    "dwell_time": DWELL_SQL,
+    "weekly_profile": WEEKLY_SQL,
+    "type_variety": TYPE_VARIETY_SQL,
     "redact_props": REDACT_SQL,
     "chunk_docs": CHUNK_SQL,
     "repetition_scores": REPETITION_SQL,

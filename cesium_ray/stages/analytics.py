@@ -425,3 +425,43 @@ def user_growth(
     out["new_users"] = out["new_users"].astype(np.int64)
     out["cum_users"] = out["new_users"].cumsum().astype(np.int64)
     return out
+
+
+def type_variety(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    attr: str = "event_type",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Variety histogram: for each distinct-``attr`` count k, the
+    number of keys exhibiting exactly k distinct values — the
+    engagement-breadth distribution.  Map-side distinct (key, attr)
+    cells → one key-hash exchange → per-partition nunique + histogram
+    cells (≤ |alphabet| rows per partition) → driver combine."""
+
+    def distinct_cells(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key, attr]].drop_duplicates()
+
+    cells = ds.map_batches(distinct_cells, batch_format="pandas")
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        k = (df.drop_duplicates([key, attr]).groupby(key).size()
+             .to_numpy(np.int64))
+        if not len(k):
+            return pd.DataFrame({"n_types": pd.Series(dtype="int64"),
+                                 "_n": pd.Series(dtype="int64")})
+        cnt = np.bincount(k)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"n_types": nz.astype(np.int64),
+                             "_n": cnt[nz].astype(np.int64)})
+
+    parts = group_apply(cells, hist, num_partitions=num_partitions,
+                        key=key).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"n_types": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    out = (parts.groupby("n_types", as_index=False)["_n"].sum()
+           .rename(columns={"_n": "n_users"})
+           .sort_values("n_types").reset_index(drop=True))
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out

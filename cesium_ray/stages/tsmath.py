@@ -379,3 +379,108 @@ def interarrival_quantiles(
         })
 
     return group_apply(d, qtl, num_partitions=8, key=attr)
+
+
+def dwell_time(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Time-in-state: total µs spent in each ``attr`` state, where each
+    consecutive pair of a key's (ts, order)-sorted events attributes
+    the elapsed time to the EARLIER event's attr (a key's last event
+    contributes nothing) — the role/tool time-attribution view of a
+    transcript stream.  One key-hash exchange; per partition lexsort +
+    shifted diff + bincount by attr code, so each partition reduces to
+    ≤ |alphabet| exact-int64 cells before the driver combine."""
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({attr: pd.Series(dtype=object),
+                                 "_n": pd.Series(dtype="int64"),
+                                 "_us": pd.Series(dtype="int64")})
+        kc, _ = pd.factorize(df[key])
+        ac, auniq = pd.factorize(df[attr])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, kc))
+        k, a, t = kc[perm], ac[perm], tus[perm]
+        same = k[1:] == k[:-1]
+        src = a[:-1][same]
+        dt = (t[1:] - t[:-1])[same]
+        na = len(auniq)
+        n = np.bincount(src, minlength=na)
+        us = np.bincount(src, weights=dt, minlength=na).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pd.DataFrame({attr: np.asarray(auniq)[nz],
+                             "_n": n[nz].astype(np.int64),
+                             "_us": us[nz]})
+
+    parts = group_apply(ds, cells, num_partitions=num_partitions,
+                        key=key).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({attr: pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64"),
+                             "total_us": pd.Series(dtype="int64")})
+    out = (parts.groupby(attr, as_index=False)[["_n", "_us"]].sum()
+           .rename(columns={"_n": "n", "_us": "total_us"}))
+    out["n"] = out["n"].astype(np.int64)
+    out["total_us"] = out["total_us"].astype(np.int64)
+    return out.sort_values(attr).reset_index(drop=True)
+
+
+def weekly_profile(
+    ds: ray.data.Dataset,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> pd.DataFrame:
+    """Count + exact mean value by (group, day-of-week, UTC
+    hour-of-day) — the 7×24 seasonality grid extending
+    diurnal_profile.  dow uses pure epoch arithmetic
+    (``(epoch_day + 4) % 7``, 0 = Sunday) so the SQL twin needs no
+    engine-specific weekday function.  Map-side partial combine: each
+    block reduces to ≤ groups×168 exact-int cells; NaN values are
+    excluded from both count and sum (SQL aggregate-skips-NULL
+    semantics)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)[ok]
+        k = _quantize(v[ok])
+        day = tus // (86400 * _US)
+        dow = ((day + 4) % 7).astype(np.int64)
+        hour = ((tus // (3600 * _US)) % 24).astype(np.int64)
+        gv, gcode = np.unique(df[group_col].to_numpy()[ok],
+                              return_inverse=True)
+        cell = (gcode * 7 + dow) * 24 + hour
+        ncell = len(gv) * 168
+        cnt = np.bincount(cell, minlength=ncell)
+        sk = np.bincount(cell, weights=k, minlength=ncell).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({
+            group_col: gv[nz // 168],
+            "dow": ((nz % 168) // 24).astype(np.int64),
+            "hour": (nz % 24).astype(np.int64),
+            "_cnt": cnt[nz].astype(np.int64),
+            "_sk": sk[nz],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "dow": pd.Series(dtype="int64"),
+                             "hour": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "mean_value": pd.Series(dtype="float64")})
+    agg = parts.groupby([group_col, "dow", "hour"], as_index=False).agg(
+        n=("_cnt", "sum"), sk=("_sk", "sum"))
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["mean_value"] = agg["sk"].to_numpy(np.float64) / (
+        agg["n"].to_numpy(np.float64) * 100.0)
+    return (agg[[group_col, "dow", "hour", "n", "mean_value"]]
+            .sort_values([group_col, "dow", "hour"]).reset_index(drop=True))

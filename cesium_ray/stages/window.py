@@ -263,3 +263,65 @@ def gap_report(
         })
 
     return group_apply(ds, fn, num_partitions=num_partitions, key=by)
+
+
+def rolling_rows_std(
+    ds: ray.data.Dataset,
+    by: str = "user_id",
+    on: str = "ts",
+    order: str = "event_id",
+    value: str = "value",
+    n: int = 5,
+    value_scale: int = 100,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """ROWS-window rolling volatility: sample standard deviation of the
+    non-null values among the last ``n`` rows per key in (``on``,
+    ``order``) order.  Same one-exchange prefix-sum shape as
+    rolling_rows_avg, with a second int64 prefix over cents² (values
+    quantized at 1/scale: |cents| ≤ ~2²⁰ keeps n·cents² « 2⁶³).
+    Exactness: the variance float expression
+    ``(s2/scale² − (s/scale)·(s/scale)/cnt)/(cnt−1)`` is mirrored
+    verbatim by the SQL oracle, clamped at 0 before the sqrt on both
+    sides, so outputs are bit-identical.  cnt < 2 → NULL."""
+    sc = float(value_scale)
+    sc2 = sc * sc
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                by: pd.Series(dtype="int64"),
+                order: pd.Series(dtype="int64"),
+                "roll_cnt": pd.Series(dtype="int64"),
+                "roll_std": pd.Series(dtype="float64"),
+            })
+        codes, _ = pd.factorize(df[by])
+        tus = df[on].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, codes))
+        c = codes[perm]
+        v = df[value].to_numpy(np.float64)[perm]
+        ok = ~np.isnan(v)
+        cents = np.where(ok, np.round(v * sc), 0.0).astype(np.int64)
+        p1 = np.r_[np.int64(0), np.cumsum(cents)]
+        p2 = np.r_[np.int64(0), np.cumsum(cents * cents)]
+        pc = np.r_[np.int64(0), np.cumsum(ok.astype(np.int64))]
+        idx = np.arange(len(c), dtype=np.int64)
+        new = np.r_[True, c[1:] != c[:-1]]
+        starts = idx[new][np.cumsum(new) - 1]
+        lo = np.maximum(idx - (n - 1), starts)
+        s = (p1[idx + 1] - p1[lo]).astype(np.float64)
+        s2 = (p2[idx + 1] - p2[lo]).astype(np.float64)
+        cnt = pc[idx + 1] - pc[lo]
+        cntf = cnt.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = (s2 / sc2 - (s / sc) * (s / sc) / cntf) / (cntf - 1.0)
+        std = np.sqrt(np.maximum(var, 0.0))
+        return pd.DataFrame({
+            by: df[by].to_numpy()[perm],
+            order: oid[perm],
+            "roll_cnt": cnt,
+            "roll_std": np.where(cnt > 1, std, np.nan),
+        })
+
+    return group_apply(ds, fn, num_partitions=num_partitions, key=by)

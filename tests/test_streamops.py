@@ -101,3 +101,93 @@ def test_interarrival_quantiles_bruteforce(ray_session):
         assert row["p50_us"] == round(duck_quantile(v, 0.5), 6)
         assert row["p99_us"] == round(duck_quantile(v, 0.99), 6)
     assert set(got["event_type"]) == set(d["t"].unique())
+
+
+def test_rolling_rows_std_bruteforce(ray_session):
+    from cesium_ray.stages.window import rolling_rows_std
+
+    ev = _events(seed=53, n=2000, nusers=15)
+    rng = np.random.default_rng(7)
+    ev["value"] = np.where(rng.random(len(ev)) < 0.1, np.nan,
+                           np.round(rng.random(len(ev)) * 50, 2))
+    got = (rolling_rows_std(ray.data.from_pandas(ev).repartition(5),
+                            n=5, num_partitions=3)
+           .to_pandas().sort_values(["user_id", "event_id"])
+           .reset_index(drop=True))
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    cnt = (s.groupby("user_id")["value"]
+           .rolling(5, min_periods=1).count().to_numpy(np.int64))
+    std = (s.groupby("user_id")["value"]
+           .rolling(5, min_periods=1).std().to_numpy())
+    want = (pd.DataFrame({
+        "user_id": s["user_id"].to_numpy(),
+        "event_id": s["event_id"].to_numpy(),
+        "cnt": cnt, "std": np.where(cnt > 1, std, np.nan),
+    }).sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    assert (got["roll_cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+    a, w = got["roll_std"].to_numpy(), want["std"].to_numpy()
+    ok = ~np.isnan(w)
+    assert (np.isnan(a) == ~ok).all()
+    # pandas rolling.std is the same sample variance up to fp noise
+    assert np.allclose(a[ok], w[ok], atol=1e-9)
+
+
+def test_dwell_time_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import dwell_time
+
+    ev = _events(seed=59)
+    got = dwell_time(ray.data.from_pandas(ev).repartition(6),
+                     num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    tus = s["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    u = s["user_id"].to_numpy()
+    same = u[1:] == u[:-1]
+    d = pd.DataFrame({"t": s["event_type"].to_numpy()[:-1][same],
+                      "dt": (tus[1:] - tus[:-1])[same]})
+    want = (d.groupby("t", as_index=False)
+            .agg(n=("dt", "size"), total_us=("dt", "sum"))
+            .rename(columns={"t": "event_type"})
+            .sort_values("event_type").reset_index(drop=True))
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["total_us"].tolist() == want["total_us"].tolist()
+
+
+def test_weekly_profile_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import weekly_profile
+
+    ev = _events(seed=61, n=5000)
+    rng = np.random.default_rng(3)
+    ev["value"] = np.where(rng.random(len(ev)) < 0.05, np.nan,
+                           np.round(rng.random(len(ev)) * 80 - 10, 2))
+    got = weekly_profile(ray.data.from_pandas(ev).repartition(5))
+    d = ev[ev["value"].notna()].copy()
+    tus = d["ts"].astype("datetime64[us]").astype(np.int64)
+    d["dow"] = ((tus // 86_400_000_000) + 4) % 7
+    d["hour"] = (tus // 3_600_000_000) % 24
+    d["k"] = np.round(d["value"].to_numpy() * 100).astype(np.int64)
+    want = (d.groupby(["event_type", "dow", "hour"], as_index=False)
+            .agg(n=("k", "size"), sk=("k", "sum")))
+    want["mean_value"] = want["sk"] / (want["n"] * 100.0)
+    want = (want.drop(columns="sk")
+            .sort_values(["event_type", "dow", "hour"])
+            .reset_index(drop=True))
+    assert got.shape == want.shape
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert np.allclose(got["mean_value"], want["mean_value"], atol=1e-12)
+    # 1970-01-01 is a Thursday: dow arithmetic sanity
+    assert set(got["dow"]) <= set(range(7))
+
+
+def test_type_variety_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import type_variety
+
+    ev = _events(seed=67, n=300, nusers=40)
+    got = type_variety(ray.data.from_pandas(ev).repartition(4),
+                       num_partitions=3)
+    k = ev.groupby("user_id")["event_type"].nunique()
+    want = (k.value_counts().sort_index().rename("n_users")
+            .reset_index().rename(columns={"event_type": "n_types"}))
+    assert got["n_types"].tolist() == want["n_types"].tolist()
+    assert got["n_users"].tolist() == want["n_users"].tolist()
+    assert int(got["n_users"].sum()) == ev["user_id"].nunique()
