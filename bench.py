@@ -599,6 +599,70 @@ def bench_textprep(results, thr):
     thr["redact_docs_per_sec"] = round(n / dt)
 
 
+def bench_stream(results, thr):
+    """Batch 5–7 stream/analytics operators over the full 2M-turn
+    transcript cache: ROWS-window avg/std, per-group top-k/mode,
+    transition matrix, dwell time, gap report, inter-arrival
+    quantiles, growth accounting, weekly seasonality grid."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from cesium_ray.stages.analytics import (
+        group_mode, transition_matrix, user_growth)
+    from cesium_ray.stages.heavy import topk_per_group
+    from cesium_ray.stages.tsmath import (
+        dwell_time, interarrival_quantiles, weekly_profile)
+    from cesium_ray.stages.window import (
+        gap_report, rolling_rows_avg, rolling_rows_std)
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        key = pd.to_numeric(df["conv_id"].str.slice(5)).astype("int64")
+        return pd.DataFrame({
+            "user_id": key,
+            "event_id": df["turn_idx"].astype("int64"),
+            "ts": df["ts"],
+            "event_type": df["role"],
+            "value": df["text"].str.len().astype("float64"),
+        })
+
+    base = ray.data.read_parquet(
+        synth_turns_path(), columns=["conv_id", "turn_idx", "role", "ts", "text"]
+    ).map_batches(derive, batch_format="pandas").materialize()
+    n = base.count()
+    thr["stream_n_rows"] = n
+
+    for name, fn in [
+        ("rolling_avg", lambda: rolling_rows_avg(
+            base, n=5, num_partitions=2 * NCPU).count()),
+        ("rolling_std", lambda: rolling_rows_std(
+            base, n=5, num_partitions=2 * NCPU).count()),
+        ("topk_per_group", lambda: topk_per_group(
+            base, k=3, num_partitions=2 * NCPU).count()),
+        ("group_mode", lambda: group_mode(
+            base, num_partitions=2 * NCPU).count()),
+        ("transitions", lambda: len(transition_matrix(
+            base, num_partitions=2 * NCPU))),
+        ("dwell_time", lambda: len(dwell_time(
+            base, num_partitions=2 * NCPU))),
+        ("gap_report", lambda: gap_report(
+            base, gap_us_threshold=600_000_000,
+            num_partitions=2 * NCPU).count()),
+        ("interarrival", lambda: interarrival_quantiles(
+            base, num_partitions=2 * NCPU).count()),
+        ("user_growth", lambda: len(user_growth(
+            base, num_partitions=2 * NCPU))),
+        ("weekly_profile", lambda: len(weekly_profile(base))),
+    ]:
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        results[f"stream_{name}"] = round(dt, 3)
+        thr[f"stream_{name}_rows_per_sec"] = round(n / dt)
+        thr[f"stream_{name}_out"] = int(out)
+
+
 BENCHES = {
     "flagship_rollup": bench_flagship_rollup,
     "flagship_full": bench_flagship_full,
@@ -611,6 +675,7 @@ BENCHES = {
     "timeseries_ops": bench_timeseries_ops,
     "curation": bench_curation,
     "tsdb_math": bench_tsdb_math,
+    "stream": bench_stream,
     "textprep": bench_textprep,
     "ann": bench_ann,
 }
