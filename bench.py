@@ -613,7 +613,8 @@ def bench_stream(results, thr):
         group_mode, transition_matrix, user_growth)
     from cesium_ray.stages.heavy import topk_per_group
     from cesium_ray.stages.tsmath import (
-        dwell_time, interarrival_quantiles, weekly_profile)
+        dwell_time, interarrival_quantiles, interarrival_quantiles_scan,
+        weekly_profile)
     from cesium_ray.stages.window import (
         gap_report, rolling_rows_avg, rolling_rows_std)
 
@@ -651,6 +652,8 @@ def bench_stream(results, thr):
             num_partitions=2 * NCPU).count()),
         ("interarrival", lambda: interarrival_quantiles(
             base, num_partitions=2 * NCPU).count()),
+        ("interarrival_scan", lambda: len(interarrival_quantiles_scan(
+            base, num_partitions=2 * NCPU))),
         ("user_growth", lambda: len(user_growth(
             base, num_partitions=2 * NCPU))),
         ("weekly_profile", lambda: len(weekly_profile(base))),

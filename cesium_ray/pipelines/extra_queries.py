@@ -2263,6 +2263,23 @@ GROUP BY 1
 """
 
 
+def q_interarrival_scan(sf_dir):
+    """★-checked scan-path inter-arrival quantiles
+    (stages/selection.py): same output as `interarrival`, but the
+    exact per-type p50/p99 come from histogram-refinement rank
+    selection — map-side partial bincounts + KB driver combines, no
+    attr-keyed exchange — the plan that holds at 10¹² rows.  Shares
+    the `interarrival` SQL oracle (bit-identical by construction)."""
+    from ..stages.tsmath import interarrival_quantiles_scan
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    out = interarrival_quantiles_scan(ev, num_partitions=8)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_rolling_std(sf_dir):
     """★-checked ROWS-window rolling volatility (stages/window.py):
     sample stddev of the last 5 rows per user; int64 cents/cents²
@@ -2411,6 +2428,7 @@ EXTRA_QUERIES = {
     "user_growth": q_user_growth,
     "gap_report": q_gap_report,
     "interarrival": q_interarrival,
+    "interarrival_scan": q_interarrival_scan,
     "rolling_std": q_rolling_std,
     "dwell_time": q_dwell_time,
     "weekly_profile": q_weekly_profile,
@@ -2476,6 +2494,7 @@ EXTRA_ORACLE_SQL = {
     "user_growth": USER_GROWTH_SQL,
     "gap_report": GAP_REPORT_SQL,
     "interarrival": INTERARRIVAL_SQL,
+    "interarrival_scan": INTERARRIVAL_SQL,
     "rolling_std": ROLLING_STD_SQL,
     "dwell_time": DWELL_SQL,
     "weekly_profile": WEEKLY_SQL,

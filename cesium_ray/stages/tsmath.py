@@ -325,6 +325,54 @@ def ewma_last(
     return group_apply(ds, fn, num_partitions=num_partitions, key=key)
 
 
+def _delta_fn(key, attr, ts_col, order_col):
+    """Per-partition kernel: (attr, int64-µs lead-delta) rows for
+    consecutive same-(key, attr) events in (ts, order) order."""
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({attr: pd.Series(dtype=object),
+                                 "_dt": pd.Series(dtype="int64")})
+        kc, _ = pd.factorize(df[key])
+        ac, auniq = pd.factorize(df[attr])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, ac, kc))
+        k, a, t = kc[perm], ac[perm], tus[perm]
+        same = (k[1:] == k[:-1]) & (a[1:] == a[:-1])
+        return pd.DataFrame({attr: np.asarray(auniq)[a[:-1][same]],
+                             "_dt": t[1:][same] - t[:-1][same]})
+
+    return deltas
+
+
+def interarrival_quantiles_scan(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """``interarrival_quantiles`` with the 10¹²-row quantile plan:
+    the same key-hash delta exchange, then exact per-attr p50/p99 via
+    histogram-refinement rank selection
+    (stages/selection.py::grouped_rank_quantiles) instead of shipping
+    every delta through an attr-keyed exchange into |alphabet| tasks.
+    Bit-identical output (same duck_quantile lerp)."""
+    from .selection import grouped_rank_quantiles
+
+    d = group_apply(ds, _delta_fn(key, attr, ts_col, order_col),
+                    num_partitions=num_partitions, key=key).materialize()
+    out = grouped_rank_quantiles(d, attr, "_dt", ps=(0.5, 0.99))
+    out = out.rename(columns={"n": "n_gaps", "q_0": "p50_us",
+                              "q_1": "p99_us"})
+    # Python round(x, 6), matching interarrival_quantiles' qtl exactly
+    out["p50_us"] = [round(float(x), 6) for x in out["p50_us"]]
+    out["p99_us"] = [round(float(x), 6) for x in out["p99_us"]]
+    return out
+
+
 def interarrival_quantiles(
     ds: ray.data.Dataset,
     key: str = "user_id",
@@ -344,24 +392,15 @@ def interarrival_quantiles(
     the exact global quantile.  Deltas are int64 µs (< 2⁵³, so the
     float64 lerp is exact); the alphabet is broadcast-small but the
     delta sets are not, hence the second exchange instead of a
-    driver-side merge."""
+    driver-side merge.  The attr exchange lands each attr's whole
+    delta set in ONE task — fine for sf-scale corpora; at 10¹²-row
+    scale use ``interarrival_quantiles_scan`` (histogram-refinement
+    rank selection, stages/selection.py), which produces identical
+    bits with only map-side partials."""
     from ..oracle.rollup import duck_quantile
 
-    def deltas(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({attr: pd.Series(dtype=object),
-                                 "_dt": pd.Series(dtype="int64")})
-        kc, _ = pd.factorize(df[key])
-        ac, auniq = pd.factorize(df[attr])
-        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
-        oid = df[order_col].to_numpy(np.int64)
-        perm = np.lexsort((oid, tus, ac, kc))
-        k, a, t = kc[perm], ac[perm], tus[perm]
-        same = (k[1:] == k[:-1]) & (a[1:] == a[:-1])
-        return pd.DataFrame({attr: np.asarray(auniq)[a[:-1][same]],
-                             "_dt": t[1:][same] - t[:-1][same]})
-
-    d = group_apply(ds, deltas, num_partitions=num_partitions, key=key)
+    d = group_apply(ds, _delta_fn(key, attr, ts_col, order_col),
+                    num_partitions=num_partitions, key=key)
 
     def qtl(df: pd.DataFrame) -> pd.DataFrame:
         names, ns, p50s, p99s = [], [], [], []

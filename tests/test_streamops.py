@@ -191,3 +191,44 @@ def test_type_variety_bruteforce(ray_session):
     assert got["n_types"].tolist() == want["n_types"].tolist()
     assert got["n_users"].tolist() == want["n_users"].tolist()
     assert int(got["n_users"].sum()) == ev["user_id"].nunique()
+
+
+def test_grouped_rank_quantiles_bruteforce(ray_session):
+    from cesium_ray.oracle.rollup import duck_quantile
+    from cesium_ray.stages.selection import grouped_rank_quantiles
+
+    rng = np.random.default_rng(71)
+    # adversarial mix: heavy duplicates, zipf tail, negatives, a
+    # single-element group, and a two-element group
+    parts = [
+        pd.DataFrame({"g": "dup", "v": np.repeat([5, 5, 5, 9], 500)}),
+        pd.DataFrame({"g": "zipf",
+                      "v": (rng.zipf(1.7, 3000) * 1000).astype(np.int64)}),
+        pd.DataFrame({"g": "neg",
+                      "v": rng.integers(-10**12, 10**12, 2000)}),
+        pd.DataFrame({"g": "one", "v": [42]}),
+        pd.DataFrame({"g": "two", "v": [7, 100]}),
+    ]
+    df = pd.concat(parts, ignore_index=True).sample(frac=1, random_state=3)
+    ds = ray.data.from_pandas(df).repartition(7).materialize()
+    got = grouped_rank_quantiles(ds, "g", "v", ps=(0.5, 0.99),
+                                 n_bins=16, max_exact=64)
+    for _, row in got.iterrows():
+        v = np.sort(df[df["g"] == row["g"]]["v"].to_numpy(np.float64))
+        assert row["n"] == len(v)
+        assert row["q_0"] == duck_quantile(v, 0.5), row["g"]
+        assert row["q_1"] == duck_quantile(v, 0.99), row["g"]
+    assert set(got["g"]) == {"dup", "zipf", "neg", "one", "two"}
+
+
+def test_interarrival_scan_matches_exchange_path(ray_session):
+    from cesium_ray.stages.tsmath import (
+        interarrival_quantiles, interarrival_quantiles_scan)
+
+    ev = _events(seed=73, n=3000)
+    ds = ray.data.from_pandas(ev).repartition(6)
+    a = (interarrival_quantiles(ds, num_partitions=4).to_pandas()
+         .sort_values("event_type").reset_index(drop=True))
+    b = (interarrival_quantiles_scan(ds, num_partitions=4)
+         .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
