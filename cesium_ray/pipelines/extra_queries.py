@@ -2280,6 +2280,47 @@ def q_interarrival_scan(sf_dir):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_global_quantiles(sf_dir):
+    """★-checked EXACT global value quantiles (stages/selection.py):
+    p50/p99 of 100×-quantized event values over the whole table via
+    histogram-refinement rank selection — the exact counterpart of the
+    approximate `sketch_quantiles`, with no all-to-all exchange.
+    quantile_cont oracle on the same int space."""
+    from ..stages.selection import grouped_rank_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        return pd.DataFrame({
+            "g": np.zeros(len(v), np.int64),
+            "k": np.rint(v * 100.0).astype(np.int64),
+        })
+
+    d = ev.map_batches(prep, batch_format="pandas").materialize()
+    out = grouped_rank_quantiles(d, "g", "k", ps=(0.5, 0.99))
+    return round6(pd.DataFrame({
+        "n": out["n"].astype(np.int64),
+        "p50": out["q_0"].to_numpy() / 100.0,
+        "p99": out["q_1"].to_numpy() / 100.0,
+    }))
+
+
+GLOBAL_QUANTILES_SQL = """
+WITH k AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS kv
+  FROM events WHERE value IS NOT NULL
+)
+SELECT count(*) AS n,
+       round(quantile_cont(CAST(kv AS DOUBLE), 0.5) / 100.0, 6) AS p50,
+       round(quantile_cont(CAST(kv AS DOUBLE), 0.99) / 100.0, 6) AS p99
+FROM k
+"""
+
+
 def q_rolling_std(sf_dir):
     """★-checked ROWS-window rolling volatility (stages/window.py):
     sample stddev of the last 5 rows per user; int64 cents/cents²
@@ -2429,6 +2470,7 @@ EXTRA_QUERIES = {
     "gap_report": q_gap_report,
     "interarrival": q_interarrival,
     "interarrival_scan": q_interarrival_scan,
+    "global_quantiles": q_global_quantiles,
     "rolling_std": q_rolling_std,
     "dwell_time": q_dwell_time,
     "weekly_profile": q_weekly_profile,
@@ -2495,6 +2537,7 @@ EXTRA_ORACLE_SQL = {
     "gap_report": GAP_REPORT_SQL,
     "interarrival": INTERARRIVAL_SQL,
     "interarrival_scan": INTERARRIVAL_SQL,
+    "global_quantiles": GLOBAL_QUANTILES_SQL,
     "rolling_std": ROLLING_STD_SQL,
     "dwell_time": DWELL_SQL,
     "weekly_profile": WEEKLY_SQL,
