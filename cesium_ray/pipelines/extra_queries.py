@@ -2263,6 +2263,58 @@ GROUP BY 1
 """
 
 
+def q_features_stetson(sf_dir):
+    """★-checked Stetson variability indices through the REAL
+    FeatureExtractor (oracle/common_features.py A14/A15): per user over
+    event values in event_id order, J = mean sign(P)·√|P| over
+    successive-pair products P of δ = √(n/(n−1))·(m−µ)/e (e is the
+    constant DEFAULT_ERROR_VALUE fill), K = mean|δ|/√(mean δ²) — both
+    plain aggregates over lag() products, mirrored verbatim in SQL;
+    µ's pairwise-vs-sequential summation ulps land below round6
+    (same argument as features_stats' skew)."""
+    from ..stages.features import FeatureExtractor
+
+    pts = _event_points(sf_dir).map_batches(
+        lambda df: df.rename(columns={"user_id": "conv_id",
+                                      "event_id": "turn_idx"}),
+        batch_format="pandas",
+    )
+    out = group_apply(
+        pts,
+        FeatureExtractor,
+        num_partitions=16,
+        key="conv_id",
+        fn_constructor_kwargs={"channels": ("value",),
+                               "features_to_use": ["stetson_j",
+                                                   "stetson_k"]},
+    ).to_pandas()
+    out = out.rename(columns={"conv_id": "user_id"}).drop(columns=["channel"])
+    return round6(out.sort_values("user_id").reset_index(drop=True))
+
+
+FEATURES_STETSON_SQL = """
+WITH s AS (
+  SELECT user_id, avg(value) AS mu, count(*) AS n
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT e.user_id, e.event_id,
+         sqrt(s.n / (s.n - 1.0)) * (e.value - s.mu) / 0.0001 AS dd
+  FROM events e JOIN s USING (user_id)
+  WHERE s.n >= 2
+),
+p AS (
+  SELECT user_id, dd,
+         dd * lag(dd) OVER (PARTITION BY user_id ORDER BY event_id) AS pp
+  FROM d
+)
+SELECT user_id,
+       round(avg(sign(pp) * sqrt(abs(pp))), 6) AS stetson_j,
+       round(avg(abs(dd)) / sqrt(avg(dd * dd)), 6) AS stetson_k
+FROM p GROUP BY 1
+"""
+
+
 def q_interarrival_scan(sf_dir):
     """★-checked scan-path inter-arrival quantiles
     (stages/selection.py): same output as `interarrival`, but the
@@ -2471,6 +2523,7 @@ EXTRA_QUERIES = {
     "interarrival": q_interarrival,
     "interarrival_scan": q_interarrival_scan,
     "global_quantiles": q_global_quantiles,
+    "features_stetson": q_features_stetson,
     "rolling_std": q_rolling_std,
     "dwell_time": q_dwell_time,
     "weekly_profile": q_weekly_profile,
@@ -2538,6 +2591,7 @@ EXTRA_ORACLE_SQL = {
     "interarrival": INTERARRIVAL_SQL,
     "interarrival_scan": INTERARRIVAL_SQL,
     "global_quantiles": GLOBAL_QUANTILES_SQL,
+    "features_stetson": FEATURES_STETSON_SQL,
     "rolling_std": ROLLING_STD_SQL,
     "dwell_time": DWELL_SQL,
     "weekly_profile": WEEKLY_SQL,
