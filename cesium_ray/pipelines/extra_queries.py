@@ -2263,6 +2263,101 @@ GROUP BY 1
 """
 
 
+def q_shipping_priority(sf_dir):
+    """★-checked TPC-H-Q3-style 3-way join (customer ⋈ orders ⋈
+    lineitem): top-10 pre-cutoff orders of BUILDING-segment customers
+    by post-cutoff shipped revenue.  The 100-TB plan: lineitem is
+    filter-pruned at the read and PRE-AGGREGATED to per-orderkey
+    exact-int revenue cells (map-side combine) BEFORE any join;
+    the segment-filtered customer key set is broadcast (`ray.put`)
+    and orders are semi-join-filtered map-side; the one hash join
+    therefore carries cells × qualifying orders, never raw lineitem;
+    the final top-10 is per-block partial top-k → driver merge.
+    Revenue = Σ price_cents·(100−disc_pct) / 10⁴, exact int64."""
+    cutoff = np.datetime64("1998-06-01T00:00:00", "us")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda df: df[df["c_mktsegment"] == "BUILDING"][["c_custkey"]],
+        batch_format="pandas",
+    ).to_pandas()
+    ckeys = ray.put(np.unique(cust["c_custkey"].to_numpy(np.int64)))
+
+    def li_cells(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"].to_numpy("datetime64[us]") > cutoff]
+        p = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100.0
+                    ).astype(np.int64)
+        d = np.rint(df["l_discount"].to_numpy(np.float64) * 100.0
+                    ).astype(np.int64)
+        g = pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                          "_rev": p * (100 - d)})
+        return g.groupby("l_orderkey", as_index=False).sum()
+
+    cells = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_cells, batch_format="pandas")
+
+    def orders_filter(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["o_orderdate"].to_numpy("datetime64[us]") < cutoff) & \
+            np.isin(df["o_custkey"].to_numpy(np.int64), ray.get(ckeys))
+        out = df.loc[keep, ["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]]
+        # join key named here (Dataset.rename_columns' Project operator
+        # rejects pandas blocks on Ray 2.49)
+        return out.rename(columns={"o_orderkey": "l_orderkey"})
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_filter, batch_format="pandas")
+
+    # combine lineitem cells to one row per orderkey, then hash join
+    from .driver_queries import round6 as _r6  # noqa: F401 (shared helper)
+    rev = group_apply(
+        cells,
+        lambda df: df.groupby("l_orderkey", as_index=False)["_rev"].sum(),
+        num_partitions=8, key="l_orderkey")
+    joined = rev.join(ords, "inner", num_partitions=8, on=("l_orderkey",))
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["_rev", "o_orderdate", "l_orderkey"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(10)
+
+    top = (joined.map_batches(partial_top, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["_rev", "o_orderdate", "l_orderkey"],
+                        ascending=[False, True, True], kind="mergesort")
+           .head(10).reset_index(drop=True))
+    out = pd.DataFrame({
+        "l_orderkey": top["l_orderkey"].astype(np.int64),
+        "revenue": top["_rev"].to_numpy(np.float64) / 10000.0,
+        "o_orderdate": top["o_orderdate"].astype("datetime64[us]"),
+        "o_orderpriority": top["o_orderpriority"],
+    })
+    return round6(out)
+
+
+SHIPPING_SQL = """
+SELECT l_orderkey,
+       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                  AS DOUBLE) / 10000.0, 6) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 def q_features_stetson(sf_dir):
     """★-checked Stetson variability indices through the REAL
     FeatureExtractor (oracle/common_features.py A14/A15): per user over
@@ -2524,6 +2619,7 @@ EXTRA_QUERIES = {
     "interarrival_scan": q_interarrival_scan,
     "global_quantiles": q_global_quantiles,
     "features_stetson": q_features_stetson,
+    "shipping_priority": q_shipping_priority,
     "rolling_std": q_rolling_std,
     "dwell_time": q_dwell_time,
     "weekly_profile": q_weekly_profile,
@@ -2592,6 +2688,7 @@ EXTRA_ORACLE_SQL = {
     "interarrival_scan": INTERARRIVAL_SQL,
     "global_quantiles": GLOBAL_QUANTILES_SQL,
     "features_stetson": FEATURES_STETSON_SQL,
+    "shipping_priority": SHIPPING_SQL,
     "rolling_std": ROLLING_STD_SQL,
     "dwell_time": DWELL_SQL,
     "weekly_profile": WEEKLY_SQL,

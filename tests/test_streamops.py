@@ -232,3 +232,25 @@ def test_interarrival_scan_matches_exchange_path(ray_session):
     b = (interarrival_quantiles_scan(ds, num_partitions=4)
          .sort_values("event_type").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_shipping_priority_smoke(ray_session):
+    """Q3-style composite at sf0.001: row contract + descending
+    revenue + oracle recomputation via DuckDB."""
+    import duckdb
+
+    from cesium_ray.pipelines.extra_queries import (
+        SHIPPING_SQL, q_shipping_priority)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_shipping_priority(sf)
+    assert list(got.columns) == ["l_orderkey", "revenue", "o_orderdate",
+                                 "o_orderpriority"]
+    assert (np.diff(got["revenue"].to_numpy()) <= 1e-12).all()
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{sf}/{t}.parquet')")
+    want = con.sql(SHIPPING_SQL).df()
+    assert got["l_orderkey"].tolist() == want["l_orderkey"].tolist()
+    assert np.allclose(got["revenue"], want["revenue"], atol=0)
