@@ -2358,6 +2358,136 @@ LIMIT 10
 """
 
 
+def q_dataset_diff(sf_dir):
+    """★-checked dataset diff / anti-entropy (stages/diff.py): version
+    B of the events table drops every event_id % 101 == 0 row
+    (→ only_a), perturbs every % 97 == 0 value (→ mismatch), and
+    appends shifted copies of % 103 == 0 rows (→ only_b); the diff
+    emits exactly the divergent keys.  FULL-OUTER-JOIN oracle; output
+    is drift-sized, never data-sized."""
+    from ..stages.diff import dataset_diff
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def make_b(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["value"].to_numpy(np.float64).copy()
+        v[eid % 97 == 0] += 1.0
+        keep = eid % 101 != 0
+        base = pd.DataFrame({"event_id": eid[keep], "value": v[keep]})
+        extra_m = eid % 103 == 0
+        extra = pd.DataFrame({"event_id": eid[extra_m] + 10_000_000,
+                              "value": df["value"].to_numpy()[extra_m]})
+        return pd.concat([base, extra], ignore_index=True)
+
+    b = ev.map_batches(make_b, batch_format="pandas")
+    out = dataset_diff(ev, b, key="event_id", vals=["value"],
+                       num_partitions=8).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+DATASET_DIFF_SQL = """
+WITH a AS (SELECT event_id, value FROM events),
+b AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN value + 1.0 ELSE value END
+           AS value
+  FROM events WHERE event_id % 101 <> 0
+  UNION ALL
+  SELECT event_id + 10000000, value FROM events WHERE event_id % 103 = 0
+)
+SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+       CASE WHEN b.event_id IS NULL THEN 'only_a'
+            WHEN a.event_id IS NULL THEN 'only_b'
+            ELSE 'mismatch' END AS status
+FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+WHERE a.event_id IS NULL OR b.event_id IS NULL
+   OR a.value IS DISTINCT FROM b.value
+"""
+
+
+def q_decile_stats(sf_dir):
+    """★-checked exact global decile bucketing: the 9 exact decile
+    edges come from distributed rank selection
+    (stages/selection.py, 100×-int space), every row is then assigned
+    bucket = 1 + Σ(v > edge) in one map pass, and per-bucket
+    count/min/max reduce map-side.  SQL mirror computes the identical
+    quantile_cont edges and indicator sum."""
+    from ..stages.selection import grouped_rank_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        return pd.DataFrame({
+            "g": np.zeros(len(v), np.int64),
+            "k": np.rint(v * 100.0).astype(np.int64),
+        })
+
+    d = ev.map_batches(prep, batch_format="pandas").materialize()
+    ps = tuple(i / 10 for i in range(1, 10))
+    edges = grouped_rank_quantiles(d, "g", "k", ps=ps)
+    evec = np.array([float(edges[f"q_{i}"].iloc[0])
+                     for i in range(9)], np.float64)
+    eref = ray.put(evec)
+
+    def bucket_cells(df: pd.DataFrame) -> pd.DataFrame:
+        e = ray.get(eref)
+        k = df["k"].to_numpy(np.int64)
+        b = np.searchsorted(e, k.astype(np.float64), side="left") + 1
+        g = pd.DataFrame({"bucket": b.astype(np.int64), "k": k})
+        return g.groupby("bucket", as_index=False).agg(
+            _n=("k", "size"), _lo=("k", "min"), _hi=("k", "max"))
+
+    parts = d.map_batches(bucket_cells, batch_format="pandas").to_pandas()
+    agg = parts.groupby("bucket", as_index=False).agg(
+        n=("_n", "sum"), lo=("_lo", "min"), hi=("_hi", "max"))
+    return round6(pd.DataFrame({
+        "bucket": agg["bucket"].astype(np.int64),
+        "n": agg["n"].astype(np.int64),
+        "min_value": agg["lo"].to_numpy(np.float64) / 100.0,
+        "max_value": agg["hi"].to_numpy(np.float64) / 100.0,
+    }).sort_values("bucket").reset_index(drop=True))
+
+
+DECILE_SQL = """
+WITH k AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS kv
+  FROM events WHERE value IS NOT NULL
+),
+e AS (
+  SELECT quantile_cont(CAST(kv AS DOUBLE), 0.1) AS e1,
+         quantile_cont(CAST(kv AS DOUBLE), 0.2) AS e2,
+         quantile_cont(CAST(kv AS DOUBLE), 0.3) AS e3,
+         quantile_cont(CAST(kv AS DOUBLE), 0.4) AS e4,
+         quantile_cont(CAST(kv AS DOUBLE), 0.5) AS e5,
+         quantile_cont(CAST(kv AS DOUBLE), 0.6) AS e6,
+         quantile_cont(CAST(kv AS DOUBLE), 0.7) AS e7,
+         quantile_cont(CAST(kv AS DOUBLE), 0.8) AS e8,
+         quantile_cont(CAST(kv AS DOUBLE), 0.9) AS e9
+  FROM k
+),
+assigned AS (
+  SELECT kv,
+         1 + CAST(kv > e.e1 AS INT) + CAST(kv > e.e2 AS INT)
+           + CAST(kv > e.e3 AS INT) + CAST(kv > e.e4 AS INT)
+           + CAST(kv > e.e5 AS INT) + CAST(kv > e.e6 AS INT)
+           + CAST(kv > e.e7 AS INT) + CAST(kv > e.e8 AS INT)
+           + CAST(kv > e.e9 AS INT) AS bucket
+  FROM k, e
+)
+SELECT bucket, count(*) AS n,
+       round(min(kv) / 100.0, 6) AS min_value,
+       round(max(kv) / 100.0, 6) AS max_value
+FROM assigned GROUP BY bucket
+"""
+
+
 def q_features_stetson(sf_dir):
     """★-checked Stetson variability indices through the REAL
     FeatureExtractor (oracle/common_features.py A14/A15): per user over
@@ -2620,6 +2750,8 @@ EXTRA_QUERIES = {
     "global_quantiles": q_global_quantiles,
     "features_stetson": q_features_stetson,
     "shipping_priority": q_shipping_priority,
+    "dataset_diff": q_dataset_diff,
+    "decile_stats": q_decile_stats,
     "rolling_std": q_rolling_std,
     "dwell_time": q_dwell_time,
     "weekly_profile": q_weekly_profile,
@@ -2689,6 +2821,8 @@ EXTRA_ORACLE_SQL = {
     "global_quantiles": GLOBAL_QUANTILES_SQL,
     "features_stetson": FEATURES_STETSON_SQL,
     "shipping_priority": SHIPPING_SQL,
+    "dataset_diff": DATASET_DIFF_SQL,
+    "decile_stats": DECILE_SQL,
     "rolling_std": ROLLING_STD_SQL,
     "dwell_time": DWELL_SQL,
     "weekly_profile": WEEKLY_SQL,

@@ -254,3 +254,41 @@ def test_shipping_priority_smoke(ray_session):
     want = con.sql(SHIPPING_SQL).df()
     assert got["l_orderkey"].tolist() == want["l_orderkey"].tolist()
     assert np.allclose(got["revenue"], want["revenue"], atol=0)
+
+
+def test_dataset_diff_bruteforce(ray_session):
+    from cesium_ray.stages.diff import dataset_diff
+
+    rng = np.random.default_rng(79)
+    a = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
+                      "v": np.round(rng.random(500), 2),
+                      "w": rng.integers(0, 9, 500)})
+    b = a.copy()
+    b = b[b["k"] % 7 != 0]                      # only_a
+    b.loc[b["k"] % 5 == 0, "v"] += 0.5          # mismatch (v)
+    b.loc[b["k"] % 11 == 3, "w"] += 1           # mismatch (w)
+    extra = pd.DataFrame({"k": [1000, 1001], "v": [0.1, 0.2],
+                          "w": [1, 2]})         # only_b
+    b = pd.concat([b, extra], ignore_index=True)
+    got = (dataset_diff(ray.data.from_pandas(a).repartition(4),
+                        ray.data.from_pandas(b).repartition(3),
+                        key="k", vals=["v", "w"], num_partitions=3)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    m = a.merge(b, on="k", how="outer", suffixes=("_a", "_b"),
+                indicator=True)
+    st = np.where(m["_merge"] == "left_only", "only_a",
+                  np.where(m["_merge"] == "right_only", "only_b",
+                           np.where((m["v_a"] != m["v_b"])
+                                    | (m["w_a"] != m["w_b"]),
+                                    "mismatch", "match")))
+    want = (pd.DataFrame({"k": m["k"], "status": st})
+            [st != "match"].sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["status"].tolist() == want["status"].tolist()
+    # identical inputs diff to empty
+    same = dataset_diff(ray.data.from_pandas(a),
+                        ray.data.from_pandas(a.sample(frac=1,
+                                                      random_state=1)),
+                        key="k", vals=["v", "w"],
+                        num_partitions=3).to_pandas()
+    assert len(same) == 0
