@@ -2488,6 +2488,61 @@ FROM assigned GROUP BY bucket
 """
 
 
+def q_session_stats(sf_dir):
+    """★-checked per-user session statistics composed on the
+    sessionizer (stages/window.py): session count, total events,
+    exact-int mean session duration (µs, quantized via the usual
+    CAST-sum/count mirror) and longest session.  One exchange: the
+    per-session rows reduce per partition (sessions of a user are
+    co-located by construction), so only user-level rows leave."""
+    from ..stages.window import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    sess = sessionize(ev, gap_s=1800, num_partitions=8).to_pandas()
+    g = sess.groupby("user_id", as_index=False).agg(
+        n_sessions=("session_idx", "size"),
+        n_events=("n_events", "sum"),
+        total_dur_us=("duration_us", "sum"),
+        max_dur_us=("duration_us", "max"))
+    out = pd.DataFrame({
+        "user_id": g["user_id"].astype(np.int64),
+        "n_sessions": g["n_sessions"].astype(np.int64),
+        "n_events": g["n_events"].astype(np.int64),
+        "mean_dur_us": (g["total_dur_us"].to_numpy(np.float64)
+                        / g["n_sessions"].to_numpy(np.float64)),
+        "max_dur_us": g["max_dur_us"].astype(np.int64),
+    })
+    return round6(out.sort_values("user_id").reset_index(drop=True))
+
+
+SESSION_STATS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g),
+per AS (
+  SELECT user_id, session_idx, count(*) AS n_events,
+         date_diff('microsecond', min(ts), max(ts)) AS duration_us
+  FROM s GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(CAST(sum(duration_us) AS DOUBLE) / count(*), 6)
+         AS mean_dur_us,
+       max(duration_us) AS max_dur_us
+FROM per GROUP BY 1
+"""
+
+
 def q_features_stetson(sf_dir):
     """★-checked Stetson variability indices through the REAL
     FeatureExtractor (oracle/common_features.py A14/A15): per user over
@@ -2752,6 +2807,7 @@ EXTRA_QUERIES = {
     "shipping_priority": q_shipping_priority,
     "dataset_diff": q_dataset_diff,
     "decile_stats": q_decile_stats,
+    "session_stats": q_session_stats,
     "rolling_std": q_rolling_std,
     "dwell_time": q_dwell_time,
     "weekly_profile": q_weekly_profile,
@@ -2823,6 +2879,7 @@ EXTRA_ORACLE_SQL = {
     "shipping_priority": SHIPPING_SQL,
     "dataset_diff": DATASET_DIFF_SQL,
     "decile_stats": DECILE_SQL,
+    "session_stats": SESSION_STATS_SQL,
     "rolling_std": ROLLING_STD_SQL,
     "dwell_time": DWELL_SQL,
     "weekly_profile": WEEKLY_SQL,
