@@ -599,6 +599,55 @@ def bench_textprep(results, thr):
     thr["redact_docs_per_sec"] = round(n / dt)
 
 
+def _bench_diff(base):
+    """Diff the 2M-row table against a copy with ~2% planted drift."""
+    import numpy as np
+    import pandas as pd
+
+    from cesium_ray.stages.diff import dataset_diff
+
+    def with_key(df: pd.DataFrame) -> pd.DataFrame:
+        # turn_idx repeats across conversations — build the unique
+        # (conv, turn) composite key the diff contract requires
+        k = (df["user_id"].to_numpy(np.int64) * 100_000
+             + df["event_id"].to_numpy(np.int64))
+        return pd.DataFrame({"key": k,
+                             "value": df["value"].to_numpy(np.float64)})
+
+    def perturb(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["key"].to_numpy(np.int64)
+        v = df["value"].to_numpy(np.float64).copy()
+        v[k % 53 == 0] += 1.0
+        keep = k % 97 != 0
+        return pd.DataFrame({"key": k[keep], "value": v[keep]})
+
+    a = base.map_batches(
+        lambda df: with_key(df[["user_id", "event_id", "value"]]),
+        batch_format="pandas")
+    b = a.map_batches(perturb, batch_format="pandas")
+    return dataset_diff(a, b, key="key", vals=["value"],
+                        num_partitions=NCPU).count()
+
+
+def _bench_rank_quantiles(base):
+    """Exact global p50/p99 over 2M values via histogram-refinement
+    rank selection (multi-scan, KB exchanges)."""
+    import numpy as np
+    import pandas as pd
+
+    from cesium_ray.stages.selection import grouped_rank_quantiles
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        return pd.DataFrame({"g": np.zeros(len(v), np.int64),
+                             "k": np.rint(v * 100).astype(np.int64)})
+
+    d = base.select_columns(["value"]).map_batches(
+        prep, batch_format="pandas").materialize()
+    return len(grouped_rank_quantiles(d, "g", "k", ps=(0.5, 0.99)))
+
+
 def bench_stream(results, thr):
     """Batch 5–7 stream/analytics operators over the full 2M-turn
     transcript cache: ROWS-window avg/std, per-group top-k/mode,
@@ -657,6 +706,8 @@ def bench_stream(results, thr):
         ("user_growth", lambda: len(user_growth(
             base, num_partitions=2 * NCPU))),
         ("weekly_profile", lambda: len(weekly_profile(base))),
+        ("dataset_diff", lambda: _bench_diff(base)),
+        ("global_quantiles", lambda: _bench_rank_quantiles(base)),
     ]:
         t0 = time.time()
         out = fn()
