@@ -2490,30 +2490,36 @@ FROM assigned GROUP BY bucket
 
 def q_session_stats(sf_dir):
     """★-checked per-user session statistics composed on the
-    sessionizer (stages/window.py): session count, total events,
-    exact-int mean session duration (µs, quantized via the usual
-    CAST-sum/count mirror) and longest session.  One exchange: the
-    per-session rows reduce per partition (sessions of a user are
-    co-located by construction), so only user-level rows leave."""
-    from ..stages.window import sessionize
+    sessionizer kernel (stages/window.py::sessionize_pandas): session
+    count, total events, mean session duration (µs) and longest
+    session.  ONE exchange: sessionization AND the user-level reduce
+    run inside the same group_apply UDF (a user's rows are whole
+    within the partition by construction), so only user-level rows
+    ever leave a task — never per-session intermediates."""
+    from ..stages.window import sessionize_pandas
 
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
-    sess = sessionize(ev, gap_s=1800, num_partitions=8).to_pandas()
-    g = sess.groupby("user_id", as_index=False).agg(
-        n_sessions=("session_idx", "size"),
-        n_events=("n_events", "sum"),
-        total_dur_us=("duration_us", "sum"),
-        max_dur_us=("duration_us", "max"))
-    out = pd.DataFrame({
-        "user_id": g["user_id"].astype(np.int64),
-        "n_sessions": g["n_sessions"].astype(np.int64),
-        "n_events": g["n_events"].astype(np.int64),
-        "mean_dur_us": (g["total_dur_us"].to_numpy(np.float64)
-                        / g["n_sessions"].to_numpy(np.float64)),
-        "max_dur_us": g["max_dur_us"].astype(np.int64),
-    })
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        sess = sessionize_pandas(df, gap_s=1800)
+        g = sess.groupby("user_id", as_index=False).agg(
+            n_sessions=("session_idx", "size"),
+            n_events=("n_events", "sum"),
+            _tot=("duration_us", "sum"),
+            max_dur_us=("duration_us", "max"))
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype(np.int64),
+            "n_sessions": g["n_sessions"].astype(np.int64),
+            "n_events": g["n_events"].astype(np.int64),
+            "mean_dur_us": (g["_tot"].to_numpy(np.float64)
+                            / g["n_sessions"].to_numpy(np.float64)),
+            "max_dur_us": g["max_dur_us"].astype(np.int64),
+        })
+
+    out = group_apply(ev, fn, num_partitions=8,
+                      key="user_id").to_pandas()
     return round6(out.sort_values("user_id").reset_index(drop=True))
 
 
