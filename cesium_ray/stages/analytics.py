@@ -311,8 +311,13 @@ def grouping_sets_rollup(
         })
         return g.groupby([dim, "bucket_us"], as_index=False).sum()
 
-    cells = (ds.map_batches(partial, batch_format="pandas").to_pandas()
-             .groupby([dim, "bucket_us"], as_index=False).sum())
+    # keyed pre-combine: the driver receives ≤ dims × days final
+    # cells, never blocks × cells (int partials are order-free)
+    cells = (group_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        lambda df: df.groupby([dim, "bucket_us"], as_index=False).sum(),
+        num_partitions=4, key=dim).to_pandas()
+        .groupby([dim, "bucket_us"], as_index=False).sum())
 
     def level(keep: list) -> pd.DataFrame:
         if keep:

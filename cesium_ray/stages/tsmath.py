@@ -191,7 +191,14 @@ def diurnal_profile(
             "_sk": sk[nz],
         })
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # tiny keyed pre-combine so the DRIVER sees ≤ groups×24 cells, not
+    # blocks × cells (at 10⁶ input blocks the raw partials would be
+    # driver-sized); int sums are order-free so exactness is unchanged
+    cells = ds.map_batches(partial, batch_format="pandas")
+    parts = group_apply(
+        cells,
+        lambda df: df.groupby([group_col, "hour"], as_index=False).sum(),
+        num_partitions=4, key=group_col).to_pandas()
     agg = parts.groupby([group_col, "hour"], as_index=False).agg(
         n=("_cnt", "sum"), sk=("_sk", "sum"))
     agg["mean_value"] = agg["sk"].to_numpy(np.float64) / (
@@ -509,7 +516,14 @@ def weekly_profile(
             "_sk": sk[nz],
         })
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # keyed pre-combine: driver sees ≤ groups×168 cells, never
+    # blocks × cells (see diurnal_profile)
+    cells = ds.map_batches(partial, batch_format="pandas")
+    parts = group_apply(
+        cells,
+        lambda df: df.groupby([group_col, "dow", "hour"],
+                              as_index=False).sum(),
+        num_partitions=4, key=group_col).to_pandas()
     if parts.empty:
         return pd.DataFrame({group_col: pd.Series(dtype=object),
                              "dow": pd.Series(dtype="int64"),
