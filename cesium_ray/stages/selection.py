@@ -23,6 +23,18 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from .partition import group_apply
+
+
+def _precombine(ds: ray.data.Dataset, keys: list) -> pd.DataFrame:
+    """Reduce per-block partial cells through one tiny keyed exchange
+    so the DRIVER receives ≤ distinct-key rows, never blocks × cells
+    (int partials are order-free)."""
+    return group_apply(
+        ds,
+        lambda df: df.groupby(keys, as_index=False).sum(),
+        num_partitions=4, key=keys[0]).to_pandas()
+
 
 def grouped_rank_quantiles(
     ds: ray.data.Dataset,
@@ -45,7 +57,11 @@ def grouped_rank_quantiles(
         return g.reset_index().rename(
             columns={"count": "_n", "min": "_lo", "max": "_hi"})
 
-    st = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    st = (group_apply(
+        ds.map_batches(stats, batch_format="pandas"),
+        lambda df: df.groupby(group_col, as_index=False).agg(
+            _n=("_n", "sum"), _lo=("_lo", "min"), _hi=("_hi", "max")),
+        num_partitions=4, key=group_col).to_pandas())
     if st.empty:
         return pd.DataFrame(
             {group_col: pd.Series(dtype=object),
@@ -114,8 +130,9 @@ def grouped_rank_quantiles(
                                  "bin": np.concatenate(bins),
                                  "cnt": np.concatenate(cnts)})
 
-        parts = (ds.map_batches(hist, batch_format="pandas").to_pandas()
-                 .groupby(["rid", "bin"], as_index=False)["cnt"].sum())
+        parts = (_precombine(
+            ds.map_batches(hist, batch_format="pandas"), ["rid", "bin"])
+            .groupby(["rid", "bin"], as_index=False)["cnt"].sum())
         for rid, grp, lo, hi, step in spec:
             d = ranges[rid]
             sub = parts[parts["rid"] == rid].sort_values("bin")
