@@ -1425,7 +1425,8 @@ FROM s
 def q_heavy_hitters(sf_dir):
     """★-checked EXACT heavy hitters (stages/heavy.py): items in
     ≥0.75% of rows via mergeable Misra-Gries block summaries + a
-    broadcast exact recount — two streaming passes, zero shuffles.
+    broadcast exact recount — two streaming passes whose block
+    partials reduce through tiny id-keyed pre-combine exchanges.
     The sketch only bounds the candidate set; the output counts are
     exact, so the plain HAVING oracle matches bit-for-bit."""
     from ..stages.heavy import heavy_hitters

@@ -5,13 +5,16 @@ Both follow the same scale pattern — an approximate, mergeable,
 broadcast-size summary bounds the candidate set, then one exact pass
 over only the candidates produces a provably exact answer:
 
-- heavy_hitters: two streaming map passes, ZERO shuffles.  Pass 1
+- heavy_hitters: two streaming map passes; the only exchanges are
+  tiny keyed pre-combines of summary cells (never raw rows).  Pass 1
   compresses each block to a Misra-Gries summary (≤ capacity entries,
   error ≤ n_block/(cap+1)); merged summaries keep every item with true
   frequency ≥ threshold (capacity is sized 2/threshold_frac so the
   summed error stays under threshold/2).  Pass 2 recounts ONLY the
-  candidates via a broadcast id set + per-block bincount partials, so
-  the driver sees a few hundred exact counters, never a groupby.
+  candidates via a broadcast id set + per-block bincount partials.
+  Both passes reduce their block partials through an id-keyed
+  pre-combine so the driver receives ≤ distinct-candidate rows, not
+  blocks × capacity.
 
 - bloom_semi_join: the small side becomes a bit array (~10 bits/key
   vs 64+ for the raw keys — the broadcastable form at 10⁹ keys); the
@@ -75,7 +78,14 @@ def heavy_hitters(
             "_block_n": pa.array(block_n),
         })
 
-    parts = ds.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    # keyed pre-combine: the driver receives ≤ distinct surviving ids,
+    # never blocks × capacity summary rows (residuals and block sizes
+    # are plain sums, so MG merge semantics are unchanged)
+    parts = group_apply(
+        ds.map_batches(summarize, batch_format="pyarrow"),
+        lambda df: df.groupby(col, as_index=False)[
+            ["_residual", "_block_n"]].sum(),
+        num_partitions=8, key=col).to_pandas()
     if "_block_n" not in parts.columns:  # zero input blocks
         return pd.DataFrame({col: np.array([], np.int64),
                              "n": np.zeros(0, np.int64)})
@@ -96,10 +106,15 @@ def heavy_hitters(
         pos[pos >= len(c)] = 0
         hit = c[pos] == v
         n = np.bincount(pos[hit], minlength=len(c)).astype(np.int64)
-        return pa.table({col: pa.array(c), "_n": pa.array(n, pa.int64())})
+        nz = np.flatnonzero(n)  # absent candidate ≡ count 0 < thresh
+        return pa.table({col: pa.array(c[nz]),
+                         "_n": pa.array(n[nz], pa.int64())})
 
-    counts = (ds.map_batches(recount, batch_format="pyarrow").to_pandas()
-              .groupby(col, as_index=False)["_n"].sum())
+    counts = (group_apply(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        lambda df: df.groupby(col, as_index=False)["_n"].sum(),
+        num_partitions=8, key=col).to_pandas()
+        .groupby(col, as_index=False)["_n"].sum())
     out = counts[counts["_n"] >= thresh].rename(columns={"_n": "n"})
     return out.sort_values(col).reset_index(drop=True)
 

@@ -125,8 +125,19 @@ def tokenize_with_vocab(
         return pd.DataFrame({"token": vc.index.to_numpy(object),
                              "cnt": vc.to_numpy(np.int64)})
 
-    parts = (ds.map_batches(counts, batch_format="pandas").to_pandas()
-             .groupby("token", as_index=False)["cnt"].sum())
+    # token-keyed pre-combine + per-partition top-k prune: each token's
+    # global count lives wholly in one partition, so the global top-k
+    # is a subset of the per-partition top-k — the driver receives
+    # ≤ partitions × vocab_size rows, never blocks × distinct-tokens
+    def combine_prune(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False)["cnt"].sum()
+        return (g.sort_values(["cnt", "token"], ascending=[False, True],
+                              kind="mergesort").head(vocab_size))
+
+    parts = (group_apply(
+        ds.map_batches(counts, batch_format="pandas"), combine_prune,
+        num_partitions=8, key="token").to_pandas()
+        .groupby("token", as_index=False)["cnt"].sum())
     vocab = (parts.sort_values(["cnt", "token"], ascending=[False, True],
                                kind="mergesort").head(vocab_size))
     tok2id = dict(zip(vocab["token"], np.arange(1, len(vocab) + 1,
