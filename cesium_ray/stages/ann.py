@@ -77,7 +77,20 @@ def brute_force_topk(
             frames.append(pd.DataFrame({"query_id": qid, "vec_id": vid[order], "sim": s[order]}))
         return pd.concat(frames, ignore_index=True)
 
-    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    # query-keyed pre-combine: each query's block partials reduce to
+    # k+1 rows inside one partition, so the driver receives
+    # ≤ queries × (k+1) rows, never blocks × queries × (k+1)
+    from .partition import group_apply
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "sim", "vec_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("query_id").head(k + 1).reset_index(drop=True)
+
+    cand = group_apply(
+        ds.map_batches(score, batch_format="pandas"), prune,
+        num_partitions=4, key="query_id").to_pandas()
     if exclude_self:
         cand = cand[cand.query_id != cand.vec_id]
     return (
