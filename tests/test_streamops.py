@@ -292,3 +292,37 @@ def test_dataset_diff_bruteforce(ray_session):
                         key="k", vals=["v", "w"],
                         num_partitions=3).to_pandas()
     assert len(same) == 0
+
+
+def test_rank_quantiles_property(ray_session):
+    """Bounded property sweep: random sizes/shapes/duplicates vs
+    duck_quantile, exercising multi-pass refinement (n_bins=8) and
+    the exact tail (max_exact=32)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cesium_ray.oracle.rollup import duck_quantile
+    from cesium_ray.stages.selection import grouped_rank_quantiles
+
+    @settings(max_examples=8, deadline=None)
+    @given(n=st.integers(min_value=1, max_value=400),
+           seed=st.integers(min_value=0, max_value=2**31 - 1),
+           mode=st.sampled_from(["wide", "dups", "tight"]))
+    def check(n, seed, mode):
+        rng = np.random.default_rng(seed)
+        if mode == "wide":
+            v = rng.integers(-10**15, 10**15, n)
+        elif mode == "dups":
+            v = rng.integers(0, max(2, n // 10), n)
+        else:
+            v = rng.integers(1000, 1010, n)
+        df = pd.DataFrame({"g": np.zeros(n, np.int64), "v": v})
+        ds = ray.data.from_pandas(df).repartition(3).materialize()
+        got = grouped_rank_quantiles(ds, "g", "v", ps=(0.25, 0.5, 0.99),
+                                     n_bins=8, max_exact=32)
+        sv = np.sort(v.astype(np.float64))
+        for i, p in enumerate((0.25, 0.5, 0.99)):
+            assert got[f"q_{i}"].iloc[0] == duck_quantile(sv, p), (
+                n, seed, mode, p)
+
+    check()
