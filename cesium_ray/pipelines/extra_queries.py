@@ -2489,6 +2489,35 @@ FROM assigned GROUP BY bucket
 """
 
 
+def q_sliding_dau(sf_dir):
+    """★-checked sliding-window distinct count (stages/window.py):
+    trailing-24h distinct users evaluated at every hour present —
+    per-user coverage intervals → ±1 difference-array cells → one
+    cumsum; the exchange carries activity-run endpoints, never
+    events.  Range-join COUNT(DISTINCT) oracle."""
+    from ..stages.window import sliding_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    out = sliding_distinct(ev, window_h=24, num_partitions=8)
+    return out.sort_values("bucket_us").reset_index(drop=True)
+
+
+SLIDING_DAU_SQL = """
+WITH hrs AS (
+  SELECT DISTINCT epoch_us(ts) // 3600000000 AS hb FROM events
+),
+ev AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS eh FROM events
+)
+SELECT hb * 3600000000 AS bucket_us,
+       count(DISTINCT user_id) AS n_users
+FROM hrs JOIN ev ON ev.eh BETWEEN hrs.hb - 23 AND hrs.hb
+GROUP BY 1
+"""
+
+
 def q_session_stats(sf_dir):
     """★-checked per-user session statistics composed on the
     sessionizer kernel (stages/window.py::sessionize_pandas): session
@@ -2815,6 +2844,7 @@ EXTRA_QUERIES = {
     "dataset_diff": q_dataset_diff,
     "decile_stats": q_decile_stats,
     "session_stats": q_session_stats,
+    "sliding_dau": q_sliding_dau,
     "rolling_std": q_rolling_std,
     "dwell_time": q_dwell_time,
     "weekly_profile": q_weekly_profile,
@@ -2887,6 +2917,7 @@ EXTRA_ORACLE_SQL = {
     "dataset_diff": DATASET_DIFF_SQL,
     "decile_stats": DECILE_SQL,
     "session_stats": SESSION_STATS_SQL,
+    "sliding_dau": SLIDING_DAU_SQL,
     "rolling_std": ROLLING_STD_SQL,
     "dwell_time": DWELL_SQL,
     "weekly_profile": WEEKLY_SQL,

@@ -325,3 +325,85 @@ def rolling_rows_std(
         })
 
     return group_apply(ds, fn, num_partitions=num_partitions, key=by)
+
+
+def sliding_distinct(
+    ds: ray.data.Dataset,
+    window_h: int = 24,
+    by: str = "user_id",
+    on: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Sliding-window distinct count: for every hour bucket present in
+    the data, the number of distinct keys with ≥1 event in the
+    trailing ``window_h``-hour window — the trailing-DAU curve.
+
+    No per-window rescan: map-side distinct (key, hour) cells → one
+    key-hash exchange → per partition each key's present hours merge
+    into coverage intervals [h, h+W−1] (gap ≤ W−1 merges), emitted as
+    ±1 difference-array cells keyed by hour; a driver cumsum over the
+    (calendar-bounded) hour axis yields every bucket's exact count.
+    The exchange carries interval endpoints (≤ one per key-activity
+    run), never events."""
+    W = np.int64(window_h)
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"h": pd.Series(dtype="int64"),
+                                 "d": pd.Series(dtype="int64")})
+        tus = df[on].to_numpy("datetime64[us]").view(np.int64)
+        h = tus // 3_600_000_000
+        g = pd.DataFrame({"k": df[by].to_numpy(), "h": h}).drop_duplicates()
+        g = g.sort_values(["k", "h"], kind="mergesort")
+        kk = g["k"].to_numpy()
+        hh = g["h"].to_numpy(np.int64)
+        newk = np.r_[True, kk[1:] != kk[:-1]]
+        # a run breaks when the next present hour starts a disjoint
+        # coverage interval: gap > W-1
+        brk = newk.copy()
+        brk[1:] |= (hh[1:] - hh[:-1]) > (W - 1)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(hh)] - 1
+        lo = hh[starts]                # first eval hour covered
+        hi = hh[ends] + W              # one past the last covered hour
+        out = pd.DataFrame({
+            "h": np.r_[lo, hi],
+            "d": np.r_[np.ones(len(lo), np.int64),
+                       -np.ones(len(hi), np.int64)],
+        })
+        return out.groupby("h", as_index=False)["d"].sum()
+
+    # distinct map-side first so the exchange carries (key, hour)
+    # cells, then per-partition interval deltas
+    def distinct_cells(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[on].to_numpy("datetime64[us]").view(np.int64)
+        return pd.DataFrame({by: df[by].to_numpy(),
+                             on: df[on].to_numpy(),
+                             }).assign(_h=tus // 3_600_000_000) \
+            .drop_duplicates([by, "_h"])[[by, on]]
+
+    pre = ds.map_batches(distinct_cells, batch_format="pandas")
+    parts = group_apply(pre, cells, num_partitions=num_partitions,
+                        key=by).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"bucket_us": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    deltas = parts.groupby("h", as_index=False)["d"].sum().sort_values("h")
+    hs = deltas["h"].to_numpy(np.int64)
+    run = np.cumsum(deltas["d"].to_numpy(np.int64))
+
+    # eval grid = hours PRESENT in the data: a calendar-bounded
+    # map-side distinct-hour pass
+    def hour_cells(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[on].to_numpy("datetime64[us]").view(np.int64)
+        return pd.DataFrame(
+            {"h": np.unique(tus // 3_600_000_000).astype(np.int64)})
+
+    present = np.unique(
+        ds.map_batches(hour_cells, batch_format="pandas")
+        .to_pandas()["h"].to_numpy(np.int64))
+    # counts are piecewise-constant between delta hours
+    idx = np.searchsorted(hs, present, side="right") - 1
+    n = np.where(idx >= 0, run[np.maximum(idx, 0)], 0).astype(np.int64)
+    return pd.DataFrame({"bucket_us": present * 3_600_000_000,
+                         "n_users": n})

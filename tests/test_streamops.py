@@ -326,3 +326,22 @@ def test_rank_quantiles_property(ray_session):
                 n, seed, mode, p)
 
     check()
+
+
+def test_sliding_distinct_bruteforce(ray_session):
+    from cesium_ray.stages.window import sliding_distinct
+
+    ev = _events(seed=83, n=2500, nusers=20)
+    W = 6
+    got = sliding_distinct(ray.data.from_pandas(ev).repartition(5),
+                           window_h=W, num_partitions=3)
+    h = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+         // 3_600_000_000).to_numpy()
+    cells = pd.DataFrame({"u": ev["user_id"], "h": h}).drop_duplicates()
+    want = []
+    for hb in sorted(cells["h"].unique()):
+        m = (cells["h"] >= hb - (W - 1)) & (cells["h"] <= hb)
+        want.append((hb * 3_600_000_000, cells[m]["u"].nunique()))
+    want = pd.DataFrame(want, columns=["bucket_us", "n_users"])
+    assert got["bucket_us"].tolist() == want["bucket_us"].tolist()
+    assert got["n_users"].tolist() == want["n_users"].tolist()
