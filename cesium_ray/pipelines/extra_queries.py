@@ -2489,6 +2489,29 @@ FROM assigned GROUP BY bucket
 """
 
 
+def q_edit1_pairs(sf_dir):
+    """★-checked edit-distance-≤1 similarity join (stages/dedup.py):
+    document pairs whose 16-char text prefix is equal or one edit
+    apart, via SymSpell deletion-neighborhood blocking (recall 1) +
+    exact verification.  Full O(n²) levenshtein self-join oracle, so
+    a hash match proves precision = recall = 1 on this corpus."""
+    from ..stages.dedup import edit1_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return edit1_pairs(docs, prefix_len=16, num_partitions=8)
+
+
+EDIT1_SQL = """
+WITH k AS (SELECT doc_id, substring(text, 1, 16) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 1
+"""
+
+
 def q_sliding_dau(sf_dir):
     """★-checked sliding-window distinct count (stages/window.py):
     trailing-24h distinct users evaluated at every hour present —
@@ -2845,6 +2868,7 @@ EXTRA_QUERIES = {
     "decile_stats": q_decile_stats,
     "session_stats": q_session_stats,
     "sliding_dau": q_sliding_dau,
+    "edit1_pairs": q_edit1_pairs,
     "rolling_std": q_rolling_std,
     "dwell_time": q_dwell_time,
     "weekly_profile": q_weekly_profile,
@@ -2918,6 +2942,7 @@ EXTRA_ORACLE_SQL = {
     "decile_stats": DECILE_SQL,
     "session_stats": SESSION_STATS_SQL,
     "sliding_dau": SLIDING_DAU_SQL,
+    "edit1_pairs": EDIT1_SQL,
     "rolling_std": ROLLING_STD_SQL,
     "dwell_time": DWELL_SQL,
     "weekly_profile": WEEKLY_SQL,

@@ -1102,3 +1102,95 @@ def fingerprint_stage(
         )
 
     return ds.select_columns([id_col, text_col]).map_batches(fn, batch_format="pandas")
+
+
+def edit1_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 16,
+    num_partitions: int = 16,
+    max_bucket: int = 10_000,
+) -> pd.DataFrame:
+    """Edit-distance-≤1 similarity join (SymSpell-style deletion
+    neighborhoods): pairs of ids whose ``prefix_len``-char key is
+    equal or one edit (insert/delete/substitute) apart.
+
+    Blocking: each key emits itself plus its single-deletion variants
+    (L+1 rows); any ED≤1 pair shares ≥1 variant (substitution at i
+    shares the delete-at-i variant; indel pairs contain one another's
+    variants), so recall is 1.  One variant-keyed exchange co-locates
+    candidates; per bucket, pairs are verified with the exact ED≤1
+    predicate — same-length pairs by a vectorized byte-matrix mismatch
+    count, off-by-one-length pairs by a one-deletion walk over the
+    (drift-sized) survivors only.  Buckets above ``max_bucket`` are
+    dropped (boilerplate guard, mirroring substring_dup_pairs).
+    Returns (id_a < id_b, dist) distinct pairs."""
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].astype(str).str.slice(0, prefix_len)
+        ids = df[id_col].to_numpy(np.int64)
+        frames = [pd.DataFrame({"variant": s.to_numpy(object),
+                                id_col: ids, "s": s.to_numpy(object)})]
+        # vectorized across docs; the loop is over the ≤ prefix_len
+        # deletion positions, not the rows
+        for j in range(prefix_len):
+            v = (s.str.slice(0, j) + s.str.slice(j + 1)).to_numpy(object)
+            frames.append(pd.DataFrame({"variant": v, id_col: ids,
+                                        "s": s.to_numpy(object)}))
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["variant", id_col])
+        sizes = d.groupby("variant")["variant"].transform("size")
+        d = d[sizes <= max_bucket]
+        m = d.merge(d, on="variant", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        m = m.drop_duplicates([f"{id_col}_a", f"{id_col}_b"])
+        return pd.DataFrame({
+            "a": m[f"{id_col}_a"].to_numpy(np.int64),
+            "b": m[f"{id_col}_b"].to_numpy(np.int64),
+            "sa": m["s_a"].to_numpy(object),
+            "sb": m["s_b"].to_numpy(object),
+        })
+
+    cand = group_apply(ds.map_batches(variants, batch_format="pandas"),
+                       bucket_pairs, num_partitions=num_partitions,
+                       key="variant").to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="int64")})
+    cand = cand.drop_duplicates(["a", "b"]).reset_index(drop=True)
+
+    sa, sb = cand["sa"].to_numpy(object), cand["sb"].to_numpy(object)
+    la = np.fromiter((len(x) for x in sa), np.int64, len(sa))
+    lb = np.fromiter((len(x) for x in sb), np.int64, len(sb))
+    dist = np.full(len(cand), 2, np.int64)  # 2 = "too far"
+    # same length: vectorized positional mismatch count over a padded
+    # byte matrix (keys are prefixes of bounded length)
+    eqlen = la == lb
+    if eqlen.any():
+        idx = np.flatnonzero(eqlen)
+        pad = int(max(la[idx].max(), 1))
+        A = np.frombuffer("".join(x.ljust(pad, "\0") for x in sa[idx])
+                          .encode("utf-32-le"), np.uint32).reshape(-1, pad)
+        B = np.frombuffer("".join(x.ljust(pad, "\0") for x in sb[idx])
+                          .encode("utf-32-le"), np.uint32).reshape(-1, pad)
+        mm = (A != B).sum(axis=1)
+        dist[idx[mm == 0]] = 0
+        dist[idx[mm == 1]] = 1
+    # off-by-one length: exact one-deletion check on survivors only
+    off1 = np.abs(la - lb) == 1
+    for i in np.flatnonzero(off1):
+        lo, hi = (sa[i], sb[i]) if la[i] < lb[i] else (sb[i], sa[i])
+        j = 0
+        while j < len(lo) and lo[j] == hi[j]:
+            j += 1
+        if hi[:j] + hi[j + 1:] == lo:
+            dist[i] = 1
+    keep = dist <= 1
+    out = pd.DataFrame({"id_a": cand["a"].to_numpy(np.int64)[keep],
+                        "id_b": cand["b"].to_numpy(np.int64)[keep],
+                        "dist": dist[keep]})
+    return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True))

@@ -345,3 +345,28 @@ def test_sliding_distinct_bruteforce(ray_session):
     want = pd.DataFrame(want, columns=["bucket_us", "n_users"])
     assert got["bucket_us"].tolist() == want["bucket_us"].tolist()
     assert got["n_users"].tolist() == want["n_users"].tolist()
+
+
+def test_edit1_pairs_planted(ray_session):
+    from cesium_ray.stages.dedup import edit1_pairs
+
+    base = ["alpha beta gamma", "delta epsilon zz", "one two three xy",
+            "qrs tuv wxyz abc"]
+    texts = list(base)
+    texts.append("alpha beta gamm")     # deletion of base[0]   (4)
+    texts.append("delta epsilon zzq")   # insertion into base[1] (5)
+    texts.append("one twX three xy")    # substitution of base[2] (6)
+    texts.append("alpha beta gamma")    # exact dup of base[0]  (7)
+    texts.append("totally different")   # no pair              (8)
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = edit1_pairs(ray.data.from_pandas(df).repartition(3),
+                      prefix_len=16, num_partitions=3)
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (0, 4) in pairs   # deletion
+    assert (1, 5) in pairs   # insertion (prefix-truncated is still +1)
+    assert (2, 6) in pairs   # substitution
+    assert (0, 7) in pairs and (4, 7) in pairs  # exact dup cluster
+    assert not any(8 in p for p in pairs)
+    d = dict(zip(zip(got["id_a"], got["id_b"]), got["dist"]))
+    assert d[(0, 7)] == 0 and d[(2, 6)] == 1
