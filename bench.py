@@ -663,7 +663,7 @@ def bench_stream(results, thr):
     from cesium_ray.stages.heavy import topk_per_group
     from cesium_ray.stages.tsmath import (
         dwell_time, interarrival_quantiles, interarrival_quantiles_scan,
-        weekly_profile)
+        run_stats, time_since_event, weekly_profile)
     from cesium_ray.stages.window import (
         gap_report, rolling_rows_avg, rolling_rows_std)
 
@@ -706,6 +706,10 @@ def bench_stream(results, thr):
         ("user_growth", lambda: len(user_growth(
             base, num_partitions=2 * NCPU))),
         ("weekly_profile", lambda: len(weekly_profile(base))),
+        ("run_stats", lambda: len(run_stats(
+            base, num_partitions=2 * NCPU))),
+        ("time_since", lambda: len(time_since_event(
+            base, marker="tool", num_partitions=2 * NCPU))),
         ("dataset_diff", lambda: _bench_diff(base)),
         ("global_quantiles", lambda: _bench_rank_quantiles(base)),
     ]:

@@ -2602,6 +2602,159 @@ FROM per GROUP BY 1
 """
 
 
+def q_time_since(sf_dir):
+    """★-checked conditional LOCF enrichment (stages/tsmath.py::
+    time_since_event): per event, exact µs since the same user's most
+    recent strictly-earlier 'error' event (NULL before the first) —
+    the event-aligned carry-forward.  Conditional-window-max oracle
+    (ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)."""
+    from ..stages.tsmath import time_since_event
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"])
+    return time_since_event(ev, marker="error", num_partitions=8)
+
+
+TIME_SINCE_SQL = """
+SELECT user_id, event_id,
+       CAST(epoch_us(ts)
+            - max(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS DOUBLE) AS since_us
+FROM events
+"""
+
+
+def q_session_overlap(sf_dir):
+    """★-checked interval-OVERLAP join (stages/joins.py::
+    interval_overlap_broadcast): user sessions (gap 1800 s) × the 20
+    busiest 5-minute windows, one row per overlapping pair with the
+    exact closed-interval overlap in µs.  Sessions come from ONE
+    user-hash exchange (sessionize_pandas); the window set is built by
+    map-side minute-count partials and broadcast, so the session side
+    streams through the join with no further shuffle.  Inequality-join
+    oracle mirrors the same closed-overlap convention."""
+    from ..stages.joins import interval_overlap_broadcast
+    from ..stages.window import sessionize_pandas
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+
+    def minute_counts(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+             // 60_000_000) * 60_000_000
+        g = pd.DataFrame({"m": m}).groupby("m", as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    partial = ev.map_batches(minute_counts, batch_format="pandas").to_pandas()
+    mc = partial.groupby("m", as_index=False)["c"].sum()
+    top = mc.sort_values(["c", "m"], ascending=[False, True],
+                         kind="mergesort").head(20)
+    iv = pd.DataFrame({
+        "start": top["m"].to_numpy().astype("datetime64[us]"),
+        "end": (top["m"].to_numpy() + 300_000_000).astype("datetime64[us]"),
+        "window_cnt": top["c"].to_numpy(np.int64),
+    })
+    sess = group_apply(ev, sessionize_pandas, num_partitions=8,
+                       key="user_id")
+    out = interval_overlap_broadcast(
+        sess, iv, left_start="session_start", left_end="session_end",
+        carry=("window_cnt",),
+    ).to_pandas()
+    res = pd.DataFrame({
+        "user_id": out["user_id"].astype(np.int64),
+        "session_idx": out["session_idx"].astype(np.int64),
+        "s_start_us": out["session_start"].to_numpy("datetime64[us]")
+                         .astype(np.int64),
+        "s_end_us": out["session_end"].to_numpy("datetime64[us]")
+                       .astype(np.int64),
+        "window_start_us": out["start_w"].to_numpy("datetime64[us]")
+                              .astype(np.int64),
+        "window_cnt": out["window_cnt_w"].astype(np.int64),
+        "overlap_us": out["overlap_us"].astype(np.int64),
+    })
+    return (res.sort_values(["user_id", "session_idx", "window_start_us"])
+            .reset_index(drop=True))
+
+
+SESSION_OVERLAP_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g),
+per AS (
+  SELECT user_id, session_idx,
+         min(epoch_us(ts)) AS s_start_us, max(epoch_us(ts)) AS s_end_us
+  FROM s GROUP BY 1, 2),
+mc AS (
+  SELECT (epoch_us(ts) // 60000000) * 60000000 AS m, count(*) AS c
+  FROM events GROUP BY 1),
+top AS (SELECT m, c FROM mc ORDER BY c DESC, m LIMIT 20)
+SELECT user_id, session_idx, s_start_us, s_end_us,
+       m AS window_start_us, c AS window_cnt,
+       least(s_end_us, m + 300000000) - greatest(s_start_us, m)
+         AS overlap_us
+FROM per JOIN top ON m <= s_end_us AND m + 300000000 >= s_start_us
+"""
+
+
+def q_run_stats(sf_dir):
+    """★-checked per-key run-length structure (stages/tsmath.py):
+    gaps-and-islands over event_type VALUE changes per user — event
+    count, run count, longest same-type run, first/last type, mean
+    run length.  All counts are exact int64; the one float is a
+    mirrored round-6 division.  Gaps-and-islands
+    (lag<>-flag → running sum → per-run count) oracle."""
+    from ..stages.tsmath import run_stats
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    return round6(run_stats(ev, num_partitions=8))
+
+
+RUN_STATS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+              OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS brk,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (
+  SELECT user_id, event_type, rn,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY rn
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS run_id
+  FROM o),
+per AS (
+  SELECT user_id, run_id, count(*) AS run_len FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT user_id, CAST(sum(run_len) AS BIGINT) AS n_events,
+         count(*) AS n_runs, CAST(max(run_len) AS BIGINT) AS max_run
+  FROM per GROUP BY 1),
+fl AS (
+  SELECT user_id, arg_min(event_type, rn) AS first_type,
+         arg_max(event_type, rn) AS last_type
+  FROM r GROUP BY 1)
+SELECT agg.user_id, n_events, n_runs, max_run, first_type, last_type,
+       round(CAST(n_events AS DOUBLE) / n_runs, 6) AS mean_run_len
+FROM agg JOIN fl ON agg.user_id = fl.user_id
+"""
+
+
 def q_features_stetson(sf_dir):
     """★-checked Stetson variability indices through the REAL
     FeatureExtractor (oracle/common_features.py A14/A15): per user over
@@ -2867,6 +3020,9 @@ EXTRA_QUERIES = {
     "dataset_diff": q_dataset_diff,
     "decile_stats": q_decile_stats,
     "session_stats": q_session_stats,
+    "run_stats": q_run_stats,
+    "session_overlap": q_session_overlap,
+    "time_since": q_time_since,
     "sliding_dau": q_sliding_dau,
     "edit1_pairs": q_edit1_pairs,
     "rolling_std": q_rolling_std,
@@ -2941,6 +3097,9 @@ EXTRA_ORACLE_SQL = {
     "dataset_diff": DATASET_DIFF_SQL,
     "decile_stats": DECILE_SQL,
     "session_stats": SESSION_STATS_SQL,
+    "run_stats": RUN_STATS_SQL,
+    "session_overlap": SESSION_OVERLAP_SQL,
+    "time_since": TIME_SINCE_SQL,
     "sliding_dau": SLIDING_DAU_SQL,
     "edit1_pairs": EDIT1_SQL,
     "rolling_std": ROLLING_STD_SQL,

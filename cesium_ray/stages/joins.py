@@ -157,6 +157,61 @@ def range_join_broadcast(
     return left_ds.map_batches(fn, batch_format="pandas")
 
 
+def interval_overlap_broadcast(
+    left_ds: ray.data.Dataset,
+    intervals: pd.DataFrame,
+    left_start: str = "session_start",
+    left_end: str = "session_end",
+    iv_start: str = "start",
+    iv_end: str = "end",
+    carry: tuple = (),
+) -> ray.data.Dataset:
+    """Broadcast interval-OVERLAP join (interval × interval, extending
+    ``range_join_broadcast``'s point-in-interval): one output row per
+    (left interval, small interval) pair with a non-empty CLOSED
+    intersection — ``iv.start ≤ left.end AND iv.end ≥ left.start`` —
+    carrying the exact overlap length ``overlap_us =
+    min(ends) − max(starts)`` (0 when the intervals merely touch).
+
+    The small side (alert/maintenance/busy windows) ships once via
+    ``ray.put``; the left side streams with NO shuffle.  Candidates
+    per left row are one contiguous run of the start-sorted windows
+    (``start ∈ [left.start − max_len, left.end]``), refined by the
+    exact end test — O(rows·log n + hits), no dense rows × n
+    matrix."""
+    iv = intervals.reset_index(drop=True)
+    order = np.argsort(_as_int_us(iv[iv_start].to_numpy()), kind="stable")
+    iv = iv.iloc[order].reset_index(drop=True)
+    ws = _as_int_us(iv[iv_start].to_numpy())
+    we = _as_int_us(iv[iv_end].to_numpy())
+    if (we < ws).any():
+        raise ValueError("interval end before start in small side")
+    max_len = np.int64((we - ws).max()) if len(ws) else np.int64(0)
+    vals = {c: iv[c].to_numpy() for c in (iv_start, *carry)}
+    ref = ray.put((ws, we, max_len, vals))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ws_, we_, max_len_, vals_ = ray.get(ref)
+        ss = _as_int_us(df[left_start].to_numpy())
+        se = _as_int_us(df[left_end].to_numpy())
+        lo = np.searchsorted(ws_, ss - max_len_, side="left")
+        hi = np.searchsorted(ws_, se, side="right")
+        cnt = np.maximum(hi - lo, 0)
+        ri = np.repeat(np.arange(len(df)), cnt)
+        offs = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        wi = np.repeat(lo, cnt) + offs
+        keep = we_[wi] >= ss[ri]  # exact end test on the candidate run
+        ri, wi = ri[keep], wi[keep]
+        out = df.iloc[ri].reset_index(drop=True)
+        for c, v in vals_.items():
+            out[c + "_w"] = v[wi]
+        out["overlap_us"] = (np.minimum(se[ri], we_[wi])
+                             - np.maximum(ss[ri], ws_[wi]))
+        return out
+
+    return left_ds.map_batches(fn, batch_format="pandas")
+
+
 def asof_join(
     left_ds: ray.data.Dataset,
     right_ds: ray.data.Dataset,

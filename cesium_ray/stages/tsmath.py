@@ -537,3 +537,127 @@ def weekly_profile(
         agg["n"].to_numpy(np.float64) * 100.0)
     return (agg[[group_col, "dow", "hour", "n", "mean_value"]]
             .sort_values([group_col, "dow", "hour"]).reset_index(drop=True))
+
+
+def run_stats(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key run-length structure of an attribute stream
+    (gaps-and-islands over VALUE changes, complementing
+    ``interval_merge``'s time-gap islands): for each key's
+    (ts, order)-sorted events, a *run* is a maximal block of
+    consecutive equal ``attr`` values.  Emits per key: event count,
+    run count, longest run, first/last attr, and mean run length —
+    the turn-taking shape of a transcript (role-alternation
+    violations show up as max_run > 1; cesium has no analogue, this
+    is axis-B transcript structure per SURVEY.md §2.13).
+
+    One key-hash exchange; a key's rows are whole within its
+    partition, so each partition emits FINAL per-key rows (no driver
+    combine).  Per partition: one lexsort + boolean diffs +
+    ``maximum.reduceat`` over run lengths — no per-row Python.
+    """
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "n_runs": pd.Series(dtype="int64"),
+                "max_run": pd.Series(dtype="int64"),
+                "first_type": pd.Series(dtype=object),
+                "last_type": pd.Series(dtype=object),
+                "mean_run_len": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        ac, auniq = pd.factorize(df[attr])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, kc))
+        k, a = kc[perm], ac[perm]
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        run_brk = new_key | np.r_[True, a[1:] != a[:-1]]
+        key_start = np.flatnonzero(new_key)
+        n_events = np.diff(np.r_[key_start, len(k)])
+        run_start = np.flatnonzero(run_brk)
+        run_len = np.diff(np.r_[run_start, len(k)])
+        run_key = k[run_start]
+        # runs are key-contiguous (k is sorted): reduceat at each
+        # key's first run gives that key's longest run
+        first_run = np.flatnonzero(np.r_[True, run_key[1:] != run_key[:-1]])
+        max_run = np.maximum.reduceat(run_len, first_run)
+        n_runs = np.diff(np.r_[first_run, len(run_len)])
+        last_idx = np.r_[key_start[1:] - 1, len(k) - 1]
+        au = np.asarray(auniq, dtype=object)
+        return pd.DataFrame({
+            key: np.asarray(kuniq)[k[key_start]],
+            "n_events": n_events.astype(np.int64),
+            "n_runs": n_runs.astype(np.int64),
+            "max_run": max_run.astype(np.int64),
+            "first_type": au[a[key_start]],
+            "last_type": au[a[last_idx]],
+            "mean_run_len": (n_events.astype(np.float64)
+                             / n_runs.astype(np.float64)),
+        })
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def time_since_event(
+    ds: ray.data.Dataset,
+    marker: str,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Conditional LOCF enrichment: for every event, the exact µs
+    elapsed since the same key's most recent STRICTLY-EARLIER event of
+    type ``marker`` (NaN when none precedes it) — "time since last
+    error/checkpoint", the event-aligned counterpart of the grid
+    gap-fill's carry-forward.
+
+    One key-hash exchange; per partition one lexsort plus a global
+    ``maximum.accumulate`` over marker row indices — the per-key reset
+    falls out of comparing the carried index against each row's key
+    segment start, no per-key loop."""
+
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key: pd.Series(dtype="int64"),
+                order_col: pd.Series(dtype="int64"),
+                "since_us": pd.Series(dtype="float64")})
+        kc, _ = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        mark = (df[attr].to_numpy() == marker)
+        perm = np.lexsort((oid, tus, kc))
+        k, t, m = kc[perm], tus[perm], mark[perm]
+        n = len(k)
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        seg_start = np.repeat(np.flatnonzero(new_key),
+                              np.diff(np.r_[np.flatnonzero(new_key), n]))
+        last_mark = np.maximum.accumulate(np.where(m, np.arange(n), -1))
+        prior = np.r_[-1, last_mark[:-1]]  # strictly earlier
+        valid = prior >= seg_start
+        since = np.full(n, np.nan)
+        since[valid] = (t[valid] - t[prior[valid]]).astype(np.float64)
+        return pd.DataFrame({key: df[key].to_numpy()[perm],
+                             order_col: oid[perm],
+                             "since_us": since})
+
+    out = group_apply(ds, enrich, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return enrich(pd.DataFrame())
+    return out.sort_values([key, order_col]).reset_index(drop=True)

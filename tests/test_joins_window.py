@@ -286,3 +286,46 @@ def test_histogram_quantile_bound(ray_session):
     for q, c in ((0.5, "p50_edge"), (0.99, "p99_edge")):
         exact = np.quantile(ok, q)
         assert abs(out[c][0] - exact) <= w + 1e-9, (c, out[c][0], exact)
+
+
+def test_interval_overlap_bruteforce(ray_session):
+    """interval_overlap_broadcast vs an O(n·m) loop: closed-interval
+    overlap pairs with exact overlap_us, including zero-length left
+    intervals (single-event sessions) and touching endpoints."""
+    from cesium_ray.stages.joins import interval_overlap_broadcast
+
+    rng = np.random.default_rng(11)
+    n = 400
+    ss = rng.integers(0, 10**7, n)
+    se = ss + rng.integers(0, 5 * 10**5, n)
+    se[::17] = ss[::17]  # zero-length intervals
+    left = pd.DataFrame({
+        "sid": np.arange(n, dtype=np.int64),
+        "session_start": ss.astype("datetime64[us]"),
+        "session_end": se.astype("datetime64[us]"),
+    })
+    m = 25
+    ws = rng.integers(0, 10**7, m)
+    we = ws + rng.integers(0, 3 * 10**5, m)
+    iv = pd.DataFrame({
+        "start": ws.astype("datetime64[us]"),
+        "end": we.astype("datetime64[us]"),
+        "tag": np.arange(m, dtype=np.int64),
+    })
+    got = interval_overlap_broadcast(
+        ray.data.from_pandas(left).repartition(5), iv,
+        left_start="session_start", left_end="session_end",
+        carry=("tag",),
+    ).to_pandas().sort_values(["sid", "tag_w"]).reset_index(drop=True)
+    rows = []
+    for i in range(n):
+        for j in range(m):
+            if ws[j] <= se[i] and we[j] >= ss[i]:
+                rows.append((i, j, min(se[i], we[j]) - max(ss[i], ws[j])))
+    want = pd.DataFrame(rows, columns=["sid", "tag", "ov"]) \
+        .sort_values(["sid", "tag"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got["sid"].tolist() == want["sid"].tolist()
+    assert got["tag_w"].tolist() == want["tag"].tolist()
+    assert got["overlap_us"].tolist() == want["ov"].tolist()
+    assert (got["overlap_us"] >= 0).all()

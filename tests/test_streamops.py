@@ -370,3 +370,76 @@ def test_edit1_pairs_planted(ray_session):
     assert not any(8 in p for p in pairs)
     d = dict(zip(zip(got["id_a"], got["id_b"]), got["dist"]))
     assert d[(0, 7)] == 0 and d[(2, 6)] == 1
+
+
+def test_run_stats_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import run_stats
+
+    ev = _events(seed=73)
+    got = run_stats(ray.data.from_pandas(ev).repartition(6),
+                    num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    rows = []
+    for uid, g in s.groupby("user_id"):
+        t = g["event_type"].to_numpy()
+        brk = np.r_[True, t[1:] != t[:-1]]
+        lens = np.diff(np.r_[np.flatnonzero(brk), len(t)])
+        rows.append({"user_id": uid, "n_events": len(t),
+                     "n_runs": len(lens), "max_run": int(lens.max()),
+                     "first_type": t[0], "last_type": t[-1],
+                     "mean_run_len": round(len(t) / len(lens), 6)})
+    want = pd.DataFrame(rows)
+    assert got.shape == want.shape
+    for c in want.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if c == "mean_run_len":
+            assert np.allclose(g, w)
+        else:
+            assert (g == w).all(), c
+    # run counts are consistent: every key has 1 ≤ max_run ≤ n_events
+    assert (got["max_run"] >= 1).all()
+    assert (got["max_run"] <= got["n_events"]).all()
+    assert (got["n_runs"] + got["max_run"] <= got["n_events"] + 1).all()
+
+
+def test_run_stats_single_and_empty(ray_session):
+    from cesium_ray.stages.tsmath import run_stats
+
+    one = pd.DataFrame({
+        "event_id": np.array([5], dtype=np.int64),
+        "user_id": np.array([9], dtype=np.int64),
+        "event_type": ["x"],
+        "ts": pd.to_datetime([10**6], unit="us").astype("datetime64[us]"),
+    })
+    got = run_stats(ray.data.from_pandas(one), num_partitions=2)
+    assert got.iloc[0].tolist() == [9, 1, 1, 1, "x", "x", 1.0]
+
+
+def test_time_since_event_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import time_since_event
+
+    ev = _events(seed=97)
+    got = time_since_event(
+        ray.data.from_pandas(ev).repartition(6), marker="b",
+        num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    rows = []
+    for uid, g in s.groupby("user_id"):
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        eid = g["event_id"].to_numpy()
+        is_b = (g["event_type"] == "b").to_numpy()
+        last = -1
+        for i in range(len(g)):
+            rows.append((uid, eid[i],
+                         float(t[i] - t[last]) if last >= 0 else np.nan))
+            if is_b[i]:
+                last = i
+    want = (pd.DataFrame(rows, columns=["user_id", "event_id", "w"])
+            .sort_values(["user_id", "event_id"])["w"].to_numpy())
+    got_s = got["since_us"].to_numpy()
+    assert len(got_s) == len(want)
+    assert (np.isnan(got_s) == np.isnan(want)).all()
+    ok = ~np.isnan(want)
+    assert (got_s[ok] == want[ok]).all()
+    # every user's temporally-first event has no preceding marker
+    assert got["since_us"].isna().groupby(got["user_id"]).any().all()
