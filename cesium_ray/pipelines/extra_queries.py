@@ -1011,6 +1011,42 @@ def q_image_features(sf_dir):
     return round6(out.sort_values("user_id").reset_index(drop=True))
 
 
+def q_png_decode(sf_dir):
+    """★-checked REAL compressed-image modality (stages/multimodal.py
+    ::decode_png — stdlib-zlib DEFLATE, CRC-checked chunks, all five
+    scanline unfilters; the encoder cycles filters 0→4 by row so every
+    unfilter path runs): same per-user pixel synthesis as
+    `image_features`, but the payloads are spec-valid PNGs.  Decode is
+    lossless, so the PPM oracle SQL recomputes the identical means."""
+    from ..stages.multimodal import encode_png, png_features
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+
+    def to_png(df: pd.DataFrame) -> pa.Table:
+        uids, payloads = [], []
+        for uid, g in df.sort_values(["user_id", "event_id"],
+                                     kind="mergesort").groupby("user_id"):
+            k = np.rint(g["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+            h = len(k) // 64
+            if h == 0:
+                continue
+            k = k[:h * 64]
+            r = (k % 256).astype(np.uint8)
+            gg = ((k // 256) % 256).astype(np.uint8)
+            b = ((r.astype(np.int64) + gg) % 256).astype(np.uint8)
+            img = np.stack([r, gg, b], axis=1).reshape(h, 64, 3)
+            uids.append(int(uid))
+            payloads.append(encode_png(img, filter_type="cycle"))
+        return pa.table({"user_id": pa.array(uids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    pngs = group_apply(ev, to_png, num_partitions=8, key="user_id")
+    out = png_features(pngs, batch_size=16).to_pandas()
+    return round6(out.sort_values("user_id").reset_index(drop=True))
+
+
 IMAGE_SQL = """
 WITH k AS (
   SELECT user_id, CAST(round(value * 100) AS BIGINT) AS k,
@@ -2981,6 +3017,7 @@ EXTRA_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "wav_features": q_wav_features,
     "image_features": q_image_features,
+    "png_decode": q_png_decode,
     "counter_rate": q_counter_rate,
     "minmax_downsample": q_minmax_downsample,
     "ohlc_1h": q_ohlc_1h,
@@ -3060,6 +3097,7 @@ EXTRA_ORACLE_SQL = {
     "pack_sequences": PACK_SQL,
     "wav_features": WAV_SQL,
     "image_features": IMAGE_SQL,
+    "png_decode": IMAGE_SQL,
     "counter_rate": COUNTER_RATE_SQL,
     "minmax_downsample": MINMAX_SQL,
     "ohlc_1h": OHLC_SQL,

@@ -1,14 +1,15 @@
 """Multimodal (binary-payload) stages.
 
-Two modalities have REAL decoders implemented here with numpy/struct
-only (RIFF/WAVE PCM16 audio, binary P6 PPM images — both are pure
-container formats, so no external media library is needed); payloads
-are genuine files any media tool can open, and both paths are
-driver-verified end-to-end (`wav_features` / `image_features` ★).
-Compressed codecs (JPEG/PNG/MP3/H.264) need libraries this container
-does not ship — those remain behind the clearly-marked
-``MediaDecodeStub`` with the same actor signature, swappable per
-actor in a real deployment.
+Three modalities have REAL decoders implemented here with
+numpy/struct/zlib only (RIFF/WAVE PCM16 audio, binary P6 PPM images,
+and baseline PNG — DEFLATE ships in the Python stdlib, so the full
+CRC-checked chunk walk + five scanline unfilters need no external
+media library); payloads are genuine files any media tool can open,
+and the paths are driver-verified end-to-end (`wav_features` /
+`image_features` / `png_decode` ★).  Transform-coded codecs
+(JPEG/MP3/H.264) need libraries this container does not ship — those
+remain behind the clearly-marked ``MediaDecodeStub`` with the same
+actor signature, swappable per actor in a real deployment.
 
 Schema convention: media rides as an opaque ``payload: binary`` column
 with typed metadata columns (``media_type``, ``width``, ``height``,
@@ -250,3 +251,181 @@ def frame_sample(
         return batch.filter(pa.array(idx % every_n == 0))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# REAL compressed-image path: PNG.  DEFLATE lives in the Python
+# stdlib (zlib), so a full baseline PNG codec — signature, CRC-checked
+# chunks, IHDR/IDAT/IEND, and all five scanline filters — needs no
+# external media library.  Public spec: RFC 2083 / W3C PNG.
+
+import struct
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+
+def encode_png(img: np.ndarray, filter_type: int | str = 0) -> bytes:
+    """(H, W, 3|4) uint8 → PNG bytes (8-bit truecolor / +alpha).
+
+    ``filter_type``: 0–4 applies that filter to every scanline;
+    ``"cycle"`` rotates 0→4 by row so decoders exercise every
+    unfilter path.  Output is a spec-valid file any PNG tool opens."""
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = a.shape
+    if c not in (3, 4):
+        raise ValueError("PNG encoder supports RGB / RGBA")
+    color_type = 2 if c == 3 else 6
+    rows = a.reshape(h, w * c).astype(np.int16)
+    prev = np.zeros(w * c, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        ft = (y % 5) if filter_type == "cycle" else int(filter_type)
+        cur = rows[y]
+        left = np.zeros(w * c, dtype=np.int16)
+        left[c:] = cur[:-c]
+        ul = np.zeros(w * c, dtype=np.int16)
+        ul[c:] = prev[:-c]
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            f = cur - left
+        elif ft == 2:
+            f = cur - prev
+        elif ft == 3:
+            f = cur - (left + prev) // 2
+        elif ft == 4:
+            p = left + prev - ul
+            pa_, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            f = cur - pred
+        else:
+            raise ValueError("filter_type 0-4 or 'cycle'")
+        out.append(ft)
+        out += (f & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, C) uint8.  Real decode: CRC-checked chunk
+    walk, zlib-inflated IDAT stream, and all five scanline unfilters
+    (None/Sub/Up/Average/Paeth).  Supports the baseline this engine
+    emits and most camera/tool output: 8-bit gray / RGB / RGBA,
+    non-interlaced."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    c = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if c is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    fts = raw[:, 0]
+    data = raw[:, 1:].astype(np.int16)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ft = fts[y]
+        cur = data[y]
+        if ft == 0:
+            rec = cur
+        elif ft == 2:  # Up: previous row only — fully vectorized
+            rec = (cur + prev) & 0xFF
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            lanes = cur.reshape(w, c)
+            rec = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF) \
+                .astype(np.int16).reshape(stride)
+        elif ft in (3, 4):  # Average/Paeth: left-dependency scan
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                left = rec[x - c] if x >= c else 0
+                up = prev[x]
+                if ft == 3:
+                    rec[x] = (cur[x] + (left + up) // 2) & 0xFF
+                else:
+                    ul = prev[x - c] if x >= c else 0
+                    p = left + up - ul
+                    pa_, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    if pa_ <= pb and pa_ <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y].astype(np.int16)
+    return out.reshape(h, w, c)
+
+
+class PngFeatures:
+    """Actor-pool decode over real PNG payloads → exact integer-space
+    image features (width, height, channel count, per-channel means).
+    Same contract as PpmFeatures; the zlib inflate + unfilter runs
+    once per payload inside the actor."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {"width": [], "height": [], "n_pixels": [],
+                "mean_r": [], "mean_g": [], "mean_b": []}
+        for p in batch["payload"]:
+            img = decode_png(p.as_py())
+            h, w, c = img.shape
+            n = h * w
+            sums = img.reshape(-1, c)[:, :3].sum(axis=0, dtype=np.int64)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["n_pixels"].append(n)
+            for i, ch in enumerate(("mean_r", "mean_g", "mean_b")):
+                v = sums[i] if c >= 3 else sums[0]
+                cols[ch].append(float(v) / n if n else 0.0)
+        out = batch.drop_columns(["payload"])
+        for k, v in cols.items():
+            t = pa.int64() if k in ("width", "height", "n_pixels") \
+                else pa.float64()
+            out = out.append_column(k, pa.array(v, t))
+        return out
+
+
+def png_features(
+    ds: ray.data.Dataset, batch_size: int = 64, concurrency=(1, 8)
+) -> ray.data.Dataset:
+    """payload:binary (PNG) → exact image features."""
+    return ds.map_batches(
+        PngFeatures, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -217,3 +217,45 @@ def test_ppm_roundtrip_and_features(ray_session):
     assert out.loc[0, "mean_r"] == sums[0] / 35
     assert out.loc[0, "mean_g"] == sums[1] / 35
     assert out.loc[0, "mean_b"] == sums[2] / 35
+
+
+def test_png_roundtrip_all_filters_and_features(ray_session):
+    """Real PNG codec: bit-exact roundtrip for every scanline filter
+    (0-4 fixed + per-row cycle), RGB and RGBA, CRC/truncation errors,
+    and the actor-pool feature stage."""
+    import pyarrow as pa
+
+    from cesium_ray.stages.multimodal import (
+        decode_png, encode_png, png_features)
+
+    rng = np.random.default_rng(23)
+    for shape in [(7, 5, 3), (16, 64, 3), (4, 4, 4), (1, 1, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        for ft in [0, 1, 2, 3, 4, "cycle"]:
+            assert np.array_equal(decode_png(encode_png(img, ft)), img), \
+                (shape, ft)
+
+    img = rng.integers(0, 256, (9, 6, 3)).astype(np.uint8)
+    payload = encode_png(img, filter_type="cycle")
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"  # real signature
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)  # truncated
+    corrupt = bytearray(payload)
+    corrupt[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
+    with pytest.raises(ValueError):
+        decode_png(b"NOTAPNG!" + payload[8:])
+
+    tbl = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "payload": pa.array([payload], pa.binary()),
+    })
+    out = png_features(ray.data.from_arrow(tbl), batch_size=4).to_pandas()
+    sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert out.loc[0, "width"] == 6 and out.loc[0, "height"] == 9
+    assert out.loc[0, "n_pixels"] == 54
+    assert out.loc[0, "mean_r"] == sums[0] / 54
+    assert out.loc[0, "mean_g"] == sums[1] / 54
+    assert out.loc[0, "mean_b"] == sums[2] / 54
