@@ -1862,10 +1862,14 @@ FROM l LEFT JOIN p USING (user_id)
 
 
 def q_ewma(sf_dir):
-    """EWMA smoothing level per series (stages/tsmath.py, α=0.3).
-    Rows-only: the recurrence is order-dependent float math SQL can't
-    reproduce bitwise — the closed-form kernel is pandas-ewm-verified
-    in tests instead."""
+    """★-checked EWMA smoothing level per series (stages/tsmath.py,
+    α=0.3).  The kernel's closed form y_n = Σ wⱼxⱼ (wⱼ =
+    α(1−α)^(n−1−j), w₀ without the α factor) is mirrored verbatim in
+    SQL via power(); the residual is summation-order +
+    libm-vs-numpy-pow ulps at ~1e-13 relative, far below the shared
+    round6 granularity (same argument as features_stats' skew).
+    NaN-in-series propagates: SQL emits NULL when the group has any
+    NULL value, the engine's weighted sum turns NaN."""
     from ..stages.tsmath import ewma_last
 
     ev = ray.data.read_parquet(
@@ -1874,6 +1878,24 @@ def q_ewma(sf_dir):
     out = ewma_last(ev, alpha=0.3, num_partitions=8).to_pandas()
     out = round6(out, cols=["ewma"])
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+EWMA_SQL = """
+WITH o AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id,
+       CASE WHEN count(*) FILTER (WHERE value IS NULL) > 0 THEN NULL
+            ELSE round(sum((CASE WHEN rn = 1 THEN power(0.7, n - 1)
+                            ELSE 0.3 * power(0.7, n - rn) END) * value), 6)
+       END AS ewma,
+       CAST(max(n) AS BIGINT) AS n
+FROM o GROUP BY user_id
+"""
 
 
 def q_daily_active(sf_dir):
@@ -3135,6 +3157,7 @@ EXTRA_ORACLE_SQL = {
     "dataset_diff": DATASET_DIFF_SQL,
     "decile_stats": DECILE_SQL,
     "session_stats": SESSION_STATS_SQL,
+    "ewma": EWMA_SQL,
     "run_stats": RUN_STATS_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
