@@ -723,15 +723,29 @@ GROUP BY 1, 2
 
 
 def q_hot_key_sample(sf_dir):
-    """O3 — seeded sampling for skew statistics: estimate per-user row
-    share from a 20% sample, report users whose estimated share
-    exceeds 2× the uniform share.  Deterministic (seeded) but not
-    SQL-reproducible → rows-only check."""
-    sampled = _events(sf_dir, ["user_id"]).random_sample(0.2, seed=42)
-    counts = (
-        sampled.groupby("user_id").count().rename_columns({"count()": "cnt"}).to_pandas()
-    )
+    """★-checked O3 — sampling for skew statistics: estimate per-user
+    row share from a ~20% Bernoulli sample, report the top-10
+    estimated shares.  The sample is an ARITHMETIC-HASH filter
+    (Knuth multiplicative: keep iff (event_id·2654435761) mod 2³² <
+    0.2·2³²), not a seeded RNG — content-derived membership is
+    partition-order-independent and resume-stable at any scale (a
+    seeded ``random_sample`` is only stable for one fixed plan), and
+    the SQL oracle reproduces it exactly.  Map-side per-block counts
+    combine before the driver top-k."""
+    ev = _events(sf_dir, ["user_id", "event_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["event_id"].to_numpy(np.int64).astype(np.uint64)
+             * np.uint64(2654435761)) % np.uint64(1 << 32)
+        keep = h < np.uint64(858993459)  # floor(0.2 * 2^32)
+        g = (pd.DataFrame({"user_id": df["user_id"].to_numpy()[keep]})
+             .groupby("user_id", as_index=False).size())
+        return g.rename(columns={"size": "cnt"})
+
+    counts = (ev.map_batches(partial, batch_format="pandas").to_pandas()
+              .groupby("user_id", as_index=False)["cnt"].sum())
     total = counts.cnt.sum()
+    counts["cnt"] = counts["cnt"].astype(np.int64)
     counts["share"] = counts.cnt / total
     hot = (
         counts.sort_values(["share", "user_id"], ascending=[False, True])
@@ -739,6 +753,21 @@ def q_hot_key_sample(sf_dir):
         .reset_index(drop=True)
     )
     return round6(hot)
+
+
+HOT_SAMPLE_SQL = """
+WITH s AS (
+  SELECT user_id FROM events
+  WHERE (event_id * 2654435761) % 4294967296 < 858993459
+),
+c AS (SELECT user_id, count(*) AS cnt FROM s GROUP BY 1),
+t AS (SELECT sum(cnt) AS total FROM c)
+SELECT user_id, cnt,
+       round(CAST(cnt AS DOUBLE) / total, 6) AS share
+FROM c, t
+ORDER BY share DESC, user_id
+LIMIT 10
+"""
 
 
 def q_distinct_users(sf_dir):
@@ -1175,6 +1204,7 @@ ORACLE_SQL = {
     "window_24h": WINDOW_SQL,
     "sessionize": SESSIONIZE_SQL,
     "stratified_sample": STRATIFIED_SQL,
+    "hot_key_sample": HOT_SAMPLE_SQL,
     "range_join_busy": RANGE_JOIN_SQL,
     "pivot_event_types": _pivot_sql(),
     "sketch_quantiles": SKETCH_SQL,
