@@ -443,3 +443,18 @@ def test_time_since_event_bruteforce(ray_session):
     assert (got_s[ok] == want[ok]).all()
     # every user's temporally-first event has no preceding marker
     assert got["since_us"].isna().groupby(got["user_id"]).any().all()
+
+
+def test_new_ops_partition_count_invariance(ray_session):
+    """run_stats / time_since_event must be bit-identical across
+    partition counts (keys are whole per partition by construction)."""
+    from cesium_ray.stages.tsmath import run_stats, time_since_event
+
+    ev = _events(seed=101)
+    ds = ray.data.from_pandas(ev).repartition(7)
+    a = run_stats(ds, num_partitions=3)
+    b = run_stats(ds, num_partitions=11)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    c = time_since_event(ds, marker="c", num_partitions=3)
+    d = time_since_event(ds, marker="c", num_partitions=11)
+    pd.testing.assert_frame_equal(c, d, check_exact=True)
