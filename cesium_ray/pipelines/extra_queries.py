@@ -2660,6 +2660,63 @@ FROM per GROUP BY 1
 """
 
 
+def q_cooldown_dedup(sf_dir):
+    """★-checked time-conditional duplicate suppression (stages/
+    window.py::cooldown_dedup): keep an event iff the same
+    (user, event_type) stream fired nothing in the strictly-preceding
+    hour — alert-storm dedup, the time-windowed member of the dedup
+    family (exact/minhash/simhash/substring/edit1 are content-keyed).
+    lag()-gap oracle."""
+    from ..stages.window import cooldown_dedup
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"])
+    out = cooldown_dedup(ev, cooldown_s=3600, num_partitions=8).to_pandas()
+    return (out.sort_values(["user_id", "event_type", "ts_us", "event_id"])
+            .reset_index(drop=True))
+
+
+COOLDOWN_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS DOUBLE) AS since_prev_us
+  FROM events
+)
+SELECT user_id, event_id, event_type, ts_us, since_prev_us
+FROM g WHERE since_prev_us IS NULL OR since_prev_us > 3600000000
+"""
+
+
+def q_daily_share(sf_dir):
+    """★-checked percent-of-total enrichment (stages/analytics.py::
+    share_of_bucket): each event type's share of its UTC day's total
+    events — the window-share class (count / sum over bucket).
+    Map-side cell combine; window-sum oracle."""
+    from ..stages.analytics import share_of_bucket
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return round6(share_of_bucket(ev, bucket_s=86400))
+
+
+DAILY_SHARE_SQL = """
+WITH c AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_us, cnt,
+       round(CAST(cnt AS DOUBLE)
+             / CAST(sum(cnt) OVER (PARTITION BY bucket_us) AS DOUBLE), 6)
+         AS share
+FROM c
+"""
+
+
 def q_time_since(sf_dir):
     """★-checked conditional LOCF enrichment (stages/tsmath.py::
     time_since_event): per event, exact µs since the same user's most
@@ -3082,6 +3139,8 @@ EXTRA_QUERIES = {
     "run_stats": q_run_stats,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
+    "cooldown_dedup": q_cooldown_dedup,
+    "daily_share": q_daily_share,
     "sliding_dau": q_sliding_dau,
     "edit1_pairs": q_edit1_pairs,
     "rolling_std": q_rolling_std,
@@ -3161,6 +3220,8 @@ EXTRA_ORACLE_SQL = {
     "run_stats": RUN_STATS_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
+    "cooldown_dedup": COOLDOWN_SQL,
+    "daily_share": DAILY_SHARE_SQL,
     "sliding_dau": SLIDING_DAU_SQL,
     "edit1_pairs": EDIT1_SQL,
     "rolling_std": ROLLING_STD_SQL,

@@ -470,3 +470,39 @@ def type_variety(
            .sort_values("n_types").reset_index(drop=True))
     out["n_users"] = out["n_users"].astype(np.int64)
     return out
+
+
+def share_of_bucket(
+    ds: ray.data.Dataset,
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    bucket_s: int = 86400,
+) -> pd.DataFrame:
+    """Percent-of-total enrichment: each (attr, time-bucket) cell's
+    count plus its share of that bucket's total — the window-share
+    class (SQL ``count / sum(count) OVER (PARTITION BY bucket)``).
+    Map-side partial combine: every block reduces to ≤ attrs × buckets
+    exact-int cells before the driver's tiny final groupby; the share
+    division is the only float and mirrors the SQL expression."""
+    span = np.int64(bucket_s) * 1_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+             // span) * span
+        g = (pd.DataFrame({attr: df[attr].to_numpy(), "bucket_us": b})
+             .groupby([attr, "bucket_us"], as_index=False).size())
+        return g.rename(columns={"size": "cnt"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({attr: pd.Series(dtype=object),
+                             "bucket_us": pd.Series(dtype="int64"),
+                             "cnt": pd.Series(dtype="int64"),
+                             "share": pd.Series(dtype="float64")})
+    cells = parts.groupby([attr, "bucket_us"], as_index=False)["cnt"].sum()
+    tot = cells.groupby("bucket_us")["cnt"].transform("sum")
+    cells["cnt"] = cells["cnt"].astype(np.int64)
+    cells["share"] = cells["cnt"].to_numpy(np.float64) \
+        / tot.to_numpy(np.float64)
+    return (cells.sort_values([attr, "bucket_us"])
+            .reset_index(drop=True))

@@ -407,3 +407,58 @@ def sliding_distinct(
     n = np.where(idx >= 0, run[np.maximum(idx, 0)], 0).astype(np.int64)
     return pd.DataFrame({"bucket_us": present * 3_600_000_000,
                          "n_users": n})
+
+
+def cooldown_dedup(
+    ds: ray.data.Dataset,
+    cooldown_s: int,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Time-conditional duplicate suppression ("alert-storm dedup"):
+    keep an event iff the same (key, attr) stream has NO event in the
+    strictly-preceding ``cooldown_s`` window — repeats inside the
+    window are dropped, the first occurrence after each quiet period
+    survives.  The keep test compares against the previous RAW event
+    (not the previous survivor): a storm stays suppressed for as long
+    as it keeps firing — the usual alerting semantics, and exactly
+    SQL's ``lag()`` mirror.
+
+    One key-hash exchange; per partition one lexsort over
+    (key, attr, ts, order) + a shifted integer diff — no per-row
+    Python.  Emits the surviving rows with ``since_prev_us`` (NaN for
+    a stream's first event)."""
+    gap_us = np.int64(cooldown_s) * 1_000_000
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key: pd.Series(dtype="int64"),
+                order_col: pd.Series(dtype="int64"),
+                attr: pd.Series(dtype=object),
+                "ts_us": pd.Series(dtype="int64"),
+                "since_prev_us": pd.Series(dtype="float64")})
+        kc, _ = pd.factorize(df[key])
+        ac, _ = pd.factorize(df[attr])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, ac, kc))
+        k, a, t = kc[perm], ac[perm], tus[perm]
+        same = np.r_[False, (k[1:] == k[:-1]) & (a[1:] == a[:-1])]
+        dt = np.full(len(k), np.nan)
+        dt[1:] = (t[1:] - t[:-1]).astype(np.float64)
+        dt[~same] = np.nan
+        kept = ~same | (np.nan_to_num(dt, nan=np.inf) > gap_us)
+        sel = perm[kept]
+        return pd.DataFrame({
+            key: df[key].to_numpy()[sel],
+            order_col: oid[perm][kept],
+            attr: df[attr].to_numpy()[sel],
+            "ts_us": t[kept],
+            "since_prev_us": dt[kept],
+        })
+
+    return group_apply(ds, keep, num_partitions=num_partitions, key=key)

@@ -458,3 +458,58 @@ def test_new_ops_partition_count_invariance(ray_session):
     c = time_since_event(ds, marker="c", num_partitions=3)
     d = time_since_event(ds, marker="c", num_partitions=11)
     pd.testing.assert_frame_equal(c, d, check_exact=True)
+
+
+def test_cooldown_dedup_bruteforce(ray_session):
+    from cesium_ray.stages.window import cooldown_dedup
+
+    ev = _events(seed=113, n=3000, nusers=12)
+    cd = 6 * 3600
+    got = (cooldown_dedup(ray.data.from_pandas(ev).repartition(6),
+                          cooldown_s=cd, num_partitions=4)
+           .to_pandas()
+           .sort_values(["user_id", "event_type", "ts_us", "event_id"])
+           .reset_index(drop=True))
+    s = ev.sort_values(["user_id", "event_type", "ts", "event_id"],
+                       kind="mergesort")
+    rows = []
+    for (uid, et), g in s.groupby(["user_id", "event_type"]):
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        eid = g["event_id"].to_numpy()
+        prev = None
+        for i in range(len(g)):
+            gap = float(t[i] - prev) if prev is not None else np.nan
+            if prev is None or gap > cd * 10**6:
+                rows.append((uid, eid[i], et, t[i], gap))
+            prev = t[i]  # raw predecessor, not surviving one
+    want = pd.DataFrame(rows, columns=["user_id", "event_id",
+                                       "event_type", "ts_us",
+                                       "since_prev_us"])
+    assert got.shape == want.shape
+    for c in ["user_id", "event_id", "event_type", "ts_us"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    a, w = got["since_prev_us"].to_numpy(), want["since_prev_us"].to_numpy()
+    ok = ~np.isnan(w)
+    assert (np.isnan(a) == ~ok).all()
+    assert (a[ok] == w[ok]).all()
+    # each (key, type) stream's temporally-first event always survives
+    assert got.groupby(["user_id", "event_type"]).size().gt(0).all()
+
+
+def test_share_of_bucket_sums_to_one(ray_session):
+    from cesium_ray.stages.analytics import share_of_bucket
+
+    ev = _events(seed=127)
+    got = share_of_bucket(ray.data.from_pandas(ev).repartition(5),
+                          bucket_s=86400)
+    d = ev.copy()
+    d["b"] = (d["ts"].astype("datetime64[us]").astype(np.int64)
+              // 86_400_000_000) * 86_400_000_000
+    want = (d.groupby(["event_type", "b"], as_index=False).size()
+            .rename(columns={"size": "cnt", "b": "bucket_us"}))
+    m = got.merge(want, on=["event_type", "bucket_us"],
+                  suffixes=("", "_w"))
+    assert len(m) == len(got) == len(want)
+    assert (m["cnt"] == m["cnt_w"]).all()
+    per_bucket = got.groupby("bucket_us")["share"].sum()
+    assert np.allclose(per_bucket.to_numpy(), 1.0)
