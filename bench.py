@@ -664,8 +664,9 @@ def bench_stream(results, thr):
     from cesium_ray.stages.tsmath import (
         dwell_time, interarrival_quantiles, interarrival_quantiles_scan,
         run_stats, time_since_event, weekly_profile)
+    from cesium_ray.stages.analytics import share_of_bucket
     from cesium_ray.stages.window import (
-        gap_report, rolling_rows_avg, rolling_rows_std)
+        cooldown_dedup, gap_report, rolling_rows_avg, rolling_rows_std)
 
     def derive(df: pd.DataFrame) -> pd.DataFrame:
         key = pd.to_numeric(df["conv_id"].str.slice(5)).astype("int64")
@@ -710,6 +711,9 @@ def bench_stream(results, thr):
             base, num_partitions=2 * NCPU))),
         ("time_since", lambda: len(time_since_event(
             base, marker="tool", num_partitions=2 * NCPU))),
+        ("cooldown_dedup", lambda: cooldown_dedup(
+            base, cooldown_s=3600, num_partitions=2 * NCPU).count()),
+        ("daily_share", lambda: len(share_of_bucket(base))),
         ("dataset_diff", lambda: _bench_diff(base)),
         ("global_quantiles", lambda: _bench_rank_quantiles(base)),
     ]:

@@ -2660,6 +2660,40 @@ FROM per GROUP BY 1
 """
 
 
+def q_seq_pattern(sf_dir):
+    """★-checked sequence-pattern mining (stages/analytics.py::
+    sequence_pattern_count): per user, count of non-overlapping
+    'e[cv]*p' motifs (an error, any clicks/views, then a purchase) in
+    the first-letter encoding of the ordered event-type stream —
+    behavioral shapes funnels (subsequence) and transitions (bigrams)
+    cannot express.  string_agg + regexp_extract_all oracle; the
+    pattern is backtrack-free so Python-re and RE2 agree on spans."""
+    from ..stages.analytics import sequence_pattern_count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"])
+    return sequence_pattern_count(ev, pattern="e[cv]*p", num_partitions=8)
+
+
+SEQ_PATTERN_SQL = """
+WITH o AS (
+  SELECT user_id, substring(event_type, 1, 1) AS ch,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY rn) AS seq
+  FROM o GROUP BY 1
+)
+SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 'e[cv]*p')) AS BIGINT)
+         AS n_matches
+FROM s
+"""
+
+
 def q_cooldown_dedup(sf_dir):
     """★-checked time-conditional duplicate suppression (stages/
     window.py::cooldown_dedup): keep an event iff the same
@@ -3141,6 +3175,7 @@ EXTRA_QUERIES = {
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
     "daily_share": q_daily_share,
+    "seq_pattern": q_seq_pattern,
     "sliding_dau": q_sliding_dau,
     "edit1_pairs": q_edit1_pairs,
     "rolling_std": q_rolling_std,
@@ -3222,6 +3257,7 @@ EXTRA_ORACLE_SQL = {
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,
     "daily_share": DAILY_SHARE_SQL,
+    "seq_pattern": SEQ_PATTERN_SQL,
     "sliding_dau": SLIDING_DAU_SQL,
     "edit1_pairs": EDIT1_SQL,
     "rolling_std": ROLLING_STD_SQL,

@@ -506,3 +506,62 @@ def share_of_bucket(
         / tot.to_numpy(np.float64)
     return (cells.sort_values([attr, "bucket_us"])
             .reset_index(drop=True))
+
+
+def sequence_pattern_count(
+    ds: ray.data.Dataset,
+    pattern: str,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Sequence-pattern mining: encode each key's (ts, order)-ordered
+    ``attr`` stream as a string (first character of each value) and
+    count non-overlapping regex matches — "error recovered into
+    purchase"-style behavioral motifs that funnels (subsequence) and
+    transitions (bigrams) cannot express.
+
+    Use backtrack-free patterns (character classes + */+, no
+    alternation) so Python-re and RE2/DuckDB agree on match spans.
+    One key-hash exchange; char encoding and sorting are vectorized,
+    the per-KEY loop (bytes slice + compiled findall) is bounded by
+    keys, never events."""
+    import re
+
+    rx = re.compile(pattern)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: pd.Series(dtype="int64"),
+                                 "seq_len": pd.Series(dtype="int64"),
+                                 "n_matches": pd.Series(dtype="int64")})
+        kc, kuniq = pd.factorize(df[key])
+        ac, auniq = pd.factorize(df[attr])
+        first_char = np.frombuffer(
+            "".join(str(v)[0] for v in auniq).encode("ascii"),
+            dtype=np.uint8)
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, kc))
+        k = kc[perm]
+        chars = first_char[ac[perm]]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        buf = chars.tobytes()
+        keys, lens, hits = [], [], []
+        for s, e in zip(starts, ends):
+            seq = buf[s:e].decode("ascii")
+            keys.append(kuniq[k[s]])
+            lens.append(e - s)
+            hits.append(len(rx.findall(seq)))
+        return pd.DataFrame({key: np.asarray(keys),
+                             "seq_len": np.asarray(lens, dtype=np.int64),
+                             "n_matches": np.asarray(hits, dtype=np.int64)})
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

@@ -513,3 +513,23 @@ def test_share_of_bucket_sums_to_one(ray_session):
     assert (m["cnt"] == m["cnt_w"]).all()
     per_bucket = got.groupby("bucket_us")["share"].sum()
     assert np.allclose(per_bucket.to_numpy(), 1.0)
+
+
+def test_sequence_pattern_count_bruteforce(ray_session):
+    import re
+
+    from cesium_ray.stages.analytics import sequence_pattern_count
+
+    ev = _events(seed=131)  # types a/b/c/d -> distinct first chars
+    pat = "a[bc]*d"
+    got = sequence_pattern_count(
+        ray.data.from_pandas(ev).repartition(6), pattern=pat,
+        num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    rx = re.compile(pat)
+    want = (s.groupby("user_id")["event_type"]
+            .agg(lambda g: "".join(v[0] for v in g)))
+    assert got["user_id"].tolist() == want.index.tolist()
+    assert got["seq_len"].tolist() == [len(x) for x in want]
+    assert got["n_matches"].tolist() == [len(rx.findall(x)) for x in want]
+    assert got["n_matches"].sum() > 0  # the motif occurs in this corpus
