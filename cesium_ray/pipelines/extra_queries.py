@@ -2660,6 +2660,75 @@ FROM per GROUP BY 1
 """
 
 
+def q_lttb(sf_dir):
+    """★-checked LTTB downsampling (stages/tsmath.py::lttb_downsample,
+    n_out=10) — the shape-preserving visualization reducer, driver-
+    verified against a per-key RECURSIVE-CTE oracle that walks buckets
+    exactly like the kernel.  Bit-exactness: integer inputs (µs
+    offsets, cents), count-scaled triangle score
+    |(xm−xs)(SY−c·ys) − (SX−c·xs)(ym−ys)| where every operand is an
+    integer-valued double and each IEEE op rounds identically in
+    numpy and DuckDB; ties break to the smallest rn on both sides."""
+    from ..stages.tsmath import lttb_downsample
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"])
+    return lttb_downsample(ev, n_out=10, num_partitions=8)
+
+
+LTTB_SQL = """
+WITH RECURSIVE
+base AS (
+  SELECT user_id,
+         epoch_us(ts) - min(epoch_us(ts))
+             OVER (PARTITION BY user_id) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+small AS (SELECT user_id, rn, x, y FROM base WHERE n <= 10),
+big AS (SELECT * FROM base WHERE n > 10),
+mid AS (
+  SELECT user_id, rn, x, y, (rn * 8 - 1) // (n - 2) AS b
+  FROM big WHERE rn >= 1 AND rn <= n - 2
+),
+avgs AS (
+  SELECT user_id, b, CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy, CAST(count(*) AS DOUBLE) AS c
+  FROM mid GROUP BY 1, 2
+),
+lastpt AS (SELECT user_id, rn, x, y FROM big WHERE rn = n - 1),
+sel AS (
+  SELECT user_id, -1 AS b, rn, x, y FROM big WHERE rn = 0
+  UNION ALL
+  (
+   WITH cand AS (
+    SELECT m.user_id, m.b, m.rn, m.x, m.y,
+           abs(CAST(m.x - s.x AS DOUBLE)
+                 * (COALESCE(a.sy, CAST(lp.y AS DOUBLE))
+                    - COALESCE(a.c, 1.0) * s.y)
+             - (COALESCE(a.sx, CAST(lp.x AS DOUBLE))
+                    - COALESCE(a.c, 1.0) * s.x)
+                 * CAST(m.y - s.y AS DOUBLE)) AS area
+    FROM sel s
+    JOIN mid m ON m.user_id = s.user_id AND m.b = s.b + 1
+    LEFT JOIN avgs a ON a.user_id = m.user_id AND a.b = m.b + 1
+    JOIN lastpt lp ON lp.user_id = m.user_id
+   )
+   SELECT user_id, b, rn, x, y FROM cand
+   QUALIFY row_number() OVER (PARTITION BY user_id, b
+                              ORDER BY area DESC, rn) = 1
+  )
+)
+SELECT user_id, rn, x AS x_us, y AS k FROM small
+UNION ALL SELECT user_id, rn, x AS x_us, y AS k FROM sel
+UNION ALL SELECT user_id, rn, x AS x_us, y AS k FROM lastpt
+"""
+
+
 def q_seq_pattern(sf_dir):
     """★-checked sequence-pattern mining (stages/analytics.py::
     sequence_pattern_count): per user, count of non-overlapping
@@ -3176,6 +3245,7 @@ EXTRA_QUERIES = {
     "cooldown_dedup": q_cooldown_dedup,
     "daily_share": q_daily_share,
     "seq_pattern": q_seq_pattern,
+    "lttb": q_lttb,
     "sliding_dau": q_sliding_dau,
     "edit1_pairs": q_edit1_pairs,
     "rolling_std": q_rolling_std,
@@ -3258,6 +3328,7 @@ EXTRA_ORACLE_SQL = {
     "cooldown_dedup": COOLDOWN_SQL,
     "daily_share": DAILY_SHARE_SQL,
     "seq_pattern": SEQ_PATTERN_SQL,
+    "lttb": LTTB_SQL,
     "sliding_dau": SLIDING_DAU_SQL,
     "edit1_pairs": EDIT1_SQL,
     "rolling_std": ROLLING_STD_SQL,

@@ -661,3 +661,96 @@ def time_since_event(
     if out.empty:
         return enrich(pd.DataFrame())
     return out.sort_values([key, order_col]).reset_index(drop=True)
+
+
+def lttb_downsample(
+    ds: ray.data.Dataset,
+    n_out: int = 10,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013),
+    the standard shape-preserving visualization reducer, per key:
+    keep first and last point; split the interior into ``n_out − 2``
+    buckets (arithmetic assignment b = (rn·(n_out−2) − 1) // (n−2));
+    per bucket keep the point maximizing the triangle area against
+    the previously selected point and the NEXT bucket's average.
+
+    Exactness (the oracle is a per-key recursive CTE): inputs are
+    exact integers — x = µs offset from the key's first point, y =
+    value cents — and the area comparison uses the count-scaled form
+    ``|(xm−xs)·(SY−c·ys) − (SX−c·xs)·(ym−ys)|`` (SX/SY/c = next
+    bucket's integer sums/count), so every operand is an
+    integer-valued double and each IEEE op rounds identically in
+    numpy and SQL; ties break to the smallest rn on both sides.
+    Keys with ≤ ``n_out`` points (or n_out < 3) keep every point.
+
+    One key-hash exchange; the per-key bucket walk is a Python loop
+    bounded by keys × buckets (n_out ≪ n), with vectorized area
+    scoring inside each bucket."""
+    if n_out < 3:
+        raise ValueError("n_out must be ≥ 3")
+    M = n_out - 2
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: pd.Series(dtype="int64"),
+                              "rn": pd.Series(dtype="int64"),
+                              "x_us": pd.Series(dtype="int64"),
+                              "k": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        kv = np.rint(df[val_col].to_numpy(np.float64) * 100.0).astype(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, kc))
+        kcode, t, y = kc[perm], tus[perm], kv[perm]
+        starts = np.flatnonzero(np.r_[True, kcode[1:] != kcode[:-1]])
+        ends = np.r_[starts[1:], len(kcode)]
+        out_key, out_rn, out_x, out_y = [], [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            uid = kuniq[kcode[s]]
+            x = (t[s:e] - t[s]).astype(np.float64)  # exact int-valued
+            yy = y[s:e].astype(np.float64)
+            if n <= n_out:
+                sel = np.arange(n)
+            else:
+                rn_mid = np.arange(1, n - 1)
+                b = (rn_mid * M - 1) // (n - 2)
+                # bucket integer sums (exact in float64: |Σ| < 2^53)
+                sx = np.bincount(b, weights=x[1:n - 1], minlength=M)
+                sy = np.bincount(b, weights=yy[1:n - 1], minlength=M)
+                cb = np.bincount(b, minlength=M).astype(np.float64)
+                edges = np.searchsorted(b, np.arange(M + 1))
+                sel_list = [0]
+                for bb in range(M):
+                    lo, hi = edges[bb] + 1, edges[bb + 1] + 1
+                    xm, ym = x[lo:hi], yy[lo:hi]
+                    if bb + 1 < M:
+                        SX, SY, c = sx[bb + 1], sy[bb + 1], cb[bb + 1]
+                    else:
+                        SX, SY, c = x[n - 1], yy[n - 1], 1.0
+                    xs, ys = x[sel_list[-1]], yy[sel_list[-1]]
+                    score = np.abs((xm - xs) * (SY - c * ys)
+                                   - (SX - c * xs) * (ym - ys))
+                    sel_list.append(lo + int(np.argmax(score)))
+                sel_list.append(n - 1)
+                sel = np.asarray(sel_list)
+            out_key.extend([uid] * len(sel))
+            out_rn.extend(sel.tolist())
+            out_x.extend(x[sel].astype(np.int64).tolist())
+            out_y.extend(y[s:e][sel].tolist())
+        return pd.DataFrame({key: np.asarray(out_key),
+                             "rn": np.asarray(out_rn, dtype=np.int64),
+                             "x_us": np.asarray(out_x, dtype=np.int64),
+                             "k": np.asarray(out_y, dtype=np.int64)})
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values([key, "rn"]).reset_index(drop=True)

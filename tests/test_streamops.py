@@ -533,3 +533,61 @@ def test_sequence_pattern_count_bruteforce(ray_session):
     assert got["seq_len"].tolist() == [len(x) for x in want]
     assert got["n_matches"].tolist() == [len(rx.findall(x)) for x in want]
     assert got["n_matches"].sum() > 0  # the motif occurs in this corpus
+
+
+def test_lttb_downsample_bruteforce(ray_session):
+    """LTTB vs a straight per-series reference loop (same bucket
+    arithmetic, same count-scaled score); covers the keep-all path
+    for short series and first/last retention."""
+    from cesium_ray.stages.tsmath import lttb_downsample
+
+    rng = np.random.default_rng(137)
+    frames = []
+    eid = 0
+    for uid, n in [(1, 5), (2, 11), (3, 40), (4, 200), (5, 10)]:
+        t = np.sort(rng.choice(10**7, size=n, replace=False))
+        frames.append(pd.DataFrame({
+            "user_id": np.full(n, uid, dtype=np.int64),
+            "event_id": np.arange(eid, eid + n, dtype=np.int64),
+            "ts": t.astype("datetime64[us]"),
+            "value": np.round(rng.random(n) * 100, 2),
+        }))
+        eid += n
+    ev = pd.concat(frames, ignore_index=True)
+    n_out = 10
+    got = lttb_downsample(ray.data.from_pandas(ev).repartition(4),
+                          n_out=n_out, num_partitions=3)
+
+    def ref(x, y):
+        n = len(x)
+        if n <= n_out:
+            return list(range(n))
+        M = n_out - 2
+        rn_mid = np.arange(1, n - 1)
+        b = (rn_mid * M - 1) // (n - 2)
+        sel = [0]
+        for bb in range(M):
+            rns = rn_mid[b == bb]
+            if bb + 1 < M:
+                nx = rn_mid[b == bb + 1]
+                SX, SY, c = x[nx].sum(), y[nx].sum(), float(len(nx))
+            else:
+                SX, SY, c = x[n - 1], y[n - 1], 1.0
+            xs, ys = x[sel[-1]], y[sel[-1]]
+            sc = np.abs((x[rns] - xs) * (SY - c * ys)
+                        - (SX - c * xs) * (y[rns] - ys))
+            sel.append(int(rns[np.argmax(sc)]))
+        sel.append(n - 1)
+        return sel
+
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        x = (t - t[0]).astype(np.float64)
+        y = np.rint(g["value"].to_numpy() * 100).astype(np.int64) \
+            .astype(np.float64)
+        want = ref(x, y)
+        rows = got[got["user_id"] == uid]
+        assert rows["rn"].tolist() == want, uid
+        assert rows["rn"].iloc[0] == 0 and rows["rn"].iloc[-1] == len(g) - 1
+        assert len(rows) == min(len(g), n_out)
