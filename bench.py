@@ -663,8 +663,9 @@ def bench_stream(results, thr):
     from cesium_ray.stages.heavy import topk_per_group
     from cesium_ray.stages.tsmath import (
         dwell_time, interarrival_quantiles, interarrival_quantiles_scan,
-        run_stats, time_since_event, weekly_profile)
-    from cesium_ray.stages.analytics import share_of_bucket
+        lttb_downsample, run_stats, time_since_event, weekly_profile)
+    from cesium_ray.stages.analytics import (
+        sequence_pattern_count, share_of_bucket)
     from cesium_ray.stages.window import (
         cooldown_dedup, gap_report, rolling_rows_avg, rolling_rows_std)
 
@@ -714,6 +715,10 @@ def bench_stream(results, thr):
         ("cooldown_dedup", lambda: cooldown_dedup(
             base, cooldown_s=3600, num_partitions=2 * NCPU).count()),
         ("daily_share", lambda: len(share_of_bucket(base))),
+        ("lttb", lambda: len(lttb_downsample(
+            base, n_out=10, num_partitions=2 * NCPU))),
+        ("seq_pattern", lambda: len(sequence_pattern_count(
+            base, pattern="u[ts]*a", num_partitions=2 * NCPU))),
         ("dataset_diff", lambda: _bench_diff(base)),
         ("global_quantiles", lambda: _bench_rank_quantiles(base)),
     ]:
