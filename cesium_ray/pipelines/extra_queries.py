@@ -2660,6 +2660,98 @@ FROM per GROUP BY 1
 """
 
 
+def q_weighted_quantiles(sf_dir):
+    """★-checked duration-weighted quantiles (stages/tsmath.py::
+    weighted_value_quantiles): per event type, the value-weighted-by-
+    dwell-time p50/p90 — the weighted member of the quantile family
+    (exact rollup / rank-selection / sketch are unweighted).  Integer
+    selection rule (2·cumw ≥ W), cumulative-window oracle."""
+    from ..stages.tsmath import weighted_value_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts", "value"])
+    return weighted_value_quantiles(ev, num_partitions=8)
+
+
+WEIGHTED_Q_SQL = """
+WITH s AS (
+  SELECT event_type, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS w
+  FROM events
+),
+f AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y, w
+  FROM s WHERE w IS NOT NULL AND value IS NOT NULL
+),
+g AS (
+  SELECT event_type, y, sum(w) AS wy, count(*) AS cy
+  FROM f GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, y, wy,
+         sum(wy) OVER (PARTITION BY event_type ORDER BY y) AS cw,
+         sum(wy) OVER (PARTITION BY event_type) AS tw,
+         sum(cy) OVER (PARTITION BY event_type) AS n
+  FROM g
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(max(tw) AS BIGINT) AS total_w_us,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN y END) AS DOUBLE) / 100.0
+         AS w_p50,
+       CAST(min(CASE WHEN 10 * cw >= 9 * tw THEN y END) AS DOUBLE) / 100.0
+         AS w_p90
+FROM c GROUP BY 1
+"""
+
+
+def q_linear_trend(sf_dir):
+    """★-checked per-key OLS trend (stages/tsmath.py::
+    linear_trend_per_key) — cesium's linear_trend feature as a
+    standalone rollup.  Moment sums are exact int64 (whole-second x
+    offsets × value cents); only the two closing expressions are
+    float, mirrored verbatim in SQL."""
+    from ..stages.tsmath import linear_trend_per_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return round6(linear_trend_per_key(ev, num_partitions=8))
+
+
+LINEAR_TREND_SQL = """
+WITH b AS (
+  SELECT user_id,
+         (epoch_us(ts) - min(epoch_us(ts))
+              OVER (PARTITION BY user_id)) // 1000000 AS x,
+         CASE WHEN value IS NULL THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS y
+  FROM events
+),
+a AS (
+  SELECT user_id, count(*) AS n,
+         count(*) FILTER (WHERE y IS NULL) AS nn,
+         sum(x) AS sx, sum(COALESCE(y, 0)) AS sy,
+         sum(x * COALESCE(y, 0)) AS sxy, sum(x * x) AS sxx
+  FROM b GROUP BY 1
+)
+SELECT user_id, n,
+  round(CASE WHEN nn > 0 OR n * sxx - sx * sx = 0 THEN NULL
+        ELSE (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0 END, 6)
+    AS slope_per_s,
+  round(CASE WHEN nn > 0 OR n * sxx - sx * sx = 0 THEN NULL
+        ELSE (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * 100.0) END, 6) AS intercept
+FROM a
+"""
+
+
 def q_lttb(sf_dir):
     """★-checked LTTB downsampling (stages/tsmath.py::lttb_downsample,
     n_out=10) — the shape-preserving visualization reducer, driver-
@@ -3246,6 +3338,8 @@ EXTRA_QUERIES = {
     "daily_share": q_daily_share,
     "seq_pattern": q_seq_pattern,
     "lttb": q_lttb,
+    "linear_trend": q_linear_trend,
+    "weighted_quantiles": q_weighted_quantiles,
     "sliding_dau": q_sliding_dau,
     "edit1_pairs": q_edit1_pairs,
     "rolling_std": q_rolling_std,
@@ -3329,6 +3423,8 @@ EXTRA_ORACLE_SQL = {
     "daily_share": DAILY_SHARE_SQL,
     "seq_pattern": SEQ_PATTERN_SQL,
     "lttb": LTTB_SQL,
+    "linear_trend": LINEAR_TREND_SQL,
+    "weighted_quantiles": WEIGHTED_Q_SQL,
     "sliding_dau": SLIDING_DAU_SQL,
     "edit1_pairs": EDIT1_SQL,
     "rolling_std": ROLLING_STD_SQL,

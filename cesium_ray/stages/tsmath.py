@@ -754,3 +754,148 @@ def lttb_downsample(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values([key, "rn"]).reset_index(drop=True)
+
+
+def linear_trend_per_key(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key OLS trend (slope in value-units/second + intercept) of
+    value against time — cesium's ``linear_trend`` as a standalone
+    driver-checkable rollup.  All four moment sums (Σx, Σy, Σxy, Σx²)
+    accumulate as exact int64 with x = whole-second offsets from the
+    key's first point and y = value cents, so the only floats are the
+    two mirrored closing expressions
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²·…) / 100`` and the
+    intercept — bit-reproducible in SQL.  Zero time spread → NaN.
+    NaN values propagate (SQL twin emits NULL for those keys)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "slope_per_s": pd.Series(dtype="float64"),
+                "intercept": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        g = df[key].to_numpy()
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        v = df[val_col].to_numpy(np.float64)
+        new = np.r_[True, g[1:] != g[:-1]]
+        gid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        x = (tus - tus[starts[gid]]) // 1_000_000  # whole-second offsets
+        has_nan = np.zeros(int(gid[-1]) + 1, dtype=bool)
+        np.logical_or.at(has_nan, gid, np.isnan(v))
+        k = np.zeros(len(v), dtype=np.int64)
+        ok = ~np.isnan(v)
+        k[ok] = np.rint(v[ok] * 100.0).astype(np.int64)
+        n = np.diff(np.r_[starts, len(g)]).astype(np.int64)
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(k, starts)
+        sxy = np.add.reduceat(x * k, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        den = (n * sxx - sx * sx).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope_cents = num / den
+            slope = slope_cents / 100.0
+            intercept = (sy.astype(np.float64)
+                         - slope_cents * sx.astype(np.float64)) \
+                / (n.astype(np.float64) * 100.0)
+        bad = has_nan | (den == 0.0)
+        slope[bad] = np.nan
+        intercept[bad] = np.nan
+        return pd.DataFrame({key: g[starts], "n": n,
+                             "slope_per_s": slope,
+                             "intercept": intercept})
+
+    out = group_apply(ds, fn, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return fn(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def weighted_value_quantiles(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Duration-weighted quantiles per ``attr``: each event's value is
+    weighted by the µs until the same key's next event (the dwell
+    credit — a key's last event carries no weight), and the weighted
+    p50/p90 is the smallest value whose cumulative weight reaches
+    half / nine-tenths of the total.  The entire selection is integer
+    arithmetic (``2·cumw ≥ W``, ``10·cumw ≥ 9·W`` over cents-keyed
+    weight cells) — no float thresholds, so the SQL twin matches
+    bit-for-bit; the only floats are the final cents→value divisions.
+
+    Two bounded exchanges (the interarrival pattern): a key-hash
+    visit turns events into (attr, cents, Σweight, count) CELLS —
+    traffic bounded by attrs × distinct cents, never events — then an
+    attr-keyed exchange sorts and cumsums each attr's cells."""
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({attr: pd.Series(dtype=object),
+                                 "y": pd.Series(dtype="int64"),
+                                 "_w": pd.Series(dtype="int64"),
+                                 "_c": pd.Series(dtype="int64")})
+        kc, _ = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        v = df[val_col].to_numpy(np.float64)
+        perm = np.lexsort((oid, tus, kc))
+        k, t = kc[perm], tus[perm]
+        vv = v[perm]
+        same = k[1:] == k[:-1]
+        w = (t[1:] - t[:-1])[same]
+        y = vv[:-1][same]
+        ok = ~np.isnan(y)
+        g = pd.DataFrame({
+            attr: df[attr].to_numpy()[perm][:-1][same][ok],
+            "y": np.rint(y[ok] * 100.0).astype(np.int64),
+            "_w": w[ok],
+            "_c": np.ones(int(ok.sum()), dtype=np.int64),
+        })
+        return g.groupby([attr, "y"], as_index=False).sum()
+
+    def per_attr(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {attr: pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+                "total_w_us": pd.Series(dtype="int64"),
+                "w_p50": pd.Series(dtype="float64"),
+                "w_p90": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        out = []
+        for a, g in df.groupby(attr):
+            g = g.groupby("y", as_index=False).sum().sort_values("y")
+            wts = g["_w"].to_numpy(np.int64)
+            ys = g["y"].to_numpy(np.int64)
+            cw = np.cumsum(wts)
+            W = int(cw[-1])
+            p50 = ys[np.argmax(2 * cw >= W)]
+            p90 = ys[np.argmax(10 * cw >= 9 * W)]
+            out.append((a, int(g["_c"].sum()), W,
+                        p50 / 100.0, p90 / 100.0))
+        return pd.DataFrame(out, columns=[attr, "n", "total_w_us",
+                                          "w_p50", "w_p90"])
+
+    cell_ds = group_apply(ds, cells, num_partitions=num_partitions,
+                          key=key)
+    out = group_apply(cell_ds, per_attr, num_partitions=4,
+                      key=attr).to_pandas()
+    if out.empty:
+        return per_attr(pd.DataFrame())
+    out["n"] = out["n"].astype(np.int64)
+    out["total_w_us"] = out["total_w_us"].astype(np.int64)
+    return out.sort_values(attr).reset_index(drop=True)

@@ -591,3 +591,56 @@ def test_lttb_downsample_bruteforce(ray_session):
         assert rows["rn"].tolist() == want, uid
         assert rows["rn"].iloc[0] == 0 and rows["rn"].iloc[-1] == len(g) - 1
         assert len(rows) == min(len(g), n_out)
+
+
+def test_linear_trend_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import linear_trend_per_key
+
+    ev = _events(seed=139)
+    rng = np.random.default_rng(9)
+    ev["value"] = np.round(rng.random(len(ev)) * 80 - 10, 2)
+    got = linear_trend_per_key(
+        ray.data.from_pandas(ev).repartition(5), num_partitions=3)
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        x = ((t - t[0]) // 1_000_000).astype(np.float64)
+        y = g["value"].to_numpy()
+        sl, ic = np.polyfit(x, y, 1)
+        row = got[got["user_id"] == uid].iloc[0]
+        assert row["n"] == len(g)
+        assert abs(row["slope_per_s"] - sl) < 1e-9 * max(1, abs(sl))
+        assert abs(row["intercept"] - ic) < 1e-6 * max(1, abs(ic))
+
+
+def test_weighted_quantiles_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import weighted_value_quantiles
+
+    ev = _events(seed=149)
+    rng = np.random.default_rng(11)
+    ev["value"] = np.round(rng.random(len(ev)) * 40, 2)
+    got = weighted_value_quantiles(
+        ray.data.from_pandas(ev).repartition(6), num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    t = s["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    u = s["user_id"].to_numpy()
+    same = u[1:] == u[:-1]
+    d = pd.DataFrame({
+        "et": s["event_type"].to_numpy()[:-1][same],
+        "y": np.rint(s["value"].to_numpy()[:-1][same] * 100)
+               .astype(np.int64),
+        "w": (t[1:] - t[:-1])[same],
+    })
+    for _, row in got.iterrows():
+        g = (d[d["et"] == row["event_type"]]
+             .groupby("y", as_index=False)["w"].sum().sort_values("y"))
+        cw = np.cumsum(g["w"].to_numpy())
+        W = cw[-1]
+        assert row["n"] == (d["et"] == row["event_type"]).sum()
+        assert row["total_w_us"] == W
+        assert row["w_p50"] == g["y"].to_numpy()[
+            np.argmax(2 * cw >= W)] / 100.0
+        assert row["w_p90"] == g["y"].to_numpy()[
+            np.argmax(10 * cw >= 9 * W)] / 100.0
+    # weighted median lies within the value domain
+    assert (got["w_p50"] <= got["w_p90"]).all()
