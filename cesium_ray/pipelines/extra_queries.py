@@ -2660,6 +2660,44 @@ FROM per GROUP BY 1
 """
 
 
+def q_canon_dedup(sf_dir):
+    """★-checked canonicalized exact dedup (stages/text.py::
+    canonicalize_text + the O2 hash-partitioned group): documents that
+    collapse to the same casefolded / punctuation-stripped /
+    whitespace-normalized form — the curation-grade sibling of
+    dedup_exact's byte-identity.  lower→regexp_replace→trim oracle
+    (explicit ASCII classes keep re and RE2 byte-identical)."""
+    from ..stages.text import canonicalize_text
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "canon": canonicalize_text(df["text"])})
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("canon", as_index=False).agg(
+            keeper_id=("doc_id", "min"), n_copies=("doc_id", "count"))
+
+    out = group_apply(docs.map_batches(canon, batch_format="pandas"),
+                      fn, num_partitions=8, key="canon").to_pandas()
+    return out.sort_values("keeper_id").reset_index(drop=True)
+
+
+CANON_DEDUP_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+                  '[!-/:-@\[-`{-~]', '', 'g'),
+                  '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS canon
+  FROM documents
+)
+SELECT canon, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM c GROUP BY canon
+"""
+
+
 def q_weighted_quantiles(sf_dir):
     """★-checked duration-weighted quantiles (stages/tsmath.py::
     weighted_value_quantiles): per event type, the value-weighted-by-
@@ -3340,6 +3378,7 @@ EXTRA_QUERIES = {
     "lttb": q_lttb,
     "linear_trend": q_linear_trend,
     "weighted_quantiles": q_weighted_quantiles,
+    "canon_dedup": q_canon_dedup,
     "sliding_dau": q_sliding_dau,
     "edit1_pairs": q_edit1_pairs,
     "rolling_std": q_rolling_std,
@@ -3425,6 +3464,7 @@ EXTRA_ORACLE_SQL = {
     "lttb": LTTB_SQL,
     "linear_trend": LINEAR_TREND_SQL,
     "weighted_quantiles": WEIGHTED_Q_SQL,
+    "canon_dedup": CANON_DEDUP_SQL,
     "sliding_dau": SLIDING_DAU_SQL,
     "edit1_pairs": EDIT1_SQL,
     "rolling_std": ROLLING_STD_SQL,

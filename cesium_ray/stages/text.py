@@ -148,3 +148,20 @@ def language_id(ds: ray.data.Dataset, concurrency=(1, 8), **kw) -> ray.data.Data
 def quality_score(ds: ray.data.Dataset, concurrency=(1, 8), **kw) -> ray.data.Dataset:
     return ds.map_batches(QualityScorer, batch_format="pandas", concurrency=concurrency,
                           fn_constructor_kwargs=kw)
+
+
+_PUNCT_RE = r"[!-/:-@\[-`{-~]"          # ASCII punctuation ranges
+_WS_RE = r"[ \t\n\r\f\v]+"              # explicit ASCII whitespace
+
+
+def canonicalize_text(s: pd.Series) -> pd.Series:
+    """Casefold + strip-punctuation + collapse-whitespace canonical
+    form, the usual key for near-trivial duplicate collapse ("Hello,
+    world!" ≡ "hello   world").  Explicit ASCII classes (not \\w/\\s)
+    keep Python-regex byte-identical to DuckDB/RE2's
+    ``lower → regexp_replace → trim`` twin on ASCII input (same
+    precondition as QualityScorer, documented there)."""
+    return (s.str.lower()
+             .str.replace(_PUNCT_RE, "", regex=True)
+             .str.replace(_WS_RE, " ", regex=True)
+             .str.strip(" "))

@@ -92,3 +92,18 @@ def test_chunk_documents_null_text(ray_session):
     # null doc emits exactly one (null) chunk; others chunk normally
     assert (got.groupby("doc_id").size() == [1, 1, 3]).all()
     assert got.loc[got["doc_id"] == 1, "chunk_text"].isna().all()
+
+
+def test_canonicalize_text_rules():
+    import pandas as pd
+
+    from cesium_ray.stages.text import canonicalize_text
+
+    got = canonicalize_text(pd.Series([
+        "  Hello,   WORLD!!  ",
+        "hello world",
+        "A\tB\nC...",
+        "",
+        "!!!",
+    ])).tolist()
+    assert got == ["hello world", "hello world", "a b c", "", ""]
