@@ -2660,6 +2660,101 @@ FROM per GROUP BY 1
 """
 
 
+def q_interval_join(sf_dir):
+    """★-checked LARGE × LARGE partitioned interval join (stages/
+    joins.py::interval_join_partitioned): user sessions (gap 1800 s)
+    × per-type activity islands (gap 600 s), overlap pairs with exact
+    µs — no broadcast side; both interval sets replicate to 6-hour
+    time buckets, pairs meet in-bucket, and the overlap-start-bucket
+    rule emits each pair exactly once (no post-shuffle distinct).
+    Double-islands inequality-join oracle."""
+    from ..stages.joins import interval_join_partitioned
+    from ..stages.window import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"])
+
+    def to_iv(idx_name):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                df.columns[0]: df.iloc[:, 0].to_numpy(),
+                idx_name: df["session_idx"].astype(np.int64),
+                "s_us": df["session_start"].to_numpy("datetime64[us]")
+                          .astype(np.int64),
+                "e_us": df["session_end"].to_numpy("datetime64[us]")
+                          .astype(np.int64),
+            })
+            return out
+        return fn
+
+    left = sessionize(ev, by="user_id", gap_s=1800, num_partitions=8) \
+        .map_batches(to_iv("session_idx"), batch_format="pandas")
+    right = sessionize(ev, by="event_type", gap_s=600, num_partitions=4) \
+        .map_batches(to_iv("island_idx"), batch_format="pandas")
+    out = interval_join_partitioned(
+        left, right, bucket_s=21600,
+        left_cols=("user_id", "session_idx"),
+        right_cols=("event_type", "island_idx"),
+        num_partitions=8,
+    ).to_pandas()
+    res = pd.DataFrame({
+        "user_id": out["l_user_id"].astype(np.int64),
+        "session_idx": out["l_session_idx"].astype(np.int64),
+        "event_type": out["r_event_type"].to_numpy(),
+        "island_idx": out["r_island_idx"].astype(np.int64),
+        "s_start_us": out["l_s_us"].astype(np.int64),
+        "i_start_us": out["r_s_us"].astype(np.int64),
+        "overlap_us": out["overlap_us"].astype(np.int64),
+    })
+    return (res.sort_values(["user_id", "session_idx", "event_type",
+                             "island_idx"]).reset_index(drop=True))
+
+
+INTERVAL_JOIN_SQL = """
+WITH gl AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sl AS (
+  SELECT user_id,
+    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS session_idx, ts
+  FROM gl),
+pl AS (
+  SELECT user_id, session_idx,
+         min(epoch_us(ts)) AS s_start_us, max(epoch_us(ts)) AS s_end_us
+  FROM sl GROUP BY 1, 2),
+gr AS (
+  SELECT event_type, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('microsecond', lag(ts) OVER w, ts) > 600000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+sr AS (
+  SELECT event_type,
+    CAST(sum(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS island_idx, ts
+  FROM gr),
+pr AS (
+  SELECT event_type, island_idx,
+         min(epoch_us(ts)) AS i_start_us, max(epoch_us(ts)) AS i_end_us
+  FROM sr GROUP BY 1, 2)
+SELECT pl.user_id, pl.session_idx, pr.event_type, pr.island_idx,
+       pl.s_start_us, pr.i_start_us,
+       least(pl.s_end_us, pr.i_end_us)
+         - greatest(pl.s_start_us, pr.i_start_us) AS overlap_us
+FROM pl JOIN pr
+  ON pr.i_start_us <= pl.s_end_us AND pr.i_end_us >= pl.s_start_us
+"""
+
+
 def q_canon_dedup(sf_dir):
     """★-checked canonicalized exact dedup (stages/text.py::
     canonicalize_text + the O2 hash-partitioned group): documents that
@@ -3379,6 +3474,7 @@ EXTRA_QUERIES = {
     "linear_trend": q_linear_trend,
     "weighted_quantiles": q_weighted_quantiles,
     "canon_dedup": q_canon_dedup,
+    "interval_join": q_interval_join,
     "sliding_dau": q_sliding_dau,
     "edit1_pairs": q_edit1_pairs,
     "rolling_std": q_rolling_std,
@@ -3465,6 +3561,7 @@ EXTRA_ORACLE_SQL = {
     "linear_trend": LINEAR_TREND_SQL,
     "weighted_quantiles": WEIGHTED_Q_SQL,
     "canon_dedup": CANON_DEDUP_SQL,
+    "interval_join": INTERVAL_JOIN_SQL,
     "sliding_dau": SLIDING_DAU_SQL,
     "edit1_pairs": EDIT1_SQL,
     "rolling_std": ROLLING_STD_SQL,

@@ -340,3 +340,138 @@ def broadcast_anti_join(
         return tbl.filter(pa.array(~(s[pos] == v)))
 
     return big.map_batches(drop_members, batch_format="pyarrow")
+
+
+def interval_join_partitioned(
+    left_df_ds,
+    right_df_ds,
+    bucket_s: int = 21600,
+    left_cols: tuple = ("user_id", "session_idx"),
+    right_cols: tuple = ("event_type",),
+    left_start: str = "s_us",
+    left_end: str = "e_us",
+    right_start: str = "s_us",
+    right_end: str = "e_us",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Partitioned interval-overlap join for TWO LARGE interval sets
+    (the scale path; ``interval_overlap_broadcast`` handles the
+    dimension-sized case).  Classic time-bucket replication: each
+    interval is replicated to every ``bucket_s``-wide bucket it
+    touches, buckets are hash-exchanged, and candidate pairs meet
+    inside their bucket.  A pair overlapping several shared buckets is
+    emitted EXACTLY ONCE by the dedupe rule: only the bucket
+    containing the overlap's start (``max(start_l, start_r)``) emits
+    it — no post-shuffle distinct needed.
+
+    Shuffle volume = Σ ceil(len/bucket) per interval; pick bucket_s
+    near the typical interval length.  Per bucket the kernel is the
+    same start-sorted stabbing refinement as the broadcast path —
+    O(n log n + hits), no dense matrix."""
+    span = np.int64(bucket_s) * 1_000_000
+
+    def replicate(side: int, start_col, end_col, carry):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({
+                    "_bucket": pd.Series(dtype="int64"),
+                    "_side": pd.Series(dtype="int8"),
+                    "_s": pd.Series(dtype="int64"),
+                    "_e": pd.Series(dtype="int64"),
+                    **{f"c{i}": pd.Series(dtype=object)
+                       for i in range(len(carry))}})
+            s = _as_int_us(df[start_col].to_numpy())
+            e = _as_int_us(df[end_col].to_numpy())
+            b0 = s // span
+            b1 = e // span
+            cnt = (b1 - b0 + 1).astype(np.int64)
+            ri = np.repeat(np.arange(len(df)), cnt)
+            offs = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt,
+                                                    cnt)
+            out = {"_bucket": (b0[ri] + offs).astype(np.int64),
+                   "_side": np.full(cnt.sum(), side, dtype=np.int8),
+                   "_s": s[ri], "_e": e[ri]}
+            # carries ride as strings: the two sides' carry columns
+            # share union slots (c0, c1, …) and must agree on Arrow
+            # type; callers cast ids back after the join
+            for i, c in enumerate(carry):
+                out[f"c{i}"] = df[c].astype(str).to_numpy()[ri]
+            return pd.DataFrame(out)
+        return fn
+
+    lrep = left_df_ds.map_batches(
+        replicate(0, left_start, left_end, left_cols),
+        batch_format="pandas")
+    rrep = right_df_ds.map_batches(
+        replicate(1, right_start, right_end, right_cols),
+        batch_format="pandas")
+    # pad the narrower side so the union schema is stable
+    ncl, ncr = len(left_cols), len(right_cols)
+    width = max(ncl, ncr)
+
+    def pad(n_have):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            for i in range(n_have, width):
+                df[f"c{i}"] = ""  # keep the union slot's Arrow type
+            return df
+        return fn
+
+    both = lrep.map_batches(pad(ncl), batch_format="pandas").union(
+        rrep.map_batches(pad(ncr), batch_format="pandas"))
+
+    out_cols = ([f"l_{c}" for c in left_cols]
+                + [f"r_{c}" for c in right_cols])
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            **{c: pd.Series(dtype=object) for c in out_cols},
+            "l_s_us": pd.Series(dtype="int64"),
+            "r_s_us": pd.Series(dtype="int64"),
+            "overlap_us": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        frames = []
+        for bkt, g in df.groupby("_bucket", sort=False):
+            L = g[g["_side"] == 0]
+            R = g[g["_side"] == 1]
+            if not len(L) or not len(R):
+                continue
+            rs = R["_s"].to_numpy(np.int64)
+            re_ = R["_e"].to_numpy(np.int64)
+            order = np.argsort(rs, kind="stable")
+            rs, re_ = rs[order], re_[order]
+            Ri = R.index.to_numpy()[order]
+            max_len = np.int64((re_ - rs).max())
+            ls = L["_s"].to_numpy(np.int64)
+            le = L["_e"].to_numpy(np.int64)
+            lo = np.searchsorted(rs, ls - max_len, side="left")
+            hi = np.searchsorted(rs, le, side="right")
+            cnt = np.maximum(hi - lo, 0)
+            li = np.repeat(np.arange(len(L)), cnt)
+            offs = np.arange(cnt.sum()) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt)
+            wi = np.repeat(lo, cnt) + offs
+            keep = re_[wi] >= ls[li]
+            li, wi = li[keep], wi[keep]
+            # dedupe: emit only in the bucket holding the overlap start
+            ostart = np.maximum(ls[li], rs[wi])
+            own = (ostart // span) == bkt
+            li, wi = li[own], wi[own]
+            if not len(li):
+                continue
+            rec = {}
+            for i, c in enumerate(left_cols):
+                rec[f"l_{c}"] = L[f"c{i}"].to_numpy()[li]
+            rsel = R.loc[Ri[wi]]
+            for i, c in enumerate(right_cols):
+                rec[f"r_{c}"] = rsel[f"c{i}"].to_numpy()
+            rec["l_s_us"] = ls[li]
+            rec["r_s_us"] = rs[wi]
+            rec["overlap_us"] = (np.minimum(le[li], re_[wi])
+                                 - np.maximum(ls[li], rs[wi]))
+            frames.append(pd.DataFrame(rec))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    from .partition import group_apply
+    return group_apply(both, join_bucket,
+                       num_partitions=num_partitions, key="_bucket")

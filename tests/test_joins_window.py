@@ -329,3 +329,47 @@ def test_interval_overlap_bruteforce(ray_session):
     assert got["tag_w"].tolist() == want["tag"].tolist()
     assert got["overlap_us"].tolist() == want["ov"].tolist()
     assert (got["overlap_us"] >= 0).all()
+
+
+def test_interval_join_partitioned_bruteforce(ray_session):
+    """Large×large bucketed interval join vs an O(n·m) loop: pairs
+    spanning multiple shared buckets must appear exactly once (the
+    overlap-start-bucket dedupe rule), overlap_us exact."""
+    from cesium_ray.stages.joins import interval_join_partitioned
+
+    rng = np.random.default_rng(17)
+    bucket_s = 3600
+    span_us = 50 * 3600 * 10**6
+    nl, nr = 300, 200
+    ls = rng.integers(0, span_us, nl)
+    le = ls + rng.integers(0, 8 * 3600 * 10**6, nl)  # up to 8 buckets
+    rs = rng.integers(0, span_us, nr)
+    re_ = rs + rng.integers(0, 5 * 3600 * 10**6, nr)
+    left = pd.DataFrame({"lid": np.arange(nl, dtype=np.int64),
+                         "grp": np.zeros(nl, dtype=np.int64),
+                         "s_us": ls, "e_us": le})
+    right = pd.DataFrame({"rid": np.arange(nr, dtype=np.int64),
+                          "tag": np.ones(nr, dtype=np.int64),
+                          "s_us": rs, "e_us": re_})
+    got = interval_join_partitioned(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(3),
+        bucket_s=bucket_s,
+        left_cols=("lid", "grp"), right_cols=("rid", "tag"),
+        num_partitions=6,
+    ).to_pandas()
+    got["l_lid"] = got["l_lid"].astype(np.int64)
+    got["r_rid"] = got["r_rid"].astype(np.int64)
+    got = got.sort_values(["l_lid", "r_rid"]).reset_index(drop=True)
+    rows = []
+    for i in range(nl):
+        for j in range(nr):
+            if rs[j] <= le[i] and re_[j] >= ls[i]:
+                rows.append((i, j, min(le[i], re_[j]) - max(ls[i], rs[j])))
+    want = pd.DataFrame(rows, columns=["lid", "rid", "ov"]) \
+        .sort_values(["lid", "rid"]).reset_index(drop=True)
+    assert len(got) == len(want), (len(got), len(want))
+    assert not got.duplicated(["l_lid", "r_rid"]).any(), "pair dupes"
+    assert got["l_lid"].tolist() == want["lid"].tolist()
+    assert got["r_rid"].tolist() == want["rid"].tolist()
+    assert got["overlap_us"].tolist() == want["ov"].tolist()
