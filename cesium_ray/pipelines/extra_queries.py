@@ -2660,6 +2660,42 @@ FROM per GROUP BY 1
 """
 
 
+def q_lateness(sf_dir):
+    """★-checked out-of-order arrival report (stages/analytics.py::
+    lateness_report): per user, events replayed in event_id (arrival)
+    order, flagged when event time falls strictly below the running
+    event-time max — the watermark-sizing diagnostic for streaming
+    ingest.  Conditional-window-max oracle; counts exact int64, the
+    fraction a mirrored round-6 division."""
+    from ..stages.analytics import lateness_report
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+    return round6(lateness_report(ev, num_partitions=8))
+
+
+LATENESS_SQL = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM events
+),
+f AS (
+  SELECT user_id,
+         CASE WHEN mx IS NOT NULL AND t < mx THEN 1 ELSE 0 END AS late,
+         CASE WHEN mx IS NOT NULL AND t < mx THEN mx - t ELSE 0 END
+           AS lateness
+  FROM o
+)
+SELECT user_id, count(*) AS n,
+       CAST(sum(late) AS BIGINT) AS n_late,
+       CAST(max(lateness) AS BIGINT) AS max_late_us,
+       round(CAST(sum(late) AS DOUBLE) / count(*), 6) AS frac_late
+FROM f GROUP BY 1
+"""
+
+
 def q_interval_join(sf_dir):
     """★-checked LARGE × LARGE partitioned interval join (stages/
     joins.py::interval_join_partitioned): user sessions (gap 1800 s)
@@ -3475,6 +3511,7 @@ EXTRA_QUERIES = {
     "weighted_quantiles": q_weighted_quantiles,
     "canon_dedup": q_canon_dedup,
     "interval_join": q_interval_join,
+    "lateness": q_lateness,
     "sliding_dau": q_sliding_dau,
     "edit1_pairs": q_edit1_pairs,
     "rolling_std": q_rolling_std,
@@ -3562,6 +3599,7 @@ EXTRA_ORACLE_SQL = {
     "weighted_quantiles": WEIGHTED_Q_SQL,
     "canon_dedup": CANON_DEDUP_SQL,
     "interval_join": INTERVAL_JOIN_SQL,
+    "lateness": LATENESS_SQL,
     "sliding_dau": SLIDING_DAU_SQL,
     "edit1_pairs": EDIT1_SQL,
     "rolling_std": ROLLING_STD_SQL,

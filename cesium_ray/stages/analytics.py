@@ -565,3 +565,64 @@ def sequence_pattern_count(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def lateness_report(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Out-of-order arrival diagnostics (the watermark-sizing input
+    for any event-time streaming consumer): replay each key's events
+    in ARRIVAL order (``arrival_col``) and flag rows whose event time
+    is strictly below the running event-time maximum; report per key
+    the late count, worst lateness (µs), and late fraction.
+
+    One key-hash exchange; the per-key running max is one global
+    ``maximum.accumulate`` over key-offset time values (each key's
+    values live in a disjoint band, so the cummax resets at key
+    boundaries without a loop)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "n_late": pd.Series(dtype="int64"),
+                "max_late_us": pd.Series(dtype="int64"),
+                "frac_late": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, _ = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        arr = df[arrival_col].to_numpy(np.int64)
+        perm = np.lexsort((arr, kc))
+        k, t = kc[perm], tus[perm]
+        tn = t - t.min()
+        band = np.int64(tn.max()) + 1 if len(tn) else np.int64(1)
+        if (np.int64(k.max()) + 1) * band >= np.iinfo(np.int64).max // 2:
+            raise OverflowError("lateness band overflow — shrink "
+                                "partition key-count or time span")
+        shifted = tn + k.astype(np.int64) * band
+        run = np.maximum.accumulate(shifted)
+        prev = np.r_[np.int64(-1), run[:-1]]
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        late = (~new_key) & (shifted < prev)
+        lateness = np.where(late, prev - shifted, 0)
+        gid = np.cumsum(new_key) - 1
+        ng = int(gid[-1]) + 1
+        n = np.bincount(gid, minlength=ng).astype(np.int64)
+        nl = np.bincount(gid, weights=late, minlength=ng).astype(np.int64)
+        ml = np.zeros(ng, dtype=np.int64)
+        np.maximum.at(ml, gid, lateness)
+        return pd.DataFrame({
+            key: df[key].to_numpy()[perm][new_key],
+            "n": n, "n_late": nl, "max_late_us": ml,
+            "frac_late": nl.astype(np.float64) / n.astype(np.float64),
+        })
+
+    out = group_apply(ds, fn, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return fn(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

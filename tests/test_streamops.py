@@ -644,3 +644,22 @@ def test_weighted_quantiles_bruteforce(ray_session):
             np.argmax(10 * cw >= 9 * W)] / 100.0
     # weighted median lies within the value domain
     assert (got["w_p50"] <= got["w_p90"]).all()
+
+
+def test_lateness_report_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import lateness_report
+
+    ev = _events(seed=151)  # event_id = arrival order; ts random -> late
+    got = lateness_report(ray.data.from_pandas(ev).repartition(6),
+                          num_partitions=4)
+    for uid, g in ev.sort_values("event_id").groupby("user_id"):
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        mx = np.maximum.accumulate(t)
+        prev = np.r_[np.int64(-1), mx[:-1]]
+        late = np.r_[False, t[1:] < prev[1:]]
+        row = got[got["user_id"] == uid].iloc[0]
+        assert row["n"] == len(t)
+        assert row["n_late"] == int(late.sum())
+        worst = int((prev - t)[late].max()) if late.any() else 0
+        assert row["max_late_us"] == worst
+    assert got["n_late"].sum() > 0  # random ts vs arange arrival: late exists
