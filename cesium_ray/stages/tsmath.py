@@ -878,7 +878,8 @@ def weighted_value_quantiles(
             return pd.DataFrame(cols)
         out = []
         for a, g in df.groupby(attr):
-            g = g.groupby("y", as_index=False).sum().sort_values("y")
+            g = (g[["y", "_w", "_c"]].groupby("y", as_index=False)
+                 .sum().sort_values("y"))
             wts = g["_w"].to_numpy(np.int64)
             ys = g["y"].to_numpy(np.int64)
             cw = np.cumsum(wts)
