@@ -43,11 +43,6 @@ def _compact_dir(part_dir: str, target_bytes: int) -> dict:
               "bytes": int(sum(sizes)), "compacted": False}
     if len(files) <= 1 or all(s >= target_bytes for s in sizes):
         return report
-    tables = [pq.read_table(f) for f in files]
-    total = sum(sizes)
-    n_out = max(1, (total + target_bytes - 1) // target_bytes)
-    merged = pa.concat_tables(tables)
-    rows_per = (merged.num_rows + n_out - 1) // n_out
     parent = os.path.dirname(part_dir.rstrip("/"))
     tmp = tempfile.mkdtemp(dir=parent, prefix=".tmp-compact-")
     try:
@@ -56,11 +51,29 @@ def _compact_dir(part_dir: str, target_bytes: int) -> dict:
         for extra in keep:  # sidecar files (manifests) ride along
             shutil.copy2(os.path.join(part_dir, extra),
                          os.path.join(tmp, extra))
+        # stream file-by-file: buffer tables until the on-disk sizes
+        # reach the target, then flush one output file — peak memory
+        # is one output group + one input file, never the whole dir
         n_written = 0
-        for i in range(0, merged.num_rows, rows_per):
-            pq.write_table(merged.slice(i, rows_per),
-                           os.path.join(tmp, f"part-{n_written:05d}.parquet"))
+        buf: list = []
+        buf_bytes = 0
+
+        def flush():
+            nonlocal n_written, buf, buf_bytes
+            if not buf:
+                return
+            pq.write_table(
+                pa.concat_tables(buf),
+                os.path.join(tmp, f"part-{n_written:05d}.parquet"))
             n_written += 1
+            buf, buf_bytes = [], 0
+
+        for f, sz in zip(files, sizes):
+            buf.append(pq.read_table(f))
+            buf_bytes += sz
+            if buf_bytes >= target_bytes:
+                flush()
+        flush()
         old = part_dir.rstrip("/") + ".old"
         os.replace(part_dir, old)
         os.replace(tmp, part_dir)
