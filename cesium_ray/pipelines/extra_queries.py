@@ -2660,6 +2660,44 @@ FROM per GROUP BY 1
 """
 
 
+def q_table_profile(sf_dir):
+    """★-checked ANALYZE-style column profiler (stages/analytics.py::
+    profile_columns): per column of events — row count, null count,
+    EXACT distinct count, numeric/time min-max.  Counts and extrema
+    are map-side cells (no shuffle); the exact distinct runs one
+    distinct-cell exchange per column.  Per-column UNION oracle."""
+    from ..stages.analytics import profile_columns
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value", "ts"])
+    return profile_columns(ev, {"user_id": "num", "event_type": "str",
+                                "value": "num", "ts": "time"})
+
+
+TABLE_PROFILE_SQL = """
+SELECT 'event_type' AS col_name, count(*) AS n,
+       count(*) - count(event_type) AS n_null,
+       count(DISTINCT event_type) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v
+FROM events
+UNION ALL
+SELECT 'ts', count(*), count(*) - count(ts), count(DISTINCT ts),
+       CAST(min(epoch_us(ts)) AS DOUBLE), CAST(max(epoch_us(ts)) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       count(DISTINCT user_id),
+       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value),
+       count(DISTINCT value),
+       min(value), max(value)
+FROM events
+"""
+
+
 def q_lateness(sf_dir):
     """★-checked out-of-order arrival report (stages/analytics.py::
     lateness_report): per user, events replayed in event_id (arrival)
@@ -3512,6 +3550,7 @@ EXTRA_QUERIES = {
     "canon_dedup": q_canon_dedup,
     "interval_join": q_interval_join,
     "lateness": q_lateness,
+    "table_profile": q_table_profile,
     "sliding_dau": q_sliding_dau,
     "edit1_pairs": q_edit1_pairs,
     "rolling_std": q_rolling_std,
@@ -3600,6 +3639,7 @@ EXTRA_ORACLE_SQL = {
     "canon_dedup": CANON_DEDUP_SQL,
     "interval_join": INTERVAL_JOIN_SQL,
     "lateness": LATENESS_SQL,
+    "table_profile": TABLE_PROFILE_SQL,
     "sliding_dau": SLIDING_DAU_SQL,
     "edit1_pairs": EDIT1_SQL,
     "rolling_std": ROLLING_STD_SQL,

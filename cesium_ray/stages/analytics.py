@@ -627,3 +627,70 @@ def lateness_report(
     if out.empty:
         return fn(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def profile_columns(
+    ds: ray.data.Dataset,
+    columns: dict,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """ANALYZE-style table profile: one output row per column with
+    row count, null count, EXACT distinct count, and numeric min/max
+    (NaN for non-numeric columns) — the data-quality / planner-stats
+    pass a 100-TB ingest runs before anything else.
+
+    ``columns`` maps column name → kind (``"num"`` | ``"time"`` |
+    ``"str"``); time columns report min/max as epoch-µs doubles.
+
+    Scale shape: counts and min/max come from map-side per-block
+    cells (no shuffle); the exact distinct count runs one
+    distinct-cell exchange PER COLUMN carrying already-deduplicated
+    block-level values — traffic bounded by block-distinct values of
+    that single column, the daily_active pattern applied per
+    column."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c, kind in columns.items():
+            v = df[c]
+            nn = int(v.isna().sum())
+            if kind == "time":
+                x = v.dropna().to_numpy("datetime64[us]").astype(np.int64)
+            elif kind == "num":
+                x = v.dropna().to_numpy(np.float64)
+            else:
+                x = None
+            rows.append((c, len(v), nn,
+                         float(x.min()) if x is not None and len(x)
+                         else np.nan,
+                         float(x.max()) if x is not None and len(x)
+                         else np.nan))
+        return pd.DataFrame(rows, columns=["col_name", "_n", "_nn",
+                                           "_mn", "_mx"])
+
+    cells = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = cells.groupby("col_name", as_index=False).agg(
+        n=("_n", "sum"), n_null=("_nn", "sum"),
+        min_v=("_mn", "min"), max_v=("_mx", "max"))
+
+    distinct = {}
+    for c, kind in columns.items():
+        col = ds.select_columns([c])
+
+        def uniq(df: pd.DataFrame, c=c) -> pd.DataFrame:
+            u = df[c].dropna().unique()
+            return pd.DataFrame({c: u})
+
+        dcells = col.map_batches(uniq, batch_format="pandas")
+        n_dist = group_apply(
+            dcells,
+            lambda df, c=c: pd.DataFrame(
+                {"d": [df[c].nunique()]}).astype(np.int64),
+            num_partitions=num_partitions, key=c,
+        ).to_pandas()["d"].sum()
+        distinct[c] = int(n_dist)
+    agg["n_distinct"] = agg["col_name"].map(distinct).astype(np.int64)
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["n_null"] = agg["n_null"].astype(np.int64)
+    return (agg[["col_name", "n", "n_null", "n_distinct", "min_v", "max_v"]]
+            .sort_values("col_name").reset_index(drop=True))

@@ -663,3 +663,30 @@ def test_lateness_report_bruteforce(ray_session):
         worst = int((prev - t)[late].max()) if late.any() else 0
         assert row["max_late_us"] == worst
     assert got["n_late"].sum() > 0  # random ts vs arange arrival: late exists
+
+
+def test_profile_columns_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import profile_columns
+
+    ev = _events(seed=157)
+    rng = np.random.default_rng(13)
+    ev["value"] = np.where(rng.random(len(ev)) < 0.07, np.nan,
+                           np.round(rng.random(len(ev)) * 50, 2))
+    got = profile_columns(
+        ray.data.from_pandas(ev).repartition(6),
+        {"user_id": "num", "event_type": "str",
+         "value": "num", "ts": "time"},
+        num_partitions=4)
+    got = got.set_index("col_name")
+    assert (got["n"] == len(ev)).all()
+    assert got.loc["value", "n_null"] == int(ev["value"].isna().sum())
+    assert got.loc["event_type", "n_null"] == 0
+    assert got.loc["user_id", "n_distinct"] == ev["user_id"].nunique()
+    assert got.loc["value", "n_distinct"] == ev["value"].nunique()
+    assert got.loc["event_type", "n_distinct"] == 4
+    assert got.loc["value", "min_v"] == np.nanmin(ev["value"])
+    assert got.loc["value", "max_v"] == np.nanmax(ev["value"])
+    t = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    assert got.loc["ts", "min_v"] == float(t.min())
+    assert got.loc["ts", "max_v"] == float(t.max())
+    assert np.isnan(got.loc["event_type", "min_v"])
