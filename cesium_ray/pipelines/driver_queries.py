@@ -742,8 +742,15 @@ def q_hot_key_sample(sf_dir):
              .groupby("user_id", as_index=False).size())
         return g.rename(columns={"size": "cnt"})
 
-    counts = (ev.map_batches(partial, batch_format="pandas").to_pandas()
-              .groupby("user_id", as_index=False)["cnt"].sum())
+    cells = ev.map_batches(partial, batch_format="pandas")
+    # per-block partials reduce through the keyed exchange (README's
+    # no-block-proportional-driver-pulls invariant): the driver
+    # receives one row per sampled user, never blocks × users
+    counts = group_apply(
+        cells,
+        lambda df: df.groupby("user_id", as_index=False)["cnt"].sum(),
+        num_partitions=8, key="user_id",
+    ).to_pandas()
     total = counts.cnt.sum()
     counts["cnt"] = counts["cnt"].astype(np.int64)
     counts["share"] = counts.cnt / total
@@ -1019,8 +1026,13 @@ def q_range_join_busy(sf_dir):
         g = pd.DataFrame({"m": m}).groupby("m", as_index=False).size()
         return g.rename(columns={"size": "c"})
 
-    partial = ev.map_batches(minute_counts, batch_format="pandas").to_pandas()
-    mc = partial.groupby("m", as_index=False)["c"].sum()
+    # per-block minute partials reduce through an m-keyed exchange
+    # before the driver top-k (no block-proportional driver pulls)
+    mc = group_apply(
+        ev.map_batches(minute_counts, batch_format="pandas"),
+        lambda df: df.groupby("m", as_index=False)["c"].sum(),
+        num_partitions=4, key="m",
+    ).to_pandas()
     top = mc.sort_values(["c", "m"], ascending=[False, True],
                          kind="mergesort").head(20)
     iv = pd.DataFrame({

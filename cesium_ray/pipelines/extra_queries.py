@@ -975,38 +975,43 @@ FROM k GROUP BY user_id
 """
 
 
+def _encode_user_images(df: pd.DataFrame, encoder) -> pa.Table:
+    """Shared pixel synthesis for the image-modality queries (PPM and
+    PNG validate against the SAME IMAGE_SQL oracle, so the mapping
+    lives in exactly one place): each user's first ⌊n/64⌋·64 event
+    values (event_id order) become a 64-wide RGB image with
+    r = k mod 256, g = ⌊k/256⌋ mod 256, b = (r+g) mod 256,
+    k = round(value·100)."""
+    uids, payloads = [], []
+    for uid, g in df.sort_values(["user_id", "event_id"],
+                                 kind="mergesort").groupby("user_id"):
+        k = np.rint(g["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        h = len(k) // 64
+        if h == 0:
+            continue
+        k = k[:h * 64]
+        r = (k % 256).astype(np.uint8)
+        gg = ((k // 256) % 256).astype(np.uint8)
+        b = ((r.astype(np.int64) + gg) % 256).astype(np.uint8)
+        img = np.stack([r, gg, b], axis=1).reshape(h, 64, 3)
+        uids.append(int(uid))
+        payloads.append(encoder(img))
+    return pa.table({"user_id": pa.array(uids, pa.int64()),
+                     "payload": pa.array(payloads, pa.binary())})
+
+
 def q_image_features(sf_dir):
-    """★-checked REAL image modality: each user's first ⌊n/64⌋·64
-    event values (event_id order) become a 64-wide P6 PPM image
-    (r = k mod 256, g = ⌊k/256⌋ mod 256, b = (r+g) mod 256 with
-    k = round(value·100)); the actor-pool decode stage parses the real
-    PPM header + raw RGB bytes and emits exact per-channel means the
-    oracle recomputes from the source rows."""
+    """★-checked REAL image modality: per-user pixel synthesis
+    (_encode_user_images) → P6 PPM payloads; the actor-pool decode
+    stage parses the real PPM header + raw RGB bytes and emits exact
+    per-channel means the oracle recomputes from the source rows."""
     from ..stages.multimodal import encode_ppm, ppm_features
 
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
     )
-
-    def to_ppm(df: pd.DataFrame) -> pa.Table:
-        uids, payloads = [], []
-        for uid, g in df.sort_values(["user_id", "event_id"],
-                                     kind="mergesort").groupby("user_id"):
-            k = np.rint(g["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
-            h = len(k) // 64
-            if h == 0:
-                continue
-            k = k[:h * 64]
-            r = (k % 256).astype(np.uint8)
-            gg = ((k // 256) % 256).astype(np.uint8)
-            b = ((r.astype(np.int64) + gg) % 256).astype(np.uint8)
-            img = np.stack([r, gg, b], axis=1).reshape(h, 64, 3)
-            uids.append(int(uid))
-            payloads.append(encode_ppm(img))
-        return pa.table({"user_id": pa.array(uids, pa.int64()),
-                         "payload": pa.array(payloads, pa.binary())})
-
-    ppms = group_apply(ev, to_ppm, num_partitions=8, key="user_id")
+    ppms = group_apply(ev, lambda df: _encode_user_images(df, encode_ppm),
+                       num_partitions=8, key="user_id")
     out = ppm_features(ppms, batch_size=16).to_pandas()
     return round6(out.sort_values("user_id").reset_index(drop=True))
 
@@ -1023,26 +1028,11 @@ def q_png_decode(sf_dir):
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
     )
-
-    def to_png(df: pd.DataFrame) -> pa.Table:
-        uids, payloads = [], []
-        for uid, g in df.sort_values(["user_id", "event_id"],
-                                     kind="mergesort").groupby("user_id"):
-            k = np.rint(g["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
-            h = len(k) // 64
-            if h == 0:
-                continue
-            k = k[:h * 64]
-            r = (k % 256).astype(np.uint8)
-            gg = ((k // 256) % 256).astype(np.uint8)
-            b = ((r.astype(np.int64) + gg) % 256).astype(np.uint8)
-            img = np.stack([r, gg, b], axis=1).reshape(h, 64, 3)
-            uids.append(int(uid))
-            payloads.append(encode_png(img, filter_type="cycle"))
-        return pa.table({"user_id": pa.array(uids, pa.int64()),
-                         "payload": pa.array(payloads, pa.binary())})
-
-    pngs = group_apply(ev, to_png, num_partitions=8, key="user_id")
+    pngs = group_apply(
+        ev,
+        lambda df: _encode_user_images(
+            df, lambda img: encode_png(img, filter_type="cycle")),
+        num_partitions=8, key="user_id")
     out = png_features(pngs, batch_size=16).to_pandas()
     return round6(out.sort_values("user_id").reset_index(drop=True))
 
@@ -2846,7 +2836,9 @@ def q_canon_dedup(sf_dir):
                              "canon": canonicalize_text(df["text"])})
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("canon", as_index=False).agg(
+        # dropna=False: null-text docs form one canon=NULL group,
+        # matching SQL GROUP BY (pandas would silently drop them)
+        return df.groupby("canon", as_index=False, dropna=False).agg(
             keeper_id=("doc_id", "min"), n_copies=("doc_id", "count"))
 
     out = group_apply(docs.map_batches(canon, batch_format="pandas"),
@@ -2986,7 +2978,7 @@ base AS (
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) - 1 AS rn,
          count(*) OVER (PARTITION BY user_id) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 small AS (SELECT user_id, rn, x, y FROM base WHERE n <= 10),
 big AS (SELECT * FROM base WHERE n > 10),
@@ -3165,8 +3157,13 @@ def q_session_overlap(sf_dir):
         g = pd.DataFrame({"m": m}).groupby("m", as_index=False).size()
         return g.rename(columns={"size": "c"})
 
-    partial = ev.map_batches(minute_counts, batch_format="pandas").to_pandas()
-    mc = partial.groupby("m", as_index=False)["c"].sum()
+    # per-block minute partials reduce through an m-keyed exchange
+    # (README invariant): the driver receives ≤ distinct-minutes rows
+    mc = group_apply(
+        ev.map_batches(minute_counts, batch_format="pandas"),
+        lambda df: df.groupby("m", as_index=False)["c"].sum(),
+        num_partitions=4, key="m",
+    ).to_pandas()
     top = mc.sort_values(["c", "m"], ascending=[False, True],
                          kind="mergesort").head(20)
     iv = pd.DataFrame({

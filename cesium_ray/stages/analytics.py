@@ -493,13 +493,20 @@ def share_of_bucket(
              .groupby([attr, "bucket_us"], as_index=False).size())
         return g.rename(columns={"size": "cnt"})
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # per-block partials reduce through a keyed exchange first: the
+    # driver receives ≤ attrs × buckets final cells, never blocks × cells
+    parts = group_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        lambda df: df.groupby([attr, "bucket_us"],
+                              as_index=False)["cnt"].sum(),
+        num_partitions=4, key=attr,
+    ).to_pandas()
     if parts.empty:
         return pd.DataFrame({attr: pd.Series(dtype=object),
                              "bucket_us": pd.Series(dtype="int64"),
                              "cnt": pd.Series(dtype="int64"),
                              "share": pd.Series(dtype="float64")})
-    cells = parts.groupby([attr, "bucket_us"], as_index=False)["cnt"].sum()
+    cells = parts
     tot = cells.groupby("bucket_us")["cnt"].transform("sum")
     cells["cnt"] = cells["cnt"].astype(np.int64)
     cells["share"] = cells["cnt"].to_numpy(np.float64) \
@@ -525,9 +532,13 @@ def sequence_pattern_count(
 
     Use backtrack-free patterns (character classes + */+, no
     alternation) so Python-re and RE2/DuckDB agree on match spans.
-    One key-hash exchange; char encoding and sorting are vectorized,
-    the per-KEY loop (bytes slice + compiled findall) is bounded by
-    keys, never events."""
+    Attr first characters must be ASCII (same documented precondition
+    as canonicalize_text; a non-ASCII value raises rather than
+    corrupting); EMPTY attr values contribute nothing to the sequence
+    — exactly SQL's ``string_agg('' …)``.  One key-hash exchange;
+    char encoding and sorting are vectorized, the per-KEY loop
+    (bytes slice + compiled findall) is bounded by keys, never
+    events."""
     import re
 
     rx = re.compile(pattern)
@@ -537,11 +548,22 @@ def sequence_pattern_count(
             return pd.DataFrame({key: pd.Series(dtype="int64"),
                                  "seq_len": pd.Series(dtype="int64"),
                                  "n_matches": pd.Series(dtype="int64")})
+        nonempty = df[attr].astype(str).str.len() > 0
+        df = df[nonempty] if not nonempty.all() else df
+        if not len(df):
+            return pd.DataFrame({key: pd.Series(dtype="int64"),
+                                 "seq_len": pd.Series(dtype="int64"),
+                                 "n_matches": pd.Series(dtype="int64")})
         kc, kuniq = pd.factorize(df[key])
         ac, auniq = pd.factorize(df[attr])
-        first_char = np.frombuffer(
-            "".join(str(v)[0] for v in auniq).encode("ascii"),
-            dtype=np.uint8)
+        heads = "".join(str(v)[0] for v in auniq)
+        try:
+            encoded = heads.encode("ascii")
+        except UnicodeEncodeError as e:
+            raise ValueError(
+                "sequence_pattern_count needs ASCII attr first "
+                f"characters (got {heads!r})") from e
+        first_char = np.frombuffer(encoded, dtype=np.uint8)
         tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
         oid = df[order_col].to_numpy(np.int64)
         perm = np.lexsort((oid, tus, kc))
@@ -600,7 +622,9 @@ def lateness_report(
         k, t = kc[perm], tus[perm]
         tn = t - t.min()
         band = np.int64(tn.max()) + 1 if len(tn) else np.int64(1)
-        if (np.int64(k.max()) + 1) * band >= np.iinfo(np.int64).max // 2:
+        # guard in PYTHON ints — an int64 product here would itself
+        # wrap and wave the oversized input through
+        if (int(k.max()) + 1) * int(band) >= 2**62:
             raise OverflowError("lateness band overflow — shrink "
                                 "partition key-count or time span")
         shifted = tn + k.astype(np.int64) * band
@@ -668,7 +692,15 @@ def profile_columns(
         return pd.DataFrame(rows, columns=["col_name", "_n", "_nn",
                                            "_mn", "_mx"])
 
-    cells = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # per-block cells reduce through a col_name-keyed exchange: the
+    # driver receives one row per column, never blocks × columns
+    cells = group_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        lambda df: df.groupby("col_name", as_index=False).agg(
+            _n=("_n", "sum"), _nn=("_nn", "sum"),
+            _mn=("_mn", "min"), _mx=("_mx", "max")),
+        num_partitions=2, key="col_name",
+    ).to_pandas()
     agg = cells.groupby("col_name", as_index=False).agg(
         n=("_n", "sum"), n_null=("_nn", "sum"),
         min_v=("_mn", "min"), max_v=("_mx", "max"))

@@ -702,6 +702,14 @@ def lttb_downsample(
                               "k": pd.Series(dtype="int64")})
         if not len(df):
             return empty
+        # null values carry no shape: drop BEFORE rn assignment
+        # (mirror: WHERE value IS NOT NULL) — an unfiltered NaN would
+        # rint→INT64_MIN and hijack every bucket's area argmax
+        ok = ~np.isnan(df[val_col].to_numpy(np.float64))
+        if not ok.all():
+            df = df[ok]
+            if not len(df):
+                return empty
         kc, kuniq = pd.factorize(df[key])
         tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
         kv = np.rint(df[val_col].to_numpy(np.float64) * 100.0).astype(np.int64)
@@ -798,6 +806,18 @@ def linear_trend_per_key(
         sy = np.add.reduceat(k, starts)
         sxy = np.add.reduceat(x * k, starts)
         sxx = np.add.reduceat(x * x, starts)
+        # int64 products wrap silently past 2^63 — guard in Python
+        # ints (the SQL twin would raise a DuckDB overflow instead)
+        bound = max(
+            (int(n.max()) * int(np.abs(sxy).max()) if len(n) else 0),
+            (int(np.abs(sx).max()) * int(np.abs(sy).max()) if len(n) else 0),
+            (int(n.max()) * int(sxx.max()) if len(n) else 0),
+            (int(np.abs(sx).max()) ** 2 if len(n) else 0),
+        )
+        if bound >= 2**62:
+            raise OverflowError(
+                "linear_trend moment products exceed int64 — rescale "
+                "x (coarser than seconds) or split oversized keys")
         num = (n * sxy - sx * sy).astype(np.float64)
         den = (n * sxx - sx * sx).astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):

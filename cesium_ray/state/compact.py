@@ -11,11 +11,17 @@ whose part files are smaller than the target into the fewest files of
 - **bit-preserving**: rows are concatenated in sorted-filename order;
   a before/after read returns identical frames (tests assert exact
   equality after a stable sort).
-- **crash-safe**: each directory is rewritten through the same
-  tmp-dir → ``os.replace`` rename as ``atomic_write_parquet`` — a kill
-  mid-compaction leaves either the old or the new layout, never a mix.
-- **idempotent**: directories already at ≤1 file or whose every file
-  meets the size floor are skipped, so a re-run is a no-op.
+- **crash-safe**: the new layout is staged in a tmp dir and swapped
+  in by rename; the displaced dir carries a DOT-prefixed name no
+  ``date=*`` glob can see, and ``_recover_dir`` (run at the start of
+  every ``compact_partitions``) heals the two inter-rename crash
+  windows — a missing live dir is restored from its ``.old``, a
+  surviving ``.old`` beside a live dir is deleted.  Readers never see
+  duplicated or missing rows.
+- **idempotent**: a directory is rewritten only when the greedy size
+  plan would REDUCE its file count — an already-compacted layout
+  (including a sub-target tail file) plans one group per file and is
+  skipped, so a re-run is a no-op.
 - **parallel**: one Ray task per directory (filesystem maintenance is
   the documented raw-task exception to the Dataset-first rule — there
   is no record stream to express).
@@ -32,6 +38,19 @@ import pandas as pd
 import ray
 
 
+def _plan_groups(sizes: list, target_bytes: int) -> list:
+    """Greedy grouping: accumulate files until the running size
+    reaches the target, then cut.  Returns per-file group ids."""
+    gids, gid, acc = [], 0, 0
+    for s in sizes:
+        gids.append(gid)
+        acc += s
+        if acc >= target_bytes:
+            gid += 1
+            acc = 0
+    return gids
+
+
 def _compact_dir(part_dir: str, target_bytes: int) -> dict:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -41,9 +60,16 @@ def _compact_dir(part_dir: str, target_bytes: int) -> dict:
     report = {"dir": part_dir, "files_before": len(files),
               "files_after": len(files),
               "bytes": int(sum(sizes)), "compacted": False}
-    if len(files) <= 1 or all(s >= target_bytes for s in sizes):
+    gids = _plan_groups(sizes, target_bytes)
+    n_groups = (gids[-1] + 1) if gids else 0
+    # idempotence: skip when merging would not reduce the file count
+    # (re-running on an already-compacted layout plans one group per
+    # existing file — a sub-target tail file alone is NOT a reason to
+    # rewrite the whole directory)
+    if len(files) <= 1 or n_groups == len(files):
         return report
     parent = os.path.dirname(part_dir.rstrip("/"))
+    base = os.path.basename(part_dir.rstrip("/"))
     tmp = tempfile.mkdtemp(dir=parent, prefix=".tmp-compact-")
     try:
         keep = [f for f in os.listdir(part_dir)
@@ -51,30 +77,31 @@ def _compact_dir(part_dir: str, target_bytes: int) -> dict:
         for extra in keep:  # sidecar files (manifests) ride along
             shutil.copy2(os.path.join(part_dir, extra),
                          os.path.join(tmp, extra))
-        # stream file-by-file: buffer tables until the on-disk sizes
-        # reach the target, then flush one output file — peak memory
-        # is one output group + one input file, never the whole dir
+        # stream group-by-group: peak memory is one output group plus
+        # one input file, never the whole directory
         n_written = 0
         buf: list = []
-        buf_bytes = 0
 
         def flush():
-            nonlocal n_written, buf, buf_bytes
+            nonlocal n_written, buf
             if not buf:
                 return
             pq.write_table(
                 pa.concat_tables(buf),
                 os.path.join(tmp, f"part-{n_written:05d}.parquet"))
             n_written += 1
-            buf, buf_bytes = [], 0
+            buf = []
 
-        for f, sz in zip(files, sizes):
-            buf.append(pq.read_table(f))
-            buf_bytes += sz
-            if buf_bytes >= target_bytes:
+        for i, f in enumerate(files):
+            if i and gids[i] != gids[i - 1]:
                 flush()
+            buf.append(pq.read_table(f))
         flush()
-        old = part_dir.rstrip("/") + ".old"
+        # swap: the displaced dir gets a DOT-prefixed name so no
+        # date=*/part-* glob can ever see it; _recover_dir() below
+        # heals the two crash windows on the next compaction run
+        old = os.path.join(parent, "." + base + ".old")
+        shutil.rmtree(old, ignore_errors=True)
         os.replace(part_dir, old)
         os.replace(tmp, part_dir)
         shutil.rmtree(old)
@@ -84,6 +111,24 @@ def _compact_dir(part_dir: str, target_bytes: int) -> dict:
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+def _recover_dir(parent: str) -> None:
+    """Heal crash debris from a previous compaction: a leftover
+    ``.<date=d>.old`` whose live dir is MISSING is renamed back (the
+    crash hit between the two renames); one whose live dir exists is
+    deleted (the crash hit before the final cleanup).  Orphan
+    ``.tmp-compact-*`` dirs are removed."""
+    for d in os.listdir(parent):
+        p = os.path.join(parent, d)
+        if d.startswith(".tmp-compact-"):
+            shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith(".") and d.endswith(".old"):
+            live = os.path.join(parent, d[1:-4])
+            if os.path.exists(live):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.replace(p, live)
 
 
 _compact_dir_task = ray.remote(num_cpus=1)(_compact_dir)
@@ -102,6 +147,7 @@ def compact_partitions(
         tier = os.path.basename(tier_dir)[5:]
         if tiers is not None and tier not in tiers:
             continue
+        _recover_dir(tier_dir)  # heal any crash debris first
         dirs.extend(sorted(glob.glob(os.path.join(tier_dir, "date=*"))))
     if not dirs:
         return pd.DataFrame({"dir": pd.Series(dtype=object),

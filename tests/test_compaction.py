@@ -59,3 +59,43 @@ def test_compaction_target_splits_large_partitions(ray_session, tmp_path):
     multi = [d for d in glob.glob(f"{out}/tier=1d/date=*")
              if len(glob.glob(f"{d}/part-*.parquet")) > 1]
     assert multi, "at least one partition should need several files"
+
+
+def test_compaction_crash_recovery_and_tail_idempotence(ray_session,
+                                                        tmp_path):
+    import shutil
+
+    from cesium_ray.state.compact import _plan_groups
+
+    out = str(tmp_path / "store")
+    run_flagship(ray.data.from_arrow(generate_turns(60, seed=5)), out,
+                 num_partitions=6, tiers=("1h",), features=None,
+                 codec=False, gapfill_tier=None, resume=False)
+    compact_partitions(out, target_bytes=64 * 1024 * 1024)
+    before, _ = _read_all(out, "1h")
+    dates = sorted(glob.glob(f"{out}/tier=1h/date=*"))
+
+    # crash window 1: displaced dir exists, live dir missing
+    victim = dates[0]
+    parent = os.path.dirname(victim)
+    old = os.path.join(parent, "." + os.path.basename(victim) + ".old")
+    os.replace(victim, old)
+    assert not os.path.exists(victim)
+    compact_partitions(out, target_bytes=64 * 1024 * 1024)
+    assert os.path.exists(victim) and not os.path.exists(old)
+    after, _ = _read_all(out, "1h")
+    pd.testing.assert_frame_equal(before, after, check_exact=True)
+
+    # crash window 2: stale .old beside a live dir is swept, and its
+    # rows are never double-read (the dot prefix hides it from globs)
+    shutil.copytree(victim, old)
+    mid, _ = _read_all(out, "1h")
+    pd.testing.assert_frame_equal(before, mid, check_exact=True)
+    compact_partitions(out, target_bytes=64 * 1024 * 1024)
+    assert not os.path.exists(old)
+
+    # tail idempotence: [>=target, small-tail] plans one group per
+    # file and must be skipped, not rewritten forever
+    assert _plan_groups([130, 13], 128) == [0, 1]
+    assert _plan_groups([13] * 11, 128) != list(range(11))
+    assert _plan_groups([200, 200], 128) == [0, 1]
