@@ -663,9 +663,11 @@ def bench_stream(results, thr):
     from cesium_ray.stages.heavy import topk_per_group
     from cesium_ray.stages.tsmath import (
         dwell_time, interarrival_quantiles, interarrival_quantiles_scan,
-        lttb_downsample, run_stats, time_since_event, weekly_profile)
+        linear_trend_per_key, lttb_downsample, run_stats,
+        time_since_event, weekly_profile, weighted_value_quantiles)
     from cesium_ray.stages.analytics import (
-        sequence_pattern_count, share_of_bucket)
+        lateness_report, profile_columns, sequence_pattern_count,
+        share_of_bucket)
     from cesium_ray.stages.window import (
         cooldown_dedup, gap_report, rolling_rows_avg, rolling_rows_std)
 
@@ -719,6 +721,16 @@ def bench_stream(results, thr):
             base, n_out=10, num_partitions=2 * NCPU))),
         ("seq_pattern", lambda: len(sequence_pattern_count(
             base, pattern="u[ts]*a", num_partitions=2 * NCPU))),
+        ("lateness", lambda: len(lateness_report(
+            base, num_partitions=2 * NCPU))),
+        ("weighted_quantiles", lambda: len(weighted_value_quantiles(
+            base, num_partitions=2 * NCPU))),
+        ("linear_trend", lambda: len(linear_trend_per_key(
+            base, num_partitions=2 * NCPU))),
+        ("table_profile", lambda: len(profile_columns(
+            base, {"user_id": "num", "event_type": "str",
+                   "value": "num", "ts": "time"},
+            num_partitions=2 * NCPU))),
         ("dataset_diff", lambda: _bench_diff(base)),
         ("global_quantiles", lambda: _bench_rank_quantiles(base)),
     ]:
