@@ -3522,7 +3522,110 @@ SELECT n_types, count(*) AS n_users FROM c GROUP BY 1
 """
 
 
+def q_max_drawdown(sf_dir):
+    """★-checked per-key maximum drawdown (stages/tsmath.py): largest
+    running-peak-minus-value drop over each user's (ts, event_id)-
+    sorted value stream, plus peak and event count.  Pure int64
+    k-space → running-max window SQL mirror is bit-exact."""
+    from ..stages.tsmath import max_drawdown
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(max_drawdown(ev, num_partitions=8))
+
+
+MAX_DRAWDOWN_SQL = """
+WITH o AS (
+  SELECT user_id,
+         CAST(round(value*100) AS BIGINT) AS v,
+         max(CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS rmax
+  FROM events)
+SELECT user_id,
+       round(CAST(max(rmax - v) AS DOUBLE)/100.0, 6) AS max_drawdown,
+       round(CAST(max(rmax) AS DOUBLE)/100.0, 6) AS peak_value,
+       count(*) AS n_events
+FROM o GROUP BY 1
+"""
+
+
+def q_longest_streak(sf_dir):
+    """★-checked per-key consecutive-active-day streaks
+    (stages/tsmath.py): longest streak, streak count, active-day
+    total, first/last epoch day — gaps-and-islands
+    (day − row_number grouping) oracle, all-integer."""
+    from ..stages.tsmath import longest_streak
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return longest_streak(ev, num_partitions=8)
+
+
+LONGEST_STREAK_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM d),
+s AS (
+  SELECT user_id, grp, count(*) AS len FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+         count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak
+  FROM s GROUP BY 1),
+fl AS (
+  SELECT user_id, CAST(min(day) AS BIGINT) AS first_day,
+         CAST(max(day) AS BIGINT) AS last_day
+  FROM d GROUP BY 1)
+SELECT agg.user_id, n_active_days, n_streaks, longest_streak,
+       first_day, last_day
+FROM agg JOIN fl ON agg.user_id = fl.user_id
+"""
+
+
+def q_burst_detect(sf_dir):
+    """★-checked per-key peak burst (stages/tsmath.py): max events in
+    any trailing 5-minute window (SQL RANGE-frame peer semantics) and
+    the earliest window-end µs attaining it — RANGE-window count
+    oracle, all-integer."""
+    from ..stages.tsmath import burst_detect
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return burst_detect(ev, window_s=300, num_partitions=8)
+
+
+BURST_DETECT_SQL = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 300000000 PRECEDING
+                        AND CURRENT ROW) AS cnt
+  FROM events),
+m AS (
+  SELECT user_id, CAST(max(cnt) AS BIGINT) AS max_burst,
+         count(*) AS n_events
+  FROM o GROUP BY 1)
+SELECT m.user_id, m.max_burst,
+       CAST(min(o.tus) AS BIGINT) AS burst_ts_us, m.n_events
+FROM o JOIN m ON o.user_id = m.user_id AND o.cnt = m.max_burst
+GROUP BY 1, 2, 4
+"""
+
+
 EXTRA_QUERIES = {
+    "max_drawdown": q_max_drawdown,
+    "longest_streak": q_longest_streak,
+    "burst_detect": q_burst_detect,
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
     "vocab_topk": q_vocab_topk,
@@ -3613,6 +3716,9 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "max_drawdown": MAX_DRAWDOWN_SQL,
+    "longest_streak": LONGEST_STREAK_SQL,
+    "burst_detect": BURST_DETECT_SQL,
     "corpus_stats": CORPUS_STATS_SQL,
     "decontaminate": DECONTAM_SQL,
     "vocab_topk": VOCAB_SQL,

@@ -920,3 +920,177 @@ def weighted_value_quantiles(
     out["n"] = out["n"].astype(np.int64)
     out["total_w_us"] = out["total_w_us"].astype(np.int64)
     return out.sort_values(attr).reset_index(drop=True)
+
+
+def max_drawdown(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key maximum drawdown of the (ts, order)-sorted value
+    stream: max over t of (running-peak − value) — the classic
+    "largest drop from a prior high" series statistic (here over a
+    per-user metric stream; for transcripts, e.g. context-budget
+    headroom).  Pure int64 k-space (values are k/100-quantized), so
+    the emitted doubles are exact and a running-max window SQL oracle
+    reproduces them bit-for-bit.
+
+    One key-hash exchange; per partition one lexsort + a grouped
+    cummax (pandas C kernel) + ``maximum.reduceat`` — no per-key
+    Python loop."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "max_drawdown": pd.Series(dtype="float64"),
+                "peak_value": pd.Series(dtype="float64"),
+                "n_events": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, kc))
+        k = kc[perm]
+        v = _quantize(df[val_col].to_numpy())[perm]
+        rmax = pd.Series(v).groupby(k).cummax().to_numpy(np.int64)
+        dd = rmax - v                       # int64, ≥ 0
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)])
+        return pd.DataFrame({
+            key: np.asarray(kuniq)[k[starts]],
+            "max_drawdown": np.maximum.reduceat(dd, starts)
+                              .astype(np.float64) / 100.0,
+            "peak_value": np.maximum.reduceat(v, starts)
+                              .astype(np.float64) / 100.0,
+            "n_events": n.astype(np.int64),
+        })
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def longest_streak(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key longest run of consecutive ACTIVE DAYS (gaps-and-
+    islands over the distinct-day calendar) plus streak count, active
+    day total, and first/last day — the engagement-streak statistic.
+    Days are int64 epoch days (µs // 86 400e6): all arithmetic is
+    integer, so the SQL mirror (day − row_number grouping) is exact.
+
+    One key-hash exchange; per partition: lexsort, distinct-(key,day)
+    mask, boolean streak breaks, ``diff`` of break offsets — fully
+    vectorized."""
+    day_us = np.int64(86_400) * _US
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_active_days": pd.Series(dtype="int64"),
+                "n_streaks": pd.Series(dtype="int64"),
+                "longest_streak": pd.Series(dtype="int64"),
+                "first_day": pd.Series(dtype="int64"),
+                "last_day": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        day = (df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+               // day_us)
+        perm = np.lexsort((day, kc))
+        k, d = kc[perm], day[perm]
+        keep = np.r_[True, (k[1:] != k[:-1]) | (d[1:] != d[:-1])]
+        k, d = k[keep], d[keep]             # distinct (key, day), sorted
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        brk = new_key | np.r_[True, d[1:] != d[:-1] + 1]
+        run_start = np.flatnonzero(brk)
+        run_len = np.diff(np.r_[run_start, len(k)])
+        run_key = k[run_start]
+        first_run = np.flatnonzero(np.r_[True, run_key[1:] != run_key[:-1]])
+        key_start = np.flatnonzero(new_key)
+        key_end = np.r_[key_start[1:], len(k)] - 1
+        return pd.DataFrame({
+            key: np.asarray(kuniq)[k[key_start]],
+            "n_active_days": np.diff(np.r_[key_start, len(k)])
+                               .astype(np.int64),
+            "n_streaks": np.diff(np.r_[first_run, len(run_len)])
+                           .astype(np.int64),
+            "longest_streak": np.maximum.reduceat(run_len, first_run)
+                                .astype(np.int64),
+            "first_day": d[key_start].astype(np.int64),
+            "last_day": d[key_end].astype(np.int64),
+        })
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def burst_detect(
+    ds: ray.data.Dataset,
+    window_s: int = 300,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key peak burst rate: the maximum number of events inside
+    any trailing ``window_s`` window, with SQL RANGE-frame semantics
+    (frame = rows whose ts ∈ [ts_i − window, ts_i], INCLUDING all
+    ts-peers of row i), plus the earliest window-end timestamp that
+    attains the peak.  All counts and timestamps are int64 — exact.
+
+    One key-hash exchange; per partition: one lexsort + TWO global
+    ``searchsorted`` calls on a key-offset time axis (each key's
+    times are shifted into a disjoint int64 range, so one sorted
+    array serves every key) — no per-key loop."""
+    win = np.int64(window_s) * _US
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "max_burst": pd.Series(dtype="int64"),
+                "burst_ts_us": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        perm = np.lexsort((tus, kc))
+        k, t = kc[perm], tus[perm]
+        # shift each key's times into a disjoint range: offset by
+        # key_code · (span + window + 2) relative to the global min
+        t0 = t.min()
+        span = np.int64(t.max() - t0) + win + np.int64(2)
+        axis = (t - t0) + k.astype(np.int64) * span
+        hi = np.searchsorted(axis, axis, side="right")
+        lo = np.searchsorted(axis, axis - win, side="left")
+        cnt = (hi - lo).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        mx = np.maximum.reduceat(cnt, starts)
+        n = np.diff(np.r_[starts, len(k)])
+        # earliest window-end ts attaining the per-key max: t is
+        # ascending within each key, so it's the FIRST hit per segment
+        seg = np.repeat(np.arange(len(starts)), n)
+        hid = np.flatnonzero(cnt == mx[seg])
+        _, firsts = np.unique(seg[hid], return_index=True)
+        at = t[hid[firsts]]
+        return pd.DataFrame({
+            key: np.asarray(kuniq)[k[starts]],
+            "max_burst": mx.astype(np.int64),
+            "burst_ts_us": at.astype(np.int64),
+            "n_events": n.astype(np.int64),
+        })
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

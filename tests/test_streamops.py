@@ -690,3 +690,111 @@ def test_profile_columns_bruteforce(ray_session):
     assert got.loc["ts", "min_v"] == float(t.min())
     assert got.loc["ts", "max_v"] == float(t.max())
     assert np.isnan(got.loc["event_type", "min_v"])
+
+
+def _valued(seed=41, n=3000, nusers=20):
+    ev = _events(seed=seed, n=n, nusers=nusers)
+    rng = np.random.default_rng(seed + 1)
+    ev["value"] = np.round(rng.uniform(-50, 50, n), 2)
+    return ev
+
+
+def test_max_drawdown_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import max_drawdown
+
+    ev = _valued(seed=83)
+    got = max_drawdown(ray.data.from_pandas(ev).repartition(6),
+                       num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    rows = []
+    for uid, g in s.groupby("user_id"):
+        v = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        dd = np.maximum.accumulate(v) - v
+        rows.append({"user_id": uid,
+                     "max_drawdown": dd.max() / 100.0,
+                     "peak_value": v.max() / 100.0,
+                     "n_events": len(v)})
+    want = pd.DataFrame(rows)
+    assert got.shape == want.shape
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # drawdown can never exceed the full value range
+    rng_span = got["peak_value"] - ev.groupby("user_id")["value"].min().sort_index().to_numpy()
+    assert (got["max_drawdown"].to_numpy() <= rng_span.to_numpy() + 1e-9).all()
+
+
+def test_longest_streak_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import longest_streak
+
+    ev = _events(seed=91, n=2500, nusers=18)
+    got = longest_streak(ray.data.from_pandas(ev).repartition(5),
+                         num_partitions=4)
+    day = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+           // 86_400_000_000)
+    rows = []
+    for uid, g in pd.DataFrame({"u": ev["user_id"], "d": day}).groupby("u"):
+        d = np.unique(g["d"].to_numpy())
+        brk = np.r_[True, np.diff(d) != 1]
+        lens = np.diff(np.r_[np.flatnonzero(brk), len(d)])
+        rows.append({"user_id": uid, "n_active_days": len(d),
+                     "n_streaks": len(lens),
+                     "longest_streak": int(lens.max()),
+                     "first_day": int(d[0]), "last_day": int(d[-1])})
+    want = pd.DataFrame(rows)
+    assert got.shape == want.shape
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # a streak of length L needs L active days within the span
+    assert (got["longest_streak"] <= got["n_active_days"]).all()
+    assert (got["last_day"] - got["first_day"] + 1
+            >= got["n_active_days"]).all()
+
+
+def test_burst_detect_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import burst_detect
+
+    ev = _events(seed=97, n=2000, nusers=12)
+    # force heavy ts ties to exercise RANGE-frame peer semantics
+    ev["ts"] = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+                // 600_000_000 * 600_000_000).astype("datetime64[us]")
+    W = 300
+    got = burst_detect(ray.data.from_pandas(ev).repartition(6),
+                       window_s=W, num_partitions=4)
+    tus = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    rows = []
+    for uid, g in pd.DataFrame({"u": ev["user_id"], "t": tus}).groupby("u"):
+        t = np.sort(g["t"].to_numpy())
+        cnt = np.array([((t >= x - W * 10**6) & (t <= x)).sum() for x in t])
+        mx = cnt.max()
+        rows.append({"user_id": uid, "max_burst": int(mx),
+                     "burst_ts_us": int(t[cnt == mx].min()),
+                     "n_events": len(t)})
+    want = pd.DataFrame(rows)
+    assert got.shape == want.shape
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # with full ties a burst includes every peer at the max ts
+    assert (got["max_burst"] >= 1).all()
+
+
+def test_new_stream_ops_empty_and_single(ray_session):
+    from cesium_ray.stages.tsmath import (burst_detect, longest_streak,
+                                          max_drawdown)
+
+    one = pd.DataFrame({
+        "event_id": np.array([3], dtype=np.int64),
+        "user_id": np.array([7], dtype=np.int64),
+        "event_type": np.array(["a"], dtype=object),
+        "ts": pd.to_datetime([10**6], unit="us").astype("datetime64[us]"),
+        "value": np.array([2.5]),
+    })
+    ds = ray.data.from_pandas(one)
+    dd = max_drawdown(ds, num_partitions=2)
+    assert dd.iloc[0].to_dict() == {
+        "user_id": 7, "max_drawdown": 0.0, "peak_value": 2.5, "n_events": 1}
+    st = longest_streak(ds, num_partitions=2)
+    assert (st.iloc[0][["n_active_days", "n_streaks", "longest_streak"]]
+            == 1).all()
+    bu = burst_detect(ds, num_partitions=2)
+    assert bu.iloc[0]["max_burst"] == 1
+    assert bu.iloc[0]["burst_ts_us"] == 10**6
