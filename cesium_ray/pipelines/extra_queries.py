@@ -3622,7 +3622,57 @@ GROUP BY 1, 2, 4
 """
 
 
+def q_acf(sf_dir):
+    """★-checked per-key autocorrelation at lags 1–3
+    (stages/tsmath.py): exact int64 lag-product sums combined in a
+    float expression mirrored op-for-op by the SQL oracle (lag-window
+    sums), round-6 bit-equal."""
+    from ..stages.tsmath import acf_lags
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(acf_lags(ev, max_lag=3, num_partitions=8))
+
+
+ACF_SQL = """
+WITH o AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         lag(CAST(round(value*100) AS BIGINT), 1) OVER w AS x1,
+         lag(CAST(round(value*100) AS BIGINT), 2) OVER w AS x2,
+         lag(CAST(round(value*100) AS BIGINT), 3) OVER w AS x3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+a AS (
+  SELECT user_id, count(*) AS n, sum(x) AS s, sum(x*x) AS q,
+         sum(x*x1) AS sxy1, sum(x1) AS sh1,
+         sum(x) FILTER (WHERE x1 IS NOT NULL) AS st1,
+         sum(x*x2) AS sxy2, sum(x2) AS sh2,
+         sum(x) FILTER (WHERE x2 IS NOT NULL) AS st2,
+         sum(x*x3) AS sxy3, sum(x3) AS sh3,
+         sum(x) FILTER (WHERE x3 IS NOT NULL) AS st3
+  FROM o GROUP BY 1),
+m AS (SELECT *, CAST(s AS DOUBLE)/n AS mu,
+             CAST(q AS DOUBLE) - (CAST(s AS DOUBLE)/n)*CAST(s AS DOUBLE)
+               AS den
+      FROM a)
+SELECT user_id, n,
+  round((CAST(sxy1 AS DOUBLE) - mu*CAST(st1 AS DOUBLE)
+         - mu*CAST(sh1 AS DOUBLE) + CAST(n-1 AS DOUBLE)*mu*mu)/den, 6)
+    AS acf1,
+  round((CAST(sxy2 AS DOUBLE) - mu*CAST(st2 AS DOUBLE)
+         - mu*CAST(sh2 AS DOUBLE) + CAST(n-2 AS DOUBLE)*mu*mu)/den, 6)
+    AS acf2,
+  round((CAST(sxy3 AS DOUBLE) - mu*CAST(st3 AS DOUBLE)
+         - mu*CAST(sh3 AS DOUBLE) + CAST(n-3 AS DOUBLE)*mu*mu)/den, 6)
+    AS acf3
+FROM m WHERE n > 3 AND den <> 0
+"""
+
+
 EXTRA_QUERIES = {
+    "acf": q_acf,
     "max_drawdown": q_max_drawdown,
     "longest_streak": q_longest_streak,
     "burst_detect": q_burst_detect,
@@ -3716,6 +3766,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "acf": ACF_SQL,
     "max_drawdown": MAX_DRAWDOWN_SQL,
     "longest_streak": LONGEST_STREAK_SQL,
     "burst_detect": BURST_DETECT_SQL,

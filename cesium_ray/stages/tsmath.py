@@ -1094,3 +1094,79 @@ def burst_detect(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def acf_lags(
+    ds: ray.data.Dataset,
+    max_lag: int = 3,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key sample autocorrelation of the (ts, order)-sorted value
+    stream at lags 1..max_lag — the classic serial-dependence feature
+    (cesium's periodicity family's cheap cousin; SURVEY §2.7 context).
+
+    acf_L = Σ(x_t−μ)(x_{t−L}−μ) / Σ(x_t−μ)², expanded so every SUM is
+    exact int64 k-space (Σx, Σx², Σx_t·x_{t−L}, and the masked head/
+    tail sums), then combined in ONE mirrored float expression:
+        num = sxy − μ·st − μ·sh + (n−L)·μ·μ ;  den = q − μ·s
+    evaluated with identical operation order in the DuckDB oracle, so
+    the round-6 outputs are bit-equal (the features_stats/EWMA
+    argument).  Keys with n ≤ max_lag or zero variance are dropped on
+    both sides.  Int64 bound: Σx² ≤ n·(100·max|v|)² — fine to ~10⁸
+    rows/key at |v| ≤ 10⁴.
+
+    One key-hash exchange; per partition one lexsort + shifted
+    elementwise products + ``add.reduceat`` — no per-key loop."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64")}
+        for L in range(1, max_lag + 1):
+            cols[f"acf{L}"] = pd.Series(dtype="float64")
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, kc))
+        k = kc[perm]
+        x = _quantize(df[val_col].to_numpy())[perm]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        s = np.add.reduceat(x, starts)
+        q = np.add.reduceat(x * x, starts)
+        mu = s.astype(np.float64) / n.astype(np.float64)
+        den = q.astype(np.float64) - mu * s.astype(np.float64)
+        out = {key: np.asarray(kuniq)[k[starts]], "n": n}
+        m = len(x)
+        for L in range(1, max_lag + 1):
+            valid = np.zeros(m, bool)
+            valid[L:] = k[L:] == k[:-L]
+            prod = np.zeros(m, np.int64)
+            prod[L:] = x[L:] * x[:-L]
+            head = np.zeros(m, np.int64)
+            head[L:] = x[:-L]
+            prod[~valid] = 0
+            head[~valid] = 0
+            tail = np.where(valid, x, np.int64(0))
+            sxy = np.add.reduceat(prod, starts)
+            sh = np.add.reduceat(head, starts)
+            st = np.add.reduceat(tail, starts)
+            nl = np.maximum(n - L, 0).astype(np.float64)
+            num = (sxy.astype(np.float64) - mu * st.astype(np.float64)
+                   - mu * sh.astype(np.float64) + nl * mu * mu)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out[f"acf{L}"] = num / den
+            out[f"acf{L}"] = np.asarray(out[f"acf{L}"], np.float64)
+        res = pd.DataFrame(out)
+        return res[(res["n"] > max_lag) & (den != 0.0)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

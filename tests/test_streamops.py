@@ -798,3 +798,31 @@ def test_new_stream_ops_empty_and_single(ray_session):
     bu = burst_detect(ds, num_partitions=2)
     assert bu.iloc[0]["max_burst"] == 1
     assert bu.iloc[0]["burst_ts_us"] == 10**6
+
+
+def test_acf_lags_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import acf_lags
+
+    ev = _valued(seed=107, n=2500, nusers=15)
+    got = acf_lags(ray.data.from_pandas(ev).repartition(6),
+                   max_lag=3, num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.float64)
+        mu = x.mean()
+        den = ((x - mu) ** 2).sum()
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n"].iloc[0]) == len(x)
+        for L in (1, 2, 3):
+            want = ((x[L:] - mu) * (x[:-L] - mu)).sum() / den
+            assert abs(row[f"acf{L}"].iloc[0] - want) < 1e-9, (uid, L)
+    # a constant series must be filtered out (zero variance)
+    const = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "user_id": np.full(6, 999, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(6) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.full(6, 3.0),
+    })
+    out = acf_lags(ray.data.from_pandas(const), num_partitions=2)
+    assert len(out) == 0
