@@ -3671,7 +3671,40 @@ FROM m WHERE n > 3 AND den <> 0
 """
 
 
+def q_tfidf_terms(sf_dir):
+    """★-checked per-document TF-IDF top terms (stages/pack.py):
+    two-pass DF build + broadcast score; integer rank keys
+    (tf DESC, df ASC, term ASC) and a mirrored tf·ln(N/df) score."""
+    from ..stages.pack import tfidf_top_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return round6(tfidf_top_terms(docs, top=3, num_partitions=8))
+
+
+TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+'))
+           AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents),
+r AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dft.df ASC,
+                                         tf.term ASC) AS rn
+      FROM tf JOIN dft USING (term))
+SELECT doc_id, term, tf, df, rn,
+       round(CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE)/df), 6) AS tfidf
+FROM r, n WHERE rn <= 3
+"""
+
+
 EXTRA_QUERIES = {
+    "tfidf_terms": q_tfidf_terms,
     "acf": q_acf,
     "max_drawdown": q_max_drawdown,
     "longest_streak": q_longest_streak,
@@ -3766,6 +3799,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "tfidf_terms": TFIDF_SQL,
     "acf": ACF_SQL,
     "max_drawdown": MAX_DRAWDOWN_SQL,
     "longest_streak": LONGEST_STREAK_SQL,

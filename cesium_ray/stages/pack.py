@@ -160,3 +160,99 @@ def tokenize_with_vocab(
         })
 
     return ds.map_batches(tokenize, batch_format="pandas")
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    top: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-document TF-IDF: the ``top`` most distinctive tokens per
+    doc ranked by (tf DESC, df ASC, token ASC) — the ranking keys are
+    all-integer, so rank rows are exact; the score column
+    ``tf·ln(N/df)`` mirrors the SQL expression op-for-op (irrational
+    values sit far from round-6 boundaries).
+
+    Two-pass shape: (1) document-frequency build — each block reduces
+    to its distinct (token → doc-count) partials (a doc's row is whole
+    within one block, so per-block distinct is globally correct), a
+    token-keyed exchange sums them, and the vocab-sized DF table is
+    broadcast once via ``ray.put``; (2) a stateless ``map_batches``
+    scores each doc against the broadcast table (searchsorted lookup,
+    lexsort rank) — no second shuffle.  Partitioning assumption: the
+    vocabulary fits a worker heap (true for word-level vocabs; switch
+    to a df-threshold cut for open-ended token spaces)."""
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df[text_col].astype(str).str.lower()
+                .str.findall(_TOKEN_RE))
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "df": pd.Series(dtype="int64")})
+        pair = pd.DataFrame({"d": ex.index.to_numpy(), "t": ex.to_numpy()})
+        dd = pair.drop_duplicates()
+        vc = dd["t"].value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(object),
+                             "df": vc.to_numpy(np.int64)})
+
+    def df_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False, sort=False)["df"].sum()
+        g["df"] = g["df"].astype(np.int64)
+        return g
+
+    df_tbl = group_apply(
+        ds.select_columns([text_col]).map_batches(
+            df_partial, batch_format="pandas"),
+        df_sum, num_partitions=num_partitions, key="token",
+    ).to_pandas().sort_values("token", kind="mergesort")
+    n_docs = int(ds.count())
+    vocab = df_tbl["token"].to_numpy(object)
+    dfs = df_tbl["df"].to_numpy(np.int64)
+    ref = ray.put((vocab, dfs, n_docs))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        voc, dfv, nd = ray.get(ref)
+        df = df.reset_index(drop=True)
+        toks = (df[text_col].astype(str).str.lower()
+                .str.findall(_TOKEN_RE))
+        ex = toks.explode().dropna()
+        empty = pd.DataFrame({
+            id_col: pd.Series(dtype=df[id_col].dtype),
+            "term": pd.Series(dtype=object),
+            "tf": pd.Series(dtype="int64"),
+            "df": pd.Series(dtype="int64"),
+            "rn": pd.Series(dtype="int64"),
+            "tfidf": pd.Series(dtype="float64")})
+        if ex.empty:
+            return empty
+        ids = df[id_col].to_numpy()[ex.index.to_numpy()]
+        pair = pd.DataFrame({"i": ids, "t": ex.to_numpy()})
+        g = pair.groupby(["i", "t"], sort=False).size().reset_index(name="tf")
+        di = g["i"].to_numpy()
+        dt = g["t"].to_numpy(object)
+        tf = g["tf"].to_numpy(np.int64)
+        dfx = dfv[np.searchsorted(voc, dt)]
+        # rank within doc by (tf DESC, df ASC, token ASC)
+        perm = np.lexsort((dt, dfx, -tf, di))
+        di, dt, tf, dfx = di[perm], dt[perm], tf[perm], dfx[perm]
+        starts = np.flatnonzero(np.r_[True, di[1:] != di[:-1]])
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.r_[starts, len(di)]))
+        rn = np.arange(len(di)) - starts[seg] + 1
+        keep = rn <= top
+        tfk = tf[keep].astype(np.float64)
+        dfk = dfx[keep].astype(np.int64)
+        tfidf = tfk * np.log(np.float64(nd) / dfk.astype(np.float64))
+        return pd.DataFrame({
+            id_col: di[keep], "term": dt[keep],
+            "tf": tf[keep].astype(np.int64), "df": dfk,
+            "rn": rn[keep].astype(np.int64), "tfidf": tfidf})
+
+    out = (ds.select_columns([id_col, text_col])
+           .map_batches(score, batch_format="pandas").to_pandas())
+    if out.empty:
+        return out
+    return out.sort_values([id_col, "rn"], kind="mergesort").reset_index(drop=True)

@@ -121,3 +121,49 @@ def test_tokenize_with_vocab_parity(ray_session):
     assert (gi.to_numpy()[m] == wi.to_numpy()[m]).all()
     # empty token from the double space is present at doc 0 pos 2
     assert got.loc[(got.doc_id == 0) & (got.pos == 2), "token"].iloc[0] == ""
+
+
+def test_tfidf_top_terms_bruteforce(ray_session):
+    import math
+
+    from cesium_ray.stages.pack import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "apple banana apple cherry",
+            "banana banana cherry",
+            "apple cherry cherry date",
+            "date egg egg egg",
+            "",                      # empty doc: no rows emitted
+            "apple",
+        ],
+    })
+    got = tfidf_top_terms(ray.data.from_pandas(docs).repartition(3),
+                          top=2, num_partitions=4)
+    # brute force
+    toks = {i: t.lower().split() for i, t in zip(docs.doc_id, docs.text)}
+    nd = len(docs)
+    dfc = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfc[t] = dfc.get(t, 0) + 1
+    rows = []
+    for i, ts in toks.items():
+        if not ts:
+            continue
+        tfc = {}
+        for t in ts:
+            tfc[t] = tfc.get(t, 0) + 1
+        ranked = sorted(tfc, key=lambda t: (-tfc[t], dfc[t], t))[:2]
+        for rn, t in enumerate(ranked, 1):
+            rows.append((i, t, tfc[t], dfc[t], rn,
+                         tfc[t] * math.log(nd / dfc[t])))
+    want = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "df",
+                                       "rn", "tfidf"])
+    assert got.shape == want.shape
+    for c in ["doc_id", "term", "tf", "df", "rn"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert np.allclose(got["tfidf"], want["tfidf"])
+    # the empty doc contributed nothing
+    assert 4 not in set(got["doc_id"])
