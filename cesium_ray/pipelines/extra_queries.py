@@ -3703,7 +3703,115 @@ FROM r, n WHERE rn <= 3
 """
 
 
+def q_local_supplier_volume(sf_dir):
+    """★-checked TPC-H-Q5-style 5-way star join: 1996 revenue per
+    ASIA nation from lineitems whose supplier and ordering customer
+    share the nation.  The 100-TB plan: the three true dimensions
+    (region, nation, supplier) are broadcast via one ``ray.put``;
+    customer→nation is broadcast as an int array keyed by custkey
+    (documented dimension-fits-memory assumption — the scale path is
+    one more hash join); orders are date-filtered and dimension-
+    enriched map-side; lineitem is pruned at the read, enriched with
+    its supplier nation map-side, and PRE-AGGREGATED to
+    (orderkey, supp_nation) exact-int cells before the single
+    large×large hash join on orderkey; the same-nation filter and the
+    final nation groupby run on join output that is already
+    cell-sized.  Revenue = Σ price_cents·(100−disc_pct)/10⁴."""
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+
+    rkey = region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    asia = nation[nation["n_regionkey"] == rkey]
+    asia_ids = np.sort(asia["n_nationkey"].to_numpy(np.int64))
+    nname = dict(zip(asia["n_nationkey"].astype(np.int64),
+                     asia["n_name"]))
+    smap_k = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    smap_v = supp.set_index("s_suppkey").loc[smap_k, "s_nationkey"] \
+        .to_numpy(np.int64)
+    cmap_k = np.sort(cust["c_custkey"].to_numpy(np.int64))
+    cmap_v = cust.set_index("c_custkey").loc[cmap_k, "c_nationkey"] \
+        .to_numpy(np.int64)
+    dims = ray.put((asia_ids, smap_k, smap_v, cmap_k, cmap_v))
+
+    def orders_enrich(df: pd.DataFrame) -> pd.DataFrame:
+        aid, _, _, ck, cv = ray.get(dims)
+        d = df["o_orderdate"].to_numpy("datetime64[us]")
+        df = df[(d >= lo) & (d < hi)]
+        cnat = cv[np.searchsorted(ck, df["o_custkey"].to_numpy(np.int64))]
+        keep = np.isin(cnat, aid)
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64)[keep],
+            "c_nat": cnat[keep]})
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_enrich, batch_format="pandas")
+
+    def li_cells(df: pd.DataFrame) -> pd.DataFrame:
+        aid, sk, sv, _, _ = ray.get(dims)
+        snat = sv[np.searchsorted(sk, df["l_suppkey"].to_numpy(np.int64))]
+        keep = np.isin(snat, aid)
+        df = df[keep]
+        p = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100.0
+                    ).astype(np.int64)
+        dsc = np.rint(df["l_discount"].to_numpy(np.float64) * 100.0
+                      ).astype(np.int64)
+        g = pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                          "s_nat": snat[keep], "_rev": p * (100 - dsc)})
+        return g.groupby(["l_orderkey", "s_nat"], as_index=False).sum()
+
+    cells = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_cells, batch_format="pandas")
+
+    joined = cells.join(ords, "inner", num_partitions=8, on=("l_orderkey",))
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["s_nat"].to_numpy() == df["c_nat"].to_numpy()]
+        return df.groupby("s_nat", as_index=False)["_rev"].sum()
+
+    agg = (joined.map_batches(per_block, batch_format="pandas")
+           .to_pandas().groupby("s_nat", as_index=False)["_rev"].sum())
+    agg["n_name"] = agg["s_nat"].map(nname)
+    out = pd.DataFrame({
+        "n_name": agg["n_name"],
+        "revenue": agg["_rev"].to_numpy(np.float64) / 10000.0,
+    }).sort_values("revenue", ascending=False).reset_index(drop=True)
+    return round6(out)
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT)))
+             AS DOUBLE)/10000.0, 6) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY 1
+"""
+
+
 EXTRA_QUERIES = {
+    "local_supplier_volume": q_local_supplier_volume,
     "tfidf_terms": q_tfidf_terms,
     "acf": q_acf,
     "max_drawdown": q_max_drawdown,
@@ -3799,6 +3907,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "local_supplier_volume": Q5_SQL,
     "tfidf_terms": TFIDF_SQL,
     "acf": ACF_SQL,
     "max_drawdown": MAX_DRAWDOWN_SQL,

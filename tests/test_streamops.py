@@ -826,3 +826,26 @@ def test_acf_lags_bruteforce(ray_session):
     })
     out = acf_lags(ray.data.from_pandas(const), num_partitions=2)
     assert len(out) == 0
+
+
+def test_local_supplier_volume_smoke(ray_session):
+    """Q5-style composite at sf0.001: schema + DuckDB recomputation."""
+    import duckdb
+
+    from cesium_ray.pipelines.extra_queries import (
+        Q5_SQL, q_local_supplier_volume)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_local_supplier_volume(sf)
+    assert list(got.columns) == ["n_name", "revenue"]
+    assert (np.diff(got["revenue"].to_numpy()) <= 1e-12).all()
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "supplier", "nation",
+              "region"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')")
+    want = con.sql(Q5_SQL).df().sort_values("n_name").reset_index(drop=True)
+    g = got.sort_values("n_name").reset_index(drop=True)
+    assert g.shape == want.shape
+    assert (g["n_name"] == want["n_name"]).all()
+    assert (g["revenue"].to_numpy() == want["revenue"].to_numpy()).all()
