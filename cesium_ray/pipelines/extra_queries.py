@@ -3810,7 +3810,36 @@ GROUP BY 1
 """
 
 
+def q_rolling_median(sf_dir):
+    """★-checked trailing-7-day windowed EXACT median per (user,
+    active day) (stages/window.py): bounded ≤7× row replication onto
+    a key-offset day axis + vectorized segment lerp, bit-equal to the
+    DuckDB range-join quantile_cont oracle."""
+    from ..stages.window import rolling_window_median
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return round6(rolling_window_median(ev, window_days=7,
+                                        num_partitions=8))
+
+
+ROLLING_MEDIAN_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events)
+SELECT d.user_id, d.day,
+       round(quantile_cont(e.value, 0.5), 6) AS p50_7d,
+       count(*) AS n_window
+FROM d JOIN events e
+  ON e.user_id = d.user_id
+ AND epoch_us(e.ts) // 86400000000 BETWEEN d.day - 6 AND d.day
+GROUP BY 1, 2
+"""
+
+
 EXTRA_QUERIES = {
+    "rolling_median": q_rolling_median,
     "local_supplier_volume": q_local_supplier_volume,
     "tfidf_terms": q_tfidf_terms,
     "acf": q_acf,
@@ -3907,6 +3936,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "rolling_median": ROLLING_MEDIAN_SQL,
     "local_supplier_volume": Q5_SQL,
     "tfidf_terms": TFIDF_SQL,
     "acf": ACF_SQL,

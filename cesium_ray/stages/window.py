@@ -462,3 +462,77 @@ def cooldown_dedup(
         })
 
     return group_apply(ds, keep, num_partitions=num_partitions, key=key)
+
+
+def rolling_window_median(
+    ds: ray.data.Dataset,
+    window_days: int = 7,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per (key, active day): the EXACT linear-interpolated median of
+    all values in the trailing ``window_days``-day window — the
+    windowed quantile the rolling avg/std family lacks.  Sorting the
+    source doubles and applying the verified quantile_cont lerp
+    (oracle/rollup.py::duck_quantile semantics, vectorized per
+    segment) makes the output bit-equal to a DuckDB range-join +
+    ``quantile_cont`` oracle.
+
+    One key-hash exchange.  Per partition: the active-day table and
+    the events are put on a shared key-offset day axis, each event's
+    covered output days come from TWO global ``searchsorted`` calls,
+    rows are replicated ≤ window_days times (bounded fan-out), and
+    per-cell medians come from one lexsort + a vectorized segment
+    lerp — no per-key or per-window Python."""
+    day_us = np.int64(86_400) * np.int64(1_000_000)
+    w = np.int64(window_days)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "day": pd.Series(dtype="int64"),
+                "p50_7d": pd.Series(dtype="float64"),
+                "n_window": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        day = (df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+               // day_us)
+        v = df[val_col].to_numpy(np.float64)
+        d0 = day.min()
+        span = np.int64(day.max() - d0) + w + np.int64(2)
+        ax = kc.astype(np.int64) * span + (day - d0)
+        # active (key, day) cells, sorted on the shared axis
+        act = np.unique(ax)
+        lo = np.searchsorted(act, ax)            # first active day ≥ own
+        hi = np.searchsorted(act, ax + w)        # first beyond e_day+w−1
+        reps = (hi - lo).astype(np.int64)
+        # replicate each event into every active-day window it feeds
+        ev_idx = np.repeat(np.arange(len(ax)), reps)
+        offs = np.arange(reps.sum()) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        cell = lo[ev_idx] + offs                 # index into act
+        vals = v[ev_idx]
+        perm = np.lexsort((vals, cell))
+        cell, vals = cell[perm], vals[perm]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        n = np.diff(np.r_[starts, len(cell)]).astype(np.int64)
+        pos = (n - 1) * 0.5
+        fl = np.floor(pos)
+        frac = pos - fl
+        med = (vals[starts + fl.astype(np.int64)] * (1 - frac)
+               + vals[starts + np.ceil(pos).astype(np.int64)] * frac)
+        out_ax = act[cell[starts]]
+        return pd.DataFrame({
+            key: np.asarray(kuniq)[(out_ax // span).astype(np.int64)],
+            "day": (out_ax % span + d0).astype(np.int64),
+            "p50_7d": med,
+            "n_window": n,
+        })
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values([key, "day"]).reset_index(drop=True)

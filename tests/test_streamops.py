@@ -849,3 +849,31 @@ def test_local_supplier_volume_smoke(ray_session):
     assert g.shape == want.shape
     assert (g["n_name"] == want["n_name"]).all()
     assert (g["revenue"].to_numpy() == want["revenue"].to_numpy()).all()
+
+
+def test_rolling_window_median_bruteforce(ray_session):
+    from cesium_ray.stages.window import rolling_window_median
+
+    ev = _valued(seed=113, n=1500, nusers=10)
+    W = 3
+    got = rolling_window_median(ray.data.from_pandas(ev).repartition(5),
+                                window_days=W, num_partitions=4)
+    day = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+           // 86_400_000_000)
+    df = pd.DataFrame({"u": ev["user_id"], "d": day, "v": ev["value"]})
+    rows = []
+    for (u, d), _ in df.groupby(["u", "d"]):
+        win = df[(df["u"] == u) & (df["d"] >= d - W + 1) & (df["d"] <= d)]
+        v = np.sort(win["v"].to_numpy())
+        pos = (len(v) - 1) * 0.5
+        fl = int(np.floor(pos))
+        frac = pos - fl
+        med = v[fl] * (1 - frac) + v[min(fl + 1, len(v) - 1)] * frac
+        rows.append((u, d, med, len(v)))
+    want = pd.DataFrame(rows, columns=["user_id", "day", "p50_7d",
+                                       "n_window"]).sort_values(
+        ["user_id", "day"]).reset_index(drop=True)
+    assert got.shape == want.shape
+    for c in ["user_id", "day", "n_window"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert (got["p50_7d"].to_numpy() == want["p50_7d"].to_numpy()).all()
