@@ -668,8 +668,11 @@ def bench_stream(results, thr):
     from cesium_ray.stages.analytics import (
         lateness_report, profile_columns, sequence_pattern_count,
         share_of_bucket)
+    from cesium_ray.stages.tsmath import (
+        acf_lags, burst_detect, longest_streak, max_drawdown)
     from cesium_ray.stages.window import (
-        cooldown_dedup, gap_report, rolling_rows_avg, rolling_rows_std)
+        cooldown_dedup, gap_report, rolling_rows_avg, rolling_rows_std,
+        rolling_window_median)
 
     def derive(df: pd.DataFrame) -> pd.DataFrame:
         key = pd.to_numeric(df["conv_id"].str.slice(5)).astype("int64")
@@ -731,6 +734,16 @@ def bench_stream(results, thr):
             base, {"user_id": "num", "event_type": "str",
                    "value": "num", "ts": "time"},
             num_partitions=2 * NCPU))),
+        ("max_drawdown", lambda: len(max_drawdown(
+            base, num_partitions=2 * NCPU))),
+        ("longest_streak", lambda: len(longest_streak(
+            base, num_partitions=2 * NCPU))),
+        ("burst_detect", lambda: len(burst_detect(
+            base, window_s=300, num_partitions=2 * NCPU))),
+        ("acf", lambda: len(acf_lags(
+            base, max_lag=3, num_partitions=2 * NCPU))),
+        ("rolling_median", lambda: len(rolling_window_median(
+            base, window_days=7, num_partitions=2 * NCPU))),
         ("dataset_diff", lambda: _bench_diff(base)),
         ("global_quantiles", lambda: _bench_rank_quantiles(base)),
     ]:
