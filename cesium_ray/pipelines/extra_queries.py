@@ -3838,7 +3838,71 @@ GROUP BY 1, 2
 """
 
 
+def q_type_entropy(sf_dir):
+    """★-checked per-user event-type Shannon entropy
+    (stages/analytics.py): exact int counts, mirrored
+    ln(n) − Σc·ln(c)/n closing expression."""
+    from ..stages.analytics import type_entropy
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return round6(type_entropy(ev, num_partitions=8))
+
+
+TYPE_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2),
+a AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+  FROM c GROUP BY 1)
+SELECT user_id, n, n_types,
+       round(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6) AS entropy
+FROM a
+"""
+
+
+def q_lm_score(sf_dir):
+    """★-checked self-trained bigram LM cross-entropy per document
+    (stages/pack.py): corpus bigram/unigram counts broadcast as an
+    integer-coded model; per-doc add-one-smoothed xent mirrored
+    op-for-op by a positional self-join SQL oracle."""
+    from ..stages.pack import bigram_lm_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return round6(bigram_lm_score(docs, num_partitions=8))
+
+
+LM_SCORE_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+')) AS w,
+         generate_subscripts(
+           regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+'), 1) AS pos
+  FROM documents),
+bg AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bgc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+ugc AS (SELECT w AS w1, count(*) AS cu FROM tok GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS vs FROM tok),
+terms AS (
+  SELECT bg.doc_id,
+         ln((CAST(cb AS DOUBLE) + 1) / (CAST(cu AS DOUBLE) + vs)) AS t
+  FROM bg JOIN bgc USING (w1, w2) JOIN ugc USING (w1), v)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(-sum(t)/count(*), 6) AS xent
+FROM terms GROUP BY 1
+"""
+
+
 EXTRA_QUERIES = {
+    "lm_score": q_lm_score,
+    "type_entropy": q_type_entropy,
     "rolling_median": q_rolling_median,
     "local_supplier_volume": q_local_supplier_volume,
     "tfidf_terms": q_tfidf_terms,
@@ -3936,6 +4000,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "lm_score": LM_SCORE_SQL,
+    "type_entropy": TYPE_ENTROPY_SQL,
     "rolling_median": ROLLING_MEDIAN_SQL,
     "local_supplier_volume": Q5_SQL,
     "tfidf_terms": TFIDF_SQL,

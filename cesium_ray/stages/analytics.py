@@ -726,3 +726,53 @@ def profile_columns(
     agg["n_null"] = agg["n_null"].astype(np.int64)
     return (agg[["col_name", "n", "n_null", "n_distinct", "min_v", "max_v"]]
             .sort_values("col_name").reset_index(drop=True))
+
+
+def type_entropy(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    attr: str = "event_type",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Shannon entropy of the ``attr`` distribution (nats),
+    via H = ln(n) − (Σ c·ln c)/n over exact int64 per-type counts —
+    the behavioral-diversity feature.  The float combination mirrors
+    the SQL expression op-for-op; the Σ over a key's handful of type
+    terms is the only order-sensitive reduction (≤ types summands,
+    round-6-stable in practice — the EWMA argument).
+
+    One key-hash exchange; per partition: one lexsort to (key, type)
+    cells, then per-key ``add.reduceat`` over c·ln(c) terms."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "n_types": pd.Series(dtype="int64"),
+                "entropy": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        ac, _ = pd.factorize(df[attr])
+        perm = np.lexsort((ac, kc))
+        k, a = kc[perm], ac[perm]
+        cell = np.flatnonzero(np.r_[True, (k[1:] != k[:-1])
+                                    | (a[1:] != a[:-1])])
+        c = np.diff(np.r_[cell, len(k)]).astype(np.int64)
+        ck = k[cell]
+        kstart = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        n = np.add.reduceat(c, kstart)
+        cf = c.astype(np.float64)
+        s = np.add.reduceat(cf * np.log(cf), kstart)
+        nf = n.astype(np.float64)
+        return pd.DataFrame({
+            key: np.asarray(kuniq)[ck[kstart]],
+            "n": n.astype(np.int64),
+            "n_types": np.diff(np.r_[kstart, len(c)]).astype(np.int64),
+            "entropy": np.log(nf) - s / nf,
+        })
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

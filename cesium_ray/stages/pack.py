@@ -256,3 +256,102 @@ def tfidf_top_terms(
     if out.empty:
         return out
     return out.sort_values([id_col, "rn"], kind="mergesort").reset_index(drop=True)
+
+
+def bigram_lm_score(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-document add-one-smoothed bigram cross-entropy against the
+    corpus's own bigram statistics — the KenLM-style perplexity-proxy
+    quality filter of training-data pipelines, self-trained so it
+    needs no external model:
+        xent(d) = −(1/B) Σ_i ln((c(w_{i−1},w_i)+1) / (c(w_{i−1})+V))
+    with GLOBAL bigram/unigram counts c and vocab size V.
+
+    Two-pass shape: (1) block-local bigram+unigram count partials →
+    one token-keyed exchange → the model table, integer-coded
+    (token→id via the sorted vocab, bigram key = id₁·V+id₂ int64) and
+    broadcast once via ``ray.put``; (2) a stateless ``map_batches``
+    scores every doc by two ``searchsorted`` lookups per token — no
+    second shuffle.  Docs with <2 tokens are dropped.  Partitioning
+    assumption: the bigram table fits a worker heap (word-level
+    corpora; apply a min-count cut for open-ended token spaces)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df[text_col].astype(str).str.lower()
+                .str.findall(_TOKEN_RE))
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"w1": pd.Series(dtype=object),
+                                 "w2": pd.Series(dtype=object),
+                                 "cnt": pd.Series(dtype="int64")})
+        d = ex.index.to_numpy()
+        w = ex.to_numpy(object)
+        uni = pd.DataFrame({"w1": w, "w2": "", "cnt": 1})
+        same = d[1:] == d[:-1]
+        bi = pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same],
+                           "cnt": 1})
+        both = pd.concat([uni, bi], ignore_index=True)
+        return (both.groupby(["w1", "w2"], as_index=False, sort=False)
+                ["cnt"].sum())
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["w1", "w2"], as_index=False, sort=False)["cnt"].sum()
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    model = group_apply(
+        ds.select_columns([text_col]).map_batches(
+            partial, batch_format="pandas"),
+        comb, num_partitions=num_partitions, key="w1",
+    ).to_pandas()
+    is_uni = model["w2"].to_numpy(object) == ""
+    uni = model[is_uni].sort_values("w1", kind="mergesort")
+    vocab = uni["w1"].to_numpy(object)
+    ucnt = uni["cnt"].to_numpy(np.int64)
+    V = np.int64(len(vocab))
+    bi = model[~is_uni]
+    b1 = np.searchsorted(vocab, bi["w1"].to_numpy(object))
+    b2 = np.searchsorted(vocab, bi["w2"].to_numpy(object))
+    bkey = b1 * V + b2
+    order = np.argsort(bkey, kind="mergesort")
+    bkey, bcnt = bkey[order], bi["cnt"].to_numpy(np.int64)[order]
+    ref = ray.put((vocab, ucnt, bkey, bcnt, V))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        voc, uc, bk, bc, v = ray.get(ref)
+        df = df.reset_index(drop=True)
+        toks = (df[text_col].astype(str).str.lower()
+                .str.findall(_TOKEN_RE))
+        ex = toks.explode().dropna()
+        empty = pd.DataFrame({
+            id_col: pd.Series(dtype=df[id_col].dtype),
+            "n_bigrams": pd.Series(dtype="int64"),
+            "xent": pd.Series(dtype="float64")})
+        if ex.empty:
+            return empty
+        d = ex.index.to_numpy()
+        ids = np.searchsorted(voc, ex.to_numpy(object))
+        same = d[1:] == d[:-1]
+        if not same.any():
+            return empty
+        w1, w2, dd = ids[:-1][same], ids[1:][same], d[:-1][same]
+        cb = bc[np.searchsorted(bk, w1 * v + w2)].astype(np.float64)
+        cu = uc[w1].astype(np.float64)
+        term = np.log((cb + 1.0) / (cu + np.float64(v)))
+        starts = np.flatnonzero(np.r_[True, dd[1:] != dd[:-1]])
+        nb = np.diff(np.r_[starts, len(dd)]).astype(np.int64)
+        s = np.add.reduceat(term, starts)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[dd[starts]],
+            "n_bigrams": nb,
+            "xent": -s / nb.astype(np.float64)})
+
+    out = (ds.select_columns([id_col, text_col])
+           .map_batches(score, batch_format="pandas").to_pandas())
+    if out.empty:
+        return out
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -167,3 +167,65 @@ def test_tfidf_top_terms_bruteforce(ray_session):
     assert np.allclose(got["tfidf"], want["tfidf"])
     # the empty doc contributed nothing
     assert 4 not in set(got["doc_id"])
+
+
+def test_type_entropy_bruteforce(ray_session):
+    import math
+
+    from cesium_ray.stages.analytics import type_entropy
+
+    ev = pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 1, 2, 2, 3], dtype=np.int64),
+        "event_type": ["a", "a", "b", "c", "x", "x", "z"],
+    })
+    got = type_entropy(ray.data.from_pandas(ev).repartition(3),
+                       num_partitions=4)
+    # user 1: counts 2,1,1 over n=4 → H = ln4 − (2ln2)/4
+    h1 = math.log(4) - (2 * math.log(2)) / 4
+    want = pd.DataFrame({
+        "user_id": np.array([1, 2, 3], dtype=np.int64),
+        "n": np.array([4, 2, 1], dtype=np.int64),
+        "n_types": np.array([3, 1, 1], dtype=np.int64),
+        "entropy": [h1, 0.0, 0.0],
+    })
+    assert got.shape == want.shape
+    for c in ["user_id", "n", "n_types"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert np.allclose(got["entropy"], want["entropy"])
+    # entropy bounded by ln(n_types)
+    assert (got["entropy"].to_numpy()
+            <= np.log(got["n_types"].to_numpy()) + 1e-12).all()
+
+
+def test_bigram_lm_score_bruteforce(ray_session):
+    import math
+
+    from cesium_ray.stages.pack import bigram_lm_score
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["the cat sat", "the cat ran", "dog", ""],
+    })
+    got = bigram_lm_score(ray.data.from_pandas(docs).repartition(2),
+                          num_partitions=4)
+    # corpus: unigrams the:2 cat:2 sat:1 ran:1 dog:1 → V=5
+    # bigrams: (the,cat):2 (cat,sat):1 (cat,ran):1
+    V = 5
+    cu = {"the": 2, "cat": 2}
+    cb = {("the", "cat"): 2, ("cat", "sat"): 1, ("cat", "ran"): 1}
+
+    def xent(pairs):
+        ts = [math.log((cb[p] + 1) / (cu[p[0]] + V)) for p in pairs]
+        return -sum(ts) / len(ts)
+
+    want = pd.DataFrame({
+        "doc_id": np.array([0, 1], dtype=np.int64),
+        "n_bigrams": np.array([2, 2], dtype=np.int64),
+        "xent": [xent([("the", "cat"), ("cat", "sat")]),
+                 xent([("the", "cat"), ("cat", "ran")])],
+    })
+    # docs 2 (single token) and 3 (empty) drop out
+    assert got.shape == want.shape
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["n_bigrams"].to_numpy() == want["n_bigrams"].to_numpy()).all()
+    assert np.allclose(got["xent"], want["xent"])
