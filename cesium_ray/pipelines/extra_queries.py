@@ -3900,7 +3900,24 @@ FROM terms GROUP BY 1
 """
 
 
+def q_kmeans(sf_dir):
+    """Distributed Lloyd's k-means over the embeddings table
+    (stages/ann.py).  Rows-only: the iterative fit is not
+    SQL-expressible; correctness is gated by the in-stage Lloyd
+    inertia-monotonicity assertion, an in-query total-size check, and
+    test_ann's parity test against a single-process reference run."""
+    from ..stages.ann import kmeans_distributed
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = kmeans_distributed(emb, k=8, n_iter=5)
+    assert int(out["size"].sum()) == emb.count()
+    return round6(out)
+
+
 EXTRA_QUERIES = {
+    "kmeans": q_kmeans,
     "lm_score": q_lm_score,
     "type_entropy": q_type_entropy,
     "rolling_median": q_rolling_median,

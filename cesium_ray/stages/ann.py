@@ -356,3 +356,92 @@ def lsh_topk(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def kmeans_distributed(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the
+    corpus-clustering / IVF-index-training primitive as a first-class
+    operator (the driver-side ``_kmeans_fit`` trains on a bounded
+    sample; this trains on the FULL dataset).
+
+    Deterministic contract: init = the embeddings of the ``k``
+    smallest ``id_col`` values; squared-Euclidean assignment with
+    argmin ties → smallest cluster id; exactly ``n_iter`` update
+    rounds; an empty cluster keeps its previous centroid.
+
+    Scale shape: centroids are broadcast via ``ray.put`` once per
+    round; each batch emits ≤ k partial rows (count, Σvec, Σ‖x−c‖²)
+    — a map-side combine, so the driver sees blocks×k cells, never
+    vectors; assignment is one (batch × k) gemm.  Inertia is asserted
+    non-increasing across rounds (Lloyd's invariant) — a wrong
+    assignment or update trips it."""
+
+    def init_c() -> np.ndarray:
+        # k smallest ids via per-batch partial top-k (no global sort:
+        # each block emits <=k rows, the driver merges blocks*k rows)
+        def smallest(df: pd.DataFrame) -> pd.DataFrame:
+            return df.nsmallest(k, id_col)[[id_col, vec_col]]
+
+        head = (
+            ds.map_batches(smallest, batch_format="pandas")
+            .to_pandas()
+            .nsmallest(k, id_col)
+            .sort_values(id_col)
+        )
+        return _stack(head[vec_col])
+
+    C = init_c()
+    inertias = []
+    for rnd in range(n_iter + 1):        # last round: measure only
+        ref = ray.put(C)
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            Cb = ray.get(ref)
+            X = _stack(df[vec_col])
+            # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; argmin over c drops ‖x‖²
+            d2 = -2.0 * (X @ Cb.T) + (Cb * Cb).sum(axis=1)[None, :]
+            a = np.argmin(d2, axis=1)
+            inert = d2[np.arange(len(X)), a] + (X * X).sum(axis=1)
+            rows = []
+            for c in np.unique(a):
+                m = a == c
+                rows.append((int(c), int(m.sum()), X[m].sum(axis=0),
+                             float(inert[m].sum())))
+            return pd.DataFrame(rows, columns=["cid", "cnt", "vsum",
+                                               "inert"])
+
+        p = ds.map_batches(partials, batch_format="pandas").to_pandas()
+        agg_cnt = np.zeros(k, np.int64)
+        agg_sum = np.zeros_like(C)
+        agg_in = 0.0
+        for cid, g in p.groupby("cid"):
+            agg_cnt[cid] = g["cnt"].sum()
+            agg_sum[cid] = np.sum(np.stack(g["vsum"].to_numpy()), axis=0)
+            agg_in += g["inert"].sum()
+        inertias.append(agg_in)
+        if rnd < n_iter:                 # final round measures only
+            nz = agg_cnt > 0
+            C = C.copy()
+            C[nz] = agg_sum[nz] / agg_cnt[nz, None]
+    # Lloyd's invariant: inertia never increases round over round
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a * (1 + 1e-12), (a, b)
+    return pd.DataFrame({
+        "cluster_id": np.arange(k, dtype=np.int64),
+        "size": agg_cnt,
+        "inertia": _per_cluster_inertia(p, k),
+        "centroid_norm": np.sqrt((C * C).sum(axis=1)),
+    })
+
+
+def _per_cluster_inertia(p: pd.DataFrame, k: int) -> np.ndarray:
+    out = np.zeros(k, np.float64)
+    for cid, g in p.groupby("cid"):
+        out[cid] = g["inert"].sum()
+    return out

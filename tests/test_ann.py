@@ -91,3 +91,42 @@ def test_ivf_recall_and_determinism(emb):
     full = ivf_topk(ds, Q, qids, k=5, n_centroids=16, n_probe=16, seed=7)
     for j, qid in enumerate(qids):
         assert set(full[full.query_id == qid]["vec_id"]) == want[j]
+
+
+def test_kmeans_distributed_matches_reference(ray_session):
+    """Distributed Lloyd's must match a single-process reference run
+    (same deterministic contract) on assignments and near-bitwise
+    centroids."""
+    import ray.data
+
+    from cesium_ray.stages.ann import kmeans_distributed
+
+    rng = np.random.default_rng(31)
+    n, d, k, iters = 600, 16, 5, 4
+    X = rng.normal(size=(n, d))
+    X[:200] += 4.0
+    X[200:400] -= 4.0
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [row for row in X]})
+    got = kmeans_distributed(
+        ray.data.from_pandas(df).repartition(6), k=k, n_iter=iters)
+
+    # single-process reference (identical contract)
+    C = X[:k].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)
+    sizes = np.bincount(a, minlength=k)
+    inert = np.zeros(k)
+    for c in range(k):
+        inert[c] = d2[a == c, c].sum()
+
+    assert (got["size"].to_numpy() == sizes).all()
+    assert np.allclose(got["inertia"], inert, rtol=1e-9)
+    assert np.allclose(got["centroid_norm"],
+                       np.sqrt((C * C).sum(axis=1)), rtol=1e-9)
