@@ -3916,7 +3916,55 @@ def q_kmeans(sf_dir):
     return round6(out)
 
 
+def q_changepoint(sf_dir):
+    """★-checked per-key change-point detection
+    (stages/tsmath.py::changepoint_split): the between-segment
+    mean-shift argmax is a pure-int64 score (n_L·n_R-scaled), so the
+    winning split is bit-reproducible; segment means are one mirrored
+    float expression."""
+    from ..stages.tsmath import changepoint_split
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(changepoint_split(ev, num_partitions=8))
+
+
+CHANGEPOINT_SQL = """
+WITH o AS (
+  SELECT user_id,
+         epoch_us(ts) AS ts_us,
+         row_number() OVER w AS t,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(CAST(round(value*100) AS BIGINT)) OVER w AS sl,
+         sum(CAST(round(value*100) AS BIGINT))
+             OVER (PARTITION BY user_id) AS s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sc AS (
+  SELECT user_id, n, t, ts_us, sl, s,
+         abs(sl*(n - t) - (s - sl)*t) AS score
+  FROM o WHERE t < n),
+best AS (
+  SELECT * FROM sc
+  QUALIFY row_number()
+      OVER (PARTITION BY user_id ORDER BY score DESC, t) = 1)
+SELECT user_id, n, t AS split_t, ts_us AS split_ts_us,
+       round((CAST(sl AS DOUBLE) / CAST(t AS DOUBLE)) / 100.0, 6)
+           AS mean_left,
+       round((CAST(s - sl AS DOUBLE) / CAST(n - t AS DOUBLE)) / 100.0, 6)
+           AS mean_right,
+       round((CAST(s - sl AS DOUBLE) / CAST(n - t AS DOUBLE)) / 100.0
+             - (CAST(sl AS DOUBLE) / CAST(t AS DOUBLE)) / 100.0, 6)
+           AS delta,
+       score
+FROM best ORDER BY user_id
+"""
+
+
 EXTRA_QUERIES = {
+    "changepoint": q_changepoint,
     "kmeans": q_kmeans,
     "lm_score": q_lm_score,
     "type_entropy": q_type_entropy,
@@ -4017,6 +4065,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "changepoint": CHANGEPOINT_SQL,
     "lm_score": LM_SCORE_SQL,
     "type_entropy": TYPE_ENTROPY_SQL,
     "rolling_median": ROLLING_MEDIAN_SQL,

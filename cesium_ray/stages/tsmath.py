@@ -1170,3 +1170,92 @@ def acf_lags(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def changepoint_split(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key single change-point detection: the split of the
+    (ts, order)-sorted value stream that maximizes the between-segment
+    mean shift — the binary-segmentation primitive (level-shift /
+    regime-change detector for latency or volume series).
+
+    The objective is evaluated in EXACT int64 k-space: for a split
+    after the ``t``-th row of an ``n``-row key with prefix sum ``sl``
+    and total ``s``,
+
+        score(t) = | sl·(n−t) − (s−sl)·t |   (t = 1..n−1)
+
+    which is n_L·n_R·|mean_L − mean_R| scaled by 100 — a pure-integer
+    argmax, so the winning split (first-max tie-break on smallest t)
+    is bit-reproducible by the SQL twin's ``row_number() OVER (ORDER
+    BY score DESC, t)`` with no float comparison anywhere.  The two
+    segment means are then combined in one mirrored float expression.
+    Int64 bound: |sl|·n ≤ n²·100·max|v| — fine to ~10⁶ rows/key at
+    |v| ≤ 10⁴; keys with n < 2 are dropped on both sides.
+
+    One key-hash exchange; per partition one lexsort, one global
+    cumsum, and reduceat argmax — no per-key loop."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "split_t": pd.Series(dtype="int64"),
+                "split_ts_us": pd.Series(dtype="int64"),
+                "mean_left": pd.Series(dtype="float64"),
+                "mean_right": pd.Series(dtype="float64"),
+                "delta": pd.Series(dtype="float64"),
+                "score": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        x = _quantize(df[val_col].to_numpy())
+        perm = np.lexsort((oid, tus, kc))
+        k, t_us, xv = kc[perm], tus[perm], x[perm]
+        kstart = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        nseg = len(kstart)
+        npk = np.diff(np.r_[kstart, len(k)]).astype(np.int64)
+        seg = np.repeat(np.arange(nseg), npk)
+        csum = np.cumsum(xv)
+        base = np.r_[np.int64(0), csum[kstart[1:] - 1]]
+        sl = csum - base[seg]                    # prefix sum within key
+        s = np.add.reduceat(xv, kstart)[seg]     # key total
+        t = np.arange(len(k), dtype=np.int64) - kstart[seg] + 1
+        n = npk[seg]
+        score = np.abs(sl * (n - t) - (s - sl) * t)
+        score[t == n] = -1                       # last row: no split
+        best = np.maximum.reduceat(score, kstart)
+        # first index achieving the per-key max (tie -> smallest t)
+        idx = np.arange(len(k), dtype=np.int64)
+        masked = np.where(score == best[seg], idx, np.int64(len(k)))
+        win = np.minimum.reduceat(masked, kstart)
+        keep = npk >= 2
+        win = win[keep]
+        nw, tw, slw = n[win], t[win], sl[win]
+        sw = s[win]
+        mean_l = (slw.astype(np.float64) / tw.astype(np.float64)) / 100.0
+        mean_r = ((sw - slw).astype(np.float64)
+                  / (nw - tw).astype(np.float64)) / 100.0
+        return pd.DataFrame({
+            key: np.asarray(kuniq)[k[win]],
+            "n": nw,
+            "split_t": tw,
+            "split_ts_us": t_us[win],
+            "mean_left": mean_l,
+            "mean_right": mean_r,
+            "delta": mean_r - mean_l,
+            "score": score[win],
+        })
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

@@ -877,3 +877,38 @@ def test_rolling_window_median_bruteforce(ray_session):
     for c in ["user_id", "day", "n_window"]:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     assert (got["p50_7d"].to_numpy() == want["p50_7d"].to_numpy()).all()
+
+
+def test_changepoint_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import changepoint_split
+
+    ev = _valued(seed=211, n=2200, nusers=18)
+    got = changepoint_split(ray.data.from_pandas(ev).repartition(6),
+                            num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(x)
+        sl = np.cumsum(x)
+        t = np.arange(1, n + 1)
+        score = np.abs(sl * (n - t) - (sl[-1] - sl) * t)
+        score[-1] = -1
+        best = int(np.argmax(score))          # first max
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n"].iloc[0]) == n
+        assert int(row["split_t"].iloc[0]) == best + 1
+        assert int(row["score"].iloc[0]) == score[best]
+        ml = sl[best] / (best + 1) / 100.0
+        mr = (sl[-1] - sl[best]) / (n - best - 1) / 100.0
+        assert abs(row["mean_left"].iloc[0] - ml) < 1e-9
+        assert abs(row["mean_right"].iloc[0] - mr) < 1e-9
+        assert abs(row["delta"].iloc[0] - (mr - ml)) < 1e-9
+    # single-row keys are dropped
+    one = pd.DataFrame({
+        "event_id": np.array([0], dtype=np.int64),
+        "user_id": np.array([777], dtype=np.int64),
+        "ts": pd.to_datetime([10**6], unit="us").astype("datetime64[us]"),
+        "value": np.array([5.0]),
+    })
+    assert len(changepoint_split(ray.data.from_pandas(one),
+                                 num_partitions=2)) == 0
