@@ -3963,8 +3963,47 @@ FROM best ORDER BY user_id
 """
 
 
+def q_weighted_sample(sf_dir):
+    """★-checked weighted sampling without replacement (priority
+    sampling, stages/sample.py::priority_sample): arithmetic-hash
+    priorities (IEEE mul+div of exact ints — no transcendental), so
+    the selected set and the w_est estimator are bit-reproducible in
+    SQL."""
+    from ..stages.sample import priority_sample
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"],
+    )
+    return round6(priority_sample(ev, k=50))
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH p AS (
+  SELECT event_id, user_id,
+         abs(CAST(round(value*100) AS BIGINT)) + 1 AS w,
+         (event_id * 2654435761) % 4294967296 + 1 AS h
+  FROM events),
+q AS (
+  SELECT event_id, user_id, w,
+         (CAST(w AS DOUBLE) * 4294967296.0) / CAST(h AS DOUBLE) AS pri
+  FROM p),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY pri DESC, event_id) AS rn
+  FROM q),
+tau AS (
+  SELECT coalesce(max(pri) FILTER (WHERE rn = 51), 0.0) AS tau FROM r)
+SELECT event_id, user_id, w, round(pri, 6) AS pri,
+       round(greatest(CAST(w AS DOUBLE), tau), 6) AS w_est
+FROM r, tau
+WHERE rn <= 50
+ORDER BY rn
+"""
+
+
 EXTRA_QUERIES = {
     "changepoint": q_changepoint,
+    "weighted_sample": q_weighted_sample,
     "kmeans": q_kmeans,
     "lm_score": q_lm_score,
     "type_entropy": q_type_entropy,
@@ -4066,6 +4105,7 @@ EXTRA_QUERIES = {
 
 EXTRA_ORACLE_SQL = {
     "changepoint": CHANGEPOINT_SQL,
+    "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "lm_score": LM_SCORE_SQL,
     "type_entropy": TYPE_ENTROPY_SQL,
     "rolling_median": ROLLING_MEDIAN_SQL,

@@ -69,3 +69,56 @@ def stratified_sample(
         num_partitions=num_partitions,
         key=by,
     )
+
+
+def priority_sample(
+    ds: ray.data.Dataset,
+    k: int = 50,
+    id_col: str = "event_id",
+    weight_expr_col: str = "value",
+    extra_cols: tuple = ("user_id",),
+) -> pd.DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via
+    priority sampling (Duffield–Lund–Thorup): each row gets priority
+    ``pri = w · 2³² / h`` where ``h = (id·2654435761) mod 2³² + 1`` is
+    the Knuth arithmetic hash (content-derived — partition-order
+    independent and resume-stable, like the engine's Bernoulli
+    sampler) and ``w = |round(value·100)| + 1`` is the integer weight;
+    the sample is the top-``k`` by ``(pri DESC, id)``, and
+    ``w_est = max(w, τ)`` with τ = the (k+1)-th priority is the
+    classic unbiased subset-sum estimator.
+
+    Every compared/emitted number is one IEEE multiply + one IEEE
+    divide of exactly-representable integers (w·2³² ≤ 2⁵³ for
+    w ≤ 2·10⁶) — no transcendental whose libm could diverge from
+    DuckDB — so the selected set AND the estimator are bit-equal in
+    the SQL twin.
+
+    Scale shape: per-batch partial top-(k+1) (each block emits ≤ k+1
+    rows), driver merges blocks·(k+1) rows once.  No exchange."""
+
+    cols = [id_col, *extra_cols, weight_expr_col]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(1 << 32) + np.uint64(1)).astype(np.float64)
+        w = (np.abs(np.rint(df[weight_expr_col].to_numpy(np.float64)
+                            * 100.0).astype(np.int64)) + 1)
+        pri = w.astype(np.float64) * 4294967296.0 / h
+        out = pd.DataFrame({id_col: ids, "w": w, "pri": pri})
+        for c in extra_cols:
+            out[c] = df[c].to_numpy()
+        return (out.sort_values(["pri", id_col],
+                                ascending=[False, True])
+                .head(k + 1))
+
+    parts = (ds.select_columns(cols)
+             .map_batches(partial, batch_format="pandas")
+             .to_pandas())
+    top = (parts.sort_values(["pri", id_col], ascending=[False, True])
+           .head(k + 1).reset_index(drop=True))
+    tau = float(top["pri"].iloc[k]) if len(top) > k else 0.0
+    out = top.head(k).copy()
+    out["w_est"] = np.maximum(out["w"].to_numpy(np.float64), tau)
+    return out[[id_col, *extra_cols, "w", "pri", "w_est"]]

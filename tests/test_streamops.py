@@ -912,3 +912,28 @@ def test_changepoint_bruteforce(ray_session):
     })
     assert len(changepoint_split(ray.data.from_pandas(one),
                                  num_partitions=2)) == 0
+
+
+def test_priority_sample_bruteforce(ray_session):
+    """Priority sampling must select the exact top-k by w*2^32/h and
+    its w_est must be max(w, tau); inclusion probability must favor
+    heavy rows."""
+    from cesium_ray.stages.sample import priority_sample
+
+    ev = _valued(seed=307, n=3000, nusers=30)
+    k = 40
+    got = priority_sample(ray.data.from_pandas(ev).repartition(7), k=k)
+    ids = ev["event_id"].to_numpy(np.int64)
+    h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+         % np.uint64(1 << 32) + np.uint64(1)).astype(np.float64)
+    w = np.abs(np.rint(ev["value"].to_numpy() * 100).astype(np.int64)) + 1
+    pri = w.astype(np.float64) * 4294967296.0 / h
+    order = np.lexsort((ids, -pri))
+    want_ids = ids[order[:k]]
+    tau = pri[order[k]]
+    assert (got["event_id"].to_numpy() == want_ids).all()
+    assert np.array_equal(
+        got["w_est"].to_numpy(),
+        np.maximum(w[order[:k]].astype(np.float64), tau))
+    # estimator sanity: sum of w_est over the sample approximates sum(w)
+    assert 0.5 < got["w_est"].sum() / w.sum() < 2.0
