@@ -4001,9 +4001,49 @@ ORDER BY rn
 """
 
 
+def q_inverted_index(sf_dir):
+    """★-checked inverted-index build
+    (stages/pack.py::build_inverted_index): token → (df, tf, capped
+    posting list) over the documents table, all-integer/string — the
+    top-100 tokens by (df DESC, token) are bit-reproducible in SQL."""
+    from ..stages.pack import build_inverted_index
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    idx = build_inverted_index(docs, max_postings=15, num_partitions=8)
+    return (idx.sort_values(["df", "token"], ascending=[False, True])
+            .head(100).reset_index(drop=True))
+
+
+INVERTED_INDEX_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+'))
+           AS token
+  FROM documents),
+cell AS (SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM cell),
+posts AS (
+  SELECT token,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+  FROM ranked WHERE rn <= 15 GROUP BY token),
+agg AS (SELECT token, count(*) AS df, sum(c) AS tf
+        FROM cell GROUP BY token)
+SELECT a.token, a.df, a.tf, p.postings
+FROM agg a JOIN posts p USING (token)
+ORDER BY a.df DESC, a.token LIMIT 100
+"""
+
+
 EXTRA_QUERIES = {
     "changepoint": q_changepoint,
     "weighted_sample": q_weighted_sample,
+    "inverted_index": q_inverted_index,
     "kmeans": q_kmeans,
     "lm_score": q_lm_score,
     "type_entropy": q_type_entropy,
@@ -4106,6 +4146,7 @@ EXTRA_QUERIES = {
 EXTRA_ORACLE_SQL = {
     "changepoint": CHANGEPOINT_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "inverted_index": INVERTED_INDEX_SQL,
     "lm_score": LM_SCORE_SQL,
     "type_entropy": TYPE_ENTROPY_SQL,
     "rolling_median": ROLLING_MEDIAN_SQL,

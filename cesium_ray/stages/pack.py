@@ -355,3 +355,78 @@ def bigram_lm_score(
     if out.empty:
         return out
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def build_inverted_index(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 15,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Distributed inverted-index build: token → (document frequency,
+    total term frequency, posting list) — the retrieval/BM25 index
+    primitive.  Postings are capped at the ``max_postings`` smallest
+    doc ids (ascending, comma-joined) so the emitted index row stays
+    bounded; df/tf are exact int64, so the whole table is
+    bit-reproducible in SQL.
+
+    Scale shape: each block reduces its docs to distinct
+    (token, doc, count) cells (a document row is whole within one
+    block); ONE token-keyed exchange merges cells; per partition a
+    mergesort + reduceat computes df/tf and a positional-rank mask
+    selects the capped postings.  The driver receives one row per
+    token (the index itself), never raw token occurrences."""
+    from .partition import group_apply
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = (df[text_col].astype(str).str.lower()
+                .str.findall(_TOKEN_RE))
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 id_col: pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        pair = pd.DataFrame({
+            "token": ex.to_numpy(object),
+            id_col: df[id_col].to_numpy()[ex.index.to_numpy()],
+        })
+        g = (pair.groupby(["token", id_col], as_index=False).size()
+             .rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    def per_token(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"token": pd.Series(dtype=object),
+                "df": pd.Series(dtype="int64"),
+                "tf": pd.Series(dtype="int64"),
+                "postings": pd.Series(dtype=object)}
+        if not len(df):
+            return pd.DataFrame(cols)
+        g = (df.groupby(["token", id_col], as_index=False)["c"].sum()
+             .sort_values(["token", id_col], kind="mergesort")
+             .reset_index(drop=True))
+        tok = g["token"].to_numpy(object)
+        start = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        dfc = np.diff(np.r_[start, len(g)]).astype(np.int64)
+        tf = np.add.reduceat(g["c"].to_numpy(np.int64), start)
+        seg = np.repeat(np.arange(len(start)), dfc)
+        rank = np.arange(len(g)) - start[seg]
+        sel = g.loc[rank < max_postings]
+        posts = (sel.groupby("token", sort=True)[id_col]
+                 .agg(lambda s: ",".join(map(str, s))))
+        return pd.DataFrame({
+            "token": tok[start],
+            "df": dfc,
+            "tf": tf.astype(np.int64),
+            "postings": posts.loc[tok[start]].to_numpy(object),
+        })
+
+    cells = ds.select_columns([id_col, text_col]).map_batches(
+        cell_partial, batch_format="pandas")
+    out = group_apply(cells, per_token, num_partitions=num_partitions,
+                      key="token").to_pandas()
+    if out.empty:
+        return per_token(pd.DataFrame())
+    return out.sort_values("token", kind="mergesort").reset_index(drop=True)

@@ -229,3 +229,37 @@ def test_bigram_lm_score_bruteforce(ray_session):
     assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
     assert (got["n_bigrams"].to_numpy() == want["n_bigrams"].to_numpy()).all()
     assert np.allclose(got["xent"], want["xent"])
+
+
+def test_inverted_index_bruteforce(ray_session):
+    """Index rows (df, tf, capped postings) must match a pandas
+    recompute over the same tokenizer; partition count must not
+    matter."""
+    import re
+
+    from cesium_ray.stages.pack import _TOKEN_RE, build_inverted_index
+
+    rng = np.random.default_rng(53)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [" ".join(rng.choice(words, rng.integers(1, 12)))
+                 for _ in range(40)],
+    })
+    got = build_inverted_index(
+        ray.data.from_pandas(docs).repartition(5),
+        max_postings=3, num_partitions=4)
+    rows = []
+    for _, r in docs.iterrows():
+        for t in re.findall(_TOKEN_RE, r["text"].lower()):
+            rows.append((t, r["doc_id"]))
+    flat = pd.DataFrame(rows, columns=["token", "doc_id"])
+    cell = flat.groupby(["token", "doc_id"], as_index=False).size()
+    for tok, g in cell.groupby("token"):
+        row = got[got["token"] == tok]
+        assert len(row) == 1
+        assert int(row["df"].iloc[0]) == len(g)
+        assert int(row["tf"].iloc[0]) == int(g["size"].sum())
+        want = ",".join(map(str, sorted(g["doc_id"])[:3]))
+        assert row["postings"].iloc[0] == want, tok
+    assert len(got) == cell["token"].nunique()
