@@ -4040,10 +4040,74 @@ ORDER BY a.df DESC, a.token LIMIT 100
 """
 
 
+def q_pagerank(sf_dir):
+    """★-checked PageRank over the event-type transition graph
+    (stages/analytics.py::pagerank_types): distributed edge build,
+    fixed-10-iteration deterministic update; the SQL twin unrolls the
+    identical update as 10 chained CTEs."""
+    from ..stages.analytics import pagerank_types
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    return round6(pagerank_types(ev, iters=10, num_partitions=8))
+
+
+def _pagerank_sql(iters: int = 10) -> str:
+    """The engine's fixed-round update unrolled as chained CTEs —
+    each pr{i} is a plain aggregation over pr{i-1} (no recursive-CTE
+    aggregation restrictions), every float op mirrored."""
+    step = """
+pr{i} AS (
+  SELECT n2.node,
+         (1.0 - 0.85)/nn.nd
+         + 0.85*(coalesce(f.inflow, 0.0) + d.dang/nn.nd) AS r
+  FROM nodes n2
+  CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum((p.r * e.n) / od.w) AS inflow
+    FROM pr{j} p JOIN e ON e.src = p.node
+    JOIN outdeg od ON od.src = p.node
+    GROUP BY 1) f ON f.node = n2.node
+  CROSS JOIN (
+    SELECT coalesce(sum(p.r), 0.0) AS dang
+    FROM pr{j} p LEFT JOIN outdeg od ON od.src = p.node
+    WHERE od.src IS NULL) d
+)"""
+    chain = ",".join(step.format(i=i, j=i - 1)
+                     for i in range(1, iters + 1))
+    return f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+e AS (SELECT event_type AS src, nxt AS dst, count(*) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+outdeg AS (SELECT src, sum(n) AS w FROM e GROUP BY 1),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
+pr0 AS (SELECT node, 1.0/nn.nd AS r FROM nodes, nn),
+{chain}
+SELECT n.node AS event_type,
+       CAST(coalesce(od.w, 0) AS BIGINT) AS out_n,
+       round(p.r, 6) AS pagerank
+FROM nodes n
+JOIN pr{iters} p ON p.node = n.node
+LEFT JOIN outdeg od ON od.src = n.node
+ORDER BY n.node
+"""
+
+
+PAGERANK_SQL = _pagerank_sql(10)
+
+
 EXTRA_QUERIES = {
     "changepoint": q_changepoint,
     "weighted_sample": q_weighted_sample,
     "inverted_index": q_inverted_index,
+    "pagerank": q_pagerank,
     "kmeans": q_kmeans,
     "lm_score": q_lm_score,
     "type_entropy": q_type_entropy,
@@ -4147,6 +4211,7 @@ EXTRA_ORACLE_SQL = {
     "changepoint": CHANGEPOINT_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
+    "pagerank": PAGERANK_SQL,
     "lm_score": LM_SCORE_SQL,
     "type_entropy": TYPE_ENTROPY_SQL,
     "rolling_median": ROLLING_MEDIAN_SQL,

@@ -776,3 +776,60 @@ def type_entropy(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def pagerank_types(
+    ds: ray.data.Dataset,
+    damping: float = 0.85,
+    iters: int = 10,
+    key: str = "user_id",
+    attr: str = "event_type",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """PageRank over the event-type transition graph: nodes are the
+    distinct ``attr`` values, edge weights are the Markov transition
+    counts (``transition_matrix``), damping 0.85, uniform init,
+    dangling mass redistributed uniformly, a FIXED ``iters`` rounds —
+    deterministic, so the SQL twin (the same update unrolled as
+    ``iters`` chained CTEs) reproduces it to round-6.
+
+    Scale shape: the expensive part — reducing the raw event stream
+    to the |alphabet|² edge-count table — is the distributed
+    transition exchange; the rank iteration then runs driver-side
+    over the broadcast-small node set (same small-side rule as
+    components.py's driver CC).  Per-round update, mirrored
+    op-for-op by the SQL:
+
+        r' = 0.15/N + 0.85·(Σ_in (r_src·n)/w_src + dang/N)
+    """
+    edges = transition_matrix(ds, key=key, attr=attr,
+                              num_partitions=num_partitions)
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({attr: df[attr].unique()})
+
+    nodes = np.sort(
+        ds.select_columns([attr])
+        .map_batches(distinct_partial, batch_format="pandas")
+        .to_pandas()[attr].unique())
+    n_nodes = len(nodes)
+    if n_nodes == 0:
+        return pd.DataFrame({attr: pd.Series(dtype=object),
+                             "out_n": pd.Series(dtype="int64"),
+                             "pagerank": pd.Series(dtype="float64")})
+    idx = pd.Series(np.arange(n_nodes), index=nodes)
+    src = idx[edges["type_from"].to_numpy()].to_numpy()
+    dst = idx[edges["type_to"].to_numpy()].to_numpy()
+    en = edges["n"].to_numpy(np.float64)
+    w = np.zeros(n_nodes, np.int64)
+    np.add.at(w, src, edges["n"].to_numpy(np.int64))
+    wf = w.astype(np.float64)
+    nd = float(n_nodes)
+    r = np.full(n_nodes, 1.0 / nd)
+    for _ in range(iters):
+        contrib = (r[src] * en) / wf[src]
+        inflow = np.zeros(n_nodes)
+        np.add.at(inflow, dst, contrib)
+        dang = r[w == 0].sum()
+        r = (1.0 - damping) / nd + damping * (inflow + dang / nd)
+    return pd.DataFrame({attr: nodes, "out_n": w, "pagerank": r})

@@ -937,3 +937,35 @@ def test_priority_sample_bruteforce(ray_session):
         np.maximum(w[order[:k]].astype(np.float64), tau))
     # estimator sanity: sum of w_est over the sample approximates sum(w)
     assert 0.5 < got["w_est"].sum() / w.sum() < 2.0
+
+
+def test_pagerank_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import pagerank_types
+
+    ev = _events(seed=401, n=3000, nusers=25)
+    got = pagerank_types(ray.data.from_pandas(ev).repartition(6),
+                         iters=10, num_partitions=4)
+    # reference: build edges by brute force, run the same update
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    nxt = s.groupby("user_id")["event_type"].shift(-1)
+    d = pd.DataFrame({"a": s["event_type"], "b": nxt}).dropna()
+    e = d.groupby(["a", "b"], as_index=False).size()
+    nodes = np.sort(ev["event_type"].unique())
+    ix = {t: i for i, t in enumerate(nodes)}
+    N = len(nodes)
+    W = np.zeros((N, N))
+    for _, r_ in e.iterrows():
+        W[ix[r_["a"]], ix[r_["b"]]] = r_["size"]
+    w = W.sum(axis=1)
+    r = np.full(N, 1.0 / N)
+    for _ in range(10):
+        inflow = np.zeros(N)
+        for i in range(N):
+            if w[i] > 0:
+                inflow += r[i] * W[i] / w[i]
+        dang = r[w == 0].sum()
+        r = 0.15 / N + 0.85 * (inflow + dang / N)
+    assert (got["event_type"].to_numpy() == nodes).all()
+    assert np.allclose(got["pagerank"], r, rtol=1e-9)
+    assert abs(got["pagerank"].sum() - 1.0) < 1e-9
+    assert (got["out_n"].to_numpy() == w.astype(np.int64)).all()
