@@ -4103,8 +4103,80 @@ ORDER BY n.node
 PAGERANK_SQL = _pagerank_sql(10)
 
 
+def q_bm25(sf_dir):
+    """★-checked BM25 retrieval (stages/pack.py::bm25_topk): top-20
+    docs against the 3 highest-df tokens; tf/df/dl exact ints, one
+    mirrored float scoring expression with a fixed left-associated
+    3-term sum."""
+    from ..stages.pack import bm25_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return round6(bm25_topk(docs, n_terms=3, top=20, num_partitions=8))
+
+
+BM25_SQL = r"""
+WITH d0 AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+') AS toks
+  FROM documents),
+dlt AS (SELECT doc_id, len(toks) AS dl FROM d0),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM d0),
+dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT nd FROM nn) AS avgdl
+       FROM dlt),
+terms AS (
+  SELECT token, df,
+         row_number() OVER (ORDER BY df DESC, token) AS rk
+  FROM dft QUALIFY rk <= 3),
+t1 AS (SELECT token, df FROM terms WHERE rk = 1),
+t2 AS (SELECT token, df FROM terms WHERE rk = 2),
+t3 AS (SELECT token, df FROM terms WHERE rk = 3),
+tfs AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE token = (SELECT token FROM t1)) AS tf1,
+         count(*) FILTER (WHERE token = (SELECT token FROM t2)) AS tf2,
+         count(*) FILTER (WHERE token = (SELECT token FROM t3)) AS tf3
+  FROM tok GROUP BY 1),
+j AS (
+  SELECT l.doc_id, l.dl,
+         coalesce(t.tf1, 0) AS tf1, coalesce(t.tf2, 0) AS tf2,
+         coalesce(t.tf3, 0) AS tf3
+  FROM dlt l LEFT JOIN tfs t USING (doc_id)),
+idf AS (
+  SELECT
+    ln(((nd - (SELECT df FROM t1)) + 0.5)
+       / (CAST((SELECT df FROM t1) AS DOUBLE) + 0.5) + 1.0) AS i1,
+    ln(((nd - (SELECT df FROM t2)) + 0.5)
+       / (CAST((SELECT df FROM t2) AS DOUBLE) + 0.5) + 1.0) AS i2,
+    ln(((nd - (SELECT df FROM t3)) + 0.5)
+       / (CAST((SELECT df FROM t3) AS DOUBLE) + 0.5) + 1.0) AS i3
+  FROM nn),
+sc AS (
+  SELECT doc_id, dl, tf1, tf2, tf3,
+    (i1 * ((CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(tf1 AS DOUBLE)
+              + 1.2*((1.0 - 0.75) + 0.75*(CAST(dl AS DOUBLE)/avgdl))))
+     + i2 * ((CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(tf2 AS DOUBLE)
+              + 1.2*((1.0 - 0.75) + 0.75*(CAST(dl AS DOUBLE)/avgdl)))))
+     + i3 * ((CAST(tf3 AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(tf3 AS DOUBLE)
+              + 1.2*((1.0 - 0.75) + 0.75*(CAST(dl AS DOUBLE)/avgdl))))
+      AS score
+  FROM j, idf, ad)
+SELECT doc_id, dl, tf1, tf2, tf3, round(score, 6) AS score
+FROM sc
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
+ORDER BY score DESC, doc_id
+"""
+
+
 EXTRA_QUERIES = {
     "changepoint": q_changepoint,
+    "bm25": q_bm25,
     "weighted_sample": q_weighted_sample,
     "inverted_index": q_inverted_index,
     "pagerank": q_pagerank,
@@ -4212,6 +4284,7 @@ EXTRA_ORACLE_SQL = {
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
     "pagerank": PAGERANK_SQL,
+    "bm25": BM25_SQL,
     "lm_score": LM_SCORE_SQL,
     "type_entropy": TYPE_ENTROPY_SQL,
     "rolling_median": ROLLING_MEDIAN_SQL,

@@ -430,3 +430,105 @@ def build_inverted_index(
     if out.empty:
         return per_token(pd.DataFrame())
     return out.sort_values("token", kind="mergesort").reset_index(drop=True)
+
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    n_terms: int = 3,
+    top: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """BM25 retrieval: score every document against the ``n_terms``
+    highest-df tokens (the deterministic query — ORDER BY df DESC,
+    token) and return the ``top`` hits.  Okapi BM25 with the
+    standard (k1, b); idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Exactness: tf/df/dl are exact ints; the per-term contribution and
+    the fixed left-associated 3-term sum mirror the SQL twin
+    op-for-op (constants written identically, e.g. ``k1 + 1.0`` both
+    sides), so scores are bit-equal and the (score DESC, id) top-k
+    agrees (exact duplicate docs tie-break on id).
+
+    Scale shape: pass 1 builds the token-df table through one
+    token-keyed exchange plus per-block doc-length partial sums
+    (avgdl); the tiny (terms, idf, avgdl) tuple is broadcast; pass 2
+    is a stateless scoring ``map_batches`` emitting a partial top-k
+    per block — the driver merges blocks·top rows, never doc scores."""
+    import math
+
+    from .partition import group_apply
+
+    def df_len_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df[text_col].astype(str).str.lower()
+                .str.findall(_TOKEN_RE))
+        ex = toks.explode().dropna()
+        n_tok = int(ex.size)
+        if ex.empty:
+            out = pd.DataFrame({"token": pd.Series(dtype=object),
+                                "df": pd.Series(dtype="int64")})
+        else:
+            dd = pd.DataFrame({"d": ex.index.to_numpy(),
+                               "t": ex.to_numpy()}).drop_duplicates()
+            vc = dd["t"].value_counts()
+            out = pd.DataFrame({"token": vc.index.to_numpy(object),
+                                "df": vc.to_numpy(np.int64)})
+        # ship the block's token total as one extra sentinel row
+        return pd.concat([out, pd.DataFrame(
+            {"token": ["\x00len"], "df": np.int64(n_tok)})],
+            ignore_index=True)
+
+    def df_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False, sort=False)["df"].sum()
+        g["df"] = g["df"].astype(np.int64)
+        return g
+
+    tbl = group_apply(
+        ds.select_columns([text_col]).map_batches(
+            df_len_partial, batch_format="pandas"),
+        df_sum, num_partitions=num_partitions, key="token",
+    ).to_pandas()
+    total_toks = int(tbl.loc[tbl["token"] == "\x00len", "df"].sum())
+    tbl = tbl[tbl["token"] != "\x00len"]
+    n_docs = int(ds.count())
+    avgdl = float(total_toks) / float(n_docs)
+    terms = (tbl.sort_values(["df", "token"], ascending=[False, True])
+             .head(n_terms).reset_index(drop=True))
+    tlist = terms["token"].tolist()
+    idfs = [math.log(((float(n_docs) - float(d)) + 0.5)
+                     / (float(d) + 0.5) + 1.0)
+            for d in terms["df"]]
+    ref = ray.put((tlist, idfs, avgdl, k1, b))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tl, idf, ad, K, B = ray.get(ref)
+        df = df.reset_index(drop=True)
+        toks = (df[text_col].astype(str).str.lower()
+                .str.findall(_TOKEN_RE))
+        dl = toks.str.len().to_numpy(np.int64)
+        out = pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                            "dl": dl})
+        norm = K * ((1.0 - B) + B * (dl.astype(np.float64) / ad))
+        s = np.zeros(len(df))
+        ex = toks.explode().dropna()
+        for i, (t, w) in enumerate(zip(tl, idf), start=1):
+            tf = np.zeros(len(df), np.int64)
+            hit = ex[ex == t]
+            if len(hit):
+                c = hit.groupby(level=0).size()
+                tf[c.index.to_numpy()] = c.to_numpy()
+            out[f"tf{i}"] = tf
+            tff = tf.astype(np.float64)
+            s = s + w * ((tff * (K + 1.0)) / (tff + norm))
+        out["score"] = s
+        return (out.sort_values(["score", id_col],
+                                ascending=[False, True]).head(top))
+
+    parts = ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas").to_pandas()
+    return (parts.sort_values(["score", id_col],
+                              ascending=[False, True])
+            .head(top).reset_index(drop=True))

@@ -263,3 +263,51 @@ def test_inverted_index_bruteforce(ray_session):
         want = ",".join(map(str, sorted(g["doc_id"])[:3]))
         assert row["postings"].iloc[0] == want, tok
     assert len(got) == cell["token"].nunique()
+
+
+def test_bm25_bruteforce(ray_session):
+    """BM25 top-k must match a pandas recompute with the same
+    tokenizer, query-term selection, and scoring constants."""
+    import math
+    import re
+
+    from cesium_ray.stages.pack import _TOKEN_RE, bm25_topk
+
+    rng = np.random.default_rng(67)
+    words = ["red", "blue", "green", "cat", "dog", "fish", "sun"]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "text": [" ".join(rng.choice(words, rng.integers(2, 15)))
+                 for _ in range(60)],
+    })
+    top = 10
+    got = bm25_topk(ray.data.from_pandas(docs).repartition(5),
+                    n_terms=3, top=top, num_partitions=4)
+    toks = {r["doc_id"]: re.findall(_TOKEN_RE, r["text"].lower())
+            for _, r in docs.iterrows()}
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    terms = sorted(df, key=lambda t: (-df[t], t))[:3]
+    N = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    rows = []
+    for d, ts in toks.items():
+        dl = len(ts)
+        s = 0.0
+        tfv = []
+        for t in terms:
+            tf = ts.count(t)
+            tfv.append(tf)
+            idf = math.log(((N - df[t]) + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+        rows.append((d, dl, *tfv, s))
+    want = (pd.DataFrame(rows, columns=["doc_id", "dl", "tf1", "tf2",
+                                        "tf3", "score"])
+            .sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(top).reset_index(drop=True))
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    for c in ["dl", "tf1", "tf2", "tf3"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert np.allclose(got["score"], want["score"], rtol=1e-12)
