@@ -4174,9 +4174,74 @@ ORDER BY score DESC, doc_id
 """
 
 
+def q_zorder_stats(sf_dir):
+    """★-checked Z-order clustering key
+    (stages/partition.py::zorder_key): per-Morton-cell row/user/time
+    stats, all-integer — the SQL twin recomputes the bit interleave
+    with DuckDB bit ops.  The layout stage itself (zorder_sort) is
+    pytest-verified for the contiguous-box locality property."""
+    from ..stages.partition import group_apply, zorder_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df["ts"].to_numpy("datetime64[us]").view(np.int64)
+        z = zorder_key(df["user_id"].to_numpy(np.int64), tus, bits=4)
+        g = (pd.DataFrame({"zkey": z, "user_id": df["user_id"],
+                           "tus": tus})
+             .groupby(["zkey", "user_id"], as_index=False)
+             .agg(c=("tus", "size"), lo=("tus", "min"),
+                  hi=("tus", "max")))
+        return g
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "zkey": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "n_users": pd.Series(dtype="int64"),
+                "ts_min_us": pd.Series(dtype="int64"),
+                "ts_max_us": pd.Series(dtype="int64")})
+        g = df.groupby(["zkey", "user_id"], as_index=False).agg(
+            c=("c", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+        out = g.groupby("zkey", as_index=False).agg(
+            n=("c", "sum"), n_users=("user_id", "size"),
+            ts_min_us=("lo", "min"), ts_max_us=("hi", "max"))
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    cells = ev.map_batches(cell_partial, batch_format="pandas")
+    out = group_apply(cells, per_cell, num_partitions=8,
+                      key="zkey").to_pandas()
+    return out.sort_values("zkey").reset_index(drop=True)
+
+
+ZORDER_SQL = """
+WITH z AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         (user_id % 16) AS a,
+         ((epoch_us(ts) // 86400000000) % 16) AS b
+  FROM events),
+k AS (
+  SELECT user_id, tus,
+         ((a & 1) << 0) | (((a >> 1) & 1) << 2)
+       | (((a >> 2) & 1) << 4) | (((a >> 3) & 1) << 6)
+       | ((b & 1) << 1) | (((b >> 1) & 1) << 3)
+       | (((b >> 2) & 1) << 5) | (((b >> 3) & 1) << 7) AS zkey
+  FROM z)
+SELECT zkey, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       min(tus) AS ts_min_us, max(tus) AS ts_max_us
+FROM k GROUP BY 1 ORDER BY 1
+"""
+
+
 EXTRA_QUERIES = {
     "changepoint": q_changepoint,
     "bm25": q_bm25,
+    "zorder_stats": q_zorder_stats,
     "weighted_sample": q_weighted_sample,
     "inverted_index": q_inverted_index,
     "pagerank": q_pagerank,
@@ -4285,6 +4350,7 @@ EXTRA_ORACLE_SQL = {
     "inverted_index": INVERTED_INDEX_SQL,
     "pagerank": PAGERANK_SQL,
     "bm25": BM25_SQL,
+    "zorder_stats": ZORDER_SQL,
     "lm_score": LM_SCORE_SQL,
     "type_entropy": TYPE_ENTROPY_SQL,
     "rolling_median": ROLLING_MEDIAN_SQL,

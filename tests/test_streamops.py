@@ -969,3 +969,33 @@ def test_pagerank_bruteforce(ray_session):
     assert np.allclose(got["pagerank"], r, rtol=1e-9)
     assert abs(got["pagerank"].sum() - 1.0) < 1e-9
     assert (got["out_n"].to_numpy() == w.astype(np.int64)).all()
+
+
+def test_zorder_locality(ray_session):
+    """zorder_sort: output is nondecreasing in zkey, the key matches a
+    bit-interleave recompute, and every bit-aligned 2^j x 2^j box maps
+    to ONE contiguous z range (the Morton locality property)."""
+    from cesium_ray.stages.partition import zorder_key, zorder_sort
+
+    ev = _events(seed=503, n=2000, nusers=64)
+    out = zorder_sort(ray.data.from_pandas(ev), bits=4).to_pandas()
+    z = out["zkey"].to_numpy(np.int64)
+    assert (np.diff(z) >= 0).all()
+    # recompute
+    tus = out["ts"].to_numpy("datetime64[us]").view(np.int64)
+    want = zorder_key(out["user_id"].to_numpy(np.int64), tus, bits=4)
+    assert (z == want).all()
+    # aligned-box property: fixing the high (4-j) bits of both dims
+    # confines the box to exactly one contiguous z interval
+    a = out["user_id"].to_numpy(np.int64) % 16
+    b = (tus // 86_400_000_000) % 16
+    for j in (1, 2):
+        for abox in range(0, 16, 1 << j):
+            for bbox in range(0, 16, 1 << j):
+                m = ((a >> j) == (abox >> j)) & ((b >> j) == (bbox >> j))
+                if not m.any():
+                    continue
+                zs = z[m]
+                lo, hi = zs.min(), zs.max()
+                assert hi - lo < (1 << (2 * j)), (j, abox, bbox)
+    assert len(out) == len(ev)
