@@ -598,6 +598,21 @@ def bench_textprep(results, thr):
     results["redact"] = round(dt, 3)
     thr["redact_docs_per_sec"] = round(n / dt)
 
+    from cesium_ray.stages.pack import bm25_topk, build_inverted_index
+
+    t0 = time.time()
+    n_tokens = len(build_inverted_index(ds, num_partitions=2 * NCPU))
+    dt = time.time() - t0
+    results["inverted_index"] = round(dt, 3)
+    thr["inverted_index_docs_per_sec"] = round(n / dt)
+    thr["inverted_index_vocab"] = int(n_tokens)
+
+    t0 = time.time()
+    bm25_topk(ds, n_terms=3, top=20, num_partitions=2 * NCPU)
+    dt = time.time() - t0
+    results["bm25"] = round(dt, 3)
+    thr["bm25_docs_per_sec"] = round(n / dt)
+
 
 def _bench_diff(base):
     """Diff the 2M-row table against a copy with ~2% planted drift."""
@@ -668,8 +683,12 @@ def bench_stream(results, thr):
     from cesium_ray.stages.analytics import (
         lateness_report, profile_columns, sequence_pattern_count,
         share_of_bucket)
+    from cesium_ray.stages.analytics import pagerank_types
+    from cesium_ray.stages.partition import zorder_sort
+    from cesium_ray.stages.sample import priority_sample
     from cesium_ray.stages.tsmath import (
-        acf_lags, burst_detect, longest_streak, max_drawdown)
+        acf_lags, burst_detect, changepoint_split, longest_streak,
+        max_drawdown)
     from cesium_ray.stages.window import (
         cooldown_dedup, gap_report, rolling_rows_avg, rolling_rows_std,
         rolling_window_median)
@@ -746,6 +765,12 @@ def bench_stream(results, thr):
             base, window_days=7, num_partitions=2 * NCPU))),
         ("dataset_diff", lambda: _bench_diff(base)),
         ("global_quantiles", lambda: _bench_rank_quantiles(base)),
+        ("changepoint", lambda: len(changepoint_split(
+            base, num_partitions=2 * NCPU))),
+        ("priority_sample", lambda: len(priority_sample(base, k=50))),
+        ("pagerank", lambda: len(pagerank_types(
+            base, num_partitions=2 * NCPU))),
+        ("zorder_sort", lambda: zorder_sort(base).count()),
     ]:
         t0 = time.time()
         out = fn()
