@@ -4238,10 +4238,42 @@ FROM k GROUP BY 1 ORDER BY 1
 """
 
 
+def q_kmv_distinct(sf_dir):
+    """★-checked KMV approximate-distinct
+    (stages/sketch.py::kmv_distinct): the k-smallest-hash sketch under
+    the Knuth arithmetic hash is exactly SQL-expressible, so the
+    driver verifies the sketch AND the estimate (HLL's sibling query
+    hll_distinct stays rows-only for its mixing constants)."""
+    from ..stages.sketch import kmv_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    return round6(kmv_distinct(ev, col="user_id", k=256))
+
+
+KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT (user_id * 2654435761) % 4294967296 AS hv
+  FROM events),
+s AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+topk AS (SELECT hv, rn FROM s WHERE rn <= 256),
+agg AS (SELECT count(*) AS n_hashes, max(hv) AS kth,
+               count(*) FILTER (WHERE rn = 256) AS full_k
+        FROM topk)
+SELECT n_hashes, kth AS kth_hash,
+       round(CASE WHEN full_k = 1
+             THEN ((256.0 - 1.0) * 4294967296.0) / CAST(kth AS DOUBLE)
+             ELSE CAST(n_hashes AS DOUBLE) END, 6) AS est_distinct
+FROM agg
+"""
+
+
 EXTRA_QUERIES = {
     "changepoint": q_changepoint,
     "bm25": q_bm25,
     "zorder_stats": q_zorder_stats,
+    "kmv_distinct": q_kmv_distinct,
     "weighted_sample": q_weighted_sample,
     "inverted_index": q_inverted_index,
     "pagerank": q_pagerank,
@@ -4351,6 +4383,7 @@ EXTRA_ORACLE_SQL = {
     "pagerank": PAGERANK_SQL,
     "bm25": BM25_SQL,
     "zorder_stats": ZORDER_SQL,
+    "kmv_distinct": KMV_SQL,
     "lm_score": LM_SCORE_SQL,
     "type_entropy": TYPE_ENTROPY_SQL,
     "rolling_median": ROLLING_MEDIAN_SQL,

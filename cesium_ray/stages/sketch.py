@@ -177,3 +177,45 @@ def grouped_histogram(
     out = out.rename(columns={"_n": "n"})
     return (out[[group_col, "bin", "lo_edge", "n"]]
             .sort_values([group_col, "bin"]).reset_index(drop=True))
+
+
+def kmv_distinct(
+    ds: ray.data.Dataset,
+    col: str = "user_id",
+    k: int = 256,
+) -> pd.DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch: keep the ``k``
+    smallest DISTINCT arithmetic-hash values of ``col``; estimate
+    D ≈ (k−1)·2³² / h_k (Bar-Yossef et al.).  Unlike HLL (whose
+    mixing constants SQL cannot reproduce) the KMV sketch under the
+    engine's Knuth hash is EXACTLY SQL-expressible, so the sketch
+    content AND the estimate are hash-checkable — a driver-verified
+    approximate-distinct.
+
+    Mergeable map-side partial: each block emits its ≤ k smallest
+    distinct hashes (k·8 B per block); merging is distinct-union +
+    ``k``-smallest — associative and order-free.  If fewer than ``k``
+    distinct hashes exist the estimate is the exact count."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(
+            (df[col].to_numpy(np.int64).astype(np.uint64)
+             * np.uint64(2654435761)) % np.uint64(1 << 32))
+        return pd.DataFrame({"hv": h[:k].astype(np.int64)})
+
+    merged = np.unique(
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()["hv"].to_numpy(np.int64))
+    n_hashes = min(len(merged), k)
+    if len(merged) >= k:
+        kth = int(merged[k - 1])
+        est = ((float(k) - 1.0) * 4294967296.0) / float(kth)
+    else:
+        kth = int(merged[-1]) if len(merged) else 0
+        est = float(len(merged))
+    return pd.DataFrame({
+        "n_hashes": np.array([n_hashes], np.int64),
+        "kth_hash": np.array([kth], np.int64),
+        "est_distinct": np.array([est], np.float64),
+    })

@@ -999,3 +999,26 @@ def test_zorder_locality(ray_session):
                 lo, hi = zs.min(), zs.max()
                 assert hi - lo < (1 << (2 * j)), (j, abox, bbox)
     assert len(out) == len(ev)
+
+
+def test_kmv_distinct_accuracy(ray_session):
+    from cesium_ray.stages.sketch import kmv_distinct
+
+    rng = np.random.default_rng(601)
+    n_true = 5000
+    ids = rng.choice(rng.integers(0, 10**9, n_true), 40000)
+    df = pd.DataFrame({"user_id": ids.astype(np.int64)})
+    got = kmv_distinct(ray.data.from_pandas(df).repartition(8), k=256)
+    true_d = len(np.unique(ids))
+    est = float(got["est_distinct"].iloc[0])
+    # KMV relative error ~ 1/sqrt(k-2) ~= 6%; allow 4 sigma
+    assert abs(est - true_d) / true_d < 0.25, (est, true_d)
+    # sketch content matches a single-process recompute exactly
+    h = np.unique((np.unique(ids).astype(np.uint64)
+                   * np.uint64(2654435761)) % np.uint64(1 << 32))
+    assert int(got["kth_hash"].iloc[0]) == int(h[255])
+    assert int(got["n_hashes"].iloc[0]) == 256
+    # under-k case is exact
+    small = pd.DataFrame({"user_id": np.arange(30, dtype=np.int64)})
+    g2 = kmv_distinct(ray.data.from_pandas(small).repartition(3), k=256)
+    assert float(g2["est_distinct"].iloc[0]) == 30.0
