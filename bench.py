@@ -689,9 +689,10 @@ def bench_stream(results, thr):
     from cesium_ray.stages.tsmath import (
         acf_lags, burst_detect, changepoint_split, longest_streak,
         max_drawdown)
+    from cesium_ray.stages.sketch import kmv_distinct
     from cesium_ray.stages.window import (
-        cooldown_dedup, gap_report, rolling_rows_avg, rolling_rows_std,
-        rolling_window_median)
+        cooldown_dedup, finalize_windows, gap_report, rolling_rows_avg,
+        rolling_rows_std, rolling_window_median)
 
     def derive(df: pd.DataFrame) -> pd.DataFrame:
         key = pd.to_numeric(df["conv_id"].str.slice(5)).astype("int64")
@@ -771,6 +772,9 @@ def bench_stream(results, thr):
         ("pagerank", lambda: len(pagerank_types(
             base, num_partitions=2 * NCPU))),
         ("zorder_sort", lambda: zorder_sort(base).count()),
+        ("kmv_distinct", lambda: len(kmv_distinct(base))),
+        ("window_finalize", lambda: len(finalize_windows(
+            base, n_arrival_buckets=2 * NCPU))),
     ]:
         t0 = time.time()
         out = fn()

@@ -4238,6 +4238,45 @@ FROM k GROUP BY 1 ORDER BY 1
 """
 
 
+def q_window_finalize(sf_dir):
+    """★-checked streaming window-finalization replay
+    (stages/window.py::finalize_windows): watermark = exclusive
+    global running max of event time in arrival order (distributed
+    prefix-scan over arrival-range buckets); a row is late iff the
+    watermark passed its window end + allowed lateness before it
+    arrived.  All-integer output."""
+    from ..stages.window import finalize_windows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "value"],
+    )
+    return finalize_windows(ev, bucket_s=3600, delay_s=300,
+                            n_arrival_buckets=16)
+
+
+WINDOW_FINALIZE_SQL = """
+WITH o AS (
+  SELECT event_id, epoch_us(ts) AS tus,
+         CAST(round(value*100) AS BIGINT) AS x,
+         epoch_us(ts) // 3600000000 AS w,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events),
+f AS (
+  SELECT w, x,
+         CASE WHEN wm IS NOT NULL
+                   AND wm >= (w + 1) * 3600000000 + 300000000
+              THEN 1 ELSE 0 END AS late
+  FROM o)
+SELECT w AS bucket, count(*) AS n,
+       CAST(sum(late) AS BIGINT) AS n_late,
+       CAST(coalesce(sum(x) FILTER (WHERE late = 0), 0) AS BIGINT)
+         AS sum_on_time_k
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_kmv_distinct(sf_dir):
     """★-checked KMV approximate-distinct
     (stages/sketch.py::kmv_distinct): the k-smallest-hash sketch under
@@ -4274,6 +4313,7 @@ EXTRA_QUERIES = {
     "bm25": q_bm25,
     "zorder_stats": q_zorder_stats,
     "kmv_distinct": q_kmv_distinct,
+    "window_finalize": q_window_finalize,
     "weighted_sample": q_weighted_sample,
     "inverted_index": q_inverted_index,
     "pagerank": q_pagerank,
@@ -4384,6 +4424,7 @@ EXTRA_ORACLE_SQL = {
     "bm25": BM25_SQL,
     "zorder_stats": ZORDER_SQL,
     "kmv_distinct": KMV_SQL,
+    "window_finalize": WINDOW_FINALIZE_SQL,
     "lm_score": LM_SCORE_SQL,
     "type_entropy": TYPE_ENTROPY_SQL,
     "rolling_median": ROLLING_MEDIAN_SQL,

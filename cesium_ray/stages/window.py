@@ -536,3 +536,126 @@ def rolling_window_median(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values([key, "day"]).reset_index(drop=True)
+
+
+def finalize_windows(
+    ds: ray.data.Dataset,
+    bucket_s: int = 3600,
+    delay_s: int = 300,
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    val_col: str = "value",
+    n_arrival_buckets: int = 32,
+) -> pd.DataFrame:
+    """Streaming window-finalization semantics over a replayed batch:
+    rows arrive in ``arrival_col`` order; the watermark before a row
+    is the exclusive running max of event time over all earlier
+    arrivals; a row of hour-window ``w`` is LATE (dropped from the
+    emitted aggregate) iff the watermark had already passed
+    ``w_end + delay`` when it arrived — exactly what a
+    watermark-with-allowed-lateness streaming engine would emit.
+    Output per window: total rows, late rows, and the emitted
+    (on-time-only) k-space value sum — all exact int64.
+
+    Distributed prefix-scan shape (the global running max cannot be
+    a per-key kernel): pass 1 reduces each arrival-range bucket to
+    its max event time (map-side cells); the driver prefix-maxes the
+    ≤ ``n_arrival_buckets`` bucket maxima into exclusive offsets —
+    broadcast-small; pass 2 computes each bucket's exclusive local
+    cummax merged with its offset and reduces to per-window cells.
+    The driver only ever sees buckets + window cells, never rows."""
+    from .partition import group_apply
+
+    bucket_us = np.int64(bucket_s) * 1_000_000
+    delay_us = np.int64(delay_s) * 1_000_000
+    lo, hi = int(ds.min(arrival_col)), int(ds.max(arrival_col))
+    span = max(hi - lo + 1, 1)
+    width = -(-span // n_arrival_buckets)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ab"] = ((df[arrival_col].to_numpy(np.int64) - lo)
+                     // width).astype(np.int64)
+        return df
+
+    parted = ds.select_columns([arrival_col, ts_col, val_col]) \
+        .map_batches(add_bucket, batch_format="pandas")
+
+    def bucket_max(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"_ab": pd.Series(dtype="int64"),
+                                 "mx": pd.Series(dtype="int64")})
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        g = pd.DataFrame({"_ab": df["_ab"], "mx": tus}).groupby(
+            "_ab", as_index=False)["mx"].max()
+        return g
+
+    maxima = (parted.map_batches(bucket_max, batch_format="pandas")
+              .to_pandas().groupby("_ab")["mx"].max())
+    offsets = np.full(n_arrival_buckets, np.iinfo(np.int64).min)
+    for ab, mx in maxima.items():
+        offsets[int(ab)] = mx
+    # exclusive prefix max over bucket order
+    excl = np.full(n_arrival_buckets, np.iinfo(np.int64).min)
+    run = np.iinfo(np.int64).min
+    for i in range(n_arrival_buckets):
+        excl[i] = run
+        run = max(run, int(offsets[i]) if offsets[i] != np.iinfo(
+            np.int64).min else run)
+    off_ref = ray.put(excl)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bucket": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "n_late": pd.Series(dtype="int64"),
+                "sum_on_time_k": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        offs = ray.get(off_ref)
+        # a hash partition can hold several arrival buckets — the
+        # exclusive cummax resets at bucket boundaries via the
+        # key-offset band trick (lateness_report's kernel)
+        df = df.sort_values(["_ab", arrival_col], kind="mergesort")
+        ab = df["_ab"].to_numpy(np.int64)
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        x = np.rint(df[val_col].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        code, _ = pd.factorize(ab)
+        tmin = tus.min()
+        tn = tus - tmin
+        band = np.int64(tn.max()) + 1
+        if (int(code.max()) + 1) * int(band) >= 2**62:
+            raise OverflowError("finalize band overflow — raise "
+                                "n_arrival_buckets or shrink span")
+        shifted = tn + code.astype(np.int64) * band
+        run = np.maximum.accumulate(shifted)
+        prev = np.r_[np.int64(-1), run[:-1]]
+        new_seg = np.r_[True, code[1:] != code[:-1]]
+        SENT = np.iinfo(np.int64).min
+        local_excl = np.where(
+            new_seg, SENT,
+            prev - code.astype(np.int64) * band + tmin)
+        wm = np.maximum(local_excl, offs[ab])
+        w = tus // bucket_us
+        late = wm >= (w + 1) * bucket_us + delay_us
+        cells = pd.DataFrame({
+            "bucket": w, "late": late.astype(np.int64),
+            "x_on": np.where(late, np.int64(0), x)})
+        g = cells.groupby("bucket", as_index=False).agg(
+            n=("late", "size"), n_late=("late", "sum"),
+            sum_on_time_k=("x_on", "sum"))
+        for c in g.columns:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    cells = group_apply(parted, per_bucket,
+                        num_partitions=n_arrival_buckets, key="_ab"
+                        ).to_pandas()
+    if cells.empty:
+        return per_bucket(pd.DataFrame())
+    out = cells.groupby("bucket", as_index=False).agg(
+        n=("n", "sum"), n_late=("n_late", "sum"),
+        sum_on_time_k=("sum_on_time_k", "sum"))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)

@@ -1022,3 +1022,36 @@ def test_kmv_distinct_accuracy(ray_session):
     small = pd.DataFrame({"user_id": np.arange(30, dtype=np.int64)})
     g2 = kmv_distinct(ray.data.from_pandas(small).repartition(3), k=256)
     assert float(g2["est_distinct"].iloc[0]) == 30.0
+
+
+def test_finalize_windows_bruteforce(ray_session):
+    """Watermark finalize vs a sequential replay: late iff the
+    exclusive running max of event time had passed window end +
+    delay at arrival."""
+    from cesium_ray.stages.window import finalize_windows
+
+    ev = _valued(seed=701, n=2500, nusers=20)
+    # scramble arrival order so event-time and arrival order disagree
+    rng = np.random.default_rng(702)
+    ev["event_id"] = rng.permutation(len(ev)).astype(np.int64)
+    got = finalize_windows(ray.data.from_pandas(ev).repartition(6),
+                           bucket_s=3600, delay_s=300,
+                           n_arrival_buckets=8)
+    s = ev.sort_values("event_id", kind="mergesort")
+    tus = s["ts"].to_numpy("datetime64[us]").view(np.int64)
+    x = np.rint(s["value"].to_numpy() * 100).astype(np.int64)
+    w = tus // 3_600_000_000
+    wm = np.r_[np.int64(np.iinfo(np.int64).min),
+               np.maximum.accumulate(tus)[:-1]]
+    late = wm >= (w + 1) * 3_600_000_000 + 300_000_000
+    want = (pd.DataFrame({"bucket": w,
+                          "late": late.astype(np.int64),
+                          "x_on": np.where(late, 0, x)})
+            .groupby("bucket", as_index=False)
+            .agg(n=("late", "size"), n_late=("late", "sum"),
+                 sum_on_time_k=("x_on", "sum"))
+            .sort_values("bucket").reset_index(drop=True))
+    assert got.shape == want.shape
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert int(got["n_late"].sum()) > 0  # scrambling must produce lates
