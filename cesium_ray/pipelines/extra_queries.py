@@ -4277,6 +4277,58 @@ FROM f GROUP BY 1 ORDER BY 1
 """
 
 
+def q_upsert(sf_dir):
+    """★-checked last-write-wins upsert (stages/joins.py::upsert):
+    a deterministic delta (user_id % 7 == 0 rows, value +1, ts +1h)
+    merged over the base with delta-wins semantics; all-integer
+    output."""
+    from ..stages.joins import upsert
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def mk_delta(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["user_id"] % 7 == 0].copy()
+        df["value"] = df["value"] + 1.0
+        df["ts"] = df["ts"] + pd.Timedelta(hours=1)
+        return df
+
+    merged = upsert(ev, ev.map_batches(mk_delta, batch_format="pandas"),
+                    key="event_id", num_partitions=16)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts_us": df["ts"].to_numpy("datetime64[us]").view(np.int64),
+            "value_k": np.rint(df["value"].to_numpy(np.float64)
+                               * 100.0).astype(np.int64),
+            "src": df["_src"].to_numpy(np.int64),
+        })
+
+    out = merged.map_batches(project, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+UPSERT_SQL = """
+WITH delta AS (
+  SELECT event_id, user_id, epoch_us(ts) + 3600000000 AS ts_us,
+         CAST(round((value + 1.0)*100) AS BIGINT) AS value_k, 1 AS src
+  FROM events WHERE user_id % 7 = 0),
+base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS value_k, 0 AS src
+  FROM events),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+w AS (SELECT *, row_number()
+        OVER (PARTITION BY event_id ORDER BY src DESC) AS rn FROM u)
+SELECT event_id, user_id, ts_us, value_k, CAST(src AS BIGINT) AS src
+FROM w WHERE rn = 1 ORDER BY event_id
+"""
+
+
 def q_kmv_distinct(sf_dir):
     """★-checked KMV approximate-distinct
     (stages/sketch.py::kmv_distinct): the k-smallest-hash sketch under
@@ -4314,6 +4366,7 @@ EXTRA_QUERIES = {
     "zorder_stats": q_zorder_stats,
     "kmv_distinct": q_kmv_distinct,
     "window_finalize": q_window_finalize,
+    "upsert": q_upsert,
     "weighted_sample": q_weighted_sample,
     "inverted_index": q_inverted_index,
     "pagerank": q_pagerank,
@@ -4425,6 +4478,7 @@ EXTRA_ORACLE_SQL = {
     "zorder_stats": ZORDER_SQL,
     "kmv_distinct": KMV_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
+    "upsert": UPSERT_SQL,
     "lm_score": LM_SCORE_SQL,
     "type_entropy": TYPE_ENTROPY_SQL,
     "rolling_median": ROLLING_MEDIAN_SQL,

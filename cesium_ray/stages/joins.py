@@ -475,3 +475,45 @@ def interval_join_partitioned(
     from .partition import group_apply
     return group_apply(both, join_bucket,
                        num_partitions=num_partitions, key="_bucket")
+
+
+def upsert(
+    base: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    key: str = "event_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """CDC-style last-write-wins upsert: rows in ``delta`` replace
+    same-key rows in ``base``; unmatched rows pass through — the
+    MERGE-INTO maintenance primitive for the tiered store.  Both
+    inputs must share a schema.  Winner per key = highest
+    (src, …stable input order), src 1 = delta; with several delta
+    rows per key the kernel keeps the LAST in input order
+    (row_number DESC semantics).
+
+    ONE key-hash exchange over the tagged union; per partition one
+    stable mergesort + last-per-key mask — no per-key loop.  At
+    store scale the same kernel runs per partition file, so only
+    partitions named in the delta's key range rewrite."""
+
+    def tag(src: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_src"] = np.int64(src)
+            return df
+        return fn
+
+    both = (base.map_batches(tag(0), batch_format="pandas")
+            .union(delta.map_batches(tag(1), batch_format="pandas")))
+
+    def last_per_key(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values([key, "_src"], kind="mergesort")
+        k = df[key].to_numpy()
+        keep = np.r_[k[1:] != k[:-1], True]
+        return df.loc[keep]
+
+    from .partition import group_apply
+    return group_apply(both, last_per_key,
+                       num_partitions=num_partitions, key=key)

@@ -1055,3 +1055,32 @@ def test_finalize_windows_bruteforce(ray_session):
     for c in want.columns:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     assert int(got["n_late"].sum()) > 0  # scrambling must produce lates
+
+
+def test_upsert_bruteforce(ray_session):
+    from cesium_ray.stages.joins import upsert
+
+    ev = _valued(seed=811, n=1500, nusers=25)
+    delta = ev[ev["user_id"] % 5 == 0].copy()
+    delta["value"] = -1.0
+    got = (upsert(ray.data.from_pandas(ev).repartition(4),
+                  ray.data.from_pandas(delta).repartition(3),
+                  key="event_id", num_partitions=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert len(got) == len(ev)  # keys unchanged, rows replaced
+    m = got["user_id"] % 5 == 0
+    assert (got.loc[m, "value"] == -1.0).all()
+    assert (got.loc[m, "_src"] == 1).all()
+    base_keep = got[~m].set_index("event_id")["value"]
+    want = ev[ev["user_id"] % 5 != 0].set_index("event_id")["value"]
+    assert (base_keep.sort_index() == want.sort_index()).all()
+    # delta with a brand-new key is inserted
+    new = pd.DataFrame({
+        "event_id": np.array([10**6], dtype=np.int64),
+        "user_id": np.array([1], dtype=np.int64),
+        "event_type": ["a"], "value": np.array([9.0]),
+        "ts": pd.to_datetime([0], unit="us").astype("datetime64[us]")})
+    got2 = upsert(ray.data.from_pandas(ev),
+                  ray.data.from_pandas(new[ev.columns]),
+                  key="event_id", num_partitions=3).to_pandas()
+    assert len(got2) == len(ev) + 1
