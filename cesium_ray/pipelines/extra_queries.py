@@ -3900,6 +3900,24 @@ FROM terms GROUP BY 1
 """
 
 
+def q_pca(sf_dir):
+    """Distributed top-principal-component via covariance-free power
+    iteration (stages/ann.py::pca_power).  Rows-only: the iterative
+    fit is not SQL-expressible; correctness is gated by test_ann's
+    dense-eigendecomposition parity test and in-query invariants
+    (unit norm, ratio ∈ (0, 1])."""
+    from ..stages.ann import pca_power
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    out = pca_power(emb, n_iter=30)
+    v = out["loading"].to_numpy()
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+    assert 0.0 < out["explained_ratio"].iloc[0] <= 1.0
+    return round6(out)
+
+
 def q_kmeans(sf_dir):
     """Distributed Lloyd's k-means over the embeddings table
     (stages/ann.py).  Rows-only: the iterative fit is not
@@ -4371,6 +4389,7 @@ EXTRA_QUERIES = {
     "inverted_index": q_inverted_index,
     "pagerank": q_pagerank,
     "kmeans": q_kmeans,
+    "pca": q_pca,
     "lm_score": q_lm_score,
     "type_entropy": q_type_entropy,
     "rolling_median": q_rolling_median,

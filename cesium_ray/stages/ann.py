@@ -445,3 +445,69 @@ def _per_cluster_inertia(p: pd.DataFrame, k: int) -> np.ndarray:
     for cid, g in p.groupby("cid"):
         out[cid] = g["inert"].sum()
     return out
+
+
+def pca_power(
+    ds: ray.data.Dataset,
+    n_iter: int = 30,
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Distributed top-principal-component fit via covariance-free
+    power iteration: the d×d covariance is never materialized — each
+    round broadcasts the current direction v and every block emits
+    ONE d-vector partial Σ xᵢ(xᵢᵀv) plus scalar partials (n, Σx,
+    Σ‖x‖²), so the exchange carries blocks·(d+3) numbers regardless
+    of corpus size.  Centered update (mean-shift applied driver-side,
+    exact algebra: Cov·v ∝ Σx(xᵀv) − μ(Σxᵀv) − (Σx)(μᵀv) + n·μ(μᵀv)).
+
+    Deterministic contract: v₀ = e₀; exactly ``n_iter`` normalized
+    rounds; sign fixed so the largest-|loading| component is
+    positive.  Returns per-dimension loadings plus the Rayleigh
+    eigenvalue and explained-variance ratio (both sample-variance,
+    n−1)."""
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        X = _stack(df[vec_col])
+        return pd.DataFrame({
+            "n": [np.int64(len(X))],
+            "sx": [X.sum(axis=0)],
+            "ss": [float((X * X).sum())],
+        })
+
+    st = ds.map_batches(stat_partial, batch_format="pandas").to_pandas()
+    n = int(st["n"].sum())
+    sx = np.sum(np.stack(st["sx"].to_numpy()), axis=0)
+    ss = float(st["ss"].sum())
+    d = len(sx)
+    mu = sx / n
+    total_var = (ss - n * float(mu @ mu)) / (n - 1)
+
+    v = np.zeros(d)
+    v[0] = 1.0
+    lam = 0.0
+    for _ in range(n_iter):
+        ref = ray.put(v)
+
+        def mat_partial(df: pd.DataFrame) -> pd.DataFrame:
+            vb = ray.get(ref)
+            X = _stack(df[vec_col])
+            p = X @ vb
+            return pd.DataFrame({
+                "xxv": [X.T @ p],
+                "sxv": [float(p.sum())],
+            })
+
+        p = ds.map_batches(mat_partial, batch_format="pandas").to_pandas()
+        xxv = np.sum(np.stack(p["xxv"].to_numpy()), axis=0)
+        sxv = float(p["sxv"].sum())
+        w = xxv - mu * sxv - sx * float(mu @ v) + n * mu * float(mu @ v)
+        lam = float(v @ w) / (n - 1)
+        v = w / np.linalg.norm(w)
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    return pd.DataFrame({
+        "dim": np.arange(d, dtype=np.int64),
+        "loading": v,
+        "eigenvalue": np.full(d, lam),
+        "explained_ratio": np.full(d, lam / total_var),
+    })

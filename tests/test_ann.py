@@ -130,3 +130,34 @@ def test_kmeans_distributed_matches_reference(ray_session):
     assert np.allclose(got["inertia"], inert, rtol=1e-9)
     assert np.allclose(got["centroid_norm"],
                        np.sqrt((C * C).sum(axis=1)), rtol=1e-9)
+
+
+def test_pca_power_matches_eigh(ray_session):
+    """Top component from distributed power iteration must match
+    numpy's dense eigendecomposition (direction, eigenvalue, and
+    explained ratio) on data with a dominant axis."""
+    import ray.data
+
+    from cesium_ray.stages.ann import pca_power
+
+    rng = np.random.default_rng(97)
+    n, d = 800, 12
+    base = rng.normal(size=(n, d))
+    base[:, 3] *= 6.0          # dominant variance direction
+    base += rng.normal(size=(1, d)) * 2.0
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [r for r in base]})
+    got = pca_power(ray.data.from_pandas(df).repartition(6), n_iter=40)
+    Xc = base - base.mean(axis=0)
+    cov = (Xc.T @ Xc) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    v_true = evecs[:, -1]
+    if v_true[np.argmax(np.abs(v_true))] < 0:
+        v_true = -v_true
+    v_got = got["loading"].to_numpy()
+    assert abs(float(v_got @ v_true)) > 1 - 1e-9
+    assert np.allclose(v_got, v_true, atol=1e-6)
+    assert abs(got["eigenvalue"].iloc[0] - evals[-1]) / evals[-1] < 1e-9
+    assert abs(got["explained_ratio"].iloc[0]
+               - evals[-1] / evals.sum()) < 1e-9
+    assert np.isclose(np.linalg.norm(v_got), 1.0)
