@@ -4347,6 +4347,44 @@ FROM w WHERE rn = 1 ORDER BY event_id
 """
 
 
+def q_seasonal_anomaly(sf_dir):
+    """★-checked seasonal (hour-of-day) anomaly thresholding
+    (stages/tsmath.py::seasonal_anomaly): exact int64 profile sums,
+    mirrored mean/SD/bounds expressions, integer anomaly counts."""
+    from ..stages.tsmath import seasonal_anomaly
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+    return round6(seasonal_anomaly(ev, sigma=3.0))
+
+
+SEASONAL_ANOMALY_SQL = """
+WITH o AS (
+  SELECT (epoch_us(ts) // 3600000000) % 24 AS h,
+         CAST(round(value*100) AS BIGINT) AS x
+  FROM events),
+p AS (SELECT h, count(*) AS n, sum(x) AS s, sum(x*x) AS q
+      FROM o GROUP BY 1),
+m AS (SELECT h, n,
+        (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))/100.0 AS mean,
+        sqrt(CAST(q AS DOUBLE)/CAST(n AS DOUBLE)
+             - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+               * (CAST(s AS DOUBLE)/CAST(n AS DOUBLE)))/100.0 AS sd
+      FROM p),
+f AS (SELECT o.h,
+        CASE WHEN CAST(o.x AS DOUBLE)/100.0 < m.mean - 3.0*m.sd
+              OR CAST(o.x AS DOUBLE)/100.0 > m.mean + 3.0*m.sd
+             THEN 1 ELSE 0 END AS a
+      FROM o JOIN m USING (h)),
+an AS (SELECT h, CAST(sum(a) AS BIGINT) AS n_anomalies
+       FROM f GROUP BY 1)
+SELECT m.h AS hour, m.n, round(m.mean, 6) AS mean,
+       round(m.sd, 6) AS sd, an.n_anomalies
+FROM m JOIN an USING (h) ORDER BY 1
+"""
+
+
 def q_kmv_distinct(sf_dir):
     """★-checked KMV approximate-distinct
     (stages/sketch.py::kmv_distinct): the k-smallest-hash sketch under
@@ -4383,6 +4421,7 @@ EXTRA_QUERIES = {
     "bm25": q_bm25,
     "zorder_stats": q_zorder_stats,
     "kmv_distinct": q_kmv_distinct,
+    "seasonal_anomaly": q_seasonal_anomaly,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
     "weighted_sample": q_weighted_sample,
@@ -4496,6 +4535,7 @@ EXTRA_ORACLE_SQL = {
     "bm25": BM25_SQL,
     "zorder_stats": ZORDER_SQL,
     "kmv_distinct": KMV_SQL,
+    "seasonal_anomaly": SEASONAL_ANOMALY_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,
     "lm_score": LM_SCORE_SQL,

@@ -1259,3 +1259,69 @@ def changepoint_split(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def seasonal_anomaly(
+    ds: ray.data.Dataset,
+    sigma: float = 3.0,
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> pd.DataFrame:
+    """Seasonally-adjusted anomaly thresholding: per hour-of-day,
+    fit mean/SD from exact int64 k-space sums (pass 1, map-side
+    cells), broadcast the tiny 24-row profile, then count values
+    beyond mean ± sigma·SD in a stateless second pass — the
+    "alert if latency is anomalous FOR THIS TIME OF DAY" primitive
+    that a flat z-score gets wrong on diurnal workloads.
+
+    Mirrored float contract: mean = (S/n)/100, SD =
+    sqrt(q/n − (S/n)·(S/n))/100, bounds = mean ± sigma·SD; every
+    comparison is the identical IEEE expression in the SQL twin, so
+    the anomaly COUNTS (ints) hash-match."""
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        h = (tus // np.int64(3_600_000_000)) % np.int64(24)
+        x = _quantize(df[val_col].to_numpy())
+        g = (pd.DataFrame({"h": h, "x": x, "xx": x * x})
+             .groupby("h", as_index=False)
+             .agg(n=("x", "size"), s=("x", "sum"), q=("xx", "sum")))
+        for c in g.columns:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    prof = (ds.select_columns([ts_col, val_col])
+            .map_batches(cells, batch_format="pandas")
+            .to_pandas().groupby("h", as_index=False).sum())
+    n = prof["n"].to_numpy(np.int64)
+    s = prof["s"].to_numpy(np.int64)
+    q = prof["q"].to_numpy(np.int64)
+    nf, sf, qf = (a.astype(np.float64) for a in (n, s, q))
+    mean = (sf / nf) / 100.0
+    sd = np.sqrt(qf / nf - (sf / nf) * (sf / nf)) / 100.0
+    lo = mean - sigma * sd
+    hi = mean + sigma * sd
+    ref = ray.put((prof["h"].to_numpy(np.int64), lo, hi))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        hours, lo_, hi_ = ray.get(ref)
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        h = (tus // np.int64(3_600_000_000)) % np.int64(24)
+        pos = np.searchsorted(hours, h)
+        xf = _quantize(df[val_col].to_numpy()).astype(np.float64) / 100.0
+        out = (xf < lo_[pos]) | (xf > hi_[pos])
+        g = (pd.DataFrame({"h": h, "a": out.astype(np.int64)})
+             .groupby("h", as_index=False)["a"].sum())
+        g["a"] = g["a"].astype(np.int64)
+        return g
+
+    anom = (ds.select_columns([ts_col, val_col])
+            .map_batches(flag, batch_format="pandas")
+            .to_pandas().groupby("h", as_index=False)["a"].sum())
+    out = pd.DataFrame({
+        "hour": prof["h"].to_numpy(np.int64),
+        "n": n, "mean": mean, "sd": sd,
+        "n_anomalies": anom.set_index("h")["a"]
+        .reindex(prof["h"]).fillna(0).to_numpy(np.int64),
+    })
+    return out.sort_values("hour").reset_index(drop=True)

@@ -1084,3 +1084,29 @@ def test_upsert_bruteforce(ray_session):
                   ray.data.from_pandas(new[ev.columns]),
                   key="event_id", num_partitions=3).to_pandas()
     assert len(got2) == len(ev) + 1
+
+
+def test_seasonal_anomaly_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import seasonal_anomaly
+
+    ev = _valued(seed=919, n=3000, nusers=20)
+    got = seasonal_anomaly(ray.data.from_pandas(ev).repartition(6),
+                           sigma=2.0)
+    tus = ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+    h = (tus // 3_600_000_000) % 24
+    x = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    for hr in np.unique(h):
+        m = h == hr
+        xs = x[m]
+        mean = (xs.sum() / len(xs)) / 100.0
+        sd = np.sqrt((xs * xs).sum() / len(xs)
+                     - (xs.sum() / len(xs)) ** 2) / 100.0
+        xf = xs / 100.0
+        n_anom = int(((xf < mean - 2.0 * sd)
+                      | (xf > mean + 2.0 * sd)).sum())
+        row = got[got["hour"] == hr]
+        assert len(row) == 1
+        assert int(row["n"].iloc[0]) == len(xs)
+        assert abs(row["mean"].iloc[0] - mean) < 1e-9
+        assert abs(row["sd"].iloc[0] - sd) < 1e-9
+        assert int(row["n_anomalies"].iloc[0]) == n_anom, hr
