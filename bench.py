@@ -688,7 +688,7 @@ def bench_stream(results, thr):
     from cesium_ray.stages.sample import priority_sample
     from cesium_ray.stages.tsmath import (
         acf_lags, burst_detect, changepoint_split, longest_streak,
-        max_drawdown)
+        max_drawdown, seasonal_anomaly)
     from cesium_ray.stages.sketch import kmv_distinct
     from cesium_ray.stages.window import (
         cooldown_dedup, finalize_windows, gap_report, rolling_rows_avg,
@@ -775,6 +775,7 @@ def bench_stream(results, thr):
         ("kmv_distinct", lambda: len(kmv_distinct(base))),
         ("window_finalize", lambda: len(finalize_windows(
             base, n_arrival_buckets=2 * NCPU))),
+        ("seasonal_anomaly", lambda: len(seasonal_anomaly(base))),
     ]:
         t0 = time.time()
         out = fn()

@@ -3908,9 +3908,13 @@ def q_pca(sf_dir):
     (unit norm, ratio ∈ (0, 1])."""
     from ..stages.ann import pca_power
 
+    # materialize once: power iteration re-scans the corpus every
+    # round — pinning the (small) embedding table in the object store
+    # avoids 30 parquet re-reads (at spec scale the corpus streams
+    # from storage per round regardless; this is the small-side case)
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["embedding"]
-    )
+    ).materialize()
     out = pca_power(emb, n_iter=30)
     v = out["loading"].to_numpy()
     assert abs(np.linalg.norm(v) - 1.0) < 1e-12
