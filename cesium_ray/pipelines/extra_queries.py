@@ -4351,6 +4351,50 @@ FROM w WHERE rn = 1 ORDER BY event_id
 """
 
 
+def q_stream_digest(sf_dir):
+    """★-checked stable-order text digest: per key, the md5 of the
+    '|'-joined props stream under (ts, event_id) ordering — the
+    north-rule per-turn-text-equality invariant as a driver-verified
+    query (any row lost, duplicated, reordered, or byte-modified
+    anywhere in the exchange flips the digest).  One key-hash
+    exchange; per-partition ordered join + hashlib."""
+    import hashlib
+
+    from ..stages.partition import group_apply
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "props"],
+    )
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "digest": pd.Series(dtype=object)})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        g = df.groupby("user_id", sort=True)["props"]
+        joined = g.agg(lambda s: "|".join(s.astype(str)))
+        return pd.DataFrame({
+            "user_id": joined.index.to_numpy(np.int64),
+            "n": g.size().to_numpy(np.int64),
+            "digest": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                       for t in joined],
+        })
+
+    out = group_apply(ev, per_key, num_partitions=16,
+                      key="user_id").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+STREAM_DIGEST_SQL = """
+SELECT user_id, count(*) AS n,
+       md5(string_agg(props, '|' ORDER BY ts, event_id)) AS digest
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_seasonal_anomaly(sf_dir):
     """★-checked seasonal (hour-of-day) anomaly thresholding
     (stages/tsmath.py::seasonal_anomaly): exact int64 profile sums,
@@ -4426,6 +4470,7 @@ EXTRA_QUERIES = {
     "zorder_stats": q_zorder_stats,
     "kmv_distinct": q_kmv_distinct,
     "seasonal_anomaly": q_seasonal_anomaly,
+    "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
     "weighted_sample": q_weighted_sample,
@@ -4540,6 +4585,7 @@ EXTRA_ORACLE_SQL = {
     "zorder_stats": ZORDER_SQL,
     "kmv_distinct": KMV_SQL,
     "seasonal_anomaly": SEASONAL_ANOMALY_SQL,
+    "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,
     "lm_score": LM_SCORE_SQL,
