@@ -4453,7 +4453,7 @@ WITH h AS (
   FROM events),
 s AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
 topk AS (SELECT hv, rn FROM s WHERE rn <= 256),
-agg AS (SELECT count(*) AS n_hashes, max(hv) AS kth,
+agg AS (SELECT count(*) AS n_hashes, coalesce(max(hv), 0) AS kth,
                count(*) FILTER (WHERE rn = 256) AS full_k
         FROM topk)
 SELECT n_hashes, kth AS kth_hash,
