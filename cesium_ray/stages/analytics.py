@@ -371,12 +371,20 @@ def transition_matrix(
         oid = df[order].to_numpy(np.int64)
         perm = np.lexsort((oid, tus, codes))
         c = codes[perm]
-        a = df[attr].to_numpy()[perm]
+        # integer-code the alphabet once; pair cells via bincount on
+        # from*|A|+to (the object-dtype pair groupby was the hot spot:
+        # 3x the whole-kernel cost at 2M rows)
+        acode, alphabet = pd.factorize(df[attr])
+        a = acode[perm]
         same = c[1:] == c[:-1]  # consecutive rows of the same key
-        out = pd.DataFrame({"type_from": a[:-1][same],
-                            "type_to": a[1:][same]})
-        return (out.groupby(["type_from", "type_to"], as_index=False)
-                .size().rename(columns={"size": "_n"}))
+        na = len(alphabet)
+        pair = a[:-1][same].astype(np.int64) * na + a[1:][same]
+        cnt = np.bincount(pair, minlength=na * na)
+        nz = np.flatnonzero(cnt)
+        alpha = np.asarray(alphabet, dtype=object)
+        return pd.DataFrame({"type_from": alpha[nz // na],
+                             "type_to": alpha[nz % na],
+                             "_n": cnt[nz].astype(np.int64)})
 
     parts = group_apply(ds, cells, num_partitions=num_partitions,
                         key=key).to_pandas()
