@@ -4395,6 +4395,69 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_cms_counts(sf_dir):
+    """★-checked Count-Min sketch point queries
+    (stages/sketch.py::cms_build/cms_estimate): per top-20 user (by
+    estimate), the CM estimate vs the exact count plus the
+    never-underestimates guarantee bit — all integers, the four
+    multiplicative hashes mirrored in SQL."""
+    from ..stages.partition import group_apply
+    from ..stages.sketch import cms_build, cms_estimate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    sketch = cms_build(ev, col="user_id", width=1024, depth=4)
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return g.rename(columns={"size": "c"})
+
+    exact = group_apply(
+        ev.map_batches(cnt_partial, batch_format="pandas"),
+        lambda df: df.groupby("user_id", as_index=False)["c"].sum(),
+        num_partitions=8, key="user_id").to_pandas()
+    exact["c"] = exact["c"].astype(np.int64)
+    est = cms_estimate(sketch, exact["user_id"].to_numpy())
+    assert (est >= exact["c"].to_numpy()).all()   # CM guarantee
+    out = pd.DataFrame({
+        "user_id": exact["user_id"].to_numpy(np.int64),
+        "exact_n": exact["c"].to_numpy(np.int64),
+        "est_n": est,
+    })
+    return (out.sort_values(["est_n", "user_id"],
+                            ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
+def _cms_sql(width=1024) -> str:
+    from ..stages.sketch import _CMS_SALTS
+
+    joins, mins = [], []
+    for j, s in enumerate(_CMS_SALTS):
+        joins.append(
+            f"JOIN c{j} ON c{j}.b = ((u.user_id * {s}) % 4294967296)"
+            f" % {width}")
+        mins.append(f"c{j}.n")
+    tables = ",\n".join(
+        f"c{j} AS (SELECT ((user_id * {s}) % 4294967296) % {width} AS b,"
+        f" count(*) AS n FROM events GROUP BY 1)"
+        for j, s in enumerate(_CMS_SALTS))
+    return f"""
+WITH {tables},
+u AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
+SELECT u.user_id, u.exact_n,
+       least({', '.join(mins)}) AS est_n
+FROM u
+{chr(10).join(joins)}
+ORDER BY est_n DESC, u.user_id LIMIT 20
+"""
+
+
+CMS_SQL = _cms_sql(1024)
+
+
 def q_seasonal_anomaly(sf_dir):
     """★-checked seasonal (hour-of-day) anomaly thresholding
     (stages/tsmath.py::seasonal_anomaly): exact int64 profile sums,
@@ -4470,6 +4533,7 @@ EXTRA_QUERIES = {
     "zorder_stats": q_zorder_stats,
     "kmv_distinct": q_kmv_distinct,
     "seasonal_anomaly": q_seasonal_anomaly,
+    "cms_counts": q_cms_counts,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -4585,6 +4649,7 @@ EXTRA_ORACLE_SQL = {
     "zorder_stats": ZORDER_SQL,
     "kmv_distinct": KMV_SQL,
     "seasonal_anomaly": SEASONAL_ANOMALY_SQL,
+    "cms_counts": CMS_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

@@ -219,3 +219,54 @@ def kmv_distinct(
         "kth_hash": np.array([kth], np.int64),
         "est_distinct": np.array([est], np.float64),
     })
+
+
+_CMS_SALTS = (2654435761, 2246822519, 3266489917, 668265263)
+
+
+def cms_build(
+    ds: ray.data.Dataset,
+    col: str = "user_id",
+    width: int = 1024,
+    depth: int = 4,
+) -> np.ndarray:
+    """Count-Min sketch build: a (depth × width) int64 counter matrix
+    under ``depth`` fixed multiplicative hashes — the mergeable
+    approximate-counter (point queries overestimate, never
+    underestimate).  Deterministic public constants, so every counter
+    and therefore every estimate is exactly SQL-expressible.
+
+    Map-side combine: each block reduces to its own d×w partial
+    (one flat bincount per hash row, d·w·8 B = 32 KB per block — the
+    CM merge is elementwise sum, associative).  The driver sums
+    blocks·(d·w) ints; at very large block counts the same partials
+    tree-reduce through a bucket-keyed exchange unchanged."""
+    salts = np.array(_CMS_SALTS[:depth], dtype=np.uint64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[col].to_numpy(np.int64).astype(np.uint64)
+        flat = np.zeros(depth * width, np.int64)
+        for j in range(depth):
+            b = ((k * salts[j]) % np.uint64(1 << 32)) % np.uint64(width)
+            flat[j * width:(j + 1) * width] = np.bincount(
+                b.astype(np.int64), minlength=width)
+        return pd.DataFrame({"flat": [flat]})
+
+    parts = (ds.select_columns([col])
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    return np.sum(np.stack(parts["flat"].to_numpy()),
+                  axis=0).reshape(depth, width)
+
+
+def cms_estimate(sketch: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-query the CM sketch: est(k) = min over rows of the
+    counter at that row's hash bucket.  Guaranteed ≥ the true count."""
+    depth, width = sketch.shape
+    salts = np.array(_CMS_SALTS[:depth], dtype=np.uint64)
+    k = np.asarray(keys, np.int64).astype(np.uint64)
+    est = None
+    for j in range(depth):
+        b = ((k * salts[j]) % np.uint64(1 << 32)) % np.uint64(width)
+        row = sketch[j][b.astype(np.int64)]
+        est = row if est is None else np.minimum(est, row)
+    return est.astype(np.int64)

@@ -1110,3 +1110,28 @@ def test_seasonal_anomaly_bruteforce(ray_session):
         assert abs(row["mean"].iloc[0] - mean) < 1e-9
         assert abs(row["sd"].iloc[0] - sd) < 1e-9
         assert int(row["n_anomalies"].iloc[0]) == n_anom, hr
+
+
+def test_cms_sketch_properties(ray_session):
+    """CM sketch: never underestimates, exact when collision-free,
+    and mergeable (sketch of union == elementwise sum)."""
+    from cesium_ray.stages.sketch import cms_build, cms_estimate
+
+    rng = np.random.default_rng(1009)
+    ids = rng.choice(np.arange(200, dtype=np.int64), 30000,
+                     p=np.r_[np.full(10, 0.05), np.full(190, 0.5 / 190)])
+    df = pd.DataFrame({"user_id": ids})
+    sk = cms_build(ray.data.from_pandas(df).repartition(6),
+                   width=2048, depth=4)
+    true = pd.Series(ids).value_counts()
+    keys = true.index.to_numpy(np.int64)
+    est = cms_estimate(sk, keys)
+    assert (est >= true.to_numpy()).all()
+    # with 200 keys over 2048 buckets x 4 rows, most estimates exact
+    assert (est == true.to_numpy()).mean() > 0.9
+    assert sk.sum() == 4 * len(ids)
+    # mergeability
+    a, b = df.iloc[:15000], df.iloc[15000:]
+    ska = cms_build(ray.data.from_pandas(a), width=2048, depth=4)
+    skb = cms_build(ray.data.from_pandas(b), width=2048, depth=4)
+    assert (ska + skb == sk).all()
