@@ -4395,6 +4395,34 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_decayed_topk(sf_dir):
+    """★-checked time-decayed heavy hitters
+    (stages/analytics.py::decayed_topk): per-key Σ 0.5^(age_days)
+    anchored at the global max event time; power-sum mirrored (EWMA
+    argument), integer tie-break."""
+    from ..stages.analytics import decayed_topk
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return round6(decayed_topk(ev, half_life_days=1.0, top=20,
+                               num_partitions=8))
+
+
+DECAYED_SQL = """
+WITH mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+w AS (
+  SELECT user_id,
+         power(0.5, (CAST(tmax AS DOUBLE) - CAST(epoch_us(ts) AS DOUBLE))
+                    / 86400000000.0) AS wgt
+  FROM events, mx),
+a AS (SELECT user_id, count(*) AS n, sum(wgt) AS decayed
+      FROM w GROUP BY 1)
+SELECT user_id, n, round(decayed, 6) AS decayed
+FROM a ORDER BY a.decayed DESC, user_id LIMIT 20
+"""
+
+
 def q_cms_counts(sf_dir):
     """★-checked Count-Min sketch point queries
     (stages/sketch.py::cms_build/cms_estimate): per top-20 user (by
@@ -4534,6 +4562,7 @@ EXTRA_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "seasonal_anomaly": q_seasonal_anomaly,
     "cms_counts": q_cms_counts,
+    "decayed_topk": q_decayed_topk,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -4650,6 +4679,7 @@ EXTRA_ORACLE_SQL = {
     "kmv_distinct": KMV_SQL,
     "seasonal_anomaly": SEASONAL_ANOMALY_SQL,
     "cms_counts": CMS_SQL,
+    "decayed_topk": DECAYED_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

@@ -841,3 +841,50 @@ def pagerank_types(
         dang = r[w == 0].sum()
         r = (1.0 - damping) / nd + damping * (inflow + dang / nd)
     return pd.DataFrame({attr: nodes, "out_n": w, "pagerank": r})
+
+
+def decayed_topk(
+    ds: ray.data.Dataset,
+    half_life_days: float = 1.0,
+    top: int = 20,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Recency-weighted activity ranking: each event contributes
+    ``0.5^(age_days / half_life)`` relative to the stream's max event
+    time, summed per key — the time-decayed heavy-hitters view (a
+    plain count ranks a dead-but-formerly-hot key first; this ranks
+    by current heat).
+
+    Anchor = global max ts (one metadata-cheap pass).  The per-key
+    sum of same-sign power() terms mirrors the SQL expression; the
+    ~1e-13 summation-order residual is far below round-6 (the EWMA
+    argument).  One key exchange of (key, decayed-partial) cells —
+    each block pre-sums its keys, so the exchange carries cells, not
+    rows."""
+    tmax = int(pd.Timestamp(ds.max(ts_col)).value) // 1000
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        age = (np.float64(tmax) - tus.astype(np.float64)) \
+            / 86_400_000_000.0 / half_life_days
+        w = np.power(0.5, age)
+        g = (pd.DataFrame({key: df[key], "w": w, "one": np.int64(1)})
+             .groupby(key, as_index=False)
+             .agg(w=("w", "sum"), n=("one", "sum")))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    from .partition import group_apply
+    merged = group_apply(
+        ds.select_columns([key, ts_col]).map_batches(
+            cells, batch_format="pandas"),
+        lambda df: df.groupby(key, as_index=False).agg(
+            w=("w", "sum"), n=("n", "sum")),
+        num_partitions=num_partitions, key=key).to_pandas()
+    merged["n"] = merged["n"].astype(np.int64)
+    out = merged.rename(columns={"w": "decayed"})
+    return (out.sort_values(["decayed", key],
+                            ascending=[False, True])
+            .head(top).reset_index(drop=True)[[key, "n", "decayed"]])

@@ -1135,3 +1135,27 @@ def test_cms_sketch_properties(ray_session):
     ska = cms_build(ray.data.from_pandas(a), width=2048, depth=4)
     skb = cms_build(ray.data.from_pandas(b), width=2048, depth=4)
     assert (ska + skb == sk).all()
+
+
+def test_decayed_topk_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import decayed_topk
+
+    ev = _events(seed=1101, n=3000, nusers=40)
+    got = decayed_topk(ray.data.from_pandas(ev).repartition(6),
+                       half_life_days=2.0, top=10, num_partitions=4)
+    tus = ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+    tmax = tus.max()
+    w = 0.5 ** ((tmax - tus) / 86_400_000_000.0 / 2.0)
+    agg = (pd.DataFrame({"u": ev["user_id"], "w": w})
+           .groupby("u")["w"].sum())
+    n = ev.groupby("user_id").size()
+    want = (pd.DataFrame({"user_id": agg.index, "decayed": agg.values,
+                          "n": n.loc[agg.index].values})
+            .sort_values(["decayed", "user_id"],
+                         ascending=[False, True]).head(10))
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert np.allclose(got["decayed"], want["decayed"], rtol=1e-12)
+    # a key active only long ago ranks below an equally-counted
+    # recently-active key
+    assert (np.diff(got["decayed"].to_numpy()) <= 1e-12).all()
