@@ -1159,3 +1159,33 @@ def test_decayed_topk_bruteforce(ray_session):
     # a key active only long ago ranks below an equally-counted
     # recently-active key
     assert (np.diff(got["decayed"].to_numpy()) <= 1e-12).all()
+
+
+def test_session6_ops_partition_count_invariance(ray_session):
+    """The session-6 batch must be bit-identical across partition
+    counts and input block counts."""
+    from cesium_ray.stages.analytics import decayed_topk, pagerank_types
+    from cesium_ray.stages.tsmath import changepoint_split, seasonal_anomaly
+    from cesium_ray.stages.window import finalize_windows
+
+    ev = _valued(seed=1301, n=2500, nusers=18)
+    d1 = ray.data.from_pandas(ev).repartition(3)
+    d2 = ray.data.from_pandas(ev).repartition(13)
+    pd.testing.assert_frame_equal(
+        changepoint_split(d1, num_partitions=3),
+        changepoint_split(d2, num_partitions=11), check_exact=True)
+    pd.testing.assert_frame_equal(
+        pagerank_types(d1, num_partitions=3),
+        pagerank_types(d2, num_partitions=11), check_exact=True)
+    pd.testing.assert_frame_equal(
+        seasonal_anomaly(d1), seasonal_anomaly(d2), check_exact=True)
+    pd.testing.assert_frame_equal(
+        finalize_windows(d1, n_arrival_buckets=4),
+        finalize_windows(d2, n_arrival_buckets=9), check_exact=True)
+    # decayed sums are float partials: identical key set/order, exact
+    # int columns, sums equal to ~1e-13 (blocking changes sum order)
+    a = decayed_topk(d1, num_partitions=3)
+    b = decayed_topk(d2, num_partitions=11)
+    assert (a["user_id"].to_numpy() == b["user_id"].to_numpy()).all()
+    assert (a["n"].to_numpy() == b["n"].to_numpy()).all()
+    assert np.allclose(a["decayed"], b["decayed"], rtol=1e-12)
