@@ -689,7 +689,8 @@ def bench_stream(results, thr):
     from cesium_ray.stages.tsmath import (
         acf_lags, burst_detect, changepoint_split, longest_streak,
         max_drawdown, seasonal_anomaly)
-    from cesium_ray.stages.sketch import kmv_distinct
+    from cesium_ray.stages.analytics import decayed_topk
+    from cesium_ray.stages.sketch import cms_build, kmv_distinct
     from cesium_ray.stages.window import (
         cooldown_dedup, finalize_windows, gap_report, rolling_rows_avg,
         rolling_rows_std, rolling_window_median)
@@ -776,6 +777,9 @@ def bench_stream(results, thr):
         ("window_finalize", lambda: len(finalize_windows(
             base, n_arrival_buckets=2 * NCPU))),
         ("seasonal_anomaly", lambda: len(seasonal_anomaly(base))),
+        ("cms_build", lambda: int(cms_build(base).shape[0])),
+        ("decayed_topk", lambda: len(decayed_topk(
+            base, num_partitions=2 * NCPU))),
     ]:
         t0 = time.time()
         out = fn()
