@@ -4395,6 +4395,41 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_transition_pmi(sf_dir):
+    """★-checked PMI collocation scores over consecutive event-type
+    pairs (stages/analytics.py::transition_pmi): exact int64 counts
+    and marginals, one mirrored ln."""
+    from ..stages.analytics import transition_pmi
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    return round6(transition_pmi(ev, num_partitions=8))
+
+
+PMI_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+e AS (SELECT event_type AS type_from, nxt AS type_to, count(*) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT sum(n) AS N FROM e),
+r AS (SELECT type_from, sum(n) AS ra FROM e GROUP BY 1),
+c AS (SELECT type_to, sum(n) AS cb FROM e GROUP BY 1)
+SELECT e.type_from, e.type_to, e.n,
+       round(ln(CAST(e.n * t.N AS DOUBLE)
+                / CAST(r.ra * c.cb AS DOUBLE)), 6) AS pmi
+FROM e
+JOIN r USING (type_from)
+JOIN c USING (type_to)
+CROSS JOIN t
+ORDER BY e.type_from, e.type_to
+"""
+
+
 def q_decayed_topk(sf_dir):
     """★-checked time-decayed heavy hitters
     (stages/analytics.py::decayed_topk): per-key Σ 0.5^(age_days)
@@ -4563,6 +4598,7 @@ EXTRA_QUERIES = {
     "seasonal_anomaly": q_seasonal_anomaly,
     "cms_counts": q_cms_counts,
     "decayed_topk": q_decayed_topk,
+    "transition_pmi": q_transition_pmi,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -4680,6 +4716,7 @@ EXTRA_ORACLE_SQL = {
     "seasonal_anomaly": SEASONAL_ANOMALY_SQL,
     "cms_counts": CMS_SQL,
     "decayed_topk": DECAYED_SQL,
+    "transition_pmi": PMI_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

@@ -888,3 +888,39 @@ def decayed_topk(
     return (out.sort_values(["decayed", key],
                             ascending=[False, True])
             .head(top).reset_index(drop=True)[[key, "n", "decayed"]])
+
+
+def transition_pmi(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    attr: str = "event_type",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Pointwise mutual information over consecutive event-type pairs
+    — collocation scoring for event streams:
+    pmi(a→b) = ln(n_ab·N / (n_a·· · n_··b)) from the exact int64
+    transition counts (positive ⇒ the pair co-occurs more than the
+    marginals predict).  All products stay < 2⁵³, so the single ln
+    argument is bit-identical in the SQL twin.
+
+    Distributed cost = the transition exchange; the |alphabet|²
+    marginal algebra is driver-side broadcast-small."""
+    e = transition_matrix(ds, key=key, attr=attr,
+                          num_partitions=num_partitions)
+    if e.empty:
+        return pd.DataFrame({"type_from": pd.Series(dtype=object),
+                             "type_to": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64"),
+                             "pmi": pd.Series(dtype="float64")})
+    N = np.int64(e["n"].sum())
+    row = e.groupby("type_from")["n"].sum()
+    col = e.groupby("type_to")["n"].sum()
+    ra = row.loc[e["type_from"]].to_numpy(np.int64)
+    cb = col.loc[e["type_to"]].to_numpy(np.int64)
+    n = e["n"].to_numpy(np.int64)
+    pmi = np.log((n * N).astype(np.float64)
+                 / (ra * cb).astype(np.float64))
+    out = e.copy()
+    out["pmi"] = pmi
+    return (out.sort_values(["type_from", "type_to"])
+            .reset_index(drop=True))

@@ -1189,3 +1189,26 @@ def test_session6_ops_partition_count_invariance(ray_session):
     assert (a["user_id"].to_numpy() == b["user_id"].to_numpy()).all()
     assert (a["n"].to_numpy() == b["n"].to_numpy()).all()
     assert np.allclose(a["decayed"], b["decayed"], rtol=1e-12)
+
+
+def test_transition_pmi_bruteforce(ray_session):
+    import math
+
+    from cesium_ray.stages.analytics import transition_pmi
+
+    ev = _events(seed=1409, n=2500, nusers=20)
+    got = transition_pmi(ray.data.from_pandas(ev).repartition(5),
+                         num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    nxt = s.groupby("user_id")["event_type"].shift(-1)
+    d = pd.DataFrame({"a": s["event_type"], "b": nxt}).dropna()
+    e = d.groupby(["a", "b"]).size()
+    N = e.sum()
+    ra = e.groupby(level=0).sum()
+    cb = e.groupby(level=1).sum()
+    assert len(got) == len(e)
+    for (a, b), n in e.items():
+        row = got[(got["type_from"] == a) & (got["type_to"] == b)]
+        assert int(row["n"].iloc[0]) == n
+        want = math.log((n * N) / (ra[a] * cb[b]))
+        assert abs(row["pmi"].iloc[0] - want) < 1e-12, (a, b)
