@@ -4395,6 +4395,69 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_join_cardinality(sf_dir):
+    """★-checked join-size estimation without the join
+    (stages/sketch.py::cms_join_cardinality): CM-sketch inner-product
+    bound vs the exact Σ n_A(u)·n_B(u), with the ≥-exact guarantee
+    asserted in-query — the planner primitive."""
+    from ..stages.partition import group_apply
+    from ..stages.sketch import cms_join_cardinality
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    sub = ev.map_batches(lambda df: df[df["user_id"] % 3 == 0],
+                         batch_format="pandas")
+    est = cms_join_cardinality(ev, sub, col="user_id")
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return g.rename(columns={"size": "c"})
+
+    counts = group_apply(
+        ev.map_batches(cnt_partial, batch_format="pandas"),
+        lambda df: df.groupby("user_id", as_index=False)["c"].sum(),
+        num_partitions=8, key="user_id").to_pandas()
+    counts["c"] = counts["c"].astype(np.int64)
+    m = counts["user_id"] % 3 == 0
+    exact = int((counts.loc[m, "c"] ** 2).sum())
+    out = est.copy()
+    out["exact_join_rows"] = np.int64(exact)
+    assert int(out["est_join_rows"].iloc[0]) >= exact  # CM bound
+    return out[["n_left", "n_right", "est_join_rows",
+                "exact_join_rows"]]
+
+
+def _join_card_sql(width=1024) -> str:
+    from ..stages.sketch import _CMS_SALTS
+
+    rows = []
+    for j, s in enumerate(_CMS_SALTS):
+        rows.append(f"""
+a{j} AS (SELECT ((user_id * {s}) % 4294967296) % {width} AS b,
+         count(*) AS n FROM events GROUP BY 1),
+b{j} AS (SELECT ((user_id * {s}) % 4294967296) % {width} AS b,
+         count(*) AS n FROM events WHERE user_id % 3 = 0 GROUP BY 1),
+p{j} AS (SELECT sum(a{j}.n * b{j}.n) AS ip
+         FROM a{j} JOIN b{j} USING (b))""")
+    return f"""
+WITH {','.join(rows)},
+cl AS (SELECT count(*) AS n_left FROM events),
+cr AS (SELECT count(*) AS n_right FROM events WHERE user_id % 3 = 0),
+ex AS (SELECT CAST(coalesce(sum(c * c), 0) AS BIGINT) AS exact_join_rows
+       FROM (SELECT user_id, count(*) AS c FROM events
+             WHERE user_id % 3 = 0 GROUP BY 1))
+SELECT cl.n_left, cr.n_right,
+       least(p0.ip, p1.ip, p2.ip, p3.ip) AS est_join_rows,
+       ex.exact_join_rows
+FROM cl, cr, ex, p0, p1, p2, p3
+"""
+
+
+JOIN_CARD_SQL = _join_card_sql(1024)
+
+
 def q_transition_pmi(sf_dir):
     """★-checked PMI collocation scores over consecutive event-type
     pairs (stages/analytics.py::transition_pmi): exact int64 counts
@@ -4599,6 +4662,7 @@ EXTRA_QUERIES = {
     "cms_counts": q_cms_counts,
     "decayed_topk": q_decayed_topk,
     "transition_pmi": q_transition_pmi,
+    "join_cardinality": q_join_cardinality,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -4717,6 +4781,7 @@ EXTRA_ORACLE_SQL = {
     "cms_counts": CMS_SQL,
     "decayed_topk": DECAYED_SQL,
     "transition_pmi": PMI_SQL,
+    "join_cardinality": JOIN_CARD_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

@@ -270,3 +270,27 @@ def cms_estimate(sketch: np.ndarray, keys: np.ndarray) -> np.ndarray:
         row = sketch[j][b.astype(np.int64)]
         est = row if est is None else np.minimum(est, row)
     return est.astype(np.int64)
+
+
+def cms_join_cardinality(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    col: str = "user_id",
+    width: int = 1024,
+    depth: int = 4,
+) -> pd.DataFrame:
+    """Equi-join cardinality estimation WITHOUT running the join —
+    the planner primitive: |A ⋈ B| on ``col`` is estimated as
+    min over hash rows of ⟨CM_A[j], CM_B[j]⟩ (the classic
+    AMS/CM inner-product bound, an overestimate, never under).
+    Each side costs one streaming sketch build; the estimate is a
+    d-way min of 1024-term integer dot products — exactly
+    SQL-expressible under the fixed hashes."""
+    sa = cms_build(a, col=col, width=width, depth=depth)
+    sb = cms_build(b, col=col, width=width, depth=depth)
+    prods = (sa * sb).sum(axis=1)
+    return pd.DataFrame({
+        "est_join_rows": np.array([int(prods.min())], np.int64),
+        "n_left": np.array([int(sa[0].sum())], np.int64),
+        "n_right": np.array([int(sb[0].sum())], np.int64),
+    })

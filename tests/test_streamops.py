@@ -1212,3 +1212,24 @@ def test_transition_pmi_bruteforce(ray_session):
         assert int(row["n"].iloc[0]) == n
         want = math.log((n * N) / (ra[a] * cb[b]))
         assert abs(row["pmi"].iloc[0] - want) < 1e-12, (a, b)
+
+
+def test_cms_join_cardinality_bound(ray_session):
+    """Inner-product estimate must upper-bound the exact join size
+    and be close when the sketch is sparse."""
+    from cesium_ray.stages.sketch import cms_join_cardinality
+
+    rng = np.random.default_rng(1511)
+    a = pd.DataFrame({"user_id": rng.integers(0, 300, 20000)})
+    b = pd.DataFrame({"user_id": rng.integers(0, 300, 5000)})
+    got = cms_join_cardinality(ray.data.from_pandas(a).repartition(5),
+                               ray.data.from_pandas(b).repartition(3),
+                               width=4096, depth=4)
+    ca = a["user_id"].value_counts()
+    cb = b["user_id"].value_counts()
+    exact = int((ca * cb).dropna().sum())
+    est = int(got["est_join_rows"].iloc[0])
+    assert est >= exact
+    assert est <= exact * 1.5          # sparse sketch: tight bound
+    assert int(got["n_left"].iloc[0]) == len(a)
+    assert int(got["n_right"].iloc[0]) == len(b)
