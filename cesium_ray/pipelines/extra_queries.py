@@ -4395,6 +4395,42 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_similarity_join(sf_dir):
+    """★-checked exact token-set Jaccard self-join via prefix
+    filtering (stages/dedup.py::similarity_join): recall 1 by the
+    prefix-filtering theorem, verified pairs only; oracle = the full
+    all-pairs SQL self-join."""
+    from ..stages.dedup import similarity_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return round6(similarity_join(docs, threshold=0.7,
+                                  num_partitions=8))
+
+
+SIM_JOIN_SQL = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+'))
+           AS token
+  FROM documents),
+len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       FROM tok a JOIN tok b
+         ON a.token = b.token AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+j AS (SELECT iv.id_a, iv.id_b, iv.inter,
+             la.dl + lb.dl - iv.inter AS uni
+      FROM iv JOIN len la ON la.doc_id = iv.id_a
+              JOIN len lb ON lb.doc_id = iv.id_b)
+SELECT id_a, id_b, inter, uni,
+       round(CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE), 6) AS jac
+FROM j WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= 0.7
+ORDER BY id_a, id_b
+"""
+
+
 def q_join_cardinality(sf_dir):
     """★-checked join-size estimation without the join
     (stages/sketch.py::cms_join_cardinality): CM-sketch inner-product
@@ -4663,6 +4699,7 @@ EXTRA_QUERIES = {
     "decayed_topk": q_decayed_topk,
     "transition_pmi": q_transition_pmi,
     "join_cardinality": q_join_cardinality,
+    "similarity_join": q_similarity_join,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -4782,6 +4819,7 @@ EXTRA_ORACLE_SQL = {
     "decayed_topk": DECAYED_SQL,
     "transition_pmi": PMI_SQL,
     "join_cardinality": JOIN_CARD_SQL,
+    "similarity_join": SIM_JOIN_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

@@ -1194,3 +1194,145 @@ def edit1_pairs(
                         "id_b": cand["b"].to_numpy(np.int64)[keep],
                         "dist": dist[keep]})
     return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def similarity_join(
+    ds: ray.data.Dataset,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """EXACT token-set Jaccard similarity self-join via prefix
+    filtering (PPJoin-lite): two docs with Jaccard ≥ t MUST share at
+    least one token among each one's ``len − ⌈t·len⌉ + 1`` globally
+    RAREST tokens, so only prefix-token collisions become candidates
+    — the exact-similarity complement to the probabilistic MinHash
+    path (recall 1 by construction, no signatures).
+
+    Shape: (1) token-df build (one token-keyed exchange) → broadcast
+    rarity ranking; (2) per-block prefix emit — each doc contributes
+    its ≤ prefix tokens, NOT its full set; (3) token-keyed candidate
+    exchange with the Jaccard length filter (t·|A| ≤ |B|) applied
+    inside each bucket before any pair leaves; (4) exact verify on
+    the candidate-doc token sets (pulled via a pushed-down id filter
+    — bounded by candidates, not the corpus).  Returns
+    (id_a < id_b, inter, uni, jac ≥ t)."""
+    import math
+
+    from .pack import _TOKEN_RE
+
+    def tok_sets(df: pd.DataFrame) -> pd.Series:
+        return (df[text_col].astype(str).str.lower()
+                .str.findall(_TOKEN_RE).map(lambda t: sorted(set(t))))
+
+    # ---- pass 1: global token rarity (df ASC, token) ----
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = tok_sets(df).explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "df": pd.Series(dtype="int64")})
+        vc = ex.value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(object),
+                             "df": vc.to_numpy(np.int64)})
+
+    from .partition import group_apply
+    dft = group_apply(
+        ds.select_columns([text_col]).map_batches(
+            df_partial, batch_format="pandas"),
+        lambda df: df.groupby("token", as_index=False,
+                              sort=False)["df"].sum(),
+        num_partitions=num_partitions, key="token",
+    ).to_pandas().sort_values(["df", "token"]).reset_index(drop=True)
+    rank = pd.Series(np.arange(len(dft)), index=dft["token"])
+    rank_ref = ray.put(rank)
+
+    # ---- pass 2: prefix emit ----
+    def prefix_emit(df: pd.DataFrame) -> pd.DataFrame:
+        rk = ray.get(rank_ref)
+        rows_t, rows_d, rows_l = [], [], []
+        for did, toks in zip(df[id_col].to_numpy(np.int64),
+                             tok_sets(df)):
+            n = len(toks)
+            if n == 0:
+                continue
+            p = n - math.ceil(threshold * n) + 1
+            by_rare = sorted(toks, key=lambda t: rk[t])[:p]
+            rows_t.extend(by_rare)
+            rows_d.extend([did] * len(by_rare))
+            rows_l.extend([n] * len(by_rare))
+        return pd.DataFrame({"token": np.array(rows_t, object),
+                             id_col: np.array(rows_d, np.int64),
+                             "dl": np.array(rows_l, np.int64)})
+
+    pre = ds.select_columns([id_col, text_col]).map_batches(
+        prefix_emit, batch_format="pandas")
+
+    # ---- pass 3: candidate pairs inside token buckets ----
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        out_a, out_b = [], []
+        for _, g in df.groupby("token", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy(np.int64)
+            dl = g["dl"].to_numpy(np.int64)
+            o = np.argsort(ids, kind="stable")
+            ids, dl = ids[o], dl[o]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            # Jaccard length filter: t·max(|A|,|B|) ≤ min(|A|,|B|)
+            la, lb = dl[ii], dl[jj]
+            ok = (np.minimum(la, lb).astype(np.float64)
+                  >= threshold * np.maximum(la, lb).astype(np.float64))
+            out_a.append(ids[ii][ok])
+            out_b.append(ids[jj][ok])
+        if not out_a:
+            return pd.DataFrame(cols)
+        return (pd.DataFrame({"a": np.concatenate(out_a),
+                              "b": np.concatenate(out_b)})
+                .drop_duplicates())
+
+    cand = group_apply(pre, bucket_pairs,
+                       num_partitions=num_partitions,
+                       key="token").to_pandas().drop_duplicates()
+    if cand.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "inter": pd.Series(dtype="int64"),
+                             "uni": pd.Series(dtype="int64"),
+                             "jac": pd.Series(dtype="float64")})
+
+    # ---- pass 4: exact verify on candidate docs only ----
+    need = np.unique(np.r_[cand["a"].to_numpy(), cand["b"].to_numpy()])
+    need_ref = ray.put(np.sort(need))
+
+    def pull_sets(df: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(need_ref)
+        ids = df[id_col].to_numpy(np.int64)
+        pos = np.clip(np.searchsorted(want, ids), 0, len(want) - 1)
+        keep = want[pos] == ids
+        sub = df.loc[keep]
+        return pd.DataFrame({id_col: sub[id_col].to_numpy(np.int64),
+                             "toks": tok_sets(sub).to_numpy(object)})
+
+    sets = (ds.select_columns([id_col, text_col])
+            .map_batches(pull_sets, batch_format="pandas").to_pandas())
+    smap = {int(i): frozenset(t) for i, t in
+            zip(sets[id_col], sets["toks"])}
+    inter = np.fromiter(
+        (len(smap[a] & smap[b])
+         for a, b in zip(cand["a"], cand["b"])), np.int64, len(cand))
+    uni = np.fromiter(
+        (len(smap[a] | smap[b])
+         for a, b in zip(cand["a"], cand["b"])), np.int64, len(cand))
+    jac = inter.astype(np.float64) / uni.astype(np.float64)
+    ok = jac >= threshold
+    out = pd.DataFrame({"id_a": cand["a"].to_numpy()[ok],
+                        "id_b": cand["b"].to_numpy()[ok],
+                        "inter": inter[ok], "uni": uni[ok],
+                        "jac": jac[ok]})
+    return (out.sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))

@@ -357,3 +357,39 @@ def test_pack_sequences_greedy(ray_session):
            .sort_values(["source", "doc_id"]).reset_index(drop=True))
     assert out["token_count"].tolist() == [40, 50, 20, 150, 10, 60, 60]
     assert out["bin"].tolist() == [0, 0, 1, 2, 3, 0, 1]
+
+
+def test_similarity_join_prefix_filter_complete(ray_session):
+    """Prefix-filtered exact Jaccard join must equal the O(n^2)
+    brute-force truth (recall 1) on a diverse vocabulary."""
+    import itertools
+
+    from cesium_ray.stages.dedup import similarity_join
+
+    rng = np.random.default_rng(1601)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    for i in range(80):
+        base = rng.choice(vocab, rng.integers(5, 25), replace=False)
+        docs.append(" ".join(base))
+        if i % 4 == 0:  # planted near-dup: drop one token
+            docs.append(" ".join(base[:-1]))
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    t = 0.6
+    got = similarity_join(ray.data.from_pandas(df).repartition(5),
+                          threshold=t, num_partitions=4)
+    sets = {r.doc_id: frozenset(r.text.lower().split())
+            for r in df.itertuples()}
+    want = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if uni and inter / uni >= t:
+            want.append((a, b, inter, uni))
+    assert len(got) == len(want), (len(got), len(want))
+    wdf = pd.DataFrame(want, columns=["id_a", "id_b", "inter", "uni"])
+    for c in wdf.columns:
+        assert (got[c].to_numpy() == wdf[c].to_numpy()).all(), c
+    assert (got["jac"] >= t).all()
+    assert len(got) >= 20  # the planted near-dups are found
