@@ -613,6 +613,16 @@ def bench_textprep(results, thr):
     results["bm25"] = round(dt, 3)
     thr["bm25_docs_per_sec"] = round(n / dt)
 
+    from cesium_ray.stages.dedup import similarity_join
+
+    t0 = time.time()
+    n_pairs = len(similarity_join(ds, threshold=0.8,
+                                  num_partitions=2 * NCPU))
+    dt = time.time() - t0
+    results["similarity_join"] = round(dt, 3)
+    thr["similarity_join_docs_per_sec"] = round(n / dt)
+    thr["similarity_join_pairs"] = int(n_pairs)
+
 
 def _bench_diff(base):
     """Diff the 2M-row table against a copy with ~2% planted drift."""

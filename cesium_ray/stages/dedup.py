@@ -1250,20 +1250,35 @@ def similarity_join(
     # ---- pass 2: prefix emit ----
     def prefix_emit(df: pd.DataFrame) -> pd.DataFrame:
         rk = ray.get(rank_ref)
-        rows_t, rows_d, rows_l = [], [], []
-        for did, toks in zip(df[id_col].to_numpy(np.int64),
-                             tok_sets(df)):
-            n = len(toks)
-            if n == 0:
-                continue
-            p = n - math.ceil(threshold * n) + 1
-            by_rare = sorted(toks, key=lambda t: rk[t])[:p]
-            rows_t.extend(by_rare)
-            rows_d.extend([did] * len(by_rare))
-            rows_l.extend([n] * len(by_rare))
-        return pd.DataFrame({"token": np.array(rows_t, object),
-                             id_col: np.array(rows_d, np.int64),
-                             "dl": np.array(rows_l, np.int64)})
+        df = df.reset_index(drop=True)
+        s = tok_sets(df)
+        ex = s.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 id_col: pd.Series(dtype="int64"),
+                                 "dl": pd.Series(dtype="int64")})
+        drow = ex.index.to_numpy(np.int64)
+        toks = ex.to_numpy(object)
+        rkv = rk.reindex(toks).to_numpy(np.int64)
+        dl = s.map(len).to_numpy(np.int64)
+        # positional rank of each token within its doc's rarity order
+        perm = np.lexsort((rkv, drow))
+        dr = drow[perm]
+        pos = (np.arange(len(dr))
+               - np.flatnonzero(np.r_[True, dr[1:] != dr[:-1]])[
+                   np.cumsum(np.r_[True, dr[1:] != dr[:-1]]) - 1])
+        n_doc = dl[dr]
+        p = n_doc - np.ceil(threshold * n_doc.astype(np.float64)
+                            ).astype(np.int64) + 1
+        keep = pos < p
+        # ship the integer rarity rank as the bucket key — token
+        # strings never enter the candidate exchange
+        return pd.DataFrame({
+            "tkid": rkv[perm][keep],
+            id_col: df[id_col].to_numpy(np.int64)[dr[keep]],
+            "dl": n_doc[keep],
+            "pos": pos[keep].astype(np.int64),
+        })
 
     pre = ds.select_columns([id_col, text_col]).map_batches(
         prefix_emit, batch_format="pandas")
@@ -1275,20 +1290,42 @@ def similarity_join(
         if not len(df):
             return pd.DataFrame(cols)
         out_a, out_b = [], []
-        for _, g in df.groupby("token", sort=False):
+        for _, g in df.groupby("tkid", sort=False):
             if len(g) < 2:
                 continue
             ids = g[id_col].to_numpy(np.int64)
             dl = g["dl"].to_numpy(np.int64)
-            o = np.argsort(ids, kind="stable")
-            ids, dl = ids[o], dl[o]
-            ii, jj = np.triu_indices(len(ids), k=1)
-            # Jaccard length filter: t·max(|A|,|B|) ≤ min(|A|,|B|)
+            ps = g["pos"].to_numpy(np.int64)
+            # sort by length: the Jaccard length filter
+            # (t·max ≤ min) confines each row's partners to a
+            # contiguous dl window [dl_i, dl_i/t] ahead of it — the
+            # enumeration is Σ window sizes, not m²/2
+            o = np.lexsort((ids, dl))
+            ids, dl, ps = ids[o], dl[o], ps[o]
+            hi = np.searchsorted(
+                dl, dl.astype(np.float64) / threshold, side="right")
+            cnt = hi - np.arange(1, len(dl) + 1)
+            cnt[cnt < 0] = 0
+            if not cnt.any():
+                continue
+            ii = np.repeat(np.arange(len(dl)), cnt)
+            jj = (np.arange(len(ii))
+                  - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                  + ii + 1)
+            # positional filter (PPJoin): via this token at rarity
+            # positions (pi, pj), at most 1 + min(la-pi-1, lb-pj-1)
+            # tokens can still overlap; J ≥ t needs
+            # inter ≥ ceil(t/(1+t)·(la+lb))
             la, lb = dl[ii], dl[jj]
-            ok = (np.minimum(la, lb).astype(np.float64)
-                  >= threshold * np.maximum(la, lb).astype(np.float64))
-            out_a.append(ids[ii][ok])
-            out_b.append(ids[jj][ok])
+            ub = 1 + np.minimum(la - ps[ii] - 1, lb - ps[jj] - 1)
+            alpha = np.ceil((threshold / (1.0 + threshold))
+                            * (la + lb).astype(np.float64))
+            okp = ub.astype(np.float64) >= alpha
+            if not okp.any():
+                continue
+            a, b = ids[ii][okp], ids[jj][okp]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
         if not out_a:
             return pd.DataFrame(cols)
         return (pd.DataFrame({"a": np.concatenate(out_a),
@@ -1297,7 +1334,7 @@ def similarity_join(
 
     cand = group_apply(pre, bucket_pairs,
                        num_partitions=num_partitions,
-                       key="token").to_pandas().drop_duplicates()
+                       key="tkid").to_pandas().drop_duplicates()
     if cand.empty:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64"),
@@ -1322,17 +1359,30 @@ def similarity_join(
             .map_batches(pull_sets, batch_format="pandas").to_pandas())
     smap = {int(i): frozenset(t) for i, t in
             zip(sets[id_col], sets["toks"])}
-    inter = np.fromiter(
-        (len(smap[a] & smap[b])
-         for a, b in zip(cand["a"], cand["b"])), np.int64, len(cand))
-    uni = np.fromiter(
-        (len(smap[a] | smap[b])
-         for a, b in zip(cand["a"], cand["b"])), np.int64, len(cand))
-    jac = inter.astype(np.float64) / uni.astype(np.float64)
-    ok = jac >= threshold
-    out = pd.DataFrame({"id_a": cand["a"].to_numpy()[ok],
-                        "id_b": cand["b"].to_numpy()[ok],
-                        "inter": inter[ok], "uni": uni[ok],
-                        "jac": jac[ok]})
+    smap_ref = ray.put(smap)
+
+    # distributed verify: candidate pairs stream through map_batches
+    # against the broadcast set pool (C-speed frozenset ops); union
+    # via |A|+|B|−inter, one set op per pair
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(smap_ref)
+        A = df["a"].to_numpy(np.int64)
+        B = df["b"].to_numpy(np.int64)
+        n = len(df)
+        inter = np.fromiter(
+            (len(sm[int(x)] & sm[int(y)]) for x, y in zip(A, B)),
+            np.int64, n)
+        la = np.fromiter((len(sm[int(x)]) for x in A), np.int64, n)
+        lb = np.fromiter((len(sm[int(y)]) for y in B), np.int64, n)
+        uni = la + lb - inter
+        jac = inter.astype(np.float64) / uni.astype(np.float64)
+        ok = jac >= threshold
+        return pd.DataFrame({"id_a": A[ok], "id_b": B[ok],
+                             "inter": inter[ok], "uni": uni[ok],
+                             "jac": jac[ok]})
+
+    out = (ray.data.from_pandas(cand.reset_index(drop=True))
+           .repartition(num_partitions)
+           .map_batches(verify, batch_format="pandas").to_pandas())
     return (out.sort_values(["id_a", "id_b"])
             .reset_index(drop=True))
