@@ -4395,6 +4395,72 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_expectations(sf_dir):
+    """★-checked data-validation report
+    (stages/validate.py::run_expectations): exact per-rule
+    (n_checked, n_violations) ints — uniqueness, null, range, and the
+    lineitem→orders referential rule."""
+    from ..stages.validate import run_expectations
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+    ev_rules = run_expectations(ev, [
+        {"kind": "not_null", "col": "value"},
+        {"kind": "unique", "col": "event_id"},
+        {"kind": "in_range", "col": "value", "lo": 0.0, "hi": 500.0,
+         "name": "in_range:value:0..500"},
+    ])
+    fk = run_expectations(
+        li,
+        [{"kind": "references", "col": "l_orderkey", "ref": "orders",
+          "ref_col": "o_orderkey",
+          "name": "references:l_orderkey->o_orderkey"}],
+        refs={"orders": orders})
+    out = pd.concat([ev_rules, fk], ignore_index=True)
+    return out.sort_values("rule").reset_index(drop=True)
+
+
+EXPECTATIONS_SQL = """
+SELECT * FROM (
+  SELECT 'not_null:value' AS rule, count(*) AS n_checked,
+         count(*) - count(value) AS n_violations,
+         CASE WHEN count(*) - count(value) = 0 THEN 1 ELSE 0 END
+           AS passed
+  FROM events
+  UNION ALL
+  SELECT 'unique:event_id', count(event_id),
+         count(event_id) - count(DISTINCT event_id),
+         CASE WHEN count(event_id) = count(DISTINCT event_id)
+              THEN 1 ELSE 0 END
+  FROM events
+  UNION ALL
+  SELECT 'in_range:value:0..500', count(value),
+         count(*) FILTER (WHERE CAST(round(value*100) AS BIGINT) < 0
+                      OR CAST(round(value*100) AS BIGINT) > 50000),
+         CASE WHEN count(*) FILTER (
+                  WHERE CAST(round(value*100) AS BIGINT) < 0
+                     OR CAST(round(value*100) AS BIGINT) > 50000) = 0
+              THEN 1 ELSE 0 END
+  FROM events
+  UNION ALL
+  SELECT 'references:l_orderkey->o_orderkey', count(*),
+         count(*) FILTER (WHERE o.o_orderkey IS NULL),
+         CASE WHEN count(*) FILTER (WHERE o.o_orderkey IS NULL) = 0
+              THEN 1 ELSE 0 END
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+) ORDER BY rule
+"""
+
+
 def q_similarity_join(sf_dir):
     """★-checked exact token-set Jaccard self-join via prefix
     filtering (stages/dedup.py::similarity_join): recall 1 by the
@@ -4700,6 +4766,7 @@ EXTRA_QUERIES = {
     "transition_pmi": q_transition_pmi,
     "join_cardinality": q_join_cardinality,
     "similarity_join": q_similarity_join,
+    "expectations": q_expectations,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -4820,6 +4887,7 @@ EXTRA_ORACLE_SQL = {
     "transition_pmi": PMI_SQL,
     "join_cardinality": JOIN_CARD_SQL,
     "similarity_join": SIM_JOIN_SQL,
+    "expectations": EXPECTATIONS_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

@@ -1233,3 +1233,32 @@ def test_cms_join_cardinality_bound(ray_session):
     assert est <= exact * 1.5          # sparse sketch: tight bound
     assert int(got["n_left"].iloc[0]) == len(a)
     assert int(got["n_right"].iloc[0]) == len(b)
+
+
+def test_expectations_bruteforce(ray_session):
+    from cesium_ray.stages.validate import run_expectations
+
+    df = pd.DataFrame({
+        "k": np.array([1, 2, 2, 3, 4, 4, 4], dtype=np.int64),
+        "v": [1.0, np.nan, 3.0, 700.0, -2.0, 5.0, np.nan],
+    })
+    ref = pd.DataFrame({"rk": np.array([1, 3, 4], dtype=np.int64)})
+    got = run_expectations(
+        ray.data.from_pandas(df).repartition(3),
+        [{"kind": "not_null", "col": "v"},
+         {"kind": "unique", "col": "k"},
+         {"kind": "in_range", "col": "v", "lo": 0.0, "hi": 500.0},
+         {"kind": "references", "col": "k", "ref": "r",
+          "ref_col": "rk"}],
+        refs={"r": ray.data.from_pandas(ref)})
+    m = got.set_index("rule")
+    assert m.loc["not_null:v", "n_violations"] == 2
+    assert m.loc["unique:k", "n_checked"] == 7
+    assert m.loc["unique:k", "n_violations"] == 3   # 7 rows, 4 keys
+    assert m.loc["in_range:v", "n_checked"] == 5    # non-null only
+    assert m.loc["in_range:v", "n_violations"] == 2  # 700, -2
+    assert m.loc["references:k", "n_violations"] == 2  # the two 2s
+    assert (m["passed"] == 0).all()
+    clean = run_expectations(
+        ray.data.from_pandas(ref), [{"kind": "unique", "col": "rk"}])
+    assert int(clean["passed"].iloc[0]) == 1
