@@ -4395,6 +4395,55 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_union_evolve(sf_dir):
+    """★-checked schema-evolution union
+    (stages/normalize.py::union_by_name): two layouts of the events
+    table (one missing `value`, carrying a new `flag` column) union
+    by name; per-source row and null counts — exact ints."""
+    from ..stages.normalize import union_by_name
+
+    a = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"],
+    ).map_batches(lambda df: df.assign(src=np.int64(0)),
+                  batch_format="pandas")
+    b = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    ).map_batches(
+        lambda df: (df[df["user_id"] % 2 == 0]
+                    .assign(flag=np.int64(1), src=np.int64(1))),
+        batch_format="pandas")
+    u = union_by_name(a, b)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src", as_index=False).agg(
+            n=("src", "size"),
+            n_value_null=("value", lambda s: s.isna().sum()),
+            n_flag_null=("flag", lambda s: s.isna().sum()))
+        for c in g.columns:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    parts = u.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("src", as_index=False).sum()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("src").reset_index(drop=True)
+
+
+UNION_EVOLVE_SQL = """
+WITH a AS (SELECT event_id, user_id, value,
+                  CAST(NULL AS BIGINT) AS flag, 0 AS src FROM events),
+b AS (SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value,
+             1 AS flag, 1 AS src FROM events WHERE user_id % 2 = 0),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT CAST(src AS BIGINT) AS src, count(*) AS n,
+       count(*) - count(value) AS n_value_null,
+       count(*) - count(flag) AS n_flag_null
+FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_expectations(sf_dir):
     """★-checked data-validation report
     (stages/validate.py::run_expectations): exact per-rule
@@ -4767,6 +4816,7 @@ EXTRA_QUERIES = {
     "join_cardinality": q_join_cardinality,
     "similarity_join": q_similarity_join,
     "expectations": q_expectations,
+    "union_evolve": q_union_evolve,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -4888,6 +4938,7 @@ EXTRA_ORACLE_SQL = {
     "join_cardinality": JOIN_CARD_SQL,
     "similarity_join": SIM_JOIN_SQL,
     "expectations": EXPECTATIONS_SQL,
+    "union_evolve": UNION_EVOLVE_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

@@ -65,3 +65,26 @@ def derive_points(
         key=by,
         **kw,
     )
+
+
+def union_by_name(
+    a: ray.data.Dataset, b: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Schema-evolution-safe union (SQL ``UNION ALL BY NAME``):
+    aligns both sides to the union of their column sets — columns
+    missing on a side surface as nulls — so a pipeline can ingest old
+    and new partition layouts in one pass.  Column order: left's
+    columns, then right-only columns.  Note pandas represents a
+    missing int column as NaN (float) — downstream casts decide the
+    final type, as with any schema migration."""
+    import pandas as pd
+
+    ca = list(a.schema().names)
+    cb = list(b.schema().names)
+    cols = ca + [c for c in cb if c not in ca]
+
+    def align(df: pd.DataFrame) -> pd.DataFrame:
+        return df.reindex(columns=cols)
+
+    return (a.map_batches(align, batch_format="pandas")
+            .union(b.map_batches(align, batch_format="pandas")))

@@ -1262,3 +1262,18 @@ def test_expectations_bruteforce(ray_session):
     clean = run_expectations(
         ray.data.from_pandas(ref), [{"kind": "unique", "col": "rk"}])
     assert int(clean["passed"].iloc[0]) == 1
+
+
+def test_union_by_name_bruteforce(ray_session):
+    from cesium_ray.stages.normalize import union_by_name
+
+    a = pd.DataFrame({"x": np.array([1, 2], np.int64),
+                      "y": [1.0, 2.0]})
+    b = pd.DataFrame({"x": np.array([3], np.int64),
+                      "z": ["s"]})
+    u = union_by_name(ray.data.from_pandas(a),
+                      ray.data.from_pandas(b)).to_pandas()
+    assert list(u.columns) == ["x", "y", "z"]
+    assert len(u) == 3
+    assert u["y"].isna().sum() == 1 and u["z"].isna().sum() == 2
+    assert set(u["x"]) == {1, 2, 3}
