@@ -4395,6 +4395,45 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_melt(sf_dir):
+    """★-checked UNPIVOT (stages/pivot.py::melt): lineitem's four
+    measure columns to long form, k-quantized ints — mirrored by a
+    UNION ALL oracle."""
+    from ..stages.pivot import melt
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    )
+    out = melt(li, id_cols=["l_orderkey", "l_linenumber"],
+               value_cols=["l_quantity", "l_extendedprice",
+                           "l_discount", "l_tax"]).to_pandas()
+    return (out.sort_values(["l_orderkey", "l_linenumber", "measure"])
+            .reset_index(drop=True))
+
+
+MELT_SQL = """
+SELECT * FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         CAST(round(l_quantity*100) AS BIGINT) AS value_k
+  FROM lineitem WHERE l_quantity IS NOT NULL
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+         CAST(round(l_extendedprice*100) AS BIGINT)
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount',
+         CAST(round(l_discount*100) AS BIGINT)
+  FROM lineitem WHERE l_discount IS NOT NULL
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax',
+         CAST(round(l_tax*100) AS BIGINT)
+  FROM lineitem WHERE l_tax IS NOT NULL
+) ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+
 def q_union_evolve(sf_dir):
     """★-checked schema-evolution union
     (stages/normalize.py::union_by_name): two layouts of the events
@@ -4817,6 +4856,7 @@ EXTRA_QUERIES = {
     "similarity_join": q_similarity_join,
     "expectations": q_expectations,
     "union_evolve": q_union_evolve,
+    "melt": q_melt,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -4939,6 +4979,7 @@ EXTRA_ORACLE_SQL = {
     "similarity_join": SIM_JOIN_SQL,
     "expectations": EXPECTATIONS_SQL,
     "union_evolve": UNION_EVOLVE_SQL,
+    "melt": MELT_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

@@ -68,3 +68,28 @@ def pivot_aggregate(
 
     return group_apply(partials, widen, num_partitions=num_partitions,
                        key=key)
+
+
+def melt(
+    ds: ray.data.Dataset,
+    id_cols: list,
+    value_cols: list,
+    var_col: str = "measure",
+    val_col: str = "value_k",
+) -> ray.data.Dataset:
+    """UNPIVOT — the wide→long inverse of ``pivot_aggregate``: each
+    input row yields one output row per entry of ``value_cols``, with
+    the measure name in ``var_col`` and its k/100-quantized int64
+    value in ``val_col`` (nulls dropped, SQL-UNION-ALL semantics).
+    Stateless per-batch ``pd.melt`` — embarrassingly parallel, no
+    exchange; output is len(value_cols)× the input rows."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        long = df[list(id_cols) + list(value_cols)].melt(
+            id_vars=list(id_cols), var_name=var_col, value_name="_v")
+        long = long[long["_v"].notna()].reset_index(drop=True)
+        long[val_col] = np.rint(
+            long["_v"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return long.drop(columns=["_v"])
+
+    return ds.map_batches(fn, batch_format="pandas")

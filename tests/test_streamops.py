@@ -1277,3 +1277,20 @@ def test_union_by_name_bruteforce(ray_session):
     assert len(u) == 3
     assert u["y"].isna().sum() == 1 and u["z"].isna().sum() == 2
     assert set(u["x"]) == {1, 2, 3}
+
+
+def test_melt_bruteforce(ray_session):
+    from cesium_ray.stages.pivot import melt
+
+    df = pd.DataFrame({
+        "k": np.array([1, 2, 3], np.int64),
+        "a": [1.5, np.nan, 2.25],
+        "b": [0.5, 0.75, np.nan],
+    })
+    got = (melt(ray.data.from_pandas(df).repartition(2),
+                id_cols=["k"], value_cols=["a", "b"])
+           .to_pandas().sort_values(["k", "measure"])
+           .reset_index(drop=True))
+    assert len(got) == 4          # two NaNs dropped
+    assert got["measure"].tolist() == ["a", "b", "b", "a"]
+    assert got["value_k"].tolist() == [150, 50, 75, 225]
