@@ -4395,6 +4395,40 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_weighted_sample_per_key(sf_dir):
+    """★-checked per-key weighted sampling
+    (stages/sample.py::priority_sample_per_key): top-3 priority rows
+    per user, same IEEE-exact arithmetic-hash priorities as the
+    global sampler."""
+    from ..stages.sample import priority_sample_per_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value"],
+    )
+    return round6(priority_sample_per_key(ev, k=3, num_partitions=8))
+
+
+WEIGHTED_PER_KEY_SQL = """
+WITH p AS (
+  SELECT user_id, event_id,
+         abs(CAST(round(value*100) AS BIGINT)) + 1 AS w,
+         (event_id * 2654435761) % 4294967296 + 1 AS h
+  FROM events),
+q AS (
+  SELECT user_id, event_id, w,
+         (CAST(w AS DOUBLE) * 4294967296.0) / CAST(h AS DOUBLE) AS pri
+  FROM p),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY pri DESC, event_id) AS rank
+  FROM q)
+SELECT user_id, event_id, w, round(pri, 6) AS pri,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3 ORDER BY user_id, rank
+"""
+
+
 def q_melt(sf_dir):
     """★-checked UNPIVOT (stages/pivot.py::melt): lineitem's four
     measure columns to long form, k-quantized ints — mirrored by a
@@ -4857,6 +4891,7 @@ EXTRA_QUERIES = {
     "expectations": q_expectations,
     "union_evolve": q_union_evolve,
     "melt": q_melt,
+    "weighted_sample_per_key": q_weighted_sample_per_key,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -4980,6 +5015,7 @@ EXTRA_ORACLE_SQL = {
     "expectations": EXPECTATIONS_SQL,
     "union_evolve": UNION_EVOLVE_SQL,
     "melt": MELT_SQL,
+    "weighted_sample_per_key": WEIGHTED_PER_KEY_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

@@ -122,3 +122,51 @@ def priority_sample(
     out = top.head(k).copy()
     out["w_est"] = np.maximum(out["w"].to_numpy(np.float64), tau)
     return out[[id_col, *extra_cols, "w", "pri", "w_est"]]
+
+
+def priority_sample_per_key(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    key: str = "user_id",
+    id_col: str = "event_id",
+    weight_expr_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Weighted sampling without replacement PER KEY — ``k`` rows per
+    key under the same deterministic priority ``w·2³²/h`` as
+    ``priority_sample`` (IEEE mul+div of exact ints, SQL-mirrorable).
+
+    Map-side combine: each block keeps its top-``k`` per key (cells),
+    ONE key exchange finalizes — the driver receives ≤ keys·k rows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(1 << 32) + np.uint64(1)).astype(np.float64)
+        w = (np.abs(np.rint(df[weight_expr_col].to_numpy(np.float64)
+                            * 100.0).astype(np.int64)) + 1)
+        out = pd.DataFrame({key: df[key].to_numpy(np.int64),
+                            id_col: ids, "w": w,
+                            "pri": w.astype(np.float64)
+                            * 4294967296.0 / h})
+        return (out.sort_values([key, "pri", id_col],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+                .groupby(key).head(k).reset_index(drop=True))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values([key, "pri", id_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        out = df.groupby(key).head(k).reset_index(drop=True)
+        out["rank"] = out.groupby(key).cumcount().to_numpy(np.int64) + 1
+        return out
+
+    from .partition import group_apply
+    got = group_apply(
+        ds.select_columns([key, id_col, weight_expr_col]).map_batches(
+            partial, batch_format="pandas"),
+        finalize, num_partitions=num_partitions, key=key).to_pandas()
+    return (got.sort_values([key, "rank"]).reset_index(drop=True))

@@ -1294,3 +1294,25 @@ def test_melt_bruteforce(ray_session):
     assert len(got) == 4          # two NaNs dropped
     assert got["measure"].tolist() == ["a", "b", "b", "a"]
     assert got["value_k"].tolist() == [150, 50, 75, 225]
+
+
+def test_priority_sample_per_key_bruteforce(ray_session):
+    from cesium_ray.stages.sample import priority_sample_per_key
+
+    ev = _valued(seed=1701, n=2000, nusers=15)
+    got = priority_sample_per_key(
+        ray.data.from_pandas(ev).repartition(6), k=2, num_partitions=4)
+    ids = ev["event_id"].to_numpy(np.int64)
+    h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+         % np.uint64(1 << 32) + np.uint64(1)).astype(np.float64)
+    w = np.abs(np.rint(ev["value"].to_numpy() * 100).astype(np.int64)) + 1
+    pri = w.astype(np.float64) * 4294967296.0 / h
+    t = ev.assign(pri=pri)
+    for uid, g in t.groupby("user_id"):
+        want = (g.sort_values(["pri", "event_id"],
+                              ascending=[False, True]).head(2))
+        row = got[got["user_id"] == uid]
+        assert len(row) == min(2, len(g))
+        assert (row["event_id"].to_numpy()
+                == want["event_id"].to_numpy()).all(), uid
+    assert (got.groupby("user_id")["rank"].min() == 1).all()
