@@ -4395,6 +4395,53 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_corr_matrix(sf_dir):
+    """★-checked pairwise Pearson correlation matrix over lineitem's
+    four measures (stages/analytics.py::corr_matrix): one-pass int64
+    sufficient statistics, one mirrored float expression per pair."""
+    from ..stages.analytics import corr_matrix
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount",
+                 "l_tax"],
+    )
+    return round6(corr_matrix(li))
+
+
+CORR_MATRIX_SQL = """
+WITH q AS (
+  SELECT CAST(round(l_quantity*100) AS BIGINT) AS x0,
+         CAST(round(l_extendedprice*1) AS BIGINT) AS x1,
+         CAST(round(l_discount*10000) AS BIGINT) AS x2,
+         CAST(round(l_tax*10000) AS BIGINT) AS x3
+  FROM lineitem),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x0) AS DOUBLE) AS s0, CAST(sum(x1) AS DOUBLE) AS s1,
+             CAST(sum(x2) AS DOUBLE) AS s2, CAST(sum(x3) AS DOUBLE) AS s3,
+             CAST(sum(x0*x0) AS DOUBLE) AS p00, CAST(sum(x0*x1) AS DOUBLE) AS p01,
+             CAST(sum(x0*x2) AS DOUBLE) AS p02, CAST(sum(x0*x3) AS DOUBLE) AS p03,
+             CAST(sum(x1*x1) AS DOUBLE) AS p11, CAST(sum(x1*x2) AS DOUBLE) AS p12,
+             CAST(sum(x1*x3) AS DOUBLE) AS p13, CAST(sum(x2*x2) AS DOUBLE) AS p22,
+             CAST(sum(x2*x3) AS DOUBLE) AS p23, CAST(sum(x3*x3) AS DOUBLE) AS p33
+      FROM q)
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         round((n*p01 - s0*s1)/(sqrt(n*p00 - s0*s0)*sqrt(n*p11 - s1*s1)), 6) AS r FROM s
+  UNION ALL SELECT 'l_quantity', 'l_discount',
+         round((n*p02 - s0*s2)/(sqrt(n*p00 - s0*s0)*sqrt(n*p22 - s2*s2)), 6) FROM s
+  UNION ALL SELECT 'l_quantity', 'l_tax',
+         round((n*p03 - s0*s3)/(sqrt(n*p00 - s0*s0)*sqrt(n*p33 - s3*s3)), 6) FROM s
+  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+         round((n*p12 - s1*s2)/(sqrt(n*p11 - s1*s1)*sqrt(n*p22 - s2*s2)), 6) FROM s
+  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+         round((n*p13 - s1*s3)/(sqrt(n*p11 - s1*s1)*sqrt(n*p33 - s3*s3)), 6) FROM s
+  UNION ALL SELECT 'l_discount', 'l_tax',
+         round((n*p23 - s2*s3)/(sqrt(n*p22 - s2*s2)*sqrt(n*p33 - s3*s3)), 6) FROM s
+) ORDER BY col_a, col_b
+"""
+
+
 def q_weighted_sample_per_key(sf_dir):
     """★-checked per-key weighted sampling
     (stages/sample.py::priority_sample_per_key): top-3 priority rows
@@ -4892,6 +4939,7 @@ EXTRA_QUERIES = {
     "union_evolve": q_union_evolve,
     "melt": q_melt,
     "weighted_sample_per_key": q_weighted_sample_per_key,
+    "corr_matrix": q_corr_matrix,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -5016,6 +5064,7 @@ EXTRA_ORACLE_SQL = {
     "union_evolve": UNION_EVOLVE_SQL,
     "melt": MELT_SQL,
     "weighted_sample_per_key": WEIGHTED_PER_KEY_SQL,
+    "corr_matrix": CORR_MATRIX_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

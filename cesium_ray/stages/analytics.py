@@ -924,3 +924,50 @@ def transition_pmi(
     out["pmi"] = pmi
     return (out.sort_values(["type_from", "type_to"])
             .reset_index(drop=True))
+
+
+def corr_matrix(
+    ds: ray.data.Dataset,
+    cols: tuple = ("l_quantity", "l_extendedprice", "l_discount",
+                   "l_tax"),
+    scales: tuple = (100, 1, 10000, 10000),
+) -> pd.DataFrame:
+    """Column-pairwise Pearson correlation in ONE streaming pass:
+    each block emits int64 sufficient statistics (n, Σxᵢ, Σxᵢxⱼ for
+    i ≤ j — a (k²+3k)/2-cell partial), the driver sums, and each r is
+    one mirrored float expression
+      r = (n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx·Sx) · sqrt(n·Syy − Sy·Sy)).
+    Pearson r is invariant to linear scaling, so each column carries
+    its OWN quantization scale (``scales``) — chosen so
+    n·(scale·max|v|)² stays < 2⁶³ (the big-money column quantizes at
+    ×1, the small-ratio columns at ×10⁴); the SQL twin mirrors each
+    scale literally."""
+    cols = list(cols)
+    k = len(cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.rint(df[c].to_numpy(np.float64) * float(s))
+                      .astype(np.int64)
+                      for c, s in zip(cols, scales)], axis=1)
+        out = {"n": [np.int64(len(X))]}
+        for i in range(k):
+            out[f"s{i}"] = [X[:, i].sum()]
+            for j in range(i, k):
+                out[f"p{i}_{j}"] = [(X[:, i] * X[:, j]).sum()]
+        return pd.DataFrame(out)
+
+    st = ds.select_columns(cols).map_batches(
+        partial, batch_format="pandas").to_pandas().sum()
+    n = float(int(st["n"]))
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            sx, sy = float(int(st[f"s{i}"])), float(int(st[f"s{j}"]))
+            sxy = float(int(st[f"p{i}_{j}"]))
+            sxx = float(int(st[f"p{i}_{i}"]))
+            syy = float(int(st[f"p{j}_{j}"]))
+            r = ((n * sxy - sx * sy)
+                 / (np.sqrt(n * sxx - sx * sx)
+                    * np.sqrt(n * syy - sy * sy)))
+            rows.append((cols[i], cols[j], r))
+    return pd.DataFrame(rows, columns=["col_a", "col_b", "r"])

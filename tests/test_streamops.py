@@ -1316,3 +1316,25 @@ def test_priority_sample_per_key_bruteforce(ray_session):
         assert (row["event_id"].to_numpy()
                 == want["event_id"].to_numpy()).all(), uid
     assert (got.groupby("user_id")["rank"].min() == 1).all()
+
+
+def test_corr_matrix_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import corr_matrix
+
+    rng = np.random.default_rng(1801)
+    n = 3000
+    a = np.round(rng.uniform(0, 50, n), 2)
+    b = np.round(a * 2 + rng.normal(0, 5, n), 2)   # strongly corr
+    c = np.round(rng.uniform(0, 1, n), 4)          # independent
+    df = pd.DataFrame({"a": a, "b": b, "c": c})
+    got = corr_matrix(ray.data.from_pandas(df).repartition(5),
+                      cols=("a", "b", "c"), scales=(100, 100, 10000))
+    qa = np.rint(a * 100); qb = np.rint(b * 100); qc = np.rint(c * 10000)
+    for ca, cb, x, y in [("a", "b", qa, qb), ("a", "c", qa, qc),
+                         ("b", "c", qb, qc)]:
+        row = got[(got["col_a"] == ca) & (got["col_b"] == cb)]
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(row["r"].iloc[0] - want) < 1e-9, (ca, cb)
+    ab = got[(got["col_a"] == "a") & (got["col_b"] == "b")]["r"].iloc[0]
+    ac = got[(got["col_a"] == "a") & (got["col_b"] == "c")]["r"].iloc[0]
+    assert ab > 0.95 and abs(ac) < 0.1
