@@ -4395,6 +4395,37 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_minmax_scale(sf_dir):
+    """★-checked per-key min-max scaling
+    (stages/normalize.py::minmax_scale_per_key): cells-broadcast
+    two-pass — rows never shuffle; one mirrored float division,
+    NULLIF semantics for constant keys."""
+    from ..stages.normalize import minmax_scale_per_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value"],
+    )
+    out = minmax_scale_per_key(ev, num_partitions=8).to_pandas()
+    return round6(out.sort_values(["user_id", "event_id"])
+                  .reset_index(drop=True))
+
+
+MINMAX_SCALE_SQL = """
+WITH q AS (
+  SELECT user_id, event_id,
+         CAST(round(value*100) AS BIGINT) AS k
+  FROM events),
+e AS (SELECT user_id, min(k) AS lo, max(k) AS hi
+      FROM q GROUP BY 1)
+SELECT q.user_id, q.event_id,
+       round(CAST(q.k - e.lo AS DOUBLE)
+             / nullif(CAST(e.hi - e.lo AS DOUBLE), 0.0), 6) AS scaled
+FROM q JOIN e USING (user_id)
+ORDER BY q.user_id, q.event_id
+"""
+
+
 def q_corr_matrix(sf_dir):
     """★-checked pairwise Pearson correlation matrix over lineitem's
     four measures (stages/analytics.py::corr_matrix): one-pass int64
@@ -4940,6 +4971,7 @@ EXTRA_QUERIES = {
     "melt": q_melt,
     "weighted_sample_per_key": q_weighted_sample_per_key,
     "corr_matrix": q_corr_matrix,
+    "minmax_scale": q_minmax_scale,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -5065,6 +5097,7 @@ EXTRA_ORACLE_SQL = {
     "melt": MELT_SQL,
     "weighted_sample_per_key": WEIGHTED_PER_KEY_SQL,
     "corr_matrix": CORR_MATRIX_SQL,
+    "minmax_scale": MINMAX_SCALE_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

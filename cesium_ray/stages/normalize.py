@@ -88,3 +88,62 @@ def union_by_name(
 
     return (a.map_batches(align, batch_format="pandas")
             .union(b.map_batches(align, batch_format="pandas")))
+
+
+def minmax_scale_per_key(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Per-key min-max feature scaling WITHOUT shuffling rows: pass 1
+    reduces each block to its (key, min, max) cells (one tiny
+    key-keyed cell exchange), the per-key extrema broadcast via
+    ``ray.put``, and pass 2 is a stateless map emitting
+    ``(x − min)/(max − min)`` — constant keys scale to NULL (SQL
+    NULLIF semantics).  All arithmetic in k-quantized int space until
+    the one mirrored float division."""
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.rint(df[val_col].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        g = (pd.DataFrame({key: df[key], "k": k})
+             .groupby(key, as_index=False)
+             .agg(lo=("k", "min"), hi=("k", "max")))
+        for c in ("lo", "hi"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    ext = group_apply(
+        ds.select_columns([key, val_col]).map_batches(
+            cells, batch_format="pandas"),
+        lambda df: df.groupby(key, as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max")),
+        num_partitions=num_partitions, key=key,
+        batch_format="pandas").to_pandas()
+    keys = ext[key].to_numpy(np.int64)
+    order = np.argsort(keys)
+    ref = _ray.put((keys[order],
+                    ext["lo"].to_numpy(np.int64)[order],
+                    ext["hi"].to_numpy(np.int64)[order]))
+
+    def scale(df: pd.DataFrame) -> pd.DataFrame:
+        ks, lo, hi = _ray.get(ref)
+        u = df[key].to_numpy(np.int64)
+        pos = np.searchsorted(ks, u)
+        x = np.rint(df[val_col].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        span = (hi[pos] - lo[pos]).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = (x - lo[pos]).astype(np.float64) / span
+        s[span == 0] = np.nan
+        return pd.DataFrame({key: u,
+                             id_col: df[id_col].to_numpy(np.int64),
+                             "scaled": s})
+
+    return ds.select_columns([key, id_col, val_col]).map_batches(
+        scale, batch_format="pandas")

@@ -1338,3 +1338,37 @@ def test_corr_matrix_bruteforce(ray_session):
     ab = got[(got["col_a"] == "a") & (got["col_b"] == "b")]["r"].iloc[0]
     ac = got[(got["col_a"] == "a") & (got["col_b"] == "c")]["r"].iloc[0]
     assert ab > 0.95 and abs(ac) < 0.1
+
+
+def test_minmax_scale_bruteforce(ray_session):
+    from cesium_ray.stages.normalize import minmax_scale_per_key
+
+    ev = _valued(seed=1901, n=1500, nusers=12)
+    # one constant key to exercise NULLIF
+    const = pd.DataFrame({
+        "event_id": np.arange(10**5, 10**5 + 4, dtype=np.int64),
+        "user_id": np.full(4, 999, dtype=np.int64),
+        "event_type": ["a"] * 4,
+        "ts": pd.to_datetime(np.arange(4) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.full(4, 7.0),
+    })
+    ev = pd.concat([ev, const], ignore_index=True)
+    got = (minmax_scale_per_key(
+        ray.data.from_pandas(ev).repartition(5), num_partitions=4)
+        .to_pandas().sort_values(["user_id", "event_id"])
+        .reset_index(drop=True))
+    k = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    t = ev.assign(k=k)
+    lo = t.groupby("user_id")["k"].transform("min")
+    hi = t.groupby("user_id")["k"].transform("max")
+    want = np.where(hi > lo, (k - lo) / (hi - lo).astype(float), np.nan)
+    w = (t.assign(w=want).sort_values(["user_id", "event_id"])
+         .reset_index(drop=True))
+    a = got["scaled"].to_numpy()
+    b = w["w"].to_numpy()
+    ok = ~np.isnan(b)
+    assert (np.isnan(a) == ~ok).all()
+    assert np.allclose(a[ok], b[ok], rtol=1e-12)
+    assert got[got["user_id"] == 999]["scaled"].isna().all()
+    assert (a[ok] >= 0).all() and (a[ok] <= 1).all()
