@@ -4395,6 +4395,33 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_quantile_transform(sf_dir):
+    """★-checked global quantile transform
+    (stages/normalize.py::quantile_transform_global): tie-aware
+    percent_rank over the whole value column, rows never shuffled —
+    the distinct-value cell table is the only exchange."""
+    from ..stages.normalize import quantile_transform_global
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    out = quantile_transform_global(ev, num_partitions=8).to_pandas()
+    return round6(out.sort_values("event_id").reset_index(drop=True))
+
+
+QUANTILE_TRANSFORM_SQL = """
+WITH q AS (
+  SELECT event_id, CAST(round(value*100) AS BIGINT) AS value_k
+  FROM events),
+r AS (
+  SELECT event_id, value_k,
+         percent_rank() OVER (ORDER BY value_k) AS pr
+  FROM q)
+SELECT event_id, value_k, round(pr, 6) AS pct_rank
+FROM r ORDER BY event_id
+"""
+
+
 def q_minmax_scale(sf_dir):
     """★-checked per-key min-max scaling
     (stages/normalize.py::minmax_scale_per_key): cells-broadcast
@@ -4972,6 +4999,7 @@ EXTRA_QUERIES = {
     "weighted_sample_per_key": q_weighted_sample_per_key,
     "corr_matrix": q_corr_matrix,
     "minmax_scale": q_minmax_scale,
+    "quantile_transform": q_quantile_transform,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -5098,6 +5126,7 @@ EXTRA_ORACLE_SQL = {
     "weighted_sample_per_key": WEIGHTED_PER_KEY_SQL,
     "corr_matrix": CORR_MATRIX_SQL,
     "minmax_scale": MINMAX_SCALE_SQL,
+    "quantile_transform": QUANTILE_TRANSFORM_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

@@ -147,3 +147,58 @@ def minmax_scale_per_key(
 
     return ds.select_columns([key, id_col, val_col]).map_batches(
         scale, batch_format="pandas")
+
+
+def quantile_transform_global(
+    ds: ray.data.Dataset,
+    id_col: str = "event_id",
+    val_col: str = "value",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Global quantile (rank) transform — SQL ``percent_rank() OVER
+    (ORDER BY value)`` semantics, tie-aware: each row maps to
+    (rows strictly below)/(n − 1) — the preprocessing step that makes
+    a feature uniform-distributed.
+
+    Rows never shuffle: pass 1 reduces blocks to distinct
+    k-quantized-value cells with counts (one value-keyed cell
+    exchange, bounded by DISTINCT values, not rows); the driver
+    prefix-sums the sorted cells and broadcasts the (value → below)
+    table; pass 2 is a stateless searchsorted map."""
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.rint(df[val_col].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        g = pd.DataFrame({"k": k}).groupby("k", as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return g.rename(columns={"size": "c"})
+
+    merged = group_apply(
+        ds.select_columns([val_col]).map_batches(
+            cells, batch_format="pandas"),
+        lambda df: df.groupby("k", as_index=False)["c"].sum(),
+        num_partitions=num_partitions, key="k",
+        batch_format="pandas").to_pandas().sort_values("k")
+    ks = merged["k"].to_numpy(np.int64)
+    cnt = merged["c"].to_numpy(np.int64)
+    below = np.r_[np.int64(0), np.cumsum(cnt)[:-1]]
+    n = int(cnt.sum())
+    ref = _ray.put((ks, below, n))
+
+    def rank_map(df: pd.DataFrame) -> pd.DataFrame:
+        kv, bl, total = _ray.get(ref)
+        x = np.rint(df[val_col].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        pos = np.searchsorted(kv, x)
+        pct = bl[pos].astype(np.float64) / np.float64(total - 1)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "value_k": x,
+            "pct_rank": pct,
+        })
+
+    return ds.select_columns([id_col, val_col]).map_batches(
+        rank_map, batch_format="pandas")

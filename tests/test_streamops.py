@@ -1372,3 +1372,19 @@ def test_minmax_scale_bruteforce(ray_session):
     assert np.allclose(a[ok], b[ok], rtol=1e-12)
     assert got[got["user_id"] == 999]["scaled"].isna().all()
     assert (a[ok] >= 0).all() and (a[ok] <= 1).all()
+
+
+def test_quantile_transform_bruteforce(ray_session):
+    from cesium_ray.stages.normalize import quantile_transform_global
+
+    ev = _valued(seed=2003, n=2000, nusers=10)
+    got = (quantile_transform_global(
+        ray.data.from_pandas(ev).repartition(5), num_partitions=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True))
+    k = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    order = pd.Series(k).rank(method="min").to_numpy() - 1
+    want = order / (len(k) - 1)
+    s = ev.assign(w=want).sort_values("event_id").reset_index(drop=True)
+    assert np.allclose(got["pct_rank"], s["w"], rtol=1e-12)
+    assert got["pct_rank"].min() == 0.0
+    assert got["pct_rank"].max() <= 1.0
