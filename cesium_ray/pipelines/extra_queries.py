@@ -4395,6 +4395,36 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_target_encode(sf_dir):
+    """★-checked leave-one-out target encoding
+    (stages/normalize.py::target_encode_loo): exact int64 category
+    sums, one mirrored float expression, NULL for singletons."""
+    from ..stages.normalize import target_encode_loo
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    out = target_encode_loo(ev, num_partitions=8).to_pandas()
+    return round6(out.sort_values("event_id").reset_index(drop=True))
+
+
+TARGET_ENCODE_SQL = """
+WITH q AS (
+  SELECT event_id, event_type,
+         CAST(round(value*100) AS BIGINT) AS k
+  FROM events),
+c AS (SELECT event_type, sum(k) AS s, count(*) AS n
+      FROM q GROUP BY 1)
+SELECT q.event_id, q.event_type,
+       round((CAST(c.s - q.k AS DOUBLE)
+              / nullif(CAST(c.n - 1 AS DOUBLE), 0.0)) / 100.0, 6)
+         AS loo_mean
+FROM q JOIN c USING (event_type)
+ORDER BY q.event_id
+"""
+
+
 def q_quantile_transform(sf_dir):
     """★-checked global quantile transform
     (stages/normalize.py::quantile_transform_global): tie-aware
@@ -5000,6 +5030,7 @@ EXTRA_QUERIES = {
     "corr_matrix": q_corr_matrix,
     "minmax_scale": q_minmax_scale,
     "quantile_transform": q_quantile_transform,
+    "target_encode": q_target_encode,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -5127,6 +5158,7 @@ EXTRA_ORACLE_SQL = {
     "corr_matrix": CORR_MATRIX_SQL,
     "minmax_scale": MINMAX_SCALE_SQL,
     "quantile_transform": QUANTILE_TRANSFORM_SQL,
+    "target_encode": TARGET_ENCODE_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

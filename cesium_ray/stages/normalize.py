@@ -202,3 +202,61 @@ def quantile_transform_global(
 
     return ds.select_columns([id_col, val_col]).map_batches(
         rank_map, batch_format="pandas")
+
+
+def target_encode_loo(
+    ds: ray.data.Dataset,
+    cat_col: str = "event_type",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Leave-one-out target encoding — the category-to-number feature
+    transform that avoids self-leakage: each row gets
+    ``(Σ_cat − x_row)/(n_cat − 1)`` (NULL for singleton categories).
+    Exact int64 category sums via one tiny cell exchange (bounded by
+    the alphabet), broadcast, then a stateless map — rows never
+    shuffle; one mirrored float expression."""
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.rint(df[val_col].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        g = (pd.DataFrame({cat_col: df[cat_col], "k": k})
+             .groupby(cat_col, as_index=False)
+             .agg(s=("k", "sum"), n=("k", "size")))
+        for c in ("s", "n"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    ext = group_apply(
+        ds.select_columns([cat_col, val_col]).map_batches(
+            cells, batch_format="pandas"),
+        lambda df: df.groupby(cat_col, as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")),
+        num_partitions=num_partitions, key=cat_col,
+        batch_format="pandas").to_pandas().sort_values(cat_col)
+    ref = _ray.put((ext[cat_col].to_numpy(object),
+                    ext["s"].to_numpy(np.int64),
+                    ext["n"].to_numpy(np.int64)))
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        cats, s, n = _ray.get(ref)
+        idx = pd.Series(np.arange(len(cats)), index=cats)
+        pos = idx[df[cat_col].to_numpy(object)].to_numpy(np.int64)
+        x = np.rint(df[val_col].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        denom = (n[pos] - 1).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            enc = ((s[pos] - x).astype(np.float64) / denom) / 100.0
+        enc[n[pos] == 1] = np.nan
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            cat_col: df[cat_col].to_numpy(object),
+            "loo_mean": enc,
+        })
+
+    return ds.select_columns([id_col, cat_col, val_col]).map_batches(
+        encode, batch_format="pandas")

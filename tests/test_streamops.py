@@ -1388,3 +1388,30 @@ def test_quantile_transform_bruteforce(ray_session):
     assert np.allclose(got["pct_rank"], s["w"], rtol=1e-12)
     assert got["pct_rank"].min() == 0.0
     assert got["pct_rank"].max() <= 1.0
+
+
+def test_target_encode_loo_bruteforce(ray_session):
+    from cesium_ray.stages.normalize import target_encode_loo
+
+    ev = _valued(seed=2111, n=1200, nusers=10)
+    single = pd.DataFrame({
+        "event_id": np.array([10**6], dtype=np.int64),
+        "user_id": np.array([1], dtype=np.int64),
+        "event_type": ["zzz"], "value": np.array([4.0]),
+        "ts": pd.to_datetime([0], unit="us").astype("datetime64[us]")})
+    ev = pd.concat([ev, single], ignore_index=True)
+    got = (target_encode_loo(ray.data.from_pandas(ev).repartition(5),
+                             num_partitions=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    k = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    t = ev.assign(k=k)
+    s = t.groupby("event_type")["k"].transform("sum")
+    n = t.groupby("event_type")["k"].transform("size")
+    want = np.where(n > 1, ((s - k) / (n - 1)) / 100.0, np.nan)
+    w = (t.assign(w=want).sort_values("event_id")
+         .reset_index(drop=True))
+    a, b = got["loo_mean"].to_numpy(), w["w"].to_numpy()
+    ok = ~np.isnan(b)
+    assert (np.isnan(a) == ~ok).all()
+    assert np.allclose(a[ok], b[ok], rtol=1e-12)
+    assert got[got["event_type"] == "zzz"]["loo_mean"].isna().all()
