@@ -4395,6 +4395,43 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_zscore_scale(sf_dir):
+    """★-checked per-key z-score scaling
+    (stages/normalize.py::zscore_scale_per_key): cells-broadcast
+    two-pass, mirrored mean/SD/z expressions, NULL for zero-variance
+    keys."""
+    from ..stages.normalize import zscore_scale_per_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value"],
+    )
+    out = zscore_scale_per_key(ev, num_partitions=8).to_pandas()
+    return round6(out.sort_values(["user_id", "event_id"])
+                  .reset_index(drop=True))
+
+
+ZSCORE_SCALE_SQL = """
+WITH q AS (
+  SELECT user_id, event_id,
+         CAST(round(value*100) AS BIGINT) AS k
+  FROM events),
+e AS (SELECT user_id, count(*) AS n, sum(k) AS s, sum(k*k) AS qq
+      FROM q GROUP BY 1),
+m AS (SELECT user_id,
+        (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))/100.0 AS mean,
+        sqrt(CAST(qq AS DOUBLE)/CAST(n AS DOUBLE)
+             - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+               * (CAST(s AS DOUBLE)/CAST(n AS DOUBLE)))/100.0 AS sd
+      FROM e)
+SELECT q.user_id, q.event_id,
+       round((CAST(q.k AS DOUBLE)/100.0 - m.mean)
+             / nullif(m.sd, 0.0), 6) AS z
+FROM q JOIN m USING (user_id)
+ORDER BY q.user_id, q.event_id
+"""
+
+
 def q_target_encode(sf_dir):
     """★-checked leave-one-out target encoding
     (stages/normalize.py::target_encode_loo): exact int64 category
@@ -5031,6 +5068,7 @@ EXTRA_QUERIES = {
     "minmax_scale": q_minmax_scale,
     "quantile_transform": q_quantile_transform,
     "target_encode": q_target_encode,
+    "zscore_scale": q_zscore_scale,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -5159,6 +5197,7 @@ EXTRA_ORACLE_SQL = {
     "minmax_scale": MINMAX_SCALE_SQL,
     "quantile_transform": QUANTILE_TRANSFORM_SQL,
     "target_encode": TARGET_ENCODE_SQL,
+    "zscore_scale": ZSCORE_SCALE_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

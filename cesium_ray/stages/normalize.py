@@ -260,3 +260,63 @@ def target_encode_loo(
 
     return ds.select_columns([id_col, cat_col, val_col]).map_batches(
         encode, batch_format="pandas")
+
+
+def zscore_scale_per_key(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Per-key standard (z-score) scaling — the third scaler next to
+    min-max and quantile: ``(x − μ)/σ`` with population σ from exact
+    int64 (n, Σx, Σx²) cells; zero-variance keys scale to NULL.
+    Same cells-broadcast two-pass shape (rows never shuffle); the
+    float expression ``(x/100 − mean)/sd`` with
+    ``mean = (S/n)/100``, ``sd = sqrt(q/n − (S/n)·(S/n))/100``
+    mirrors the SQL twin op-for-op."""
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.rint(df[val_col].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        g = (pd.DataFrame({key: df[key], "k": k, "kk": k * k})
+             .groupby(key, as_index=False)
+             .agg(n=("k", "size"), s=("k", "sum"), q=("kk", "sum")))
+        for c in ("n", "s", "q"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    ext = group_apply(
+        ds.select_columns([key, val_col]).map_batches(
+            cells, batch_format="pandas"),
+        lambda df: df.groupby(key, as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), q=("q", "sum")),
+        num_partitions=num_partitions, key=key,
+        batch_format="pandas").to_pandas().sort_values(key)
+    ks = ext[key].to_numpy(np.int64)
+    nf = ext["n"].to_numpy(np.int64).astype(np.float64)
+    sf = ext["s"].to_numpy(np.int64).astype(np.float64)
+    qf = ext["q"].to_numpy(np.int64).astype(np.float64)
+    mean = (sf / nf) / 100.0
+    sd = np.sqrt(qf / nf - (sf / nf) * (sf / nf)) / 100.0
+    ref = _ray.put((ks, mean, sd))
+
+    def scale(df: pd.DataFrame) -> pd.DataFrame:
+        kk, mu, sg = _ray.get(ref)
+        u = df[key].to_numpy(np.int64)
+        pos = np.searchsorted(kk, u)
+        xf = (np.rint(df[val_col].to_numpy(np.float64) * 100.0)
+              .astype(np.int64).astype(np.float64)) / 100.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (xf - mu[pos]) / sg[pos]
+        z[sg[pos] == 0.0] = np.nan
+        return pd.DataFrame({key: u,
+                             id_col: df[id_col].to_numpy(np.int64),
+                             "z": z})
+
+    return ds.select_columns([key, id_col, val_col]).map_batches(
+        scale, batch_format="pandas")

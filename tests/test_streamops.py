@@ -1415,3 +1415,26 @@ def test_target_encode_loo_bruteforce(ray_session):
     assert (np.isnan(a) == ~ok).all()
     assert np.allclose(a[ok], b[ok], rtol=1e-12)
     assert got[got["event_type"] == "zzz"]["loo_mean"].isna().all()
+
+
+def test_zscore_scale_bruteforce(ray_session):
+    from cesium_ray.stages.normalize import zscore_scale_per_key
+
+    ev = _valued(seed=2203, n=1500, nusers=12)
+    got = (zscore_scale_per_key(
+        ray.data.from_pandas(ev).repartition(5), num_partitions=4)
+        .to_pandas().sort_values(["user_id", "event_id"])
+        .reset_index(drop=True))
+    k = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    t = ev.assign(x=k / 100.0)
+    mu = t.groupby("user_id")["x"].transform("mean")
+    sd = t.groupby("user_id")["x"].transform(lambda s: s.std(ddof=0))
+    want = ((t["x"] - mu) / sd)
+    w = (t.assign(w=want).sort_values(["user_id", "event_id"])
+         .reset_index(drop=True))
+    assert np.allclose(got["z"], w["w"], rtol=1e-9)
+    # per-key z-scores are centered with unit population variance
+    g = got.groupby("user_id")["z"]
+    assert np.allclose(g.mean(), 0.0, atol=1e-9)
+    assert np.allclose(g.apply(lambda s: s.std(ddof=0)), 1.0,
+                       atol=1e-9)
