@@ -4395,6 +4395,31 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_one_hot(sf_dir):
+    """★-checked one-hot encoding
+    (stages/normalize.py::one_hot_encode): indicator columns for the
+    data-derived alphabet (the generator's fixed five event types —
+    same hardcoding precedent as the funnel steps); exact ints."""
+    from ..stages.normalize import one_hot_encode
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    out = one_hot_encode(ev, num_partitions=8).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ONE_HOT_SQL = """
+SELECT event_id,
+       CAST(event_type = 'click' AS BIGINT) AS oh_click,
+       CAST(event_type = 'error' AS BIGINT) AS oh_error,
+       CAST(event_type = 'purchase' AS BIGINT) AS oh_purchase,
+       CAST(event_type = 'signup' AS BIGINT) AS oh_signup,
+       CAST(event_type = 'view' AS BIGINT) AS oh_view
+FROM events ORDER BY event_id
+"""
+
+
 def q_zscore_scale(sf_dir):
     """★-checked per-key z-score scaling
     (stages/normalize.py::zscore_scale_per_key): cells-broadcast
@@ -5069,6 +5094,7 @@ EXTRA_QUERIES = {
     "quantile_transform": q_quantile_transform,
     "target_encode": q_target_encode,
     "zscore_scale": q_zscore_scale,
+    "one_hot": q_one_hot,
     "stream_digest": q_stream_digest,
     "window_finalize": q_window_finalize,
     "upsert": q_upsert,
@@ -5198,6 +5224,7 @@ EXTRA_ORACLE_SQL = {
     "quantile_transform": QUANTILE_TRANSFORM_SQL,
     "target_encode": TARGET_ENCODE_SQL,
     "zscore_scale": ZSCORE_SCALE_SQL,
+    "one_hot": ONE_HOT_SQL,
     "stream_digest": STREAM_DIGEST_SQL,
     "window_finalize": WINDOW_FINALIZE_SQL,
     "upsert": UPSERT_SQL,

@@ -320,3 +320,47 @@ def zscore_scale_per_key(
 
     return ds.select_columns([key, id_col, val_col]).map_batches(
         scale, batch_format="pandas")
+
+
+def one_hot_encode(
+    ds: ray.data.Dataset,
+    cat_col: str = "event_type",
+    id_col: str = "event_id",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """One-hot encoding of a bounded-alphabet categorical: one int64
+    indicator column per category (``oh_<value>``, sorted category
+    order — deterministic schema).  The alphabet comes from a
+    distinct-cell pass (bounded by the alphabet, not rows), then a
+    stateless vectorized map — rows never shuffle.  Guard: raises if
+    the alphabet exceeds ``MAX_ONE_HOT`` (wide schemas belong to the
+    hashing trick, not one-hot)."""
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+
+    MAX_ONE_HOT = 256
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({cat_col: df[cat_col].unique()})
+
+    alphabet = np.sort(
+        ds.select_columns([cat_col])
+        .map_batches(distinct_partial, batch_format="pandas")
+        .to_pandas()[cat_col].unique())
+    if len(alphabet) > MAX_ONE_HOT:
+        raise ValueError(
+            f"alphabet {len(alphabet)} > {MAX_ONE_HOT}: use feature "
+            "hashing for open-ended categoricals")
+    ref = _ray.put(alphabet)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        cats = _ray.get(ref)
+        out = {id_col: df[id_col].to_numpy(np.int64)}
+        v = df[cat_col].to_numpy(object)
+        for c in cats:
+            out[f"oh_{c}"] = (v == c).astype(np.int64)
+        return pd.DataFrame(out)
+
+    return ds.select_columns([id_col, cat_col]).map_batches(
+        encode, batch_format="pandas")

@@ -1438,3 +1438,26 @@ def test_zscore_scale_bruteforce(ray_session):
     assert np.allclose(g.mean(), 0.0, atol=1e-9)
     assert np.allclose(g.apply(lambda s: s.std(ddof=0)), 1.0,
                        atol=1e-9)
+
+
+def test_one_hot_encode_bruteforce(ray_session):
+    import pytest as _pytest
+
+    from cesium_ray.stages.normalize import one_hot_encode
+
+    ev = _events(seed=2301, n=800, nusers=10)
+    got = (one_hot_encode(ray.data.from_pandas(ev).repartition(4))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    cats = sorted(ev["event_type"].unique())
+    assert list(got.columns) == ["event_id"] + [f"oh_{c}" for c in cats]
+    s = ev.sort_values("event_id").reset_index(drop=True)
+    for c in cats:
+        assert (got[f"oh_{c}"].to_numpy()
+                == (s["event_type"] == c).to_numpy().astype(int)).all()
+    assert (got[[f"oh_{c}" for c in cats]].sum(axis=1) == 1).all()
+    # oversized alphabets are refused
+    wide = pd.DataFrame({
+        "event_id": np.arange(300, dtype=np.int64),
+        "event_type": [f"t{i}" for i in range(300)]})
+    with _pytest.raises(ValueError):
+        one_hot_encode(ray.data.from_pandas(wide))
