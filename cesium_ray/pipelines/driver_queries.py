@@ -754,8 +754,11 @@ def q_hot_key_sample(sf_dir):
     total = counts.cnt.sum()
     counts["cnt"] = counts["cnt"].astype(np.int64)
     counts["share"] = counts.cnt / total
+    # order by the exact integer cnt, not the derived share: two
+    # counts can round to the same 6-decimal share at large totals,
+    # and the top-10 boundary must be decided identically both sides
     hot = (
-        counts.sort_values(["share", "user_id"], ascending=[False, True])
+        counts.sort_values(["cnt", "user_id"], ascending=[False, True])
         .head(10)
         .reset_index(drop=True)
     )
@@ -772,7 +775,7 @@ t AS (SELECT sum(cnt) AS total FROM c)
 SELECT user_id, cnt,
        round(CAST(cnt AS DOUBLE) / total, 6) AS share
 FROM c, t
-ORDER BY share DESC, user_id
+ORDER BY cnt DESC, user_id
 LIMIT 10
 """
 

@@ -1195,7 +1195,8 @@ WITH t AS (
   SELECT source, len(regexp_extract_all(text, '\\S+')) AS tc
   FROM documents
 )
-SELECT source, count(*) AS n_docs, sum(tc) AS total_tokens,
+SELECT source, count(*) AS n_docs,
+       CAST(sum(tc) AS BIGINT) AS total_tokens,
        round(CAST(sum(tc) AS DOUBLE) / count(*), 6) AS mean_tokens,
        round(quantile_cont(CAST(tc AS DOUBLE), 0.5), 6) AS p50_tokens,
        round(quantile_cont(CAST(tc AS DOUBLE), 0.95), 6) AS p95_tokens
@@ -1361,7 +1362,7 @@ SELECT user_id, bucket_us,
              THEN CAST(kdt AS DOUBLE) / (CAST(span_us AS DOUBLE) * 100.0)
              ELSE CAST(sk AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
              END, 6) AS twa,
-       span_us, n
+       CAST(span_us AS BIGINT) AS span_us, n
 FROM c
 """
 
@@ -1686,7 +1687,8 @@ per AS (
   SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
 ),
 agg AS (
-  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
          max(c) AS top
   FROM per GROUP BY doc_id
 )
@@ -1724,7 +1726,8 @@ WITH k AS (
            AS kv
   FROM events
 )
-SELECT event_type, count(*) AS n, count(kv) AS n_k, sum(kv) AS sum_k,
+SELECT event_type, count(*) AS n, count(kv) AS n_k,
+       CAST(sum(kv) AS BIGINT) AS sum_k,
        round(CAST(sum(kv) AS DOUBLE) / CAST(count(kv) AS DOUBLE), 6) AS avg_k
 FROM k GROUP BY event_type
 """
@@ -3980,7 +3983,10 @@ SELECT user_id, n, t AS split_t, ts_us AS split_ts_us,
        round((CAST(s - sl AS DOUBLE) / CAST(n - t AS DOUBLE)) / 100.0
              - (CAST(sl AS DOUBLE) / CAST(t AS DOUBLE)) / 100.0, 6)
            AS delta,
-       score
+       -- sum(BIGINT) is HUGEINT in DuckDB and pandas-converts to
+       -- float64; the engine emits int64 — cast so both sides hash
+       -- as the same integer dtype (driver r03 hash-fail root cause)
+       CAST(score AS BIGINT) AS score
 FROM best ORDER BY user_id
 """
 
@@ -4054,7 +4060,8 @@ posts AS (
          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
            AS postings
   FROM ranked WHERE rn <= 15 GROUP BY token),
-agg AS (SELECT token, count(*) AS df, sum(c) AS tf
+agg AS (SELECT token, count(*) AS df,
+               CAST(sum(c) AS BIGINT) AS tf
         FROM cell GROUP BY token)
 SELECT a.token, a.df, a.tf, p.postings
 FROM agg a JOIN posts p USING (token)
@@ -4870,7 +4877,10 @@ ex AS (SELECT CAST(coalesce(sum(c * c), 0) AS BIGINT) AS exact_join_rows
        FROM (SELECT user_id, count(*) AS c FROM events
              WHERE user_id % 3 = 0 GROUP BY 1))
 SELECT cl.n_left, cr.n_right,
-       least(p0.ip, p1.ip, p2.ip, p3.ip) AS est_join_rows,
+       -- ip = sum(BIGINT·BIGINT) is HUGEINT → float64 via pandas;
+       -- cast to BIGINT to match the engine's int64 (r03 hash-fail)
+       CAST(least(p0.ip, p1.ip, p2.ip, p3.ip) AS BIGINT)
+           AS est_join_rows,
        ex.exact_join_rows
 FROM cl, cr, ex, p0, p1, p2, p3
 """

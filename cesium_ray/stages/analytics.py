@@ -337,9 +337,9 @@ def grouping_sets_rollup(
     s = out["_s"].to_numpy(np.float64)
     vc = out["_vc"].to_numpy(np.int64)
     out["sum_value"] = np.where(vc > 0, s / value_scale, np.nan)
-    out["bucket_us"] = pd.array(
-        [None if np.isnan(b) else int(b) for b in out["bucket_us"]],
-        dtype="Int64")
+    # float64 (NaN for rolled-up rows), matching DuckDB's pandas
+    # conversion of nullable BIGINT; day-epoch µs < 2^53 stays exact
+    out["bucket_us"] = out["bucket_us"].to_numpy(np.float64)
     return (out[[dim, "bucket_us", "n", "sum_value"]]
             .sort_values([dim, "bucket_us"], na_position="first")
             .reset_index(drop=True))

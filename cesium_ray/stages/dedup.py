@@ -337,64 +337,87 @@ def _lsh_candidates(
     return sigs, pairs
 
 
+def attach_pair_payload(
+    items: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    payload_col: str = "text",
+    out_a: str = "text_a",
+    out_b: str = "text_b",
+    empty="",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Attach both members' ``payload_col`` to candidate pairs
+    ``(a, b)`` → ``(a, b, out_a, out_b)`` with NO driver
+    materialization and NO broadcast pool: each pair emits two
+    half-rows keyed by its member ids, the item table is co-hashed by
+    id into the SAME single exchange (the inner merge drops
+    non-candidate items inside each partition), then the two halves
+    are re-joined on the pair key — that second exchange is bounded
+    by the candidate set, never the corpus.  The corpus payload
+    crosses exactly one hash exchange and nothing is pulled to the
+    driver, so a high-dup-rate crawl cannot blow a driver-side pool.
+    (A keyed co-group ``pd.merge`` stands in for ``Dataset.join``:
+    Ray 2.49's hash join rejects the schema-less empty blocks that
+    ``map_groups`` emits for empty partitions.)"""
+
+    def halves(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        n = len(df)
+        return pd.DataFrame({
+            "k": np.concatenate([a, b]),
+            "pa": np.concatenate([a, a]),
+            "pb": np.concatenate([b, b]),
+            "side": np.repeat(np.array([0, 1], np.int64), n),
+            payload_col: np.full(2 * n, empty, dtype=object),
+            "_is_doc": np.zeros(2 * n, dtype=bool),
+        })
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "k": df[id_col].to_numpy(np.int64),
+            "pa": np.full(n, -1, np.int64),
+            "pb": np.full(n, -1, np.int64),
+            "side": np.full(n, -1, np.int64),
+            payload_col: df[payload_col].to_numpy(object),
+            "_is_doc": np.ones(n, dtype=bool),
+        })
+
+    u = (items.select_columns([id_col, payload_col])
+         .map_batches(doc_rows, batch_format="pandas")
+         .union(pairs.map_batches(halves, batch_format="pandas")))
+
+    def merge_k(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["_is_doc"]]
+        p = df[~df["_is_doc"]]
+        return p[["k", "pa", "pb", "side"]].merge(
+            d[["k", payload_col]].drop_duplicates("k"),
+            on="k", how="inner")[["pa", "pb", "side", payload_col]]
+
+    g1 = group_apply(u, merge_k, num_partitions=num_partitions, key="k")
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        s0 = (df[df["side"] == 0][["pa", "pb", payload_col]]
+              .rename(columns={payload_col: out_a}))
+        s1 = (df[df["side"] == 1][["pa", "pb", payload_col]]
+              .rename(columns={payload_col: out_b}))
+        m = s0.merge(s1, on=["pa", "pb"], how="inner")
+        return m.rename(columns={"pa": "a", "pb": "b"})
+
+    return group_apply(g1, pivot, num_partitions=num_partitions,
+                       key="pa")
+
+
 def _verify_estimate(sigs, pairs, num_perm, jaccard_threshold, id_col):
-    """Signature-estimate verification of LSH candidate pairs."""
-    # broadcast semi-join filter: the candidate doc-id set is tiny
-    # relative to the corpus, so ship it once (ray.put) and drop
-    # non-candidate sig rows MAP-SIDE — the verify exchanges then carry
-    # only collision-set signatures, not the full sig table
-    cand_df = pairs.to_pandas()
-    cand_ref = ray.put((np.unique(cand_df["a"].to_numpy()),
-                        np.unique(cand_df["b"].to_numpy())))
-
-    # fetch signatures for the candidate set: two keyed co-group merges
-    # (union the pair rows with the sig rows under one key column, hash
-    # partition once, pd.merge inside each partition).  Only candidate
-    # sigs are shuffled, once per pass.  (Dataset.join is avoided:
-    # Ray 2.49's hash join rejects the schema-less empty blocks
-    # map_groups emits for empty partitions.)
-    def _sig_rows(key, other, sig_col, extra=(), side=0):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            cand = ray.get(cand_ref)[side]
-            keep = np.isin(df[id_col].to_numpy(), cand, assume_unique=False)
-            df = df[keep]
-            out = {key: df[id_col].to_numpy(),
-                   other: np.full(len(df), -1, dtype=np.int64)}
-            for c in extra:
-                out[c] = b""
-            out[sig_col] = df["sig"]
-            out["_is_sig"] = np.ones(len(df), dtype=bool)
-            return pd.DataFrame(out)
-        return fn
-
-    def _merge(key, other, sig_col, carry=()):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            s = df[df["_is_sig"]]
-            p = df[~df["_is_sig"]]
-            cols = [key, other, *carry]
-            return p[cols].merge(s[[key, sig_col]], on=key, how="inner")
-        return fn
-
-    pair_rows = pairs.map_batches(
-        lambda df: df.assign(sig_a=b"", _is_sig=False), batch_format="pandas"
-    )
-    u1 = sigs.map_batches(_sig_rows("a", "b", "sig_a", side=0),
-                          batch_format="pandas").union(pair_rows)
-    with_a = group_apply(u1, _merge("a", "b", "sig_a"), num_partitions=8, key="a")
-
-    pair_rows2 = with_a.map_batches(
-        lambda df: df.assign(sig_b=b"", _is_sig=False), batch_format="pandas"
-    )
-    u2 = sigs.map_batches(_sig_rows("b", "a", "sig_b", extra=("sig_a",),
-                                    side=1),
-                          batch_format="pandas").union(
-        pair_rows2.map_batches(
-            lambda df: df[["b", "a", "sig_a", "sig_b", "_is_sig"]],
-            batch_format="pandas",
-        )
-    )
-    j = group_apply(u2, _merge("b", "a", "sig_b", carry=("sig_a",)),
-                    num_partitions=8, key="b")
+    """Signature-estimate verification of LSH candidate pairs: both
+    members' signatures are attached by the distributed
+    ``attach_pair_payload`` co-group — one corpus-sig exchange, one
+    candidate-bounded exchange, no driver pull, no broadcast pool."""
+    j = attach_pair_payload(sigs, pairs, id_col=id_col,
+                            payload_col="sig", out_a="sig_a",
+                            out_b="sig_b", empty=b"")
 
     def estimate(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -426,55 +449,14 @@ def attach_pair_texts(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> ray.data.Dataset:
-    """Attach both documents' texts to a (small) candidate pair set
-    ``(a, b)`` → ``(a, b, text_a, text_b)``: broadcast the candidate
-    id sets (``ray.put``), drop non-candidate docs MAP-SIDE, then two
-    keyed co-group merges — only candidate docs' texts ever enter an
-    exchange, never the corpus."""
-    pairs = pairs.materialize()
-    cand_df = pairs.to_pandas()
-    cand_ref = ray.put((np.unique(cand_df["a"].to_numpy()),
-                        np.unique(cand_df["b"].to_numpy())))
-    docs = ds.select_columns([id_col, text_col])
-
-    def _text_rows(key, other, txt_col, extra=(), side=0):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            cand = ray.get(cand_ref)[side]
-            keep = np.isin(df[id_col].to_numpy(), cand)
-            df = df[keep]
-            out = {key: df[id_col].to_numpy(),
-                   other: np.full(len(df), -1, dtype=np.int64)}
-            for c in extra:
-                out[c] = ""
-            out[txt_col] = df[text_col].to_numpy()
-            out["_is_doc"] = np.ones(len(df), dtype=bool)
-            return pd.DataFrame(out)
-        return fn
-
-    def _tmerge(key, other, txt_col, carry=()):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            s = df[df["_is_doc"]]
-            p = df[~df["_is_doc"]]
-            return p[[key, other, *carry]].merge(
-                s[[key, txt_col]], on=key, how="inner")
-        return fn
-
-    pair_rows = pairs.map_batches(
-        lambda df: df.assign(text_a="", _is_doc=False), batch_format="pandas")
-    u1 = docs.map_batches(_text_rows("a", "b", "text_a", side=0),
-                          batch_format="pandas").union(pair_rows)
-    with_a = group_apply(u1, _tmerge("a", "b", "text_a"),
-                         num_partitions=8, key="a")
-    pair_rows2 = with_a.map_batches(
-        lambda df: df.assign(text_b="", _is_doc=False), batch_format="pandas")
-    u2 = docs.map_batches(
-        _text_rows("b", "a", "text_b", extra=("text_a",), side=1),
-        batch_format="pandas",
-    ).union(pair_rows2.map_batches(
-        lambda df: df[["b", "a", "text_a", "text_b", "_is_doc"]],
-        batch_format="pandas"))
-    return group_apply(u2, _tmerge("b", "a", "text_b", carry=("text_a",)),
-                       num_partitions=8, key="b")
+    """Attach both documents' texts to a candidate pair set
+    ``(a, b)`` → ``(a, b, text_a, text_b)`` via the distributed
+    ``attach_pair_payload`` co-group: one corpus-text exchange, one
+    candidate-bounded exchange, no driver materialization of pairs
+    and no broadcast id/text pool."""
+    return attach_pair_payload(ds, pairs, id_col=id_col,
+                               payload_col=text_col, out_a="text_a",
+                               out_b="text_b", empty="")
 
 
 def lsh_exact_near_dup(
@@ -1214,10 +1196,11 @@ def similarity_join(
     rarity ranking; (2) per-block prefix emit — each doc contributes
     its ≤ prefix tokens, NOT its full set; (3) token-keyed candidate
     exchange with the Jaccard length filter (t·|A| ≤ |B|) applied
-    inside each bucket before any pair leaves; (4) exact verify on
-    the candidate-doc token sets (pulled via a pushed-down id filter
-    — bounded by candidates, not the corpus).  Returns
-    (id_a < id_b, inter, uni, jac ≥ t)."""
+    inside each bucket before any pair leaves; (4) exact verify in a
+    bucketed co-group: pairs land in bucket ``min(a,b) % P``, member
+    texts are routed to exactly the buckets that need them, token
+    sets rebuilt per bucket inside ``map_groups`` — no driver pull,
+    no broadcast pool.  Returns (id_a < id_b, inter, uni, jac ≥ t)."""
     import math
 
     from .pack import _TOKEN_RE
@@ -1333,42 +1316,96 @@ def similarity_join(
                 .drop_duplicates())
 
     cand = group_apply(pre, bucket_pairs,
+                       num_partitions=num_partitions, key="tkid")
+    # global pair dedup (the same pair surfaces under several prefix
+    # tokens): identical (a, b) rows hash to one partition under key=a
+    cand = group_apply(cand, lambda df: df.drop_duplicates(["a", "b"]),
                        num_partitions=num_partitions,
-                       key="tkid").to_pandas().drop_duplicates()
-    if cand.empty:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64"),
-                             "inter": pd.Series(dtype="int64"),
-                             "uni": pd.Series(dtype="int64"),
-                             "jac": pd.Series(dtype="float64")})
+                       key="a").materialize()
 
-    # ---- pass 4: exact verify on candidate docs only ----
-    need = np.unique(np.r_[cand["a"].to_numpy(), cand["b"].to_numpy()])
-    need_ref = ray.put(np.sort(need))
+    empty_out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "inter": pd.Series(dtype="int64"),
+                              "uni": pd.Series(dtype="int64"),
+                              "jac": pd.Series(dtype="float64")})
+    if cand.count() == 0:
+        return empty_out
 
-    def pull_sets(df: pd.DataFrame) -> pd.DataFrame:
-        want = ray.get(need_ref)
-        ids = df[id_col].to_numpy(np.int64)
-        pos = np.clip(np.searchsorted(want, ids), 0, len(want) - 1)
-        keep = want[pos] == ids
-        sub = df.loc[keep]
-        return pd.DataFrame({id_col: sub[id_col].to_numpy(np.int64),
-                             "toks": tok_sets(sub).to_numpy(object)})
+    # ---- pass 4: exact verify, bucketed co-group — NO driver pull
+    # of pairs, NO broadcast set pool: pairs land in bucket
+    # ``min(a,b) % P``; each member doc's TEXT is routed to every
+    # bucket holding one of its pairs (exchange bounded by the
+    # candidate set); token sets are rebuilt once per doc per bucket
+    # inside ``map_groups``, so a high-dup-rate crawl never
+    # materializes a corpus-wide pool anywhere ----
+    P = num_partitions
 
-    sets = (ds.select_columns([id_col, text_col])
-            .map_batches(pull_sets, batch_format="pandas").to_pandas())
-    smap = {int(i): frozenset(t) for i, t in
-            zip(sets[id_col], sets["toks"])}
-    smap_ref = ray.put(smap)
+    def demand_rows(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        pb = a % P
+        out = (pd.DataFrame({"k": np.concatenate([a, b]),
+                             "pb": np.concatenate([pb, pb])})
+               .drop_duplicates())
+        return pd.DataFrame({
+            "k": out["k"].to_numpy(np.int64),
+            "pb": out["pb"].to_numpy(np.int64),
+            text_col: np.full(len(out), "", dtype=object),
+            "_is_doc": np.zeros(len(out), dtype=bool)})
 
-    # distributed verify: candidate pairs stream through map_batches
-    # against the broadcast set pool (C-speed frozenset ops); union
-    # via |A|+|B|−inter, one set op per pair
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        sm = ray.get(smap_ref)
-        A = df["a"].to_numpy(np.int64)
-        B = df["b"].to_numpy(np.int64)
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
+        return pd.DataFrame({
+            "k": df[id_col].to_numpy(np.int64),
+            "pb": np.full(n, -1, np.int64),
+            text_col: df[text_col].to_numpy(object),
+            "_is_doc": np.ones(n, dtype=bool)})
+
+    u1 = (ds.select_columns([id_col, text_col])
+          .map_batches(doc_rows, batch_format="pandas")
+          .union(cand.map_batches(demand_rows, batch_format="pandas")))
+
+    def route_texts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["_is_doc"]]
+        dm = df.loc[~df["_is_doc"], ["k", "pb"]].drop_duplicates()
+        m = dm.merge(d[["k", text_col]].drop_duplicates("k"),
+                     on="k", how="inner")
+        return pd.DataFrame({
+            "pb": m["pb"].to_numpy(np.int64),
+            "a": np.full(len(m), -1, np.int64),
+            "b": np.full(len(m), -1, np.int64),
+            "k": m["k"].to_numpy(np.int64),
+            text_col: m[text_col].to_numpy(object),
+            "_is_doc": np.ones(len(m), dtype=bool)})
+
+    texts = group_apply(u1, route_texts,
+                        num_partitions=num_partitions, key="k")
+
+    def pair_bucket_rows(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        n = len(df)
+        return pd.DataFrame({
+            "pb": a % P,
+            "a": a,
+            "b": b,
+            "k": np.full(n, -1, np.int64),
+            text_col: np.full(n, "", dtype=object),
+            "_is_doc": np.zeros(n, dtype=bool)})
+
+    u2 = texts.union(cand.map_batches(pair_bucket_rows,
+                                      batch_format="pandas"))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["_is_doc"]].drop_duplicates("k")
+        p = df[~df["_is_doc"]]
+        if not len(p) or not len(d):
+            return empty_out.copy()
+        sm = {int(i): frozenset(t)
+              for i, t in zip(d["k"], tok_sets(d))}
+        A = p["a"].to_numpy(np.int64)
+        B = p["b"].to_numpy(np.int64)
+        n = len(p)
         inter = np.fromiter(
             (len(sm[int(x)] & sm[int(y)]) for x, y in zip(A, B)),
             np.int64, n)
@@ -1381,8 +1418,7 @@ def similarity_join(
                              "inter": inter[ok], "uni": uni[ok],
                              "jac": jac[ok]})
 
-    out = (ray.data.from_pandas(cand.reset_index(drop=True))
-           .repartition(num_partitions)
-           .map_batches(verify, batch_format="pandas").to_pandas())
+    out = group_apply(u2, verify, num_partitions=num_partitions,
+                      key="pb").to_pandas()
     return (out.sort_values(["id_a", "id_b"])
             .reset_index(drop=True))

@@ -193,7 +193,11 @@ def quantile_transform_global(
         x = np.rint(df[val_col].to_numpy(np.float64)
                     * 100.0).astype(np.int64)
         pos = np.searchsorted(kv, x)
-        pct = bl[pos].astype(np.float64) / np.float64(total - 1)
+        if total <= 1:
+            # SQL percent_rank() is 0 on a single-row input; avoid 0/0
+            pct = np.zeros(len(x), np.float64)
+        else:
+            pct = bl[pos].astype(np.float64) / np.float64(total - 1)
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(np.int64),
             "value_k": x,

@@ -100,9 +100,13 @@ def run_expectations(
             def p_ref(df: pd.DataFrame, c=col) -> pd.DataFrame:
                 want = ray.get(kref)
                 x = df[c].to_numpy(np.int64)
-                pos = np.clip(np.searchsorted(want, x), 0,
-                              len(want) - 1)
-                miss = want[pos] != x
+                if len(want) == 0:
+                    # empty referenced key set: every row violates
+                    miss = np.ones(len(x), dtype=bool)
+                else:
+                    pos = np.clip(np.searchsorted(want, x), 0,
+                                  len(want) - 1)
+                    miss = want[pos] != x
                 return pd.DataFrame({
                     "n": [np.int64(len(x))],
                     "v": [np.int64(miss.sum())]})

@@ -67,8 +67,18 @@ def main(sf="/root/testdata/sf0.01", only=None):
                 fails += 1
                 continue
             bad = []
+            dtype_warn = []
             for c in g.columns:
                 a, b = g[c], w[c]
+                # The driver's hasher is dtype/format-sensitive: an
+                # int64 engine column vs a float64 oracle column
+                # (e.g. DuckDB HUGEINT from sum(BIGINT) pandas-casts
+                # to float64) hash-mismatches even when values are
+                # numerically equal.  Treat int-vs-float kind skew as
+                # a failure, not a masked astype(float) pass.
+                ka, kb = a.dtype.kind, b.dtype.kind
+                if ka != kb and {ka, kb} <= {"i", "u", "f", "O"}:
+                    dtype_warn.append((c, str(a.dtype), str(b.dtype)))
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
                     # EXACT — the driver hashes values, so local green
                     # must mean bit-equal after round6, not "close"
@@ -80,7 +90,9 @@ def main(sf="/root/testdata/sf0.01", only=None):
                 if ne:
                     bad.append((c, ne))
             status = "OK" if not bad else f"VALUE DIFFS {bad}"
-            fails += bool(bad)
+            if dtype_warn:
+                status += f" DTYPE SKEW {dtype_warn}"
+            fails += bool(bad) or bool(dtype_warn)
             print(f"  {name:24s} {status} {g.shape} in {dt:.1f}s")
         except Exception as e:
             fails += 1
