@@ -245,6 +245,75 @@ def bench_codec(results, thr):
     results["codec_decode"] = round(dec_dt, 3)
     thr["codec_encode_mb_s"] = round(16 * n / 1e6 / enc_dt, 2)
     thr["codec_ratio"] = round(16 * n / len(payload), 2)
+    # v2 (production format, columnar control): keep the v1 numbers
+    # above as the cross-boot drift canary (BASELINE.md history)
+    from cesium_ray.oracle.codec import decode_chunk_v2, encode_chunk_v2
+
+    encode_chunk_v2(ts[:1000], vals[:1000])
+    t0 = time.time()
+    payload2 = encode_chunk_v2(ts, vals)
+    enc2 = time.time() - t0
+    t0 = time.time()
+    decode_chunk_v2(payload2, n)
+    dec2 = time.time() - t0
+    results["codec_encode_v2"] = round(enc2, 3)
+    results["codec_decode_v2"] = round(dec2, 3)
+    thr["codec_encode_v2_mb_s"] = round(16 * n / 1e6 / enc2, 2)
+    thr["codec_decode_v2_mb_s"] = round(16 * n / 1e6 / dec2, 2)
+    thr["codec_v2_ratio"] = round(16 * n / len(payload2), 2)
+
+
+def bench_tier_read(results, thr):
+    """Zonemap-pruned tier read (sources/tiers.py): rollup the synth
+    turns once (cached), then a 1-day window query via read_tier vs a
+    full scan + filter.  Reports files skipped — the 100-TB lever is
+    the prune ratio, not the single-box seconds."""
+    import ray.data
+
+    from cesium_ray.pipelines import run_flagship
+    from cesium_ray.sources import read_tier
+
+    turns_path = synth_turns_path()
+    root = os.path.join(CACHE_ROOT, "tier-read-out")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        run_flagship(ray.data.read_parquet(turns_path), root,
+                     num_partitions=64, tiers=("1m",), resume=False)
+        open(done, "w").write("ok")
+    import glob as _g
+
+    days = sorted(os.path.basename(d)[5:]
+                  for d in _g.glob(os.path.join(root, "tier=1m", "date=*")))
+    mid = days[len(days) // 2]
+    lo, hi = f"{mid} 00:00:00", f"{mid} 23:59:59.999999"
+
+    t0 = time.time()
+    ds, rep = read_tier(root, "1m", lo, hi)
+    n_pruned = ds.count() if ds is not None else 0
+    dt_pruned = time.time() - t0
+
+    t0 = time.time()
+    full, _ = read_tier(root, "1m", None, None)
+    import numpy as _np
+    import pandas as _pd
+
+    lo_us = int(_pd.Timestamp(lo).value) // 1000
+    hi_us = int(_pd.Timestamp(hi).value) // 1000
+
+    def _filt(t):
+        tus = t["bucket"].to_numpy("datetime64[us]").view(_np.int64)
+        return t[(tus >= lo_us) & (tus <= hi_us)]
+
+    n_full = full.map_batches(_filt, batch_format="pandas").count()
+    dt_full = time.time() - t0
+    assert n_pruned == n_full, (n_pruned, n_full)
+    results["tier_read_pruned"] = round(dt_pruned, 3)
+    results["tier_read_full"] = round(dt_full, 3)
+    thr["tier_files_read"] = rep["files_read"]
+    thr["tier_files_total"] = rep["files_total"]
+    thr["tier_prune_ratio"] = round(
+        1 - rep["files_read"] / max(1, rep["files_total"]), 3)
 
 
 def bench_features(results, thr):
@@ -806,6 +875,7 @@ BENCHES = {
     "events_rollup_1h": bench_events_rollup,
     "gapfill_1m": bench_gapfill,
     "codec": bench_codec,
+    "tier_read": bench_tier_read,
     "features_general": bench_features,
     "text_dedup": bench_text_dedup,
     "timeseries_ops": bench_timeseries_ops,

@@ -263,7 +263,7 @@ def q_codec_chunks(sf_dir):
     (counts, chunking arithmetic, exact decoded sums) are recomputed
     by DuckDB from the raw events table: any decode corruption breaks
     the hash."""
-    from ..oracle.codec import decode_chunk, encode_chunk
+    from ..oracle.codec import decode_chunk_v2, encode_chunk_v2
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -276,8 +276,8 @@ def q_codec_chunks(sf_dir):
             n_chunks = 0
             for s in range(0, len(idx), CODEC_MAX_POINTS):
                 t_c, v_c = tt[s : s + CODEC_MAX_POINTS], vv[s : s + CODEC_MAX_POINTS]
-                payload = encode_chunk(t_c, v_c)
-                dt, dv = decode_chunk(payload, len(t_c))
+                payload = encode_chunk_v2(t_c, v_c)
+                dt, dv = decode_chunk_v2(payload, len(t_c))
                 # the REAL roundtrip gate: decoded vs SOURCE —
                 # explicit raise so the gate survives python -O
                 if not np.array_equal(dt, t_c):

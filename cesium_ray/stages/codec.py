@@ -3,7 +3,8 @@
 ``ChunkCodec`` is an actor-pool ``map_groups`` stage: per
 (conv, channel) it sorts by (turn_idx), splits into chunks of
 ``max_points``, and emits CHUNKS rows with Gorilla-XOR value payloads +
-delta-of-delta timestamps (oracle/codec.py — bit-exact roundtrip).
+delta-of-delta timestamps (oracle/codec.py v2 columnar-control
+layout — bit-exact roundtrip, branch-free vectorized decode).
 Value NaNs (turn-0 latency) are preserved bit-exactly by the codec, so
 encode∘decode is the identity on the full series.
 """
@@ -14,7 +15,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-from ..oracle.codec import crc32, decode_chunk, encode_chunk
+from ..oracle.codec import crc32, decode_chunk_v2, encode_chunk_v2
 from .partition import group_apply
 
 
@@ -34,15 +35,15 @@ class ChunkCodec:
         ).indices.items():
             for s in range(0, len(idx), self.max_points):
                 sl = idx[s : s + self.max_points]
-                payload = encode_chunk(ts_us[sl], vals[sl])
+                payload = encode_chunk_v2(ts_us[sl], vals[sl])
                 rows.append(
                     {
                         "conv_id": conv_id,
                         "channel": channel,
                         "chunk_start": ts_us[sl[0]].astype("datetime64[us]"),
                         "n": np.int32(len(sl)),
-                        "ts_codec": "dod",
-                        "val_codec": "gorilla",
+                        "ts_codec": "dod2",
+                        "val_codec": "gorilla2",
                         "payload": payload,
                         "crc": np.uint32(crc32(payload)),
                     }
@@ -81,7 +82,7 @@ def decode_chunks(chunks: ray.data.Dataset) -> ray.data.Dataset:
         for row in df.itertuples(index=False):
             if crc32(row.payload) != row.crc:
                 raise ValueError(f"CRC mismatch for {row.conv_id}/{row.channel}")
-            ts, vals = decode_chunk(row.payload, int(row.n))
+            ts, vals = decode_chunk_v2(row.payload, int(row.n))
             out.append(
                 pd.DataFrame(
                     {

@@ -93,3 +93,71 @@ def test_crc():
     p = encode_chunk(np.array([1, 2], dtype=np.int64), np.array([1.0, 2.0]))
     assert crc32(p) == crc32(p)
     assert crc32(p) != crc32(p + b"x")
+
+# ---------------------------------------------------------------- v2
+
+from cesium_ray.oracle.codec import decode_chunk_v2, encode_chunk_v2
+
+
+def _roundtrip_v2(ts, vals):
+    payload = encode_chunk_v2(ts, vals)
+    t2, v2 = decode_chunk_v2(payload, len(ts))
+    np.testing.assert_array_equal(t2, np.asarray(ts, dtype=np.int64))
+    np.testing.assert_array_equal(
+        v2.view(np.uint64),
+        np.asarray(vals, dtype=np.float64).view(np.uint64))
+    return payload
+
+
+@pytest.mark.parametrize("kind", range(6))
+def test_v2_roundtrip_classes(kind):
+    """v2 (columnar control) bit-exact on every value class the v1
+    suite covers, incl. NaN/±0/±inf/denormals and giant DoD jumps."""
+    rng = np.random.default_rng(100 + kind)
+    n = int(rng.integers(1, 800))
+    deltas = rng.choice(
+        [0, 1, 7, 60_000_000, -3, 2**34, 2**45, 13], size=n,
+        p=[.1, .2, .2, .2, .1, .04, .01, .15])
+    ts = np.cumsum(deltas).astype(np.int64) + 10**15
+    if kind == 0:
+        vals = rng.normal(size=n)
+    elif kind == 1:
+        vals = np.round(rng.normal(size=n) * 100) / 100
+    elif kind == 2:
+        vals = np.full(n, 3.25)
+        vals[rng.random(n) < .1] = np.nan
+    elif kind == 3:
+        vals = rng.choice(
+            [0.0, -0.0, np.inf, -np.inf, np.nan, 5e-324, 1.0], size=n)
+    elif kind == 4:
+        vals = rng.integers(0, 3, size=n).astype(np.float64)
+    else:
+        vals = np.full(n, -1.7e308)
+    _roundtrip_v2(ts, vals)
+
+
+def test_v2_empty_single():
+    assert encode_chunk_v2(np.array([], dtype=np.int64),
+                           np.array([])) == b""
+    t, v = decode_chunk_v2(b"", 0)
+    assert len(t) == 0 and len(v) == 0
+    _roundtrip_v2(np.array([-123456789], dtype=np.int64),
+                  np.array([np.nan]))
+
+
+def test_v2_size_parity_with_v1():
+    """Same record vocabulary → v2 stream within a few % of v1."""
+    rng = np.random.default_rng(5)
+    n = 20_000
+    ts = np.cumsum(rng.exponential(45e6, n)).astype(np.int64)
+    vals = np.round(rng.lognormal(3, 1, n), 1)
+    p1 = encode_chunk(ts, vals)
+    p2 = _roundtrip_v2(ts, vals)
+    assert len(p2) < 1.05 * len(p1) + 64
+
+
+def test_v2_constant_compresses_well():
+    ts = np.arange(0, 4096 * 1_000_000, 1_000_000, dtype=np.int64)
+    vals = np.full(4096, 42.5)
+    payload = _roundtrip_v2(ts, vals)
+    assert 16 * 4096 / len(payload) > 20

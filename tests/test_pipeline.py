@@ -8,7 +8,7 @@ import pandas as pd
 import pytest
 import ray.data
 
-from cesium_ray.oracle.codec import decode_chunk
+from cesium_ray.oracle.codec import decode_chunk_v2
 from cesium_ray.oracle.rollup import derive_channels_pandas, rollup_pandas
 from cesium_ray.pipelines import run_flagship
 from cesium_ray.stages import decode_chunks, derive_points, encode_points, extract_features
@@ -104,7 +104,7 @@ def test_flagship_end_to_end(tiny_turns, tmp_path):
     chunks = pd.concat([pd.read_parquet(f) for f in chunk_files])
     assert chunks.n.sum() == len(pts)
     row = chunks.iloc[0]
-    ts, vals = decode_chunk(row.payload, int(row.n))
+    ts, vals = decode_chunk_v2(row.payload, int(row.n))
     assert len(ts) == row.n
     # features written for both channels
     feat_files = glob.glob(f"{out}/features/part=*/data.parquet")
