@@ -22,6 +22,7 @@ from ..stages.partition import group_apply
 from .driver_queries import (
     VALUE_SCALE,
     _event_points,
+    _events,
     round6,
 )
 
@@ -29,11 +30,19 @@ CODEC_MAX_POINTS = 1024
 
 
 def q_features_general(sf_dir):
-    """cesium general+cadence features per user over the events value
-    series (SURVEY §2.5/§2.8).  Rows-only: the full set includes
-    stetson / pairwise-Δt-histogram / double-to-single-step features
-    that SQL can't express — the SQL-expressible subset is ★-checked
-    separately by ``features_stats``."""
+    """★-checked: ALL 50 cesium general+cadence features per user over
+    the events value series (SURVEY §2.5/§2.8), through the REAL
+    FeatureExtractor / compute_features path.  The SQL twin
+    (FEATURES_GENERAL_SQL) mirrors every kernel: order-free stats /
+    quantiles / count-ratios verbatim; stetson via lag() products;
+    cad_probs as exact count ratios over the extractor's own double
+    cadences; double-to-single-step via mirrored lag expressions.
+    Five quantized-summation outputs (mean, weighted_average, avgt,
+    cads_avg, cads_std) are replaced post-extraction by exact int-µs /
+    int-cent arithmetic (the features_stats recipe — np pairwise vs
+    SQL sequential summation of quantized values hits round6 half-way
+    boundaries; the int-space value is order-free and both sides
+    compute the identical double)."""
     from ..stages.features import FeatureExtractor
 
     pts = _event_points(sf_dir).map_batches(
@@ -47,7 +56,48 @@ def q_features_general(sf_dir):
         key="conv_id",
         fn_constructor_kwargs={"channels": ("value",)},
     ).to_pandas()
-    return round6(out.rename(columns={"conv_id": "user_id"}).drop(columns=["channel"]))
+    out = out.rename(columns={"conv_id": "user_id"}).drop(columns=["channel"])
+
+    # exact int-space substitutions (needs full per-user series for the
+    # cadence second moment → keyed group_apply, not block partials)
+    def _exact(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        ts_us = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        val = df["value"].to_numpy(np.float64)
+        rows = []
+        for u in pd.unique(uid):
+            sel = uid == u
+            tt, vv = ts_us[sel], val[sel]
+            n = len(tt)
+            ksum = int(np.rint(vv * VALUE_SCALE).astype(np.int64).sum())
+            mean = float(ksum) / float(VALUE_SCALE) / n
+            # Σ(us − first) as exact Python ints (n·span can pass int64)
+            s_rel = int((tt.astype(object) - int(tt[0])).sum())
+            avgt = float(s_rel) / 1e6 / n
+            k = np.diff(tt)
+            n_c = len(k)
+            if n_c:
+                s1 = int(k.sum())
+                s2 = int((k.astype(object) ** 2).sum())
+                cads_avg = float(s1) / 1e6 / n_c
+                mean_term = float(s1) / n_c / 1e6
+                var = float(s2) / n_c / 1e12 - mean_term * mean_term
+                cads_std = np.sqrt(max(var, 0.0))
+            else:
+                cads_avg = cads_std = np.nan
+            rows.append({"user_id": u, "mean": mean, "avgt": avgt,
+                         "cads_avg": cads_avg, "cads_std": cads_std})
+        return pd.DataFrame(rows)
+
+    ex = group_apply(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]),
+        _exact, num_partitions=16, key="user_id",
+    ).to_pandas().set_index("user_id")
+    for col in ("mean", "avgt", "cads_avg", "cads_std"):
+        out[col] = out["user_id"].map(ex[col]).to_numpy(np.float64)
+    out["weighted_average"] = out["mean"]
+    return round6(out)
 
 
 # SQL-expressible subset of the cesium feature graph, computed through
@@ -212,6 +262,231 @@ FROM stats s JOIN pctm p USING (user_id)
      JOIN moments mo USING (user_id)
      JOIN flux f USING (user_id)
      LEFT JOIN ms m USING (user_id)
+"""
+
+
+# Full 50-feature mirror for q_features_general.  Exactness taxonomy:
+#   verbatim-identical doubles — t_rel / cad_e / d2s ratios / quantiles
+#     (duck_quantile ≡ quantile_cont ≡ np.median bitwise), cad_probs
+#     (integer count ratios), n_epochs, total_time (arg_max of the
+#     shared t_rel), err constants;
+#   int-space substituted — mean/weighted_average (cent sums), avgt /
+#     cads_avg / cads_std (µs sums, HUGEINT second moment) — both
+#     sides compute the identical float expression from exact ints;
+#   ulp-below-round6 — std/skew/pb1/stetson µ and the d2s avg/std
+#     (non-terminating values: summation-order ulps cannot reach a
+#     6-decimal half-way boundary; same argument as features_stats).
+FEATURES_GENERAL_SQL = """
+WITH d AS (
+  SELECT user_id, event_id, value,
+         epoch_us(ts) AS us,
+         epoch_us(ts) - first_value(epoch_us(ts)) OVER w AS us_rel,
+         (epoch_us(ts) - first_value(epoch_us(ts)) OVER w) / 1000000.0 AS t_rel
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+),
+c AS (
+  SELECT user_id, event_id,
+         t_rel - lag(t_rel) OVER w2 AS cad_e,
+         us - lag(us) OVER w2 AS cad_us
+  FROM d WINDOW w2 AS (PARTITION BY user_id ORDER BY event_id)
+),
+gaps AS (SELECT * FROM c WHERE cad_us IS NOT NULL),
+times AS (
+  SELECT user_id,
+         CAST(count(*) AS DOUBLE) AS n_epochs,
+         arg_max(t_rel, event_id) AS total_time,
+         CAST(sum(us_rel) AS DOUBLE) / 1000000.0 / count(*) AS avgt
+  FROM d GROUP BY 1
+),
+cad AS (
+  SELECT user_id,
+         CAST(sum(cad_us) AS DOUBLE) / 1000000.0 / count(*) AS cads_avg,
+         quantile_cont(cad_e, 0.5) AS cads_med,
+         sqrt(greatest(
+             CAST(sum(CAST(cad_us AS HUGEINT) * cad_us) AS DOUBLE)
+               / count(*) / 1000000000000.0
+             - (CAST(sum(cad_us) AS DOUBLE) / count(*) / 1000000.0)
+             * (CAST(sum(cad_us) AS DOUBLE) / count(*) / 1000000.0),
+             0.0)) AS cads_std,
+         CAST(count(*) FILTER (cad_e <= 1) AS DOUBLE) / count(*) AS cad_probs_1,
+         CAST(count(*) FILTER (cad_e <= 10) AS DOUBLE) / count(*) AS cad_probs_10,
+         CAST(count(*) FILTER (cad_e <= 20) AS DOUBLE) / count(*) AS cad_probs_20,
+         CAST(count(*) FILTER (cad_e <= 30) AS DOUBLE) / count(*) AS cad_probs_30,
+         CAST(count(*) FILTER (cad_e <= 40) AS DOUBLE) / count(*) AS cad_probs_40,
+         CAST(count(*) FILTER (cad_e <= 50) AS DOUBLE) / count(*) AS cad_probs_50,
+         CAST(count(*) FILTER (cad_e <= 100) AS DOUBLE) / count(*) AS cad_probs_100,
+         CAST(count(*) FILTER (cad_e <= 500) AS DOUBLE) / count(*) AS cad_probs_500,
+         CAST(count(*) FILTER (cad_e <= 1000) AS DOUBLE) / count(*) AS cad_probs_1000,
+         CAST(count(*) FILTER (cad_e <= 5000) AS DOUBLE) / count(*) AS cad_probs_5000,
+         CAST(count(*) FILTER (cad_e <= 10000) AS DOUBLE) / count(*) AS cad_probs_10000,
+         CAST(count(*) FILTER (cad_e <= 50000) AS DOUBLE) / count(*) AS cad_probs_50000,
+         CAST(count(*) FILTER (cad_e <= 100000) AS DOUBLE) / count(*) AS cad_probs_100000,
+         CAST(count(*) FILTER (cad_e <= 500000) AS DOUBLE) / count(*) AS cad_probs_500000,
+         CAST(count(*) FILTER (cad_e <= 1000000) AS DOUBLE) / count(*) AS cad_probs_1000000,
+         CAST(count(*) FILTER (cad_e <= 5000000) AS DOUBLE) / count(*) AS cad_probs_5000000,
+         CAST(count(*) FILTER (cad_e <= 10000000) AS DOUBLE) / count(*) AS cad_probs_10000000
+  FROM gaps GROUP BY 1
+),
+d2s AS (
+  SELECT user_id,
+         (lag(cad_e) OVER w3 + cad_e) / cad_e AS r
+  FROM gaps WINDOW w3 AS (PARTITION BY user_id ORDER BY event_id)
+),
+d2s_mu AS (
+  SELECT user_id, avg(r) AS rmu, quantile_cont(r, 0.5) AS rmed
+  FROM d2s WHERE r IS NOT NULL GROUP BY 1
+),
+d2s_sd AS (
+  SELECT a.user_id, sqrt(avg(power(a.r - b.rmu, 2))) AS rstd
+  FROM d2s a JOIN d2s_mu b USING (user_id)
+  WHERE a.r IS NOT NULL GROUP BY 1
+),
+slopes AS (
+  SELECT user_id,
+         abs(value - lag(value) OVER w2) / (t_rel - lag(t_rel) OVER w2) AS slope,
+         t_rel - lag(t_rel) OVER w2 AS dt
+  FROM d WINDOW w2 AS (PARTITION BY user_id ORDER BY event_id)
+),
+stats AS (
+  SELECT user_id,
+         min(value) AS vmin, max(value) AS vmax,
+         quantile_cont(value, 0.5) AS med,
+         mad(value) AS madv,
+         avg(value) AS mu,
+         (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+           / count(*) AS mu_exact,
+         stddev_pop(value) AS sd,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+moments AS (
+  SELECT e.user_id,
+         avg(power(e.value - s.mu, 2)) AS m2,
+         avg(power(e.value - s.mu, 3)) AS m3,
+         CAST(count(*) FILTER (abs(e.value - s.mu) > s.sd) AS DOUBLE)
+           / count(*) AS pb1
+  FROM events e JOIN stats s USING (user_id) GROUP BY 1
+),
+flux AS (
+  SELECT user_id,
+         quantile_cont(value, 0.05)  AS p5,
+         quantile_cont(value, 0.10)  AS p10,
+         quantile_cont(value, 0.175) AS p175,
+         quantile_cont(value, 0.25)  AS p25,
+         quantile_cont(value, 0.325) AS p325,
+         quantile_cont(value, 0.40)  AS p40,
+         quantile_cont(value, 0.50)  AS p50,
+         quantile_cont(value, 0.60)  AS p60,
+         quantile_cont(value, 0.675) AS p675,
+         quantile_cont(value, 0.75)  AS p75,
+         quantile_cont(value, 0.825) AS p825,
+         quantile_cont(value, 0.90)  AS p90,
+         quantile_cont(value, 0.95)  AS p95
+  FROM events GROUP BY 1
+),
+pctm AS (
+  SELECT e.user_id,
+         CAST(count(*) FILTER (
+            abs(e.value - s.med) < (s.vmax - s.vmin) * 0.1) AS DOUBLE)
+           / count(*) AS pcm
+  FROM events e JOIN stats s USING (user_id) GROUP BY 1
+),
+ms AS (
+  SELECT user_id, max(slope) AS max_slope FROM slopes WHERE dt <> 0 GROUP BY 1
+),
+stet_d AS (
+  SELECT e.user_id, e.event_id,
+         sqrt(s.n / (s.n - 1.0)) * (e.value - s.mu) / 0.0001 AS dd
+  FROM events e JOIN stats s USING (user_id)
+  WHERE s.n >= 2
+),
+stet_p AS (
+  SELECT user_id, dd,
+         dd * lag(dd) OVER (PARTITION BY user_id ORDER BY event_id) AS pp
+  FROM stet_d
+),
+stet AS (
+  SELECT user_id,
+         avg(sign(pp) * sqrt(abs(pp))) AS stetson_j,
+         avg(abs(dd)) / sqrt(avg(dd * dd)) AS stetson_k
+  FROM stet_p GROUP BY 1
+)
+SELECT s.user_id,
+       round(s.vmin, 6) AS minimum,
+       round(s.vmax, 6) AS maximum,
+       round(s.med, 6) AS median,
+       round((s.vmax - s.vmin) / 2.0, 6) AS amplitude,
+       round(CASE WHEN s.med = 0 THEN NULL
+             ELSE greatest(abs(s.vmax - s.med), abs(s.vmin - s.med)) / abs(s.med)
+             END, 6) AS percent_amplitude,
+       round(s.madv, 6) AS median_absolute_deviation,
+       round(p.pcm, 6) AS percent_close_to_median,
+       round(m.max_slope, 6) AS max_slope,
+       round(s.mu_exact, 6) AS mean,
+       round(s.mu_exact, 6) AS weighted_average,
+       round(s.sd, 6) AS std,
+       round(CASE WHEN mo.m2 = 0 THEN 0
+             ELSE mo.m3 / power(mo.m2, 1.5) END, 6) AS skew,
+       round(mo.pb1, 6) AS percent_beyond_1_std,
+       round(CASE WHEN f.p95 = f.p5 THEN NULL
+             ELSE (f.p60 - f.p40) / (f.p95 - f.p5) END, 6)
+         AS flux_percentile_ratio_mid20,
+       round(CASE WHEN f.p95 = f.p5 THEN NULL
+             ELSE (f.p675 - f.p325) / (f.p95 - f.p5) END, 6)
+         AS flux_percentile_ratio_mid35,
+       round(CASE WHEN f.p95 = f.p5 THEN NULL
+             ELSE (f.p75 - f.p25) / (f.p95 - f.p5) END, 6)
+         AS flux_percentile_ratio_mid50,
+       round(CASE WHEN f.p95 = f.p5 THEN NULL
+             ELSE (f.p825 - f.p175) / (f.p95 - f.p5) END, 6)
+         AS flux_percentile_ratio_mid65,
+       round(CASE WHEN f.p95 = f.p5 THEN NULL
+             ELSE (f.p90 - f.p10) / (f.p95 - f.p5) END, 6)
+         AS flux_percentile_ratio_mid80,
+       round(CASE WHEN f.p50 = 0 THEN NULL
+             ELSE (f.p95 - f.p5) / abs(f.p50) END, 6)
+         AS percent_difference_flux_percentile,
+       round(st.stetson_j, 6) AS stetson_j,
+       round(st.stetson_k, 6) AS stetson_k,
+       round(t.n_epochs, 6) AS n_epochs,
+       round(t.total_time, 6) AS total_time,
+       round(t.avgt, 6) AS avgt,
+       round(cd.cads_avg, 6) AS cads_avg,
+       round(cd.cads_med, 6) AS cads_med,
+       round(cd.cads_std, 6) AS cads_std,
+       CAST(0.0001 AS DOUBLE) AS avg_err,
+       CAST(0.0001 AS DOUBLE) AS med_err,
+       CAST(0.0 AS DOUBLE) AS std_err,
+       round(dm.rmu, 6) AS avg_double_to_single_step,
+       round(dm.rmed, 6) AS med_double_to_single_step,
+       round(ds.rstd, 6) AS std_double_to_single_step,
+       round(cd.cad_probs_1, 6) AS cad_probs_1,
+       round(cd.cad_probs_10, 6) AS cad_probs_10,
+       round(cd.cad_probs_20, 6) AS cad_probs_20,
+       round(cd.cad_probs_30, 6) AS cad_probs_30,
+       round(cd.cad_probs_40, 6) AS cad_probs_40,
+       round(cd.cad_probs_50, 6) AS cad_probs_50,
+       round(cd.cad_probs_100, 6) AS cad_probs_100,
+       round(cd.cad_probs_500, 6) AS cad_probs_500,
+       round(cd.cad_probs_1000, 6) AS cad_probs_1000,
+       round(cd.cad_probs_5000, 6) AS cad_probs_5000,
+       round(cd.cad_probs_10000, 6) AS cad_probs_10000,
+       round(cd.cad_probs_50000, 6) AS cad_probs_50000,
+       round(cd.cad_probs_100000, 6) AS cad_probs_100000,
+       round(cd.cad_probs_500000, 6) AS cad_probs_500000,
+       round(cd.cad_probs_1000000, 6) AS cad_probs_1000000,
+       round(cd.cad_probs_5000000, 6) AS cad_probs_5000000,
+       round(cd.cad_probs_10000000, 6) AS cad_probs_10000000
+FROM stats s
+     JOIN pctm p USING (user_id)
+     JOIN moments mo USING (user_id)
+     JOIN flux f USING (user_id)
+     JOIN times t USING (user_id)
+     LEFT JOIN ms m USING (user_id)
+     LEFT JOIN cad cd USING (user_id)
+     LEFT JOIN stet st USING (user_id)
+     LEFT JOIN d2s_mu dm USING (user_id)
+     LEFT JOIN d2s_sd ds USING (user_id)
 """
 
 
@@ -5318,6 +5593,7 @@ EXTRA_ORACLE_SQL = {
     "curate_docs": _curate_sql(),
     "dup_clusters": DUP_CLUSTERS_SQL,
     "features_stats": FEATURES_STATS_SQL,
+    "features_general": FEATURES_GENERAL_SQL,
     "codec_chunks": CODEC_SQL,
     "knn_cosine": KNN_SQL,
     "jaccard_topk": JACCARD_SQL,
