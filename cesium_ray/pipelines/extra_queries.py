@@ -2040,11 +2040,16 @@ SELECT bucket_us, user_id, n, rank FROM r WHERE rank <= 3
 
 
 def q_hll_distinct(sf_dir):
-    """HyperLogLog distinct-count sketch (stages/sketch.py): one
-    streaming pass, blocks reduce to nonzero (register, rank) pairs
-    merged by max — constant-size exchange at any scale.  Rows-only
-    (the estimator is not SQL), but the query ASSERTS the estimate
-    lands within 5% of the exact distinct count computed alongside."""
+    """★-checked HyperLogLog distinct-count sketch (stages/sketch.py):
+    one streaming pass, blocks reduce to nonzero (register, rank)
+    pairs merged by max — constant-size exchange at any scale.  The
+    splitmix64 register hash is pure 64-bit arithmetic, so the ENTIRE
+    sketch — hash, bucket, leading-zero rank, estimator with linear-
+    counting correction — is mirrored in SQL (HLL_SQL: HUGEINT
+    mod-2^64 multiply split into 32-bit halves, rank via the same
+    6-step shift cascade as the numpy kernel).  The driver hash now
+    certifies the estimate bit-for-bit, not just within tolerance;
+    the 5% in-query assert is kept as a semantic sanity gate."""
     from ..stages.sketch import hll_distinct
 
     ev = ray.data.read_parquet(
@@ -2059,11 +2064,72 @@ def q_hll_distinct(sf_dir):
     if not rel_err < 0.05:  # survives python -O
         raise AssertionError(f"HLL estimate off by {rel_err:.3f}: "
                              f"{est} vs exact {exact}")
-    return pd.DataFrame({
-        "hll_estimate": [float(np.round(est, 3))],
-        "exact_distinct": [exact],
-        "rel_err": [float(np.round(rel_err, 6))],
-    })
+    return round6(pd.DataFrame({
+        "hll_estimate": [float(est)],
+        "exact_distinct": [np.int64(exact)],
+        "rel_err": [float(rel_err)],
+    }))
+
+
+def _hll_sql() -> str:
+    """SQL twin of stages/sketch.py::hll_distinct — built
+    programmatically so the constants stay single-sourced."""
+    from ..stages.sketch import _HLL_P
+
+    M = 1 << 64
+    B32 = 1 << 32
+    C1 = 0x9E3779B97F4A7C15
+    C2 = 0xBF58476D1CE4E5B9
+    C3 = 0x94D049BB133111EB
+    P = _HLL_P
+    MREG = 1 << P
+
+    def mulmod(a: str, b: int) -> str:
+        blo, bhi = b % B32, b // B32
+        return (f"((({a}) % {B32}) * {blo} + "
+                f"(((({a}) % {B32}) * {bhi} + (({a}) // {B32}) * {blo})"
+                f" % {B32}) * {B32}) % {M}")
+
+    def step(i: int, shift: int, bound: int) -> str:
+        return (f"r{i} AS (SELECT reg, CASE WHEN cur{i-1} < {bound} "
+                f"THEN ((cur{i-1} << {shift}) % {M}) ELSE cur{i-1} END AS cur{i}, "
+                f"rk{i-1} + CASE WHEN cur{i-1} < {bound} THEN {shift} ELSE 0 END"
+                f" AS rk{i} FROM r{i-1})")
+
+    steps = ",\n".join(
+        step(i, s, 1 << (64 - s))
+        for i, s in enumerate((32, 16, 8, 4, 2, 1), start=1))
+    return f"""
+WITH ids AS (SELECT DISTINCT user_id AS uid FROM events),
+s1 AS (SELECT ((CAST(uid AS HUGEINT) + {C1}) % {M}) AS x0 FROM ids),
+s2 AS (SELECT xor(x0, x0 >> 30) AS x1 FROM s1),
+s3 AS (SELECT {mulmod('x1', C2)} AS x2 FROM s2),
+s4 AS (SELECT xor(x2, x2 >> 27) AS x3 FROM s3),
+s5 AS (SELECT {mulmod('x3', C3)} AS x4 FROM s4),
+s6 AS (SELECT xor(x4, x4 >> 31) AS h FROM s5),
+r0 AS (SELECT h >> {64 - P} AS reg,
+              ((h << {P}) % {M}) | {MREG - 1} AS cur0, 0 AS rk0 FROM s6),
+{steps},
+regs AS (SELECT reg, max(rk6 + 1) AS rank FROM r6 GROUP BY 1),
+agg AS (SELECT sum(power(2.0, -rank)) AS s_nz, count(*) AS n_nz FROM regs),
+raw AS (
+  SELECT (0.7213 / (1.0 + 1.079 / {MREG})) * {MREG} * {MREG}
+           / (s_nz + ({MREG} - n_nz) * 1.0) AS est,
+         {MREG} - n_nz AS zeros
+  FROM agg
+),
+fin AS (
+  SELECT CASE WHEN est <= 2.5 * {MREG} AND zeros > 0
+              THEN {MREG} * ln({MREG} / CAST(zeros AS DOUBLE))
+              ELSE est END AS est
+  FROM raw
+),
+ex AS (SELECT count(DISTINCT user_id) AS exact FROM events)
+SELECT round(f.est, 6) AS hll_estimate,
+       e.exact AS exact_distinct,
+       round(abs(f.est - e.exact) / e.exact, 6) AS rel_err
+FROM fin f, ex e
+"""
 
 
 def q_cohort_retention(sf_dir):
@@ -5332,8 +5398,8 @@ def q_kmv_distinct(sf_dir):
     """★-checked KMV approximate-distinct
     (stages/sketch.py::kmv_distinct): the k-smallest-hash sketch under
     the Knuth arithmetic hash is exactly SQL-expressible, so the
-    driver verifies the sketch AND the estimate (HLL's sibling query
-    hll_distinct stays rows-only for its mixing constants)."""
+    driver verifies the sketch AND the estimate (the HLL sibling
+    hll_distinct is now ★ too via the HUGEINT splitmix64 mirror)."""
     from ..stages.sketch import kmv_distinct
 
     ev = ray.data.read_parquet(
@@ -5594,6 +5660,7 @@ EXTRA_ORACLE_SQL = {
     "dup_clusters": DUP_CLUSTERS_SQL,
     "features_stats": FEATURES_STATS_SQL,
     "features_general": FEATURES_GENERAL_SQL,
+    "hll_distinct": _hll_sql(),
     "codec_chunks": CODEC_SQL,
     "knn_cosine": KNN_SQL,
     "jaccard_topk": JACCARD_SQL,
