@@ -732,10 +732,12 @@ FROM t
 
 
 def q_minhash_pairs(sf_dir):
-    """MinHash+LSH near-dup pairs over documents (rows-only: the
-    seeded blake2b shingle hashes aren't SQL-reproducible).  Executes
-    the full signature → band-explode → bucket-groupby → verify
-    pipeline under the driver."""
+    """★-checked MinHash+LSH near-dup pairs over documents: the OPH
+    signature chain is pure 64-bit arithmetic (base-256 window keys +
+    splitmix64, per-bin min, rotation densification, FNV-1a band
+    hashes), so the DuckDB twin (_minhash_pairs_sql) replays the FULL
+    signature → band-explode → bucket-groupby → verify pipeline and
+    matches every pair and estimate bit-for-bit."""
     from ..stages.dedup import minhash_lsh_dedup
 
     docs = ray.data.read_parquet(
@@ -828,10 +830,13 @@ SELECT id_a, id_b, n_shared FROM p
 
 
 def q_simhash_fingerprint(sf_dir):
-    """SimHash64 + winnowing fingerprint per document (rows-only:
-    blake2b-based).  Deterministic across processes by construction
-    (stable_hash64); hamming distance to doc 0's simhash included so
-    the near-dup metric itself is exercised."""
+    """★-checked SimHash64 + winnowing fingerprint per document.  The
+    whole chain is pure 64-bit integer arithmetic — base-31 polynomial
+    token/content hashes with a splitmix64 finalizer, per-bit majority
+    votes, min rolling 8-byte window hash — so the DuckDB twin
+    (_simhash_sql, HUGEINT mulmod recipe) reproduces every column
+    bit-for-bit: simhash, min_fingerprint, content_hash, and the
+    hamming distance to doc 0's simhash."""
     from ..stages.dedup import fingerprint_stage, simhash_stage
 
     docs = ray.data.read_parquet(
@@ -849,6 +854,283 @@ def q_simhash_fingerprint(sf_dir):
     for c in ("simhash", "min_fingerprint", "content_hash"):
         out[c] = out[c].to_numpy(np.uint64).astype(np.int64)
     return out
+
+
+# --- shared 64-bit-arithmetic SQL builders (HUGEINT mulmod recipe:
+# split the 64×64 multiply into 32-bit halves so nothing exceeds the
+# 128-bit HUGEINT range; same trick as _hll_sql) ---
+_M64 = 1 << 64
+_SM_C1 = 0x9E3779B97F4A7C15
+
+
+def _sql_mulmod(a: str, b: int) -> str:
+    """SQL for (a * b) mod 2^64 with a a HUGEINT expression, b a
+    64-bit constant."""
+    B32 = 1 << 32
+    blo, bhi = b % B32, b // B32
+    return (f"((({a}) % {B32}) * {blo} + "
+            f"(((({a}) % {B32}) * {bhi} + (({a}) // {B32}) * {blo})"
+            f" % {B32}) * {B32}) % {_M64}")
+
+
+def _sql_splitmix(col: str, pre: str) -> str:
+    """CTE chain {pre}_s1..{pre}_sm adding splitmix64(col) as `h`
+    (bit-identical to stages/dedup.py::_splitmix64)."""
+    C2 = 0xBF58476D1CE4E5B9
+    C3 = 0x94D049BB133111EB
+    return f"""
+{pre}_s1 AS (SELECT *, (({col} + {_SM_C1}) % {_M64}) AS x0 FROM {pre}),
+{pre}_s2 AS (SELECT *, xor(x0, x0 >> 30) AS x1 FROM {pre}_s1),
+{pre}_s3 AS (SELECT *, {_sql_mulmod('x1', C2)} AS x2 FROM {pre}_s2),
+{pre}_s4 AS (SELECT *, xor(x2, x2 >> 27) AS x3 FROM {pre}_s3),
+{pre}_s5 AS (SELECT *, {_sql_mulmod('x3', C3)} AS x4 FROM {pre}_s4),
+{pre}_sm AS (SELECT * EXCLUDE (x0,x1,x2,x3,x4), xor(x4, x4 >> 31) AS h
+             FROM {pre}_s5)"""
+
+
+def _sql_signed64(col: str) -> str:
+    """uint64-valued HUGEINT expression → signed BIGINT (two's
+    complement view, matching numpy's .astype(np.int64))."""
+    return (f"CAST(CASE WHEN {col} >= {1 << 63} THEN {col} - {_M64} "
+            f"ELSE {col} END AS BIGINT)")
+
+
+def _simhash_sql() -> str:
+    """SQL twin of q_simhash_fingerprint — mirrors stages/dedup.py's
+    _doc_token_hashes (ASCII-lower + non-whitespace-run tokenize +
+    base-31 polynomial + splitmix64), _simhash_from_hashes (per-bit
+    majority), content_hash64 and fingerprint_stage's min rolling
+    8-byte window hash, all in HUGEINT arithmetic."""
+    M = _M64
+    mulmod, splitmix, signed = _sql_mulmod, _sql_splitmix, _sql_signed64
+
+    return f"""
+WITH RECURSIVE pow(k, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (v * 31) % {M} FROM pow WHERE k < 2047
+),
+docs AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
+toksplit AS (
+  SELECT doc_id, regexp_split_to_array(lt, '[ \t\n\x0b\x0c\r]+') AS arr
+  FROM docs
+),
+-- zipped unnests keep the token index, so duplicate tokens vote
+-- separately (exactly as the engine's flat token stream does)
+tok0 AS (
+  SELECT doc_id, unnest(generate_series(1, len(arr))) AS ti,
+         unnest(arr) AS tok
+  FROM toksplit
+),
+tok AS (SELECT * FROM tok0 WHERE tok <> ''),
+tchars0 AS (
+  SELECT doc_id, ti, tok,
+         unnest(generate_series(1, length(tok))) AS j
+  FROM tok
+),
+tchars AS (
+  SELECT doc_id, ti, CAST(ord(substr(tok, j, 1)) AS HUGEINT) AS b,
+         length(tok) - j AS k
+  FROM tchars0
+),
+traw AS (
+  SELECT doc_id, ti, sum(b * p.v % {M}) % {M} AS x
+  FROM tchars JOIN pow p ON p.k = tchars.k
+  GROUP BY doc_id, ti
+),
+{splitmix('x', 'traw')},
+th AS (SELECT doc_id, h FROM traw_sm),
+thbits AS (
+  SELECT doc_id, h, unnest(generate_series(0, 63)) AS bit FROM th
+),
+bitsum AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+         count(*) AS ntok
+  FROM thbits
+  GROUP BY doc_id, bit
+),
+shu AS (
+  SELECT doc_id,
+         sum(CASE WHEN 2 * ones > ntok
+                  THEN (CAST(1 AS HUGEINT) << bit)
+                  ELSE CAST(0 AS HUGEINT) END) AS sh_u
+  FROM bitsum GROUP BY doc_id
+),
+-- content hash: RAW bytes (no lowercase), full-length polynomial
+cchars0 AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+  FROM docs
+),
+cchars AS (
+  SELECT doc_id, CAST(ord(substr(text, i, 1)) AS HUGEINT) AS b,
+         length(text) - i AS k, i
+  FROM cchars0
+),
+craw AS (
+  SELECT doc_id, sum(b * p.v % {M}) % {M} AS x
+  FROM cchars JOIN pow p ON p.k = cchars.k
+  GROUP BY doc_id
+),
+{splitmix('x', 'craw')},
+ch AS (SELECT doc_id, h AS content_u FROM craw_sm),
+-- min rolling 8-byte window hash: raw sum, engine applies no finalizer
+wh AS (
+  SELECT c.doc_id, c.i - p.k AS pos, sum(c.b * p.v) AS whv
+  FROM cchars c JOIN pow p ON p.k <= 7 AND c.i - p.k >= 1
+  GROUP BY c.doc_id, c.i - p.k
+  HAVING count(*) = 8
+),
+mf AS (SELECT doc_id, min(whv) AS minw FROM wh GROUP BY doc_id),
+base AS (
+  SELECT d.doc_id, s.sh_u,
+         CASE WHEN length(d.text) > 8 THEN m.minw
+              ELSE c.content_u END AS fp_u,
+         c.content_u
+  FROM docs d JOIN shu s USING (doc_id)
+       JOIN ch c USING (doc_id) LEFT JOIN mf m USING (doc_id)
+),
+sgn AS (
+  SELECT doc_id,
+    {signed('sh_u')} AS simhash,
+    {signed('fp_u')} AS min_fingerprint,
+    {signed('content_u')} AS content_hash
+  FROM base
+),
+ref AS (SELECT simhash AS r FROM sgn ORDER BY doc_id LIMIT 1)
+SELECT s.doc_id, s.simhash, s.min_fingerprint, s.content_hash,
+       bit_count(xor(s.simhash, ref.r)) AS hamming_to_doc0
+FROM sgn s, ref
+ORDER BY s.doc_id
+"""
+
+
+def _minhash_pairs_sql() -> str:
+    """SQL twin of q_minhash_pairs — the ENTIRE MinHash+LSH pipeline
+    mirrored in DuckDB: 5-byte base-256 window keys + splitmix64 +
+    63-bit mask (stages/dedup.py::_window_hashes), One-Permutation
+    Hashing with rotation densification (MinHasher._sigs_oph: bin by
+    hash bits [62,56), per-bin min, nearest-filled-rightward borrow
+    salted by distance), FNV-1a band hashes over 4-lane bands
+    (_band_hashes), bucket all-pairs with the >max_bucket star-link
+    guard, lane-equality Jaccard estimate ≥ threshold, min-dup_of
+    keeper (_verify_estimate).  Constants must track
+    minhash_lsh_dedup's defaults (num_perm=64, bands=16, k=5,
+    max_bucket=1024) and q_minhash_pairs' threshold=0.5."""
+    M = _M64
+    mulmod, splitmix = _sql_mulmod, _sql_splitmix
+    C1 = _SM_C1
+    FNV_OFF = 0xCBF29CE484222325
+    FNV_PRIME = 0x100000001B3
+    MASK63 = (1 << 63) - 1
+    K, P, RPB = 5, 64, 4
+    THRESH, MAX_BUCKET = 0.5, 1024
+    PBITS = P.bit_length() - 1
+
+    # FNV-1a over the band's RPB lanes, lane order 0..RPB-1
+    fnv = f"xor({FNV_OFF}, v0)"
+    for lane in range(1, RPB):
+        fnv = f"xor({mulmod(fnv, FNV_PRIME)}, v{lane})"
+    fnv = mulmod(fnv, FNV_PRIME)
+    lane_joins = "\n".join(
+        f"  JOIN (SELECT doc_id, band_id, v AS v{j} FROM lanes "
+        f"WHERE lane = {j}) l{j} USING (doc_id, band_id)"
+        for j in range(1, RPB))
+
+    return f"""
+WITH
+docs AS (SELECT doc_id, text FROM documents),
+cc0 AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+  FROM docs
+),
+cc AS (
+  SELECT doc_id, CAST(ord(substr(text, i, 1)) AS HUGEINT) AS b, i
+  FROM cc0
+),
+-- base-256 injective window key: sum byte[pos+o] * 256^(K-1-o)
+wraw AS (
+  SELECT c.doc_id, c.i - o.o AS pos,
+         sum(c.b * (CAST(1 AS HUGEINT) << (8 * ({K - 1} - o.o)))) AS x
+  FROM cc c JOIN (SELECT unnest(generate_series(0, {K - 1})) AS o) o
+       ON c.i - o.o >= 1
+  GROUP BY c.doc_id, c.i - o.o
+  HAVING count(*) = {K}
+),
+{splitmix('x', 'wraw')},
+wh AS (SELECT doc_id, h & {MASK63} AS h FROM wraw_sm),
+-- OPH: bin by hash bits [62, 62-{PBITS}), per-bin minimum
+binned AS (
+  SELECT doc_id, (h >> {62 - PBITS}) & {P - 1} AS bin, min(h) AS v
+  FROM wh GROUP BY doc_id, (h >> {62 - PBITS}) & {P - 1}
+),
+grid AS (
+  SELECT d.doc_id, unnest(generate_series(0, {P - 1})) AS bin
+  FROM (SELECT DISTINCT doc_id FROM docs) d
+),
+-- rotation densification: nearest filled bin rightward (circular),
+-- borrowed value salted by the borrow distance
+nearest AS (
+  SELECT g.doc_id, g.bin,
+         min((f.bin - g.bin + {P}) % {P}) AS d
+  FROM grid g JOIN binned f USING (doc_id)
+  WHERE g.bin NOT IN (SELECT bin FROM binned x
+                      WHERE x.doc_id = g.doc_id)
+  GROUP BY g.doc_id, g.bin
+),
+dense AS (
+  SELECT doc_id, bin, v FROM binned
+  UNION ALL
+  SELECT n.doc_id, n.bin,
+         (f.v + CAST(n.d AS HUGEINT) * {C1}) % {M} AS v
+  FROM nearest n JOIN binned f
+       ON f.doc_id = n.doc_id AND f.bin = (n.bin + n.d) % {P}
+),
+-- band hashes: FNV-1a over the band's {RPB} lanes
+lanes AS (
+  SELECT doc_id, bin // {RPB} AS band_id, bin % {RPB} AS lane, v
+  FROM dense
+),
+bh AS (
+  SELECT l0.doc_id, l0.band_id, {fnv} AS band_hash
+  FROM (SELECT doc_id, band_id, v AS v0 FROM lanes WHERE lane = 0) l0
+{lane_joins}
+),
+bsz AS (
+  SELECT band_id, band_hash, count(*) AS sz, min(doc_id) AS min_id
+  FROM bh GROUP BY band_id, band_hash
+),
+-- bucket pairs: all-pairs in [2, max_bucket], star-link to the min id
+-- above max_bucket (the engine's boilerplate-bucket guard)
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bh a JOIN bh b
+       ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id
+  JOIN bsz s ON s.band_id = a.band_id AND s.band_hash = a.band_hash
+  WHERE s.sz <= {MAX_BUCKET}
+  UNION
+  SELECT DISTINCT s.min_id AS a, x.doc_id AS b
+  FROM bsz s JOIN bh x
+       ON x.band_id = s.band_id AND x.band_hash = s.band_hash
+          AND x.doc_id > s.min_id
+  WHERE s.sz > {MAX_BUCKET}
+),
+est AS (
+  SELECT c.b AS doc_id, c.a AS dup_of,
+         sum(CASE WHEN da.v = db.v THEN 1 ELSE 0 END) / {P}.0 AS ej
+  FROM cand c
+  JOIN dense da ON da.doc_id = c.a
+  JOIN dense db ON db.doc_id = c.b AND db.bin = da.bin
+  GROUP BY c.b, c.a
+),
+kept AS (SELECT * FROM est WHERE ej >= {THRESH})
+SELECT doc_id, dup_of, round(ej, 6) AS est_jaccard
+FROM kept
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY dup_of, ej) = 1
+ORDER BY doc_id
+"""
 
 
 def q_impute_features(sf_dir):
@@ -5553,6 +5835,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "simhash_fingerprint": _simhash_sql(),
+    "minhash_pairs": _minhash_pairs_sql(),
     "changepoint": CHANGEPOINT_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "inverted_index": INVERTED_INDEX_SQL,

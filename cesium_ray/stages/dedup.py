@@ -1045,20 +1045,42 @@ def substring_dup_pairs(
     return j.map_batches(verify, batch_format="pandas")
 
 
+def content_hash64(texts: list) -> np.ndarray:
+    """Whole-document content hash: base-31 polynomial over the raw
+    utf-8 bytes mod 2^64, splitmix64-finalized (same arithmetic family
+    as the SimHash token hash).  Pure 64-bit integer math, so a SQL
+    oracle reproduces it exactly with the HUGEINT mulmod recipe —
+    unlike the old blake2b ``stable_hash64`` it replaced here.
+    Batch-vectorized: one concatenated byte pass + one reduceat."""
+    enc = [t if isinstance(t, bytes) else str(t).encode() for t in texts]
+    n = len(enc)
+    out = np.full(n, _splitmix64(np.zeros(1, np.uint64))[0], dtype=np.uint64)
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    ne = np.flatnonzero(lens > 0)
+    if len(ne) == 0:
+        return out
+    bb = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    tstarts = np.r_[0, np.cumsum(lens)[:-1]][ne]
+    out[ne] = _hash_token_bytes(bb, tstarts, lens[ne])
+    return out
+
+
 def fingerprint_stage(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
     window: int = 8,
 ) -> ray.data.Dataset:
     """Document fingerprint: min rolling-hash over ``window``-byte
-    windows (winnowing-style) + full content hash.  The rolling hash is
-    batch-vectorized: long docs concatenate into one byte array, the
-    window hash accumulates in ``window`` shifted-add passes, and the
-    per-doc minimum falls out of one ``minimum.reduceat`` — no per-doc
-    numpy passes (bit-identical to the old per-doc kernel)."""
+    windows (winnowing-style) + full content hash (``content_hash64``
+    — SQL-mirrorable splitmix64-finalized polynomial).  The rolling
+    hash is batch-vectorized: long docs concatenate into one byte
+    array, the window hash accumulates in ``window`` shifted-add
+    passes, and the per-doc minimum falls out of one
+    ``minimum.reduceat`` — no per-doc numpy passes (bit-identical to
+    the old per-doc kernel)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         texts = [str(t).encode() for t in df[text_col]]
-        chs = np.array([stable_hash64(b) for b in texts], dtype=np.uint64)
+        chs = content_hash64(texts)
         lens = np.fromiter((len(b) for b in texts), dtype=np.int64,
                            count=len(texts))
         fps = chs.copy()  # docs with ≤window bytes: fp = content hash
