@@ -1313,11 +1313,12 @@ def q_knn_ivf(sf_dir):
 
 
 def q_multimodal_features(sf_dir):
-    """Multimodal plumbing under the driver (rows-only): documents'
-    text bytes stand in for opaque binary payloads (no media libs in
-    this container — decode is the documented deterministic stub);
-    exercises the pyarrow-native binary column path, the actor-pool
-    decode stage, and frame sampling."""
+    """★-checked multimodal plumbing under the driver: documents' text
+    bytes stand in for opaque binary payloads (no media libs in this
+    container — decode is the documented deterministic stub, now
+    splitmix64-arithmetic so the SQL twin reproduces every feature
+    value); exercises the pyarrow-native binary column path, the
+    actor-pool decode stage, and frame sampling."""
     from ..stages.multimodal import decode_media, frame_sample
 
     docs = ray.data.read_parquet(
@@ -1340,8 +1341,66 @@ def q_multimodal_features(sf_dir):
     sampled = frame_sample(media, every_n=10)
     feats = decode_media(sampled, feature_dim=4, batch_size=64).to_pandas()
     feats["n_features"] = feats["features"].map(len).astype(np.int64)
-    out = feats[["doc_id", "frame_idx", "n_features"]].sort_values("doc_id")
-    return out.reset_index(drop=True)
+    fm = np.vstack(feats["features"].to_numpy())
+    for j in range(4):
+        feats[f"f{j}"] = fm[:, j]
+    out = feats[["doc_id", "frame_idx", "n_features",
+                 "f0", "f1", "f2", "f3"]].sort_values("doc_id")
+    return round6(out.reset_index(drop=True))
+
+
+def _multimodal_sql() -> str:
+    """SQL twin of q_multimodal_features: frame_sample keeps
+    doc_id % 10 == 0; the stub feature is
+    splitmix64(content_hash64(payload) + j) / 2^64 with payload = the
+    raw text bytes (content_hash64 = splitmix64-finalized base-31
+    polynomial, mirrored with the shared HUGEINT builders)."""
+    M = _M64
+    splitmix = _sql_splitmix
+    return f"""
+WITH RECURSIVE pow(k, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (v * 31) % {M} FROM pow WHERE k < 2047
+),
+docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+cchars0 AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+  FROM docs
+),
+cchars AS (
+  SELECT doc_id, CAST(ord(substr(text, i, 1)) AS HUGEINT) AS b,
+         length(text) - i AS k
+  FROM cchars0
+),
+craw AS (
+  SELECT doc_id, sum(b * p.v % {M}) % {M} AS x
+  FROM cchars JOIN pow p ON p.k = cchars.k
+  GROUP BY doc_id
+),
+{splitmix('x', 'craw')},
+lanes AS (
+  SELECT doc_id, unnest(generate_series(0, 3)) AS j,
+         (h + unnest(generate_series(0, 3))) % {M} AS x
+  FROM craw_sm
+),
+{splitmix('x', 'lanes')},
+f AS (
+  SELECT doc_id, j,
+         round(CAST(h AS DOUBLE) / 18446744073709551616.0, 6) AS fv
+  FROM lanes_sm
+)
+SELECT doc_id, doc_id AS frame_idx,
+       CAST(4 AS BIGINT) AS n_features,
+       max(CASE WHEN j = 0 THEN fv END) AS f0,
+       max(CASE WHEN j = 1 THEN fv END) AS f1,
+       max(CASE WHEN j = 2 THEN fv END) AS f2,
+       max(CASE WHEN j = 3 THEN fv END) AS f3
+FROM f GROUP BY doc_id
+ORDER BY doc_id
+"""
 
 
 def q_dup_clusters(sf_dir):
@@ -5837,6 +5896,7 @@ EXTRA_QUERIES = {
 EXTRA_ORACLE_SQL = {
     "simhash_fingerprint": _simhash_sql(),
     "minhash_pairs": _minhash_pairs_sql(),
+    "multimodal_features": _multimodal_sql(),
     "changepoint": CHANGEPOINT_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "inverted_index": INVERTED_INDEX_SQL,

@@ -22,19 +22,21 @@ pitfalls).  Batch sizes must stay small for large payloads
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import ray.data
 
 
 class MediaDecodeStub:
-    """Actor-pool decode stage.  A real deployment replaces
-    ``_decode`` with PIL/libav calls loaded once per actor in
+    """Actor-pool decode stage.  A real deployment replaces the
+    feature kernel with PIL/libav calls loaded once per actor in
     ``__init__``; here it emits a deterministic fake feature vector
-    derived from the payload bytes, so the pipeline shape (schema,
-    actor signature, batch size, output layout) is fully testable."""
+    derived from the payload bytes — ``feature[j] =
+    splitmix64(content_hash64(payload) + j) / 2^64`` — so the pipeline
+    shape (schema, actor signature, batch size, output layout) is
+    fully testable AND the values are pure 64-bit arithmetic a SQL
+    oracle reproduces exactly (unlike the blake2b digest this
+    replaced)."""
 
     def __init__(self, feature_dim: int = 8, real_decoder: bool = False):
         self.feature_dim = feature_dim
@@ -44,14 +46,19 @@ class MediaDecodeStub:
                 "container; run with real_decoder=False (deterministic stub)"
             )
 
-    def _decode(self, payload: bytes) -> np.ndarray:
-        # STUB: deterministic pseudo-features from a blake2b digest
-        d = hashlib.blake2b(payload, digest_size=8 * self.feature_dim).digest()
-        raw = np.frombuffer(d, dtype=np.uint64).astype(np.float64)
-        return raw / 2**64
+    def _decode_batch(self, payloads: list) -> np.ndarray:
+        from .dedup import _splitmix64, content_hash64
+
+        base = content_hash64(payloads)
+        lanes = np.arange(self.feature_dim, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            raw = _splitmix64((base[:, None] + lanes[None, :]).ravel())
+        return (raw.astype(np.float64) / 2**64).reshape(
+            len(payloads), self.feature_dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._decode(p.as_py()) for p in batch["payload"]]
+        feats = self._decode_batch(
+            [p.as_py() for p in batch["payload"]])
         arr = pa.array([f.tolist() for f in feats], pa.list_(pa.float64()))
         return batch.drop_columns(["payload"]).append_column("features", arr)
 

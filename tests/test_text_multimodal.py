@@ -57,10 +57,15 @@ def test_token_count():
 
 def test_media_decode_stub_deterministic():
     stub = MediaDecodeStub(feature_dim=4)
-    f1 = stub._decode(b"payload-bytes")
-    f2 = stub._decode(b"payload-bytes")
+    f1 = stub._decode_batch([b"payload-bytes"])[0]
+    f2 = stub._decode_batch([b"payload-bytes"])[0]
     np.testing.assert_array_equal(f1, f2)
     assert len(f1) == 4 and ((0 <= f1) & (f1 < 1)).all()
+    # arithmetic contract the SQL oracle relies on
+    from cesium_ray.stages.dedup import _splitmix64, content_hash64
+    base = content_hash64([b"payload-bytes"])[0]
+    want = _splitmix64(base + np.arange(4, dtype=np.uint64))
+    np.testing.assert_array_equal(f1, want.astype(np.float64) / 2**64)
 
 
 def test_media_decode_stage():
