@@ -1349,6 +1349,84 @@ def q_multimodal_features(sf_dir):
     return round6(out.reset_index(drop=True))
 
 
+def q_jpeg_roundtrip(sf_dir):
+    """★-checked REAL JPEG path (stages/jpeg.py — baseline sequential
+    DCT codec, pure numpy from the public ITU-T T.81 spec): for every
+    10th doc_id, build a 32×32 image of 4×4 constant 8×8 tiles whose
+    RGB bytes come from splitmix64(doc_id·16 + tile), ENCODE it to a
+    real JFIF payload (q=100, optimized Huffman), push payloads
+    through the actor-pool decode stage, and emit exact per-channel
+    pixel sums/means.  Blocky q=100 content roundtrips byte-exactly
+    (all AC quantize to zero — see jpeg.py docstring), so the SQL twin
+    computes the expected features analytically from the same
+    splitmix64 tile colors: any bitstream/Huffman/DCT bug breaks the
+    match."""
+    from ..stages.dedup import _splitmix64
+    from ..stages.jpeg import encode_jpeg, jpeg_features
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).filter(lambda r: r["doc_id"] % 10 == 0)
+
+    def to_media(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        payloads = []
+        for d in ids:
+            t = np.arange(16, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                h = _splitmix64(np.uint64(d) * np.uint64(16) + t)
+            tiles = np.stack([h & np.uint64(255),
+                              (h >> np.uint64(8)) & np.uint64(255),
+                              (h >> np.uint64(16)) & np.uint64(255)],
+                             axis=-1).astype(np.uint8).reshape(4, 4, 3)
+            img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+            payloads.append(encode_jpeg(img, quality=100))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow",
+                             batch_size=64)
+    out = jpeg_features(media, batch_size=32).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return round6(out)
+
+
+def _jpeg_sql() -> str:
+    """SQL twin of q_jpeg_roundtrip: the blocky q=100 JPEG roundtrip
+    is byte-exact, so the expected features follow analytically from
+    the splitmix64 tile colors (each tile contributes 64 pixels)."""
+    M = _M64
+    splitmix = _sql_splitmix
+    return f"""
+WITH
+docs AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+tiles AS (
+  SELECT doc_id, unnest(generate_series(0, 15)) AS t,
+         (CAST(doc_id AS HUGEINT) * 16
+          + unnest(generate_series(0, 15))) % {M} AS x
+  FROM docs
+),
+{splitmix('x', 'tiles')},
+rgb AS (
+  SELECT doc_id,
+         CAST(h & 255 AS BIGINT) AS r,
+         CAST((h >> 8) & 255 AS BIGINT) AS g,
+         CAST((h >> 16) & 255 AS BIGINT) AS b
+  FROM tiles_sm
+)
+SELECT doc_id,
+       CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+       CAST(64 * sum(r) AS BIGINT) AS sum_r, CAST(64 * sum(g) AS BIGINT) AS sum_g, CAST(64 * sum(b) AS BIGINT) AS sum_b,
+       round(64 * sum(r) / 1024.0, 6) AS mean_r,
+       round(64 * sum(g) / 1024.0, 6) AS mean_g,
+       round(64 * sum(b) / 1024.0, 6) AS mean_b
+FROM rgb GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def _multimodal_sql() -> str:
     """SQL twin of q_multimodal_features: frame_sample keeps
     doc_id % 10 == 0; the stub feature is
@@ -5890,6 +5968,7 @@ EXTRA_QUERIES = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "multimodal_features": q_multimodal_features,
+    "jpeg_roundtrip": q_jpeg_roundtrip,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -5897,6 +5976,7 @@ EXTRA_ORACLE_SQL = {
     "simhash_fingerprint": _simhash_sql(),
     "minhash_pairs": _minhash_pairs_sql(),
     "multimodal_features": _multimodal_sql(),
+    "jpeg_roundtrip": _jpeg_sql(),
     "changepoint": CHANGEPOINT_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "inverted_index": INVERTED_INDEX_SQL,

@@ -1,15 +1,17 @@
 """Multimodal (binary-payload) stages.
 
-Three modalities have REAL decoders implemented here with
-numpy/struct/zlib only (RIFF/WAVE PCM16 audio, binary P6 PPM images,
-and baseline PNG — DEFLATE ships in the Python stdlib, so the full
-CRC-checked chunk walk + five scanline unfilters need no external
-media library); payloads are genuine files any media tool can open,
-and the paths are driver-verified end-to-end (`wav_features` /
-`image_features` / `png_decode` ★).  Transform-coded codecs
-(JPEG/MP3/H.264) need libraries this container does not ship — those
-remain behind the clearly-marked ``MediaDecodeStub`` with the same
-actor signature, swappable per actor in a real deployment.
+FOUR modalities have REAL codecs implemented with numpy/struct/zlib
+only: RIFF/WAVE PCM16 audio, binary P6 PPM images, baseline PNG
+(DEFLATE ships in the Python stdlib, so the full CRC-checked chunk
+walk + five scanline unfilters need no external media library), and
+baseline JPEG (sibling module stages/jpeg.py — full DCT + optimized
+Huffman from the public ITU-T T.81 spec).  Payloads are genuine files
+any media tool can open, and the paths are driver-verified end-to-end
+(`wav_features` / `image_features` / `png_decode` / `jpeg_roundtrip`
+★).  Remaining transform codecs (MP3/H.264) need libraries this
+container does not ship — those stay behind the clearly-marked
+``MediaDecodeStub`` with the same actor signature, swappable per
+actor in a real deployment.
 
 Schema convention: media rides as an opaque ``payload: binary`` column
 with typed metadata columns (``media_type``, ``width``, ``height``,
