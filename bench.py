@@ -137,6 +137,12 @@ def bench_flagship_full(results, thr):
         features="general",
         ls_features=LS_BENCH_FEATURES,
         ls_min_turns=1000,
+        # LPT-balanced placement of LS-hot convs (straggler-tail fix:
+        # plain hash placement left one partition ~2x past the mean at
+        # 32-way — measured max task 17.8s vs 10.4s balanced; the
+        # decoupled _ls_pass alternative re-ships 80% of this Zipf-hot
+        # corpus and loses the rollup/LS overlap, so inline+LPT wins)
+        balance_ls=True,
         codec=True,
         gapfill_tier="1m",
         resume=False,

@@ -42,6 +42,29 @@ from ..state.manifest import Manifest, ManifestRow, partition_fingerprint
 # duration_s, worker_pid, t_end
 
 
+def _points_frame(codes, uniques, ts_us, tidx, channels) -> pd.DataFrame:
+    """Long-format points from derive_channel_arrays output — shared
+    by the inline processor and the decoupled LS pass so both produce
+    bit-identical extractor input."""
+    conv_str = np.asarray(uniques)[codes]
+    ts_dt = ts_us.astype("datetime64[us]")
+    return pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "conv_id": conv_str,
+                    "channel": name,
+                    "ts": ts_dt,
+                    "value": vals,
+                    "turn_idx": tidx,
+                }
+            )
+            for name, vals in channels.items()
+        ],
+        ignore_index=True,
+    )
+
+
 def _atomic_file_write(df: pd.DataFrame, path: str):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -180,23 +203,7 @@ class PartitionProcessor:
         if (self.gapfill_tier or self.codec is not None or self.extractor is not None
                 or self.ls_extractor is not None or self.write_points):
             # long-format points built from the already-derived arrays
-            conv_str = np.asarray(uniques)[codes]
-            ts_dt = ts_us.astype("datetime64[us]")
-            pts = pd.concat(
-                [
-                    pd.DataFrame(
-                        {
-                            "conv_id": conv_str,
-                            "channel": name,
-                            "ts": ts_dt,
-                            "value": vals,
-                            "turn_idx": tidx,
-                        }
-                    )
-                    for name, vals in channels.items()
-                ],
-                ignore_index=True,
-            )
+            pts = _points_frame(codes, uniques, ts_us, tidx, channels)
         if self.write_points:
             self._write_dated(pts, "raw", pid, "ts")
         for tier in self.tiers:
@@ -260,11 +267,117 @@ class PartitionProcessor:
         return pd.DataFrame([metrics])
 
 
+def _ls_pass(
+    ds: ray.data.Dataset,
+    out_root: str,
+    ls_features,
+    ls_min_turns: int,
+    max_feature_turns: int,
+    num_partitions: int,
+    resume: bool,
+    by: str = "conv_id",
+    order=("turn_idx",),
+) -> pd.DataFrame:
+    """Decoupled Lomb-Scargle pass at its own (finer) partition grain.
+
+    The LS family is the super-linear straggler inside the coarse
+    flagship partitions (measured 15.2 s tail vs 8.5 s mean at
+    32-way): a partition holding several hot conversations pins one
+    CPU while the rest idle.  Running LS as a second stage lets the
+    hot conversations spread over ``num_partitions`` fine partitions
+    (rollup/gapfill/codec keep their coarser, fixed-cost-friendly
+    grain).  Extra cost: one tiny keyed count exchange + one
+    hot-rows-only exchange (hot convs are a small skew-bounded
+    fraction of rows).  The hot-conv id list is driver-collected and
+    broadcast via ray.put — bounded by skew (convs with ≥
+    ls_min_turns turns), not by corpus size."""
+    if ls_features == "ls":
+        from ..oracle.graphs import LS_FEATURES
+
+        ls_features = list(LS_FEATURES)
+
+    # 1. per-conv sizes: map-side partials → one tiny keyed exchange
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(by, as_index=False, observed=True).size()
+        return g.rename(columns={"size": "n"})
+
+    from ..stages.partition import group_apply
+
+    sizes = group_apply(
+        ds.select_columns([by]).map_batches(_counts, batch_format="pandas"),
+        lambda df: df.groupby(by, as_index=False, observed=True)["n"].sum(),
+        num_partitions=32, key=by,
+    ).to_pandas()
+    hot = sizes[(sizes["n"] >= ls_min_turns)
+                & (sizes["n"] <= max_feature_turns)][by].to_numpy()
+    if len(hot) == 0:
+        return pd.DataFrame()
+    hot_ref = ray.put(np.sort(hot.astype(str)))
+
+    def _filter_hot(df: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(hot_ref)
+        k = df[by].to_numpy(str)
+        pos = np.clip(np.searchsorted(want, k), 0, len(want) - 1)
+        return df[want[pos] == k]
+
+    hot_ds = ds.map_batches(_filter_hot, batch_format="pandas")
+    parted = with_partition(hot_ds, num_partitions, key=by,
+                            dict_cols=(by,))
+    extractor = FeatureExtractor(
+        features_to_use=list(ls_features),
+        ls_kwargs={"day": 86400.0, "ofac": 2.0},
+    )
+    manifest = Manifest(out_root, "flagship_ls")
+
+    def process(part: pd.DataFrame) -> pd.DataFrame:
+        _t0 = _time.time()
+        pid = f"ls-{int(part['_part'].iloc[0]):05d}"
+        df = part.drop(columns=["_part"])
+        fp = partition_fingerprint(df)
+        base = {
+            "partition_id": pid, "input_fingerprint": fp,
+            "rows_in": len(df), "points": 0, "rollup_rows": 0,
+            "gapfilled_rows": 0, "chunk_rows": 0, "payload_bytes": 0,
+            "feature_rows": 0, "oversize_convs": 0, "skipped": False,
+            "worker_pid": os.getpid(),
+        }
+        if resume and manifest.is_done(pid, fp):
+            base.update(skipped=True,
+                        duration_s=round(_time.time() - _t0, 3),
+                        t_end=_time.time())
+            return pd.DataFrame([base])
+        codes, uniques, ts_us, tidx, channels = derive_channel_arrays(
+            df, by=by, order=order)
+        pts = _points_frame(codes, uniques, ts_us, tidx, channels)
+        feats = extractor(pts)
+        _atomic_file_write(
+            feats,
+            os.path.join(out_root, "features_ls", f"part={pid}",
+                         "data.parquet"),
+        )
+        base.update(points=len(codes) * len(channels),
+                    feature_rows=len(feats),
+                    duration_s=round(_time.time() - _t0, 3),
+                    t_end=_time.time())
+        manifest.mark(ManifestRow(
+            partition_id=pid, input_fingerprint=fp, rows_in=len(df),
+            rows_out=len(feats),
+            checksum=f"{zlib.crc32(str(len(feats)).encode()):08x}",
+            state="done",
+        ))
+        return pd.DataFrame([base])
+
+    return parted.groupby("_part").map_groups(
+        process, batch_format="pandas").to_pandas()
+
+
 def run_flagship(
     turns: ray.data.Dataset | str,
     out_root: str,
     num_partitions: int = 64,
     concurrency="tasks",
+    ls_partitions: int | None = None,
+    balance_ls: bool = False,
     **proc_kw,
 ) -> pd.DataFrame:
     """Run the flagship pipeline; returns the per-partition metrics
@@ -272,16 +385,65 @@ def run_flagship(
 
     ``concurrency``: "tasks" (default — elastic task pool, no actor
     ramp-up; measured fastest AND best-scaling at every CPU count),
-    None (autoscaling actor pool), or an explicit (min, max) pool."""
+    None (autoscaling actor pool), or an explicit (min, max) pool.
+
+    ``ls_partitions``: when set (and ``ls_features`` is requested),
+    the Lomb-Scargle family runs as a SECOND stage at this finer
+    partition grain instead of inside the coarse flagship partitions —
+    see _ls_pass.  Results are bit-identical; only the features_ls
+    file layout changes (part=ls-*).  Measured on the 2M-turn bench
+    (Zipf-hot: 853 LS-hot convs hold 80% of rows) the second exchange
+    + lost rollup/LS overlap make this SLOWER than inline (53 vs 45 s
+    @32) — prefer ``balance_ls`` there; the split pays off when hot
+    convs are few and the corpus is huge (skip re-shipping the cold
+    99%).
+
+    ``balance_ls``: keep LS inline (fused, one exchange) but place the
+    LS-hot conversations onto partitions by LPT cost balancing
+    (stages/partition.py::lpt_assignment, cost ~ turns²: the LS scan
+    grid AND the per-sample work both grow with n).  Kills the
+    straggler tail (measured 16.8 s max task vs 8.5 s mean at 32-way)
+    for the price of one tiny keyed count pass.  Bit-identical
+    outputs; only which part-pid file holds which conversation
+    changes."""
     if isinstance(turns, str):
         turns = ray.data.read_parquet(turns)
     ds = normalize_turns(turns)
     keep = [c for c in ["conv_id", "turn_idx", "ts", "text_len", "value"] if c in ds.columns()]
     ds = ds.select_columns(keep)
+    split_ls = ls_partitions is not None and proc_kw.get("ls_features")
+    if split_ls:
+        ls_features = proc_kw.pop("ls_features")
+        ls_min_turns = proc_kw.pop("ls_min_turns", 500)
+    override = None
+    if balance_ls and proc_kw.get("ls_features") and not split_ls:
+        from ..stages.partition import group_apply, lpt_assignment
+
+        by = proc_kw.get("by", "conv_id")
+        lo = proc_kw.get("ls_min_turns", 500)
+        hi_cap = proc_kw.get("max_feature_turns", 200_000)
+
+        def _counts(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(by, as_index=False, observed=True).size()
+            return g.rename(columns={"size": "n"})
+
+        sizes = group_apply(
+            ds.select_columns([by]).map_batches(
+                _counts, batch_format="pandas"),
+            lambda df: df.groupby(by, as_index=False,
+                                  observed=True)["n"].sum(),
+            num_partitions=32, key=by,
+        ).to_pandas()
+        hot = sizes[(sizes["n"] >= lo) & (sizes["n"] <= hi_cap)]
+        if len(hot):
+            n = hot["n"].to_numpy(np.float64)
+            override = lpt_assignment(
+                hot[by].to_numpy(), n * n, num_partitions)
     # conv_id rides the exchange dictionary-encoded (~2 B/row instead
     # of ~17); text_len is int32 — the shuffle is the single-box
     # scaling floor, so shuffled bytes are minimized at the source
-    parted = with_partition(ds, num_partitions, key="conv_id", dict_cols=("conv_id",))
+    parted = with_partition(ds, num_partitions, key="conv_id",
+                            dict_cols=("conv_id",), override=override)
     if concurrency == "tasks":
         # elastic task pool: no actor ramp-up — every CPU picks up a
         # partition task the moment the exchange finishes (worker
@@ -291,21 +453,32 @@ def run_flagship(
         def process(df: pd.DataFrame, _kw=ctor_kw) -> pd.DataFrame:
             return PartitionProcessor(**_kw)(df)
 
-        return parted.groupby("_part").map_groups(
+        metrics = parted.groupby("_part").map_groups(
             process, batch_format="pandas"
         ).to_pandas()
-    if concurrency is None:
-        # autoscaling (ncpu//2, ncpu): full-size fixed pools deadlock
-        # the upstream shuffle on small clusters; a half-size floor
-        # avoids the slow 1-actor ramp-up without starving the exchange
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        hi = max(1, min(ncpu, num_partitions))
-        concurrency = (max(1, hi // 2), hi)
-    kw = {"concurrency": concurrency}
-    metrics = parted.groupby("_part").map_groups(
-        PartitionProcessor,
-        batch_format="pandas",
-        fn_constructor_kwargs={"out_root": out_root, **proc_kw},
-        **kw,
-    )
-    return metrics.to_pandas()
+    else:
+        if concurrency is None:
+            # autoscaling (ncpu//2, ncpu): full-size fixed pools
+            # deadlock the upstream shuffle on small clusters; a
+            # half-size floor avoids the slow 1-actor ramp-up without
+            # starving the exchange
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+            hi = max(1, min(ncpu, num_partitions))
+            concurrency = (max(1, hi // 2), hi)
+        metrics = parted.groupby("_part").map_groups(
+            PartitionProcessor,
+            batch_format="pandas",
+            fn_constructor_kwargs={"out_root": out_root, **proc_kw},
+            concurrency=concurrency,
+        ).to_pandas()
+    if split_ls:
+        extra = _ls_pass(
+            ds, out_root, ls_features, ls_min_turns,
+            proc_kw.get("max_feature_turns", 200_000), ls_partitions,
+            proc_kw.get("resume", True),
+            by=proc_kw.get("by", "conv_id"),
+            order=proc_kw.get("order", ("turn_idx",)),
+        )
+        if len(extra):
+            metrics = pd.concat([metrics, extra], ignore_index=True)
+    return metrics

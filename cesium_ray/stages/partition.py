@@ -27,6 +27,28 @@ def _stable_hash(arr: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
+def lpt_assignment(
+    keys: np.ndarray, costs: np.ndarray, num_partitions: int
+) -> dict:
+    """Longest-Processing-Time greedy: assign each key (sorted by
+    descending cost) to the currently least-loaded partition.
+    Returns {key: part}.  Classic 4/3-approximation to makespan —
+    used to place the few COST-DOMINANT keys (e.g. Lomb-Scargle-hot
+    conversations); the long cold tail keeps hash placement, so the
+    assignment dict stays bounded by skew, not corpus size."""
+    import heapq
+
+    order = np.argsort(-np.asarray(costs, dtype=np.float64), kind="stable")
+    out = {}
+    heap = [(0.0, p) for p in range(num_partitions)]
+    heapq.heapify(heap)
+    for i in order:
+        load, p = heapq.heappop(heap)
+        out[keys[i]] = p
+        heapq.heappush(heap, (load + float(costs[i]), p))
+    return out
+
+
 def with_partition(
     ds: ray.data.Dataset,
     num_partitions: int,
@@ -34,6 +56,7 @@ def with_partition(
     bucket_us: np.ndarray | None = None,
     salt_tier_s: int | None = None,
     dict_cols: tuple = (),
+    override: dict | None = None,
 ) -> ray.data.Dataset:
     """Add ``_part = hash(key [, floor(ts, salt_tier)]) % P``.
 
@@ -45,7 +68,18 @@ def with_partition(
     pass (AFTER hashing) — e.g. ``conv_id`` shrinks from ~17 B/row to
     ~2 B/row through the all-to-all exchange; Arrow unifies the
     per-block dictionaries on concat and pandas sees a Categorical
-    (derive_channel_arrays has a codes fast path)."""
+    (derive_channel_arrays has a codes fast path).
+
+    ``override``: {key: part} for cost-dominant keys (LPT-balanced —
+    see ``lpt_assignment``); everything else keeps hash placement.
+    The dict is shipped ONCE via ray.put and must stay skew-bounded
+    (hot keys only), never corpus-proportional."""
+    ov_ref = None
+    if override:
+        ov_keys = np.sort(np.asarray(list(override.keys()), dtype=str))
+        ov_parts = np.asarray(
+            [override[k] for k in ov_keys], dtype=np.int32)
+        ov_ref = ray.put((ov_keys, ov_parts))
 
     def add_part(batch: pa.Table) -> pa.Table:
         k = batch[key].to_numpy(zero_copy_only=False)
@@ -55,6 +89,13 @@ def with_partition(
             step = np.int64(salt_tier_s) * 1_000_000
             h = h ^ _stable_hash((ts_us // step) * step)
         part = (h % np.uint64(num_partitions)).astype(np.int32)
+        if ov_ref is not None:
+            ov_keys, ov_parts = ray.get(ov_ref)
+            ks = k.astype(str)
+            pos = np.clip(np.searchsorted(ov_keys, ks), 0,
+                          len(ov_keys) - 1)
+            hit = ov_keys[pos] == ks
+            part[hit] = ov_parts[pos[hit]]
         for c in dict_cols:
             i = batch.schema.get_field_index(c)
             if i >= 0 and pa.types.is_string(batch.schema.field(i).type):

@@ -178,3 +178,84 @@ def test_giant_conversation_guard(tmp_path):
     )
     assert "conv-giant" not in set(feats.conv_id)
     assert "conv-small" in set(feats.conv_id)
+
+
+def test_ls_split_pass_bit_identical(tmp_path):
+    """Decoupled fine-grained LS pass (ls_partitions) produces
+    BIT-IDENTICAL Lomb-Scargle features to the inline path — only the
+    features_ls file layout changes (part=ls-*)."""
+    import glob as _glob
+
+    from cesium_ray.synth import generate_turns
+
+    turns = generate_turns(60, seed=13, max_turns=400)
+    ls = ["freq1_freq", "freq1_amplitude1", "freq1_signif",
+          "linear_trend", "freq_varrat"]
+
+    def run(out, **kw):
+        m = run_flagship(
+            ray.data.from_arrow(turns), out, num_partitions=4,
+            tiers=("1d",), codec=False, gapfill_tier=None,
+            ls_features=ls, ls_min_turns=100, resume=False, **kw)
+        files = _glob.glob(f"{out}/features_ls/part=*/data.parquet")
+        df = (pd.concat([pd.read_parquet(f) for f in files])
+              .sort_values(["conv_id", "channel"], kind="mergesort")
+              .reset_index(drop=True))
+        return m, df
+
+    m_in, inline = run(str(tmp_path / "inline"))
+    m_sp, split = run(str(tmp_path / "split"), ls_partitions=16)
+    pd.testing.assert_frame_equal(inline, split, check_exact=True)
+    # split metrics carry the LS rows under ls-* partition ids
+    assert m_sp.partition_id.str.startswith("ls-").any()
+    assert (m_sp.feature_rows.sum() == m_in.feature_rows.sum())
+
+
+def test_ls_split_resume(tmp_path):
+    """Second run of the split LS pass skips every ls partition."""
+    from cesium_ray.synth import generate_turns
+
+    turns = generate_turns(30, seed=21, max_turns=300)
+    out = str(tmp_path / "o")
+    kw = dict(num_partitions=4, tiers=("1d",), codec=False,
+              gapfill_tier=None, ls_features=["freq1_freq"],
+              ls_min_turns=100, ls_partitions=8)
+    run_flagship(ray.data.from_arrow(generate_turns(30, seed=21,
+                                                    max_turns=300)),
+                 out, **kw)
+    m2 = run_flagship(ray.data.from_arrow(turns), out, **kw)
+    lsrows = m2[m2.partition_id.str.startswith("ls-")]
+    assert len(lsrows) and lsrows.skipped.all()
+
+
+def test_balance_ls_bit_identical(tmp_path):
+    """LPT cost-balanced placement of LS-hot convs changes only which
+    part-pid holds which conversation — every product (tiers,
+    features, features_ls) is bit-identical after concat+sort."""
+    import glob as _glob
+
+    from cesium_ray.synth import generate_turns
+
+    turns = generate_turns(50, seed=17, max_turns=400)
+
+    def run(out, **kw):
+        run_flagship(
+            ray.data.from_arrow(turns), out, num_partitions=4,
+            tiers=("1h",), codec=False, gapfill_tier=None,
+            ls_features=["freq1_freq", "linear_trend"],
+            ls_min_turns=100, resume=False, **kw)
+        prods = {}
+        for sub, sort in [("tier=1h/date=*/part-*.parquet",
+                           ["conv_id", "channel", "bucket"]),
+                          ("features_ls/part=*/data.parquet",
+                           ["conv_id", "channel"])]:
+            files = _glob.glob(f"{out}/{sub}")
+            prods[sub] = (pd.concat([pd.read_parquet(f) for f in files])
+                          .sort_values(sort, kind="mergesort")
+                          .reset_index(drop=True))
+        return prods
+
+    plain = run(str(tmp_path / "plain"))
+    bal = run(str(tmp_path / "bal"), balance_ls=True)
+    for k in plain:
+        pd.testing.assert_frame_equal(plain[k], bal[k], check_exact=True)
