@@ -88,13 +88,20 @@ def run_expectations(
             n, v = _counts(parts)
         elif kind == "references":
             other = refs[r["ref"]]
-            keys = np.unique(
+            # empty blocks lose their schema in Ray 2.49 — guard both
+            # column lookups (an empty ref set is legal: every checked
+            # row is then a violation)
+            kdf = (
                 other.select_columns([r["ref_col"]])
                 .map_batches(
                     lambda df, rc=r["ref_col"]: pd.DataFrame(
-                        {"k": df[rc].unique()}),
+                        {"k": df[rc].unique() if rc in df.columns
+                         else np.array([], dtype=np.int64)}),
                     batch_format="pandas")
-                .to_pandas()["k"].to_numpy(np.int64))
+                .to_pandas())
+            keys = (np.unique(kdf["k"].to_numpy(np.int64))
+                    if "k" in kdf.columns
+                    else np.array([], dtype=np.int64))
             kref = ray.put(keys)
 
             def p_ref(df: pd.DataFrame, c=col) -> pd.DataFrame:

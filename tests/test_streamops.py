@@ -1461,3 +1461,38 @@ def test_one_hot_encode_bruteforce(ray_session):
         "event_type": [f"t{i}" for i in range(300)]})
     with _pytest.raises(ValueError):
         one_hot_encode(ray.data.from_pandas(wide))
+
+
+def test_expectations_empty_reference_set(ray_session):
+    """ADVICE r03: an EMPTY referenced key set must report every row
+    as a violation, not raise IndexError from the searchsorted guard."""
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.validate import run_expectations
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3]}))
+    empty_ref = ray.data.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64")}))
+    out = run_expectations(
+        ds,
+        [{"name": "references:k", "kind": "references", "col": "k",
+          "ref": "r", "ref_col": "k"}],
+        refs={"r": empty_ref},
+    ).set_index("rule")
+    assert out.loc["references:k", "n_violations"] == 3
+    assert out.loc["references:k", "passed"] == 0
+
+
+def test_quantile_transform_single_row(ray_session):
+    """ADVICE r03: a single-row input yields pct_rank 0.0 (SQL
+    percent_rank semantics), not NaN from 0/0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.normalize import quantile_transform_global
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"event_id": np.array([7], dtype=np.int64), "value": [3.25]}))
+    out = quantile_transform_global(ds).to_pandas()
+    assert len(out) == 1 and out["pct_rank"].iloc[0] == 0.0
