@@ -280,17 +280,17 @@ def _ls_pass(
 ) -> pd.DataFrame:
     """Decoupled Lomb-Scargle pass at its own (finer) partition grain.
 
-    The LS family is the super-linear straggler inside the coarse
-    flagship partitions (measured 15.2 s tail vs 8.5 s mean at
-    32-way): a partition holding several hot conversations pins one
-    CPU while the rest idle.  Running LS as a second stage lets the
-    hot conversations spread over ``num_partitions`` fine partitions
-    (rollup/gapfill/codec keep their coarser, fixed-cost-friendly
-    grain).  Extra cost: one tiny keyed count exchange + one
-    hot-rows-only exchange (hot convs are a small skew-bounded
-    fraction of rows).  The hot-conv id list is driver-collected and
-    broadcast via ray.put — bounded by skew (convs with ≥
-    ls_min_turns turns), not by corpus size."""
+    Running LS as a second stage lets hot conversations spread over
+    ``num_partitions`` fine partitions while rollup/gapfill/codec keep
+    their coarser, fixed-cost-friendly grain.  Extra cost: one tiny
+    keyed count exchange + one hot-rows exchange + the lost
+    rollup/LS overlap — on a Zipf-hot corpus where hot convs hold
+    most rows this LOSES to inline LPT balancing (see run_flagship's
+    ``balance_ls`` and the measured numbers in its docstring); it wins
+    when hot convs are a small fraction of a huge corpus (skip
+    re-shipping the cold tail).  The hot-conv id list is
+    driver-collected and broadcast via ray.put — bounded by skew
+    (convs with ≥ ls_min_turns turns), not by corpus size."""
     if ls_features == "ls":
         from ..oracle.graphs import LS_FEATURES
 
