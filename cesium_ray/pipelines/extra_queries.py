@@ -1427,6 +1427,97 @@ ORDER BY doc_id
 """
 
 
+def q_gif_frames(sf_dir):
+    """★-checked REAL animated-GIF path (stages/gif.py — variable-width
+    LZW codec from the public spec): for every 10th doc_id, build a
+    3-frame 16×16 animation whose pixel indices are
+    splitmix64(doc·2048 + frame·512 + p) & 255 over a shared
+    splitmix64-derived 256-color palette, ENCODE to a real GIF89a
+    payload (Netscape loop ext + per-frame GCE), decode through the
+    actor-pool frame-explode stage, and emit one row per frame with
+    exact channel sums.  GIF is lossless, so the SQL twin computes the
+    sums analytically from the same arithmetic — any LZW/bitstream bug
+    breaks the match."""
+    from ..stages.dedup import _splitmix64
+    from ..stages.gif import encode_gif, gif_frame_features
+
+    pal_h = _splitmix64(np.uint64(0xABC) + np.arange(256, dtype=np.uint64))
+    palette = np.stack([pal_h & np.uint64(255),
+                        (pal_h >> np.uint64(8)) & np.uint64(255),
+                        (pal_h >> np.uint64(16)) & np.uint64(255)],
+                       axis=-1).astype(np.uint8)
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).filter(lambda r: r["doc_id"] % 10 == 0)
+
+    def to_media(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        payloads = []
+        for d in ids:
+            p = np.arange(3 * 256, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                h = _splitmix64(np.uint64(d) * np.uint64(2048)
+                                + (p // 256) * np.uint64(512) + p % 256)
+            idx = (h & np.uint64(255)).astype(np.uint8).reshape(3, 16, 16)
+            payloads.append(encode_gif(idx, palette))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow",
+                             batch_size=64)
+    out = gif_frame_features(media, batch_size=32).to_pandas()
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+def _gif_sql() -> str:
+    """SQL twin of q_gif_frames: lossless palette-indexed roundtrip →
+    per-frame channel sums follow analytically from the splitmix64
+    pixel indices joined against the splitmix64 palette."""
+    M = _M64
+    splitmix = _sql_splitmix
+    return f"""
+WITH
+docs AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+palraw AS (
+  SELECT unnest(generate_series(0, 255)) AS i,
+         (2748 + unnest(generate_series(0, 255))) % {M} AS x
+),
+{splitmix('x', 'palraw')},
+pal AS (
+  SELECT i,
+         CAST(h & 255 AS BIGINT) AS pr,
+         CAST((h >> 8) & 255 AS BIGINT) AS pg,
+         CAST((h >> 16) & 255 AS BIGINT) AS pb
+  FROM palraw_sm
+),
+px0 AS (
+  SELECT doc_id, unnest(generate_series(0, 767)) AS p
+  FROM docs
+),
+pxraw AS (
+  SELECT doc_id, p // 256 AS frame_idx,
+         (CAST(doc_id AS HUGEINT) * 2048
+          + (p // 256) * 512 + p % 256) % {M} AS x
+  FROM px0
+),
+{splitmix('x', 'pxraw')},
+px AS (
+  SELECT doc_id, frame_idx, CAST(h & 255 AS BIGINT) AS idx
+  FROM pxraw_sm
+)
+SELECT px.doc_id, px.frame_idx, CAST(3 AS BIGINT) AS n_frames,
+       CAST(sum(pal.pr) AS BIGINT) AS sum_r,
+       CAST(sum(pal.pg) AS BIGINT) AS sum_g,
+       CAST(sum(pal.pb) AS BIGINT) AS sum_b
+FROM px JOIN pal ON pal.i = px.idx
+GROUP BY px.doc_id, px.frame_idx
+ORDER BY px.doc_id, px.frame_idx
+"""
+
+
 def _multimodal_sql() -> str:
     """SQL twin of q_multimodal_features: frame_sample keeps
     doc_id % 10 == 0; the stub feature is
@@ -5969,6 +6060,7 @@ EXTRA_QUERIES = {
     "knn_ivf": q_knn_ivf,
     "multimodal_features": q_multimodal_features,
     "jpeg_roundtrip": q_jpeg_roundtrip,
+    "gif_frames": q_gif_frames,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -5977,6 +6069,7 @@ EXTRA_ORACLE_SQL = {
     "minhash_pairs": _minhash_pairs_sql(),
     "multimodal_features": _multimodal_sql(),
     "jpeg_roundtrip": _jpeg_sql(),
+    "gif_frames": _gif_sql(),
     "changepoint": CHANGEPOINT_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
