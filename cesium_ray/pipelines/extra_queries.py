@@ -1016,15 +1016,24 @@ def _minhash_pairs_sql() -> str:
     guard, lane-equality Jaccard estimate ≥ threshold, min-dup_of
     keeper (_verify_estimate).  Constants must track
     minhash_lsh_dedup's defaults (num_perm=64, bands=16, k=5,
-    max_bucket=1024) and q_minhash_pairs' threshold=0.5."""
+    max_bucket=1024) and q_minhash_pairs' threshold=0.5; num_perm /
+    bands / k / max_bucket are read from the engine signature so the
+    two sides cannot drift."""
+    import inspect
+
+    from ..stages.dedup import minhash_lsh_dedup
+
+    dflt = {k: v.default for k, v in
+            inspect.signature(minhash_lsh_dedup).parameters.items()}
     M = _M64
     mulmod, splitmix = _sql_mulmod, _sql_splitmix
     C1 = _SM_C1
     FNV_OFF = 0xCBF29CE484222325
     FNV_PRIME = 0x100000001B3
     MASK63 = (1 << 63) - 1
-    K, P, RPB = 5, 64, 4
-    THRESH, MAX_BUCKET = 0.5, 1024
+    K, P = dflt["k"], dflt["num_perm"]
+    RPB = P // dflt["bands"]
+    THRESH, MAX_BUCKET = 0.5, dflt["max_bucket"]
     PBITS = P.bit_length() - 1
 
     # FNV-1a over the band's RPB lanes, lane order 0..RPB-1
