@@ -280,3 +280,53 @@ def topk_per_group(
         return out.reset_index(drop=True)
 
     return group_apply(pruned, final, num_partitions=num_partitions, key=key)
+
+
+def bloom_build_distributed(
+    ds: ray.data.Dataset,
+    col: str,
+    n_keys: int,
+    bits_per_key: int = 10,
+    k: int = 7,
+    num_partitions: int = 16,
+) -> BloomFilter:
+    """Distributed BloomFilter build over a Dataset column — the
+    at-scale sibling of ``BloomFilter.add`` (which needs the key
+    array on the driver).  Map-side: each block hashes its DISTINCT
+    keys and emits its set words as (word_idx, bits) cells; one tiny
+    word-keyed exchange ORs them; the driver receives ≤ m/64 rows —
+    bounded by the FILTER size, never by corpus or block count.
+    Bit-identical to a driver-side ``add`` of the same key set
+    (parity pytest), so the result plugs straight into
+    ``bloom_semi_join``'s broadcast probe."""
+    from .partition import group_apply
+
+    proto = BloomFilter(n_keys, bits_per_key=bits_per_key, k=k)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(df[col].to_numpy(np.int64))
+        if not len(keys):
+            return pd.DataFrame({"w": pd.Series(dtype="int64"),
+                                 "bits": pd.Series(dtype="int64")})
+        pos = proto._positions(keys).ravel()
+        words = (pos >> np.uint64(6)).astype(np.int64)
+        masks = np.uint64(1) << (pos & np.uint64(63))
+        g = (pd.DataFrame({"w": words, "m": masks.astype(np.int64)})
+             .groupby("w", as_index=False)["m"]
+             .agg(lambda s: np.int64(np.bitwise_or.reduce(
+                 s.to_numpy().astype(np.uint64)).astype(np.uint64))))
+        return g.rename(columns={"m": "bits"})
+
+    cells = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas")
+    merged = group_apply(
+        cells,
+        lambda df: df.groupby("w", as_index=False)["bits"].agg(
+            lambda s: np.int64(np.bitwise_or.reduce(
+                s.to_numpy().astype(np.uint64)).astype(np.uint64))),
+        num_partitions=num_partitions, key="w",
+    ).to_pandas()
+    if len(merged):
+        proto.words[merged["w"].to_numpy(np.int64)] = \
+            merged["bits"].to_numpy().astype(np.uint64)
+    return proto

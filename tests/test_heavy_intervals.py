@@ -244,3 +244,28 @@ def test_heavy_hitters_empty_input(ray_session):
     got = heavy_hitters(ray.data.from_pandas(df), threshold_frac=0.01)
     assert len(got) == 0
     assert list(got.columns) == ["user_id", "n"]
+
+
+def test_bloom_build_distributed_parity(ray_session):
+    """Distributed word-cell build is bit-identical to a driver-side
+    BloomFilter.add of the same key set, and the result probes
+    correctly through bloom_semi_join's prefilter path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.heavy import BloomFilter, bloom_build_distributed
+
+    rng = np.random.default_rng(6)
+    keys = np.unique(rng.integers(0, 10_000, 700).astype(np.int64))
+    df = pd.DataFrame({"user_id": np.repeat(keys, 3)})  # dups across rows
+    ds = ray.data.from_pandas(df).repartition(5)
+    dist = bloom_build_distributed(ds, "user_id", n_keys=len(keys))
+    ref = BloomFilter(len(keys))
+    ref.add(keys)
+    np.testing.assert_array_equal(dist.words, ref.words)
+    probe = np.arange(12_000, dtype=np.int64)
+    got = dist.contains(probe)
+    assert got[np.isin(probe, keys)].all()          # no false negatives
+    fp = got[~np.isin(probe, keys)].mean()
+    assert fp < 0.05                                # ~1% expected at 10 bits/key
