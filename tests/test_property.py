@@ -203,3 +203,93 @@ def test_cc_numpy_vs_union_find_property(ne, nn, seed):
         comp.setdefault(find(int(n_)), []).append(int(n_))
     want = {n_: min(comp[find(int(n_))]) for n_ in got.node}
     assert all(int(c) == want[int(n_)] for n_, c in zip(got.node, got.cluster))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=60000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    mode=st.sampled_from(["random", "runs", "cycle", "sparse"]),
+)
+def test_gif_lzw_roundtrip_property(n, seed, mode):
+    """Variable-width GIF-LZW roundtrips any byte sequence, including
+    ones that force dictionary growth to 12 bits and CLEAR resets."""
+    from cesium_ray.stages.gif import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(seed)
+    if mode == "random":
+        data = rng.integers(0, 256, n).astype(np.uint8)
+    elif mode == "runs":
+        data = np.repeat(rng.integers(0, 256, max(1, n // 9 + 1)), 9)[:n]
+    elif mode == "cycle":
+        data = np.tile(np.arange(rng.integers(1, 300) % 256 + 1,
+                                 dtype=np.uint8), n)[:n]
+    else:
+        data = np.zeros(n, np.uint8)
+        if n:
+            hot = rng.integers(0, n, max(1, n // 20))
+            data[hot] = rng.integers(0, 256, len(hot))
+    got = _lzw_decode(_lzw_encode(data.astype(np.uint8)), 8)
+    np.testing.assert_array_equal(got, data)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    nf=st.integers(min_value=1, max_value=4),
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_container_roundtrip_property(nf, h, w, seed):
+    """Animated-GIF container roundtrip at arbitrary (F, H, W)."""
+    from cesium_ray.stages.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    frames = rng.integers(0, 256, (nf, h, w)).astype(np.uint8)
+    got, gp = decode_gif(encode_gif(frames, pal))
+    np.testing.assert_array_equal(got, frames)
+    np.testing.assert_array_equal(gp, pal)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    th=st.integers(min_value=1, max_value=5),
+    tw=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    gray=st.booleans(),
+)
+def test_jpeg_blocky_q100_exact_property(th, tw, seed, gray):
+    """The oracle contract holds for ANY tile colors/shape: blocky
+    q=100 JPEG decodes byte-exactly (gray and RGB)."""
+    from cesium_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    shape = (th, tw) if gray else (th, tw, 3)
+    tiles = rng.integers(0, 256, shape).astype(np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    got = decode_jpeg(encode_jpeg(img, quality=100))
+    np.testing.assert_array_equal(got, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_content_hash_polynomial_property(n, seed):
+    """content_hash64 equals the direct per-doc polynomial definition
+    sum(byte_i * 31^(L-1-i)) mod 2^64 + splitmix64 (the contract the
+    SQL mirrors rely on), for arbitrary byte strings incl. empty."""
+    from cesium_ray.stages.dedup import _splitmix64, content_hash64
+
+    rng = np.random.default_rng(seed)
+    docs = [bytes(rng.integers(0, 256, rng.integers(0, 200)).astype(np.uint8))
+            for _ in range(n)]
+    got = content_hash64(docs)
+    for i, d in enumerate(docs):
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for b in d:
+                acc = acc * np.uint64(31) + np.uint64(b)
+        assert got[i] == _splitmix64(np.array([acc], np.uint64))[0]
