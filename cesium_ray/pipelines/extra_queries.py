@@ -4126,6 +4126,51 @@ FROM per JOIN top ON m <= s_end_us AND m + 300000000 >= s_start_us
 """
 
 
+def q_scd2_history(sf_dir):
+    """★-checked SCD Type-2 dimension history
+    (stages/tsmath.py::scd2_history): each user's event_type stream
+    becomes the warehouse validity-interval table — one row per
+    attribute version with valid_from / valid_to (NULL while
+    current), 1-based version_no and is_current.  The CDC sibling of
+    ``upsert`` (last-write-wins keeps the head; SCD2 keeps history).
+    int64-µs timestamps end-to-end; LAG/LEAD gaps-and-islands
+    oracle."""
+    from ..stages.tsmath import scd2_history
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    return scd2_history(ev, num_partitions=8)
+
+
+SCD2_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_attr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+chg AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM o WHERE prev_attr IS NULL OR prev_attr <> event_type
+),
+runs AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to,
+         CAST(row_number() OVER w2 AS BIGINT) AS version_no,
+         (lead(ts) OVER w2 IS NULL) AS is_current
+  FROM chg
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_type, valid_from, valid_to, version_no,
+       is_current
+FROM runs
+ORDER BY user_id, version_no
+"""
+
+
+
 def q_run_stats(sf_dir):
     """★-checked per-key run-length structure (stages/tsmath.py):
     gaps-and-islands over event_type VALUE changes per user — event
@@ -6029,6 +6074,7 @@ EXTRA_QUERIES = {
     "decile_stats": q_decile_stats,
     "session_stats": q_session_stats,
     "run_stats": q_run_stats,
+    "scd2_history": q_scd2_history,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -6160,6 +6206,7 @@ EXTRA_ORACLE_SQL = {
     "session_stats": SESSION_STATS_SQL,
     "ewma": EWMA_SQL,
     "run_stats": RUN_STATS_SQL,
+    "scd2_history": SCD2_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

@@ -1325,3 +1325,67 @@ def seasonal_anomaly(
         .reindex(prof["h"]).fillna(0).to_numpy(np.int64),
     })
     return out.sort_values("hour").reset_index(drop=True)
+
+
+def scd2_history(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Slowly-Changing-Dimension Type-2 history: turn an attribute
+    event stream into the warehouse validity-interval table —
+    one row per (key, attr-version) with ``valid_from`` (first ts of
+    the run), ``valid_to`` (start of the next version, NULL while
+    current), 1-based ``version_no`` and ``is_current``.  The CDC
+    sibling of ``upsert`` (last-write-wins keeps only the head;
+    SCD2 keeps the full history).
+
+    Same partitioning contract as ``run_stats``: one key-hash
+    exchange, each key whole inside its partition, one lexsort +
+    boolean diffs per partition — no per-row Python."""
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                attr: pd.Series(dtype=object),
+                "valid_from": pd.Series(dtype="datetime64[us]"),
+                "valid_to": pd.Series(dtype="datetime64[us]"),
+                "version_no": pd.Series(dtype="int64"),
+                "is_current": pd.Series(dtype=bool)}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        ac, auniq = pd.factorize(df[attr])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, kc))
+        k, a, t = kc[perm], ac[perm], tus[perm]
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        run_brk = new_key | np.r_[True, a[1:] != a[:-1]]
+        rs = np.flatnonzero(run_brk)
+        rk, ra, rt = k[rs], a[rs], t[rs]
+        nk = np.r_[True, rk[1:] != rk[:-1]]
+        # version_no: 1-based index of the run within its key
+        first = np.maximum.accumulate(np.where(nk, np.arange(len(rs)), 0))
+        version = np.arange(len(rs)) - first + 1
+        nxt_same = np.r_[~nk[1:], False]
+        vt = np.full(len(rs), np.iinfo(np.int64).min, dtype=np.int64)
+        vt[nxt_same] = np.r_[rt[1:], np.int64(0)][nxt_same]
+        valid_to = vt.view("datetime64[us]").copy()
+        valid_to[~nxt_same] = np.datetime64("NaT")
+        return pd.DataFrame({
+            key: np.asarray(kuniq)[rk].astype(np.int64),
+            attr: np.asarray(auniq)[ra],
+            "valid_from": rt.view("datetime64[us]"),
+            "valid_to": valid_to,
+            "version_no": version.astype(np.int64),
+            "is_current": ~nxt_same,
+        })
+
+    return (group_apply(ds, per_key, num_partitions=num_partitions,
+                        key=key).to_pandas()
+            .sort_values([key, "version_no"], kind="mergesort")
+            .reset_index(drop=True))

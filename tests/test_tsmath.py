@@ -214,3 +214,49 @@ def test_ewma_matches_pandas_ewm(ray_session):
             alpha=0.3, adjust=False).mean().iloc[-1]
         assert abs(got.loc[uid, "ewma"] - want) < 1e-9, uid
     assert got.loc[1, "ewma"] == ev.loc[ev["user_id"] == 1, "value"].iloc[0]
+
+
+def test_scd2_history_bruteforce(ray_session):
+    """SCD2 validity intervals match a per-key brute force: runs of
+    equal attr become versions with [valid_from, next-run-start) and
+    NULL valid_to on the current version."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.tsmath import scd2_history
+
+    rng = np.random.default_rng(11)
+    n = 1200
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+    })
+    got = scd2_history(ray.data.from_pandas(df).repartition(4),
+                       num_partitions=6)
+    rows = []
+    for u, g in df.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort").groupby("user_id"):
+        runs, prev = [], None
+        for _, r in g.iterrows():
+            if prev is None or r.event_type != prev:
+                runs.append([r.event_type, r.ts])
+            prev = r.event_type
+        for i, (a, vf) in enumerate(runs):
+            vt = runs[i + 1][1] if i + 1 < len(runs) else pd.NaT
+            rows.append((u, a, vf, vt, i + 1, i + 1 == len(runs)))
+    want = pd.DataFrame(rows, columns=[
+        "user_id", "event_type", "valid_from", "valid_to",
+        "version_no", "is_current"])
+    want["valid_from"] = want["valid_from"].astype("datetime64[us]")
+    want["valid_to"] = want["valid_to"].astype("datetime64[us]")
+    want["version_no"] = want["version_no"].astype("int64")
+    want = want.sort_values(["user_id", "version_no"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # invariants: per key, versions chain (valid_to == next valid_from)
+    for u, g in got.groupby("user_id"):
+        assert g.is_current.sum() == 1 and bool(g.is_current.iloc[-1])
+        assert (g.valid_to.iloc[:-1].to_numpy()
+                == g.valid_from.iloc[1:].to_numpy()).all()
