@@ -2682,6 +2682,62 @@ FROM c GROUP BY cohort_day, age_days
 """
 
 
+def q_attribution(sf_dir):
+    """★-checked first/last-touch conversion attribution
+    (stages/analytics.py::touch_attribution): every 'purchase' event
+    credits the first and the last non-conversion touch in its 7-day
+    lookback; credits aggregate per channel.  One key-hash exchange,
+    vectorized searchsorted window bounds per user.  Window/tie
+    semantics (ts asc, event_id tiebreak; touch strictly before the
+    conversion, >= cts - 7d) are mirrored exactly in the windowed
+    SQL."""
+    from ..stages.analytics import touch_attribution
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    return touch_attribution(ev, conversion="purchase",
+                             num_partitions=8)
+
+
+ATTRIBUTION_SQL = """
+WITH conv AS (
+  SELECT user_id, event_id AS cid, ts AS cts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM events WHERE event_type <> 'purchase'
+),
+win AS (
+  SELECT c.user_id, c.cid, t.event_type, t.ts, t.event_id
+  FROM conv c JOIN touch t ON t.user_id = c.user_id
+   AND t.ts < c.cts AND t.ts >= c.cts - INTERVAL 7 DAY
+),
+ranked AS (
+  SELECT user_id, cid, event_type,
+         row_number() OVER (PARTITION BY user_id, cid
+                            ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id, cid
+                            ORDER BY ts DESC, event_id DESC) AS rl
+  FROM win
+),
+f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS first_touch
+      FROM ranked WHERE rf = 1 GROUP BY 1),
+l AS (SELECT event_type, CAST(count(*) AS BIGINT) AS last_touch
+      FROM ranked WHERE rl = 1 GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_conversions
+      FROM ranked WHERE rf = 1)
+SELECT coalesce(f.event_type, l.event_type) AS event_type,
+       coalesce(f.first_touch, 0) AS first_touch,
+       coalesce(l.last_touch, 0) AS last_touch,
+       n.n_conversions
+FROM f FULL OUTER JOIN l ON f.event_type = l.event_type, n
+ORDER BY 1
+"""
+
+
 def q_funnel(sf_dir):
     """★-checked strict-order funnel (stages/analytics.py): users
     reaching signup → click → purchase, each step strictly after the
@@ -6075,6 +6131,7 @@ EXTRA_QUERIES = {
     "session_stats": q_session_stats,
     "run_stats": q_run_stats,
     "scd2_history": q_scd2_history,
+    "attribution": q_attribution,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -6207,6 +6264,7 @@ EXTRA_ORACLE_SQL = {
     "ewma": EWMA_SQL,
     "run_stats": RUN_STATS_SQL,
     "scd2_history": SCD2_SQL,
+    "attribution": ATTRIBUTION_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

@@ -971,3 +971,79 @@ def corr_matrix(
                     * np.sqrt(n * syy - sy * sy)))
             rows.append((cols[i], cols[j], r))
     return pd.DataFrame(rows, columns=["col_a", "col_b", "r"])
+
+
+def touch_attribution(
+    ds: ray.data.Dataset,
+    conversion: str = "purchase",
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    lookback_s: int = 7 * 86400,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Marketing-style conversion attribution: for every
+    ``conversion`` event, credit the FIRST and LAST non-conversion
+    touch inside the lookback window, then aggregate credited
+    conversions per channel (= ``attr`` value) for both models.
+
+    One key-hash exchange (a user's events stay whole), one lexsort
+    per partition, searchsorted window bounds — no per-row Python.
+    Emits one row per channel: first_touch / last_touch credit counts
+    and n_conversions (conversions with ≥1 eligible touch, identical
+    for both models by construction)."""
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {attr: pd.Series(dtype=object),
+                "first_touch": pd.Series(dtype="int64"),
+                "last_touch": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, _ = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        av = df[attr].to_numpy()
+        perm = np.lexsort((oid, tus, kc))
+        k, t, a = kc[perm], tus[perm], av[perm]
+        is_conv = a == conversion
+        look = np.int64(lookback_s) * 1_000_000
+        ac, auniq = pd.factorize(a)
+        fcnt = np.zeros(len(auniq), np.int64)
+        lcnt = np.zeros(len(auniq), np.int64)
+        # per key: touches = non-conversion rows; window bounds for
+        # ALL of the key's conversions in two vectorized searchsorteds
+        key_start = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        key_end = np.r_[key_start[1:], len(k)]
+        for s, e in zip(key_start, key_end):
+            c_k = is_conv[s:e]
+            touch_ts = t[s:e][~c_k]
+            if not len(touch_ts):
+                continue
+            touch_c = ac[s:e][~c_k]
+            ct = t[s:e][c_k]
+            lo = np.searchsorted(touch_ts, ct - look, side="left")
+            hi = np.searchsorted(touch_ts, ct, side="left")
+            ok = hi > lo
+            np.add.at(fcnt, touch_c[lo[ok]], 1)
+            np.add.at(lcnt, touch_c[hi[ok] - 1], 1)
+        used = np.flatnonzero(fcnt | lcnt)
+        return pd.DataFrame({
+            attr: np.asarray(auniq)[used],
+            "first_touch": fcnt[used],
+            "last_touch": lcnt[used],
+        })
+
+    cells = group_apply(ds, per_key, num_partitions=num_partitions,
+                        key=key).to_pandas()
+    if not len(cells):
+        return pd.DataFrame({attr: [], "first_touch": [],
+                             "last_touch": [], "n_conversions": []})
+    out = (cells.groupby(attr, as_index=False)[["first_touch",
+                                                "last_touch"]].sum())
+    out["first_touch"] = out["first_touch"].astype(np.int64)
+    out["last_touch"] = out["last_touch"].astype(np.int64)
+    n_conv = np.int64(out["first_touch"].sum())
+    out["n_conversions"] = n_conv
+    return out.sort_values(attr, kind="mergesort").reset_index(drop=True)

@@ -131,3 +131,45 @@ def test_percent_rank_ties_and_single(ray_session):
     assert np.allclose(got["pr"].to_numpy(), want["pr"].to_numpy(),
                        rtol=0, atol=0)
     assert got.loc[got["event_id"] == 9999, "pr"].iloc[0] == 0.0
+
+
+def test_touch_attribution_bruteforce(ray_session):
+    """First/last-touch credits match a per-conversion brute force
+    (lookback window, strict before, ts+event_id tie order)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.analytics import touch_attribution
+
+    rng = np.random.default_rng(5)
+    n = 1500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 30, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["ad", "email", "social", "buy"], n,
+                                 p=[0.3, 0.3, 0.3, 0.1]),
+        "ts": pd.to_datetime(rng.integers(0, 20 * 86400, n), unit="s"),
+    })
+    look = 7 * 86400
+    got = touch_attribution(
+        ray.data.from_pandas(df).repartition(4), conversion="buy",
+        lookback_s=look, num_partitions=6,
+    ).set_index("event_type")
+    fs, ls, nconv = {}, {}, 0
+    s = df.sort_values(["ts", "event_id"], kind="mergesort")
+    for u, g in s.groupby("user_id"):
+        touches = g[g.event_type != "buy"]
+        for _, c in g[g.event_type == "buy"].iterrows():
+            w = touches[(touches.ts < c.ts)
+                        & (touches.ts >= c.ts - pd.Timedelta(seconds=look))]
+            if not len(w):
+                continue
+            nconv += 1
+            fs[w.iloc[0].event_type] = fs.get(w.iloc[0].event_type, 0) + 1
+            ls[w.iloc[-1].event_type] = ls.get(w.iloc[-1].event_type, 0) + 1
+    for ch in set(fs) | set(ls):
+        assert got.loc[ch, "first_touch"] == fs.get(ch, 0)
+        assert got.loc[ch, "last_touch"] == ls.get(ch, 0)
+    assert (got["n_conversions"] == nconv).all()
+    assert got["first_touch"].sum() == got["last_touch"].sum() == nconv
