@@ -874,6 +874,56 @@ def bench_stream(results, thr):
         thr[f"stream_{name}_out"] = int(out)
 
 
+
+def bench_media_codecs(results, thr):
+    """Single-core media-codec kernels (the per-actor decode cost that
+    sizes the multimodal actor pools): PNG (zlib + unfilter), baseline
+    JPEG (DCT + optimized Huffman) and animated-GIF LZW, encode and
+    decode MB/s over fixed deterministic images."""
+    import numpy as np
+
+    from cesium_ray.stages.gif import decode_gif, encode_gif
+    from cesium_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    from cesium_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(0)
+    img = np.repeat(np.repeat(
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), 8, 0), 8, 1)
+    raw_mb = img.nbytes / 1e6
+
+    def best3(fn):
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    png = encode_png(img, filter_type=4)
+    jpg = encode_jpeg(img, quality=90)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    frames = rng.integers(0, 256, (4, 128, 128)).astype(np.uint8)
+    gif = encode_gif(frames, pal)
+    gif_mb = frames.nbytes / 1e6
+    t = best3(lambda: encode_png(img, filter_type=4))
+    thr["png_encode_mb_s"] = round(raw_mb / t, 2)
+    t = best3(lambda: decode_png(png))
+    thr["png_decode_mb_s"] = round(raw_mb / t, 2)
+    t = best3(lambda: encode_jpeg(img, quality=90))
+    thr["jpeg_encode_mb_s"] = round(raw_mb / t, 2)
+    t = best3(lambda: decode_jpeg(jpg))
+    thr["jpeg_decode_mb_s"] = round(raw_mb / t, 2)
+    t = best3(lambda: encode_gif(frames, pal))
+    thr["gif_encode_mb_s"] = round(gif_mb / t, 2)
+    t = best3(lambda: decode_gif(gif))
+    thr["gif_decode_mb_s"] = round(gif_mb / t, 2)
+    # one wall number for the results line: total best-of-3 decode time
+    results["media_codecs"] = round(
+        raw_mb / thr["png_decode_mb_s"]
+        + raw_mb / thr["jpeg_decode_mb_s"]
+        + gif_mb / thr["gif_decode_mb_s"], 3)
+
+
 BENCHES = {
     "flagship_rollup": bench_flagship_rollup,
     "flagship_full": bench_flagship_full,
@@ -881,6 +931,7 @@ BENCHES = {
     "events_rollup_1h": bench_events_rollup,
     "gapfill_1m": bench_gapfill,
     "codec": bench_codec,
+    "media_codecs": bench_media_codecs,
     "tier_read": bench_tier_read,
     "features_general": bench_features,
     "text_dedup": bench_text_dedup,

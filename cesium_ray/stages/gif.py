@@ -84,24 +84,26 @@ def _lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
     """GIF-LZW bytes → flat uint8 index array."""
     clear = 1 << min_code_size
     end = clear + 1
-    # bit reader, LSB-first
-    bits = np.unpackbits(
-        np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    # bit reader, LSB-first: O(1) peeks via a 32-bit little-endian
+    # window over the byte array (codes are ≤ 12 bits, so a 3-byte
+    # window always covers one code at any bit offset)
+    b = np.frombuffer(data + b"\x00\x00\x00", dtype=np.uint8)
     pos = 0
     width = min_code_size + 1
+    total_bits = len(data) * 8
 
     def take() -> int:
         nonlocal pos
-        v = 0
-        for i in range(width):
-            v |= int(bits[pos + i]) << i
+        i = pos >> 3
+        word = int(b[i]) | (int(b[i + 1]) << 8) | (int(b[i + 2]) << 16)
+        v = (word >> (pos & 7)) & ((1 << width) - 1)
         pos += width
         return v
 
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
     out = bytearray()
     prev_entry = None
-    while pos + width <= len(bits):
+    while pos + width <= total_bits:
         code = take()
         if code == clear:
             table = table[: end + 1]
