@@ -1774,7 +1774,10 @@ def q_wav_features(sf_dir):
                                      kind="mergesort").groupby("user_id"):
             k = np.rint(g["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
             uids.append(int(uid))
-            payloads.append(encode_wav_pcm16((k % 32768).astype(np.int16)))
+            # SIGNED mapping (floored mod): exercises the codec's
+            # negative-sample path and makes zero_crossings meaningful
+            s16 = ((k + 16384) % 32768 - 16384).astype(np.int16)
+            payloads.append(encode_wav_pcm16(s16))
         return pa.table({"user_id": pa.array(uids, pa.int64()),
                          "payload": pa.array(payloads, pa.binary())})
 
@@ -1785,16 +1788,30 @@ def q_wav_features(sf_dir):
 
 WAV_SQL = """
 WITH k AS (
-  SELECT user_id, CAST(round(value * 100) AS BIGINT) % 32768 AS s
+  SELECT user_id, event_id,
+         ((CAST(round(value * 100) AS BIGINT) + 16384) % 32768
+          + 32768) % 32768 - 16384 AS s
   FROM events
+),
+lagd AS (
+  SELECT user_id, s,
+         lag(s) OVER (PARTITION BY user_id ORDER BY event_id) AS ps
+  FROM k
 )
 SELECT user_id,
        count(*) AS n_samples,
        CAST(16000 AS BIGINT) AS sample_rate,
        round(count(*) / 16000.0, 6) AS duration_s,
        max(abs(s)) AS peak,
-       round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)), 6) AS rms
-FROM k GROUP BY user_id
+       round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)), 6) AS rms,
+       CAST(sum(CASE WHEN ps IS NOT NULL AND ps * s < 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       round(CASE WHEN count(*) > 1
+             THEN CAST(sum(CASE WHEN ps IS NOT NULL
+                           THEN abs(s - ps) ELSE 0 END) AS DOUBLE)
+                  / (count(*) - 1)
+             ELSE 0.0 END, 6) AS mean_abs_step
+FROM lagd GROUP BY user_id
 """
 
 

@@ -142,7 +142,8 @@ class WavFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {"n_samples": [], "sample_rate": [], "duration_s": [],
-                "peak": [], "rms": []}
+                "peak": [], "rms": [], "zero_crossings": [],
+                "mean_abs_step": []}
         for p in batch["payload"]:
             rate, s = decode_wav_pcm16(p.as_py())
             si = s.astype(np.int64)
@@ -155,9 +156,16 @@ class WavFeatures:
             # float(ssq) FIRST (like SQL's CAST(sum AS DOUBLE)) so the
             # op sequence matches the oracle even when ssq ≥ 2^53
             rows["rms"].append(float(np.sqrt(float(ssq) / n)) if n else 0.0)
+            # sign-flip count + mean |Δ| — exact int space, 0 for n<2
+            rows["zero_crossings"].append(
+                int(((si[:-1] * si[1:]) < 0).sum()) if n > 1 else 0)
+            rows["mean_abs_step"].append(
+                float(int(np.abs(np.diff(si)).sum())) / (n - 1)
+                if n > 1 else 0.0)
         out = batch.drop_columns(["payload"])
         for k, v in rows.items():
-            t = pa.int64() if k in ("n_samples", "sample_rate", "peak") \
+            t = pa.int64() if k in ("n_samples", "sample_rate", "peak",
+                                    "zero_crossings") \
                 else pa.float64()
             out = out.append_column(k, pa.array(v, t))
         return out
