@@ -604,6 +604,68 @@ FROM events GROUP BY 1
 """
 
 
+def q_mmr_rerank(sf_dir):
+    """★-checked MMR diversified re-ranking
+    (stages/ann.py::mmr_rerank): top-30 cosine candidates for the
+    lowest vec_id's vector via the distributed brute-force pass, then
+    the greedy λ=0.5 relevance-vs-diversity selection of 5.  The SQL
+    twin replays the greedy with a recursive CTE over
+    list_cosine_similarity — selection order, relevance and MMR
+    scores all match (ties by vec_id both sides)."""
+    from ..stages.ann import mmr_rerank
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    head = emb.to_pandas().sort_values("vec_id").iloc[0]
+    out = mmr_rerank(emb, np.asarray(head["embedding"], np.float64),
+                     int(head["vec_id"]), k=5, lam=0.5, n_candidates=30)
+    out["rank"] = out["rank"].astype(np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return round6(out)
+
+
+MMR_SQL = """
+WITH RECURSIVE
+qv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings ORDER BY vec_id LIMIT 1
+),
+cand AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.e)
+           AS rel,
+         CAST(e.embedding AS DOUBLE[]) AS ev
+  FROM embeddings e, qv WHERE e.vec_id <> qv.vec_id
+  ORDER BY rel DESC, e.vec_id LIMIT 30
+),
+pair AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb,
+         list_cosine_similarity(a.ev, b.ev) AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+sel(step, vid, rel, score, ids) AS (
+  (SELECT 1, vec_id, rel, rel, [vec_id] FROM cand
+   ORDER BY rel DESC, vec_id LIMIT 1)
+  UNION ALL
+  SELECT step + 1, nxt.vec_id, nxt.rel, nxt.score,
+         list_append(ids, nxt.vec_id)
+  FROM sel, LATERAL (
+    SELECT c.vec_id, c.rel,
+           0.5 * c.rel - 0.5 * (
+             SELECT max(p.sim) FROM pair p
+             WHERE p.pa = c.vec_id AND list_contains(sel.ids, p.pb)
+           ) AS score
+    FROM cand c WHERE NOT list_contains(sel.ids, c.vec_id)
+    ORDER BY score DESC, c.vec_id LIMIT 1
+  ) nxt
+  WHERE step < 5
+)
+SELECT CAST(step AS BIGINT) AS rank, CAST(vid AS BIGINT) AS vec_id,
+       round(rel, 6) AS rel, round(score, 6) AS mmr_score
+FROM sel ORDER BY rank
+"""
+
+
 def q_knn_cosine(sf_dir):
     """Brute-force cosine top-5 neighbors for the 5 lowest vec_ids via
     ``stages.ann.brute_force_topk`` — broadcast query matrix, per-batch
@@ -6149,6 +6211,7 @@ EXTRA_QUERIES = {
     "run_stats": q_run_stats,
     "scd2_history": q_scd2_history,
     "attribution": q_attribution,
+    "mmr_rerank": q_mmr_rerank,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -6282,6 +6345,7 @@ EXTRA_ORACLE_SQL = {
     "run_stats": RUN_STATS_SQL,
     "scd2_history": SCD2_SQL,
     "attribution": ATTRIBUTION_SQL,
+    "mmr_rerank": MMR_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

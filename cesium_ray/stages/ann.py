@@ -511,3 +511,60 @@ def pca_power(
         "eigenvalue": np.full(d, lam),
         "explained_ratio": np.full(d, lam / total_var),
     })
+
+
+def mmr_rerank(
+    ds: ray.data.Dataset,
+    query_vec: np.ndarray,
+    query_id,
+    k: int = 5,
+    lam: float = 0.5,
+    n_candidates: int = 30,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): candidates come from the DISTRIBUTED exact
+    cosine pass (broadcast query, per-batch partial top-k); the
+    greedy re-rank then runs on the candidate set only — bounded by
+    ``n_candidates``, never corpus-sized.  Step 1 picks pure
+    relevance; step i maximizes λ·rel − (1−λ)·max-sim-to-selected
+    (ties by id).  The retrieval-diversity primitive for dedup-aware
+    sampling of training examples."""
+    cand = brute_force_topk(
+        ds, np.asarray([query_vec]), [query_id], k=n_candidates,
+        id_col=id_col, emb_col=emb_col, exclude_self=True,
+    ).sort_values(["sim", id_col], ascending=[False, True])
+    cids = cand[id_col].to_numpy()
+    rel = cand["sim"].to_numpy(np.float64)
+    id_ref = ray.put(np.sort(cids))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(id_ref)
+        v = df[id_col].to_numpy()
+        pos = np.clip(np.searchsorted(want, v), 0, len(want) - 1)
+        return df[want[pos] == v]
+
+    cvec = (ds.map_batches(pick, batch_format="pandas").to_pandas()
+            .set_index(id_col).loc[cids][emb_col])
+    X = _normalize(_stack(cvec))
+    pair = X @ X.T
+    sel: list[int] = []
+    rows = []
+    for step in range(1, min(k, len(cids)) + 1):
+        best = None
+        for j, c in enumerate(cids):
+            if j in sel:
+                continue
+            if not sel:
+                score = rel[j]
+            else:
+                score = lam * rel[j] - (1 - lam) * pair[j, sel].max()
+            if best is None or score > best[0] or (
+                    score == best[0] and c < best[1]):
+                best = (score, c, j)
+        rows.append((step, int(best[1]), float(rel[best[2]]),
+                     float(best[0])))
+        sel.append(best[2])
+    return pd.DataFrame(rows, columns=["rank", id_col, "rel",
+                                       "mmr_score"])

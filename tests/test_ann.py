@@ -161,3 +161,40 @@ def test_pca_power_matches_eigh(ray_session):
     assert abs(got["explained_ratio"].iloc[0]
                - evals[-1] / evals.sum()) < 1e-9
     assert np.isclose(np.linalg.norm(v_got), 1.0)
+
+
+def test_mmr_rerank_properties(ray_session):
+    """MMR greedy: step 1 is the pure-relevance argmax; every later
+    pick maximizes lam*rel - (1-lam)*max-sim-to-selected among the
+    remaining candidates (brute-force re-check); picks are distinct."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.ann import _normalize, _stack, mmr_rerank
+
+    rng = np.random.default_rng(3)
+    n, d = 80, 16
+    X = rng.normal(size=(n, d))
+    X[10] = X[5] * 1.7             # a near-duplicate pair
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(X)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    q = X[0]
+    out = mmr_rerank(ds, q, 0, k=6, lam=0.5, n_candidates=25)
+    assert len(out) == 6 and out["vec_id"].is_unique
+    # brute-force replay
+    Xn = _normalize(X)
+    rel_all = Xn @ (q / np.linalg.norm(q))
+    cand = np.argsort(-rel_all, kind="stable")
+    cand = np.array([c for c in cand if c != 0][:25])
+    rel = rel_all[cand]
+    pair = Xn[cand] @ Xn[cand].T
+    sel = []
+    for step in range(6):
+        scores = np.where(
+            np.isin(np.arange(len(cand)), sel), -np.inf,
+            rel if not sel else 0.5 * rel - 0.5 * pair[:, sel].max(axis=1))
+        j = int(np.argmax(scores))  # ties: lowest index = lowest id order
+        assert out.iloc[step]["vec_id"] == cand[j]
+        sel.append(j)
