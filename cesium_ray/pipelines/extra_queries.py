@@ -4261,6 +4261,56 @@ FROM per JOIN top ON m <= s_end_us AND m + 300000000 >= s_start_us
 """
 
 
+def q_theilsen_trend(sf_dir):
+    """★-checked Theil–Sen robust trend
+    (stages/tsmath.py::theilsen_trend): per-user MEDIAN of all
+    pairwise Δvalue/Δseconds slopes (distinct-timestamp pairs) — the
+    outlier-resistant sibling of linear_trend.  Engine median is the
+    shared duck_quantile kernel, so the SQL quantile_cont(0.5) over
+    the self-joined pair slopes is bit-identical; counts are exact
+    int64."""
+    from ..stages.tsmath import theilsen_trend
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value", "ts"],
+    )
+    return round6(theilsen_trend(ev, num_partitions=8))
+
+
+THEILSEN_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT a.user_id,
+         (b.value - a.value)
+           / (CAST(epoch_us(b.ts) - epoch_us(a.ts) AS DOUBLE)
+              / 1000000.0) AS slope
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND b.rn > a.rn
+   AND epoch_us(b.ts) > epoch_us(a.ts)
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         quantile_cont(slope, 0.5) AS med
+  FROM p GROUP BY user_id
+),
+n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id)
+SELECT n.user_id, n.n_events,
+       coalesce(agg.n_pairs, 0) AS n_pairs,
+       round(agg.med, 6) AS ts_slope_per_s,
+       false AS capped
+FROM n LEFT JOIN agg USING (user_id)
+ORDER BY n.user_id
+"""
+
+
 def q_scd2_history(sf_dir):
     """★-checked SCD Type-2 dimension history
     (stages/tsmath.py::scd2_history): each user's event_type stream
@@ -6212,6 +6262,7 @@ EXTRA_QUERIES = {
     "scd2_history": q_scd2_history,
     "attribution": q_attribution,
     "mmr_rerank": q_mmr_rerank,
+    "theilsen_trend": q_theilsen_trend,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -6346,6 +6397,7 @@ EXTRA_ORACLE_SQL = {
     "scd2_history": SCD2_SQL,
     "attribution": ATTRIBUTION_SQL,
     "mmr_rerank": MMR_SQL,
+    "theilsen_trend": THEILSEN_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

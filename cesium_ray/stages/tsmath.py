@@ -1389,3 +1389,64 @@ def scd2_history(
                         key=key).to_pandas()
             .sort_values([key, "version_no"], kind="mergesort")
             .reset_index(drop=True))
+
+
+def theilsen_trend(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    max_events: int = 2000,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Theil–Sen robust trend per key: the MEDIAN of all pairwise
+    slopes (Δvalue / Δseconds over pairs with distinct timestamps) —
+    the outlier-resistant alternative to the least-squares
+    ``linear_trend``.  O(n²) pairs per key, capped at ``max_events``
+    (same documented guard as the cadence pairwise-Δt histogram —
+    capped keys report their first ``max_events`` events by
+    (ts, order) and ``capped = true``).  One key-hash exchange; pairs
+    enumerate vectorized via triu indices; the median is the shared
+    ``duck_quantile`` kernel (bit-exact to SQL quantile_cont)."""
+    from ..oracle.rollup import duck_quantile
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "n_pairs": pd.Series(dtype="int64"),
+                "ts_slope_per_s": pd.Series(dtype="float64"),
+                "capped": pd.Series(dtype=bool)}
+        if not len(df):
+            return pd.DataFrame(cols)
+        out = []
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        vals = df[val_col].to_numpy(np.float64)
+        perm = np.lexsort((oid, tus, kc))
+        k, t, v = kc[perm], tus[perm], vals[perm]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        for s, e in zip(starts, ends):
+            n_all = e - s
+            capped = n_all > max_events
+            e2 = s + min(n_all, max_events)
+            tk, vk = t[s:e2], v[s:e2]
+            iu, ju = np.triu_indices(e2 - s, k=1)
+            dt_us = tk[ju] - tk[iu]
+            ok = dt_us > 0
+            slopes = ((vk[ju] - vk[iu])[ok]
+                      / (dt_us[ok].astype(np.float64) / 1_000_000.0))
+            slopes.sort(kind="mergesort")
+            out.append((int(np.asarray(kuniq)[k[s]]), np.int64(n_all),
+                        np.int64(len(slopes)),
+                        float(duck_quantile(slopes, 0.5))
+                        if len(slopes) else np.nan,
+                        bool(capped)))
+        return pd.DataFrame(out, columns=list(cols))
+
+    return (group_apply(ds, per_key, num_partitions=num_partitions,
+                        key=key).to_pandas()
+            .sort_values(key, kind="mergesort").reset_index(drop=True))

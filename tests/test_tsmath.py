@@ -260,3 +260,40 @@ def test_scd2_history_bruteforce(ray_session):
         assert g.is_current.sum() == 1 and bool(g.is_current.iloc[-1])
         assert (g.valid_to.iloc[:-1].to_numpy()
                 == g.valid_from.iloc[1:].to_numpy()).all()
+
+
+def test_theilsen_trend_bruteforce(ray_session):
+    """Theil–Sen slope matches the textbook definition (median of all
+    pairwise slopes over distinct-ts pairs) and is robust to an
+    injected outlier that flips the least-squares fit."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.tsmath import theilsen_trend
+
+    rng = np.random.default_rng(2)
+    rows = []
+    for u in range(6):
+        n = int(rng.integers(5, 40))
+        t = np.sort(rng.choice(10**6, n, replace=False))
+        v = 0.5 * t / 1e3 + rng.normal(0, 1, n)
+        if u == 0:
+            v[-1] += 1e7  # massive outlier
+        for i in range(n):
+            rows.append((u, len(rows), v[i],
+                         pd.Timestamp(t[i] * 1000, unit="us")))
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "value", "ts"])
+    got = theilsen_trend(ray.data.from_pandas(df).repartition(3),
+                         num_partitions=4).set_index("user_id")
+    for u, g in df.groupby("user_id"):
+        t = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        iu, ju = np.triu_indices(len(g), k=1)
+        ok = t[ju] > t[iu]
+        slopes = (v[ju] - v[iu])[ok] / ((t[ju] - t[iu])[ok] / 1e6)
+        assert got.loc[u, "n_pairs"] == len(slopes)
+        assert got.loc[u, "ts_slope_per_s"] == np.median(slopes)
+    # robustness: the outlier user's slope stays near the true 0.5/s
+    # (least squares on the same data is blown to ~1e3x by the spike)
+    assert abs(got.loc[0, "ts_slope_per_s"] - 0.5) < 0.05
