@@ -4261,6 +4261,104 @@ FROM per JOIN top ON m <= s_end_us AND m + 300000000 >= s_start_us
 """
 
 
+def q_gini_activity(sf_dir):
+    """★-checked Gini inequality coefficient of per-user event counts
+    (stages/analytics.py::gini_coefficient): exact int64 rank-weighted
+    numerator over one keyed count exchange; the single final
+    division is mirrored.  The skew health-check that motivates the
+    engine's hot-key salting and LPT placement."""
+    from ..stages.analytics import gini_coefficient
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"])
+    return round6(gini_coefficient(ev, num_partitions=8))
+
+
+GINI_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT cnt,
+         CAST(row_number() OVER (ORDER BY cnt, user_id) AS BIGINT) AS i
+  FROM c
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+agg AS (
+  SELECT nn.n AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS total_events,
+         CAST(sum((2 * i - nn.n - 1) * cnt) AS BIGINT) AS gini_num
+  FROM r, nn GROUP BY nn.n
+)
+SELECT n_keys, total_events, gini_num,
+       round(CAST(gini_num AS DOUBLE) / (n_keys * total_events), 6)
+         AS gini
+FROM agg
+"""
+
+
+def q_mann_kendall(sf_dir):
+    """★-checked Mann–Kendall trend test
+    (stages/tsmath.py::mann_kendall): per-user S statistic over
+    int-quantized values (exact int64 sign sum), tie-corrected
+    18·variance (exact int64), continuity-corrected Z (one mirrored
+    float expression).  The nonparametric companion of
+    theilsen_trend."""
+    from ..stages.tsmath import mann_kendall
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value", "ts"],
+    )
+    return round6(mann_kendall(ev, num_partitions=8))
+
+
+MANN_KENDALL_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s AS (
+  SELECT a.user_id,
+         CAST(sum(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn > a.rn
+  GROUP BY a.user_id
+),
+ties AS (
+  SELECT user_id,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+  FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS t
+        FROM e GROUP BY user_id, v) g
+  GROUP BY user_id
+),
+n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM e GROUP BY user_id)
+SELECT n.user_id, n.n_events,
+       coalesce(s.s_stat, 0) AS s_stat,
+       n.n_events * (n.n_events - 1) * (2 * n.n_events + 5)
+         - coalesce(ties.tie18, 0) AS var_s18,
+       round(CASE
+         WHEN coalesce(s.s_stat, 0) = 0 THEN 0.0
+         WHEN n.n_events * (n.n_events - 1) * (2 * n.n_events + 5)
+              - coalesce(ties.tie18, 0) = 0 THEN 0.0
+         WHEN s.s_stat > 0 THEN
+           (s.s_stat - 1) / sqrt((n.n_events * (n.n_events - 1)
+             * (2 * n.n_events + 5) - coalesce(ties.tie18, 0)) / 18.0)
+         ELSE
+           (s.s_stat + 1) / sqrt((n.n_events * (n.n_events - 1)
+             * (2 * n.n_events + 5) - coalesce(ties.tie18, 0)) / 18.0)
+       END, 6) AS z_stat,
+       false AS capped
+FROM n LEFT JOIN s USING (user_id) LEFT JOIN ties USING (user_id)
+ORDER BY n.user_id
+"""
+
+
 def q_theilsen_trend(sf_dir):
     """★-checked Theil–Sen robust trend
     (stages/tsmath.py::theilsen_trend): per-user MEDIAN of all
@@ -6263,6 +6361,8 @@ EXTRA_QUERIES = {
     "attribution": q_attribution,
     "mmr_rerank": q_mmr_rerank,
     "theilsen_trend": q_theilsen_trend,
+    "mann_kendall": q_mann_kendall,
+    "gini_activity": q_gini_activity,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -6398,6 +6498,8 @@ EXTRA_ORACLE_SQL = {
     "attribution": ATTRIBUTION_SQL,
     "mmr_rerank": MMR_SQL,
     "theilsen_trend": THEILSEN_SQL,
+    "mann_kendall": MANN_KENDALL_SQL,
+    "gini_activity": GINI_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

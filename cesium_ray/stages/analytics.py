@@ -1047,3 +1047,47 @@ def touch_attribution(
     n_conv = np.int64(out["first_touch"].sum())
     out["n_conversions"] = n_conv
     return out.sort_values(attr, kind="mergesort").reset_index(drop=True)
+
+
+def gini_coefficient(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Gini inequality coefficient of per-key activity: over the
+    sorted per-key event counts x_1 ≤ … ≤ x_n,
+    G = Σ (2i − n − 1)·x_i / (n · Σ x_i) — 0 when activity is uniform,
+    → 1 under extreme concentration (the skew health-check for
+    hot-key planning).  Map-side per-block counts reduce through one
+    keyed exchange to n final cells; the numerator is an EXACT int64
+    (ranks × counts), so engine and SQL agree bit-for-bit before the
+    single final division."""
+    from .partition import group_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, as_index=False, observed=True).size()
+        return g.rename(columns={"size": "cnt"})
+
+    counts = group_apply(
+        ds.select_columns([key]).map_batches(partial,
+                                             batch_format="pandas"),
+        lambda df: df.groupby(key, as_index=False,
+                              observed=True)["cnt"].sum(),
+        num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    x = np.sort(counts["cnt"].to_numpy(np.int64), kind="mergesort")
+    n = len(x)
+    total = int(x.sum())
+    if n == 0 or total == 0:
+        gini = 0.0
+        num = 0
+    else:
+        i = np.arange(1, n + 1, dtype=np.int64)
+        num = int(((2 * i - n - 1) * x).sum())
+        gini = float(num) / (n * total)
+    return pd.DataFrame({
+        "n_keys": [np.int64(n)],
+        "total_events": [np.int64(total)],
+        "gini_num": [np.int64(num)],
+        "gini": [gini],
+    })

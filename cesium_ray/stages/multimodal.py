@@ -137,8 +137,9 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
 class WavFeatures:
     """Actor-pool decode stage over REAL wav payloads: parses each
     payload and emits exact integer-space features (``n_samples``,
-    ``sample_rate``, ``duration_s``, ``peak``, ``rms``) — every value
-    reproducible by an oracle that knows the source samples."""
+    ``sample_rate``, ``duration_s``, ``peak``, ``rms``,
+    ``zero_crossings``, ``mean_abs_step``) — every value reproducible
+    by an oracle that knows the source samples."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {"n_samples": [], "sample_rate": [], "duration_s": [],

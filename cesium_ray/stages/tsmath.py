@@ -1450,3 +1450,69 @@ def theilsen_trend(
     return (group_apply(ds, per_key, num_partitions=num_partitions,
                         key=key).to_pandas()
             .sort_values(key, kind="mergesort").reset_index(drop=True))
+
+
+def mann_kendall(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    max_events: int = 2000,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Mann–Kendall trend test per key (the nonparametric companion
+    of ``theilsen_trend``): S = Σ_{i<j} sign(v_j − v_i) over the
+    time-ordered values, tie-corrected variance
+    var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18, and the standard
+    continuity-corrected Z.  S and both variance terms are EXACT
+    int64; Z is one mirrored float expression.  Same capped-pairs
+    guard and partitioning contract as theilsen_trend."""
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "s_stat": pd.Series(dtype="int64"),
+                "var_s18": pd.Series(dtype="int64"),
+                "z_stat": pd.Series(dtype="float64"),
+                "capped": pd.Series(dtype=bool)}
+        if not len(df):
+            return pd.DataFrame(cols)
+        out = []
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        # int-space values (the driver data is 2-decimal quantized):
+        # sign comparisons in exact int64, like the oracle
+        vq = np.rint(df[val_col].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        perm = np.lexsort((oid, tus, kc))
+        k, v = kc[perm], vq[perm]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        for s, e in zip(starts, ends):
+            n_all = e - s
+            capped = n_all > max_events
+            e2 = s + min(n_all, max_events)
+            vk = v[s:e2]
+            n = len(vk)
+            iu, ju = np.triu_indices(n, k=1)
+            S = int(np.sign(vk[ju] - vk[iu]).sum())
+            _, tcnt = np.unique(vk, return_counts=True)
+            var18 = int(n * (n - 1) * (2 * n + 5)
+                        - int((tcnt * (tcnt - 1) * (2 * tcnt + 5)).sum()))
+            if S > 0:
+                z = (S - 1) / np.sqrt(var18 / 18.0) if var18 else 0.0
+            elif S < 0:
+                z = (S + 1) / np.sqrt(var18 / 18.0) if var18 else 0.0
+            else:
+                z = 0.0
+            out.append((int(np.asarray(kuniq)[k[s]]), np.int64(n_all),
+                        np.int64(S), np.int64(var18), float(z),
+                        bool(capped)))
+        return pd.DataFrame(out, columns=list(cols))
+
+    return (group_apply(ds, per_key, num_partitions=num_partitions,
+                        key=key).to_pandas()
+            .sort_values(key, kind="mergesort").reset_index(drop=True))

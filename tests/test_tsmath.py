@@ -297,3 +297,69 @@ def test_theilsen_trend_bruteforce(ray_session):
     # robustness: the outlier user's slope stays near the true 0.5/s
     # (least squares on the same data is blown to ~1e3x by the spike)
     assert abs(got.loc[0, "ts_slope_per_s"] - 0.5) < 0.05
+
+
+def test_mann_kendall_bruteforce(ray_session):
+    """S, tie-corrected variance and Z match the textbook definitions;
+    a strictly increasing series gets the maximal S."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.tsmath import mann_kendall
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for u in range(5):
+        n = int(rng.integers(5, 30))
+        t = np.sort(rng.choice(10**6, n, replace=False))
+        v = (np.arange(n, dtype=float) / 100.0 if u == 0
+             else np.round(rng.normal(10, 2, n), 2))
+        for i in range(n):
+            rows.append((u, len(rows), v[i],
+                         pd.Timestamp(t[i] * 1000, unit="us")))
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "value", "ts"])
+    got = mann_kendall(ray.data.from_pandas(df).repartition(3),
+                       num_partitions=4).set_index("user_id")
+    for u, g in df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        vq = np.rint(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        n = len(vq)
+        iu, ju = np.triu_indices(n, k=1)
+        S = int(np.sign(vq[ju] - vq[iu]).sum())
+        _, t = np.unique(vq, return_counts=True)
+        var18 = n * (n - 1) * (2 * n + 5) - int(
+            (t * (t - 1) * (2 * t + 5)).sum())
+        assert got.loc[u, "s_stat"] == S
+        assert got.loc[u, "var_s18"] == var18
+        if var18 and S != 0:
+            want_z = (S - np.sign(S)) / np.sqrt(var18 / 18.0)
+            assert abs(got.loc[u, "z_stat"] - want_z) < 1e-6
+    # strictly increasing user: S = n(n-1)/2, strongly positive Z
+    n0 = (df.user_id == 0).sum()
+    assert got.loc[0, "s_stat"] == n0 * (n0 - 1) // 2
+    assert got.loc[0, "z_stat"] > 3.0
+
+
+def test_gini_coefficient_known_answers(ray_session):
+    """Uniform counts -> 0; extreme concentration -> near 1; matches
+    the closed form on a hand case."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.analytics import gini_coefficient
+
+    def build(counts):
+        rows = []
+        for u, c in enumerate(counts):
+            rows += [(u,)] * c
+        return ray.data.from_pandas(
+            pd.DataFrame(rows, columns=["user_id"])).repartition(3)
+
+    uni = gini_coefficient(build([10] * 8), num_partitions=4)
+    assert uni["gini"].iloc[0] == 0.0
+    conc = gini_coefficient(build([1, 1, 1, 197]), num_partitions=4)
+    assert conc["gini"].iloc[0] > 0.7
+    hand = gini_coefficient(build([1, 2, 3, 4]), num_partitions=4)
+    # closed form: sum((2i-n-1)x)/ (n*sum) = (-3*1 -1*2 +1*3 +3*4)/(4*10)
+    assert hand["gini"].iloc[0] == 10 / 40
