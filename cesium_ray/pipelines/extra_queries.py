@@ -4261,6 +4261,114 @@ FROM per JOIN top ON m <= s_end_us AND m + 300000000 >= s_start_us
 """
 
 
+def q_psi_drift(sf_dir):
+    """★-checked Population Stability Index
+    (stages/analytics.py::psi_drift): split at the EXACT global median
+    timestamp (distributed rank selection ≡ quantile_cont), bin both
+    halves by the reference half's value deciles, Laplace-smoothed
+    PSI.  One row per bin — counts exact int64, contribution and
+    total are the mirrored float expression."""
+    from ..stages.analytics import psi_drift
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value", "ts"])
+    return round6(psi_drift(ev, num_partitions=8))
+
+
+def _psi_sql() -> str:
+    n_bins = 10
+    qs = [(i + 1) / n_bins for i in range(n_bins - 1)]
+    bsel = ", ".join(
+        f"quantile_cont(v, {q}) AS b{i}" for i, q in enumerate(qs))
+    binexpr = " + ".join(
+        f"(CASE WHEN v > b.b{i} THEN 1 ELSE 0 END)"
+        for i in range(n_bins - 1))
+    return f"""
+WITH k AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v, epoch_us(ts) AS t
+  FROM events
+),
+med AS (SELECT quantile_cont(t, 0.5) AS m FROM k),
+b AS (SELECT {bsel} FROM k, med WHERE t <= m),
+binned AS (
+  SELECT ({binexpr}) AS bin,
+         CASE WHEN t <= med.m THEN 0 ELSE 1 END AS side
+  FROM k, med, b
+),
+grid AS (
+  SELECT g.bin, s.side
+  FROM (SELECT unnest(generate_series(0, {n_bins - 1})) AS bin) g,
+       (SELECT unnest([0, 1]) AS side) s
+),
+cnt AS (
+  SELECT grid.bin, grid.side,
+         CAST(coalesce(count(binned.bin), 0) AS BIGINT) AS c
+  FROM grid LEFT JOIN binned
+       ON binned.bin = grid.bin AND binned.side = grid.side
+  GROUP BY grid.bin, grid.side
+),
+piv AS (
+  SELECT bin,
+         sum(CASE WHEN side = 0 THEN c ELSE 0 END) AS c_ref,
+         sum(CASE WHEN side = 1 THEN c ELSE 0 END) AS c_cur
+  FROM cnt GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+         CAST(sum(c_cur) AS BIGINT) AS n_cur
+  FROM piv
+),
+sh AS (
+  SELECT bin, CAST(c_ref AS BIGINT) AS c_ref,
+         CAST(c_cur AS BIGINT) AS c_cur, n_ref, n_cur,
+         (c_ref + 0.5) / (n_ref + {n_bins / 2.0}) AS p,
+         (c_cur + 0.5) / (n_cur + {n_bins / 2.0}) AS q
+  FROM piv, tot
+),
+con AS (
+  SELECT bin, c_ref, c_cur, n_ref, n_cur,
+         (p - q) * ln(p / q) AS contrib
+  FROM sh
+)
+SELECT bin, c_ref, c_cur, n_ref, n_cur,
+       round(contrib, 6) AS contrib,
+       round((SELECT sum(contrib) FROM con), 6) AS psi
+FROM con ORDER BY bin
+"""
+
+
+def q_record_highs(sf_dir):
+    """★-checked per-user running-record analysis
+    (stages/analytics.py::record_highs): count of events setting a new
+    all-time high (strict, int-quantized; first event counts) + final
+    max.  Window prefix-max SQL twin."""
+    from ..stages.analytics import record_highs
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value", "ts"],
+    )
+    return round6(record_highs(ev, num_partitions=8))
+
+
+RECORD_HIGHS_SQL = """
+WITH k AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+         max(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prev_max IS NULL OR v > prev_max
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+       round(max(v) / 100.0, 6) AS final_max
+FROM k GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_gini_activity(sf_dir):
     """★-checked Gini inequality coefficient of per-user event counts
     (stages/analytics.py::gini_coefficient): exact int64 rank-weighted
@@ -6363,6 +6471,8 @@ EXTRA_QUERIES = {
     "theilsen_trend": q_theilsen_trend,
     "mann_kendall": q_mann_kendall,
     "gini_activity": q_gini_activity,
+    "psi_drift": q_psi_drift,
+    "record_highs": q_record_highs,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -6500,6 +6610,8 @@ EXTRA_ORACLE_SQL = {
     "theilsen_trend": THEILSEN_SQL,
     "mann_kendall": MANN_KENDALL_SQL,
     "gini_activity": GINI_SQL,
+    "psi_drift": _psi_sql(),
+    "record_highs": RECORD_HIGHS_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

@@ -1091,3 +1091,131 @@ def gini_coefficient(
         "gini_num": [np.int64(num)],
         "gini": [gini],
     })
+
+
+def psi_drift(
+    ds: ray.data.Dataset,
+    val_col: str = "value",
+    ts_col: str = "ts",
+    n_bins: int = 10,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Population Stability Index — the ML data-drift health check:
+    split the stream at the EXACT global median timestamp, bin both
+    halves by the reference half's value deciles, and report
+    PSI = Σ (p_i − q_i)·ln(p_i / q_i) with Laplace-smoothed shares
+    p = (c + 0.5) / (n + bins/2).  Everything up to the one mirrored
+    float expression is exact: the median and decile bounds come from
+    the distributed rank-selection kernel (≡ quantile_cont bit-for-
+    bit), counts are int64 cells through one tiny keyed exchange.
+    Emits one row per bin (exact counts + round-able contribution) —
+    a 10-row verification surface rather than a single scalar."""
+    from .partition import group_apply
+    from ..stages.selection import grouped_rank_quantiles
+
+    def kspace(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": np.zeros(len(df), np.int8),
+            "v": np.rint(df[val_col].to_numpy(np.float64)
+                         * 100.0).astype(np.int64),
+            "t": df[ts_col].to_numpy("datetime64[us]").view(np.int64),
+        })
+
+    mat = ds.select_columns([val_col, ts_col]).map_batches(
+        kspace, batch_format="pandas").materialize()
+    med = float(grouped_rank_quantiles(
+        mat, "g", "t", ps=(0.5,))["q_0"].iloc[0])
+    med_ref = ray.put(med)
+
+    def ref_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["t"].to_numpy(np.int64) <= ray.get(med_ref)]
+
+    qs = tuple((i + 1) / n_bins for i in range(n_bins - 1))
+    bounds = grouped_rank_quantiles(
+        mat.map_batches(ref_only, batch_format="pandas").materialize(),
+        "g", "v", ps=qs)
+    bvals = np.array([float(bounds[f"q_{i}"].iloc[0])
+                      for i in range(n_bins - 1)])
+    b_ref = ray.put((med, bvals))
+
+    def bin_counts(df: pd.DataFrame) -> pd.DataFrame:
+        m, bv = ray.get(b_ref)
+        v = df["v"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        b = np.searchsorted(bv, v, side="left")  # = Σ_j [v > b_j]
+        rows = []
+        for is_ref in (True, False):
+            sel = b[t <= m] if is_ref else b[t > m]
+            c = np.bincount(sel, minlength=len(bv) + 1)
+            rows.append(pd.DataFrame({
+                "bin": np.arange(len(c), dtype=np.int64),
+                "side": np.int64(0 if is_ref else 1),
+                "c": c.astype(np.int64)}))
+        return pd.concat(rows, ignore_index=True)
+
+    cells = group_apply(
+        mat.map_batches(bin_counts, batch_format="pandas"),
+        lambda df: df.groupby(["bin", "side"], as_index=False)["c"].sum(),
+        num_partitions=num_partitions, key="bin",
+    ).to_pandas()
+    piv = (cells.pivot_table(index="bin", columns="side", values="c",
+                             aggfunc="sum", fill_value=0)
+           .reindex(range(n_bins), fill_value=0))
+    c_ref = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    c_cur = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    n_ref, n_cur = int(c_ref.sum()), int(c_cur.sum())
+    p = (c_ref + 0.5) / (n_ref + n_bins / 2.0)
+    q = (c_cur + 0.5) / (n_cur + n_bins / 2.0)
+    contrib = (p - q) * np.log(p / q)
+    return pd.DataFrame({
+        "bin": np.arange(n_bins, dtype=np.int64),
+        "c_ref": c_ref, "c_cur": c_cur,
+        "n_ref": np.int64(n_ref), "n_cur": np.int64(n_cur),
+        "contrib": contrib, "psi": float(contrib.sum()),
+    })
+
+
+def record_highs(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key running-record analysis: how many events set a new
+    all-time high (strictly above every earlier value; the first
+    event is a record), plus the final maximum.  Exact int-quantized
+    comparisons; one key-hash exchange + a prefix-max per key."""
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "n_records": pd.Series(dtype="int64"),
+                "final_max": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        vq = np.rint(df[val_col].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        perm = np.lexsort((oid, tus, kc))
+        k, v = kc[perm], vq[perm]
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new_key)
+        ends = np.r_[starts[1:], len(k)]
+        out = []
+        for s, e in zip(starts, ends):
+            vk = v[s:e]
+            pmax = np.maximum.accumulate(vk)
+            rec = np.r_[True, vk[1:] > pmax[:-1]]
+            out.append((int(np.asarray(kuniq)[k[s]]),
+                        np.int64(e - s), np.int64(int(rec.sum())),
+                        float(pmax[-1] / 100.0)))
+        return pd.DataFrame(out, columns=list(cols))
+
+    return (group_apply(ds, per_key, num_partitions=num_partitions,
+                        key=key).to_pandas()
+            .sort_values(key, kind="mergesort").reset_index(drop=True))

@@ -173,3 +173,60 @@ def test_touch_attribution_bruteforce(ray_session):
         assert got.loc[ch, "last_touch"] == ls.get(ch, 0)
     assert (got["n_conversions"] == nconv).all()
     assert got["first_touch"].sum() == got["last_touch"].sum() == nconv
+
+
+def test_psi_drift_properties(ray_session):
+    """PSI ~ 0 on a stationary stream; large under a mean shift in the
+    second half; per-bin counts partition both halves."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.analytics import psi_drift
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    ts = pd.to_datetime(np.arange(n) * 1000, unit="s")
+
+    def run(vals):
+        df = pd.DataFrame({"value": np.round(vals, 2), "ts": ts})
+        return psi_drift(ray.data.from_pandas(df).repartition(4),
+                         num_partitions=4)
+
+    stat = run(rng.normal(50, 5, n))
+    assert stat["psi"].iloc[0] < 0.05
+    shifted = np.r_[rng.normal(50, 5, n // 2), rng.normal(80, 5, n - n // 2)]
+    drift = run(shifted)
+    assert drift["psi"].iloc[0] > 0.5
+    assert drift["c_ref"].sum() == drift["n_ref"].iloc[0]
+    assert drift["c_cur"].sum() == drift["n_cur"].iloc[0]
+    assert drift["c_ref"].sum() + drift["c_cur"].sum() == n
+
+
+def test_record_highs_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.analytics import record_highs
+
+    rng = np.random.default_rng(9)
+    n = 800
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": np.round(rng.normal(10, 3, n), 2),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+    })
+    got = record_highs(ray.data.from_pandas(df).repartition(3),
+                       num_partitions=4).set_index("user_id")
+    for u, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        vq = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        best, rec = None, 0
+        for x in vq:
+            if best is None or x > best:
+                rec += 1
+                best = int(x) if best is None else max(best, int(x))
+            best = max(best, int(x))
+        assert got.loc[u, "n_records"] == rec
+        assert got.loc[u, "final_max"] == vq.max() / 100.0
