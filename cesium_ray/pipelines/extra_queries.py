@@ -4261,6 +4261,47 @@ FROM per JOIN top ON m <= s_end_us AND m + 300000000 >= s_start_us
 """
 
 
+def q_trimmed_mean(sf_dir):
+    """★-checked per-user trimmed mean
+    (stages/tsmath.py::trimmed_mean): mean of the int-quantized values
+    inside the user's own [p10, p90] band — band edges from the shared
+    duck_quantile kernel, membership and sums exact, the two final
+    divisions mirrored."""
+    from ..stages.tsmath import trimmed_mean
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return round6(trimmed_mean(ev, num_partitions=8))
+
+
+TRIMMED_MEAN_SQL = """
+WITH k AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+b AS (
+  SELECT user_id, quantile_cont(v, 0.1) AS lo, quantile_cont(v, 0.9) AS hi,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(v) AS BIGINT) AS sum_all
+  FROM k GROUP BY user_id
+),
+kept AS (
+  SELECT k.user_id, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(k.v) AS BIGINT) AS sum_kept
+  FROM k JOIN b USING (user_id)
+  WHERE k.v >= b.lo AND k.v <= b.hi
+  GROUP BY k.user_id
+)
+SELECT b.user_id, b.n_events, kept.n_kept,
+       round(CAST(b.sum_all AS DOUBLE) / b.n_events / 100.0, 6)
+         AS mean_all,
+       round(CAST(kept.sum_kept AS DOUBLE) / kept.n_kept / 100.0, 6)
+         AS trimmed_mean
+FROM b JOIN kept USING (user_id)
+ORDER BY b.user_id
+"""
+
+
 def q_psi_drift(sf_dir):
     """★-checked Population Stability Index
     (stages/analytics.py::psi_drift): split at the EXACT global median
@@ -6472,6 +6513,7 @@ EXTRA_QUERIES = {
     "mann_kendall": q_mann_kendall,
     "gini_activity": q_gini_activity,
     "psi_drift": q_psi_drift,
+    "trimmed_mean": q_trimmed_mean,
     "record_highs": q_record_highs,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
@@ -6611,6 +6653,7 @@ EXTRA_ORACLE_SQL = {
     "mann_kendall": MANN_KENDALL_SQL,
     "gini_activity": GINI_SQL,
     "psi_drift": _psi_sql(),
+    "trimmed_mean": TRIMMED_MEAN_SQL,
     "record_highs": RECORD_HIGHS_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,

@@ -1516,3 +1516,57 @@ def mann_kendall(
     return (group_apply(ds, per_key, num_partitions=num_partitions,
                         key=key).to_pandas()
             .sort_values(key, kind="mergesort").reset_index(drop=True))
+
+
+def trimmed_mean(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    lo_p: float = 0.1,
+    hi_p: float = 0.9,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key trimmed mean: average of the int-quantized values
+    inside the key's own [p10, p90] quantile band (inclusive bounds
+    from the shared ``duck_quantile`` kernel ≡ quantile_cont, so the
+    band edges — and therefore membership — are bit-identical to the
+    SQL).  Completes the robust-stats trio with theilsen_trend and
+    mann_kendall.  One key-hash exchange; per key one sort + two
+    O(1) quantile reads + one masked exact-int sum."""
+    from ..oracle.rollup import duck_quantile
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "n_kept": pd.Series(dtype="int64"),
+                "mean_all": pd.Series(dtype="float64"),
+                "trimmed_mean": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        out = []
+        kc, kuniq = pd.factorize(df[key])
+        vq = np.rint(df[val_col].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        order = np.argsort(kc, kind="stable")
+        k, v = kc[order], vq[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        for s, e in zip(starts, ends):
+            vk = np.sort(v[s:e], kind="mergesort")
+            n = len(vk)
+            lo = duck_quantile(vk.astype(np.float64), lo_p)
+            hi = duck_quantile(vk.astype(np.float64), hi_p)
+            keep = vk[(vk >= lo) & (vk <= hi)]
+            out.append((
+                int(np.asarray(kuniq)[k[s]]), np.int64(n),
+                np.int64(len(keep)),
+                float(int(vk.sum())) / n / 100.0,
+                float(int(keep.sum())) / len(keep) / 100.0
+                if len(keep) else np.nan,
+            ))
+        return pd.DataFrame(out, columns=list(cols))
+
+    return (group_apply(ds, per_key, num_partitions=num_partitions,
+                        key=key).to_pandas()
+            .sort_values(key, kind="mergesort").reset_index(drop=True))

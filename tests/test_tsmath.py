@@ -363,3 +363,35 @@ def test_gini_coefficient_known_answers(ray_session):
     hand = gini_coefficient(build([1, 2, 3, 4]), num_partitions=4)
     # closed form: sum((2i-n-1)x)/ (n*sum) = (-3*1 -1*2 +1*3 +3*4)/(4*10)
     assert hand["gini"].iloc[0] == 10 / 40
+
+
+def test_trimmed_mean_bruteforce(ray_session):
+    """Band membership uses the exact quantile_cont-equivalent edges;
+    a fat outlier moves mean_all but barely the trimmed mean."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.oracle.rollup import duck_quantile
+    from cesium_ray.stages.tsmath import trimmed_mean
+
+    rng = np.random.default_rng(12)
+    rows = []
+    for u in range(8):
+        n = int(rng.integers(10, 60))
+        v = np.round(rng.normal(20, 4, n), 2)
+        if u == 0:
+            v[0] = 5000.0
+        rows += [(u, x) for x in v]
+    df = pd.DataFrame(rows, columns=["user_id", "value"])
+    got = trimmed_mean(ray.data.from_pandas(df).repartition(3),
+                       num_partitions=4).set_index("user_id")
+    for u, g in df.groupby("user_id"):
+        vq = np.sort(np.rint(g["value"].to_numpy() * 100).astype(np.int64))
+        lo = duck_quantile(vq.astype(float), 0.1)
+        hi = duck_quantile(vq.astype(float), 0.9)
+        keep = vq[(vq >= lo) & (vq <= hi)]
+        assert got.loc[u, "n_kept"] == len(keep)
+        assert got.loc[u, "trimmed_mean"] == \
+            float(int(keep.sum())) / len(keep) / 100.0
+    assert got.loc[0, "mean_all"] > got.loc[0, "trimmed_mean"] + 1.0
