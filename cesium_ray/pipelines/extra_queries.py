@@ -4378,6 +4378,59 @@ FROM con ORDER BY bin
 """
 
 
+def q_k_anonymity(sf_dir):
+    """★-checked k-anonymity audit (stages/analytics.py::k_anonymity):
+    quasi-identifiers = (event_type, hour-of-day, value sign bucket);
+    classes below k=50 members are re-identification risks.  All
+    counts exact int64 through one keyed cell exchange; the risk share
+    is the one mirrored division."""
+    from ..stages.analytics import k_anonymity
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def quasi(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["ts"].to_numpy("datetime64[us]").view(np.int64)
+             // 3_600_000_000) % 24
+        vq = np.rint(df["value"].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        return pd.DataFrame({
+            "q_type": df["event_type"].to_numpy(),
+            "q_hour": h.astype(np.int64),
+            "q_band": np.clip(vq // 2500, 0, 3).astype(np.int64),
+        })
+
+    return round6(k_anonymity(
+        ev.map_batches(quasi, batch_format="pandas"),
+        quasi_cols=("q_type", "q_hour", "q_band"), k=50,
+        num_partitions=8))
+
+
+K_ANON_SQL = """
+WITH q AS (
+  SELECT event_type AS q_type,
+         (epoch_us(ts) // 3600000000) % 24 AS q_hour,
+         least(greatest(CAST(round(value * 100) AS BIGINT) // 2500,
+                        0), 3) AS q_band
+  FROM events
+),
+c AS (
+  SELECT q_type, q_hour, q_band, CAST(count(*) AS BIGINT) AS cnt
+  FROM q GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(min(cnt) AS BIGINT) AS min_class_size,
+       CAST(sum(CASE WHEN cnt < 50 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_classes,
+       CAST(sum(CASE WHEN cnt < 50 THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_risky_rows,
+       round(CAST(sum(CASE WHEN cnt < 50 THEN cnt ELSE 0 END)
+                  AS DOUBLE) / sum(cnt), 6) AS risky_row_share
+FROM c
+"""
+
+
 def q_record_highs(sf_dir):
     """★-checked per-user running-record analysis
     (stages/analytics.py::record_highs): count of events setting a new
@@ -6515,6 +6568,7 @@ EXTRA_QUERIES = {
     "psi_drift": q_psi_drift,
     "trimmed_mean": q_trimmed_mean,
     "record_highs": q_record_highs,
+    "k_anonymity": q_k_anonymity,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -6655,6 +6709,7 @@ EXTRA_ORACLE_SQL = {
     "psi_drift": _psi_sql(),
     "trimmed_mean": TRIMMED_MEAN_SQL,
     "record_highs": RECORD_HIGHS_SQL,
+    "k_anonymity": K_ANON_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

@@ -1219,3 +1219,46 @@ def record_highs(
     return (group_apply(ds, per_key, num_partitions=num_partitions,
                         key=key).to_pandas()
             .sort_values(key, kind="mergesort").reset_index(drop=True))
+
+
+def k_anonymity(
+    ds: ray.data.Dataset,
+    quasi_cols: tuple = ("event_type",),
+    k: int = 5,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Privacy-audit primitive for training-data curation: group rows
+    by the quasi-identifier tuple and report how many equivalence
+    classes (and rows) fall below anonymity threshold ``k`` —
+    releasing those rows would make individuals re-identifiable.
+    Map-side per-block class counts reduce through one keyed exchange
+    to final class cells (bounded by the quasi-id alphabet, never
+    corpus size); every output is an exact int64 except the one
+    mirrored risk-share division."""
+    from .partition import group_apply
+
+    cols = list(quasi_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(cols, as_index=False, observed=True).size()
+        return g.rename(columns={"size": "cnt"})
+
+    cells = group_apply(
+        ds.select_columns(cols).map_batches(partial,
+                                            batch_format="pandas"),
+        lambda df: df.groupby(cols, as_index=False,
+                              observed=True)["cnt"].sum(),
+        num_partitions=num_partitions, key=cols[0],
+    ).to_pandas()
+    cnt = cells["cnt"].to_numpy(np.int64)
+    total = int(cnt.sum())
+    risky = cnt < k
+    return pd.DataFrame({
+        "n_classes": [np.int64(len(cnt))],
+        "n_rows": [np.int64(total)],
+        "min_class_size": [np.int64(cnt.min()) if len(cnt) else np.int64(0)],
+        "n_risky_classes": [np.int64(int(risky.sum()))],
+        "n_risky_rows": [np.int64(int(cnt[risky].sum()))],
+        "risky_row_share": [float(int(cnt[risky].sum())) / total
+                            if total else 0.0],
+    })

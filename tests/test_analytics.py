@@ -230,3 +230,27 @@ def test_record_highs_bruteforce(ray_session):
             best = max(best, int(x))
         assert got.loc[u, "n_records"] == rec
         assert got.loc[u, "final_max"] == vq.max() / 100.0
+
+
+def test_k_anonymity_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.analytics import k_anonymity
+
+    rng = np.random.default_rng(10)
+    n = 2000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n, p=[0.6, 0.39, 0.01]),
+        "b": rng.integers(0, 4, n),
+    })
+    got = k_anonymity(ray.data.from_pandas(df).repartition(3),
+                      quasi_cols=("a", "b"), k=25, num_partitions=4)
+    sizes = df.groupby(["a", "b"]).size()
+    assert got["n_classes"].iloc[0] == len(sizes)
+    assert got["n_rows"].iloc[0] == n
+    assert got["min_class_size"].iloc[0] == sizes.min()
+    assert got["n_risky_classes"].iloc[0] == (sizes < 25).sum()
+    assert got["n_risky_rows"].iloc[0] == sizes[sizes < 25].sum()
+    assert got["risky_row_share"].iloc[0] == sizes[sizes < 25].sum() / n
