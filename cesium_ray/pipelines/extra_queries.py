@@ -4378,6 +4378,50 @@ FROM con ORDER BY bin
 """
 
 
+def q_robust_anomalies(sf_dir):
+    """★-checked modified-z-score anomalies
+    (stages/tsmath.py::robust_anomalies): per-user Iglewicz–Hoaglin
+    Mz = 0.6745·(x − median)/MAD over int-quantized values; both
+    medians are the shared duck_quantile kernel so the flag set — and
+    therefore the counts — are bit-identical to the SQL twin."""
+    from ..stages.tsmath import robust_anomalies
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return round6(robust_anomalies(ev, num_partitions=8))
+
+
+ROBUST_ANOM_SQL = """
+WITH k AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+m AS (
+  SELECT user_id, quantile_cont(v, 0.5) AS med,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM k GROUP BY user_id
+),
+a AS (
+  SELECT k.user_id, k.v, m.med, abs(k.v - m.med) AS ad
+  FROM k JOIN m USING (user_id)
+),
+md AS (
+  SELECT user_id, quantile_cont(ad, 0.5) AS mad FROM a
+  GROUP BY user_id
+)
+SELECT m.user_id, m.n_events,
+       round(m.med / 100.0, 6) AS med,
+       round(md.mad / 100.0, 6) AS mad,
+       CAST(CASE WHEN md.mad > 0 THEN (
+         SELECT count(*) FROM a
+         WHERE a.user_id = m.user_id
+           AND abs(0.6745 * (a.v - a.med) / md.mad) > 3.5
+       ) ELSE 0 END AS BIGINT) AS n_anomalies
+FROM m JOIN md USING (user_id)
+ORDER BY m.user_id
+"""
+
+
 def q_k_anonymity(sf_dir):
     """★-checked k-anonymity audit (stages/analytics.py::k_anonymity):
     quasi-identifiers = (event_type, hour-of-day, value sign bucket);
@@ -6569,6 +6613,7 @@ EXTRA_QUERIES = {
     "trimmed_mean": q_trimmed_mean,
     "record_highs": q_record_highs,
     "k_anonymity": q_k_anonymity,
+    "robust_anomalies": q_robust_anomalies,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -6710,6 +6755,7 @@ EXTRA_ORACLE_SQL = {
     "trimmed_mean": TRIMMED_MEAN_SQL,
     "record_highs": RECORD_HIGHS_SQL,
     "k_anonymity": K_ANON_SQL,
+    "robust_anomalies": ROBUST_ANOM_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

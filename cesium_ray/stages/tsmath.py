@@ -1570,3 +1570,56 @@ def trimmed_mean(
     return (group_apply(ds, per_key, num_partitions=num_partitions,
                         key=key).to_pandas()
             .sort_values(key, kind="mergesort").reset_index(drop=True))
+
+
+def robust_anomalies(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    threshold: float = 3.5,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Modified z-score anomaly counts per key (Iglewicz–Hoaglin):
+    Mz = 0.6745·(x − median) / MAD with MAD = median(|x − median|) —
+    the robust sibling of ``zscore_anomalies`` (one outlier cannot
+    drag the threshold the way it drags mean/σ).  Both medians are
+    the shared ``duck_quantile`` kernel over int-quantized values, so
+    the flag set is bit-identical to the SQL twin; MAD = 0 keys
+    report 0 anomalies (constant-valued key)."""
+    from ..oracle.rollup import duck_quantile
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "med": pd.Series(dtype="float64"),
+                "mad": pd.Series(dtype="float64"),
+                "n_anomalies": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        out = []
+        kc, kuniq = pd.factorize(df[key])
+        vq = np.rint(df[val_col].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        order = np.argsort(kc, kind="stable")
+        k, v = kc[order], vq[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        for s, e in zip(starts, ends):
+            vk = v[s:e].astype(np.float64)
+            med = duck_quantile(np.sort(vk, kind="mergesort"), 0.5)
+            ad = np.abs(vk - med)
+            mad = duck_quantile(np.sort(ad, kind="mergesort"), 0.5)
+            if mad > 0:
+                mz = 0.6745 * (vk - med) / mad
+                n_anom = int((np.abs(mz) > threshold).sum())
+            else:
+                n_anom = 0
+            out.append((int(np.asarray(kuniq)[k[s]]),
+                        np.int64(e - s), float(med / 100.0),
+                        float(mad / 100.0), np.int64(n_anom)))
+        return pd.DataFrame(out, columns=list(cols))
+
+    return (group_apply(ds, per_key, num_partitions=num_partitions,
+                        key=key).to_pandas()
+            .sort_values(key, kind="mergesort").reset_index(drop=True))

@@ -395,3 +395,33 @@ def test_trimmed_mean_bruteforce(ray_session):
         assert got.loc[u, "trimmed_mean"] == \
             float(int(keep.sum())) / len(keep) / 100.0
     assert got.loc[0, "mean_all"] > got.loc[0, "trimmed_mean"] + 1.0
+
+
+def test_robust_anomalies_bruteforce(ray_session):
+    """Modified z-score counts match the textbook definition; an
+    injected spike is flagged while mean/sigma-based z would also move
+    the threshold."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.oracle.rollup import duck_quantile
+    from cesium_ray.stages.tsmath import robust_anomalies
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for u in range(6):
+        v = np.round(rng.normal(30, 2, int(rng.integers(15, 50))), 2)
+        if u == 0:
+            v[3] = 900.0
+        rows += [(u, x) for x in v]
+    df = pd.DataFrame(rows, columns=["user_id", "value"])
+    got = robust_anomalies(ray.data.from_pandas(df).repartition(3),
+                           num_partitions=4).set_index("user_id")
+    for u, g in df.groupby("user_id"):
+        vk = np.rint(g["value"].to_numpy() * 100).astype(np.int64).astype(float)
+        med = duck_quantile(np.sort(vk), 0.5)
+        mad = duck_quantile(np.sort(np.abs(vk - med)), 0.5)
+        want = int((np.abs(0.6745 * (vk - med) / mad) > 3.5).sum()) if mad else 0
+        assert got.loc[u, "n_anomalies"] == want
+    assert got.loc[0, "n_anomalies"] >= 1
