@@ -4378,6 +4378,39 @@ FROM con ORDER BY bin
 """
 
 
+def q_readability(sf_dir):
+    """★-checked Flesch reading-ease (stages/text.py::readability):
+    word/sentence/vowel-group counts are exact ints under identical
+    regex semantics (Python re vs DuckDB RE2 on these patterns), the
+    score is the one mirrored float expression."""
+    from ..stages.text import readability
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = readability(docs).to_pandas()
+    return round6(out.sort_values("doc_id").reset_index(drop=True))
+
+
+READABILITY_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS n_words,
+         greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                       AS BIGINT), 1) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                       / greatest(n_words, 1)), 6) AS flesch
+FROM c ORDER BY doc_id
+"""
+
+
 def q_robust_anomalies(sf_dir):
     """★-checked modified-z-score anomalies
     (stages/tsmath.py::robust_anomalies): per-user Iglewicz–Hoaglin
@@ -6614,6 +6647,7 @@ EXTRA_QUERIES = {
     "record_highs": q_record_highs,
     "k_anonymity": q_k_anonymity,
     "robust_anomalies": q_robust_anomalies,
+    "readability": q_readability,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -6756,6 +6790,7 @@ EXTRA_ORACLE_SQL = {
     "record_highs": RECORD_HIGHS_SQL,
     "k_anonymity": K_ANON_SQL,
     "robust_anomalies": ROBUST_ANOM_SQL,
+    "readability": READABILITY_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

@@ -165,3 +165,43 @@ def canonicalize_text(s: pd.Series) -> pd.Series:
              .str.replace(_PUNCT_RE, "", regex=True)
              .str.replace(_WS_RE, " ", regex=True)
              .str.strip(" "))
+
+
+_WORD_RE = re.compile(r"\S+")
+_SENT_RE = re.compile(r"[.!?]+")
+_SYL_RE = re.compile(r"[aeiouy]+")
+
+
+def readability(ds: ray.data.Dataset, text_col: str = "text",
+                id_col: str = "doc_id") -> ray.data.Dataset:
+    """Flesch reading-ease per document — the classic curation signal
+    for filtering gibberish/boilerplate from a training corpus:
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    syllables approximated as [aeiouy]+ vowel groups (whitespace
+    breaks groups, so the global count equals the per-word sum) and
+    sentences as [.!?]+ runs (min 1).  Counts are exact ints from the
+    same regex semantics DuckDB's RE2 applies, so the SQL twin matches
+    bit-for-bit; stateless vectorized map."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].astype(str)
+        words = texts.map(lambda t: len(_WORD_RE.findall(t))).to_numpy(
+            np.int64)
+        sents = np.maximum(
+            texts.map(lambda t: len(_SENT_RE.findall(t))).to_numpy(
+                np.int64), 1)
+        syls = texts.map(
+            lambda t: len(_SYL_RE.findall(t.lower()))).to_numpy(np.int64)
+        w = np.maximum(words, 1)
+        flesch = (206.835 - 1.015 * (words / sents)
+                  - 84.6 * (syls / w))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "n_words": words,
+            "n_sentences": sents,
+            "n_syllables": syls,
+            "flesch": flesch,
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas")

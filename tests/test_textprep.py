@@ -107,3 +107,29 @@ def test_canonicalize_text_rules():
         "!!!",
     ])).tolist()
     assert got == ["hello world", "hello world", "a b c", "", ""]
+
+
+def test_readability_known_answers(ray_session):
+    """Flesch components on hand-checkable sentences; more complex
+    text scores lower."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.text import readability
+
+    simple = "The cat sat. The dog ran. It was fun."
+    complex_ = ("Notwithstanding considerable organizational "
+                "sophistication, interdepartmental miscommunication "
+                "proliferated extraordinarily.")
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([1, 2], dtype=np.int64),
+         "text": [simple, complex_]}))
+    out = readability(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_words"] == 9
+    assert out.loc[1, "n_sentences"] == 3
+    # "the cat sat" -> e,a,a ... count vowel groups by hand: the(1)
+    # cat(1) sat(1) the(1) dog(1) ran(1) it(1) was(1) fun(1) = 9
+    assert out.loc[1, "n_syllables"] == 9
+    assert out.loc[1, "flesch"] > 90
+    assert out.loc[2, "flesch"] < 0
