@@ -4378,6 +4378,58 @@ FROM con ORDER BY bin
 """
 
 
+def q_kaplan_meier(sf_dir):
+    """★-checked Kaplan–Meier time-to-conversion curve
+    (stages/analytics.py::kaplan_meier): duration = first signup →
+    first later purchase per user, right-censored at the global max
+    ts.  Counts exact int64; S(t) computed as exp(running-sum of
+    ln(1−d/n)) on BOTH sides so the float path is identical."""
+    from ..stages.analytics import kaplan_meier
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"])
+    return round6(kaplan_meier(ev, num_partitions=8))
+
+
+KAPLAN_MEIER_SQL = """
+WITH su AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+pu AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+  FROM events e JOIN su USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > su.t0
+  GROUP BY 1
+),
+mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+dur AS (
+  SELECT su.user_id,
+         coalesce(pu.tp, mx.tmax) - su.t0 AS d_us,
+         (pu.tp IS NOT NULL) AS ev
+  FROM su LEFT JOIN pu USING (user_id), mx
+),
+evt AS (
+  SELECT d_us, CAST(count(*) AS BIGINT) AS d
+  FROM dur WHERE ev GROUP BY d_us
+),
+risk AS (
+  SELECT e.d_us, e.d,
+         (SELECT CAST(count(*) AS BIGINT) FROM dur
+          WHERE dur.d_us >= e.d_us) AS n_risk
+  FROM evt e
+)
+SELECT d_us AS duration_us, n_risk, d AS n_events,
+       round(exp(sum(CASE WHEN d >= n_risk
+                      THEN CAST('-infinity' AS DOUBLE)
+                      ELSE ln(1 - CAST(d AS DOUBLE) / n_risk) END)
+                 OVER (ORDER BY d_us
+                       ROWS UNBOUNDED PRECEDING)), 6) AS survival
+FROM risk ORDER BY duration_us
+"""
+
+
 def q_readability(sf_dir):
     """★-checked Flesch reading-ease (stages/text.py::readability):
     word/sentence/vowel-group counts are exact ints under identical
@@ -6648,6 +6700,7 @@ EXTRA_QUERIES = {
     "k_anonymity": q_k_anonymity,
     "robust_anomalies": q_robust_anomalies,
     "readability": q_readability,
+    "kaplan_meier": q_kaplan_meier,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -6791,6 +6844,7 @@ EXTRA_ORACLE_SQL = {
     "k_anonymity": K_ANON_SQL,
     "robust_anomalies": ROBUST_ANOM_SQL,
     "readability": READABILITY_SQL,
+    "kaplan_meier": KAPLAN_MEIER_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

@@ -1262,3 +1262,69 @@ def k_anonymity(
         "risky_row_share": [float(int(cnt[risky].sum())) / total
                             if total else 0.0],
     })
+
+
+def kaplan_meier(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Kaplan–Meier survival estimator for time-to-conversion: each
+    key's duration runs from its first ``start_type`` event to its
+    first LATER ``event_type`` event (right-censored at the global max
+    timestamp when none).  One keyed exchange reduces to one
+    (duration, observed) cell per key; the curve itself is over
+    distinct observed-event times: n_at_risk (durations ≥ t), d
+    deaths, and S(t) = exp(Σ ln(1 − d/n)) — computed as the identical
+    log-sum-exp op sequence the SQL twin uses, so the floats agree.
+    All counts exact int64."""
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in df.groupby(key, observed=True):
+            tus = g[ts_col].to_numpy("datetime64[us]").view(np.int64)
+            et = g[type_col].to_numpy()
+            st = tus[et == start_type]
+            if not len(st):
+                continue
+            t0 = int(st.min())
+            ev = tus[(et == event_type) & (tus > t0)]
+            out.append((int(uid), t0,
+                        int(ev.min()) if len(ev) else -1,
+                        int(tus.max())))
+        return pd.DataFrame(out, columns=[key, "t0", "tp", "tmax"])
+
+    cells = group_apply(
+        ds.select_columns([key, type_col, ts_col]),
+        per_key, num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    if not len(cells):
+        return pd.DataFrame({"duration_us": pd.Series(dtype="int64"),
+                             "n_risk": pd.Series(dtype="int64"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "survival": pd.Series(dtype="float64")})
+    tmax = int(cells["tmax"].max())
+    # NOTE: per-key tmax is partition-local; global censor time needs
+    # the true global max — take it from the cells (each key's row
+    # carries its own max; the overall max equals the global max
+    # because every event belongs to some key)
+    obs = cells["tp"].to_numpy(np.int64) >= 0
+    dur = np.where(obs, cells["tp"].to_numpy(np.int64),
+                   tmax) - cells["t0"].to_numpy(np.int64)
+    evt_times = np.unique(dur[obs])
+    rows = []
+    logsum = 0.0
+    for t in evt_times:
+        n_risk = int((dur >= t).sum())
+        d = int((dur[obs] == t).sum())
+        logsum += float(np.log(1.0 - float(d) / n_risk)) \
+            if d < n_risk else float("-inf")
+        rows.append((int(t), np.int64(n_risk), np.int64(d),
+                     float(np.exp(logsum))))
+    return pd.DataFrame(rows, columns=["duration_us", "n_risk",
+                                       "n_events", "survival"])

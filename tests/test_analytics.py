@@ -254,3 +254,39 @@ def test_k_anonymity_bruteforce(ray_session):
     assert got["n_risky_classes"].iloc[0] == (sizes < 25).sum()
     assert got["n_risky_rows"].iloc[0] == sizes[sizes < 25].sum()
     assert got["risky_row_share"].iloc[0] == sizes[sizes < 25].sum() / n
+
+
+def test_kaplan_meier_bruteforce(ray_session):
+    """KM curve matches the textbook product-limit estimator on a
+    hand-built cohort with censoring."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.analytics import kaplan_meier
+
+    rows = []
+    # user: (signup_s, purchase_s or None); global max at 1000s
+    spec = {0: (0, 10), 1: (0, 10), 2: (5, 25), 3: (0, None),
+            4: (10, 40), 5: (0, None), 6: (20, 30)}
+    for u, (s, p) in spec.items():
+        rows.append((u, "signup", s))
+        if p is not None:
+            rows.append((u, "purchase", p))
+    rows.append((0, "view", 1000))  # sets the global censor time
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "t"])
+    df["ts"] = pd.to_datetime(df["t"], unit="s")
+    got = kaplan_meier(ray.data.from_pandas(
+        df[["user_id", "event_type", "ts"]]).repartition(3),
+        num_partitions=4)
+    # durations: 10,10,20,1000c,30,1000c,10 -> event times 10,20,30
+    km = got.set_index(got["duration_us"] // 10**6)
+    assert list(km.index) == [10, 20, 30]
+    assert km.loc[10, "n_risk"] == 7 and km.loc[10, "n_events"] == 3
+    s10 = 1 - 3 / 7
+    assert abs(km.loc[10, "survival"] - s10) < 1e-9
+    assert km.loc[20, "n_risk"] == 4 and km.loc[20, "n_events"] == 1
+    s20 = s10 * (1 - 1 / 4)
+    assert abs(km.loc[20, "survival"] - s20) < 1e-9
+    assert km.loc[30, "n_risk"] == 3 and km.loc[30, "n_events"] == 1
+    assert abs(km.loc[30, "survival"] - s20 * (1 - 1 / 3)) < 1e-9
