@@ -4378,6 +4378,85 @@ FROM con ORDER BY bin
 """
 
 
+def q_zipf_exponent(sf_dir):
+    """★-checked Zipf/power-law exponent of per-user activity
+    (stages/analytics.py::zipf_exponent, Clauset–Shalizi–Newman MLE):
+    the quantitative skew check behind hot-key salting/LPT.  Counts
+    exact; ln-sum and α mirrored."""
+    from ..stages.analytics import zipf_exponent
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"])
+    return round6(zipf_exponent(ev, num_partitions=8))
+
+
+ZIPF_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+mn AS (SELECT CAST(min(cnt) AS BIGINT) AS xmin FROM c),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         sum(ln(CAST(cnt AS DOUBLE) / (mn.xmin - 0.5))) AS ln_sum
+  FROM c, mn GROUP BY mn.xmin
+)
+SELECT s.n_keys, mn.xmin AS x_min,
+       round(s.ln_sum, 6) AS ln_sum,
+       round(CASE WHEN s.ln_sum > 0 THEN 1.0 + s.n_keys / s.ln_sum
+             END, 6) AS alpha
+FROM s, mn
+"""
+
+
+def q_chi_square(sf_dir):
+    """★-checked Pearson chi-square independence of event_type ×
+    hour-of-day (stages/analytics.py::chi_square_independence):
+    observed counts exact int64 through one keyed cell exchange,
+    expected counts and the statistic mirrored."""
+    from ..stages.analytics import chi_square_independence
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["ts"].to_numpy("datetime64[us]").view(np.int64)
+             // 3_600_000_000) % 24
+        return pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                             "hour": h.astype(np.int64)})
+
+    return round6(chi_square_independence(
+        ev.map_batches(prep, batch_format="pandas"),
+        num_partitions=8))
+
+
+CHI_SQUARE_SQL = """
+WITH q AS (
+  SELECT event_type AS a,
+         (epoch_us(ts) // 3600000000) % 24 AS b
+  FROM events
+),
+o AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM q GROUP BY 1, 2),
+rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY a),
+ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY b),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+grid AS (
+  SELECT rt.a, ct.b, rt.r, ct.c, n.n,
+         coalesce(o.o, 0) AS o
+  FROM rt CROSS JOIN ct CROSS JOIN n
+  LEFT JOIN o ON o.a = rt.a AND o.b = ct.b
+)
+SELECT (SELECT n FROM n) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_classes_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_classes_b,
+       ((SELECT count(*) FROM rt) - 1)
+         * ((SELECT count(*) FROM ct) - 1) AS dof,
+       round(sum(pow(o - CAST(r AS DOUBLE) * c / n, 2)
+                 / (CAST(r AS DOUBLE) * c / n)), 6) AS chi2
+FROM grid
+"""
+
+
 def q_kaplan_meier(sf_dir):
     """★-checked Kaplan–Meier time-to-conversion curve
     (stages/analytics.py::kaplan_meier): duration = first signup →
@@ -6701,6 +6780,8 @@ EXTRA_QUERIES = {
     "robust_anomalies": q_robust_anomalies,
     "readability": q_readability,
     "kaplan_meier": q_kaplan_meier,
+    "zipf_exponent": q_zipf_exponent,
+    "chi_square": q_chi_square,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -6845,6 +6926,8 @@ EXTRA_ORACLE_SQL = {
     "robust_anomalies": ROBUST_ANOM_SQL,
     "readability": READABILITY_SQL,
     "kaplan_meier": KAPLAN_MEIER_SQL,
+    "zipf_exponent": ZIPF_SQL,
+    "chi_square": CHI_SQUARE_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

@@ -1328,3 +1328,88 @@ def kaplan_meier(
                      float(np.exp(logsum))))
     return pd.DataFrame(rows, columns=["duration_us", "n_risk",
                                        "n_events", "survival"])
+
+
+def zipf_exponent(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Discrete power-law (Zipf) exponent of per-key activity via the
+    Clauset–Shalizi–Newman continuous-MLE approximation
+    α ≈ 1 + n / Σ ln(x_i / (x_min − 1/2)) over per-key counts — the
+    quantitative version of the skew check behind hot-key salting and
+    LPT placement (this corpus's conv sizes are Zipf by
+    construction).  Counts are exact int64 cells through one keyed
+    exchange; the ln-sum and α are the mirrored float expressions."""
+    from .partition import group_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, as_index=False, observed=True).size()
+        return g.rename(columns={"size": "cnt"})
+
+    counts = group_apply(
+        ds.select_columns([key]).map_batches(partial,
+                                             batch_format="pandas"),
+        lambda df: df.groupby(key, as_index=False,
+                              observed=True)["cnt"].sum(),
+        num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    x = counts["cnt"].to_numpy(np.int64)
+    n = len(x)
+    if n == 0:
+        return pd.DataFrame({"n_keys": [np.int64(0)],
+                             "x_min": [np.int64(0)],
+                             "ln_sum": [0.0], "alpha": [np.nan]})
+    xmin = int(x.min())
+    ln_sum = float(np.log(x.astype(np.float64)
+                          / (xmin - 0.5)).sum())
+    alpha = 1.0 + n / ln_sum if ln_sum > 0 else np.nan
+    return pd.DataFrame({
+        "n_keys": [np.int64(n)], "x_min": [np.int64(xmin)],
+        "ln_sum": [ln_sum], "alpha": [alpha],
+    })
+
+
+def chi_square_independence(
+    ds: ray.data.Dataset,
+    col_a: str = "event_type",
+    col_b: str = "hour",
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Pearson chi-square test of independence over a contingency
+    table of two bounded-alphabet columns: observed counts are exact
+    int64 cells (one keyed exchange); expected counts and the χ²
+    statistic are the mirrored float expressions
+    e = row_total·col_total/N, χ² = Σ (o−e)²/e.  The categorical
+    drift/association check that pairs with psi_drift's numeric
+    one."""
+    from .partition import group_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([col_a, col_b], as_index=False,
+                       observed=True).size()
+        return g.rename(columns={"size": "o"})
+
+    cells = group_apply(
+        ds.select_columns([col_a, col_b]).map_batches(
+            partial, batch_format="pandas"),
+        lambda df: df.groupby([col_a, col_b], as_index=False)["o"].sum(),
+        num_partitions=num_partitions, key=col_a,
+    ).to_pandas()
+    piv = cells.pivot_table(index=col_a, columns=col_b, values="o",
+                            aggfunc="sum", fill_value=0)
+    O = piv.to_numpy(np.int64)
+    N = int(O.sum())
+    rt = O.sum(axis=1, keepdims=True).astype(np.float64)
+    ct = O.sum(axis=0, keepdims=True).astype(np.float64)
+    E = rt * ct / N
+    chi2 = float(((O - E) ** 2 / E).sum())
+    dof = (O.shape[0] - 1) * (O.shape[1] - 1)
+    return pd.DataFrame({
+        "n_rows": [np.int64(N)],
+        "n_classes_a": [np.int64(O.shape[0])],
+        "n_classes_b": [np.int64(O.shape[1])],
+        "dof": [np.int64(dof)],
+        "chi2": [chi2],
+    })

@@ -290,3 +290,54 @@ def test_kaplan_meier_bruteforce(ray_session):
     assert abs(km.loc[20, "survival"] - s20) < 1e-9
     assert km.loc[30, "n_risk"] == 3 and km.loc[30, "n_events"] == 1
     assert abs(km.loc[30, "survival"] - s20 * (1 - 1 / 3)) < 1e-9
+
+
+def test_zipf_exponent_recovers_alpha(ray_session):
+    """CSN estimator recovers the generating exponent on synthetic
+    Zipf counts within sampling tolerance."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.analytics import zipf_exponent
+
+    rng = np.random.default_rng(14)
+    counts = rng.zipf(2.0, 3000)
+    counts = counts[counts < 10**5]
+    rows = np.repeat(np.arange(len(counts)), counts)
+    got = zipf_exponent(ray.data.from_pandas(
+        pd.DataFrame({"user_id": rows})).repartition(4),
+        num_partitions=4)
+    assert got["n_keys"].iloc[0] == len(counts)
+    assert got["x_min"].iloc[0] == counts.min()
+    # the continuous-MLE approximation is biased high for discrete
+    # data at xmin=1 (CSN 2009 §3.4) — tolerance covers that bias
+    assert abs(got["alpha"].iloc[0] - 2.0) < 0.3
+
+
+def test_chi_square_independence_known(ray_session):
+    """chi2 ~ 0 for an independent table; large for a dependent one;
+    matches the closed form on a hand case."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.analytics import chi_square_independence
+
+    def run(df):
+        return chi_square_independence(
+            ray.data.from_pandas(df).repartition(3),
+            col_a="a", col_b="b", num_partitions=4)
+
+    # perfectly independent 2x2: counts 10 each
+    ind = pd.DataFrame([("x", 0)] * 10 + [("x", 1)] * 10
+                       + [("y", 0)] * 10 + [("y", 1)] * 10,
+                       columns=["a", "b"])
+    out = run(ind)
+    assert out["chi2"].iloc[0] == 0.0
+    assert out["dof"].iloc[0] == 1
+    # fully dependent: x->0, y->1
+    dep = pd.DataFrame([("x", 0)] * 20 + [("y", 1)] * 20,
+                       columns=["a", "b"])
+    out2 = run(dep)
+    assert abs(out2["chi2"].iloc[0] - 40.0) < 1e-9  # = N for 2x2 perfect
