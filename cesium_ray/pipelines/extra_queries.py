@@ -4378,6 +4378,54 @@ FROM con ORDER BY bin
 """
 
 
+def q_spearman_trend(sf_dir):
+    """★-checked Spearman rank trend
+    (stages/tsmath.py::spearman_trend): tie-averaged ranks as doubled
+    int64s make every sufficient statistic exact; the ratio is the
+    one mirrored float."""
+    from ..stages.tsmath import spearman_trend
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value", "ts"],
+    )
+    return round6(spearman_trend(ev, num_partitions=8))
+
+
+SPEARMAN_SQL = """
+WITH k AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+r AS (
+  SELECT user_id,
+         2 * rank() OVER (PARTITION BY user_id ORDER BY t)
+           + count(*) OVER (PARTITION BY user_id, t) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY user_id ORDER BY v)
+           + count(*) OVER (PARTITION BY user_id, v) - 1 AS ry
+  FROM k
+),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx,
+         CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy
+  FROM r GROUP BY user_id
+)
+SELECT user_id, n AS n_events,
+       round(CASE WHEN n * sxx - sx * sx > 0
+                   AND n * syy - sy * sy > 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE))
+             END, 6) AS spearman
+FROM agg ORDER BY user_id
+"""
+
+
 def q_zipf_exponent(sf_dir):
     """★-checked Zipf/power-law exponent of per-user activity
     (stages/analytics.py::zipf_exponent, Clauset–Shalizi–Newman MLE):
@@ -6782,6 +6830,7 @@ EXTRA_QUERIES = {
     "kaplan_meier": q_kaplan_meier,
     "zipf_exponent": q_zipf_exponent,
     "chi_square": q_chi_square,
+    "spearman_trend": q_spearman_trend,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -6928,6 +6977,7 @@ EXTRA_ORACLE_SQL = {
     "kaplan_meier": KAPLAN_MEIER_SQL,
     "zipf_exponent": ZIPF_SQL,
     "chi_square": CHI_SQUARE_SQL,
+    "spearman_trend": SPEARMAN_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

@@ -1623,3 +1623,70 @@ def robust_anomalies(
     return (group_apply(ds, per_key, num_partitions=num_partitions,
                         key=key).to_pandas()
             .sort_values(key, kind="mergesort").reset_index(drop=True))
+
+
+def spearman_trend(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Spearman rank correlation of value against time per key — the
+    rank-based trend measure completing the nonparametric family
+    (theilsen_trend, mann_kendall).  Tie-averaged ranks are carried
+    as DOUBLED int64s (a tie group spanning 1-based positions p..q
+    has doubled-average-rank p+q — always an integer), so every sum
+    and the Pearson-on-ranks numerator/denominator terms are EXACT
+    int64; only the final ratio is float, mirrored in SQL."""
+    from .partition import group_apply
+
+    def _dranks(x: np.ndarray) -> np.ndarray:
+        # doubled average ranks, ties averaged (int64-exact)
+        order = np.argsort(x, kind="mergesort")
+        xs = x[order]
+        starts = np.flatnonzero(np.r_[True, xs[1:] != xs[:-1]])
+        ends = np.r_[starts[1:], len(xs)]
+        dr = np.empty(len(xs), np.int64)
+        for s, e in zip(starts, ends):
+            dr[s:e] = (s + 1) + e  # (p + q) with p=s+1, q=e (1-based)
+        out = np.empty(len(xs), np.int64)
+        out[order] = dr
+        return out
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "spearman": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        out = []
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        vq = np.rint(df[val_col].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        order = np.argsort(kc, kind="stable")
+        k, t, v = kc[order], tus[order], vq[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        for s, e in zip(starts, ends):
+            n = e - s
+            rx = _dranks(t[s:e])
+            ry = _dranks(v[s:e])
+            sx, sy = int(rx.sum()), int(ry.sum())
+            sxy = int((rx * ry).sum())
+            sxx = int((rx * rx).sum())
+            syy = int((ry * ry).sum())
+            num = n * sxy - sx * sy
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            rho = (float(num) / np.sqrt(float(dx) * float(dy))
+                   if dx > 0 and dy > 0 else np.nan)
+            out.append((int(np.asarray(kuniq)[k[s]]), np.int64(n),
+                        float(rho)))
+        return pd.DataFrame(out, columns=list(cols))
+
+    return (group_apply(ds, per_key, num_partitions=num_partitions,
+                        key=key).to_pandas()
+            .sort_values(key, kind="mergesort").reset_index(drop=True))

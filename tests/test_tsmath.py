@@ -425,3 +425,52 @@ def test_robust_anomalies_bruteforce(ray_session):
         want = int((np.abs(0.6745 * (vk - med) / mad) > 3.5).sum()) if mad else 0
         assert got.loc[u, "n_anomalies"] == want
     assert got.loc[0, "n_anomalies"] >= 1
+
+
+def test_spearman_trend_bruteforce(ray_session):
+    """Matches scipy-style tie-averaged Spearman computed by hand;
+    +1 / -1 on monotone series."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.tsmath import spearman_trend
+
+    rng = np.random.default_rng(15)
+    rows = []
+    for u in range(5):
+        n = int(rng.integers(8, 40))
+        t = np.sort(rng.choice(10**6, n, replace=False))
+        if u == 0:
+            v = np.arange(n) / 10.0       # perfectly increasing
+        elif u == 1:
+            v = -np.arange(n) / 10.0      # perfectly decreasing
+        else:
+            v = np.round(rng.normal(5, 1, n), 1)  # ties likely
+        for i in range(n):
+            rows.append((u, len(rows), v[i],
+                         pd.Timestamp(t[i] * 1000, unit="us")))
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "value", "ts"])
+    got = spearman_trend(ray.data.from_pandas(df).repartition(3),
+                         num_partitions=4).set_index("user_id")
+    assert got.loc[0, "spearman"] == 1.0
+    assert got.loc[1, "spearman"] == -1.0
+    for u, g in df.groupby("user_id"):
+        vq = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        t = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+
+        def dr(x):
+            order = np.argsort(x, kind="mergesort")
+            xs = x[order]
+            st = np.flatnonzero(np.r_[True, xs[1:] != xs[:-1]])
+            en = np.r_[st[1:], len(xs)]
+            d = np.empty(len(xs), np.int64)
+            for s, e in zip(st, en):
+                d[s:e] = s + 1 + e
+            out = np.empty(len(xs), np.int64)
+            out[order] = d
+            return out
+
+        rx, ry = dr(t).astype(float), dr(vq).astype(float)
+        want = np.corrcoef(rx, ry)[0, 1]
+        assert abs(got.loc[u, "spearman"] - want) < 1e-9
