@@ -4378,6 +4378,62 @@ FROM con ORDER BY bin
 """
 
 
+def q_cusum_alarms(sf_dir):
+    """★-checked one-sided CUSUM drift alarms
+    (stages/tsmath.py::cusum_alarms): the clamped recurrence
+    max(0, S + x − k) via the exact reflection identity
+    S_i = P_i − min(P_0..P_i) — one int64 prefix pass in the engine,
+    one window running-min in SQL; deviations scaled by n so the
+    key-mean baseline stays integral."""
+    from ..stages.tsmath import cusum_alarms
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value", "ts"],
+    )
+    return round6(cusum_alarms(ev, num_partitions=8))
+
+
+CUSUM_SQL = """
+WITH k AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS tot
+  FROM k GROUP BY user_id
+),
+d AS (
+  SELECT k.user_id, k.rn, m.n,
+         k.v * m.n - m.tot - 100 * m.n AS dev
+  FROM k JOIN m USING (user_id)
+),
+pfx AS (
+  SELECT user_id, rn, n,
+         sum(dev) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS p
+  FROM d
+),
+rm AS (
+  SELECT user_id, rn, n, p,
+         least(min(p) OVER (PARTITION BY user_id ORDER BY rn
+                            ROWS UNBOUNDED PRECEDING), 0) AS run_min
+  FROM pfx
+),
+s AS (
+  SELECT user_id, n, p - run_min AS su FROM rm
+)
+SELECT user_id, max(n) AS n_events,
+       CAST(max(su) AS BIGINT) AS max_cusum_scaled,
+       CAST(sum(CASE WHEN su > 2000 * n THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_spearman_trend(sf_dir):
     """★-checked Spearman rank trend
     (stages/tsmath.py::spearman_trend): tie-averaged ranks as doubled
@@ -6831,6 +6887,7 @@ EXTRA_QUERIES = {
     "zipf_exponent": q_zipf_exponent,
     "chi_square": q_chi_square,
     "spearman_trend": q_spearman_trend,
+    "cusum_alarms": q_cusum_alarms,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -6978,6 +7035,7 @@ EXTRA_ORACLE_SQL = {
     "zipf_exponent": ZIPF_SQL,
     "chi_square": CHI_SQUARE_SQL,
     "spearman_trend": SPEARMAN_SQL,
+    "cusum_alarms": CUSUM_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

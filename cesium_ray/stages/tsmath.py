@@ -1690,3 +1690,65 @@ def spearman_trend(
     return (group_apply(ds, per_key, num_partitions=num_partitions,
                         key=key).to_pandas()
             .sort_values(key, kind="mergesort").reset_index(drop=True))
+
+
+def cusum_alarms(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    drift_k: int = 100,
+    threshold_h: int = 2000,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """One-sided tabular CUSUM per key over int-quantized deviations
+    from the key's integer mean: the sequential recurrence
+    S_i = max(0, S_{i-1} + x_i − k) has the closed form
+    S_i = (P_i − k·i) − min_{j≤i}(P_j − k·j) with P the prefix sum
+    and j ranging over 0..i — a running min, so the whole statistic
+    is ONE vectorized prefix pass (and exactly expressible as a SQL
+    window), not a row-at-a-time loop.  Everything is exact int64:
+    deviations use x_i·n − Σx (scaled by n to avoid fractional
+    means), k and h scale accordingly.  Emits per key: n, the max
+    CUSUM (scaled), and the alarm count (S > h·n)."""
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "max_cusum_scaled": pd.Series(dtype="int64"),
+                "n_alarms": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        out = []
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        vq = np.rint(df[val_col].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        perm = np.lexsort((oid, tus, kc))
+        k, v = kc[perm], vq[perm]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        for s, e in zip(starts, ends):
+            vk = v[s:e]
+            n = len(vk)
+            tot = int(vk.sum())
+            # scaled deviations: d_i = x_i·n − tot − k·n  (all int64)
+            d = vk.astype(np.int64) * n - tot - drift_k * n
+            p = np.cumsum(d)
+            # S_i = P_i − min(P_0..P_i) with P_0 = 0 (inclusive
+            # running min — the classic reflection identity for the
+            # clamped recurrence max(0, S+d))
+            run_min = np.minimum.accumulate(np.r_[np.int64(0), p])[1:]
+            su = p - run_min
+            alarms = int((su > threshold_h * n).sum())
+            out.append((int(np.asarray(kuniq)[k[s]]), np.int64(n),
+                        np.int64(int(su.max()) if n else 0),
+                        np.int64(alarms)))
+        return pd.DataFrame(out, columns=list(cols))
+
+    return (group_apply(ds, per_key, num_partitions=num_partitions,
+                        key=key).to_pandas()
+            .sort_values(key, kind="mergesort").reset_index(drop=True))

@@ -474,3 +474,40 @@ def test_spearman_trend_bruteforce(ray_session):
         rx, ry = dr(t).astype(float), dr(vq).astype(float)
         want = np.corrcoef(rx, ry)[0, 1]
         assert abs(got.loc[u, "spearman"] - want) < 1e-9
+
+
+def test_cusum_alarms_reflection_identity(ray_session):
+    """The vectorized closed form equals the sequential clamped
+    recurrence; an injected level shift raises alarms."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.tsmath import cusum_alarms
+
+    rng = np.random.default_rng(16)
+    rows = []
+    for u in range(5):
+        n = int(rng.integers(20, 80))
+        v = rng.normal(10, 1, n)
+        if u == 0:
+            v[n // 2:] += 60.0  # level shift -> sustained drift
+        t = np.sort(rng.choice(10**6, n, replace=False))
+        for i in range(n):
+            rows.append((u, len(rows), round(float(v[i]), 2),
+                         pd.Timestamp(t[i] * 1000, unit="us")))
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "value", "ts"])
+    got = cusum_alarms(ray.data.from_pandas(df).repartition(3),
+                       num_partitions=4).set_index("user_id")
+    for u, g in df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        vq = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(vq)
+        d = vq * n - int(vq.sum()) - 100 * n
+        s, mx, alarms = 0, 0, 0
+        for x in d:
+            s = max(0, s + int(x))
+            mx = max(mx, s)
+            alarms += s > 2000 * n
+        assert got.loc[u, "max_cusum_scaled"] == mx
+        assert got.loc[u, "n_alarms"] == alarms
+    assert got.loc[0, "n_alarms"] > 0
