@@ -4378,6 +4378,45 @@ FROM con ORDER BY bin
 """
 
 
+def q_auc_score(sf_dir):
+    """★-checked ROC-AUC via the Mann–Whitney rank identity
+    (stages/analytics.py::auc_mann_whitney): does `value` separate
+    purchases from other events?  Tie-averaged ranks as doubled
+    int64s make the U statistic exact; one mirrored final ratio."""
+    from ..stages.analytics import auc_mann_whitney
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(auc_mann_whitney(ev, num_partitions=8))
+
+
+AUC_SQL = """
+WITH k AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+r AS (
+  SELECT s, y,
+         2 * rank() OVER (ORDER BY s)
+           + count(*) OVER (PARTITION BY s) - 1 AS dr
+  FROM k
+),
+agg AS (
+  SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN y = 1 THEN dr ELSE 0 END) AS BIGINT)
+           AS r_pos2
+  FROM r
+)
+SELECT n_pos, n_neg,
+       r_pos2 - n_pos * (n_pos + 1) AS u2,
+       round(CAST(r_pos2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2.0 * n_pos * n_neg), 6) AS auc
+FROM agg
+"""
+
+
 def q_cusum_alarms(sf_dir):
     """★-checked one-sided CUSUM drift alarms
     (stages/tsmath.py::cusum_alarms): the clamped recurrence
@@ -6888,6 +6927,7 @@ EXTRA_QUERIES = {
     "chi_square": q_chi_square,
     "spearman_trend": q_spearman_trend,
     "cusum_alarms": q_cusum_alarms,
+    "auc_score": q_auc_score,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -7036,6 +7076,7 @@ EXTRA_ORACLE_SQL = {
     "chi_square": CHI_SQUARE_SQL,
     "spearman_trend": SPEARMAN_SQL,
     "cusum_alarms": CUSUM_SQL,
+    "auc_score": AUC_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

@@ -1413,3 +1413,56 @@ def chi_square_independence(
         "dof": [np.int64(dof)],
         "chi2": [chi2],
     })
+
+
+def auc_mann_whitney(
+    ds: ray.data.Dataset,
+    label_col: str = "event_type",
+    positive: str = "purchase",
+    score_col: str = "value",
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """ROC-AUC of a score against a binary label via the
+    Mann–Whitney identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with R⁺
+    the rank-sum of positives under tie-averaged ranks — the
+    model-eval primitive, computable exactly: ranks are carried as
+    DOUBLED int64s (tie group on 1-based positions p..q has doubled
+    rank p+q), so the U statistic is an exact integer and only the
+    final ratio is float.  Distributed: scores reduce to exact
+    per-(score, label) count cells through one keyed exchange
+    (bounded by distinct quantized scores), and the rank-sum is
+    computed from the cells — never from corpus-sized rows."""
+    from .partition import group_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = np.rint(df[score_col].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        y = (df[label_col].to_numpy() == positive)
+        g = (pd.DataFrame({"s": s, "y": y.astype(np.int64)})
+             .groupby(["s", "y"], as_index=False).size())
+        return g.rename(columns={"size": "c"})
+
+    cells = group_apply(
+        ds.select_columns([label_col, score_col]).map_batches(
+            partial, batch_format="pandas"),
+        lambda df: df.groupby(["s", "y"], as_index=False)["c"].sum(),
+        num_partitions=num_partitions, key="s",
+    ).to_pandas().sort_values(["s", "y"]).reset_index(drop=True)
+    piv = cells.pivot_table(index="s", columns="y", values="c",
+                            aggfunc="sum", fill_value=0).sort_index()
+    cpos = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    cneg = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    tot = cpos + cneg
+    # doubled tie-averaged rank of each distinct score group: the
+    # group spans 1-based positions (below+1 .. below+tot)
+    below = np.r_[np.int64(0), np.cumsum(tot)[:-1]]
+    drank = (below + 1) + (below + tot)  # p + q, doubled-average rank
+    n_pos, n_neg = int(cpos.sum()), int(cneg.sum())
+    r_pos2 = int((drank * cpos).sum())  # doubled rank-sum of positives
+    u2 = r_pos2 - n_pos * (n_pos + 1)  # doubled U
+    auc = (float(u2) / (2.0 * n_pos * n_neg)
+           if n_pos and n_neg else np.nan)
+    return pd.DataFrame({
+        "n_pos": [np.int64(n_pos)], "n_neg": [np.int64(n_neg)],
+        "u2": [np.int64(u2)], "auc": [auc],
+    })

@@ -341,3 +341,37 @@ def test_chi_square_independence_known(ray_session):
                        columns=["a", "b"])
     out2 = run(dep)
     assert abs(out2["chi2"].iloc[0] - 40.0) < 1e-9  # = N for 2x2 perfect
+
+
+def test_auc_mann_whitney_bruteforce(ray_session):
+    """AUC matches the pairwise definition (ties count 1/2) and hits
+    the known extremes on separable data."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.analytics import auc_mann_whitney
+
+    rng = np.random.default_rng(17)
+
+    def run(scores, labels):
+        df = pd.DataFrame({
+            "event_type": np.where(labels, "purchase", "view"),
+            "value": scores})
+        return auc_mann_whitney(
+            ray.data.from_pandas(df).repartition(3), num_partitions=4)
+
+    # separable: positives all higher -> AUC 1
+    s = np.r_[np.full(30, 9.0), np.full(50, 1.0)]
+    y = np.r_[np.ones(30, bool), np.zeros(50, bool)]
+    assert run(s, y)["auc"].iloc[0] == 1.0
+    # random scores: brute-force pairwise comparison
+    s = np.round(rng.normal(5, 2, 300), 1)
+    y = rng.random(300) < 0.3
+    got = run(s, y)["auc"].iloc[0]
+    sq = np.rint(s * 100).astype(np.int64)
+    pos, neg = sq[y], sq[~y]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(got - want) < 1e-12
