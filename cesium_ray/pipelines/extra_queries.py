@@ -4378,6 +4378,96 @@ FROM con ORDER BY bin
 """
 
 
+def q_textrank(sf_dir):
+    """★-checked TextRank keyword extraction
+    (stages/pack.py::textrank_keywords): PageRank over adjacent-token
+    co-occurrence restricted to the top-100 vocab; fixed 10 rounds of
+    the exact pagerank update; ranks rounded to 6 decimals BEFORE the
+    top-20 cut on both sides so summation-order float noise cannot
+    flip near-ties."""
+    from ..stages.pack import textrank_keywords
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return textrank_keywords(docs, top_vocab=100, iters=10, k=20,
+                             num_partitions=8)
+
+
+def _textrank_sql(iters: int = 10) -> str:
+    """SQL twin of q_textrank: tokenize (zipped unnest, engine's
+    whitespace class), top-100 vocab, adjacent pairs both directions,
+    then the pagerank update unrolled as chained MATERIALIZED CTEs
+    (every CTE is referenced twice per round — without
+    materialization the inlined chain re-expands exponentially and
+    exhausts file descriptors re-scanning the parquet)."""
+    step = """
+trk_pr{i} AS MATERIALIZED (
+  SELECT n2.node,
+         (1.0 - 0.85)/trk_nn.nd
+         + 0.85*(coalesce(f.inflow, 0.0) + d.dang/trk_nn.nd) AS r
+  FROM trk_nodes n2
+  CROSS JOIN trk_nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum((p.r * e.n) / od.w) AS inflow
+    FROM trk_pr{j} p JOIN trk_e e ON e.src = p.node
+    JOIN trk_outdeg od ON od.src = p.node
+    GROUP BY 1) f ON f.node = n2.node
+  CROSS JOIN (
+    SELECT coalesce(sum(p.r), 0.0) AS dang
+    FROM trk_pr{j} p LEFT JOIN trk_outdeg od ON od.src = p.node
+    WHERE od.src IS NULL) d
+)"""
+    chain = ",".join(step.format(i=i, j=i - 1)
+                     for i in range(1, iters + 1))
+    return f"""
+WITH trk_split AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_split_to_array(lower(text),
+                               '[ \t\n\x0b\x0c\r]+') AS arr
+  FROM documents
+),
+trk_tok AS MATERIALIZED (
+  SELECT doc_id, ti, tok FROM (
+    SELECT doc_id, unnest(generate_series(1, len(arr))) AS ti,
+           unnest(arr) AS tok
+    FROM trk_split
+  ) WHERE tok <> ''
+),
+trk_vocab AS MATERIALIZED (
+  SELECT tok AS token, count(*) AS cnt FROM trk_tok GROUP BY tok
+  ORDER BY cnt DESC, token LIMIT 100
+),
+trk_adj AS MATERIALIZED (
+  SELECT a.tok AS x, b.tok AS y
+  FROM trk_tok a JOIN trk_tok b
+    ON b.doc_id = a.doc_id AND b.ti = a.ti + 1
+  WHERE a.tok IN (SELECT token FROM trk_vocab)
+    AND b.tok IN (SELECT token FROM trk_vocab)
+),
+trk_e AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT x AS src, y AS dst FROM trk_adj
+    UNION ALL
+    SELECT y AS src, x AS dst FROM trk_adj
+  ) GROUP BY 1, 2
+),
+trk_outdeg AS MATERIALIZED (
+  SELECT src, sum(n) AS w FROM trk_e GROUP BY 1
+),
+trk_nodes AS MATERIALIZED (SELECT token AS node FROM trk_vocab),
+trk_nn AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS nd FROM trk_nodes
+),
+trk_pr0 AS MATERIALIZED (
+  SELECT node, 1.0/trk_nn.nd AS r FROM trk_nodes, trk_nn
+),
+{chain}
+SELECT n.node AS token, round(p.r, 6) AS textrank
+FROM trk_nodes n JOIN trk_pr{iters} p ON p.node = n.node
+ORDER BY round(p.r, 6) DESC, n.node LIMIT 20
+"""
+
+
 def q_auc_score(sf_dir):
     """★-checked ROC-AUC via the Mann–Whitney rank identity
     (stages/analytics.py::auc_mann_whitney): does `value` separate
@@ -6928,6 +7018,7 @@ EXTRA_QUERIES = {
     "spearman_trend": q_spearman_trend,
     "cusum_alarms": q_cusum_alarms,
     "auc_score": q_auc_score,
+    "textrank": q_textrank,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -7077,6 +7168,7 @@ EXTRA_ORACLE_SQL = {
     "spearman_trend": SPEARMAN_SQL,
     "cusum_alarms": CUSUM_SQL,
     "auc_score": AUC_SQL,
+    "textrank": _textrank_sql(),
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

@@ -532,3 +532,91 @@ def bm25_topk(
     return (parts.sort_values(["score", id_col],
                               ascending=[False, True])
             .head(top).reset_index(drop=True))
+
+
+def textrank_keywords(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    top_vocab: int = 100,
+    damping: float = 0.85,
+    iters: int = 10,
+    k: int = 20,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """TextRank keyword extraction (Mihalcea–Tarau 2004): PageRank
+    over the ADJACENT-token co-occurrence graph restricted to the
+    corpus's ``top_vocab`` most frequent tokens (``vocab_topk``
+    semantics: lowercase whitespace tokens, ties by token).  Directed
+    edges both ways per adjacency (= the undirected walk); dangling
+    mass redistributed uniformly; FIXED ``iters`` rounds with the
+    exact pagerank_types update, so the SQL twin unrolls the same
+    chain.  Scale shape: token counts and in-vocab adjacent-pair
+    counts reduce map-side to cells through keyed exchanges (bounded
+    by vocab², never corpus rows); the rank iteration runs
+    driver-side over ≤ top_vocab nodes."""
+    from .partition import group_apply
+
+    vocab = vocab_topk(ds, k=top_vocab, text_col=text_col,
+                       num_partitions=num_partitions)
+    vtok = np.sort(vocab["token"].to_numpy(object))
+    vref = ray.put(vtok)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(vref)
+        rows_a, rows_b = [], []
+        for t in df[text_col].astype(str):
+            toks = t.lower().split()
+            if len(toks) < 2:
+                continue
+            a = np.asarray(toks[:-1], dtype=object)
+            b = np.asarray(toks[1:], dtype=object)
+            pa = np.searchsorted(want, a)
+            pb = np.searchsorted(want, b)
+            ok = ((np.clip(pa, 0, len(want) - 1) < len(want))
+                  & (want[np.clip(pa, 0, len(want) - 1)] == a)
+                  & (want[np.clip(pb, 0, len(want) - 1)] == b))
+            rows_a.append(a[ok])
+            rows_b.append(b[ok])
+        if not rows_a:
+            return pd.DataFrame({"src": pd.Series(dtype=object),
+                                 "dst": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        aa = np.concatenate(rows_a)
+        bb = np.concatenate(rows_b)
+        g = (pd.DataFrame({"src": np.r_[aa, bb],
+                           "dst": np.r_[bb, aa]})
+             .groupby(["src", "dst"], as_index=False).size())
+        return g.rename(columns={"size": "n"})
+
+    edges = group_apply(
+        ds.select_columns([text_col]).map_batches(
+            pair_partial, batch_format="pandas"),
+        lambda df: df.groupby(["src", "dst"], as_index=False)["n"].sum(),
+        num_partitions=num_partitions, key="src",
+    ).to_pandas()
+    nodes = vtok
+    n_nodes = len(nodes)
+    if n_nodes == 0:
+        return pd.DataFrame({"token": pd.Series(dtype=object),
+                             "textrank": pd.Series(dtype="float64")})
+    idx = pd.Series(np.arange(n_nodes), index=nodes)
+    src = idx[edges["src"].to_numpy()].to_numpy()
+    dst = idx[edges["dst"].to_numpy()].to_numpy()
+    w = edges["n"].to_numpy(np.int64).astype(np.float64)
+    outw = np.zeros(n_nodes)
+    np.add.at(outw, src, w)
+    r = np.full(n_nodes, 1.0 / n_nodes)
+    for _ in range(iters):
+        inflow = np.zeros(n_nodes)
+        np.add.at(inflow, dst, r[src] * w / outw[src])
+        dang = float(r[outw == 0].sum())
+        r = (1.0 - damping) / n_nodes + damping * (
+            inflow + dang / n_nodes)
+    # round BEFORE ranking so float micro-differences (summation
+    # order) cannot flip near-ties between engine and oracle; token
+    # ascending breaks exact ties deterministically
+    rr = np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6
+    out = pd.DataFrame({"token": nodes, "textrank": rr})
+    return (out.sort_values(["textrank", "token"],
+                            ascending=[False, True], kind="mergesort")
+            .head(k).reset_index(drop=True))

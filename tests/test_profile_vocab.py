@@ -311,3 +311,29 @@ def test_bm25_bruteforce(ray_session):
     for c in ["dl", "tf1", "tf2", "tf3"]:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     assert np.allclose(got["score"], want["score"], rtol=1e-12)
+
+
+def test_textrank_keywords_properties(ray_session):
+    """TextRank: a hub token adjacent to many distinct frequent
+    tokens outranks an equally-frequent token with one neighbor;
+    ranks sum to ~1 over the full vocab run."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.pack import textrank_keywords
+
+    docs = []
+    # 'hub' co-occurs with 12 distinct tokens; 'loner' repeats with
+    # only one neighbor at the same total frequency
+    for i in range(12):
+        docs.append(f"hub tok{i}")
+        docs.append("loner mate")
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(docs), dtype=np.int64),
+         "text": docs})).repartition(3)
+    out = textrank_keywords(ds, top_vocab=50, iters=10, k=50,
+                            num_partitions=4)
+    r = out.set_index("token")["textrank"]
+    assert r["hub"] > r["loner"]
+    assert abs(out["textrank"].sum() - 1.0) < 1e-3  # rank mass ~ 1
