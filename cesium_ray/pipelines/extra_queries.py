@@ -4378,6 +4378,111 @@ FROM con ORDER BY bin
 """
 
 
+def q_benford(sf_dir):
+    """★-checked Benford first-digit audit
+    (stages/analytics.py::benford_digits): leading digit in INT space
+    (no float formatting), 9 exact count cells, mirrored expected
+    shares and chi²."""
+    from ..stages.analytics import benford_digits
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"])
+    return round6(benford_digits(ev, num_partitions=8))
+
+
+BENFORD_SQL = """
+WITH v AS (
+  SELECT abs(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events
+  WHERE abs(CAST(round(value * 100) AS BIGINT)) > 0
+),
+d AS (
+  -- integer-to-string is exact (no float log10, which misfires at
+  -- powers of ten); first char of the decimal repr = leading digit
+  SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM v
+),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed
+      FROM d GROUP BY digit),
+grid AS (
+  SELECT unnest(generate_series(1, 9)) AS digit
+),
+n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM c),
+j AS (
+  SELECT grid.digit, coalesce(c.observed, 0) AS observed,
+         log10(1.0 + 1.0 / grid.digit) AS expected_share, n.n
+  FROM grid LEFT JOIN c USING (digit), n
+)
+SELECT digit, observed,
+       round(CAST(observed AS DOUBLE) / n, 6) AS share,
+       round(expected_share, 6) AS expected_share,
+       n AS n_values,
+       round((SELECT sum(pow(j2.observed - j2.expected_share * j2.n, 2)
+                         / (j2.expected_share * j2.n)) FROM j j2), 6)
+         AS chi2
+FROM j ORDER BY digit
+"""
+
+
+def q_runs_test(sf_dir):
+    """★-checked Wald–Wolfowitz runs test
+    (stages/tsmath-family, impl in analytics.py::runs_test): runs of
+    the above/below-median sign sequence per user; median from the
+    shared duck_quantile kernel, counts exact, z mirrored."""
+    from ..stages.analytics import runs_test
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value", "ts"],
+    )
+    return round6(runs_test(ev, num_partitions=8))
+
+
+RUNS_TEST_SQL = """
+WITH k AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+m AS (SELECT user_id, quantile_cont(v, 0.5) AS med FROM k
+      GROUP BY user_id),
+s AS (
+  SELECT k.user_id, k.rn, (k.v > m.med) AS sgn
+  FROM k JOIN m USING (user_id)
+  WHERE k.v <> m.med
+),
+r AS (
+  SELECT user_id, sgn,
+         lag(sgn) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+  FROM s
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_used,
+         CAST(sum(CASE WHEN sgn THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN sgn THEN 0 ELSE 1 END) AS BIGINT) AS nn,
+         CAST(1 + sum(CASE WHEN prev IS NOT NULL AND prev <> sgn
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+  FROM r GROUP BY user_id
+),
+allk AS (SELECT DISTINCT user_id FROM k)
+SELECT allk.user_id,
+       coalesce(agg.n_used, 0) AS n_used,
+       coalesce(agg.n_runs, 0) AS n_runs,
+       round(CASE WHEN agg.n_used >= 2 AND agg.np > 0 AND agg.nn > 0
+                   AND 2.0*agg.np*agg.nn*(2.0*agg.np*agg.nn - agg.n_used) > 0
+             THEN (agg.n_runs - (2.0*agg.np*agg.nn/agg.n_used + 1.0))
+                  / sqrt(2.0*agg.np*agg.nn
+                         * (2.0*agg.np*agg.nn - agg.n_used)
+                         / (CAST(agg.n_used AS DOUBLE)*agg.n_used
+                            * (agg.n_used - 1)))
+             END, 6) AS z_runs
+FROM allk LEFT JOIN agg USING (user_id)
+ORDER BY allk.user_id
+"""
+
+
 def q_textrank(sf_dir):
     """★-checked TextRank keyword extraction
     (stages/pack.py::textrank_keywords): PageRank over adjacent-token
@@ -7019,6 +7124,8 @@ EXTRA_QUERIES = {
     "cusum_alarms": q_cusum_alarms,
     "auc_score": q_auc_score,
     "textrank": q_textrank,
+    "benford": q_benford,
+    "runs_test": q_runs_test,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
     "cooldown_dedup": q_cooldown_dedup,
@@ -7169,6 +7276,8 @@ EXTRA_ORACLE_SQL = {
     "cusum_alarms": CUSUM_SQL,
     "auc_score": AUC_SQL,
     "textrank": _textrank_sql(),
+    "benford": BENFORD_SQL,
+    "runs_test": RUNS_TEST_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,
     "cooldown_dedup": COOLDOWN_SQL,

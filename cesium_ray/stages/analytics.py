@@ -1466,3 +1466,119 @@ def auc_mann_whitney(
         "n_pos": [np.int64(n_pos)], "n_neg": [np.int64(n_neg)],
         "u2": [np.int64(u2)], "auc": [auc],
     })
+
+
+_BENFORD_P = [0.0] + [float(np.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
+
+
+def benford_digits(
+    ds: ray.data.Dataset,
+    val_col: str = "value",
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Benford's-law first-digit audit — the data-forensics classic
+    for spotting fabricated or clipped numeric columns: distribution
+    of the leading decimal digit of |round(value·100)| (zero values
+    excluded) vs the expected log10(1 + 1/d), with the chi-square
+    distance.  The leading digit is computed in INT space (repeated
+    integer division — no float formatting), counts reduce to 9
+    cells through one keyed exchange; expected shares and chi² are
+    the mirrored float expressions."""
+    from .partition import group_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.abs(np.rint(df[val_col].to_numpy(np.float64)
+                           * 100.0).astype(np.int64))
+        v = v[v > 0]
+        while_big = v.copy()
+        # strip trailing digits until single digit (vectorized loop
+        # over digit COUNT, ≤ 19 passes for int64)
+        for _ in range(19):
+            big = while_big >= 10
+            if not big.any():
+                break
+            while_big[big] //= 10
+        g = pd.DataFrame({"d": while_big}).groupby(
+            "d", as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    cells = group_apply(
+        ds.select_columns([val_col]).map_batches(
+            partial, batch_format="pandas"),
+        lambda df: df.groupby("d", as_index=False)["c"].sum(),
+        num_partitions=num_partitions, key="d",
+    ).to_pandas()
+    cnt = np.zeros(10, np.int64)
+    cnt[cells["d"].to_numpy(np.int64)] = cells["c"].to_numpy(np.int64)
+    n = int(cnt[1:].sum())
+    digs = np.arange(1, 10)
+    obs = cnt[1:]
+    exp = np.array(_BENFORD_P[1:]) * n
+    chi2 = float(((obs - exp) ** 2 / exp).sum()) if n else np.nan
+    return pd.DataFrame({
+        "digit": digs.astype(np.int64),
+        "observed": obs,
+        "share": obs / n if n else np.nan,
+        "expected_share": np.array(_BENFORD_P[1:]),
+        "n_values": np.int64(n),
+        "chi2": chi2,
+    })
+
+
+def runs_test(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Wald–Wolfowitz runs test per key: is the above/below-median
+    sign sequence random in time?  Median from the shared
+    duck_quantile kernel; values equal to the median are dropped
+    (classic treatment); runs/n₊/n₋ exact int64; the normal
+    approximation z = (R − μ)/σ with μ = 2n₊n₋/n + 1,
+    σ² = 2n₊n₋(2n₊n₋ − n)/(n²(n−1)) is the mirrored float."""
+    from ..oracle.rollup import duck_quantile
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_used": pd.Series(dtype="int64"),
+                "n_runs": pd.Series(dtype="int64"),
+                "z_runs": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        out = []
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        vq = np.rint(df[val_col].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        perm = np.lexsort((oid, tus, kc))
+        k, v = kc[perm], vq[perm]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        for s, e in zip(starts, ends):
+            vk = v[s:e].astype(np.float64)
+            med = duck_quantile(np.sort(vk, kind="mergesort"), 0.5)
+            sign = vk[vk != med] > med
+            n = len(sign)
+            np_, nn_ = int(sign.sum()), int((~sign).sum())
+            if n < 2 or not np_ or not nn_:
+                out.append((int(np.asarray(kuniq)[k[s]]),
+                            np.int64(n), np.int64(1 if n else 0),
+                            np.nan))
+                continue
+            runs = 1 + int((sign[1:] != sign[:-1]).sum())
+            mu = 2.0 * np_ * nn_ / n + 1.0
+            var = (2.0 * np_ * nn_ * (2.0 * np_ * nn_ - n)
+                   / (float(n) * n * (n - 1)))
+            z = (runs - mu) / np.sqrt(var) if var > 0 else np.nan
+            out.append((int(np.asarray(kuniq)[k[s]]), np.int64(n),
+                        np.int64(runs), float(z)))
+        return pd.DataFrame(out, columns=list(cols))
+
+    return (group_apply(ds, per_key, num_partitions=num_partitions,
+                        key=key).to_pandas()
+            .sort_values(key, kind="mergesort").reset_index(drop=True))

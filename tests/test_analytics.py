@@ -375,3 +375,52 @@ def test_auc_mann_whitney_bruteforce(ray_session):
     ties = (pos[:, None] == neg[None, :]).sum()
     want = (wins + 0.5 * ties) / (len(pos) * len(neg))
     assert abs(got - want) < 1e-12
+
+
+def test_benford_digits_known(ray_session):
+    """Exponential-ish data follows Benford closely; uniform data in
+    [100, 200) concentrates on digit 1 and fails the fit."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.analytics import benford_digits
+
+    rng = np.random.default_rng(18)
+
+    def run(vals):
+        return benford_digits(ray.data.from_pandas(
+            pd.DataFrame({"value": vals})).repartition(3),
+            num_partitions=4)
+
+    ben = run(np.round(np.exp(rng.uniform(0, 12, 5000)) / 100.0, 2))
+    # digit-1 share near log10(2) ~ 0.301
+    assert abs(ben.set_index("digit").loc[1, "share"] - 0.301) < 0.03
+    uni = run(np.round(rng.uniform(1.0, 2.0, 3000), 2))
+    assert uni.set_index("digit").loc[1, "share"] > 0.95
+    assert uni["chi2"].iloc[0] > ben["chi2"].iloc[0]
+
+
+def test_runs_test_bruteforce(ray_session):
+    """Runs count matches brute force; an alternating sequence gets a
+    large positive z, a sorted one a large negative z."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.analytics import runs_test
+
+    rows = []
+    alt = [1.0 if i % 2 == 0 else 9.0 for i in range(40)]
+    srt = sorted(np.linspace(1, 9, 40))
+    for u, vals in [(0, alt), (1, srt)]:
+        for i, v in enumerate(vals):
+            rows.append((u, len(rows), float(v),
+                         pd.Timestamp(i * 1000, unit="s")))
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "value", "ts"])
+    got = runs_test(ray.data.from_pandas(df).repartition(3),
+                    num_partitions=4).set_index("user_id")
+    assert got.loc[0, "n_runs"] == 40    # perfect alternation
+    assert got.loc[0, "z_runs"] > 5
+    assert got.loc[1, "n_runs"] == 2     # one switch
+    assert got.loc[1, "z_runs"] < -5
