@@ -4378,6 +4378,52 @@ FROM con ORDER BY bin
 """
 
 
+def q_ks_drift(sf_dir):
+    """★-checked two-sample Kolmogorov–Smirnov drift
+    (stages/analytics.py::ks_drift): exact-median time split, exact
+    integer numerator max|c₁·n₂ − c₂·n₁| over the quantized support,
+    one final mirrored division — the distribution-free companion of
+    psi_drift."""
+    from ..stages.analytics import ks_drift
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value", "ts"])
+    return round6(ks_drift(ev, num_partitions=8))
+
+
+KS_DRIFT_SQL = """
+WITH k AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v, epoch_us(ts) AS t
+  FROM events
+),
+med AS (SELECT quantile_cont(t, 0.5) AS m FROM k),
+c AS (
+  SELECT v,
+         CAST(sum(CASE WHEN t <= med.m THEN 1 ELSE 0 END) AS BIGINT)
+           AS a,
+         CAST(sum(CASE WHEN t > med.m THEN 1 ELSE 0 END) AS BIGINT)
+           AS b
+  FROM k, med GROUP BY v
+),
+cum AS (
+  SELECT v,
+         sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+         sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+  FROM c
+),
+n AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2
+  FROM c
+)
+SELECT n.n1 AS n_ref, n.n2 AS n_cur,
+       CAST(max(abs(cum.c1 * n.n2 - cum.c2 * n.n1)) AS BIGINT)
+         AS d_num,
+       round(CAST(max(abs(cum.c1 * n.n2 - cum.c2 * n.n1)) AS DOUBLE)
+             / (CAST(n.n1 AS DOUBLE) * n.n2), 6) AS ks_d
+FROM cum, n GROUP BY n.n1, n.n2
+"""
+
+
 def q_benford(sf_dir):
     """★-checked Benford first-digit audit
     (stages/analytics.py::benford_digits): leading digit in INT space
@@ -7125,6 +7171,7 @@ EXTRA_QUERIES = {
     "auc_score": q_auc_score,
     "textrank": q_textrank,
     "benford": q_benford,
+    "ks_drift": q_ks_drift,
     "runs_test": q_runs_test,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
@@ -7277,6 +7324,7 @@ EXTRA_ORACLE_SQL = {
     "auc_score": AUC_SQL,
     "textrank": _textrank_sql(),
     "benford": BENFORD_SQL,
+    "ks_drift": KS_DRIFT_SQL,
     "runs_test": RUNS_TEST_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,

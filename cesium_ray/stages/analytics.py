@@ -1582,3 +1582,67 @@ def runs_test(
     return (group_apply(ds, per_key, num_partitions=num_partitions,
                         key=key).to_pandas()
             .sort_values(key, kind="mergesort").reset_index(drop=True))
+
+
+def ks_drift(
+    ds: ray.data.Dataset,
+    val_col: str = "value",
+    ts_col: str = "ts",
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the
+    first and second half of the stream (split at the exact global
+    median timestamp, like ``psi_drift``): D = max |F₁ − F₂| over
+    the int-quantized value support.  EXACT: with cumulative counts
+    c₁, c₂ and totals n₁, n₂, D = max |c₁·n₂ − c₂·n₁| / (n₁·n₂) has
+    an integer numerator, so engine and SQL agree bit-for-bit before
+    one final division.  Per-(value, side) count cells flow through
+    one keyed exchange — bounded by distinct quantized values."""
+    from .partition import group_apply
+    from ..stages.selection import grouped_rank_quantiles
+
+    def kspace(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": np.zeros(len(df), np.int8),
+            "v": np.rint(df[val_col].to_numpy(np.float64)
+                         * 100.0).astype(np.int64),
+            "t": df[ts_col].to_numpy("datetime64[us]").view(np.int64),
+        })
+
+    mat = ds.select_columns([val_col, ts_col]).map_batches(
+        kspace, batch_format="pandas").materialize()
+    med = float(grouped_rank_quantiles(
+        mat, "g", "t", ps=(0.5,))["q_0"].iloc[0])
+    mref = ray.put(med)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(mref)
+        side = (df["t"].to_numpy(np.int64) > m).astype(np.int64)
+        g = (pd.DataFrame({"v": df["v"].to_numpy(np.int64),
+                           "side": side})
+             .groupby(["v", "side"], as_index=False).size())
+        return g.rename(columns={"size": "c"})
+
+    cells = group_apply(
+        mat.map_batches(counts, batch_format="pandas"),
+        lambda df: df.groupby(["v", "side"], as_index=False)["c"].sum(),
+        num_partitions=num_partitions, key="v",
+    ).to_pandas()
+    piv = (cells.pivot_table(index="v", columns="side", values="c",
+                             aggfunc="sum", fill_value=0).sort_index())
+    c1 = np.cumsum(piv.get(0, pd.Series(0, index=piv.index))
+                   .to_numpy(np.int64))
+    c2 = np.cumsum(piv.get(1, pd.Series(0, index=piv.index))
+                   .to_numpy(np.int64))
+    n1, n2 = int(c1[-1]) if len(c1) else 0, int(c2[-1]) if len(c2) else 0
+    if not n1 or not n2:
+        return pd.DataFrame({"n_ref": [np.int64(n1)],
+                             "n_cur": [np.int64(n2)],
+                             "d_num": [np.int64(0)], "ks_d": [np.nan]})
+    dnum = np.abs(c1 * n2 - c2 * n1)
+    d_num = int(dnum.max())
+    return pd.DataFrame({
+        "n_ref": [np.int64(n1)], "n_cur": [np.int64(n2)],
+        "d_num": [np.int64(d_num)],
+        "ks_d": [float(d_num) / (float(n1) * n2)],
+    })

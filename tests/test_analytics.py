@@ -424,3 +424,41 @@ def test_runs_test_bruteforce(ray_session):
     assert got.loc[0, "z_runs"] > 5
     assert got.loc[1, "n_runs"] == 2     # one switch
     assert got.loc[1, "z_runs"] < -5
+
+
+def test_ks_drift_properties(ray_session):
+    """KS ~ 0 on a stationary stream, large on a shifted second half;
+    exact numerator matches a brute-force ECDF comparison."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.analytics import ks_drift
+
+    rng = np.random.default_rng(19)
+    n = 3000
+    ts = pd.to_datetime(np.arange(n) * 1000, unit="s")
+
+    def run(vals):
+        return ks_drift(ray.data.from_pandas(pd.DataFrame(
+            {"value": np.round(vals, 2), "ts": ts})).repartition(4),
+            num_partitions=4)
+
+    stat = run(rng.normal(50, 5, n))
+    assert stat["ks_d"].iloc[0] < 0.06
+    drift = run(np.r_[rng.normal(50, 5, n // 2),
+                      rng.normal(60, 5, n - n // 2)])
+    assert drift["ks_d"].iloc[0] > 0.5
+    # brute force on the drifted case
+    v = np.rint(np.round(np.r_[rng.normal(50, 5, 10),
+                               rng.normal(60, 5, 10)], 2) * 100)
+    got = ks_drift(ray.data.from_pandas(pd.DataFrame({
+        "value": v / 100.0,
+        "ts": pd.to_datetime(np.arange(20) * 1000, unit="s"),
+    })).repartition(2), num_partitions=2)
+    a, b = v[:10], v[10:]
+    supp = np.unique(v)
+    f1 = np.array([(a <= s).sum() for s in supp])
+    f2 = np.array([(b <= s).sum() for s in supp])
+    want = np.abs(f1 * 10 - f2 * 10).max()
+    assert got["d_num"].iloc[0] == want
