@@ -4378,6 +4378,74 @@ FROM con ORDER BY bin
 """
 
 
+def q_bootstrap_ci(sf_dir):
+    """★-checked deterministic percentile-bootstrap CI for the
+    per-user mean (stages/analytics.py::bootstrap_mean_ci): replicate
+    b, draw i = splitmix64(uid·1000003 + b·10007 + i) mod n over the
+    user's SORTED value multiset — content-derived resampling the SQL
+    replays exactly; replicate means have exact integer numerators
+    and the CI bounds share the duck_quantile kernel."""
+    from ..stages.analytics import bootstrap_mean_ci
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return round6(bootstrap_mean_ci(ev, n_boot=200, num_partitions=8))
+
+
+def _bootstrap_sql(n_boot: int = 200) -> str:
+    splitmix = _sql_splitmix
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY
+                                 CAST(round(value * 100) AS BIGINT))
+              - 1 AS BIGINT) AS sidx,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events
+),
+draws0 AS MATERIALIZED (
+  SELECT user_id, n, sidx AS i,
+         unnest(generate_series(0, {n_boot - 1})) AS b
+  FROM base
+),
+draws AS MATERIALIZED (
+  SELECT user_id, n, b, i,
+         (CAST(user_id AS HUGEINT) * 1000003 + b * 10007 + i) AS x
+  FROM draws0
+),
+{splitmix('x', 'draws')},
+sel AS (
+  SELECT d.user_id, d.b, d.n,
+         CAST(d.h % d.n AS BIGINT) AS idx
+  FROM draws_sm d
+),
+means AS MATERIALIZED (
+  SELECT sel.user_id, sel.b,
+         CAST(sum(k2.v) AS DOUBLE) / max(sel.n) / 100.0 AS m
+  FROM sel JOIN base k2
+    ON k2.user_id = sel.user_id AND k2.sidx = sel.idx
+  GROUP BY sel.user_id, sel.b
+),
+ci AS (
+  SELECT user_id,
+         quantile_cont(m, 0.025) AS ci_lo,
+         quantile_cont(m, 0.975) AS ci_hi
+  FROM means GROUP BY user_id
+),
+tot AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(v) AS DOUBLE) / count(*) / 100.0 AS mean_all
+  FROM base GROUP BY user_id
+)
+SELECT tot.user_id, tot.n_events,
+       round(tot.mean_all, 6) AS mean_all,
+       round(ci.ci_lo, 6) AS ci_lo,
+       round(ci.ci_hi, 6) AS ci_hi
+FROM tot JOIN ci USING (user_id)
+ORDER BY tot.user_id
+"""
+
+
 def q_ks_drift(sf_dir):
     """★-checked two-sample Kolmogorov–Smirnov drift
     (stages/analytics.py::ks_drift): exact-median time split, exact
@@ -7172,6 +7240,7 @@ EXTRA_QUERIES = {
     "textrank": q_textrank,
     "benford": q_benford,
     "ks_drift": q_ks_drift,
+    "bootstrap_ci": q_bootstrap_ci,
     "runs_test": q_runs_test,
     "session_overlap": q_session_overlap,
     "time_since": q_time_since,
@@ -7325,6 +7394,7 @@ EXTRA_ORACLE_SQL = {
     "textrank": _textrank_sql(),
     "benford": BENFORD_SQL,
     "ks_drift": KS_DRIFT_SQL,
+    "bootstrap_ci": _bootstrap_sql(),
     "runs_test": RUNS_TEST_SQL,
     "session_overlap": SESSION_OVERLAP_SQL,
     "time_since": TIME_SINCE_SQL,

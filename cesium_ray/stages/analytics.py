@@ -1646,3 +1646,67 @@ def ks_drift(
         "d_num": [np.int64(d_num)],
         "ks_d": [float(d_num) / (float(n1) * n2)],
     })
+
+
+def bootstrap_mean_ci(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    n_boot: int = 200,
+    lo_p: float = 0.025,
+    hi_p: float = 0.975,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Percentile-bootstrap confidence interval for the per-key mean
+    with DETERMINISTIC resampling: replicate b draws its i-th sample
+    as index splitmix64(uid·1000003 + b·10007 + i) mod n over the
+    key's (ts,order)-independent value multiset — content-derived,
+    partition-order-independent, and exactly reproducible in SQL
+    (same arithmetic-hash rule as the engine's samplers).  Replicate
+    means have exact int64 numerators; the CI bounds come from the
+    shared ``duck_quantile`` kernel over the ``n_boot`` means."""
+    from ..oracle.rollup import duck_quantile
+    from ..stages.dedup import _splitmix64
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "mean_all": pd.Series(dtype="float64"),
+                "ci_lo": pd.Series(dtype="float64"),
+                "ci_hi": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        out = []
+        kc, kuniq = pd.factorize(df[key])
+        vq = np.rint(df[val_col].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        order = np.argsort(kc, kind="stable")
+        k, v = kc[order], vq[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        for s, e in zip(starts, ends):
+            uid = int(np.asarray(kuniq)[k[s]])
+            # canonical value order: sorted ascending (resampling
+            # must address the same multiset arrangement in SQL)
+            vk = np.sort(v[s:e], kind="mergesort")
+            n = len(vk)
+            b = np.repeat(np.arange(n_boot, dtype=np.uint64), n)
+            i = np.tile(np.arange(n, dtype=np.uint64), n_boot)
+            x = (np.uint64(uid) * np.uint64(1000003)
+                 + b * np.uint64(10007) + i)
+            idx = (_splitmix64(x) % np.uint64(n)).astype(np.int64)
+            sums = np.bincount(
+                (b.astype(np.int64)), weights=vk[idx].astype(np.float64),
+                minlength=n_boot)
+            means = sums / n / 100.0
+            ms = np.sort(means, kind="mergesort")
+            out.append((uid, np.int64(n),
+                        float(int(vk.sum())) / n / 100.0,
+                        float(duck_quantile(ms, lo_p)),
+                        float(duck_quantile(ms, hi_p))))
+        return pd.DataFrame(out, columns=list(cols))
+
+    return (group_apply(ds, per_key, num_partitions=num_partitions,
+                        key=key).to_pandas()
+            .sort_values(key, kind="mergesort").reset_index(drop=True))

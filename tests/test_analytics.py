@@ -462,3 +462,33 @@ def test_ks_drift_properties(ray_session):
     f2 = np.array([(b <= s).sum() for s in supp])
     want = np.abs(f1 * 10 - f2 * 10).max()
     assert got["d_num"].iloc[0] == want
+
+
+def test_bootstrap_mean_ci_properties(ray_session):
+    """CI brackets the sample mean, tightens with n, and the
+    deterministic resampling is reproducible across runs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.analytics import bootstrap_mean_ci
+
+    rng = np.random.default_rng(20)
+    rows = []
+    for u, n in [(0, 20), (1, 500)]:
+        for v in np.round(rng.normal(50, 10, n), 2):
+            rows.append((u, v))
+    df = pd.DataFrame(rows, columns=["user_id", "value"])
+
+    def run():
+        return bootstrap_mean_ci(
+            ray.data.from_pandas(df).repartition(3), n_boot=200,
+            num_partitions=4).set_index("user_id")
+
+    a, b = run(), run()
+    pd.testing.assert_frame_equal(a, b)   # deterministic
+    for u in (0, 1):
+        assert a.loc[u, "ci_lo"] <= a.loc[u, "mean_all"] <= a.loc[u, "ci_hi"]
+    w0 = a.loc[0, "ci_hi"] - a.loc[0, "ci_lo"]
+    w1 = a.loc[1, "ci_hi"] - a.loc[1, "ci_lo"]
+    assert w1 < w0  # more data -> tighter interval
