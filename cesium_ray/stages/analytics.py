@@ -1291,6 +1291,10 @@ def kaplan_meier(
             et = g[type_col].to_numpy()
             st = tus[et == start_type]
             if not len(st):
+                # keys without a start event still contribute their
+                # max ts to the global censor time (oracle's mx CTE
+                # is max over ALL events) — emit a t0=-1 sentinel row
+                out.append((int(uid), -1, -1, int(tus.max())))
                 continue
             t0 = int(st.min())
             ev = tus[(et == event_type) & (tus > t0)]
@@ -1309,10 +1313,14 @@ def kaplan_meier(
                              "n_events": pd.Series(dtype="int64"),
                              "survival": pd.Series(dtype="float64")})
     tmax = int(cells["tmax"].max())
-    # NOTE: per-key tmax is partition-local; global censor time needs
-    # the true global max — take it from the cells (each key's row
-    # carries its own max; the overall max equals the global max
-    # because every event belongs to some key)
+    # global censor time = max ts over ALL events (every event belongs
+    # to some key and every key emits a tmax row, start event or not)
+    cells = cells[cells["t0"] >= 0]
+    if not len(cells):
+        return pd.DataFrame({"duration_us": pd.Series(dtype="int64"),
+                             "n_risk": pd.Series(dtype="int64"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "survival": pd.Series(dtype="float64")})
     obs = cells["tp"].to_numpy(np.int64) >= 0
     dur = np.where(obs, cells["tp"].to_numpy(np.int64),
                    tmax) - cells["t0"].to_numpy(np.int64)

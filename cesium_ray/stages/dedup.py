@@ -1076,7 +1076,19 @@ def fingerprint_stage(
     array, the window hash accumulates in ``window`` shifted-add
     passes, and the per-doc minimum falls out of one
     ``minimum.reduceat`` — no per-doc numpy passes (bit-identical to
-    the old per-doc kernel)."""
+    the old per-doc kernel).
+
+    COLLISION GUARANTEE (weaker than cryptographic): the content hash
+    is a base-31 polynomial mod 2^64 with a splitmix64 finalizer — a
+    bijection of the polynomial, so collisions are exactly the
+    polynomial's.  Polynomial collisions are constructible, so an
+    adversarial corpus can force two distinct documents onto one
+    fingerprint; on natural data the expected collision rate is the
+    birthday bound (~n²/2^65).  This trade buys SQL-oracle exactness
+    (DuckDB reproduces the hash bit-for-bit).  For dedup where
+    adversarial inputs matter, use ``dedup_exact`` (blake2b
+    ``stable_hash64``) instead; this stage is the oracle-checked
+    fingerprint path."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         texts = [str(t).encode() for t in df[text_col]]

@@ -210,11 +210,12 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
         pos += 10
         if iflags & 0x40:
             raise ValueError("interlaced GIF unsupported")
-        if iflags & 0x80:  # local color table
-            n = 2 << (iflags & 7)
-            pal[:n] = np.frombuffer(
-                payload[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
-            pos += 3 * n
+        if iflags & 0x80:
+            # a per-frame local color table would silently repaint
+            # every frame through one shared palette in callers that
+            # apply the single returned palette — refuse, like the
+            # interlace / partial-frame guards
+            raise ValueError("local color table unsupported")
         if (left, top, fw, fh) != (0, 0, w, h):
             raise ValueError("partial-frame GIF unsupported")
         mcs = payload[pos]

@@ -441,7 +441,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker sync lost")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+        # a marker byte — skip them
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone markers with no length field
+            pos += 2
+            continue
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4:pos + 2 + ln]
         pos += 2 + ln

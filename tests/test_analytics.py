@@ -292,6 +292,34 @@ def test_kaplan_meier_bruteforce(ray_session):
     assert abs(km.loc[30, "survival"] - s20 * (1 - 1 / 3)) < 1e-9
 
 
+def test_kaplan_meier_censor_from_nonsignup_key(ray_session):
+    """Global censor time must come from ALL events — including keys
+    with no signup (oracle's mx CTE).  Repro: late-signup censored
+    user + a signup-less user holding the latest event ⇒ the censored
+    duration uses that later time, and both users are at risk at the
+    observed event time."""
+    import pandas as pd
+    import ray.data
+
+    from cesium_ray.stages.analytics import kaplan_meier
+
+    rows = [
+        (1, "signup", 0), (1, "purchase", 50),   # observed dur=50
+        (2, "signup", 40),                        # censored
+        (3, "view", 200),                         # no signup; global max
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "t"])
+    df["ts"] = pd.to_datetime(df["t"], unit="s")
+    got = kaplan_meier(ray.data.from_pandas(
+        df[["user_id", "event_type", "ts"]]).repartition(2),
+        num_partitions=4)
+    km = got.set_index(got["duration_us"] // 10**6)
+    # user 2's censored duration = 200-40 = 160 >= 50, so n_risk=2
+    assert list(km.index) == [50]
+    assert km.loc[50, "n_risk"] == 2 and km.loc[50, "n_events"] == 1
+    assert abs(km.loc[50, "survival"] - 0.5) < 1e-12
+
+
 def test_zipf_exponent_recovers_alpha(ray_session):
     """CSN estimator recovers the generating exponent on synthetic
     Zipf counts within sampling tolerance."""

@@ -61,6 +61,14 @@ def test_gif_rejects_malformed():
     enc = encode_gif(np.zeros((8, 8), np.uint8), pal)
     with pytest.raises(ValueError):
         decode_gif(enc[:20])  # truncated mid-structure
+    # local color table: refused (would silently repaint frames
+    # through one shared palette) — set the LCT flag on the image
+    # descriptor and splice in a 4-entry table
+    desc = enc.index(b"\x2c")
+    lct = bytes(enc[:desc + 9]) + bytes([enc[desc + 9] | 0x81]) \
+        + b"\x00" * 12 + bytes(enc[desc + 10:])
+    with pytest.raises(ValueError, match="local color table"):
+        decode_gif(lct)
 
 
 def test_gif_frame_features_stage(ray_session):

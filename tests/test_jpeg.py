@@ -67,6 +67,17 @@ def test_rejects_malformed():
         encode_jpeg(np.zeros((10, 16, 3), np.uint8))  # not 8-aligned
 
 
+def test_fill_bytes_before_marker():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker — a
+    spec-legal file from another encoder must still decode."""
+    rng = np.random.default_rng(11)
+    img = _blocky(rng, 2, 3)
+    enc = encode_jpeg(img, quality=100)
+    # inject two fill bytes before the first post-SOI marker (DQT)
+    padded = enc[:2] + b"\xff\xff" + enc[2:]
+    assert np.array_equal(decode_jpeg(padded), img)
+
+
 def test_jpeg_features_stage(ray_session):
     """Actor-pool decode over real jpeg payloads: exact channel sums
     on blocky q=100 content."""
