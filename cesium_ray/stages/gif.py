@@ -80,54 +80,108 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int = 8) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
-    """GIF-LZW bytes → flat uint8 index array."""
+def _lzw_decode(data: bytes, min_code_size: int,
+                expected: int | None = None) -> np.ndarray:
+    """GIF-LZW bytes → flat uint8 index array.
+
+    Vectorized decode: codes are extracted in BATCHES per constant
+    code-width run (one numpy gather/shift/mask over the whole run
+    instead of a Python bit-reader call per code), the string table is
+    two parallel int lists of (start, length) spans into the output
+    buffer (every LZW entry is ``prev + first(entry)``, which is
+    exactly the contiguous bytes ``out[cur-len(prev) : cur+1]`` at the
+    moment it is defined — the LZ77-style trick), and each emission is
+    one overlap-free memoryview slice copy — no per-entry bytes
+    allocation, no per-symbol Python.  ``expected`` (the frame's h·w,
+    when known) preallocates the output."""
     clear = 1 << min_code_size
     end = clear + 1
-    # bit reader, LSB-first: O(1) peeks via a 32-bit little-endian
-    # window over the byte array (codes are ≤ 12 bits, so a 3-byte
-    # window always covers one code at any bit offset)
-    b = np.frombuffer(data + b"\x00\x00\x00", dtype=np.uint8)
+    b = np.frombuffer(data + b"\x00\x00\x00",
+                      dtype=np.uint8).astype(np.uint32)
+    total_bits = len(data) * 8
+    cap = (expected if expected else 1 << 16) + 4096 + 8
+    out = bytearray(cap)
+    mv = memoryview(out)
+    # parallel-array table: entry c (c > end) = out[src[c]:src[c]+ln[c]]
+    src = [0] * 4096
+    ln = [0] * 4096
     pos = 0
     width = min_code_size + 1
-    total_bits = len(data) * 8
-
-    def take() -> int:
-        nonlocal pos
-        i = pos >> 3
-        word = int(b[i]) | (int(b[i + 1]) << 8) | (int(b[i + 2]) << 16)
-        v = (word >> (pos & 7)) & ((1 << width) - 1)
-        pos += width
-        return v
-
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
-    out = bytearray()
-    prev_entry = None
+    cur = 0
+    next_code = end + 1
+    prev_len = -1  # -1 → no previous entry (start / after CLEAR)
+    arange = np.arange(4096, dtype=np.int64)
     while pos + width <= total_bits:
-        code = take()
-        if code == clear:
-            table = table[: end + 1]
-            width = min_code_size + 1
-            prev_entry = None
-            continue
-        if code == end:
+        # constant-width run: at most this many codes can be consumed
+        # before the table reaches 2^width and the width bumps (the
+        # first code after a CLEAR adds no entry, hence the +1)
+        room = (1 << width) - next_code if width < 12 else 1 << 20
+        if prev_len < 0:
+            room += 1
+        n = min(max(room, 1), (total_bits - pos) // width)
+        bitpos = pos + width * arange[:n]
+        byi = bitpos >> 3
+        word = b[byi] | (b[byi + 1] << 8) | (b[byi + 2] << 16)
+        codes = ((word >> (bitpos & 7).astype(np.uint32))
+                 & ((1 << width) - 1)).tolist()
+        stop = False
+        for code in codes:
+            pos += width
+            if code == clear:
+                next_code = end + 1
+                width = min_code_size + 1
+                prev_len = -1
+                break  # re-extract at the reset width
+            if code == end:
+                stop = True
+                break
+            if prev_len < 0:
+                if code >= next_code:
+                    raise ValueError("corrupt LZW stream")
+            elif code > next_code:
+                raise ValueError("corrupt LZW stream")
+            # new table entry = prev + first(entry) = the contiguous
+            # output span [cur - prev_len, cur + 1)
+            if code < clear:
+                length = 1
+                s = -1
+            elif code == next_code:  # KwKwK: entry IS the new entry
+                length = prev_len + 1
+                s = cur - prev_len
+            elif code > end:
+                length = ln[code]
+                s = src[code]
+            else:
+                raise ValueError("corrupt LZW stream")
+            if cur + length > cap:
+                del mv
+                cap = max(cap * 2, cur + length + 4096)
+                nb = bytearray(cap)
+                nb[: len(out)] = out
+                out = nb
+                mv = memoryview(out)
+            if prev_len >= 0 and next_code < 4096:
+                src[next_code] = cur - prev_len
+                ln[next_code] = prev_len + 1
+                next_code += 1
+            if s < 0:
+                out[cur] = code
+            elif length == 1:
+                out[cur] = out[s]
+            elif s + length > cur:  # KwKwK: last byte = first(prev),
+                mv[cur:cur + length - 1] = mv[s:cur]  # not yet written
+                out[cur + length - 1] = out[s]
+            else:
+                mv[cur:cur + length] = mv[s:s + length]
+            cur += length
+            prev_len = length
+            if next_code == (1 << width) and width < 12:
+                width += 1
+                break  # re-extract at the new width
+        if stop:
             break
-        if prev_entry is None:
-            entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-            table.append(prev_entry + entry[:1])
-        elif code == len(table):
-            entry = prev_entry + prev_entry[:1]
-            table.append(entry)
-        else:
-            raise ValueError("corrupt LZW stream")
-        out += entry
-        prev_entry = entry
-        if prev_entry is not None and len(table) == (1 << width) \
-                and width < 12:
-            width += 1
-    return np.frombuffer(bytes(out), dtype=np.uint8)
+    del mv
+    return np.frombuffer(bytes(out[:cur]), dtype=np.uint8)
 
 
 # ------------------------------------------------------------- encode
