@@ -386,24 +386,50 @@ def decode_png(payload: bytes) -> np.ndarray:
             lanes = cur.reshape(w, c)
             rec = (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF) \
                 .astype(np.int16).reshape(stride)
-        elif ft in (3, 4):  # Average/Paeth: left-dependency scan
-            rec = np.empty(stride, dtype=np.int16)
-            for x in range(stride):
-                left = rec[x - c] if x >= c else 0
-                up = prev[x]
-                if ft == 3:
-                    rec[x] = (cur[x] + (left + up) // 2) & 0xFF
-                else:
-                    ul = prev[x - c] if x >= c else 0
-                    p = left + up - ul
-                    pa_, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    if pa_ <= pb and pa_ <= pc:
-                        pred = left
-                    elif pb <= pc:
-                        pred = up
-                    else:
-                        pred = ul
-                    rec[x] = (cur[x] + pred) & 0xFF
+        elif ft in (3, 4):
+            # Average/Paeth carry a left-dependency, so the scan is
+            # sequential per channel lane by spec.  Run it as a pure
+            # Python register scan over plain lists (one C-speed
+            # tolist per row) — ~15× faster than numpy scalar
+            # indexing — with the left-independent Paeth terms
+            # (pa = |up-ul|, pc = |left + (up-2·ul)|) precomputed
+            # vectorized per row.
+            curl = cur.tolist()
+            prevl = prev.tolist()
+            recl = [0] * stride
+            if ft == 3:  # Average
+                for k in range(c):
+                    left = 0
+                    for x in range(k, stride, c):
+                        left = (curl[x] + ((left + prevl[x]) >> 1)) & 0xFF
+                        recl[x] = left
+            else:  # Paeth
+                ul_arr = np.empty(stride, dtype=np.int16)
+                ul_arr[:c] = 0
+                ul_arr[c:] = prev[:-c]
+                pal = np.abs(prev - ul_arr).tolist()
+                dl = (prev - 2 * ul_arr).tolist()
+                ull = ul_arr.tolist()
+                for k in range(c):
+                    left = 0
+                    for x in range(k, stride, c):
+                        ul = ull[x]
+                        pb = left - ul
+                        if pb < 0:
+                            pb = -pb
+                        pc = left + dl[x]
+                        if pc < 0:
+                            pc = -pc
+                        pa_ = pal[x]
+                        if pa_ <= pb and pa_ <= pc:
+                            pred = left
+                        elif pb <= pc:
+                            pred = prevl[x]
+                        else:
+                            pred = ul
+                        left = (curl[x] + pred) & 0xFF
+                        recl[x] = left
+            rec = np.asarray(recl, dtype=np.int16)
         else:
             raise ValueError(f"bad PNG filter byte {ft}")
         out[y] = rec.astype(np.uint8)
