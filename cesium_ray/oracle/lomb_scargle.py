@@ -29,11 +29,13 @@ from __future__ import annotations
 import numpy as np
 
 MAX_NUMF = 20_000
-# frequency-chunk size for the vectorized scan: 64 keeps the per-chunk
-# trig temporaries (~6 × chunk × n doubles) L2/L3-resident, so 32
-# concurrent extractor actors scale linearly instead of fighting for
-# DRAM bandwidth (measured: 512 → 2.7× slowdown at 32-way; 64 → none)
-FREQ_CHUNK = 64
+# frequency-chunk size for the vectorized scan: the _gls_uniform hot
+# path holds ONE complex phasor matrix (chunk × n × 16 B — 1 MB at
+# 32 × 2000), so 32 keeps each concurrent task's working set inside
+# its core's private L2 instead of fighting for shared L3/DRAM at
+# 32-way (single-core time is flat across 16–128; the generic path's
+# trig temporaries are ~6 × chunk × n doubles and also fit)
+FREQ_CHUNK = 32
 
 
 def _weighted_linear_trend(t, m, w):
@@ -48,12 +50,99 @@ def _weighted_linear_trend(t, m, w):
     return float(slope), float(ybar - slope * tbar)
 
 
+# chunks between exact-trig re-seeds of the rotation recurrence in
+# _gls_uniform: phase error grows ~steps·eps, so 16 steps keeps the
+# recurrence within ~4e-15 of direct evaluation
+RESEED_CHUNKS = 16
+
+
+def _gls_uniform(t, y, w, df, numf, cache=None):
+    """Fast GLS periodogram on the UNIFORM grid f_j = j·df, j=1..numf.
+
+    Same statistic as ``_gls_periodogram`` (floating-mean χ² reduction,
+    weights summing to 1) restructured for throughput and DRAM traffic:
+
+    - double-angle identity: Σw·cos², Σw·sin², Σw·cos·sin at f_j come
+      from the FIRST moments (Σw·cos, Σw·sin) at f_{2j} on a 2×
+      extended grid — no (F,n) elementwise product temporaries at all;
+    - trig by rotation recurrence: each frequency chunk's complex
+      phasor matrix E = exp(i·ω_j t) is the previous chunk's rotated
+      by exp(i·F·df·t) (one fused in-place complex multiply), re-seeded
+      with exact cos/sin every RESEED_CHUNKS chunks — ~90% of the
+      cos/sin calls become multiply-adds (values differ from direct
+      evaluation by ≲1e-14 relative, documented numerics change);
+    - the weight-only moments depend on (t, w, df) but not y: pass a
+      ``cache`` dict to reuse them across pre-whitening iterations —
+      iterations 2+ skip the extended half of the grid entirely.
+    """
+    Y = float((w * y).sum())
+    yc = y - Y
+    YY = float((w * yc * yc).sum())
+    if YY <= 0:
+        return np.zeros(numf)
+    n = len(t)
+    F = FREQ_CHUNK
+    wyc = (w * yc).astype(np.complex128)
+    dft = (2 * np.pi * df) * t
+    hit = cache is not None and "cw" in cache
+    if hit:
+        cwsw = cache["cw"]
+        J = numf
+    else:
+        J = 2 * numf
+        cwsw = np.empty(J + 1, dtype=np.complex128)  # 1-indexed
+        cwsw[0] = 0.0
+    ydots = np.empty(numf + 1, dtype=np.complex128)
+    wc = w.astype(np.complex128)
+    rot = np.empty(n, dtype=np.complex128)
+    rot.real = np.cos(F * dft)
+    rot.imag = np.sin(F * dft)
+    E = np.empty((F, n), dtype=np.complex128)
+    nchunks = (J + F - 1) // F
+    for ci in range(nchunks):
+        j0 = ci * F + 1
+        jn = min(F, J - ci * F)
+        if ci % RESEED_CHUNKS == 0:
+            ph = np.multiply.outer(
+                np.arange(j0, j0 + jn, dtype=np.float64), dft)
+            E.real[:jn] = np.cos(ph)
+            E.imag[:jn] = np.sin(ph)
+        else:
+            np.multiply(E, rot, out=E)
+        if j0 <= numf:
+            k = min(jn, numf - j0 + 1)
+            ydots[j0:j0 + k] = E[:k] @ wyc
+            if not hit:
+                cwsw[j0:j0 + k] = E[:k] @ wc
+                if k < jn:
+                    cwsw[j0 + k:j0 + jn] = E[k:jn] @ wc
+        else:
+            cwsw[j0:j0 + jn] = E[:jn] @ wc
+    if cache is not None and not hit:
+        cache["cw"] = cwsw
+    j = np.arange(1, numf + 1)
+    C = cwsw[j].real
+    S = cwsw[j].imag
+    c2 = cwsw[2 * j].real
+    s2 = cwsw[2 * j].imag
+    CC = 0.5 * (1.0 + c2) - C * C
+    SS = 0.5 * (1.0 - c2) - S * S
+    CS = 0.5 * s2 - C * S
+    YC = ydots[j].real
+    YS = ydots[j].imag
+    D = CC * SS - CS * CS
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = (SS * YC**2 + CC * YS**2 - 2 * CS * YC * YS) / (YY * D)
+    return np.clip(np.where(np.isfinite(p), p, 0.0), 0.0, 1.0)
+
+
 def _gls_periodogram(t, y, w, freqs):
     """Generalized (floating-mean) LS chi²-reduction power at ``freqs``.
 
     Returns array of power ∈ [0,1] = fractional χ² reduction.
     Weights must sum to 1.  Chunked to bound memory at
-    FREQ_CHUNK × n.
+    FREQ_CHUNK × n.  (Generic-grid path — the uniform scan grid goes
+    through ``_gls_uniform``.)
     """
     Y = (w * y).sum()
     yc = y - Y
@@ -180,8 +269,9 @@ def lomb_scargle_model(
     chi_prev = float((w_raw * (resid - (w * resid).sum()) ** 2).sum())
     n = len(t)
 
+    gls_cache: dict = {}
     for i in range(nfreq):
-        power = _gls_periodogram(t, resid, w, freqs)
+        power = _gls_uniform(t, resid, w, df, len(freqs), cache=gls_cache)
         j = int(np.argmax(power))
         # fine refinement around the grid peak
         fine = freqs[j] + np.linspace(-df, df, 21)
@@ -237,5 +327,5 @@ def period_fast(t, m):
     if freqs is None:
         return float("nan")
     w = np.full(len(t), 1.0 / len(t))
-    power = _gls_periodogram(t, m, w, freqs)
+    power = _gls_uniform(t, m, w, freqs[0], len(freqs))
     return float(1.0 / freqs[int(np.argmax(power))])
