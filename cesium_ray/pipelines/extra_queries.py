@@ -1589,6 +1589,92 @@ ORDER BY px.doc_id, px.frame_idx
 """
 
 
+def q_mp3_features(sf_dir):
+    """★-checked REAL MP3 path (stages/mp3.py — MPEG-1 Layer III
+    spectral codec from the public ISO/IEC 11172-3 spec): for every
+    10th doc_id, plant 20 spectral lines per granule (2 frames × 2
+    granules) at collision-free positions ``j*28 + h%28`` with signs
+    ``1-2*((h>>32)&1)``, h = splitmix64(doc·8192 + frame·2048 +
+    granule·1024 + j), ENCODE to a real 128 kbps mono bitstream
+    (header + side info + Huffman main data), decode through the
+    actor-pool stage, and emit exact integer spectral features.  The
+    ±1/global_gain=210 profile requantizes exactly (see mp3.py), so
+    the SQL twin computes every value analytically — any header/
+    side-info/reservoir/Huffman bug breaks the match."""
+    from ..stages.dedup import _splitmix64
+    from ..stages.mp3 import encode_mp3, mp3_features
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).filter(lambda r: r["doc_id"] % 10 == 0)
+
+    def to_media(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        payloads = []
+        for d in ids:
+            spec = np.zeros((2, 2, 576), dtype=np.int64)
+            for f in range(2):
+                for g in range(2):
+                    j = np.arange(20, dtype=np.uint64)
+                    with np.errstate(over="ignore"):
+                        h = _splitmix64(np.uint64(d) * np.uint64(8192)
+                                        + np.uint64(f * 2048)
+                                        + np.uint64(g * 1024) + j)
+                    pos = (j * np.uint64(28)
+                           + (h % np.uint64(28))).astype(np.int64)
+                    sign = 1 - 2 * ((h >> np.uint64(32))
+                                    & np.uint64(1)).astype(np.int64)
+                    spec[f, g, pos] = sign
+            payloads.append(encode_mp3(spec))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow",
+                             batch_size=64)
+    out = mp3_features(media, batch_size=32).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _mp3_sql() -> str:
+    """SQL twin of q_mp3_features: the ±1 spectral roundtrip is exact,
+    so n_lines/sum_idx/sum_sign follow analytically from the
+    splitmix64 line plan (global line index = frame·1152 + granule·576
+    + j·28 + h%28; positions are collision-free by slotting)."""
+    M = _M64
+    splitmix = _sql_splitmix
+    return f"""
+WITH
+docs AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+cell0 AS (
+  SELECT doc_id, unnest(generate_series(0, 79)) AS c FROM docs
+),
+cells AS (
+  SELECT doc_id, c // 40 AS f, (c // 20) % 2 AS g, c % 20 AS j,
+         (CAST(doc_id AS HUGEINT) * 8192 + (c // 40) * 2048
+          + ((c // 20) % 2) * 1024 + c % 20) % {M} AS x
+  FROM cell0
+),
+{splitmix('x', 'cells')},
+lines AS (
+  SELECT doc_id,
+         f * 1152 + g * 576 + j * 28 + CAST(h % 28 AS BIGINT) AS idx,
+         1 - 2 * CAST((h >> 32) & 1 AS BIGINT) AS sgn
+  FROM cells_sm
+)
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS n_frames,
+       CAST(44100 AS BIGINT) AS samplerate,
+       CAST(128 AS BIGINT) AS bitrate_kbps,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(idx) AS BIGINT) AS sum_idx,
+       CAST(sum(sgn) AS BIGINT) AS sum_sign
+FROM lines GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def _multimodal_sql() -> str:
     """SQL twin of q_multimodal_features: frame_sample keeps
     doc_id % 10 == 0; the stub feature is
@@ -7283,6 +7369,7 @@ EXTRA_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "jpeg_roundtrip": q_jpeg_roundtrip,
     "gif_frames": q_gif_frames,
+    "mp3_features": q_mp3_features,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -7292,6 +7379,7 @@ EXTRA_ORACLE_SQL = {
     "multimodal_features": _multimodal_sql(),
     "jpeg_roundtrip": _jpeg_sql(),
     "gif_frames": _gif_sql(),
+    "mp3_features": _mp3_sql(),
     "changepoint": CHANGEPOINT_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "inverted_index": INVERTED_INDEX_SQL,

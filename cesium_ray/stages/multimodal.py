@@ -44,8 +44,11 @@ class MediaDecodeStub:
         self.feature_dim = feature_dim
         if real_decoder:
             raise NotImplementedError(
-                "image/audio decode libraries are not available in this "
-                "container; run with real_decoder=False (deterministic stub)"
+                "compressed-video decode libraries are not available in "
+                "this container; run with real_decoder=False "
+                "(deterministic stub). Images (PNG/PPM/JPEG/GIF) and audio "
+                "(WAV/MP3 spectral) have REAL from-spec codecs in "
+                "stages/{multimodal,jpeg,gif,mp3}.py"
             )
 
     def _decode_batch(self, payloads: list) -> np.ndarray:
