@@ -987,9 +987,26 @@ def run_benches(only=None) -> dict:
     }
 
 
+def _cpu_stat():
+    """/proc/stat cpu line (user nice system idle iowait irq softirq
+    steal ...) — lets each scaling leg carry its own host conditions."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return None
+
+
 def run_scaling():
     """Same headline jobs, fresh processes, N vs 4N CPUs
-    (GRAFT_SCALING_CPUS, default "8,32")."""
+    (GRAFT_SCALING_CPUS, default "8,32").
+
+    Each leg reports the hypervisor steal%% observed DURING that leg:
+    on this virtualized box steal rises from ~4%% at 8 busy vCPUs to
+    ~17-19%% at 32 (scripts/host_scaling_control.py pins it — even an
+    L1-resident pure-FLOP kernel under plain multiprocessing scales
+    only ~0.7-0.8 from 8->32), so efficiency samples are only
+    interpretable next to their steal numbers."""
 
     def one(ncpu: int) -> dict:
         env = dict(
@@ -1004,12 +1021,21 @@ def run_scaling():
         # an absolute cost (pages touched, not CPUs), so without a
         # warmup pass it deflates the high-CPU side's efficiency
         env.setdefault("GRAFT_BENCH_WARMUP", "1")
+        s0 = _cpu_stat()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        s1 = _cpu_stat()
+        res = json.loads(out.strip().splitlines()[-1])
+        if s0 and s1:
+            d = [b - a for a, b in zip(s0, s1)]
+            tot = sum(d)
+            if tot:
+                res["steal_pct"] = round(100 * d[7] / tot, 1)
+                res["busy_pct"] = round(100 * (d[0] + d[2]) / tot, 1)
+        return res
 
     n_lo, n_hi = (
         int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
@@ -1038,6 +1064,10 @@ def run_scaling():
         "featurize_turns_per_sec_hi": hi["throughput"]["featurize_turns_per_sec"],
         "n_turns": lo["throughput"]["n_turns"],
     }
+    for side, leg in (("lo", lo), ("hi", hi)):
+        if "steal_pct" in leg:
+            line[f"steal_pct_{side}"] = leg["steal_pct"]
+            line[f"busy_pct_{side}"] = leg["busy_pct"]
     print(json.dumps(line))
 
 
