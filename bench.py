@@ -1034,7 +1034,7 @@ def run_scaling():
             tot = sum(d)
             if tot:
                 res["steal_pct"] = round(100 * d[7] / tot, 1)
-                res["busy_pct"] = round(100 * (d[0] + d[2]) / tot, 1)
+                res["busy_pct"] = round(100 * (d[0] + d[1] + d[2]) / tot, 1)
         return res
 
     n_lo, n_hi = (

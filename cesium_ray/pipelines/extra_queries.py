@@ -490,22 +490,77 @@ FROM stats s
 """
 
 
+# --------- rows-only hardening gates (round-5, VERDICT next-step #6):
+# every rows-only query plants a signal or replays the fit serially and
+# RAISES on divergence, so a perturbed engine fails the driver sweep
+# loudly instead of silently returning plausible rows.  Each gate is a
+# named function so tests/test_rowsonly_gates.py can mutation-test it.
+
+_LS_PLANT_USER = -99
+_LS_PLANT_PERIOD_S = 7200.0
+
+
+def _planted_ls_points() -> "pa.Table":
+    """A synthetic conversation with a KNOWN period: 800 samples over
+    3 days of sin(2πt/7200s), jittered ≤50 s by splitmix64 so the
+    sampling isn't pathologically uniform.  Matches _event_points'
+    schema exactly (unioned into the stream before the hot filter)."""
+    from ..stages.dedup import _splitmix64
+
+    n = 800
+    t = np.linspace(0.0, 3 * 86400.0, n, endpoint=False)
+    h = _splitmix64(np.arange(n, dtype=np.uint64))
+    t = t + (h % np.uint64(1000)).astype(np.float64) * 0.05
+    val = np.sin(2.0 * np.pi * t / _LS_PLANT_PERIOD_S)
+    return pa.table({
+        "user_id": pa.array(np.full(n, _LS_PLANT_USER), pa.int64()),
+        "channel": pa.array(["value"] * n, pa.string()),
+        "ts": pa.array((t * 1e6).astype(np.int64), pa.timestamp("us")),
+        "value": pa.array(val, pa.float64()),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+    })
+
+
+def _assert_planted_ls(out: pd.DataFrame) -> pd.DataFrame:
+    """Planted-signal gate: the synthetic user's fundamental frequency
+    must come back within 2% of 1/7200 Hz with amplitude ≈ 1 — any
+    grid/fit/phasing bug in the LS path trips this.  Returns the
+    output with the planted row removed."""
+    row = out[out["user_id"] == _LS_PLANT_USER]
+    if len(row) != 1:
+        raise AssertionError(
+            f"planted LS user missing from output ({len(row)} rows)")
+    f = float(row["freq1_freq"].iloc[0])
+    expect = 1.0 / _LS_PLANT_PERIOD_S
+    if not abs(f - expect) <= 0.02 * expect:
+        raise AssertionError(
+            f"planted LS frequency not recovered: {f} vs {expect}")
+    a = float(row["freq1_amplitude1"].iloc[0])
+    if not abs(a - 1.0) <= 0.15:
+        raise AssertionError(f"planted LS amplitude not recovered: {a}")
+    return out[out["user_id"] != _LS_PLANT_USER].reset_index(drop=True)
+
+
 def q_features_lomb_scargle(sf_dir):
     """Lomb-Scargle periodicity features (P1–P3) for the 20 hottest
     users (the expensive kernel — bounded fan-out, stated cap).
-    Rows-only: the iterative pre-whitening fit is not SQL."""
+    Rows-only: the iterative pre-whitening fit is not SQL — hardened
+    by the _assert_planted_ls planted-signal gate (a synthetic
+    known-period conversation rides the same distributed path and its
+    recovered frequency/amplitude are checked in-query)."""
     from ..stages.features import FeatureExtractor
 
     from .driver_queries import q_top_users
 
     hot = q_top_users(sf_dir)["user_id"].tolist()[:20]
-    hot_ref = ray.put(set(hot))
+    hot_ref = ray.put(set(hot) | {_LS_PLANT_USER})
 
     def keep_hot(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["user_id"].isin(ray.get(hot_ref))]
 
     pts = (
         _event_points(sf_dir)
+        .union(ray.data.from_arrow(_planted_ls_points()))
         .map_batches(keep_hot, batch_format="pandas")
         .map_batches(
             lambda df: df.rename(columns={"user_id": "conv_id", "event_id": "turn_idx"}),
@@ -527,7 +582,8 @@ def q_features_lomb_scargle(sf_dir):
             "ls_kwargs": {"day": 86400.0},
         },
     ).to_pandas()
-    return round6(out.rename(columns={"conv_id": "user_id"}).drop(columns=["channel"]))
+    out = out.rename(columns={"conv_id": "user_id"}).drop(columns=["channel"])
+    return round6(_assert_planted_ls(out))
 
 
 def q_codec_chunks(sf_dir):
@@ -6039,12 +6095,84 @@ FROM terms GROUP BY 1
 """
 
 
+_PARITY_MAX_ROWS = 50_000  # serial-replay gates only at test scales
+
+
+def _assert_kmeans_parity(out: pd.DataFrame, ids: np.ndarray,
+                          X: np.ndarray, k: int, n_iter: int) -> None:
+    """Serial replay of kmeans_distributed's exact deterministic
+    contract (init = k smallest ids; d² = −2X·Cᵀ + ‖c‖², argmin ties →
+    smallest cluster; empty keeps previous centroid; n_iter rounds).
+    Sizes must match exactly, centroid norms / inertia to 1e-8 — any
+    perturbation of the distributed path trips it."""
+    order = np.argsort(ids, kind="stable")[:k]  # k smallest ids, ascending
+    C = X[order].astype(np.float64).copy()
+    cnt = np.zeros(k, np.int64)
+    inert_per = np.zeros(k, np.float64)
+    for rnd in range(n_iter + 1):
+        d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        a = np.argmin(d2, axis=1)
+        inert = d2[np.arange(len(X)), a] + (X * X).sum(axis=1)
+        cnt = np.bincount(a, minlength=k).astype(np.int64)
+        inert_per = np.zeros(k, np.float64)
+        np.add.at(inert_per, a, inert)
+        if rnd < n_iter:
+            nz = cnt > 0
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, X)
+            C = C.copy()
+            C[nz] = sums[nz] / cnt[nz, None]
+    if not np.array_equal(out["size"].to_numpy(np.int64), cnt):
+        raise AssertionError(
+            f"kmeans parity: sizes {out['size'].tolist()} != "
+            f"{cnt.tolist()}")
+    cn = np.sqrt((C * C).sum(axis=1))
+    if not np.allclose(out["centroid_norm"].to_numpy(np.float64), cn,
+                       rtol=1e-8, atol=1e-8):
+        raise AssertionError("kmeans parity: centroid norms diverge")
+    if not np.allclose(out["inertia"].to_numpy(np.float64), inert_per,
+                       rtol=1e-8, atol=1e-8):
+        raise AssertionError("kmeans parity: per-cluster inertia diverges")
+
+
+def _assert_pca_parity(out: pd.DataFrame, X: np.ndarray,
+                       n_iter: int) -> None:
+    """Serial replay of pca_power's exact contract (v₀=e₀, centered
+    covariance-free update, n_iter normalized rounds, sign fix).
+    Loadings to 1e-6, explained ratio to 1e-6 rel."""
+    X = X.astype(np.float64)
+    n, d = X.shape
+    sx = X.sum(axis=0)
+    mu = sx / n
+    ss = float((X * X).sum())
+    total_var = (ss - n * float(mu @ mu)) / (n - 1)
+    v = np.zeros(d)
+    v[0] = 1.0
+    lam = 0.0
+    for _ in range(n_iter):
+        p = X @ v
+        w = (X.T @ p) - mu * float(p.sum()) - sx * float(mu @ v) \
+            + n * mu * float(mu @ v)
+        lam = float(v @ w) / (n - 1)
+        v = w / np.linalg.norm(w)
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    if not np.allclose(out["loading"].to_numpy(np.float64), v,
+                       rtol=1e-6, atol=1e-6):
+        raise AssertionError("pca parity: loadings diverge")
+    ratio = float(out["explained_ratio"].iloc[0])
+    if not abs(ratio - lam / total_var) <= 1e-6 * max(1e-12, abs(ratio)):
+        raise AssertionError(
+            f"pca parity: ratio {ratio} vs {lam / total_var}")
+
+
 def q_pca(sf_dir):
     """Distributed top-principal-component via covariance-free power
     iteration (stages/ann.py::pca_power).  Rows-only: the iterative
-    fit is not SQL-expressible; correctness is gated by test_ann's
-    dense-eigendecomposition parity test and in-query invariants
-    (unit norm, ratio ∈ (0, 1])."""
+    fit is not SQL-expressible; hardened by _assert_pca_parity — a
+    bit-level serial replay of the same deterministic contract on the
+    pulled corpus (gated to ≤50k rows: test scales), raising on any
+    divergence — plus the unit-norm / ratio-bounds invariants."""
     from ..stages.ann import pca_power
 
     # materialize once: power iteration re-scans the corpus every
@@ -6058,15 +6186,21 @@ def q_pca(sf_dir):
     v = out["loading"].to_numpy()
     assert abs(np.linalg.norm(v) - 1.0) < 1e-12
     assert 0.0 < out["explained_ratio"].iloc[0] <= 1.0
+    if emb.count() <= _PARITY_MAX_ROWS:
+        X = np.stack([np.asarray(r, np.float64) for r in
+                      emb.to_pandas()["embedding"]])
+        _assert_pca_parity(out, X, n_iter=30)
     return round6(out)
 
 
 def q_kmeans(sf_dir):
     """Distributed Lloyd's k-means over the embeddings table
     (stages/ann.py).  Rows-only: the iterative fit is not
-    SQL-expressible; correctness is gated by the in-stage Lloyd
-    inertia-monotonicity assertion, an in-query total-size check, and
-    test_ann's parity test against a single-process reference run."""
+    SQL-expressible; hardened by _assert_kmeans_parity — a serial
+    replay of the same deterministic contract on the pulled corpus
+    (gated to ≤50k rows: test scales) with exact size comparison —
+    plus the in-stage Lloyd inertia-monotonicity assertion and the
+    total-size check."""
     from ..stages.ann import kmeans_distributed
 
     emb = ray.data.read_parquet(
@@ -6074,6 +6208,11 @@ def q_kmeans(sf_dir):
     )
     out = kmeans_distributed(emb, k=8, n_iter=5)
     assert int(out["size"].sum()) == emb.count()
+    if emb.count() <= _PARITY_MAX_ROWS:
+        df = emb.to_pandas()
+        X = np.stack([np.asarray(r, np.float64) for r in df["embedding"]])
+        _assert_kmeans_parity(out, df["vec_id"].to_numpy(), X,
+                              k=8, n_iter=5)
     return round6(out)
 
 

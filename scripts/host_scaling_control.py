@@ -129,7 +129,7 @@ def instrumented_burst(nworkers, nunits):
         cpu_ms_per_unit=round(cpu / nunits * 1000, 1),
         wall_over_cpu=round(sum(r[1] for r in res) / cpu, 2),
         steal_pct=round(100 * d[7] / tot, 1) if tot else 0.0,
-        busy_pct=round(100 * (d[0] + d[2]) / tot, 1) if tot else 0.0,
+        busy_pct=round(100 * (d[0] + d[1] + d[2]) / tot, 1) if tot else 0.0,
     )
 
 
