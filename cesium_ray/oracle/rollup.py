@@ -230,6 +230,32 @@ def _key_codes(col: pd.Series):
     return pd.factorize(col.to_numpy(), sort=False)
 
 
+def _fused_sort(codes: np.ndarray, minor: np.ndarray) -> np.ndarray | None:
+    """Stable argsort by (codes, minor) via ONE fused int64 key — one
+    stable sort pass instead of lexsort's two.  Both arrays must be
+    integer; returns None when the fused key could overflow int64
+    (caller falls back to lexsort).  Order is IDENTICAL to
+    ``np.lexsort((minor, codes))``: gid = codes·span + (minor−min) is
+    strictly monotone in (codes, minor) lexicographic order, and
+    numpy's stable mergesort preserves tie order exactly as lexsort
+    does."""
+    if not (np.issubdtype(minor.dtype, np.integer)
+            and np.issubdtype(codes.dtype, np.integer)):
+        return None
+    if len(minor) == 0:
+        return np.array([], dtype=np.int64)
+    mmin = minor.min()
+    span = int(minor.max()) - int(mmin) + 1
+    ncode = int(codes.max()) + 1 if len(codes) else 1
+    if ncode * span >= (1 << 62):
+        return None
+    # subtract BEFORE casting: a uint64 minor above 2^63 would wrap in
+    # astype(int64); the difference is always < span < 2^62 so it fits
+    gid = codes.astype(np.int64) * np.int64(span) + (
+        minor - mmin).astype(np.int64)
+    return np.argsort(gid, kind="stable")
+
+
 def derive_channel_arrays(
     turns: pd.DataFrame,
     by: str = "conv_id",
@@ -243,8 +269,12 @@ def derive_channel_arrays(
     dictionary-encoded exchange path) short-circuits factorize — codes
     come straight off the Categorical."""
     codes, uniques = _key_codes(turns[by])
-    sort_keys = [turns[c].to_numpy() for c in reversed(order)] + [codes]
-    pos = np.lexsort(tuple(sort_keys))
+    pos = None
+    if len(order) == 1:
+        pos = _fused_sort(codes, turns[order[0]].to_numpy())
+    if pos is None:
+        sort_keys = [turns[c].to_numpy() for c in reversed(order)] + [codes]
+        pos = np.lexsort(tuple(sort_keys))
     sc = codes[pos]
     ts_us = turns[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")[pos]
     new_conv = np.r_[True, sc[1:] != sc[:-1]]
@@ -280,18 +310,38 @@ def rollup_arrays(
     ``rollup_pandas(derive_channels_pandas(...), tier)`` (same
     ``_grouped_stats`` kernel, same within-group value ordering);
     only row order differs."""
-    bucket = bucket_floor_us(ts_us, TIER_SECONDS[tier])
+    step = np.int64(TIER_SECONDS[tier]) * 1_000_000
+    bucket = (ts_us // step) * step
     frames = []
     uniq = np.asarray(conv_uniques)
+    # fused (conv, bucket) int64 group id: the per-channel sort drops
+    # from a 3-key lexsort to (vals, gid) — one fewer full stable-sort
+    # pass per channel per tier (9 passes saved on the default 3-tier
+    # 3-channel flagship partition); ordering and therefore every stat
+    # is bit-identical (gid is monotone in (conv, bucket) lex order)
+    gid = None
+    if len(bucket):
+        rel = ts_us // step
+        rmin = rel.min()
+        span = int(rel.max()) - int(rmin) + 1
+        ncode = int(conv_codes.max()) + 1
+        if ncode * span < (1 << 62):
+            gid = conv_codes * np.int64(span) + (rel - np.int64(rmin))
     for name, vals in channels.items():
-        order = np.lexsort((vals, bucket, conv_codes))
-        sc = conv_codes[order]
-        sb = bucket[order]
-        starts, stats = _grouped_stats(vals[order], (sc, sb))
+        if gid is not None:
+            order = np.lexsort((vals, gid))
+            idx = order  # rows sorted by (conv, bucket, val)
+            starts, stats = _grouped_stats(vals[order], (gid[order],))
+        else:
+            order = np.lexsort((vals, bucket, conv_codes))
+            idx = order
+            starts, stats = _grouped_stats(
+                vals[order], (conv_codes[order], bucket[order]))
+        first = idx[starts]
         out = {
-            key_name: uniq[sc[starts]],
+            key_name: uniq[conv_codes[first]],
             "channel": name,
-            "bucket": sb[starts].astype("datetime64[us]"),
+            "bucket": bucket[first].astype("datetime64[us]"),
         }
         out.update(stats)
         frames.append(pd.DataFrame(out))

@@ -115,8 +115,8 @@ def run_docs(n_docs: int) -> dict:
         batch_format="pandas")
     t0 = time.time()
     packed = pack_sequences(with_src, capacity=1024, num_partitions=32)
+    res["packed_rows"] = packed.count()  # count() forces execution
     res["pack_sec"] = round(time.time() - t0, 3)
-    res["packed_rows"] = packed.count()
     ray.shutdown()
     return res
 

@@ -147,3 +147,56 @@ def test_reaggregate_cascade_matches_direct(tiny_points):
             cascaded[col], direct[col], rtol=1e-9, equal_nan=True
         )
     assert "p50" not in cascaded.columns  # not re-aggregable
+
+
+def test_fused_sort_matches_lexsort():
+    """_fused_sort must reproduce np.lexsort((minor, codes)) exactly —
+    including negative codes, duplicate pairs (stability), and the
+    overflow fallback returning None."""
+    from cesium_ray.oracle.rollup import _fused_sort
+
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 5, 1000):
+        codes = rng.integers(-1, 40, n)
+        minor = rng.integers(-100, 100, n)
+        got = _fused_sort(codes, minor)
+        assert got is not None
+        np.testing.assert_array_equal(got, np.lexsort((minor, codes)))
+    # overflow guard: span * ncode >= 2^62 → fallback
+    codes = np.array([0, 1 << 40], dtype=np.int64)
+    minor = np.array([0, 1 << 40], dtype=np.int64)
+    assert _fused_sort(codes, minor) is None
+    # non-integer minor → fallback
+    assert _fused_sort(np.array([0, 1]), np.array([0.5, 1.5])) is None
+    # uint64 minor above 2^63 must not wrap
+    codes = np.array([1, 0, 1, 0], dtype=np.int64)
+    minor = np.array([2**63 + 5, 2**63 + 9, 2**63 + 1, 2**63 + 2],
+                     dtype=np.uint64)
+    got = _fused_sort(codes, minor)
+    np.testing.assert_array_equal(got, [3, 1, 2, 0])
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_rollup_arrays_fused_gid_bit_equal(tiny_turns, tier):
+    """The fused-(conv,bucket)-gid rollup_arrays path must stay
+    bit-equal to rollup_pandas over derive_channels_pandas (shared
+    _grouped_stats contract) — the exact-parity gate for the 2-key
+    sort optimization."""
+    from cesium_ray.oracle.rollup import (
+        derive_channel_arrays,
+        rollup_arrays,
+    )
+
+    df = tiny_turns.to_pandas()
+    codes, uniques, ts_us, tidx, channels = derive_channel_arrays(df)
+    got = (
+        rollup_arrays(codes, uniques, ts_us, channels, tier)
+        .sort_values(["conv_id", "channel", "bucket"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    oracle = (
+        rollup_pandas(derive_channels_pandas(df), tier)
+        .sort_values(["conv_id", "channel", "bucket"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, oracle, check_exact=True)
