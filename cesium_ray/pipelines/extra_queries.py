@@ -7359,7 +7359,300 @@ FROM agg
 """
 
 
+
+def q_variance_ratio(sf_dir):
+    """★-checked per-key Lo–MacKinlay variance ratio at horizons 2
+    and 4 (stages/tsmath.py): exact int64 difference sums, mirrored
+    v_L=(q−s²/n_L)/n_L and vr_k=v_k/(k·v_1) float expressions."""
+    from ..stages.tsmath import variance_ratio
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(variance_ratio(ev, ks=(2, 4), num_partitions=8))
+
+
+VARIANCE_RATIO_SQL = """
+WITH o AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         lag(CAST(round(value*100) AS BIGINT), 1) OVER w AS x1,
+         lag(CAST(round(value*100) AS BIGINT), 2) OVER w AS x2,
+         lag(CAST(round(value*100) AS BIGINT), 4) OVER w AS x4
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+a AS (
+  SELECT user_id, count(*) AS n,
+         sum(x - x1) AS s1, sum((x-x1)*(x-x1)) AS q1, count(x1) AS n1,
+         sum(x - x2) AS s2, sum((x-x2)*(x-x2)) AS q2, count(x2) AS n2,
+         sum(x - x4) AS s4, sum((x-x4)*(x-x4)) AS q4, count(x4) AS n4
+  FROM o GROUP BY 1),
+v AS (
+  SELECT user_id, n,
+    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)/n1 AS v1,
+    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/n2)/n2 AS v2,
+    (CAST(q4 AS DOUBLE) - CAST(s4 AS DOUBLE)*CAST(s4 AS DOUBLE)/n4)/n4 AS v4
+  FROM a)
+SELECT user_id, n,
+       round(v2/(2.0*v1), 6) AS vr2,
+       round(v4/(4.0*v1), 6) AS vr4
+FROM v WHERE n > 4 AND v1 <> 0
+"""
+
+
+def q_xcorr_gap(sf_dir):
+    """★-checked per-key value↔interarrival-gap cross-correlation at
+    lags 0 and 1 (stages/tsmath.py): exact int64 sums (gap in whole
+    seconds via mirrored // 10⁶), Pearson closed in one mirrored
+    cast-first float expression."""
+    from ..stages.tsmath import xcorr_gap
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(xcorr_gap(ev, num_partitions=8))
+
+
+XCORR_GAP_SQL = """
+WITH o AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         lag(CAST(round(value*100) AS BIGINT)) OVER w AS xp,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS g
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (SELECT * FROM o WHERE g IS NOT NULL),
+a AS (
+  SELECT user_id, count(*) AS npair,
+         sum(x) AS sx0, sum(x*x) AS sxx0, sum(x*g) AS sxy0,
+         sum(xp) AS sx1, sum(xp*xp) AS sxx1, sum(xp*g) AS sxy1,
+         sum(g) AS sy, sum(g*g) AS syy
+  FROM p GROUP BY 1),
+f AS (
+  SELECT user_id, npair, CAST(npair AS DOUBLE) AS nf,
+         CAST(sx0 AS DOUBLE) AS sx0f, CAST(sxx0 AS DOUBLE) AS sxx0f,
+         CAST(sxy0 AS DOUBLE) AS sxy0f,
+         CAST(sx1 AS DOUBLE) AS sx1f, CAST(sxx1 AS DOUBLE) AS sxx1f,
+         CAST(sxy1 AS DOUBLE) AS sxy1f,
+         CAST(sy AS DOUBLE) AS syf, CAST(syy AS DOUBLE) AS syyf
+  FROM a),
+d AS (
+  SELECT *, nf*sxx0f - sx0f*sx0f AS dx0, nf*sxx1f - sx1f*sx1f AS dx1,
+         nf*syyf - syf*syf AS dy
+  FROM f)
+SELECT user_id, npair AS n_pairs,
+       round((nf*sxy0f - sx0f*syf)/sqrt(dx0*dy), 6) AS r0,
+       round((nf*sxy1f - sx1f*syf)/sqrt(dx1*dy), 6) AS r1
+FROM d WHERE npair >= 2 AND dy > 0 AND dx0 > 0 AND dx1 > 0
+"""
+
+
+def q_perm_entropy(sf_dir):
+    """★-checked per-key order-3 permutation entropy
+    (stages/tsmath.py): integer ordinal-pattern codes from mirrored
+    lead() comparisons, type_entropy closing expression over exact
+    pattern counts, normalized by ln 6."""
+    from ..stages.tsmath import perm_entropy
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(perm_entropy(ev, num_partitions=8))
+
+
+PERM_ENTROPY_SQL = """
+WITH o AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS a,
+         lead(CAST(round(value*100) AS BIGINT), 1) OVER w AS b,
+         lead(CAST(round(value*100) AS BIGINT), 2) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (
+  SELECT user_id,
+     (CASE WHEN b < a THEN 1 ELSE 0 END
+      + CASE WHEN c < a THEN 1 ELSE 0 END) * 9
+   + (CASE WHEN a <= b THEN 1 ELSE 0 END
+      + CASE WHEN c < b THEN 1 ELSE 0 END) * 3
+   + (CASE WHEN a <= c THEN 1 ELSE 0 END
+      + CASE WHEN b <= c THEN 1 ELSE 0 END) AS code
+  FROM o WHERE c IS NOT NULL),
+cc AS (SELECT user_id, code, count(*) AS c FROM t GROUP BY 1, 2),
+ag AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_pat,
+              sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+       FROM cc GROUP BY 1)
+SELECT user_id, n_pat,
+       round((ln(CAST(n_pat AS DOUBLE)) - s/CAST(n_pat AS DOUBLE))
+             / ln(6.0), 6) AS pe
+FROM ag WHERE n_pat >= 1
+"""
+
+
+def q_hurst(sf_dir):
+    """★-checked per-key Hurst exponent by rescaled-range analysis at
+    window sizes 8/16/32 (stages/tsmath.py): EXACT integer
+    cumulative-deviation ranges D_j = w·P_j − j·S per window, mirrored
+    rs/mean/log-log-OLS float expressions (ulp-below-round6 for the
+    ≤window-count float sums, the features_stats argument)."""
+    from ..stages.tsmath import hurst_rs
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(hurst_rs(ev, num_partitions=8))
+
+
+def _hurst_size_cte(w):
+    return f"""
+win{w} AS (
+  SELECT user_id, i // {w} AS wid, i % {w} + 1 AS j, x
+  FROM d WHERE i < (n // {w}) * {w}),
+pw{w} AS (
+  SELECT user_id, wid, j,
+         sum(x) OVER (PARTITION BY user_id, wid ORDER BY j) AS p,
+         sum(x) OVER (PARTITION BY user_id, wid) AS s,
+         sum(x*x) OVER (PARTITION BY user_id, wid) AS q
+  FROM win{w}),
+ws{w} AS (
+  SELECT user_id, wid,
+         greatest(max({w}*p - j*s), 0) - least(min({w}*p - j*s), 0)
+           AS r_int,
+         any_value(s) AS s, any_value(q) AS q
+  FROM pw{w} GROUP BY 1, 2),
+rs{w} AS (
+  SELECT user_id,
+         (CAST(r_int AS DOUBLE)/{w}.0)
+           / sqrt((CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/{w}.0)/{w}.0)
+           AS rsv
+  FROM ws{w}
+  WHERE (CAST(q AS DOUBLE)
+         - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/{w}.0)/{w}.0 > 0.0),
+a{w} AS (
+  SELECT user_id, sum(rsv)/count(*) AS y FROM rs{w} GROUP BY 1)"""
+
+
+HURST_SQL = ("""
+WITH d AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),"""
+ + ",".join(_hurst_size_cte(w) for w in (8, 16, 32)) + """
+SELECT cnt.user_id, cnt.n,
+       round(a8.y, 6) AS rs8, round(a16.y, 6) AS rs16,
+       round(a32.y, 6) AS rs32,
+       round((3.0*(ln(8.0)*ln(a8.y) + ln(16.0)*ln(a16.y)
+                   + ln(32.0)*ln(a32.y))
+              - (ln(8.0) + ln(16.0) + ln(32.0))
+                * (ln(a8.y) + ln(a16.y) + ln(a32.y)))
+             / (3.0*(ln(8.0)*ln(8.0) + ln(16.0)*ln(16.0)
+                     + ln(32.0)*ln(32.0))
+                - (ln(8.0) + ln(16.0) + ln(32.0))
+                  * (ln(8.0) + ln(16.0) + ln(32.0))), 6) AS hurst
+FROM cnt JOIN a8 ON cnt.user_id = a8.user_id
+         JOIN a16 ON cnt.user_id = a16.user_id
+         JOIN a32 ON cnt.user_id = a32.user_id
+""")
+
+
+def q_jarque_bera(sf_dir):
+    """★-checked per-key Jarque–Bera normality statistic
+    (stages/analytics.py): exact int-space mean, float central
+    moments of the identical double deviations on both sides
+    (ulp-below-round6, the features_stats skew argument), mirrored
+    g1/g2/JB closing expressions."""
+    from ..stages.analytics import jarque_bera
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    return round6(jarque_bera(ev, num_partitions=8))
+
+
+JARQUE_BERA_SQL = """
+WITH s AS (
+  SELECT user_id, count(*) AS n,
+         (CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0)
+           / count(*) AS mu
+  FROM events GROUP BY 1),
+mo AS (
+  SELECT e.user_id,
+         avg(power(e.value - s.mu, 2)) AS m2,
+         avg(power(e.value - s.mu, 3)) AS m3,
+         avg(power(e.value - s.mu, 4)) AS m4
+  FROM events e JOIN s USING (user_id) GROUP BY 1),
+g AS (
+  SELECT s.user_id, s.n, CAST(s.n AS DOUBLE) AS nf,
+         mo.m3/power(mo.m2, 1.5) AS g1, mo.m4/(mo.m2*mo.m2) AS g2,
+         mo.m2 AS m2
+  FROM s JOIN mo ON s.user_id = mo.user_id)
+SELECT user_id, n,
+       round(g1, 6) AS skew_g1, round(g2, 6) AS kurt_g2,
+       round(nf/6.0*(g1*g1 + 0.25*(g2 - 3.0)*(g2 - 3.0)), 6) AS jb
+FROM g WHERE n >= 4 AND m2 > 0
+"""
+
+
+def q_welch_ttest(sf_dir):
+    """★-checked per-key Welch two-sample t-test, weekday vs weekend
+    (stages/analytics.py): locale-free integer epoch-day DOW on both
+    sides, exact int64 sums, mirrored variance/t/Satterthwaite-df
+    float expressions — fully int-space exact."""
+    from ..stages.analytics import welch_ttest
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return round6(welch_ttest(ev, num_partitions=8))
+
+
+WELCH_TTEST_SQL = """
+WITH b AS (
+  SELECT user_id,
+         CASE WHEN ((epoch_us(ts) // 86400000000) + 4) % 7 IN (0, 6)
+              THEN 1 ELSE 0 END AS we,
+         CAST(round(value*100) AS BIGINT) AS x
+  FROM events),
+a AS (
+  SELECT user_id,
+         count(*) FILTER (we = 0) AS n1, sum(x) FILTER (we = 0) AS s1,
+         sum(x*x) FILTER (we = 0) AS q1,
+         count(*) FILTER (we = 1) AS n2, sum(x) FILTER (we = 1) AS s2,
+         sum(x*x) FILTER (we = 1) AS q2
+  FROM b GROUP BY 1),
+f AS (
+  SELECT user_id, n1, n2,
+         CAST(n1 AS DOUBLE) AS n1f, CAST(n2 AS DOUBLE) AS n2f,
+         CAST(s1 AS DOUBLE) AS s1f, CAST(s2 AS DOUBLE) AS s2f,
+         CAST(q1 AS DOUBLE) AS q1f, CAST(q2 AS DOUBLE) AS q2f
+  FROM a WHERE n1 >= 2 AND n2 >= 2),
+v AS (
+  SELECT *,
+         (q1f - s1f*s1f/n1f)/(n1f - 1.0)/n1f AS w1,
+         (q2f - s2f*s2f/n2f)/(n2f - 1.0)/n2f AS w2
+  FROM f)
+SELECT user_id, n1 AS n_wd, n2 AS n_we,
+       round((s1f/n1f)/100.0, 6) AS mean_wd,
+       round((s2f/n2f)/100.0, 6) AS mean_we,
+       round(((s1f/n1f) - (s2f/n2f))/100.0/sqrt(w1 + w2), 6) AS t_stat,
+       round((w1 + w2)*(w1 + w2)
+             / (w1*w1/(n1f - 1.0) + w2*w2/(n2f - 1.0)), 6) AS df_w
+FROM v WHERE w1 + w2 > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "variance_ratio": q_variance_ratio,
+    "xcorr_gap": q_xcorr_gap,
+    "perm_entropy": q_perm_entropy,
+    "hurst": q_hurst,
+    "jarque_bera": q_jarque_bera,
+    "welch_ttest": q_welch_ttest,
     "changepoint": q_changepoint,
     "bm25": q_bm25,
     "zorder_stats": q_zorder_stats,
@@ -7513,6 +7806,12 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "variance_ratio": VARIANCE_RATIO_SQL,
+    "xcorr_gap": XCORR_GAP_SQL,
+    "perm_entropy": PERM_ENTROPY_SQL,
+    "hurst": HURST_SQL,
+    "jarque_bera": JARQUE_BERA_SQL,
+    "welch_ttest": WELCH_TTEST_SQL,
     "simhash_fingerprint": _simhash_sql(),
     "minhash_pairs": _minhash_pairs_sql(),
     "multimodal_features": _multimodal_sql(),

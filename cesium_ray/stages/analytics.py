@@ -1718,3 +1718,134 @@ def bootstrap_mean_ci(
     return (group_apply(ds, per_key, num_partitions=num_partitions,
                         key=key).to_pandas()
             .sort_values(key, kind="mergesort").reset_index(drop=True))
+
+
+def jarque_bera(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Jarque–Bera normality statistic over the value column:
+    JB = n/6·(g1² + ¼(g2−3)²) with g1 = m3/m2^1.5 (Fisher skew) and
+    g2 = m4/m2² (kurtosis) — the moments-based normality gate for
+    latency distributions (large JB ⇒ reject Gaussian; the standard
+    pre-check before z-score anomaly rules).
+
+    Exactness follows the features_stats taxonomy: the mean is exact
+    int-space (cent sums, mu = (Σx/100)/n), the central moments are
+    means of float powers of the IDENTICAL double deviations on both
+    sides (summation-order ulps stay below round6 — the skew
+    argument), and g1/g2/JB close in one mirrored expression.  Keys
+    with n < 4 or m2 = 0 are dropped on both sides.  One key-hash
+    exchange; per partition one factorize + reduceat."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "skew_g1": pd.Series(dtype="float64"),
+                "kurt_g2": pd.Series(dtype="float64"),
+                "jb": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        order = np.argsort(kc, kind="stable")
+        k = kc[order]
+        v = df[val_col].to_numpy(np.float64)[order]
+        x = np.rint(v * 100.0).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        nf = n.astype(np.float64)
+        mu = (np.add.reduceat(x, starts).astype(np.float64)
+              / 100.0) / nf
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        d = v - mu[gid]
+        m2 = np.add.reduceat(d * d, starts) / nf
+        m3 = np.add.reduceat(d * d * d, starts) / nf
+        m4 = np.add.reduceat(d * d * d * d, starts) / nf
+        with np.errstate(invalid="ignore", divide="ignore"):
+            g1 = m3 / m2 ** 1.5
+            g2 = m4 / (m2 * m2)
+            jb = nf / 6.0 * (g1 * g1 + 0.25 * (g2 - 3.0) * (g2 - 3.0))
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]], "n": n,
+                            "skew_g1": g1, "kurt_g2": g2, "jb": jb})
+        return res[(res["n"] >= 4) & (m2 > 0.0)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def welch_ttest(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Welch two-sample t-test comparing weekday vs weekend
+    values: t = (μ_wd − μ_we)/√(s²_wd/n_wd + s²_we/n_we) with the
+    Welch–Satterthwaite degrees of freedom — the unequal-variance A/B
+    gate (is a user's weekend latency distribution shifted?).
+
+    Day-of-week comes from pure epoch-µs integer arithmetic
+    dow = ((µs // 86 400 000 000) + 4) mod 7  (0 = Sunday)
+    identically on both sides (no timezone/locale dependence).  All
+    sums are exact int64 k-space; means (reported in value units),
+    sample variances, t and df close in mirrored float expressions
+    v = (q − s·s/n)/(n−1) ;  w_i = v_i/n_i ;
+    t = ((s1/n1) − (s2/n2))/100/√(w1+w2) ;
+    df = (w1+w2)²/(w1²/(n1−1) + w2²/(n2−1))
+    so round-6 outputs are bit-equal.  Keys need ≥ 2 weekday and ≥ 2
+    weekend rows and a positive pooled standard error."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_wd": pd.Series(dtype="int64"),
+                "n_we": pd.Series(dtype="int64"),
+                "mean_wd": pd.Series(dtype="float64"),
+                "mean_we": pd.Series(dtype="float64"),
+                "t_stat": pd.Series(dtype="float64"),
+                "df_w": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        dow = (tus // _DAY_US + 4) % 7
+        we = ((dow == 0) | (dow == 6)).astype(np.int64)
+        x = np.rint(df[val_col].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        nk = len(kuniq)
+        cell = kc * 2 + we
+        cnt = np.bincount(cell, minlength=nk * 2).reshape(nk, 2)
+        s = np.bincount(cell, weights=x.astype(np.float64),
+                        minlength=nk * 2).reshape(nk, 2)
+        q = np.bincount(cell, weights=(x * x).astype(np.float64),
+                        minlength=nk * 2).reshape(nk, 2)
+        n1, n2 = cnt[:, 0].astype(np.float64), cnt[:, 1].astype(np.float64)
+        s1, s2 = s[:, 0], s[:, 1]
+        q1, q2 = q[:, 0], q[:, 1]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v1 = (q1 - s1 * s1 / n1) / (n1 - 1.0)
+            v2 = (q2 - s2 * s2 / n2) / (n2 - 1.0)
+            w1, w2 = v1 / n1, v2 / n2
+            se2 = w1 + w2
+            t = ((s1 / n1) - (s2 / n2)) / 100.0 / np.sqrt(se2)
+            dfw = (se2 * se2
+                   / (w1 * w1 / (n1 - 1.0) + w2 * w2 / (n2 - 1.0)))
+            res = pd.DataFrame({
+                key: np.asarray(kuniq),
+                "n_wd": cnt[:, 0].astype(np.int64),
+                "n_we": cnt[:, 1].astype(np.int64),
+                "mean_wd": (s1 / n1) / 100.0,
+                "mean_we": (s2 / n2) / 100.0,
+                "t_stat": t, "df_w": dfw})
+        return res[(res["n_wd"] >= 2) & (res["n_we"] >= 2) & (se2 > 0.0)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

@@ -1752,3 +1752,324 @@ def cusum_alarms(
     return (group_apply(ds, per_key, num_partitions=num_partitions,
                         key=key).to_pandas()
             .sort_values(key, kind="mergesort").reset_index(drop=True))
+
+
+def _sorted_streams(df: pd.DataFrame, key, ts_col, val_col, order_col):
+    """Shared prep: factorize key, (ts, order)-sort within key, return
+    (codes, uniques, sorted codes k, int64-µs ts, quantized int64 x,
+    group starts, group sizes n)."""
+    kc, kuniq = pd.factorize(df[key])
+    tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+    oid = df[order_col].to_numpy(np.int64)
+    perm = np.lexsort((oid, tus, kc))
+    k = kc[perm]
+    t = tus[perm]
+    x = _quantize(df[val_col].to_numpy())[perm]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+    return kuniq, k, t, x, starts, n
+
+
+def variance_ratio(
+    ds: ray.data.Dataset,
+    ks: tuple = (2, 4),
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Lo–MacKinlay variance-ratio test statistic: for each
+    horizon k, VR(k) = Var(x_{t+k}−x_t) / (k·Var(x_{t+1}−x_t)) over
+    overlapping k-step differences of the (ts, order)-sorted stream —
+    VR ≈ 1 under a random walk, < 1 under mean reversion, > 1 under
+    trending (the classic market-efficiency / drift diagnostic).
+
+    Every difference sum is exact int64 k-space (Σd, Σd² per lag via
+    the masked shifted-product trick acf_lags uses); the population
+    variances and the ratio are ONE mirrored float expression
+    v_L = (q_L − s_L·s_L/n_L)/n_L ;  vr_k = v_k/(k·v_1)
+    evaluated in identical operation order by the DuckDB twin, so
+    round-6 outputs are bit-equal.  Int64 bound: Σd² ≤ n·(2·100·
+    max|v|)² — fine to ~10⁸ rows/key at |v| ≤ 10⁴.  Keys with
+    n ≤ max(ks) or v₁ = 0 are dropped on both sides.  One key-hash
+    exchange; per partition one lexsort + reduceat per lag."""
+    lags = (1,) + tuple(ks)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64")}
+        for L in ks:
+            cols[f"vr{L}"] = pd.Series(dtype="float64")
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        m = len(x)
+        v = {}
+        for L in lags:
+            valid = np.zeros(m, bool)
+            valid[L:] = k[L:] == k[:-L]
+            d = np.zeros(m, np.int64)
+            d[L:] = x[L:] - x[:-L]
+            d[~valid] = 0
+            s = np.add.reduceat(d, starts).astype(np.float64)
+            q = np.add.reduceat(d * d, starts).astype(np.float64)
+            nl = np.maximum(n - L, 1).astype(np.float64)
+            v[L] = (q - s * s / nl) / nl
+        out = {key: np.asarray(kuniq)[k[starts]], "n": n}
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for L in ks:
+                out[f"vr{L}"] = v[L] / (np.float64(L) * v[1])
+        res = pd.DataFrame(out)
+        return res[(res["n"] > max(ks)) & (v[1] != 0.0)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def xcorr_gap(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key cross-correlation between the value channel and the
+    interarrival-gap channel of the same (ts, order)-sorted stream:
+    r0 = corr(x_t, g_t) (does a large value coincide with a long wait
+    before it) and r1 = corr(x_{t−1}, g_t) (does a large value predict
+    the NEXT gap), where g_t = (ts_t − ts_{t−1}) in whole seconds
+    (int64 floor division by 10⁶, mirrored by SQL ``//``) — the
+    two-channel dependence feature for load-shedding analysis.
+
+    All sums are exact int64 (x in k-space ≤ 100·max|v|, g in seconds;
+    Σx·g bound n·100·max|v|·max_gap_s — fine to ~10⁶ rows/key at
+    |v| ≤ 10⁴ and gaps ≤ 1 year).  Pearson is combined in float with
+    every operand cast first (n·Σy² can pass 2⁶³ as an int but casts
+    identically on both sides):
+        r = (nf·sxyf − sxf·syf)/sqrt((nf·sxxf − sxf²)·(nf·syyf − syf²))
+    mirrored op-for-op.  Keys with < 3 events or a zero-variance side
+    are dropped on both sides."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_pairs": pd.Series(dtype="int64"),
+                "r0": pd.Series(dtype="float64"),
+                "r1": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, t, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        m = len(x)
+        valid = np.zeros(m, bool)
+        valid[1:] = k[1:] == k[:-1]
+        g = np.zeros(m, np.int64)
+        g[1:] = (t[1:] - t[:-1]) // 1_000_000
+        g[~valid] = 0
+        xc = np.where(valid, x, np.int64(0))    # x_t    (t ≥ 2)
+        xp = np.zeros(m, np.int64)
+        xp[1:] = x[:-1]
+        xp[~valid] = 0                           # x_{t-1}
+
+        def sums(a):
+            return np.add.reduceat(a, starts).astype(np.float64)
+
+        nf = (n - 1).astype(np.float64)
+        sy, syy = sums(g), sums(g * g)
+        out = {key: np.asarray(kuniq)[k[starts]],
+               "n_pairs": (n - 1)}
+        deny = nf * syy - sy * sy
+        for name, xi in (("r0", xc), ("r1", xp)):
+            sx, sxx, sxy = sums(xi), sums(xi * xi), sums(xi * g)
+            denx = nf * sxx - sx * sx
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out[name] = (nf * sxy - sx * sy) / np.sqrt(denx * deny)
+            out["_d_" + name] = denx
+        res = pd.DataFrame(out)
+        res = res[(res["n_pairs"] >= 2) & (deny > 0.0)
+                  & (res["_d_r0"] > 0.0) & (res["_d_r1"] > 0.0)]
+        return res.drop(columns=["_d_r0", "_d_r1"])
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def perm_entropy(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key order-3 permutation entropy (Bandt–Pompe 2002): each
+    consecutive triple of the (ts, order)-sorted quantized stream is
+    mapped to one of 6 ordinal patterns, ties broken by time order
+    (rank_i = #{j: x_j < x_i} + #{j < i: x_j = x_i}, a stable
+    argsort), and the normalized Shannon entropy of the pattern
+    distribution is the complexity score — 0 for monotone series, 1
+    for white noise; the standard regularity feature for physiologic /
+    latency streams.
+
+    Pattern ranks come from exact integer comparisons on k-space
+    values (bit-reproducible by CASE comparisons of SQL lead()
+    windows); the entropy closes with the type_entropy expression
+    H = (ln(n) − Σc·ln(c)/n) / ln(6)
+    from exact int64 pattern counts, mirrored op-for-op.  Keys with
+    fewer than 3 events are dropped on both sides."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_pat": pd.Series(dtype="int64"),
+                "pe": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        m = len(x)
+        if m < 3:
+            return pd.DataFrame(cols)
+        a, b, c = x[:-2], x[1:-1], x[2:]
+        valid = (k[:-2] == k[1:-1]) & (k[1:-1] == k[2:])
+        # stable ranks: later-position ties rank higher
+        r0 = (b < a).astype(np.int64) + (c < a)
+        r1 = (a <= b).astype(np.int64) + (c < b)
+        r2 = (a <= c).astype(np.int64) + (b <= c)
+        code = r0 * 9 + r1 * 3 + r2            # 6 legal codes
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        cell = gid[:-2][valid] * 27 + code[valid]
+        cnt = np.bincount(cell, minlength=len(starts) * 27)
+        cnt = cnt.reshape(len(starts), 27)
+        npat = cnt.sum(axis=1).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cl = np.where(cnt > 0, cnt * np.log(
+                np.maximum(cnt, 1).astype(np.float64)), 0.0)
+            h = (np.log(npat.astype(np.float64))
+                 - cl.sum(axis=1) / npat.astype(np.float64))
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]],
+                            "n_pat": npat,
+                            "pe": h / np.log(6.0)})
+        return res[res["n_pat"] >= 1]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+_HURST_SIZES = (8, 16, 32)
+
+
+def hurst_rs(
+    ds: ray.data.Dataset,
+    sizes: tuple = _HURST_SIZES,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Hurst exponent by classic rescaled-range (R/S)
+    analysis (Hurst 1951; Mandelbrot–Wallis): the (ts, order)-sorted
+    stream is chopped into consecutive windows of each size w ∈
+    ``sizes``; per window the cumulative-deviation range
+    R = max(0, max_j Z_j) − min(0, min_j Z_j),  Z_j = Σ_{i≤j}(x_i−x̄)
+    is rescaled by the population std, averaged over windows, and the
+    Hurst exponent is the OLS slope of ln⟨R/S⟩ against ln w —
+    H ≈ 0.5 for a memoryless stream, > 0.5 for long-range-persistent
+    load, < 0.5 for mean-reverting load.
+
+    Exactness: Z_j is kept integer as D_j = w·P_j − j·S (P = within-
+    window prefix sum, S = window sum, all int64 k-space), so the
+    range numerator R_int = max(0,maxD) − min(0,minD) is EXACT; each
+    window closes with one mirrored float expression
+    rs = (R_int/w) / sqrt((Q − S·S/w)/w)
+    and the per-size mean and the 3-point log-log OLS slope
+    slope = (np·Σlw·y − Σlw·Σy)/(np·Σlw² − (Σlw)²),  y = ln⟨rs⟩
+    are mirrored op-for-op (≤ window-count float terms; ulp-below-
+    round6).  Zero-variance windows are dropped; keys must yield ≥ 1
+    valid window at EVERY size (so n ≥ max(sizes)) on both sides.
+    One key-hash exchange; per partition O(n) reduceat per size."""
+    sizes = tuple(sorted(sizes))
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64")}
+        for w in sizes:
+            cols[f"rs{w}"] = pd.Series(dtype="float64")
+        cols["hurst"] = pd.Series(dtype="float64")
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        nk = len(starts)
+        cs = np.cumsum(x)
+        ars = {}
+        for w in sizes:
+            nwin = n // w                       # windows per key
+            tot = int(nwin.sum())
+            if tot == 0:
+                ars[w] = (np.zeros(nk), np.zeros(nk, np.int64))
+                continue
+            # start index of every window: key_start + j*w
+            wkey = np.repeat(np.arange(nk), nwin)
+            off = np.concatenate(
+                [np.arange(c) for c in nwin]).astype(np.int64)
+            ws = starts[wkey] + off * w
+            # per-window S, Q via prefix sums (exact int64)
+            base = np.where(ws > 0, cs[ws - 1], 0)
+            S = cs[ws + w - 1] - base
+            cq = np.cumsum(x * x)
+            baseq = np.where(ws > 0, cq[ws - 1], 0)
+            Q = cq[ws + w - 1] - baseq
+            # D_j = w·P_j − j·S over each window, range via reduceat
+            idx = (ws[:, None] + np.arange(w)[None, :]).ravel()
+            P = cs[idx].reshape(tot, w) - base[:, None]
+            j = np.arange(1, w + 1, dtype=np.int64)[None, :]
+            D = np.int64(w) * P - j * S[:, None]
+            rint = (np.maximum(D.max(axis=1), 0)
+                    - np.minimum(D.min(axis=1), 0))
+            wf = np.float64(w)
+            m2 = (Q.astype(np.float64)
+                  - S.astype(np.float64) * S.astype(np.float64) / wf) / wf
+            ok = m2 > 0.0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                rs = (rint.astype(np.float64) / wf) / np.sqrt(m2)
+            ssum = np.bincount(wkey[ok], weights=rs[ok], minlength=nk)
+            scnt = np.bincount(wkey[ok], minlength=nk).astype(np.int64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ars[w] = (ssum / scnt.astype(np.float64), scnt)
+        keep = np.ones(nk, bool)
+        for w in sizes:
+            keep &= ars[w][1] >= 1
+        out = {key: np.asarray(kuniq)[k[starts]], "n": n}
+        lw = np.array([np.log(np.float64(w)) for w in sizes])
+        npts = np.float64(len(sizes))
+        slw, slw2 = lw.sum(), (lw * lw).sum()
+        sy = np.zeros(nk)
+        sxy = np.zeros(nk)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for i, w in enumerate(sizes):
+                y = np.log(ars[w][0])
+                out[f"rs{w}"] = ars[w][0]
+                sy = sy + y
+                sxy = sxy + lw[i] * y
+            out["hurst"] = ((npts * sxy - slw * sy)
+                            / (npts * slw2 - slw * slw))
+        res = pd.DataFrame(out)
+        return res[keep]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

@@ -520,3 +520,62 @@ def test_bootstrap_mean_ci_properties(ray_session):
     w0 = a.loc[0, "ci_hi"] - a.loc[0, "ci_lo"]
     w1 = a.loc[1, "ci_hi"] - a.loc[1, "ci_lo"]
     assert w1 < w0  # more data -> tighter interval
+
+
+def test_jarque_bera_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import jarque_bera
+
+    ev = _events(seed=93, n=4000, nusers=25)
+    rng = np.random.default_rng(94)
+    ev["value"] = np.round(rng.normal(20, 5, len(ev)), 2)
+    ev["event_id"] = np.arange(len(ev), dtype=np.int64)
+    got = jarque_bera(ray.data.from_pandas(ev).repartition(6),
+                      num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        v = g["value"].to_numpy(np.float64)
+        n = len(v)
+        mu = np.rint(v * 100).sum() / 100.0 / n
+        d = v - mu
+        m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+        g1, g2 = m3 / m2**1.5, m4 / m2**2
+        jb = n / 6.0 * (g1 * g1 + 0.25 * (g2 - 3.0) ** 2)
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n"].iloc[0]) == n
+        assert abs(row["skew_g1"].iloc[0] - g1) < 1e-9
+        assert abs(row["kurt_g2"].iloc[0] - g2) < 1e-9
+        assert abs(row["jb"].iloc[0] - jb) < 1e-7, uid
+    # Gaussian data: most JB stats should be small (< 10)
+    assert (got["jb"] < 10).mean() > 0.7
+
+
+def test_welch_ttest_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import welch_ttest
+
+    ev = _events(seed=95, n=5000, nusers=25, span_days=30)
+    rng = np.random.default_rng(96)
+    ev["value"] = np.round(rng.uniform(1, 80, len(ev)), 2)
+    got = welch_ttest(ray.data.from_pandas(ev).repartition(6),
+                      num_partitions=4)
+    day = ev["ts"].to_numpy("datetime64[us]").view("int64") // (
+        86400 * 10**6)
+    ev["_we"] = np.isin((day + 4) % 7, [0, 6])
+    for uid, g in ev.groupby("user_id"):
+        a = np.rint(g.loc[~g["_we"], "value"].to_numpy() * 100)
+        b = np.rint(g.loc[g["_we"], "value"].to_numpy() * 100)
+        row = got[got["user_id"] == uid]
+        if len(a) < 2 or len(b) < 2:
+            assert len(row) == 0
+            continue
+        v1, v2 = a.var(ddof=1), b.var(ddof=1)
+        w1, w2 = v1 / len(a), v2 / len(b)
+        t = (a.mean() - b.mean()) / 100.0 / np.sqrt(w1 + w2)
+        dfw = (w1 + w2) ** 2 / (w1**2 / (len(a) - 1)
+                                + w2**2 / (len(b) - 1))
+        assert len(row) == 1
+        assert int(row["n_wd"].iloc[0]) == len(a)
+        assert int(row["n_we"].iloc[0]) == len(b)
+        assert abs(row["mean_wd"].iloc[0] - a.mean() / 100.0) < 1e-9
+        assert abs(row["t_stat"].iloc[0] - t) < 1e-9, uid
+        assert abs(row["df_w"].iloc[0] - dfw) < 1e-7, uid
+    # same uniform distribution on both sides: |t| mostly small
+    assert (got["t_stat"].abs() < 3).mean() > 0.8

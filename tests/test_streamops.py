@@ -1496,3 +1496,135 @@ def test_quantile_transform_single_row(ray_session):
         {"event_id": np.array([7], dtype=np.int64), "value": [3.25]}))
     out = quantile_transform_global(ds).to_pandas()
     assert len(out) == 1 and out["pct_rank"].iloc[0] == 0.0
+
+
+def test_variance_ratio_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import variance_ratio
+
+    ev = _valued(seed=211, n=2500, nusers=15)
+    got = variance_ratio(ray.data.from_pandas(ev).repartition(6),
+                         ks=(2, 4), num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.float64)
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n"].iloc[0]) == len(x)
+        d1 = x[1:] - x[:-1]
+        v1 = d1.var()                       # population
+        for L in (2, 4):
+            dk = x[L:] - x[:-L]
+            want = dk.var() / (L * v1)
+            assert abs(row[f"vr{L}"].iloc[0] - want) < 1e-9, (uid, L)
+    # random walk sanity: VR ~ 1
+    rng = np.random.default_rng(5)
+    walk = np.cumsum(rng.normal(0, 1, 4000))
+    rw = pd.DataFrame({
+        "event_id": np.arange(4000, dtype=np.int64),
+        "user_id": np.full(4000, 7, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(4000) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.round(walk, 2)})
+    out = variance_ratio(ray.data.from_pandas(rw), num_partitions=2)
+    assert 0.8 < out["vr2"].iloc[0] < 1.2
+
+
+def test_xcorr_gap_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import xcorr_gap
+
+    ev = _valued(seed=223, n=2500, nusers=15)
+    got = xcorr_gap(ray.data.from_pandas(ev).repartition(6),
+                    num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        tus = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        gap = (tus[1:] - tus[:-1]) // 1_000_000
+        row = got[got["user_id"] == uid]
+        if gap.var() == 0 or len(x) < 3:
+            assert len(row) == 0
+            continue
+        assert len(row) == 1
+        assert int(row["n_pairs"].iloc[0]) == len(x) - 1
+        want0 = np.corrcoef(x[1:], gap)[0, 1]
+        want1 = np.corrcoef(x[:-1], gap)[0, 1]
+        assert abs(row["r0"].iloc[0] - want0) < 1e-9, uid
+        assert abs(row["r1"].iloc[0] - want1) < 1e-9, uid
+
+
+def test_perm_entropy_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import perm_entropy
+
+    ev = _valued(seed=227, n=2000, nusers=12)
+    got = perm_entropy(ray.data.from_pandas(ev).repartition(6),
+                       num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        cnt = {}
+        for i in range(len(x) - 2):
+            w = x[i:i + 3]
+            ranks = []
+            for j in range(3):
+                r = sum(1 for q in range(3) if w[q] < w[j])
+                r += sum(1 for q in range(j) if w[q] == w[j])
+                ranks.append(r)
+            cnt[tuple(ranks)] = cnt.get(tuple(ranks), 0) + 1
+        npat = sum(cnt.values())
+        h = -sum((c / npat) * np.log(c / npat) for c in cnt.values())
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n_pat"].iloc[0]) == npat
+        assert abs(row["pe"].iloc[0] - h / np.log(6.0)) < 1e-9, uid
+    # monotone series → single pattern → entropy 0
+    mono = pd.DataFrame({
+        "event_id": np.arange(10, dtype=np.int64),
+        "user_id": np.full(10, 3, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(10) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.arange(10, dtype=np.float64)})
+    out = perm_entropy(ray.data.from_pandas(mono), num_partitions=2)
+    assert out["pe"].iloc[0] == 0.0
+
+
+def test_hurst_rs_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import hurst_rs
+
+    ev = _valued(seed=229, n=3000, nusers=10)
+    got = hurst_rs(ray.data.from_pandas(ev).repartition(6),
+                   num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.float64)
+        if len(x) < 32:
+            assert len(got[got["user_id"] == uid]) == 0
+            continue
+        pts = []
+        per_size = {}
+        for w in (8, 16, 32):
+            rss = []
+            for ws in range(0, (len(x) // w) * w, w):
+                seg = x[ws:ws + w]
+                if seg.var() == 0:
+                    continue
+                z = np.cumsum(seg - seg.mean())
+                r = max(0.0, z.max()) - min(0.0, z.min())
+                rss.append(r / np.sqrt(seg.var()))
+            per_size[w] = np.mean(rss)
+            pts.append((np.log(w), np.log(np.mean(rss))))
+        slope = np.polyfit([p[0] for p in pts],
+                           [p[1] for p in pts], 1)[0]
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1
+        for w in (8, 16, 32):
+            assert abs(row[f"rs{w}"].iloc[0] - per_size[w]) < 1e-9
+        assert abs(row["hurst"].iloc[0] - slope) < 1e-9, uid
+    # a pure random walk's INCREMENTS have H ~ 0.5
+    rng = np.random.default_rng(11)
+    n = 4096
+    inc = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 1, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.round(rng.normal(0, 10, n), 2)})
+    out = hurst_rs(ray.data.from_pandas(inc), num_partitions=2)
+    assert 0.35 < out["hurst"].iloc[0] < 0.72
