@@ -7646,7 +7646,132 @@ FROM v WHERE w1 + w2 > 0
 """
 
 
+
+def q_ljung_box(sf_dir):
+    """★-checked per-key Ljung–Box whiteness statistic at lags 1–3
+    (stages/tsmath.py): the acf_lags exact int64 sufficient
+    statistics, closed with one mirrored ascending-k sum
+    Q = n(n+2)·Σ acf_k²/(n−k)."""
+    from ..stages.tsmath import ljung_box
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(ljung_box(ev, max_lag=3, num_partitions=8))
+
+
+LJUNG_BOX_SQL = """
+WITH o AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         lag(CAST(round(value*100) AS BIGINT), 1) OVER w AS x1,
+         lag(CAST(round(value*100) AS BIGINT), 2) OVER w AS x2,
+         lag(CAST(round(value*100) AS BIGINT), 3) OVER w AS x3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+a AS (
+  SELECT user_id, count(*) AS n, sum(x) AS s, sum(x*x) AS q,
+         sum(x*x1) AS sxy1, sum(x1) AS sh1,
+         sum(x) FILTER (WHERE x1 IS NOT NULL) AS st1,
+         sum(x*x2) AS sxy2, sum(x2) AS sh2,
+         sum(x) FILTER (WHERE x2 IS NOT NULL) AS st2,
+         sum(x*x3) AS sxy3, sum(x3) AS sh3,
+         sum(x) FILTER (WHERE x3 IS NOT NULL) AS st3
+  FROM o GROUP BY 1),
+m AS (SELECT *, CAST(s AS DOUBLE)/n AS mu,
+             CAST(q AS DOUBLE) - (CAST(s AS DOUBLE)/n)*CAST(s AS DOUBLE)
+               AS den
+      FROM a),
+k AS (
+  SELECT user_id, n, CAST(n AS DOUBLE) AS nf,
+    (CAST(sxy1 AS DOUBLE) - mu*CAST(st1 AS DOUBLE)
+     - mu*CAST(sh1 AS DOUBLE) + CAST(n-1 AS DOUBLE)*mu*mu)/den AS a1,
+    (CAST(sxy2 AS DOUBLE) - mu*CAST(st2 AS DOUBLE)
+     - mu*CAST(sh2 AS DOUBLE) + CAST(n-2 AS DOUBLE)*mu*mu)/den AS a2,
+    (CAST(sxy3 AS DOUBLE) - mu*CAST(st3 AS DOUBLE)
+     - mu*CAST(sh3 AS DOUBLE) + CAST(n-3 AS DOUBLE)*mu*mu)/den AS a3
+  FROM m WHERE n > 3 AND den <> 0)
+SELECT user_id, n,
+       round(nf*(nf + 2.0)*(a1*a1/(nf - 1.0) + a2*a2/(nf - 2.0)
+                            + a3*a3/(nf - 3.0)), 6) AS q_lb
+FROM k
+"""
+
+
+def q_trend_seasonal(sf_dir):
+    """★-checked per-key Wang–Hyndman trend/seasonality strengths
+    over an OLS-trend + hour-of-day-means decomposition
+    (stages/tsmath.py): every sufficient statistic an exact int64 sum
+    (cast AFTER summation on both sides), mirrored α/β/mₕ/Σr²/
+    strength float expressions."""
+    from ..stages.tsmath import trend_seasonal_strength
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return round6(trend_seasonal_strength(ev, num_partitions=8))
+
+
+TREND_SEASONAL_SQL = """
+WITH b AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         (epoch_us(ts) - min(epoch_us(ts))
+            OVER (PARTITION BY user_id)) // 1000000 AS t,
+         (epoch_us(ts) // 3600000000) % 24 AS h
+  FROM events),
+g AS (
+  SELECT user_id, count(*) AS n,
+         sum(x) AS sx, sum(x*x) AS qx, sum(t) AS st, sum(t*t) AS qt,
+         sum(x*t) AS sxt
+  FROM b GROUP BY 1),
+c AS (
+  SELECT user_id, h, count(*) AS nh, sum(x) AS sxh, sum(t) AS sth
+  FROM b GROUP BY 1, 2),
+p AS (
+  SELECT user_id, n, CAST(n AS DOUBLE) AS nf,
+         CAST(sx AS DOUBLE) AS sxf, CAST(qx AS DOUBLE) AS qxf,
+         CAST(st AS DOUBLE) AS stf, CAST(qt AS DOUBLE) AS qtf,
+         CAST(sxt AS DOUBLE) AS sxtf,
+         CAST(n AS DOUBLE)*CAST(qt AS DOUBLE)
+           - CAST(st AS DOUBLE)*CAST(st AS DOUBLE) AS dent
+  FROM g),
+ab AS (SELECT *, (nf*sxtf - sxf*stf)/dent AS beta FROM p),
+ab2 AS (SELECT *, (sxf - beta*stf)/nf AS alpha FROM ab),
+hh AS (
+  SELECT c.user_id,
+         sum(CAST(c.nh AS DOUBLE)
+             * (CAST(c.sxh AS DOUBLE)/CAST(c.nh AS DOUBLE) - ab2.alpha
+                - ab2.beta*(CAST(c.sth AS DOUBLE)/CAST(c.nh AS DOUBLE)))
+             * (CAST(c.sxh AS DOUBLE)/CAST(c.nh AS DOUBLE) - ab2.alpha
+                - ab2.beta*(CAST(c.sth AS DOUBLE)/CAST(c.nh AS DOUBLE))))
+           AS snm,
+         sum(CAST(c.nh AS DOUBLE)
+             * (CAST(c.sxh AS DOUBLE)/CAST(c.nh AS DOUBLE))
+             * (CAST(c.sxh AS DOUBLE)/CAST(c.nh AS DOUBLE))) AS snm2
+  FROM c JOIN ab2 ON c.user_id = ab2.user_id GROUP BY 1),
+f AS (
+  SELECT ab2.user_id, ab2.n, ab2.dent,
+         ab2.qxf - 2.0*ab2.alpha*ab2.sxf - 2.0*ab2.beta*ab2.sxtf
+           + ab2.nf*ab2.alpha*ab2.alpha
+           + 2.0*ab2.alpha*ab2.beta*ab2.stf
+           + ab2.beta*ab2.beta*ab2.qtf AS sr2,
+         hh.snm, hh.snm2, ab2.nf, ab2.qxf
+  FROM ab2 JOIN hh ON ab2.user_id = hh.user_id),
+v AS (
+  SELECT user_id, n, dent, sr2/nf AS varr,
+         (sr2 - snm)/nf AS varrem, (qxf - snm2)/nf AS vardeseas
+  FROM f)
+SELECT user_id, n,
+       round(greatest(0.0, 1.0 - varrem/vardeseas), 6)
+         AS trend_strength,
+       round(greatest(0.0, 1.0 - varrem/varr), 6) AS seasonal_strength
+FROM v WHERE dent > 0 AND varr > 0 AND vardeseas > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "ljung_box": q_ljung_box,
+    "trend_seasonal": q_trend_seasonal,
     "variance_ratio": q_variance_ratio,
     "xcorr_gap": q_xcorr_gap,
     "perm_entropy": q_perm_entropy,
@@ -7806,6 +7931,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "ljung_box": LJUNG_BOX_SQL,
+    "trend_seasonal": TREND_SEASONAL_SQL,
     "variance_ratio": VARIANCE_RATIO_SQL,
     "xcorr_gap": XCORR_GAP_SQL,
     "perm_entropy": PERM_ENTROPY_SQL,

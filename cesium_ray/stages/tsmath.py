@@ -2073,3 +2073,130 @@ def hurst_rs(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def ljung_box(
+    ds: ray.data.Dataset,
+    max_lag: int = 3,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Ljung–Box portmanteau whiteness statistic
+    Q = n(n+2)·Σ_{k≤L} acf_k²/(n−k) over the (ts, order)-sorted value
+    stream — the standard "is anything left after detrending"
+    residual-autocorrelation gate, built on exactly the acf_lags
+    sufficient statistics (exact int64 lag-product sums, mirrored
+    acf_k float expressions) with one additional mirrored closing sum
+    in ascending-k order.  Keys with n ≤ max_lag or zero variance are
+    dropped on both sides."""
+    from .tsmath import acf_lags  # same-module; explicit for grep
+
+    a = acf_lags(ds, max_lag=max_lag, key=key, ts_col=ts_col,
+                 val_col=val_col, order_col=order_col,
+                 num_partitions=num_partitions)
+    nf = a["n"].to_numpy(np.float64)
+    q = np.zeros(len(a))
+    for L in range(1, max_lag + 1):
+        ak = a[f"acf{L}"].to_numpy(np.float64)
+        q = q + ak * ak / (nf - np.float64(L))
+    out = a[[key, "n"]].copy()
+    out["q_lb"] = nf * (nf + 2.0) * q
+    return out.reset_index(drop=True)
+
+
+def trend_seasonal_strength(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key trend and seasonality strength (the Wang–Hyndman
+    tsfeatures pair, on an OLS-trend + hour-of-day-means
+    decomposition): with r = x − (α + β·τ) the OLS detrended series
+    (τ = seconds since the key's first event) and m_h the per-hour
+    mean of r, the remainder is rem = r − m_{h(t)} and
+        seasonal_strength = max(0, 1 − Var(rem)/Var(r))
+        trend_strength    = max(0, 1 − Var(rem)/Var(x − s_h))
+    where s_h is the per-hour mean of x itself — 0 for structureless
+    streams, → 1 when the trend / diurnal component explains the
+    variance.
+
+    Exactness: every sufficient statistic is an exact int64 sum in
+    k-space / whole seconds (n, Σx, Σx², Στ, Στ², Σxτ globally and
+    n_h, Σx_h, Στ_h per hour cell — 24 cells/key, a map-side-partial-
+    friendly shape), and α, β, every m_h, Σr², the Σn_h·m_h² terms
+    and both strengths close in mirrored float expressions (per-hour
+    sums have ≤ 24 terms; ulp-below-round6).  Keys with a degenerate
+    time axis or zero detrended variance are dropped on both sides."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "trend_strength": pd.Series(dtype="float64"),
+                "seasonal_strength": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        x = _quantize(df[val_col].to_numpy())
+        nk = len(kuniq)
+        # τ = whole seconds since the key's first event (int64)
+        tmin = np.full(nk, np.iinfo(np.int64).max)
+        np.minimum.at(tmin, kc, tus)
+        tau = (tus - tmin[kc]) // 1_000_000
+        h = (tus // 3_600_000_000) % 24
+        n = np.bincount(kc, minlength=nk).astype(np.int64)
+
+        def ksum(w):
+            """Exact int64 accumulation, float-cast AFTER the sum —
+            Στ² can pass 2⁵³, where float-weight accumulation stops
+            matching the oracle's exact HUGEINT-then-CAST."""
+            acc = np.zeros(nk, np.int64)
+            np.add.at(acc, kc, w)
+            return acc.astype(np.float64)
+
+        sx, qx = ksum(x), ksum(x * x)
+        st, sxt = ksum(tau), ksum(x * tau)
+        qt = ksum(tau * tau)
+        cell = kc * 24 + h
+        nh = np.bincount(cell, minlength=nk * 24).reshape(nk, 24)
+
+        def csum(w):
+            acc = np.zeros(nk * 24, np.int64)
+            np.add.at(acc, cell, w)
+            return acc.reshape(nk, 24).astype(np.float64)
+
+        sxh, sth = csum(x), csum(tau)
+        nf = n.astype(np.float64)
+        dent = nf * qt - st * st
+        with np.errstate(invalid="ignore", divide="ignore"):
+            beta = (nf * sxt - sx * st) / dent
+            alpha = (sx - beta * st) / nf
+            nhf = nh.astype(np.float64)
+            mh = (sxh / nhf - alpha[:, None]
+                  - beta[:, None] * (sth / nhf))
+            m2h = sxh / nhf
+            snm = np.where(nh > 0, nhf * mh * mh, 0.0).sum(axis=1)
+            snm2 = np.where(nh > 0, nhf * m2h * m2h, 0.0).sum(axis=1)
+            sr2 = (qx - 2.0 * alpha * sx - 2.0 * beta * sxt
+                   + nf * alpha * alpha + 2.0 * alpha * beta * st
+                   + beta * beta * qt)
+            varr = sr2 / nf
+            varrem = (sr2 - snm) / nf
+            vardeseas = (qx - snm2) / nf
+            fs = np.maximum(0.0, 1.0 - varrem / varr)
+            ft = np.maximum(0.0, 1.0 - varrem / vardeseas)
+        res = pd.DataFrame({key: np.asarray(kuniq), "n": n,
+                            "trend_strength": ft,
+                            "seasonal_strength": fs})
+        return res[(dent > 0.0) & (varr > 0.0) & (vardeseas > 0.0)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

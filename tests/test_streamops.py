@@ -1628,3 +1628,71 @@ def test_hurst_rs_bruteforce(ray_session):
         "value": np.round(rng.normal(0, 10, n), 2)})
     out = hurst_rs(ray.data.from_pandas(inc), num_partitions=2)
     assert 0.35 < out["hurst"].iloc[0] < 0.72
+
+
+def test_ljung_box_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import ljung_box
+
+    ev = _valued(seed=233, n=2500, nusers=15)
+    got = ljung_box(ray.data.from_pandas(ev).repartition(6),
+                    max_lag=3, num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.float64)
+        n, mu = len(x), x.mean()
+        den = ((x - mu) ** 2).sum()
+        q = 0.0
+        for L in (1, 2, 3):
+            a = ((x[L:] - mu) * (x[:-L] - mu)).sum() / den
+            q += a * a / (n - L)
+        q *= n * (n + 2)
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and abs(row["q_lb"].iloc[0] - q) < 1e-7, uid
+    # white noise: Q should be small (χ²₃ 99th pct ≈ 11.3) for most
+    assert (got["q_lb"] < 11.3).mean() > 0.6
+
+
+def test_trend_seasonal_strength_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import trend_seasonal_strength
+
+    ev = _valued(seed=239, n=3000, nusers=12)
+    got = trend_seasonal_strength(
+        ray.data.from_pandas(ev).repartition(6), num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.float64)
+        tus = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        tau = ((tus - tus.min()) // 1_000_000).astype(np.float64)
+        h = ((tus // 3_600_000_000) % 24).astype(np.int64)
+        beta, alpha = np.polyfit(tau, x, 1)
+        r = x - (alpha + beta * tau)
+        mh = {hh: r[h == hh].mean() for hh in np.unique(h)}
+        rem = r - np.array([mh[hh] for hh in h])
+        s2h = {hh: x[h == hh].mean() for hh in np.unique(h)}
+        deseas = x - np.array([s2h[hh] for hh in h])
+        fs = max(0.0, 1.0 - rem.var() / r.var())
+        ft = max(0.0, 1.0 - rem.var() / deseas.var())
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1
+        assert abs(row["seasonal_strength"].iloc[0] - fs) < 1e-7, uid
+        assert abs(row["trend_strength"].iloc[0] - ft) < 1e-7, uid
+    # planted signals: a pure ramp → trend ~1; a pure hour-wave → seas ~1
+    n = 2000
+    tus = np.arange(n, dtype=np.int64) * 900_000_000  # 15-min grid
+    base = {
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(tus, unit="us").astype("datetime64[us]")}
+    ramp = pd.DataFrame({**base,
+                         "user_id": np.full(n, 1, dtype=np.int64),
+                         "value": np.round(np.linspace(0, 400, n), 2)})
+    hour = ((tus // 3_600_000_000) % 24).astype(np.float64)
+    rng = np.random.default_rng(13)
+    wave = pd.DataFrame({**base,
+                         "user_id": np.full(n, 2, dtype=np.int64),
+                         "value": np.round(
+                             50 + 40 * np.sin(hour / 24 * 2 * np.pi)
+                             + rng.normal(0, 1, n), 2)})
+    out = trend_seasonal_strength(
+        ray.data.from_pandas(pd.concat([ramp, wave], ignore_index=True)),
+        num_partitions=2)
+    assert out[out["user_id"] == 1]["trend_strength"].iloc[0] > 0.95
+    assert out[out["user_id"] == 2]["seasonal_strength"].iloc[0] > 0.95
