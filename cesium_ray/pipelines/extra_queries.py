@@ -7769,7 +7769,89 @@ FROM v WHERE dent > 0 AND varr > 0 AND vardeseas > 0
 """
 
 
+
+def q_turning_points(sf_dir):
+    """★-checked per-key turning-points randomness test
+    (stages/tsmath.py): EXACT strict-local-extrema counts from
+    integer comparisons, one mirrored i.i.d.-expectation z
+    expression."""
+    from ..stages.tsmath import turning_points
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(turning_points(ev, num_partitions=8))
+
+
+TURNING_POINTS_SQL = """
+WITH o AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         lag(CAST(round(value*100) AS BIGINT)) OVER w AS xp,
+         lead(CAST(round(value*100) AS BIGINT)) OVER w AS xn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+a AS (
+  SELECT user_id, count(*) AS n,
+         count(*) FILTER (xp IS NOT NULL AND xn IS NOT NULL AND
+                          ((xp < x AND xn < x) OR (x < xp AND x < xn)))
+           AS t
+  FROM o GROUP BY 1)
+SELECT user_id, n, t AS n_turns,
+       round((CAST(t AS DOUBLE) - 2.0*(CAST(n AS DOUBLE) - 2.0)/3.0)
+             / sqrt((16.0*CAST(n AS DOUBLE) - 29.0)/90.0), 6) AS z_tp
+FROM a WHERE n >= 3
+"""
+
+
+def q_ar1_fit(sf_dir):
+    """★-checked per-key AR(1)/OU moment fit (stages/tsmath.py):
+    φ = acf₁ via the acf_lags exact int64 recipe; mirrored innovation
+    variance and −ln2/lnφ half-life (NULL outside 0<φ<1)."""
+    from ..stages.tsmath import ar1_fit
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(ar1_fit(ev, num_partitions=8))
+
+
+AR1_FIT_SQL = """
+WITH o AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         lag(CAST(round(value*100) AS BIGINT)) OVER w AS x1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+a AS (
+  SELECT user_id, count(*) AS n, sum(x) AS s, sum(x*x) AS q,
+         sum(x*x1) AS sxy, sum(x1) AS sh,
+         sum(x) FILTER (WHERE x1 IS NOT NULL) AS st
+  FROM o GROUP BY 1),
+m AS (
+  SELECT user_id, n, CAST(n AS DOUBLE) AS nf, CAST(s AS DOUBLE)/n AS mu,
+         CAST(q AS DOUBLE) - (CAST(s AS DOUBLE)/n)*CAST(s AS DOUBLE)
+           AS den,
+         CAST(sxy AS DOUBLE) AS sxyf, CAST(sh AS DOUBLE) AS shf,
+         CAST(st AS DOUBLE) AS stf
+  FROM a),
+f AS (
+  SELECT user_id, n, nf, den,
+         (sxyf - mu*stf - mu*shf + (nf - 1.0)*mu*mu)/den AS phi
+  FROM m WHERE n >= 3 AND den <> 0)
+SELECT user_id, n,
+       round(phi, 6) AS phi,
+       round(den/nf*(1.0 - phi*phi)/10000.0, 6) AS sigma2_eps,
+       round(CASE WHEN phi > 0.0 AND phi < 1.0
+                  THEN -ln(2.0)/ln(abs(phi)) ELSE NULL END, 6)
+         AS half_life
+FROM f
+"""
+
+
 EXTRA_QUERIES = {
+    "turning_points": q_turning_points,
+    "ar1_fit": q_ar1_fit,
     "ljung_box": q_ljung_box,
     "trend_seasonal": q_trend_seasonal,
     "variance_ratio": q_variance_ratio,
@@ -7931,6 +8013,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "turning_points": TURNING_POINTS_SQL,
+    "ar1_fit": AR1_FIT_SQL,
     "ljung_box": LJUNG_BOX_SQL,
     "trend_seasonal": TREND_SEASONAL_SQL,
     "variance_ratio": VARIANCE_RATIO_SQL,

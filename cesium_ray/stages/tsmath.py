@@ -2200,3 +2200,125 @@ def trend_seasonal_strength(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def turning_points(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key turning-points randomness test: count strict local
+    extrema of the (ts, order)-sorted stream (x_{t−1} < x_t > x_{t+1}
+    or the mirror image) and compare against the i.i.d. expectation
+    E[T] = 2(n−2)/3, Var[T] = (16n−29)/90 — the classic
+    nonparametric serial-dependence check (z ≪ 0 ⇒ smooth/trending,
+    z ≫ 0 ⇒ oscillating).
+
+    The extrema count is EXACT (integer comparisons on k-space
+    values; plateau points are not turning points, matching the
+    strict-inequality definition); the z-score closes in one
+    mirrored float expression
+    z = (T − 2·(n−2)/3)/sqrt((16·n − 29)/90).
+    Keys with n < 3 are dropped on both sides."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "n_turns": pd.Series(dtype="int64"),
+                "z_tp": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        m = len(x)
+        if m < 3:
+            return pd.DataFrame(cols)
+        a, b, c = x[:-2], x[1:-1], x[2:]
+        valid = (k[:-2] == k[1:-1]) & (k[1:-1] == k[2:])
+        tp = (((a < b) & (c < b)) | ((b < a) & (b < c))) & valid
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        t = np.bincount(gid[:-2][tp], minlength=len(starts)
+                        ).astype(np.int64)
+        nf = n.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = ((t.astype(np.float64) - 2.0 * (nf - 2.0) / 3.0)
+                 / np.sqrt((16.0 * nf - 29.0) / 90.0))
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]], "n": n,
+                            "n_turns": t, "z_tp": z})
+        return res[res["n"] >= 3]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def ar1_fit(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key AR(1) / discrete Ornstein–Uhlenbeck fit by the moment
+    (Yule–Walker) estimator: φ = acf₁ of the (ts, order)-sorted
+    stream, innovation variance σ²_ε = (1 − φ²)·Var(x), and the mean-
+    reversion half-life −ln 2/ln φ (steps; only for 0 < φ < 1, NULL
+    outside) — the lag-1 memory profile behind the QSO damped-random-
+    walk model (oracle/qso_model.py) applied to event streams.
+
+    φ reuses the acf_lags exactness recipe (exact int64 lag-product
+    sums, one mirrored float expression); σ²_ε and the half-life
+    close in mirrored expressions σ² = den/n·(1−φ·φ)/10⁴ (value
+    units), hl = −ln(2)/ln(φ).  Keys with n < 3 or zero variance are
+    dropped on both sides."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "phi": pd.Series(dtype="float64"),
+                "sigma2_eps": pd.Series(dtype="float64"),
+                "half_life": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        m = len(x)
+        s = np.add.reduceat(x, starts).astype(np.float64)
+        q = np.add.reduceat(x * x, starts).astype(np.float64)
+        nf = n.astype(np.float64)
+        mu = s / nf
+        den = q - mu * s
+        valid = np.zeros(m, bool)
+        valid[1:] = k[1:] == k[:-1]
+        prod = np.zeros(m, np.int64)
+        prod[1:] = x[1:] * x[:-1]
+        prod[~valid] = 0
+        head = np.zeros(m, np.int64)
+        head[1:] = x[:-1]
+        head[~valid] = 0
+        tail = np.where(valid, x, np.int64(0))
+        sxy = np.add.reduceat(prod, starts).astype(np.float64)
+        sh = np.add.reduceat(head, starts).astype(np.float64)
+        st = np.add.reduceat(tail, starts).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            phi = (sxy - mu * st - mu * sh
+                   + (nf - 1.0) * mu * mu) / den
+            sig2 = den / nf * (1.0 - phi * phi) / 10000.0
+            hl = np.where((phi > 0.0) & (phi < 1.0),
+                          -np.log(2.0) / np.log(np.abs(phi)), np.nan)
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]], "n": n,
+                            "phi": phi, "sigma2_eps": sig2,
+                            "half_life": hl})
+        return res[(res["n"] >= 3) & (den != 0.0)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

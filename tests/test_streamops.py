@@ -1696,3 +1696,72 @@ def test_trend_seasonal_strength_bruteforce(ray_session):
         num_partitions=2)
     assert out[out["user_id"] == 1]["trend_strength"].iloc[0] > 0.95
     assert out[out["user_id"] == 2]["seasonal_strength"].iloc[0] > 0.95
+
+
+def test_turning_points_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import turning_points
+
+    ev = _valued(seed=241, n=2500, nusers=15)
+    got = turning_points(ray.data.from_pandas(ev).repartition(6),
+                         num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(x)
+        t = sum(1 for i in range(1, n - 1)
+                if (x[i - 1] < x[i] > x[i + 1])
+                or (x[i - 1] > x[i] < x[i + 1]))
+        z = (t - 2.0 * (n - 2.0) / 3.0) / np.sqrt((16.0 * n - 29.0) / 90.0)
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n_turns"].iloc[0]) == t
+        assert abs(row["z_tp"].iloc[0] - z) < 1e-9, uid
+    # i.i.d. values: |z| should be small for most keys
+    assert (got["z_tp"].abs() < 3).mean() > 0.8
+    # a monotone ramp has zero turning points and very negative z
+    mono = pd.DataFrame({
+        "event_id": np.arange(200, dtype=np.int64),
+        "user_id": np.full(200, 9, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(200) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.arange(200, dtype=np.float64)})
+    out = turning_points(ray.data.from_pandas(mono), num_partitions=2)
+    assert int(out["n_turns"].iloc[0]) == 0 and out["z_tp"].iloc[0] < -10
+
+
+def test_ar1_fit_bruteforce_and_recovery(ray_session):
+    from cesium_ray.stages.tsmath import ar1_fit
+
+    ev = _valued(seed=251, n=2500, nusers=15)
+    got = ar1_fit(ray.data.from_pandas(ev).repartition(6),
+                  num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.float64)
+        mu = x.mean()
+        den = ((x - mu) ** 2).sum()
+        phi = ((x[1:] - mu) * (x[:-1] - mu)).sum() / den
+        sig2 = den / len(x) * (1 - phi * phi) / 1e4
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1
+        assert abs(row["phi"].iloc[0] - phi) < 1e-9, uid
+        assert abs(row["sigma2_eps"].iloc[0] - sig2) < 1e-9, uid
+        if 0 < phi < 1:
+            assert abs(row["half_life"].iloc[0]
+                       - (-np.log(2) / np.log(phi))) < 1e-9
+        else:
+            assert np.isnan(row["half_life"].iloc[0])
+    # planted AR(1): phi recovery within sampling error
+    rng = np.random.default_rng(17)
+    n, true_phi = 6000, 0.7
+    z = np.zeros(n)
+    for i in range(1, n):
+        z[i] = true_phi * z[i - 1] + rng.normal(0, 5)
+    ar = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 1, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.round(z, 2)})
+    out = ar1_fit(ray.data.from_pandas(ar), num_partitions=2)
+    assert abs(out["phi"].iloc[0] - true_phi) < 0.05
+    assert 1.5 < out["half_life"].iloc[0] < 2.5  # -ln2/ln(0.7) ≈ 1.94
