@@ -7849,7 +7849,87 @@ FROM f
 """
 
 
+
+def q_lexical_diversity(sf_dir):
+    """★-checked per-document lexical-diversity profile
+    (stages/pack.py): exact token/type/hapax counts over lowercased
+    whitespace tokens, mirrored ratio and type_entropy closing
+    expressions.  Embarrassingly parallel (no exchange)."""
+    from ..stages.pack import lexical_diversity
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = (lexical_diversity(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    return round6(out)
+
+
+LEXICAL_DIVERSITY_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^ 	
+]+')) AS t
+  FROM documents),
+c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+a AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(count(*) FILTER (c = 1) AS BIGINT) AS hapax,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+  FROM c GROUP BY 1)
+SELECT doc_id, n AS n_tokens, n_types,
+       round(CAST(n_types AS DOUBLE)/CAST(n AS DOUBLE), 6) AS ttr,
+       round(CAST(hapax AS DOUBLE)/CAST(n AS DOUBLE), 6) AS hapax_ratio,
+       round(ln(CAST(n AS DOUBLE)) - s/CAST(n AS DOUBLE), 6)
+         AS token_entropy
+FROM a WHERE n >= 1
+"""
+
+
+def q_pmi_collocations(sf_dir):
+    """★-checked corpus PMI collocations (stages/pack.py): map-side
+    partial bigram counts → one bigram-keyed exchange → min-count
+    filter → candidate-bounded unigram lookup; exact int64 counts,
+    one mirrored cast-first ln expression; full qualifying set (no
+    float-ranked top-k)."""
+    from ..stages.pack import pmi_collocations
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return round6(pmi_collocations(docs, min_count=5, num_partitions=8))
+
+
+PMI_COLLOCATIONS_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^ 	
+]+')) AS w,
+         generate_subscripts(
+           regexp_extract_all(lower(text), '[^ 	
+]+'), 1) AS pos
+  FROM documents),
+bg AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+        FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+ugc AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tok GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+SELECT bgc.w1, bgc.w2, bgc.c_xy,
+       u1.cu AS c_x, u2.cu AS c_y,
+       round(ln((CAST(bgc.c_xy AS DOUBLE)*CAST(nn.n AS DOUBLE))
+                / (CAST(u1.cu AS DOUBLE)*CAST(u2.cu AS DOUBLE))), 6)
+         AS pmi
+FROM bgc JOIN ugc u1 ON bgc.w1 = u1.w
+         JOIN ugc u2 ON bgc.w2 = u2.w, nn
+"""
+
+
 EXTRA_QUERIES = {
+    "lexical_diversity": q_lexical_diversity,
+    "pmi_collocations": q_pmi_collocations,
     "turning_points": q_turning_points,
     "ar1_fit": q_ar1_fit,
     "ljung_box": q_ljung_box,
@@ -8013,6 +8093,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "lexical_diversity": LEXICAL_DIVERSITY_SQL,
+    "pmi_collocations": PMI_COLLOCATIONS_SQL,
     "turning_points": TURNING_POINTS_SQL,
     "ar1_fit": AR1_FIT_SQL,
     "ljung_box": LJUNG_BOX_SQL,

@@ -620,3 +620,167 @@ def textrank_keywords(
     return (out.sort_values(["textrank", "token"],
                             ascending=[False, True], kind="mergesort")
             .head(k).reset_index(drop=True))
+
+
+def lexical_diversity(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-document lexical-diversity profile: exact token count,
+    type (distinct-token) count, type-token ratio, hapax-legomenon
+    ratio and token Shannon entropy (the type_entropy closing
+    expression) over lowercased whitespace tokens — the standard
+    repetitiveness / vocabulary-richness quality gates for
+    training-corpus curation.
+
+    Embarrassingly parallel: one ``map_batches`` (no exchange);
+    per batch one explode + one (row, token) value_counts — no
+    per-document Python loop.  All counts exact int64; the three
+    ratios close in mirrored float expressions.  Docs with zero
+    tokens are dropped on both sides."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {id_col: pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64"),
+                "n_types": pd.Series(dtype="int64"),
+                "ttr": pd.Series(dtype="float64"),
+                "hapax_ratio": pd.Series(dtype="float64"),
+                "token_entropy": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        df = df.reset_index(drop=True)
+        toks = (df[text_col].astype(str).str.lower()
+                .str.findall(_TOKEN_RE))
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame(cols)
+        pair = pd.DataFrame({"_i": ex.index.to_numpy(np.int64),
+                             "_t": ex.to_numpy(object)})
+        c = (pair.groupby(["_i", "_t"], sort=False)
+             .size().reset_index(name="c"))
+        cc = c["c"].to_numpy(np.int64)
+        gi = c["_i"].to_numpy(np.int64)
+        nk = len(df)
+        n = np.bincount(gi, weights=cc, minlength=nk).astype(np.int64)
+        types = np.bincount(gi, minlength=nk).astype(np.int64)
+        hapax = np.bincount(gi[cc == 1], minlength=nk).astype(np.int64)
+        s = np.bincount(gi, weights=cc.astype(np.float64)
+                        * np.log(cc.astype(np.float64)), minlength=nk)
+        nf = n.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            res = pd.DataFrame({
+                id_col: df[id_col].to_numpy(np.int64),
+                "n_tokens": n, "n_types": types,
+                "ttr": types.astype(np.float64) / nf,
+                "hapax_ratio": hapax.astype(np.float64) / nf,
+                "token_entropy": np.log(nf) - s / nf})
+        return res[res["n_tokens"] >= 1]
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas")
+
+
+def pmi_collocations(
+    ds: ray.data.Dataset,
+    min_count: int = 5,
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Corpus-wide PMI collocations: every adjacent lowercased-token
+    bigram (within a document, never across) occurring ≥ ``min_count``
+    times, scored with pointwise mutual information
+    PMI = ln( (c_xy · N) / (c_x · c_y) ),  N = total token count
+    — the classic collocation extractor ("new york" scores high, "of
+    the" low).
+
+    Scale shape: map-side PARTIAL bigram counts per block (explode +
+    within-doc shift, no per-doc loop) → ONE bigram-keyed hash
+    exchange summing partials (each bigram's exact global count in
+    one partition) → min-count filter shrinks to the candidate set →
+    unigram counts for candidate tokens via the vocab_topk partial/
+    exchange path → driver merge of the two SMALL filtered sides.
+    Counts exact int64; PMI closes in one mirrored cast-first float
+    expression.  Output is every qualifying bigram (no float-ranked
+    top-k, so ordering can't drift between engine and oracle)."""
+
+    texts = ds.select_columns([text_col])
+
+    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"w1": pd.Series(dtype=object),
+                "w2": pd.Series(dtype=object),
+                "cnt": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        toks = (df[text_col].astype(str).str.lower()
+                .str.findall(_TOKEN_RE))
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame(cols)
+        w1 = ex.to_numpy(object)
+        idx = ex.index.to_numpy(np.int64)
+        same = np.zeros(len(w1), bool)
+        same[:-1] = idx[:-1] == idx[1:]
+        w2 = np.roll(w1, -1)
+        p = pd.DataFrame({"w1": w1[same], "w2": w2[same]})
+        g = p.groupby(["w1", "w2"], sort=False).size()
+        out = g.reset_index(name="cnt")
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (df[text_col].astype(str).str.lower()
+              .str.findall(_TOKEN_RE).explode().dropna().value_counts())
+        return pd.DataFrame({"tok": vc.index.to_numpy(object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    def sum_bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["w1", "w2"], as_index=False, sort=False)
+             ["cnt"].sum())
+        return g[g["cnt"] >= min_count]
+
+    def sum_uni(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("tok", as_index=False, sort=False)
+                ["cnt"].sum())
+
+    bi = group_apply(
+        texts.map_batches(bigram_partial, batch_format="pandas"),
+        sum_bigrams, num_partitions=num_partitions, key="w1",
+    ).to_pandas()
+    uni_ds = group_apply(
+        texts.map_batches(uni_partial, batch_format="pandas"),
+        sum_uni, num_partitions=num_partitions, key="tok",
+    ).materialize()
+    # N via a map-side partial sum; only CANDIDATE tokens' counts are
+    # pulled to the driver (bounded by the min-count-filtered bigram
+    # set, not by the vocabulary)
+    nn = np.int64(uni_ds.map_batches(
+        lambda df: pd.DataFrame({"s": [np.int64(df["cnt"].sum())]}),
+        batch_format="pandas").to_pandas()["s"].sum())
+    cand = set(bi["w1"]) | set(bi["w2"])
+    ref = ray.put(cand)
+
+    def keep_cand(df: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(ref)
+        return df[df["tok"].isin(cs)]
+
+    uni = uni_ds.map_batches(keep_cand,
+                             batch_format="pandas").to_pandas()
+    u = dict(zip(uni["tok"], uni["cnt"].astype(np.int64)))
+    if not len(bi):
+        return pd.DataFrame({"w1": pd.Series(dtype=object),
+                             "w2": pd.Series(dtype=object),
+                             "c_xy": pd.Series(dtype="int64"),
+                             "c_x": pd.Series(dtype="int64"),
+                             "c_y": pd.Series(dtype="int64"),
+                             "pmi": pd.Series(dtype="float64")})
+    cx = bi["w1"].map(u).to_numpy(np.int64)
+    cy = bi["w2"].map(u).to_numpy(np.int64)
+    cxy = bi["cnt"].to_numpy(np.int64)
+    pmi = np.log((cxy.astype(np.float64) * np.float64(nn))
+                 / (cx.astype(np.float64) * cy.astype(np.float64)))
+    out = pd.DataFrame({"w1": bi["w1"].to_numpy(object),
+                        "w2": bi["w2"].to_numpy(object),
+                        "c_xy": cxy, "c_x": cx, "c_y": cy, "pmi": pmi})
+    return (out.sort_values(["w1", "w2"], kind="mergesort")
+            .reset_index(drop=True))

@@ -337,3 +337,80 @@ def test_textrank_keywords_properties(ray_session):
     r = out.set_index("token")["textrank"]
     assert r["hub"] > r["loner"]
     assert abs(out["textrank"].sum() - 1.0) < 1e-3  # rank mass ~ 1
+
+
+def test_lexical_diversity_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+    import re
+    from cesium_ray.stages.pack import lexical_diversity
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["the cat sat on the mat",
+                 "a a a a",
+                 "unique words only here",
+                 "",
+                 "Mixed CASE mixed case"]})
+    got = (lexical_diversity(ray.data.from_pandas(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1, 2, 4]  # empty doc dropped
+    for _, row in got.iterrows():
+        toks = re.findall(r"[^ \t\n\r\f\v]+",
+                          docs.loc[docs["doc_id"] == row["doc_id"],
+                                   "text"].iloc[0].lower())
+        n = len(toks)
+        cnt = pd.Series(toks).value_counts()
+        assert int(row["n_tokens"]) == n
+        assert int(row["n_types"]) == len(cnt)
+        assert abs(row["ttr"] - len(cnt) / n) < 1e-12
+        assert abs(row["hapax_ratio"] - (cnt == 1).sum() / n) < 1e-12
+        h = np.log(n) - sum(c * np.log(c) for c in cnt) / n
+        assert abs(row["token_entropy"] - h) < 1e-12
+    # "a a a a": one type, entropy 0, ttr 0.25
+    r1 = got[got["doc_id"] == 1].iloc[0]
+    assert r1["token_entropy"] == 0.0 and r1["ttr"] == 0.25
+    # mixed case folds: 2 types of 4 tokens
+    r4 = got[got["doc_id"] == 4].iloc[0]
+    assert int(r4["n_types"]) == 2 and r4["hapax_ratio"] == 0.0
+
+
+def test_pmi_collocations_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+    from cesium_ray.stages.pack import pmi_collocations
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    for d in range(200):
+        toks = list(rng.choice(vocab, rng.integers(5, 30)))
+        if d % 3 == 0:
+            toks += ["new", "york"] * 3      # planted collocation
+        rows.append(" ".join(toks))
+    docs = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                         "text": rows})
+    got = pmi_collocations(ray.data.from_pandas(docs).repartition(4),
+                           min_count=5, num_partitions=4)
+    # brute force
+    from collections import Counter
+    un, bg = Counter(), Counter()
+    for t in rows:
+        toks = t.lower().split()
+        un.update(toks)
+        bg.update(zip(toks[:-1], toks[1:]))
+    nn = sum(un.values())
+    want = {k: np.log((c * nn) / (un[k[0]] * un[k[1]]))
+            for k, c in bg.items() if c >= 5}
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        k = (r["w1"], r["w2"])
+        assert k in want
+        assert int(r["c_xy"]) == bg[k]
+        assert int(r["c_x"]) == un[k[0]] and int(r["c_y"]) == un[k[1]]
+        assert abs(r["pmi"] - want[k]) < 1e-9
+    # the planted "new york" bigram must be among the highest PMIs
+    ny = got[(got["w1"] == "new") & (got["w2"] == "york")]
+    assert len(ny) == 1 and ny["pmi"].iloc[0] > got["pmi"].median()
