@@ -7927,7 +7927,143 @@ FROM bgc JOIN ugc u1 ON bgc.w1 = u1.w
 """
 
 
+def q_burstiness(sf_dir):
+    """★-checked per-key Goh–Barabási burstiness + memory coefficient
+    (stages/tsmath.py): whole-second gaps, exact int64 Σd/Σd² and
+    pair sums, mirrored B = (σ−μ)/(σ+μ) and Pearson-M closings."""
+    from ..stages.tsmath import burstiness
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(burstiness(ev, num_partitions=8))
+
+
+BURSTINESS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS d
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (
+  SELECT user_id, d AS a,
+         lead(d) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+  FROM o WHERE d IS NOT NULL),
+g AS (
+  SELECT user_id, count(*) AS ng, sum(a) AS sd, sum(a*a) AS qd,
+         count(b) AS npair,
+         sum(a) FILTER (b IS NOT NULL) AS sa,
+         sum(b) AS sb,
+         sum(a*b) AS sab,
+         sum(a*a) FILTER (b IS NOT NULL) AS qa,
+         sum(b*b) AS qb
+  FROM p GROUP BY 1),
+f AS (
+  SELECT user_id, ng, npair,
+         CAST(ng AS DOUBLE) AS ngf, CAST(npair AS DOUBLE) AS npf,
+         CAST(sd AS DOUBLE) AS sdf, CAST(qd AS DOUBLE) AS qdf,
+         CAST(sa AS DOUBLE) AS saf, CAST(sb AS DOUBLE) AS sbf,
+         CAST(sab AS DOUBLE) AS sabf, CAST(qa AS DOUBLE) AS qaf,
+         CAST(qb AS DOUBLE) AS qbf
+  FROM g WHERE ng >= 3 AND npair >= 2),
+e AS (
+  SELECT user_id, ng, sdf/ngf AS mu,
+         sqrt(qdf/ngf - (sdf/ngf)*(sdf/ngf)) AS sig,
+         npf*qaf - saf*saf AS vx, npf*qbf - sbf*sbf AS vy,
+         npf*sabf - saf*sbf AS cxy
+  FROM f)
+SELECT user_id, ng AS n_gaps,
+       round(CASE WHEN sig + mu > 0 THEN (sig - mu)/(sig + mu) END, 6)
+         AS b_burst,
+       round(CASE WHEN vx > 0 AND vy > 0
+                  THEN cxy/(sqrt(vx)*sqrt(vy)) END, 6) AS m_memory
+FROM e
+"""
+
+
+def q_kendall_tau(sf_dir):
+    """★-checked per-key Kendall tau-b of value vs time
+    (stages/tsmath.py): exact integer concordant/discordant/tie pair
+    counts over the (ts, event_id)-ordered stream; one mirrored
+    tau-b closing expression; O(n²) self-join oracle."""
+    from ..stages.tsmath import kendall_tau
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(kendall_tau(ev, num_partitions=8))
+
+
+KENDALL_TAU_SQL = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id AS i,
+         CAST(round(value*100) AS BIGINT) AS x
+  FROM events),
+pr AS (
+  SELECT e1.user_id,
+         count(*) AS n0,
+         count(*) FILTER (e2.t > e1.t AND e2.x > e1.x) AS cc,
+         count(*) FILTER (e2.t > e1.t AND e2.x < e1.x) AS dd,
+         count(*) FILTER (e2.x = e1.x) AS t1,
+         count(*) FILTER (e2.t = e1.t) AS t2
+  FROM b e1 JOIN b e2 ON e1.user_id = e2.user_id
+       AND (e2.t > e1.t OR (e2.t = e1.t AND e2.i > e1.i))
+  GROUP BY 1),
+n AS (SELECT user_id, count(*) AS n FROM b GROUP BY 1)
+SELECT pr.user_id, n.n AS n_events,
+       round((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+             / sqrt((CAST(n0 AS DOUBLE) - CAST(t1 AS DOUBLE))
+                    * (CAST(n0 AS DOUBLE) - CAST(t2 AS DOUBLE))), 6)
+         AS tau_b
+FROM pr JOIN n USING (user_id)
+WHERE n0 - t1 > 0 AND n0 - t2 > 0
+"""
+
+
+def q_mase_backtest(sf_dir):
+    """★-checked per-key seasonal-naive MASE backtest on the dense
+    hourly activity grid (stages/tsmath.py): exact integer counts and
+    absolute-error sums, one mirrored (sae/ns)/(nae/nn) ratio;
+    generate_series dense-grid oracle."""
+    from ..stages.tsmath import seasonal_naive_mase
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return round6(seasonal_naive_mase(ev, num_partitions=8))
+
+
+MASE_SQL = """
+WITH b AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb FROM events),
+r AS (SELECT user_id, min(hb) AS mn, max(hb) AS mx FROM b GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS h FROM r),
+c AS (SELECT user_id, hb, count(*) AS cnt FROM b GROUP BY 1, 2),
+g AS (SELECT grid.user_id, grid.h, coalesce(c.cnt, 0) AS cnt
+      FROM grid LEFT JOIN c
+        ON grid.user_id = c.user_id AND grid.h = c.hb),
+w AS (SELECT user_id, cnt,
+             lag(cnt, 1) OVER (PARTITION BY user_id ORDER BY h) AS l1,
+             lag(cnt, 24) OVER (PARTITION BY user_id ORDER BY h) AS l24
+      FROM g),
+a AS (SELECT user_id, count(*) AS nh,
+             count(*) FILTER (l24 IS NOT NULL) AS ns,
+             sum(abs(cnt - l24)) FILTER (l24 IS NOT NULL) AS sae,
+             count(*) FILTER (l1 IS NOT NULL) AS nn,
+             sum(abs(cnt - l1)) FILTER (l1 IS NOT NULL) AS nae
+      FROM w GROUP BY 1)
+SELECT user_id, nh AS n_hours,
+       round((CAST(sae AS DOUBLE) / CAST(ns AS DOUBLE))
+             / (CAST(nae AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS mase
+FROM a WHERE ns > 0 AND nae > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "burstiness": q_burstiness,
+    "kendall_tau": q_kendall_tau,
+    "mase_backtest": q_mase_backtest,
     "lexical_diversity": q_lexical_diversity,
     "pmi_collocations": q_pmi_collocations,
     "turning_points": q_turning_points,
@@ -8093,6 +8229,9 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "burstiness": BURSTINESS_SQL,
+    "kendall_tau": KENDALL_TAU_SQL,
+    "mase_backtest": MASE_SQL,
     "lexical_diversity": LEXICAL_DIVERSITY_SQL,
     "pmi_collocations": PMI_COLLOCATIONS_SQL,
     "turning_points": TURNING_POINTS_SQL,

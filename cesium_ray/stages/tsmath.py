@@ -2322,3 +2322,218 @@ def ar1_fit(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def burstiness(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of the
+    inter-arrival gaps plus the memory coefficient M = Pearson r of
+    consecutive gap pairs (Goh & Barabási 2008, EPL 81) — B → −1 for
+    a metronome, 0 for Poisson, → 1 for extreme bursts; M > 0 means
+    long gaps follow long gaps.  The human-activity heavy-tail
+    diagnostic behind the hot-conversation salting design.
+
+    Gaps are mirrored whole seconds ((Δts µs) // 10⁶, the xcorr_gap
+    recipe); every sufficient statistic (Σd, Σd², pair Σa/Σb/Σab/
+    Σa²/Σb²) is an exact int64 sum accumulated with ``np.add.at``;
+    B and M close in one mirrored float expression each.  Int64
+    bound: Σd² ≤ n·span_s² — fine to 10⁶ gaps/key inside a 1-year
+    window.  Keys need n ≥ 4 events (≥3 gaps, ≥2 pairs); M is NULL
+    when either pair variance is zero, B is NULL when σ+μ = 0.
+    One key-hash exchange; no per-row Python."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_gaps": pd.Series(dtype="int64"),
+                "b_burst": pd.Series(dtype="float64"),
+                "m_memory": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, t, _, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        ng_len = len(starts)
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        same = k[1:] == k[:-1]
+        d = (t[1:] - t[:-1]) // 1_000_000          # whole seconds
+        gi = gid[:-1][same]
+        dv = d[same]
+        ng = np.zeros(ng_len, np.int64)
+        sd = np.zeros(ng_len, np.int64)
+        qd = np.zeros(ng_len, np.int64)
+        np.add.at(ng, gi, 1)
+        np.add.at(sd, gi, dv)
+        np.add.at(qd, gi, dv * dv)
+        # consecutive gap pairs (a=d_i, b=d_{i+1}) fully within key
+        pmask = same[:-1] & same[1:]
+        pi = gid[:-2][pmask]
+        a = d[:-1][pmask]
+        b = d[1:][pmask]
+        npair = np.zeros(ng_len, np.int64)
+        sa = np.zeros(ng_len, np.int64)
+        sb = np.zeros(ng_len, np.int64)
+        sab = np.zeros(ng_len, np.int64)
+        qa = np.zeros(ng_len, np.int64)
+        qb = np.zeros(ng_len, np.int64)
+        np.add.at(npair, pi, 1)
+        np.add.at(sa, pi, a)
+        np.add.at(sb, pi, b)
+        np.add.at(sab, pi, a * b)
+        np.add.at(qa, pi, a * a)
+        np.add.at(qb, pi, b * b)
+        ngf = ng.astype(np.float64)
+        npf = npair.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu = sd.astype(np.float64) / ngf
+            sig = np.sqrt(qd.astype(np.float64) / ngf - mu * mu)
+            bb = np.where(sig + mu > 0.0,
+                          (sig - mu) / (sig + mu), np.nan)
+            vx = npf * qa.astype(np.float64) \
+                - sa.astype(np.float64) * sa.astype(np.float64)
+            vy = npf * qb.astype(np.float64) \
+                - sb.astype(np.float64) * sb.astype(np.float64)
+            mm = np.where(
+                (vx > 0.0) & (vy > 0.0),
+                (npf * sab.astype(np.float64)
+                 - sa.astype(np.float64) * sb.astype(np.float64))
+                / (np.sqrt(vx) * np.sqrt(vy)), np.nan)
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]],
+                            "n_gaps": ng, "b_burst": bb,
+                            "m_memory": mm})
+        return res[(res["n_gaps"] >= 3) & (npair >= 2)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def kendall_tau(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    max_events: int = 2000,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Kendall tau-b rank correlation between value and time
+    — the fully nonparametric monotone-trend measure (pairwise
+    concordance), completing the trend trio with the parametric OLS
+    (linear_trend) and the robust-slope Theil–Sen.
+
+    All pair counts are EXACT integers over the (ts, order)-sorted
+    stream: for the n(n−1)/2 ordered pairs i<j, C = #(Δt>0 ∧ Δx>0),
+    D = #(Δt>0 ∧ Δx<0), n1 = #(Δx=0) value ties, n2 = #(Δt=0) time
+    ties; tau_b = (C−D)/√((n0−n1)(n0−n2)) closes in one mirrored
+    float expression.  O(n²) pairs per key, capped at ``max_events``
+    (the Theil–Sen guard: capped keys report their first
+    ``max_events`` events).  One key-hash exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "tau_b": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, t, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        ends = np.r_[starts[1:], len(k)]
+        rows = []
+        for s, e in zip(starts, ends):
+            n_all = int(e - s)
+            if n_all < 2:
+                continue
+            e2 = s + min(n_all, max_events)
+            tk, xk = t[s:e2], x[s:e2]
+            iu, ju = np.triu_indices(e2 - s, k=1)
+            dt = tk[ju] - tk[iu]
+            dx = xk[ju] - xk[iu]
+            n0 = len(iu)
+            c = int(np.count_nonzero((dt > 0) & (dx > 0)))
+            dcnt = int(np.count_nonzero((dt > 0) & (dx < 0)))
+            n1 = int(np.count_nonzero(dx == 0))
+            n2 = int(np.count_nonzero(dt == 0))
+            if n0 - n1 <= 0 or n0 - n2 <= 0:
+                continue
+            tau = (float(c) - float(dcnt)) / np.sqrt(
+                (float(n0) - float(n1)) * (float(n0) - float(n2)))
+            rows.append((np.asarray(kuniq)[k[s]], e2 - s, tau))
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(rows, columns=[key, "n_events", "tau_b"])
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def seasonal_naive_mase(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    season_hours: int = 24,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key seasonal-naive forecast backtest on the hourly
+    ACTIVITY series: MASE = mean|c_b − c_{b−24}| / mean|c_b − c_{b−1}|
+    over the DENSE hourly-count grid [min_hour, max_hour] (missing
+    hours count 0) — Hyndman & Koehler's scaled error with the
+    daily-seasonal model in the numerator and the naive lag-1 scale
+    in the denominator.  MASE < 1 ⇒ the daily cycle genuinely
+    predicts activity (the signal the LS features detect, as a
+    forecast-accuracy number).
+
+    Counts and both absolute-error sums are exact integers; the only
+    float op is the final mirrored (sae/ns)/(nae/nn) ratio.  The
+    dense grid is span-bounded (retention window: 1 year ≈ 8.8k
+    cells/key), built with one bincount per key — no per-row Python.
+    Keys need span > season_hours and a nonzero naive scale.
+    One key-hash exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_hours": pd.Series(dtype="int64"),
+                "mase": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        hb = df[ts_col].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        order = np.argsort(kc, kind="stable")
+        k, h = kc[order], hb[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        rows = []
+        m = season_hours
+        for s, e in zip(starts, ends):
+            hk = h[s:e]
+            mn, mx = int(hk.min()), int(hk.max())
+            span = mx - mn + 1
+            if span <= m:
+                continue
+            cnt = np.bincount(hk - mn, minlength=span)
+            sae = int(np.abs(cnt[m:] - cnt[:-m]).sum())
+            nae = int(np.abs(cnt[1:] - cnt[:-1]).sum())
+            if nae == 0:
+                continue
+            ns, nn = span - m, span - 1
+            mase = (float(sae) / float(ns)) / (float(nae) / float(nn))
+            rows.append((np.asarray(kuniq)[k[s]], span, mase))
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(rows, columns=[key, "n_hours", "mase"])
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

@@ -1765,3 +1765,121 @@ def test_ar1_fit_bruteforce_and_recovery(ray_session):
     out = ar1_fit(ray.data.from_pandas(ar), num_partitions=2)
     assert abs(out["phi"].iloc[0] - true_phi) < 0.05
     assert 1.5 < out["half_life"].iloc[0] < 2.5  # -ln2/ln(0.7) ≈ 1.94
+
+
+def test_burstiness_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import burstiness
+
+    ev = _valued(seed=261, n=2500, nusers=15)
+    got = burstiness(ray.data.from_pandas(ev).repartition(6),
+                     num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        t = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        d = (t[1:] - t[:-1]) // 1_000_000
+        if len(d) < 3:
+            assert uid not in got["user_id"].values
+            continue
+        mu, sig = d.mean(), d.std()
+        b = (sig - mu) / (sig + mu) if sig + mu > 0 else np.nan
+        a, bb = d[:-1].astype(float), d[1:].astype(float)
+        m = np.corrcoef(a, bb)[0, 1] if a.std() > 0 and bb.std() > 0 \
+            else np.nan
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1
+        assert int(row["n_gaps"].iloc[0]) == len(d)
+        assert abs(row["b_burst"].iloc[0] - b) < 1e-9, uid
+        if not np.isnan(m):
+            assert abs(row["m_memory"].iloc[0] - m) < 1e-9, uid
+    # a metronome (constant gaps) has B = -1 and undefined M
+    n = 50
+    metro = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 7, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 60 * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.zeros(n)})
+    out = burstiness(ray.data.from_pandas(metro), num_partitions=2)
+    assert abs(out["b_burst"].iloc[0] + 1.0) < 1e-12
+    assert np.isnan(out["m_memory"].iloc[0])
+
+
+def test_kendall_tau_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import kendall_tau
+
+    ev = _valued(seed=271, n=2000, nusers=12)
+    got = kendall_tau(ray.data.from_pandas(ev).repartition(6),
+                      num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        t = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        # brute-force tau-b over all unordered pairs
+        n = len(t)
+        cc = dd = t1 = t2 = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dt = t[j] - t[i]
+                dx = x[j] - x[i]
+                if dx == 0:
+                    t1 += 1
+                if dt == 0:
+                    t2 += 1
+                if dt * dx > 0:
+                    cc += 1
+                elif dt != 0 and dx != 0:
+                    dd += 1
+        n0 = n * (n - 1) // 2
+        want = (cc - dd) / np.sqrt(float(n0 - t1) * float(n0 - t2))
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n_events"].iloc[0]) == len(g)
+        assert abs(row["tau_b"].iloc[0] - want) < 1e-9, uid
+    # perfect monotone ramp: tau_b = 1
+    n = 40
+    mono = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 3, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.arange(n, dtype=np.float64)})
+    out = kendall_tau(ray.data.from_pandas(mono), num_partitions=2)
+    assert abs(out["tau_b"].iloc[0] - 1.0) < 1e-12
+
+
+def test_seasonal_naive_mase_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import seasonal_naive_mase
+
+    ev = _events(seed=281, n=3000, nusers=15)
+    got = seasonal_naive_mase(ray.data.from_pandas(ev).repartition(6),
+                              num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        hb = g["ts"].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        mn, mx = int(hb.min()), int(hb.max())
+        span = mx - mn + 1
+        if span <= 24:
+            assert uid not in got["user_id"].values
+            continue
+        cnt = np.bincount(hb - mn, minlength=span)
+        sae = np.abs(cnt[24:] - cnt[:-24]).sum()
+        nae = np.abs(cnt[1:] - cnt[:-1]).sum()
+        if nae == 0:
+            continue
+        want = (sae / (span - 24)) / (nae / (span - 1))
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n_hours"].iloc[0]) == span
+        assert abs(row["mase"].iloc[0] - want) < 1e-12, uid
+    # perfectly daily-periodic activity: seasonal-naive is exact, MASE=0
+    reps = 10 * 24
+    per = pd.DataFrame({
+        "event_id": np.arange(reps, dtype=np.int64),
+        "user_id": np.full(reps, 5, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(reps) * 3_600 * 10**6, unit="us"
+                             ).astype("datetime64[us]")})
+    # one event every hour -> flat; make it periodic instead: 2 events
+    # at hour%24==0 via duplicated midnight rows
+    extra = per[np.arange(reps) % 24 == 0].copy()
+    extra["event_id"] += 10_000
+    out = seasonal_naive_mase(
+        ray.data.from_pandas(pd.concat([per, extra], ignore_index=True)),
+        num_partitions=2)
+    assert out["mase"].iloc[0] == 0.0
