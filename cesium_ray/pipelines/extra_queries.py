@@ -8060,7 +8060,139 @@ FROM a WHERE ns > 0 AND nae > 0
 """
 
 
+def q_pacf(sf_dir):
+    """★-checked per-key partial autocorrelation at lags 1–3
+    (stages/tsmath.py): Durbin–Levinson recursion closed over the
+    acf_lags exact-int sufficient statistics; every float expression
+    mirrored op-for-op by the SQL oracle, round-6 bit-equal."""
+    from ..stages.tsmath import pacf_lags
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(pacf_lags(ev, num_partitions=8))
+
+
+PACF_SQL = """
+WITH o AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         lag(CAST(round(value*100) AS BIGINT), 1) OVER w AS x1,
+         lag(CAST(round(value*100) AS BIGINT), 2) OVER w AS x2,
+         lag(CAST(round(value*100) AS BIGINT), 3) OVER w AS x3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+a AS (
+  SELECT user_id, count(*) AS n, sum(x) AS s, sum(x*x) AS q,
+         sum(x*x1) AS sxy1, sum(x1) AS sh1,
+         sum(x) FILTER (WHERE x1 IS NOT NULL) AS st1,
+         sum(x*x2) AS sxy2, sum(x2) AS sh2,
+         sum(x) FILTER (WHERE x2 IS NOT NULL) AS st2,
+         sum(x*x3) AS sxy3, sum(x3) AS sh3,
+         sum(x) FILTER (WHERE x3 IS NOT NULL) AS st3
+  FROM o GROUP BY 1),
+m AS (SELECT *, CAST(s AS DOUBLE)/n AS mu,
+             CAST(q AS DOUBLE) - (CAST(s AS DOUBLE)/n)*CAST(s AS DOUBLE)
+               AS den
+      FROM a),
+rr AS (
+  SELECT user_id, n, den,
+    (CAST(sxy1 AS DOUBLE) - mu*CAST(st1 AS DOUBLE)
+     - mu*CAST(sh1 AS DOUBLE) + CAST(n-1 AS DOUBLE)*mu*mu)/den AS r1,
+    (CAST(sxy2 AS DOUBLE) - mu*CAST(st2 AS DOUBLE)
+     - mu*CAST(sh2 AS DOUBLE) + CAST(n-2 AS DOUBLE)*mu*mu)/den AS r2,
+    (CAST(sxy3 AS DOUBLE) - mu*CAST(st3 AS DOUBLE)
+     - mu*CAST(sh3 AS DOUBLE) + CAST(n-3 AS DOUBLE)*mu*mu)/den AS r3
+  FROM m),
+p AS (
+  SELECT *, CASE WHEN 1.0 - r1*r1 <> 0
+                 THEN (r2 - r1*r1)/(1.0 - r1*r1) END AS p2
+  FROM rr),
+ph AS (SELECT *, r1 - p2*r1 AS phi21 FROM p),
+f AS (SELECT *, 1.0 - phi21*r1 - p2*r2 AS d3 FROM ph)
+SELECT user_id, n,
+       round(r1, 6) AS pacf1,
+       round(p2, 6) AS pacf2,
+       round(CASE WHEN d3 <> 0
+                  THEN (r3 - phi21*r2 - p2*r1)/d3 END, 6) AS pacf3
+FROM f WHERE n > 3 AND den <> 0
+"""
+
+
+def q_durbin_watson(sf_dir):
+    """★-checked per-key Durbin–Watson + von Neumann ratio
+    (stages/tsmath.py): exact int64 Σd² numerator and the acf den;
+    two mirrored float closings."""
+    from ..stages.tsmath import durbin_watson
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(durbin_watson(ev, num_partitions=8))
+
+
+DURBIN_WATSON_SQL = """
+WITH o AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         lag(CAST(round(value*100) AS BIGINT)) OVER w AS x1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+a AS (
+  SELECT user_id, count(*) AS n, sum(x) AS s, sum(x*x) AS q,
+         sum((x-x1)*(x-x1)) AS sd2
+  FROM o GROUP BY 1),
+m AS (SELECT *, CAST(s AS DOUBLE)/n AS mu FROM a),
+e AS (SELECT *, CAST(q AS DOUBLE) - mu*CAST(s AS DOUBLE) AS den FROM m)
+SELECT user_id, n,
+       round(CAST(sd2 AS DOUBLE)/den, 6) AS dw,
+       round((CAST(sd2 AS DOUBLE)/den)
+             * (CAST(n AS DOUBLE)/CAST(n-1 AS DOUBLE)), 6) AS vn
+FROM e WHERE n > 1 AND den <> 0
+"""
+
+
+def q_count_dispersion(sf_dir):
+    """★-checked per-key Fano + Allan factors of the dense hourly
+    activity grid (stages/tsmath.py): exact integer count/square/
+    successive-difference sums, two mirrored float closings;
+    generate_series dense-grid oracle."""
+    from ..stages.tsmath import count_dispersion
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return round6(count_dispersion(ev, num_partitions=8))
+
+
+COUNT_DISPERSION_SQL = """
+WITH b AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb FROM events),
+r AS (SELECT user_id, min(hb) AS mn, max(hb) AS mx FROM b GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS h FROM r),
+c AS (SELECT user_id, hb, count(*) AS cnt FROM b GROUP BY 1, 2),
+g AS (SELECT grid.user_id, grid.h, coalesce(c.cnt, 0) AS cnt
+      FROM grid LEFT JOIN c
+        ON grid.user_id = c.user_id AND grid.h = c.hb),
+w AS (SELECT user_id, cnt,
+             lag(cnt) OVER (PARTITION BY user_id ORDER BY h) AS l1
+      FROM g),
+a AS (SELECT user_id, count(*) AS n, sum(cnt) AS sc,
+             sum(cnt*cnt) AS qc, sum((cnt-l1)*(cnt-l1)) AS sad
+      FROM w GROUP BY 1),
+m AS (SELECT *, CAST(sc AS DOUBLE)/CAST(n AS DOUBLE) AS muc FROM a)
+SELECT user_id, n AS n_hours,
+       round((CAST(qc AS DOUBLE)/CAST(n AS DOUBLE) - muc*muc)/muc, 6)
+         AS fano,
+       round((CAST(sad AS DOUBLE)/CAST(n-1 AS DOUBLE))/(2.0*muc), 6)
+         AS allan
+FROM m WHERE n >= 2
+"""
+
+
 EXTRA_QUERIES = {
+    "pacf": q_pacf,
+    "durbin_watson": q_durbin_watson,
+    "count_dispersion": q_count_dispersion,
     "burstiness": q_burstiness,
     "kendall_tau": q_kendall_tau,
     "mase_backtest": q_mase_backtest,
@@ -8229,6 +8361,9 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "pacf": PACF_SQL,
+    "durbin_watson": DURBIN_WATSON_SQL,
+    "count_dispersion": COUNT_DISPERSION_SQL,
     "burstiness": BURSTINESS_SQL,
     "kendall_tau": KENDALL_TAU_SQL,
     "mase_backtest": MASE_SQL,

@@ -2537,3 +2537,197 @@ def seasonal_naive_mase(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def pacf_lags(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key PARTIAL autocorrelation at lags 1–3 via the
+    Durbin–Levinson recursion closed over the sample ACF — the
+    AR-order-identification companion of ``acf_lags`` (PACF cuts off
+    at lag p for an AR(p) stream, where the ACF only decays):
+        pacf1 = r1
+        pacf2 = (r2 − r1²) / (1 − r1²)
+        φ21   = r1 − pacf2·r1
+        pacf3 = (r3 − φ21·r2 − pacf2·r1) / (1 − φ21·r1 − pacf2·r2)
+
+    r1..r3 are computed from the SAME exact int64 sufficient
+    statistics as ``acf_lags`` (Σx, Σx², lag-product and masked
+    head/tail sums), and the recursion closes in mirrored float
+    expressions evaluated in identical order by the DuckDB oracle —
+    round-6 bit-equal.  pacf2/pacf3 are NULL when their denominator
+    is exactly zero (r1 = ±1 degenerate streams).  Keys with
+    n ≤ 3 or zero variance are dropped on both sides.  One key-hash
+    exchange; no per-key Python loop."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "pacf1": pd.Series(dtype="float64"),
+                "pacf2": pd.Series(dtype="float64"),
+                "pacf3": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        s = np.add.reduceat(x, starts)
+        q = np.add.reduceat(x * x, starts)
+        nf = n.astype(np.float64)
+        mu = s.astype(np.float64) / nf
+        den = q.astype(np.float64) - mu * s.astype(np.float64)
+        m = len(x)
+        r = {}
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for L in (1, 2, 3):
+                valid = np.zeros(m, bool)
+                valid[L:] = k[L:] == k[:-L]
+                prod = np.zeros(m, np.int64)
+                prod[L:] = x[L:] * x[:-L]
+                head = np.zeros(m, np.int64)
+                head[L:] = x[:-L]
+                prod[~valid] = 0
+                head[~valid] = 0
+                tail = np.where(valid, x, np.int64(0))
+                sxy = np.add.reduceat(prod, starts)
+                sh = np.add.reduceat(head, starts)
+                st = np.add.reduceat(tail, starts)
+                nl = np.maximum(n - L, 0).astype(np.float64)
+                r[L] = (sxy.astype(np.float64)
+                        - mu * st.astype(np.float64)
+                        - mu * sh.astype(np.float64) + nl * mu * mu) / den
+            r1, r2, r3 = r[1], r[2], r[3]
+            d2 = 1.0 - r1 * r1
+            p2 = np.where(d2 != 0.0, (r2 - r1 * r1) / d2, np.nan)
+            phi21 = r1 - p2 * r1
+            d3 = 1.0 - phi21 * r1 - p2 * r2
+            p3 = np.where(d3 != 0.0,
+                          (r3 - phi21 * r2 - p2 * r1) / d3, np.nan)
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]], "n": n,
+                            "pacf1": r1, "pacf2": p2, "pacf3": p3})
+        return res[(res["n"] > 3) & (den != 0.0)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def durbin_watson(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Durbin–Watson serial-correlation statistic of the
+    (ts, order)-sorted value stream, DW = Σ(x_t − x_{t−1})² /
+    Σ(x_t − x̄)² (≈ 2(1 − acf₁); 2 for white noise, → 0 under
+    positive serial correlation, → 4 under negative), plus the
+    von Neumann ratio VN = DW·n/(n−1) — the classic mean-square
+    successive-difference randomness gate (von Neumann 1941).
+
+    The numerator Σd² is an exact int64 sum (demeaning cancels in
+    differences); the denominator is the acf_lags den = Σx² − μ·Σx;
+    both close in ONE mirrored float expression each.  Keys need
+    n ≥ 2 and nonzero variance.  One key-hash exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "dw": pd.Series(dtype="float64"),
+                "vn": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        s = np.add.reduceat(x, starts)
+        q = np.add.reduceat(x * x, starts)
+        nf = n.astype(np.float64)
+        mu = s.astype(np.float64) / nf
+        den = q.astype(np.float64) - mu * s.astype(np.float64)
+        same = k[1:] == k[:-1]
+        d = x[1:] - x[:-1]
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        sd2 = np.zeros(len(starts), np.int64)
+        np.add.at(sd2, gid[:-1][same], d[same] * d[same])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dw = sd2.astype(np.float64) / den
+            vn = dw * (nf / (nf - 1.0))
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]], "n": n,
+                            "dw": dw, "vn": vn})
+        return res[(res["n"] > 1) & (den != 0.0)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def count_dispersion(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key point-process dispersion of the DENSE hourly activity
+    grid [min_hour, max_hour] (missing hours count 0): the Fano
+    factor F = Var(c)/E(c) (population variance; 1 for Poisson, > 1
+    overdispersed/bursty) and the Allan factor
+    AF = E[(c_{i+1} − c_i)²] / (2·E[c]) (its successive-difference
+    twin, insensitive to slow rate drift) — the windowed-count
+    complement of the gap-based ``burstiness`` B.
+
+    Hourly counts, Σc, Σc² and the successive-difference sum Σd² are
+    exact integers (one bincount per key, span-bounded by the
+    retention window); F and AF each close in one mirrored float
+    expression.  Keys need span ≥ 2 hours.  One key-hash exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_hours": pd.Series(dtype="int64"),
+                "fano": pd.Series(dtype="float64"),
+                "allan": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        hb = df[ts_col].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        order = np.argsort(kc, kind="stable")
+        k, h = kc[order], hb[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        rows = []
+        for s, e in zip(starts, ends):
+            hk = h[s:e]
+            mn, mx = int(hk.min()), int(hk.max())
+            span = mx - mn + 1
+            if span < 2:
+                continue
+            cnt = np.bincount(hk - mn, minlength=span)
+            sc = int(cnt.sum())
+            qc = int((cnt * cnt).sum())
+            dd = cnt[1:] - cnt[:-1]
+            sad = int((dd * dd).sum())
+            nf = float(span)
+            muc = float(sc) / nf
+            fano = (float(qc) / nf - muc * muc) / muc
+            allan = (float(sad) / (nf - 1.0)) / (2.0 * muc)
+            rows.append((np.asarray(kuniq)[k[s]], span, fano, allan))
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(
+            rows, columns=[key, "n_hours", "fano", "allan"])
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

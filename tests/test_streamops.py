@@ -1883,3 +1883,107 @@ def test_seasonal_naive_mase_bruteforce(ray_session):
         ray.data.from_pandas(pd.concat([per, extra], ignore_index=True)),
         num_partitions=2)
     assert out["mase"].iloc[0] == 0.0
+
+
+def test_pacf_bruteforce_and_ar1_cutoff(ray_session):
+    from cesium_ray.stages.tsmath import pacf_lags
+
+    ev = _valued(seed=291, n=2500, nusers=15)
+    got = pacf_lags(ray.data.from_pandas(ev).repartition(6),
+                    num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.float64)
+        n = len(x)
+        if n <= 3:
+            assert uid not in got["user_id"].values
+            continue
+        mu = x.mean()
+        den = ((x - mu) ** 2).sum()
+        r = [((x[L:] - mu) * (x[:-L] - mu)).sum() / den
+             for L in (1, 2, 3)]
+        p2 = (r[1] - r[0] ** 2) / (1 - r[0] ** 2)
+        phi21 = r[0] - p2 * r[0]
+        p3 = (r[2] - phi21 * r[1] - p2 * r[0]) \
+            / (1 - phi21 * r[0] - p2 * r[1])
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n"].iloc[0]) == n
+        assert abs(row["pacf1"].iloc[0] - r[0]) < 1e-9, uid
+        assert abs(row["pacf2"].iloc[0] - p2) < 1e-9, uid
+        assert abs(row["pacf3"].iloc[0] - p3) < 1e-9, uid
+    # AR(1) cutoff: pacf1 ~= phi, pacf2/pacf3 ~= 0
+    rng = np.random.default_rng(5)
+    n, phi = 4000, 0.6
+    x = np.zeros(n)
+    for i in range(1, n):
+        x[i] = phi * x[i - 1] + rng.normal()
+    ar = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 1, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.round(x, 2)})
+    out = pacf_lags(ray.data.from_pandas(ar), num_partitions=2)
+    assert abs(out["pacf1"].iloc[0] - phi) < 0.05
+    assert abs(out["pacf2"].iloc[0]) < 0.06
+    assert abs(out["pacf3"].iloc[0]) < 0.06
+
+
+def test_durbin_watson_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import durbin_watson
+
+    ev = _valued(seed=301, n=2500, nusers=15)
+    got = durbin_watson(ray.data.from_pandas(ev).repartition(6),
+                        num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.float64)
+        n = len(x)
+        dw = (np.diff(x) ** 2).sum() / ((x - x.mean()) ** 2).sum()
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n"].iloc[0]) == n
+        assert abs(row["dw"].iloc[0] - dw) < 1e-9, uid
+        assert abs(row["vn"].iloc[0] - dw * n / (n - 1)) < 1e-9, uid
+    # alternating +1/-1 stream: maximal negative serial corr, DW -> 4
+    n = 200
+    alt = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 2, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.where(np.arange(n) % 2 == 0, 1.0, -1.0)})
+    out = durbin_watson(ray.data.from_pandas(alt), num_partitions=2)
+    assert out["dw"].iloc[0] > 3.9
+
+
+def test_count_dispersion_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import count_dispersion
+
+    ev = _events(seed=311, n=3000, nusers=15)
+    got = count_dispersion(ray.data.from_pandas(ev).repartition(6),
+                           num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        hb = g["ts"].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        mn, mx = int(hb.min()), int(hb.max())
+        span = mx - mn + 1
+        if span < 2:
+            assert uid not in got["user_id"].values
+            continue
+        cnt = np.bincount(hb - mn, minlength=span).astype(np.float64)
+        fano = cnt.var() / cnt.mean()
+        allan = (np.diff(cnt) ** 2).mean() / (2 * cnt.mean())
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n_hours"].iloc[0]) == span
+        assert abs(row["fano"].iloc[0] - fano) < 1e-9, uid
+        assert abs(row["allan"].iloc[0] - allan) < 1e-9, uid
+    # deterministic 1-event-per-hour stream: zero variance, F = AF = 0
+    n = 100
+    per = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 4, dtype=np.int64),
+        "event_type": ["a"] * n,
+        "ts": pd.to_datetime(np.arange(n) * 3_600 * 10**6, unit="us"
+                             ).astype("datetime64[us]")})
+    out = count_dispersion(ray.data.from_pandas(per), num_partitions=2)
+    assert out["fano"].iloc[0] == 0.0 and out["allan"].iloc[0] == 0.0
