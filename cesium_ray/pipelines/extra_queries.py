@@ -8189,7 +8189,112 @@ FROM m WHERE n >= 2
 """
 
 
+def q_sample_entropy(sf_dir):
+    """★-checked per-key SampEn(m=1, r=500 quant units)
+    (stages/tsmath.py): exact integer template-match pair counts A/B
+    over the (ts, event_id)-sorted stream, one mirrored −ln(A/B);
+    O(n²) self-join oracle."""
+    from ..stages.tsmath import sample_entropy
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return round6(sample_entropy(ev, num_partitions=8))
+
+
+SAMPLE_ENTROPY_SQL = """
+WITH b AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         lead(CAST(round(value*100) AS BIGINT)) OVER w AS xn,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS nk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (SELECT * FROM b WHERE rn <= nk - 1 AND nk >= 3),
+p AS (
+  SELECT t1.user_id, max(t1.nk) AS nk,
+         count(*) FILTER (abs(t1.x - t2.x) <= 500) AS bp,
+         count(*) FILTER (abs(t1.x - t2.x) <= 500
+                          AND abs(t1.xn - t2.xn) <= 500) AS ap
+  FROM t t1 JOIN t t2
+    ON t1.user_id = t2.user_id AND t2.rn > t1.rn
+  GROUP BY 1)
+SELECT user_id, nk AS n_events, bp AS b_pairs, ap AS a_pairs,
+       round(-ln(CAST(ap AS DOUBLE)/CAST(bp AS DOUBLE)), 6) AS sampen
+FROM p WHERE bp > 0 AND ap > 0
+"""
+
+
+def q_burrows_delta(sf_dir):
+    """★-checked per-document Burrows' Delta stylometric distance
+    (stages/pack.py): exact per-mille integer function-word rates,
+    exact int corpus moments reduced driver-side and broadcast once,
+    left-to-right chained term sum mirrored by the SQL's
+    left-associated pivot expression."""
+    from ..stages.pack import burrows_delta
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return round6(burrows_delta(docs))
+
+
+BURROWS_DELTA_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+'))
+           AS term
+  FROM documents),
+dlen AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+words(w, j) AS (VALUES ('the',0),('of',1),('and',2),('to',3),('a',4),
+                       ('in',5),('that',6),('is',7),('it',8),('for',9)),
+cnt AS (SELECT doc_id, term AS w, count(*) AS c FROM tok
+        WHERE term IN ('the','of','and','to','a',
+                       'in','that','is','it','for')
+        GROUP BY 1, 2),
+v AS (SELECT dlen.doc_id, words.w, words.j, dlen.n,
+             coalesce(cnt.c, 0) * 1000 // dlen.n AS v
+      FROM dlen CROSS JOIN words
+      LEFT JOIN cnt ON cnt.doc_id = dlen.doc_id AND cnt.w = words.w),
+st AS (SELECT w, count(*) AS nd, sum(v) AS sv, sum(v*v) AS sq
+       FROM v GROUP BY 1),
+sg AS (SELECT w,
+              CAST(sv AS DOUBLE)/CAST(nd AS DOUBLE) AS mu,
+              CAST(sq AS DOUBLE)/CAST(nd AS DOUBLE)
+                - (CAST(sv AS DOUBLE)/CAST(nd AS DOUBLE))
+                  * (CAST(sv AS DOUBLE)/CAST(nd AS DOUBLE)) AS arg
+       FROM st),
+sg2 AS (SELECT w, mu,
+               CASE WHEN arg > 0 THEN sqrt(arg) ELSE 0.0 END AS sig
+        FROM sg),
+t AS (SELECT v.doc_id, v.n, v.j,
+             CASE WHEN sg2.sig > 0
+                  THEN abs(CAST(v.v AS DOUBLE) - sg2.mu)/sg2.sig
+                  ELSE 0.0 END AS tt
+      FROM v JOIN sg2 USING (w)),
+piv AS (SELECT doc_id, max(n) AS n_tokens,
+               max(CASE WHEN j=0 THEN tt END) AS t0,
+               max(CASE WHEN j=1 THEN tt END) AS t1,
+               max(CASE WHEN j=2 THEN tt END) AS t2,
+               max(CASE WHEN j=3 THEN tt END) AS t3,
+               max(CASE WHEN j=4 THEN tt END) AS t4,
+               max(CASE WHEN j=5 THEN tt END) AS t5,
+               max(CASE WHEN j=6 THEN tt END) AS t6,
+               max(CASE WHEN j=7 THEN tt END) AS t7,
+               max(CASE WHEN j=8 THEN tt END) AS t8,
+               max(CASE WHEN j=9 THEN tt END) AS t9
+        FROM t GROUP BY 1)
+SELECT doc_id, n_tokens,
+       round((((((((((t0+t1)+t2)+t3)+t4)+t5)+t6)+t7)+t8)+t9)/10.0, 6)
+         AS delta
+FROM piv
+"""
+
+
 EXTRA_QUERIES = {
+    "sample_entropy": q_sample_entropy,
+    "burrows_delta": q_burrows_delta,
     "pacf": q_pacf,
     "durbin_watson": q_durbin_watson,
     "count_dispersion": q_count_dispersion,
@@ -8361,6 +8466,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "sample_entropy": SAMPLE_ENTROPY_SQL,
+    "burrows_delta": BURROWS_DELTA_SQL,
     "pacf": PACF_SQL,
     "durbin_watson": DURBIN_WATSON_SQL,
     "count_dispersion": COUNT_DISPERSION_SQL,

@@ -2731,3 +2731,69 @@ def count_dispersion(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def sample_entropy(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    tolerance: int = 500,
+    max_events: int = 2000,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key sample entropy SampEn(m=1, r) of the (ts, order)-sorted
+    value stream (Richman & Moorman 2000): with templates the first
+    n−1 points, B = #{i<j : |x_i − x_j| ≤ r} (length-1 matches) and
+    A = #{i<j : |x_i − x_j| ≤ r ∧ |x_{i+1} − x_{j+1}| ≤ r} (length-2
+    matches), SampEn = −ln(A/B) — low for regular/predictable
+    streams, high for irregular ones; the regularity complement of
+    ``perm_entropy`` (which sees only ordinal patterns, not scale).
+
+    ``tolerance`` r is in quantized int units (value·100; default 500
+    = 5.0 raw units ≈ 0.17σ of the synthetic value stream).  A and B
+    are EXACT integer pair counts; SampEn closes in one mirrored
+    −ln(A/B).  O(n²) pairs per key, capped at ``max_events`` (the
+    kendall_tau guard — capped keys report their first ``max_events``
+    events).  Keys need n ≥ 3 and A, B > 0 (keys with no length-2
+    match are dropped on both sides).  One key-hash exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "b_pairs": pd.Series(dtype="int64"),
+                "a_pairs": pd.Series(dtype="int64"),
+                "sampen": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        ends = np.r_[starts[1:], len(k)]
+        rows = []
+        for s, e in zip(starts, ends):
+            n_all = int(e - s)
+            if n_all < 3:
+                continue
+            e2 = s + min(n_all, max_events)
+            xk = x[s:e2]
+            nk = e2 - s
+            iu, ju = np.triu_indices(nk - 1, k=1)
+            m1 = np.abs(xk[iu] - xk[ju]) <= tolerance
+            m2 = m1 & (np.abs(xk[iu + 1] - xk[ju + 1]) <= tolerance)
+            bp = int(np.count_nonzero(m1))
+            ap = int(np.count_nonzero(m2))
+            if bp == 0 or ap == 0:
+                continue
+            rows.append((np.asarray(kuniq)[k[s]], nk, bp, ap,
+                         -np.log(float(ap) / float(bp))))
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(rows, columns=[key, "n_events", "b_pairs",
+                                           "a_pairs", "sampen"])
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

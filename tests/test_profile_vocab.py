@@ -414,3 +414,40 @@ def test_pmi_collocations_bruteforce(ray_session):
     # the planted "new york" bigram must be among the highest PMIs
     ny = got[(got["w1"] == "new") & (got["w2"] == "york")]
     assert len(ny) == 1 and ny["pmi"].iloc[0] > got["pmi"].median()
+
+
+def test_burrows_delta_bruteforce(ray_session):
+    import re
+    from cesium_ray.stages.pack import burrows_delta, FUNCTION_WORDS
+
+    rng = np.random.default_rng(33)
+    filler = ["alpha", "beta", "gamma", "delta", "report", "data"]
+    texts = []
+    for _ in range(30):
+        n = int(rng.integers(20, 60))
+        pool = list(FUNCTION_WORDS) + filler
+        texts.append(" ".join(rng.choice(pool, n)))
+    # planted stylometric outlier: never uses any function word
+    texts.append(" ".join(rng.choice(filler, 40)))
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                         "text": texts})
+    got = burrows_delta(ray.data.from_pandas(docs).repartition(5))
+    assert got["doc_id"].tolist() == list(range(len(texts)))
+
+    # brute-force replication (same per-mille int rates, same order)
+    rates = np.zeros((len(texts), len(FUNCTION_WORDS)), np.int64)
+    ntok = np.zeros(len(texts), np.int64)
+    for d, txt in enumerate(texts):
+        toks = re.findall(r"[^ \t\n\r\f\v]+", txt.lower())
+        ntok[d] = len(toks)
+        for j, w in enumerate(FUNCTION_WORDS):
+            rates[d, j] = toks.count(w) * 1000 // len(toks)
+    mu = rates.mean(axis=0)
+    sig = rates.std(axis=0)
+    z = np.where(sig > 0, np.abs(rates - mu) / np.where(sig > 0, sig, 1.0),
+                 0.0)
+    want = z.mean(axis=1)
+    assert np.allclose(got["delta"].to_numpy(), want, atol=1e-9)
+    assert (got["n_tokens"].to_numpy() == ntok).all()
+    # the planted no-function-word doc is the most atypical
+    assert got["delta"].idxmax() == len(texts) - 1

@@ -1987,3 +1987,55 @@ def test_count_dispersion_bruteforce(ray_session):
                              ).astype("datetime64[us]")})
     out = count_dispersion(ray.data.from_pandas(per), num_partitions=2)
     assert out["fano"].iloc[0] == 0.0 and out["allan"].iloc[0] == 0.0
+
+
+def test_sample_entropy_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import sample_entropy
+
+    ev = _valued(seed=321, n=1500, nusers=10)
+    got = sample_entropy(ray.data.from_pandas(ev).repartition(6),
+                         tolerance=800, num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        nk = len(x)
+        bp = ap = 0
+        for i in range(nk - 1):
+            for j in range(i + 1, nk - 1):
+                if abs(x[i] - x[j]) <= 800:
+                    bp += 1
+                    if abs(x[i + 1] - x[j + 1]) <= 800:
+                        ap += 1
+        row = got[got["user_id"] == uid]
+        if nk < 3 or bp == 0 or ap == 0:
+            assert len(row) == 0
+            continue
+        assert len(row) == 1
+        assert int(row["b_pairs"].iloc[0]) == bp
+        assert int(row["a_pairs"].iloc[0]) == ap
+        assert abs(row["sampen"].iloc[0] + np.log(ap / bp)) < 1e-9, uid
+    # a constant stream is perfectly regular: every pair matches at
+    # both template lengths, SampEn = -ln(1) = 0
+    n = 60
+    const = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 9, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.full(n, 3.0)})
+    out = sample_entropy(ray.data.from_pandas(const), num_partitions=2)
+    assert out["sampen"].iloc[0] == 0.0
+    # regular alternation scores lower than a shuffled copy
+    ab = np.where(np.arange(200) % 2 == 0, 10.0, -10.0)
+    sh = ab.copy()
+    np.random.default_rng(3).shuffle(sh)
+    both = pd.DataFrame({
+        "event_id": np.arange(400, dtype=np.int64),
+        "user_id": np.r_[np.full(200, 1), np.full(200, 2)].astype(np.int64),
+        "ts": pd.to_datetime(np.r_[np.arange(200), np.arange(200)] * 10**6,
+                             unit="us").astype("datetime64[us]"),
+        "value": np.r_[ab, sh]})
+    out = sample_entropy(ray.data.from_pandas(both), tolerance=100,
+                         num_partitions=2)
+    o = out.set_index("user_id")["sampen"]
+    assert o[1] < o[2]
