@@ -8292,7 +8292,67 @@ FROM piv
 """
 
 
+def q_peak_rate(sf_dir):
+    """★-checked per-key peak rolling-24h event rate
+    (stages/tsmath.py): exact integer sliding-window counts by value
+    range (two searchsorted passes) vs the O(n·k) self-join oracle —
+    no float anywhere."""
+    from ..stages.tsmath import peak_rate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return peak_rate(ev, num_partitions=8)
+
+
+PEAK_RATE_SQL = """
+WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+p AS (
+  SELECT b1.user_id, b1.event_id, count(*) AS c
+  FROM b b1 JOIN b b2 ON b1.user_id = b2.user_id
+       AND b2.t >= b1.t AND b2.t < b1.t + 86400000000
+  GROUP BY 1, 2),
+n AS (SELECT user_id, count(*) AS n FROM b GROUP BY 1)
+SELECT p.user_id, n.n AS n_events, max(p.c) AS peak_cnt
+FROM p JOIN n USING (user_id) GROUP BY 1, 2
+"""
+
+
+def q_markov_entropy(sf_dir):
+    """★-checked per-key Markov entropy rate over event_type
+    (stages/analytics.py): exact int64 transition/from-state counts
+    (fused key×from×to bincount), mirrored −Σ(c/T)·ln(c/c_a)."""
+    from ..stages.analytics import markov_entropy_rate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    return round6(markov_entropy_rate(ev, num_partitions=8))
+
+
+MARKOV_ENTROPY_SQL = """
+WITH o AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+  FROM events),
+tc AS (SELECT user_id, a, b, count(*) AS c FROM o
+       WHERE b IS NOT NULL GROUP BY 1, 2, 3),
+ra AS (SELECT user_id, a, sum(c) AS ca FROM tc GROUP BY 1, 2),
+tt AS (SELECT user_id, sum(c) AS t FROM tc GROUP BY 1)
+SELECT tc.user_id, CAST(tt.t AS BIGINT) AS n_trans,
+       round(-(sum(CAST(tc.c AS DOUBLE)
+                   * ln(CAST(tc.c AS DOUBLE)/CAST(ra.ca AS DOUBLE))))
+             / CAST(tt.t AS DOUBLE), 6) AS entropy_rate
+FROM tc JOIN ra USING (user_id, a) JOIN tt USING (user_id)
+GROUP BY tc.user_id, tt.t
+"""
+
+
 EXTRA_QUERIES = {
+    "peak_rate": q_peak_rate,
+    "markov_entropy": q_markov_entropy,
     "sample_entropy": q_sample_entropy,
     "burrows_delta": q_burrows_delta,
     "pacf": q_pacf,
@@ -8466,6 +8526,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "peak_rate": PEAK_RATE_SQL,
+    "markov_entropy": MARKOV_ENTROPY_SQL,
     "sample_entropy": SAMPLE_ENTROPY_SQL,
     "burrows_delta": BURROWS_DELTA_SQL,
     "pacf": PACF_SQL,

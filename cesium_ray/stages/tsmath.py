@@ -2797,3 +2797,53 @@ def sample_entropy(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def peak_rate(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window_s: int = 86400,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key PEAK sliding-window event rate: the maximum number of
+    events falling in ANY half-open window [t, t + window_s) anchored
+    at an event — the exact rate-limit / burst-abuse statistic
+    (defaults to the rolling-24h peak).  Unlike the fixed-bucket
+    rollups, the window slides to every anchor, so a burst straddling
+    a bucket boundary can't hide.
+
+    For each key the (sorted) timestamp array is scanned with two
+    ``searchsorted`` passes (counts by VALUE range, so duplicate
+    timestamps are handled identically to the SQL self-join twin);
+    all counts are exact integers — no float anywhere.  O(n log n)
+    per key vs the oracle's O(n·k) self-join.  One key-hash
+    exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "peak_cnt": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        perm = np.lexsort((tus, kc))
+        k, t = kc[perm], tus[perm]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        w = np.int64(window_s) * 1_000_000
+        rows = []
+        for s, e in zip(starts, ends):
+            tk = t[s:e]
+            hi = np.searchsorted(tk, tk + w, side="left")
+            lo = np.searchsorted(tk, tk, side="left")
+            rows.append((np.asarray(kuniq)[k[s]], e - s,
+                         int((hi - lo).max())))
+        return pd.DataFrame(rows, columns=[key, "n_events", "peak_cnt"])
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

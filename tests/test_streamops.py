@@ -2039,3 +2039,63 @@ def test_sample_entropy_bruteforce(ray_session):
                          num_partitions=2)
     o = out.set_index("user_id")["sampen"]
     assert o[1] < o[2]
+
+
+def test_peak_rate_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import peak_rate
+
+    ev = _events(seed=331, n=3000, nusers=15)
+    got = peak_rate(ray.data.from_pandas(ev).repartition(6),
+                    window_s=86400, num_partitions=4)
+    w = 86400 * 10**6
+    for uid, g in ev.groupby("user_id"):
+        t = np.sort(g["ts"].to_numpy("datetime64[us]").view(np.int64))
+        want = max(int(((t >= ti) & (t < ti + w)).sum()) for ti in t)
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n_events"].iloc[0]) == len(t)
+        assert int(row["peak_cnt"].iloc[0]) == want, uid
+    # planted burst straddling a day boundary: fixed buckets would
+    # split it, the sliding window must see all 30 events
+    base = 86_399 * 10**6  # one second before day 1 ends
+    burst = pd.DataFrame({
+        "event_id": np.arange(30, dtype=np.int64),
+        "user_id": np.full(30, 77, dtype=np.int64),
+        "event_type": ["a"] * 30,
+        "ts": pd.to_datetime(base + np.arange(30) * 10**5, unit="us"
+                             ).astype("datetime64[us]")})
+    out = peak_rate(ray.data.from_pandas(burst), window_s=60,
+                    num_partitions=2)
+    assert int(out["peak_cnt"].iloc[0]) == 30
+
+
+def test_markov_entropy_rate_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import markov_entropy_rate
+
+    ev = _events(seed=341, n=2500, nusers=15)
+    got = markov_entropy_rate(ray.data.from_pandas(ev).repartition(6),
+                              num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        a = g["event_type"].to_numpy(object)
+        if len(a) < 2:
+            assert uid not in got["user_id"].values
+            continue
+        pairs = pd.DataFrame({"f": a[:-1], "t": a[1:]})
+        c = pairs.groupby(["f", "t"]).size()
+        ca = pairs.groupby("f").size()
+        tot = len(pairs)
+        h = -sum(cv * np.log(cv / ca[f]) for (f, _), cv in c.items()) / tot
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n_trans"].iloc[0]) == tot
+        assert abs(row["entropy_rate"].iloc[0] - h) < 1e-9, uid
+    # deterministic cycle a->b->a->b: next type is certain, H = 0
+    n = 40
+    cyc = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 8, dtype=np.int64),
+        "event_type": np.where(np.arange(n) % 2 == 0, "a", "b"),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]")})
+    out = markov_entropy_rate(ray.data.from_pandas(cyc),
+                              num_partitions=2)
+    assert out["entropy_rate"].iloc[0] == 0.0
