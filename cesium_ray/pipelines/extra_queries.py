@@ -7869,7 +7869,8 @@ LEXICAL_DIVERSITY_SQL = """
 WITH tok AS (
   SELECT doc_id,
          unnest(regexp_extract_all(lower(text), '[^ 	
-]+')) AS t
+
+]+')) AS t
   FROM documents),
 c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
 a AS (
@@ -7905,10 +7906,12 @@ PMI_COLLOCATIONS_SQL = """
 WITH tok AS (
   SELECT doc_id,
          unnest(regexp_extract_all(lower(text), '[^ 	
-]+')) AS w,
+
+]+')) AS w,
          generate_subscripts(
            regexp_extract_all(lower(text), '[^ 	
-]+'), 1) AS pos
+
+]+'), 1) AS pos
   FROM documents),
 bg AS (
   SELECT a.w AS w1, b.w AS w2
@@ -8350,7 +8353,157 @@ GROUP BY tc.user_id, tt.t
 """
 
 
+def q_exp_gap_fit(sf_dir):
+    """★-checked per-key exponential interarrival fit + KS distance
+    (stages/tsmath.py): exact integer gap sums/ranks, mirrored
+    λ = n/Σd and 1−e^{−λd} CDF scan; tie-order-invariant D."""
+    from ..stages.tsmath import exp_gap_fit
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    return round6(exp_gap_fit(ev, num_partitions=8))
+
+
+EXP_GAP_FIT_SQL = """
+WITH o AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS d
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT user_id, d FROM o WHERE d IS NOT NULL),
+s AS (SELECT user_id, count(*) AS n, sum(d) AS sd FROM g GROUP BY 1),
+r AS (SELECT g.user_id, s.n,
+             row_number() OVER (PARTITION BY g.user_id ORDER BY g.d)
+               AS i,
+             CAST(g.d AS DOUBLE) AS dd, CAST(s.n AS DOUBLE) AS nf,
+             CAST(s.n AS DOUBLE)/CAST(s.sd AS DOUBLE) AS lam
+      FROM g JOIN s USING (user_id) WHERE s.n >= 3 AND s.sd > 0),
+k AS (SELECT user_id, max(n) AS n, max(lam) AS lam,
+             max(CAST(i AS DOUBLE)/nf - (1.0 - exp(-lam*dd))) AS da,
+             max((1.0 - exp(-lam*dd)) - CAST(i-1 AS DOUBLE)/nf) AS db
+      FROM r GROUP BY 1)
+SELECT user_id, n AS n_gaps, round(lam, 6) AS lam_per_s,
+       round(CASE WHEN da > db THEN da ELSE db END, 6) AS ks_exp
+FROM k
+"""
+
+
+def q_promo_share(sf_dir):
+    """★-checked TPC-H-Q14-style promo revenue share per ship month:
+    the part dimension is broadcast once via ``ray.put`` (promo flag
+    looked up by searchsorted), lineitem is pruned at the read and
+    reduced to per-batch (month → promo/total int cell) partials —
+    ~tens of cells per block — before a tiny driver-side combine.
+    Revenue units are exact int cents·(100−disc_pct); the share
+    closes in one mirrored 100·promo/total expression."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    pk = np.sort(part["p_partkey"].to_numpy(np.int64))
+    promo = (part.set_index("p_partkey").loc[pk, "p_type"]
+             .to_numpy(object) == "PROMO")
+    ref = ray.put((pk, promo))
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        k, isp = ray.get(ref)
+        flag = isp[np.searchsorted(k, df["l_partkey"].to_numpy(np.int64))]
+        mo = (df["l_shipdate"].to_numpy("datetime64[us]")
+              .astype("datetime64[M]").astype(np.int64))
+        p = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100.0
+                    ).astype(np.int64)
+        dsc = np.rint(df["l_discount"].to_numpy(np.float64) * 100.0
+                      ).astype(np.int64)
+        rev = p * (100 - dsc)
+        g = pd.DataFrame({"mo": mo, "promo_rev": np.where(flag, rev, 0),
+                          "total_rev": rev})
+        return g.groupby("mo", as_index=False).sum()
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(cells, batch_format="pandas")
+    agg = (li.to_pandas().groupby("mo", as_index=False)
+           [["promo_rev", "total_rev"]].sum())
+    mo = agg["mo"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "ym": (1970 + mo // 12) * 100 + (mo % 12 + 1),
+        "promo_rev": agg["promo_rev"].to_numpy(np.int64),
+        "total_rev": agg["total_rev"].to_numpy(np.int64),
+        "promo_share": 100.0
+        * agg["promo_rev"].to_numpy(np.int64).astype(np.float64)
+        / agg["total_rev"].to_numpy(np.int64).astype(np.float64)})
+    return round6(out.sort_values("ym").reset_index(drop=True))
+
+
+PROMO_SHARE_SQL = """
+WITH li AS (
+  SELECT year(l_shipdate)*100 + month(l_shipdate) AS ym,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev,
+         p_type = 'PROMO' AS isp
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+a AS (SELECT ym,
+             CAST(sum(CASE WHEN isp THEN rev ELSE 0 END) AS BIGINT)
+               AS promo_rev,
+             CAST(sum(rev) AS BIGINT) AS total_rev
+      FROM li GROUP BY 1)
+SELECT ym, promo_rev, total_rev,
+       round(100.0 * CAST(promo_rev AS DOUBLE)
+             / CAST(total_rev AS DOUBLE), 6) AS promo_share
+FROM a
+"""
+
+
+def q_keyness_terms(sf_dir):
+    """★-checked per-document Dunning-G² keyness terms
+    (stages/pack.py): exact int corpus/doc counts, integer
+    positive-keyness gate a·N > c·n₁, one mirrored G² expression so
+    the G² > 3.84 (χ²₁ p<0.05) threshold cut is identical on both sides."""
+    from ..stages.pack import keyness_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return round6(keyness_terms(docs, num_partitions=8))
+
+
+KEYNESS_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+'))
+           AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS a FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS n1 FROM tok GROUP BY 1),
+ct AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT count(*) AS nn FROM tok),
+e AS (SELECT tf.doc_id, tf.term, tf.a, ct.c - tf.a AS b,
+             dl.n1, tot.nn - dl.n1 AS n2, ct.c, tot.nn
+      FROM tf JOIN dl USING (doc_id) JOIN ct USING (term), tot),
+g AS (SELECT doc_id, term, a, b, c, n1, nn,
+             2.0*(CAST(a AS DOUBLE)
+                  * ln(CAST(a AS DOUBLE)
+                       / ((CAST(n1 AS DOUBLE)*CAST(c AS DOUBLE))
+                          / CAST(nn AS DOUBLE)))
+                  + CASE WHEN b > 0
+                         THEN CAST(b AS DOUBLE)
+                              * ln(CAST(b AS DOUBLE)
+                                   / ((CAST(n2 AS DOUBLE)
+                                       *CAST(c AS DOUBLE))
+                                      / CAST(nn AS DOUBLE)))
+                         ELSE 0.0 END) AS g2
+      FROM e)
+SELECT doc_id, term, a AS tf, round(g2, 6) AS g2
+FROM g WHERE a*nn > c*n1 AND g2 > 3.84
+"""
+
+
 EXTRA_QUERIES = {
+    "keyness_terms": q_keyness_terms,
+    "exp_gap_fit": q_exp_gap_fit,
+    "promo_share": q_promo_share,
     "peak_rate": q_peak_rate,
     "markov_entropy": q_markov_entropy,
     "sample_entropy": q_sample_entropy,
@@ -8526,6 +8679,9 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "keyness_terms": KEYNESS_SQL,
+    "exp_gap_fit": EXP_GAP_FIT_SQL,
+    "promo_share": PROMO_SHARE_SQL,
     "peak_rate": PEAK_RATE_SQL,
     "markov_entropy": MARKOV_ENTROPY_SQL,
     "sample_entropy": SAMPLE_ENTROPY_SQL,

@@ -884,3 +884,107 @@ def burrows_delta(
                              "n_tokens": pd.Series(dtype="int64"),
                              "delta": pd.Series(dtype="float64")})
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def keyness_terms(
+    ds: ray.data.Dataset,
+    g2_min: float = 3.84,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-document KEYNESS terms by Dunning's log-likelihood G²
+    (Dunning 1993): for term t in doc d with in-doc count a, rest-of-
+    corpus count b, doc length n₁ and rest length n₂ (N = n₁ + n₂),
+        G² = 2·(a·ln(a/E₁) + b·ln(b/E₂)),  E₁ = n₁·c/N, E₂ = n₂·c/N
+    keeping only POSITIVELY key terms (overrepresented in the doc —
+    the exact-integer test a·N > c·n₁, no float boundary) with
+    G² > ``g2_min`` (default 3.84, the χ²₁ p<0.05 critical value) — the statistically-grounded cousin of
+    ``tfidf_top_terms`` (a χ²-class test instead of a heuristic
+    score, robust for rare terms).
+
+    Two-pass shape (the tfidf_top_terms DF-build): (1) per-block
+    (token → count) partials, one token-keyed exchange, corpus table
+    broadcast once via ``ray.put``; (2) a stateless ``map_batches``
+    scores each doc (searchsorted lookup) — no second shuffle.  All
+    counts are exact int64; G² closes in one mirrored float
+    expression, so the threshold cut is identical on both sides.
+    Partitioning assumption: the vocabulary fits a worker heap."""
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df[text_col].astype(str).str.lower()
+                .str.findall(_TOKEN_RE))
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "c": pd.Series(dtype="int64")})
+        vc = ex.value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(object),
+                             "c": vc.to_numpy(np.int64)})
+
+    def tf_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False, sort=False)["c"].sum()
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    ct = group_apply(
+        ds.select_columns([text_col]).map_batches(
+            tf_partial, batch_format="pandas"),
+        tf_sum, num_partitions=num_partitions, key="token",
+    ).to_pandas().sort_values("token", kind="mergesort")
+    vocab = ct["token"].to_numpy(object)
+    cvec = ct["c"].to_numpy(np.int64)
+    n_corpus = int(cvec.sum())
+    ref = ray.put((vocab, cvec, n_corpus))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {id_col: pd.Series(dtype="int64"),
+                "term": pd.Series(dtype=object),
+                "tf": pd.Series(dtype="int64"),
+                "g2": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        voc, cv, nn = ray.get(ref)
+        df = df.reset_index(drop=True)
+        toks = (df[text_col].astype(str).str.lower()
+                .str.findall(_TOKEN_RE))
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame(cols)
+        gi = ex.index.to_numpy(np.int64)
+        n1 = np.bincount(gi, minlength=len(df)).astype(np.int64)
+        pair = pd.DataFrame({"_i": gi, "_t": ex.to_numpy(object)})
+        cdf = (pair.groupby(["_i", "_t"], sort=False)
+               .size().reset_index(name="a"))
+        ii = cdf["_i"].to_numpy(np.int64)
+        a = cdf["a"].to_numpy(np.int64)
+        c = cv[np.searchsorted(voc, cdf["_t"].to_numpy(object))]
+        b = c - a
+        d1 = n1[ii]
+        d2 = nn - d1
+        # positive-keyness gate in exact int space: a/n1 > c/N
+        pos = a * nn > c * d1
+        af, bf = a.astype(np.float64), b.astype(np.float64)
+        cf = c.astype(np.float64)
+        n1f, n2f = d1.astype(np.float64), d2.astype(np.float64)
+        nf = float(nn)
+        e1 = (n1f * cf) / nf
+        e2 = (n2f * cf) / nf
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t2 = np.where(b > 0, bf * np.log(bf / e2), 0.0)
+            g2 = 2.0 * (af * np.log(af / e1) + t2)
+        keep = pos & (g2 > g2_min)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64)[ii[keep]],
+            "term": cdf["_t"].to_numpy(object)[keep],
+            "tf": a[keep], "g2": g2[keep]})
+
+    out = ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "term": pd.Series(dtype=object),
+                             "tf": pd.Series(dtype="int64"),
+                             "g2": pd.Series(dtype="float64")})
+    return (out.sort_values([id_col, "term"], kind="mergesort")
+            .reset_index(drop=True))

@@ -2847,3 +2847,68 @@ def peak_rate(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def exp_gap_fit(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key exponential fit of the inter-arrival gaps + the
+    Kolmogorov–Smirnov distance to that fit: MLE rate λ = n/Σd over
+    whole-second gaps, then D = maxᵢ max(i/n − F(d₍ᵢ₎),
+    F(d₍ᵢ₎) − (i−1)/n) with F(d) = 1 − e^{−λd} — the direct "are
+    arrivals Poisson?" gate (small D ⇒ memoryless traffic; large D +
+    high ``burstiness`` B ⇒ heavy-tailed sessions, the salting
+    rationale).  D is tie-order-invariant (tied gaps share F, and the
+    max over a tie block uses its extreme ranks).
+
+    Gap sums and ranks are exact integers; λ and the KS scan close in
+    mirrored float expressions (exp() values sit far from round-6
+    boundaries).  Keys need ≥ 3 gaps and Σd > 0.  One key-hash
+    exchange; per key one sort + vectorized scan."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_gaps": pd.Series(dtype="int64"),
+                "lam_per_s": pd.Series(dtype="float64"),
+                "ks_exp": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, kc))
+        k, t = kc[perm], tus[perm]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        rows = []
+        for s, e in zip(starts, ends):
+            if e - s < 4:
+                continue
+            tk = t[s:e]
+            d = np.sort((tk[1:] - tk[:-1]) // 1_000_000)
+            n = len(d)
+            sd = int(d.sum())
+            if sd <= 0:
+                continue
+            nf = float(n)
+            lam = nf / float(sd)
+            fv = 1.0 - np.exp(-lam * d.astype(np.float64))
+            i = np.arange(1, n + 1, dtype=np.float64)
+            da = float((i / nf - fv).max())
+            db = float((fv - (i - 1.0) / nf).max())
+            rows.append((np.asarray(kuniq)[k[s]], n, lam,
+                         da if da > db else db))
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(rows, columns=[key, "n_gaps", "lam_per_s",
+                                           "ks_exp"])
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

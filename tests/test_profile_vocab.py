@@ -451,3 +451,48 @@ def test_burrows_delta_bruteforce(ray_session):
     assert (got["n_tokens"].to_numpy() == ntok).all()
     # the planted no-function-word doc is the most atypical
     assert got["delta"].idxmax() == len(texts) - 1
+
+
+def test_keyness_terms_bruteforce(ray_session):
+    import re
+    from cesium_ray.stages.pack import keyness_terms
+
+    rng = np.random.default_rng(51)
+    filler = ["one", "two", "three", "four", "five", "six"]
+    texts = [" ".join(rng.choice(filler, int(rng.integers(20, 40))))
+             for _ in range(20)]
+    # planted key term: doc 0 is saturated with a corpus-rare token
+    texts[0] = texts[0] + " " + " ".join(["zebra"] * 12)
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                         "text": texts})
+    got = keyness_terms(ray.data.from_pandas(docs).repartition(4))
+    z = got[(got["doc_id"] == 0) & (got["term"] == "zebra")]
+    assert len(z) == 1 and int(z["tf"].iloc[0]) == 12
+
+    # brute-force replication of every reported (doc, term, g2)
+    tok = {d: re.findall(r"[^ \t\n\r\f\v]+", t.lower())
+           for d, t in enumerate(texts)}
+    nn = sum(len(v) for v in tok.values())
+    corpus = {}
+    for v in tok.values():
+        for w in v:
+            corpus[w] = corpus.get(w, 0) + 1
+    seen = set()
+    for d, v in tok.items():
+        n1 = len(v)
+        for w in set(v):
+            a = v.count(w)
+            c = corpus[w]
+            b, n2 = c - a, nn - n1
+            if not a * nn > c * n1:
+                continue
+            e1 = n1 * c / nn
+            e2 = n2 * c / nn
+            g2 = 2 * (a * np.log(a / e1)
+                      + (b * np.log(b / e2) if b > 0 else 0.0))
+            if g2 > 3.84:
+                seen.add((d, w))
+                row = got[(got["doc_id"] == d) & (got["term"] == w)]
+                assert len(row) == 1, (d, w)
+                assert abs(row["g2"].iloc[0] - g2) < 1e-9
+    assert seen == set(zip(got["doc_id"], got["term"]))

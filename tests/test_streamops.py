@@ -2099,3 +2099,73 @@ def test_markov_entropy_rate_bruteforce(ray_session):
     out = markov_entropy_rate(ray.data.from_pandas(cyc),
                               num_partitions=2)
     assert out["entropy_rate"].iloc[0] == 0.0
+
+
+def test_exp_gap_fit_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import exp_gap_fit
+
+    ev = _events(seed=351, n=2500, nusers=15)
+    got = exp_gap_fit(ray.data.from_pandas(ev).repartition(6),
+                      num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        t = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        d = np.sort((t[1:] - t[:-1]) // 1_000_000)
+        n = len(d)
+        if n < 3 or d.sum() <= 0:
+            assert uid not in got["user_id"].values
+            continue
+        lam = n / d.sum()
+        f = 1.0 - np.exp(-lam * d)
+        i = np.arange(1, n + 1)
+        want = max((i / n - f).max(), (f - (i - 1) / n).max())
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n_gaps"].iloc[0]) == n
+        assert abs(row["lam_per_s"].iloc[0] - lam) < 1e-12, uid
+        assert abs(row["ks_exp"].iloc[0] - want) < 1e-9, uid
+    # planted signals: exponential-quantile gaps fit tightly; a
+    # metronome's one-point CDF is maximally far (D = 1 - 1/e)
+    n = 400
+    u = (np.arange(n) + 0.5) / n
+    gaps = np.rint(-np.log(1.0 - u) * 600).astype(np.int64)
+    rng = np.random.default_rng(7)
+    rng.shuffle(gaps)
+    t_exp = np.cumsum(np.r_[0, gaps]) * 10**6
+    t_met = np.arange(n + 1, dtype=np.int64) * 600 * 10**6
+    both = pd.DataFrame({
+        "event_id": np.arange(2 * (n + 1), dtype=np.int64),
+        "user_id": np.r_[np.full(n + 1, 1), np.full(n + 1, 2)
+                         ].astype(np.int64),
+        "ts": pd.to_datetime(np.r_[t_exp, t_met], unit="us"
+                             ).astype("datetime64[us]")})
+    out = exp_gap_fit(ray.data.from_pandas(both), num_partitions=2)
+    o = out.set_index("user_id")["ks_exp"]
+    assert o[1] < 0.05
+    assert abs(o[2] - (1.0 - np.exp(-1.0))) < 1e-9
+
+
+def test_promo_share_smoke(ray_session):
+    """Q14-style at sf0.001: schema + DuckDB recomputation."""
+    import duckdb
+
+    from cesium_ray.pipelines.extra_queries import (
+        PROMO_SHARE_SQL, q_promo_share)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_promo_share(sf)
+    assert list(got.columns) == ["ym", "promo_rev", "total_rev",
+                                 "promo_share"]
+    assert (got["promo_rev"] <= got["total_rev"]).all()
+    assert got["ym"].is_monotonic_increasing
+    con = duckdb.connect()
+    for t in ["lineitem", "part"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')")
+    want = (con.sql(PROMO_SHARE_SQL).df()
+            .sort_values("ym").reset_index(drop=True))
+    assert got.shape == want.shape
+    assert (got["ym"].to_numpy() == want["ym"].to_numpy()).all()
+    assert (got["promo_rev"].to_numpy()
+            == want["promo_rev"].to_numpy()).all()
+    assert np.allclose(got["promo_share"].to_numpy(),
+                       want["promo_share"].to_numpy(), atol=1e-6)
