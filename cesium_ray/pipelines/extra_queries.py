@@ -8500,7 +8500,87 @@ FROM g WHERE a*nn > c*n1 AND g2 > 3.84
 """
 
 
+def q_day_streak(sf_dir):
+    """★-checked per-key longest consecutive-active-day streak
+    (stages/tsmath.py): all-integer gaps-and-islands, no float."""
+    from ..stages.tsmath import day_streak
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return day_streak(ev, num_partitions=8)
+
+
+DAY_STREAK_SQL = """
+WITH d AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events),
+r AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS grp
+      FROM d),
+s AS (SELECT user_id, grp, count(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       max(len) AS max_streak
+FROM s GROUP BY 1
+"""
+
+
+def q_seasonal_power(sf_dir):
+    """★-checked per-key single-bin Fourier seasonality R² at the
+    24h/12h harmonics on the dense hourly grid (stages/tsmath.py):
+    exact integer count sums, mirrored demeaned-quadrature float
+    closings."""
+    from ..stages.tsmath import seasonal_power
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return round6(seasonal_power(ev, num_partitions=8))
+
+
+SEASONAL_POWER_SQL = """
+WITH b AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb FROM events),
+r AS (SELECT user_id, min(hb) AS mn, max(hb) AS mx FROM b GROUP BY 1),
+grid AS (SELECT user_id, mn,
+                unnest(generate_series(mn, mx)) AS h
+         FROM r),
+c AS (SELECT user_id, hb, count(*) AS cnt FROM b GROUP BY 1, 2),
+g AS (SELECT grid.user_id, grid.h - grid.mn AS t,
+             coalesce(c.cnt, 0) AS cnt
+      FROM grid LEFT JOIN c
+        ON grid.user_id = c.user_id AND grid.h = c.hb),
+q AS (SELECT user_id,
+             cos(2.0*pi()*CAST(t % 24 AS DOUBLE)/24.0) AS co24,
+             sin(2.0*pi()*CAST(t % 24 AS DOUBLE)/24.0) AS si24,
+             cos(2.0*pi()*CAST(t % 12 AS DOUBLE)/12.0) AS co12,
+             sin(2.0*pi()*CAST(t % 12 AS DOUBLE)/12.0) AS si12,
+             cnt
+      FROM g),
+a AS (SELECT user_id, count(*) AS n, sum(cnt) AS sc,
+             sum(cnt*cnt) AS qc,
+             sum(CAST(cnt AS DOUBLE)*co24) AS cc24, sum(co24) AS sco24,
+             sum(CAST(cnt AS DOUBLE)*si24) AS cs24, sum(si24) AS ssi24,
+             sum(CAST(cnt AS DOUBLE)*co12) AS cc12, sum(co12) AS sco12,
+             sum(CAST(cnt AS DOUBLE)*si12) AS cs12, sum(si12) AS ssi12
+      FROM q GROUP BY 1),
+m AS (SELECT *, CAST(sc AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+             CAST(n AS DOUBLE) AS nf
+      FROM a),
+e AS (SELECT *, CAST(qc AS DOUBLE) - mu*CAST(sc AS DOUBLE) AS ss,
+             cc24 - mu*sco24 AS c24, cs24 - mu*ssi24 AS s24,
+             cc12 - mu*sco12 AS c12, cs12 - mu*ssi12 AS s12
+      FROM m)
+SELECT user_id, n AS n_hours,
+       round(2.0*(c24*c24 + s24*s24)/(nf*ss), 6) AS "r2_24h",
+       round(2.0*(c12*c12 + s12*s12)/(nf*ss), 6) AS "r2_12h"
+FROM e WHERE n > 24 AND ss > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "day_streak": q_day_streak,
+    "seasonal_power": q_seasonal_power,
     "keyness_terms": q_keyness_terms,
     "exp_gap_fit": q_exp_gap_fit,
     "promo_share": q_promo_share,
@@ -8679,6 +8759,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "day_streak": DAY_STREAK_SQL,
+    "seasonal_power": SEASONAL_POWER_SQL,
     "keyness_terms": KEYNESS_SQL,
     "exp_gap_fit": EXP_GAP_FIT_SQL,
     "promo_share": PROMO_SHARE_SQL,

@@ -2912,3 +2912,122 @@ def exp_gap_fit(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def day_streak(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key longest consecutive-active-day streak: number of
+    distinct UTC days with ≥ 1 event and the maximum run of adjacent
+    days — the classic engagement/retention "streak" metric
+    (gaps-and-islands in SQL terms).
+
+    All integers (day = µs-timestamp // 86 400·10⁶); per key one
+    unique+sort + one run-length scan — no float anywhere.  One
+    key-hash exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_active_days": pd.Series(dtype="int64"),
+                "max_streak": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        day = df[ts_col].to_numpy("datetime64[us]").view(np.int64) \
+            // 86_400_000_000
+        pair = np.unique(np.stack([kc.astype(np.int64), day], axis=1),
+                         axis=0)
+        k, d = pair[:, 0], pair[:, 1]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        rows = []
+        for s, e in zip(starts, ends):
+            dk = d[s:e]
+            brk = np.flatnonzero(np.diff(dk) != 1)
+            runs = np.diff(np.r_[-1, brk, len(dk) - 1])
+            rows.append((np.asarray(kuniq)[k[s]], e - s,
+                         int(runs.max())))
+        return pd.DataFrame(rows, columns=[key, "n_active_days",
+                                           "max_streak"])
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def seasonal_power(
+    ds: ray.data.Dataset,
+    periods: tuple = (24, 12),
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key single-bin Fourier seasonality power on the DENSE
+    hourly activity grid: for each period P (hours), the fraction of
+    count variance explained by the best-fit sinusoid at frequency
+    1/P,  R²_P = 2(C² + S²)/(n·SS)  with demeaned quadrature sums
+    C = Σc·cos φ − μΣcos φ, S likewise, φ = 2π((t−t₀) mod P)/P and
+    SS = Σ(c−μ)² — the spectral twin of the ANOVA-style
+    ``trend_seasonal_strength`` (sensitive to phase-coherent cycles,
+    not just hour-of-day level differences).  Defaults probe the
+    daily and half-daily harmonics.
+
+    Counts, Σc and Σc² are exact integers; the quadrature sums and
+    R² close in mirrored float expressions (cos/sin of the same
+    doubles on both sides; round-6 robust).  Keys need span > max(P)
+    and SS > 0.  One key-hash exchange; one bincount per key."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_hours": pd.Series(dtype="int64")}
+        for p in periods:
+            cols[f"r2_{p}h"] = pd.Series(dtype="float64")
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        hb = df[ts_col].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        order = np.argsort(kc, kind="stable")
+        k, h = kc[order], hb[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        pmax = max(periods)
+        rows = []
+        for s, e in zip(starts, ends):
+            hk = h[s:e]
+            mn, mx = int(hk.min()), int(hk.max())
+            span = mx - mn + 1
+            if span <= pmax:
+                continue
+            cnt = np.bincount(hk - mn, minlength=span)
+            sc = int(cnt.sum())
+            qc = int((cnt * cnt).sum())
+            nf = float(span)
+            mu = float(sc) / nf
+            ss = float(qc) - mu * float(sc)
+            if ss <= 0.0:
+                continue
+            cf = cnt.astype(np.float64)
+            t = np.arange(span, dtype=np.int64)
+            rec = [np.asarray(kuniq)[k[s]], span]
+            for p in periods:
+                ph = 2.0 * np.pi * (t % p).astype(np.float64) / float(p)
+                co, si = np.cos(ph), np.sin(ph)
+                cq = float((cf * co).sum()) - mu * float(co.sum())
+                sq = float((cf * si).sum()) - mu * float(si.sum())
+                rec.append(2.0 * (cq * cq + sq * sq) / (nf * ss))
+            rows.append(tuple(rec))
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(rows, columns=list(cols))
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

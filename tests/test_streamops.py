@@ -2169,3 +2169,75 @@ def test_promo_share_smoke(ray_session):
             == want["promo_rev"].to_numpy()).all()
     assert np.allclose(got["promo_share"].to_numpy(),
                        want["promo_share"].to_numpy(), atol=1e-6)
+
+
+def test_day_streak_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import day_streak
+
+    ev = _events(seed=361, n=3000, nusers=15)
+    got = day_streak(ray.data.from_pandas(ev).repartition(6),
+                     num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        days = np.unique(g["ts"].to_numpy("datetime64[us]")
+                         .view(np.int64) // 86_400_000_000)
+        best = cur = 1
+        for i in range(1, len(days)):
+            cur = cur + 1 if days[i] - days[i - 1] == 1 else 1
+            best = max(best, cur)
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1
+        assert int(row["n_active_days"].iloc[0]) == len(days)
+        assert int(row["max_streak"].iloc[0]) == best, uid
+    # planted: days 0,1,2, 5, 9,10 -> 6 active days, streak 3
+    d = np.array([0, 1, 2, 5, 9, 10], dtype=np.int64)
+    pl = pd.DataFrame({
+        "event_id": np.arange(len(d), dtype=np.int64),
+        "user_id": np.full(len(d), 3, dtype=np.int64),
+        "ts": pd.to_datetime(d * 86_400 * 10**6 + 5, unit="us"
+                             ).astype("datetime64[us]")})
+    out = day_streak(ray.data.from_pandas(pl), num_partitions=2)
+    assert int(out["n_active_days"].iloc[0]) == 6
+    assert int(out["max_streak"].iloc[0]) == 3
+
+
+def test_seasonal_power_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import seasonal_power
+
+    ev = _events(seed=371, n=3000, nusers=15)
+    got = seasonal_power(ray.data.from_pandas(ev).repartition(6),
+                         num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        hb = g["ts"].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        mn, mx = int(hb.min()), int(hb.max())
+        span = mx - mn + 1
+        if span <= 24:
+            assert uid not in got["user_id"].values
+            continue
+        cnt = np.bincount(hb - mn, minlength=span).astype(np.float64)
+        mu = cnt.mean()
+        ss = ((cnt - mu) ** 2).sum()
+        row = got[got["user_id"] == uid]
+        if ss <= 0:
+            assert len(row) == 0
+            continue
+        t = np.arange(span)
+        for p, col in ((24, "r2_24h"), (12, "r2_12h")):
+            ph = 2 * np.pi * (t % p) / p
+            cq = ((cnt - mu) * np.cos(ph)).sum()
+            sq = ((cnt - mu) * np.sin(ph)).sum()
+            want = 2 * (cq * cq + sq * sq) / (span * ss)
+            assert abs(row[col].iloc[0] - want) < 1e-9, (uid, p)
+    # planted pure daily sinusoid over 10 whole days:
+    # r2_24h ~ 1 (one count unit of quantization), r2_12h ~ 0
+    hours = np.arange(240)
+    lam = 5.0 + 4.0 * np.cos(2 * np.pi * (hours % 24) / 24.0)
+    counts = np.rint(lam).astype(np.int64)
+    ts = np.repeat(hours * 3_600 * 10**6, counts)
+    pl = pd.DataFrame({
+        "event_id": np.arange(len(ts), dtype=np.int64),
+        "user_id": np.full(len(ts), 6, dtype=np.int64),
+        "ts": pd.to_datetime(ts, unit="us").astype("datetime64[us]")})
+    out = seasonal_power(ray.data.from_pandas(pl), num_partitions=2)
+    assert out["r2_24h"].iloc[0] > 0.98
+    assert out["r2_12h"].iloc[0] < 0.02
