@@ -8578,7 +8578,100 @@ FROM e WHERE n > 24 AND ss > 0
 """
 
 
+def q_haar_energy(sf_dir):
+    """★-checked per-key Haar wavelet detail energies at levels 1–3
+    on the dense hourly grid (stages/tsmath.py): every quantity an
+    exact integer (pair sums/differences/squares), whole-pair
+    truncation matching the SQL t//2 grouping — no float."""
+    from ..stages.tsmath import haar_energy
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return haar_energy(ev, num_partitions=8)
+
+
+HAAR_SQL = """
+WITH b AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb FROM events),
+r AS (SELECT user_id, min(hb) AS mn, max(hb) AS mx FROM b GROUP BY 1),
+grid AS (SELECT user_id, mn, unnest(generate_series(mn, mx)) AS h
+         FROM r),
+c AS (SELECT user_id, hb, count(*) AS cnt FROM b GROUP BY 1, 2),
+g AS (SELECT grid.user_id, grid.h - grid.mn AS t,
+             coalesce(c.cnt, 0) AS cnt
+      FROM grid LEFT JOIN c
+        ON grid.user_id = c.user_id AND grid.h = c.hb),
+l1 AS (SELECT user_id, t // 2 AS t2,
+              sum(CASE WHEN t % 2 = 0 THEN cnt ELSE -cnt END) AS d,
+              sum(cnt) AS a, count(*) AS m
+       FROM g GROUP BY 1, 2),
+l1f AS (SELECT user_id, t2 AS t, a AS cnt FROM l1 WHERE m = 2),
+l2 AS (SELECT user_id, t // 2 AS t2,
+              sum(CASE WHEN t % 2 = 0 THEN cnt ELSE -cnt END) AS d,
+              sum(cnt) AS a, count(*) AS m
+       FROM l1f GROUP BY 1, 2),
+l2f AS (SELECT user_id, t2 AS t, a AS cnt FROM l2 WHERE m = 2),
+l3 AS (SELECT user_id, t // 2 AS t2,
+              sum(CASE WHEN t % 2 = 0 THEN cnt ELSE -cnt END) AS d,
+              count(*) AS m
+       FROM l2f GROUP BY 1, 2),
+n AS (SELECT user_id, count(*) AS nh FROM g GROUP BY 1),
+e1 AS (SELECT user_id, CAST(sum(d*d) AS BIGINT) AS e1
+       FROM l1 WHERE m = 2 GROUP BY 1),
+e2 AS (SELECT user_id, CAST(sum(d*d) AS BIGINT) AS e2
+       FROM l2 WHERE m = 2 GROUP BY 1),
+e3 AS (SELECT user_id, CAST(sum(d*d) AS BIGINT) AS e3
+       FROM l3 WHERE m = 2 GROUP BY 1)
+SELECT n.user_id, n.nh AS n_hours, e1.e1, e2.e2, e3.e3
+FROM n JOIN e1 USING (user_id) JOIN e2 USING (user_id)
+       JOIN e3 USING (user_id)
+WHERE n.nh >= 8
+"""
+
+
+def q_gumbel_maxima(sf_dir):
+    """★-checked per-key Gumbel moment fit of daily block maxima of
+    hourly counts (stages/tsmath.py): exact integer maxima/moments,
+    mirrored β = s·√6/π and μ = m − γβ closings."""
+    from ..stages.tsmath import gumbel_maxima
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return round6(gumbel_maxima(ev, num_partitions=8))
+
+
+GUMBEL_SQL = """
+WITH b AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb FROM events),
+hc AS (SELECT user_id, hb, count(*) AS cnt FROM b GROUP BY 1, 2),
+dm AS (SELECT user_id, hb // 24 AS day, max(cnt) AS mx
+       FROM hc GROUP BY 1, 2),
+r AS (SELECT user_id, min(hb) // 24 AS dmn, max(hb) // 24 AS dmx
+      FROM b GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(dmn, dmx)) AS day
+         FROM r),
+g AS (SELECT grid.user_id, coalesce(dm.mx, 0) AS mx
+      FROM grid LEFT JOIN dm
+        ON grid.user_id = dm.user_id AND grid.day = dm.day),
+a AS (SELECT user_id, count(*) AS nd, sum(mx) AS sm,
+             sum(mx*mx) AS qm
+      FROM g GROUP BY 1),
+m AS (SELECT *, CAST(sm AS DOUBLE)/CAST(nd AS DOUBLE) AS mean,
+             CAST(qm AS DOUBLE)/CAST(nd AS DOUBLE)
+               - (CAST(sm AS DOUBLE)/CAST(nd AS DOUBLE))
+                 * (CAST(sm AS DOUBLE)/CAST(nd AS DOUBLE)) AS var
+      FROM a)
+SELECT user_id, nd AS n_days,
+       round(mean - 0.5772156649015329
+             * (sqrt(var)*sqrt(6.0)/pi()), 6) AS gum_mu,
+       round(sqrt(var)*sqrt(6.0)/pi(), 6) AS gum_beta
+FROM m WHERE nd >= 2 AND var > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "haar_energy": q_haar_energy,
+    "gumbel_maxima": q_gumbel_maxima,
     "day_streak": q_day_streak,
     "seasonal_power": q_seasonal_power,
     "keyness_terms": q_keyness_terms,
@@ -8759,6 +8852,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "haar_energy": HAAR_SQL,
+    "gumbel_maxima": GUMBEL_SQL,
     "day_streak": DAY_STREAK_SQL,
     "seasonal_power": SEASONAL_POWER_SQL,
     "keyness_terms": KEYNESS_SQL,

@@ -3031,3 +3031,132 @@ def seasonal_power(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def haar_energy(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    levels: int = 3,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key un-normalized Haar wavelet detail energies of the
+    DENSE hourly activity grid: at level ℓ the grid is paired into
+    blocks of 2^ℓ hours, dℓ = (sum of left half) − (sum of right
+    half), Eℓ = Σ dℓ² — the multiscale burst-texture signature
+    (E1 high ⇒ hour-to-hour flicker, E3 high ⇒ 4–8 h session lumps;
+    the wavelet complement of ``seasonal_power``'s single-frequency
+    view).  The grid is truncated to ⌊span/2^ℓ⌋ whole blocks per
+    level, matching the SQL twin's t//2^ℓ grouping.
+
+    Every quantity is an EXACT integer (sums/differences/squares of
+    counts — no float anywhere); the relative energy fractions are
+    left to the caller.  Keys need span ≥ 2^levels hours.  One
+    key-hash exchange; one bincount + vectorized halvings per key."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_hours": pd.Series(dtype="int64")}
+        for lv in range(1, levels + 1):
+            cols[f"e{lv}"] = pd.Series(dtype="int64")
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        hb = df[ts_col].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        order = np.argsort(kc, kind="stable")
+        k, h = kc[order], hb[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        need = 1 << levels
+        rows = []
+        for s, e in zip(starts, ends):
+            hk = h[s:e]
+            mn, mx = int(hk.min()), int(hk.max())
+            span = mx - mn + 1
+            if span < need:
+                continue
+            a = np.bincount(hk - mn, minlength=span)
+            rec = [np.asarray(kuniq)[k[s]], span]
+            for _ in range(levels):
+                m = len(a) // 2
+                left, right = a[:2 * m:2], a[1:2 * m:2]
+                d = left - right
+                rec.append(int((d * d).sum()))
+                a = left + right
+            rows.append(tuple(rec))
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(rows, columns=list(cols))
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def gumbel_maxima(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Gumbel (EV-I) moment fit of DAILY BLOCK MAXIMA of the
+    hourly activity counts: for each UTC day in the dense day range,
+    take the max hourly count (days with no events contribute 0),
+    then fit location/scale by the method of moments —
+        β = s·√6/π,  μ = m − γ·β  (γ = Euler–Mascheroni)
+    — the classical extreme-value capacity-planning fit ("what does a
+    99th-percentile peak hour look like?"; Gumbel 1958).
+
+    Block maxima, Σmax and Σmax² are exact integers (one bincount-max
+    per key over the dense day grid); m, s, β, μ close in mirrored
+    float expressions.  Keys need ≥ 2 days and s > 0.  One key-hash
+    exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_days": pd.Series(dtype="int64"),
+                "gum_mu": pd.Series(dtype="float64"),
+                "gum_beta": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        hb = df[ts_col].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        order = np.argsort(kc, kind="stable")
+        k, h = kc[order], hb[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        rows = []
+        for s, e in zip(starts, ends):
+            hk = h[s:e]
+            dmn, dmx = int(hk.min() // 24), int(hk.max() // 24)
+            nd = dmx - dmn + 1
+            if nd < 2:
+                continue
+            hcnt = np.bincount(hk - dmn * 24,
+                               minlength=nd * 24).astype(np.int64)
+            mx = hcnt[:nd * 24].reshape(nd, 24).max(axis=1)
+            sm = int(mx.sum())
+            qm = int((mx * mx).sum())
+            nf = float(nd)
+            m = float(sm) / nf
+            var = float(qm) / nf - m * m
+            if var <= 0.0:
+                continue
+            sd = np.sqrt(var)
+            beta = sd * np.sqrt(6.0) / np.pi
+            mu = m - 0.5772156649015329 * beta
+            rows.append((np.asarray(kuniq)[k[s]], nd, mu, beta))
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(rows, columns=[key, "n_days", "gum_mu",
+                                           "gum_beta"])
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

@@ -2241,3 +2241,86 @@ def test_seasonal_power_bruteforce(ray_session):
     out = seasonal_power(ray.data.from_pandas(pl), num_partitions=2)
     assert out["r2_24h"].iloc[0] > 0.98
     assert out["r2_12h"].iloc[0] < 0.02
+
+
+def test_haar_energy_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import haar_energy
+
+    ev = _events(seed=381, n=3000, nusers=15)
+    got = haar_energy(ray.data.from_pandas(ev).repartition(6),
+                      num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        hb = g["ts"].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        mn, mx = int(hb.min()), int(hb.max())
+        span = mx - mn + 1
+        row = got[got["user_id"] == uid]
+        if span < 8:
+            assert len(row) == 0
+            continue
+        a = np.bincount(hb - mn, minlength=span)
+        want = []
+        for _ in range(3):
+            m = len(a) // 2
+            d = a[:2 * m:2] - a[1:2 * m:2]
+            want.append(int((d * d).sum()))
+            a = a[:2 * m:2] + a[1:2 * m:2]
+        assert len(row) == 1 and int(row["n_hours"].iloc[0]) == span
+        assert [int(row[f"e{i}"].iloc[0]) for i in (1, 2, 3)] == want
+    # planted: pure hour-to-hour alternation 4,0,4,0,... -> all the
+    # energy at level 1, none deeper (pairs sum to a constant)
+    n = 64
+    cnts = np.where(np.arange(n) % 2 == 0, 4, 0)
+    ts = np.repeat(np.arange(n) * 3_600 * 10**6, cnts)
+    pl = pd.DataFrame({
+        "event_id": np.arange(len(ts), dtype=np.int64),
+        "user_id": np.full(len(ts), 5, dtype=np.int64),
+        "ts": pd.to_datetime(ts, unit="us").astype("datetime64[us]")})
+    out = haar_energy(ray.data.from_pandas(pl), num_partitions=2)
+    # note: the grid only spans hours that contain events (odd hours
+    # at the tail are empty), so span = 63 and the last lone hour of
+    # each level is truncated
+    assert int(out["e1"].iloc[0]) == 31 * 16
+    assert int(out["e2"].iloc[0]) == 0
+    assert int(out["e3"].iloc[0]) == 0
+
+
+def test_gumbel_maxima_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import gumbel_maxima
+
+    ev = _events(seed=391, n=3000, nusers=15)
+    got = gumbel_maxima(ray.data.from_pandas(ev).repartition(6),
+                        num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        hb = g["ts"].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        dmn, dmx = int(hb.min() // 24), int(hb.max() // 24)
+        nd = dmx - dmn + 1
+        hc = np.bincount(hb - dmn * 24, minlength=nd * 24)
+        mx = hc[:nd * 24].reshape(nd, 24).max(axis=1).astype(np.float64)
+        row = got[got["user_id"] == uid]
+        if nd < 2 or mx.var() <= 0:
+            assert len(row) == 0
+            continue
+        beta = mx.std() * np.sqrt(6.0) / np.pi
+        mu = mx.mean() - 0.5772156649015329 * beta
+        assert len(row) == 1 and int(row["n_days"].iloc[0]) == nd
+        assert abs(row["gum_mu"].iloc[0] - mu) < 1e-9, uid
+        assert abs(row["gum_beta"].iloc[0] - beta) < 1e-9, uid
+    # recovery: draw true-Gumbel block maxima, the moment fit must
+    # land near the generating parameters
+    rng = np.random.default_rng(11)
+    nd = 365
+    mx = np.rint(50.0 - 8.0 * np.log(-np.log(rng.uniform(size=nd)))
+                 ).astype(np.int64)
+    ts = []
+    for d, m in enumerate(mx):
+        ts.extend([d * 86_400 * 10**6] * int(m))  # all in hour 0
+    ts = np.asarray(ts, dtype=np.int64)
+    pl = pd.DataFrame({
+        "event_id": np.arange(len(ts), dtype=np.int64),
+        "user_id": np.full(len(ts), 1, dtype=np.int64),
+        "ts": pd.to_datetime(ts, unit="us").astype("datetime64[us]")})
+    out = gumbel_maxima(ray.data.from_pandas(pl), num_partitions=2)
+    assert abs(out["gum_mu"].iloc[0] - 50.0) < 2.0
+    assert abs(out["gum_beta"].iloc[0] - 8.0) < 1.5
