@@ -8669,7 +8669,133 @@ FROM m WHERE nd >= 2 AND var > 0
 """
 
 
+def q_gini_values(sf_dir):
+    """★-checked per-key Gini mean difference (stages/tsmath.py):
+    exact int64 sorted-prefix pairwise-difference numerator, one
+    mirrored division by n(n−1)/2."""
+    from ..stages.tsmath import gini_values
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    return round6(gini_values(ev, num_partitions=8))
+
+
+GINI_VALUES_SQL = """
+WITH b AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY
+                            CAST(round(value*100) AS BIGINT)) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+a AS (SELECT user_id, max(n) AS n,
+             CAST(sum((2*rn - n - 1) * x) AS BIGINT) AS num
+      FROM b GROUP BY 1)
+SELECT user_id, n,
+       round(CAST(num AS DOUBLE)
+             / (CAST(n AS DOUBLE)*CAST(n-1 AS DOUBLE)/2.0), 6) AS gmd
+FROM a WHERE n >= 2
+"""
+
+
+def q_quartile_cv(sf_dir):
+    """★-checked per-key exact type-1 quartiles: IQR (int) and the
+    coefficient of quartile variation (stages/tsmath.py)."""
+    from ..stages.tsmath import quartile_cv
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    return round6(quartile_cv(ev, num_partitions=8))
+
+
+QUARTILE_CV_SQL = """
+WITH b AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY
+                            CAST(round(value*100) AS BIGINT)) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+q AS (SELECT user_id, max(n) AS n,
+             max(CASE WHEN rn = (n+3)//4 THEN x END) AS q1,
+             max(CASE WHEN rn = (3*n+3)//4 THEN x END) AS q3
+      FROM b GROUP BY 1)
+SELECT user_id, n, q3 - q1 AS iqr,
+       round(CASE WHEN q3 + q1 <> 0
+                  THEN CAST(q3 - q1 AS DOUBLE)
+                       / CAST(q3 + q1 AS DOUBLE) END, 6) AS cqv
+FROM q WHERE n >= 4
+"""
+
+
+def q_daily_profile_drift(sf_dir):
+    """★-checked per-key daily-rhythm KL drift (stages/tsmath.py):
+    exact int64 key/day/hour cells, mirrored per-day KL terms and
+    max/mean closings."""
+    from ..stages.tsmath import daily_profile_drift
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return round6(daily_profile_drift(ev, num_partitions=8))
+
+
+DAILY_PROFILE_DRIFT_SQL = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         (epoch_us(ts) // 3600000000) % 24 AS hod
+  FROM events),
+cdh AS (SELECT user_id, day, hod, count(*) AS c FROM b GROUP BY 1,2,3),
+cd AS (SELECT user_id, day, sum(c) AS cday FROM cdh GROUP BY 1, 2),
+ckh AS (SELECT user_id, hod, count(*) AS ch FROM b GROUP BY 1, 2),
+ck AS (SELECT user_id, count(*) AS ctot FROM b GROUP BY 1),
+t AS (SELECT cdh.user_id, cdh.day,
+             (CAST(cdh.c AS DOUBLE)/CAST(cd.cday AS DOUBLE))
+             * ln((CAST(cdh.c AS DOUBLE)/CAST(cd.cday AS DOUBLE))
+                  / (CAST(ckh.ch AS DOUBLE)
+                     /CAST(ck.ctot AS DOUBLE))) AS term
+      FROM cdh JOIN cd USING (user_id, day)
+               JOIN ckh USING (user_id, hod)
+               JOIN ck USING (user_id)),
+kl AS (SELECT user_id, day, sum(term) AS kl FROM t GROUP BY 1, 2),
+a AS (SELECT user_id, count(*) AS n_days, max(kl) AS max_kl,
+             sum(kl) AS skl
+      FROM kl GROUP BY 1)
+SELECT user_id, n_days, round(max_kl, 6) AS max_kl,
+       round(skl / CAST(n_days AS DOUBLE), 6) AS mean_kl
+FROM a WHERE n_days >= 2
+"""
+
+
+def q_theil_index(sf_dir):
+    """★-checked corpus Theil T inequality of per-user event counts
+    (stages/analytics.py): exact int totals + one distributed
+    Σc·ln(c) partial, mirrored T = S₁/C − ln(C/U)."""
+    from ..stages.analytics import theil_index
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    return round6(theil_index(ev, num_partitions=8))
+
+
+THEIL_SQL = """
+WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+a AS (SELECT count(*) AS u, CAST(sum(c) AS BIGINT) AS ctot,
+             sum(CAST(c AS DOUBLE)*ln(CAST(c AS DOUBLE))) AS s1
+      FROM c)
+SELECT u AS n_users, ctot AS total,
+       round(s1 / CAST(ctot AS DOUBLE)
+             - ln(CAST(ctot AS DOUBLE)/CAST(u AS DOUBLE)), 6) AS theil
+FROM a WHERE u > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "gini_values": q_gini_values,
+    "quartile_cv": q_quartile_cv,
+    "daily_profile_drift": q_daily_profile_drift,
+    "theil_index": q_theil_index,
     "haar_energy": q_haar_energy,
     "gumbel_maxima": q_gumbel_maxima,
     "day_streak": q_day_streak,
@@ -8852,6 +8978,10 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "gini_values": GINI_VALUES_SQL,
+    "quartile_cv": QUARTILE_CV_SQL,
+    "daily_profile_drift": DAILY_PROFILE_DRIFT_SQL,
+    "theil_index": THEIL_SQL,
     "haar_energy": HAAR_SQL,
     "gumbel_maxima": GUMBEL_SQL,
     "day_streak": DAY_STREAK_SQL,

@@ -1912,3 +1912,43 @@ def markov_entropy_rate(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def theil_index(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Corpus-level Theil T inequality index of per-key event counts,
+    T = Σ_u (c_u/C)·ln(c_u/μ) with μ = C/U — the entropy-based twin
+    of ``gini_activity`` (0 for perfectly even traffic, ln U when one
+    key owns everything; decomposable across groups, which Gini is
+    not).  Computed via the identity T = (Σ c_u ln c_u)/C − ln(C/U)
+    so the distributed pass only needs per-partition partials of the
+    EXACT int totals (C, U) and the float Σ c_u ln c_u (each c_u is
+    exact after the key exchange; the cross-partition float add is
+    round-6 robust).  One key-hash exchange reducing to one row per
+    partition; single-row output."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64"),
+                                 "s1": pd.Series(dtype="float64")})
+        cnt = df.groupby(key, sort=False).size().to_numpy(np.int64)
+        cf = cnt.astype(np.float64)
+        return pd.DataFrame({"u": [len(cnt)], "c": [int(cnt.sum())],
+                             "s1": [float((cf * np.log(cf)).sum())]})
+
+    parts = group_apply(ds, partial, num_partitions=num_partitions,
+                        key=key).to_pandas()
+    u = int(parts["u"].sum())
+    c = int(parts["c"].sum())
+    if u == 0 or c == 0:
+        return pd.DataFrame({"n_users": pd.Series(dtype="int64"),
+                             "total": pd.Series(dtype="int64"),
+                             "theil": pd.Series(dtype="float64")})
+    s1 = float(parts["s1"].sum())
+    cf, uf = float(c), float(u)
+    return pd.DataFrame({"n_users": [u], "total": [c],
+                         "theil": [s1 / cf - np.log(cf / uf)]})

@@ -3160,3 +3160,168 @@ def gumbel_maxima(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def gini_values(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Gini mean difference of the value distribution,
+    GMD = mean over all pairs of |x_i − x_j| — the robust scale
+    statistic that (unlike the Gini coefficient) is well-defined for
+    signed values.  Computed exactly via the sorted-prefix identity
+    Σ_{i<j}(x₍ⱼ₎ − x₍ᵢ₎) = Σ_i (2i − n − 1)·x₍ᵢ₎ (1-indexed ascending
+    order; tie-invariant because a tie block's coefficients sum to a
+    constant): the numerator is an EXACT int64 and GMD closes in one
+    mirrored division by n(n−1)/2.  O(n log n) vs the oracle's
+    identical rank-window sum.  Keys need n ≥ 2.  Int64 bound:
+    |num| ≤ n²·max|x| — fine to ~10⁷ rows/key at |v| ≤ 10⁴.
+    One key-hash exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "gmd": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        x = _quantize(df[val_col].to_numpy())
+        perm = np.lexsort((x, kc))
+        k, xs = kc[perm], x[perm]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        pos = np.arange(len(k), dtype=np.int64) \
+            - np.repeat(starts, n) + 1          # 1-indexed in-key rank
+        coef = 2 * pos - np.repeat(n, n) - 1
+        num = np.add.reduceat(coef * xs, starts)
+        nf = n.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            gmd = num.astype(np.float64) / (nf * (nf - 1.0) / 2.0)
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]],
+                            "n": n, "gmd": gmd})
+        return res[res["n"] >= 2]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def quartile_cv(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key robust quartile spread from EXACT type-1 order
+    statistics: Q1 = x₍⌈n/4⌉₎, Q3 = x₍⌈3n/4⌉₎ (1-indexed ascending,
+    tie-invariant by value), IQR = Q3 − Q1 and the coefficient of
+    quartile variation CQV = (Q3 − Q1)/(Q3 + Q1) — the outlier-immune
+    complement of the mean/std spread features.
+
+    Quartile ranks use integer ceilings ((n+3)//4, (3n+3)//4), the
+    order statistics are exact int64 values, and only the final CQV
+    ratio is float (NULL when Q3 + Q1 = 0).  Keys need n ≥ 4.
+    One key-hash exchange; one lexsort, no per-key loop."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "iqr": pd.Series(dtype="int64"),
+                "cqv": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        x = _quantize(df[val_col].to_numpy())
+        perm = np.lexsort((x, kc))
+        k, xs = kc[perm], x[perm]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        q1 = xs[starts + (n + 3) // 4 - 1]
+        q3 = xs[starts + (3 * n + 3) // 4 - 1]
+        iqr = q3 - q1
+        den = (q3 + q1).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cqv = np.where(den != 0.0,
+                           iqr.astype(np.float64) / den, np.nan)
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]],
+                            "n": n, "iqr": iqr, "cqv": cqv})
+        return res[res["n"] >= 4]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def daily_profile_drift(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key daily-rhythm drift: for each ACTIVE day, the KL
+    divergence of that day's hour-of-day distribution from the key's
+    OVERALL hour-of-day profile, KL_d = Σ_h (c_dh/c_d)·
+    ln((c_dh/c_d)/(C_h/C)) over hours with c_dh > 0 (C_h > 0 is then
+    guaranteed — the day is a subset), reporting the worst and mean
+    day — the "did this conversation/user break their own routine?"
+    anomaly gate (routine-break days score high).
+
+    All counts are exact int64 (one fused key×day×hour bincount
+    per partition); each KL term and the max/mean closings are
+    mirrored float expressions (log terms sit far from round-6
+    boundaries).  Keys need ≥ 2 active days.  One key-hash
+    exchange; no per-key Python loop."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_days": pd.Series(dtype="int64"),
+                "max_kl": pd.Series(dtype="float64"),
+                "mean_kl": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        hb = df[ts_col].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        day = hb // 24
+        hod = (hb % 24).astype(np.int64)
+        dcode, _ = pd.factorize(
+            kc.astype(np.int64) * (1 << 32) + (day - day.min()))
+        nk, ndc = len(kuniq), dcode.max() + 1
+        # per (key, hour) overall profile and per-(key,day,hour) cells
+        ckh = np.bincount(kc * 24 + hod, minlength=nk * 24)
+        ck = np.bincount(kc, minlength=nk).astype(np.int64)
+        cdh = np.bincount(dcode * 24 + hod, minlength=ndc * 24)
+        cd = np.bincount(dcode, minlength=ndc).astype(np.int64)
+        dk = np.zeros(ndc, np.int64)       # key index of each day code
+        dk[dcode] = kc
+        nz = np.flatnonzero(cdh)
+        di = nz // 24
+        hh = nz % 24
+        p = cdh[nz].astype(np.float64) / cd[di].astype(np.float64)
+        q = ckh[dk[di] * 24 + hh].astype(np.float64) \
+            / ck[dk[di]].astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            kl = np.bincount(di, weights=p * np.log(p / q),
+                             minlength=ndc)
+        ndays = np.bincount(dk, minlength=nk).astype(np.int64)
+        mx = np.full(nk, -np.inf)
+        np.maximum.at(mx, dk, kl)
+        sm = np.bincount(dk, weights=kl, minlength=nk)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = sm / ndays.astype(np.float64)
+        res = pd.DataFrame({key: np.asarray(kuniq),
+                            "n_days": ndays, "max_kl": mx,
+                            "mean_kl": mean})
+        return res[res["n_days"] >= 2]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

@@ -579,3 +579,22 @@ def test_welch_ttest_bruteforce(ray_session):
         assert abs(row["df_w"].iloc[0] - dfw) < 1e-7, uid
     # same uniform distribution on both sides: |t| mostly small
     assert (got["t_stat"].abs() < 3).mean() > 0.8
+
+
+def test_theil_index_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import theil_index
+
+    ev = _events(seed=431, n=4000, nusers=40)
+    got = theil_index(ray.data.from_pandas(ev).repartition(6),
+                      num_partitions=4)
+    c = ev.groupby("user_id").size().to_numpy(np.float64)
+    mu = c.mean()
+    want = ((c / c.sum()) * np.log(c / mu)).sum()
+    assert len(got) == 1
+    assert int(got["n_users"].iloc[0]) == len(c)
+    assert int(got["total"].iloc[0]) == int(c.sum())
+    assert abs(got["theil"].iloc[0] - want) < 1e-9
+    # perfectly even traffic: T = 0
+    even = pd.DataFrame({"user_id": np.repeat(np.arange(10), 7)})
+    out = theil_index(ray.data.from_pandas(even), num_partitions=2)
+    assert abs(out["theil"].iloc[0]) < 1e-12

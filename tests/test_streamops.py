@@ -2324,3 +2324,97 @@ def test_gumbel_maxima_bruteforce(ray_session):
     out = gumbel_maxima(ray.data.from_pandas(pl), num_partitions=2)
     assert abs(out["gum_mu"].iloc[0] - 50.0) < 2.0
     assert abs(out["gum_beta"].iloc[0] - 8.0) < 1.5
+
+
+def test_gini_values_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import gini_values
+
+    ev = _valued(seed=401, n=1200, nusers=10)
+    got = gini_values(ray.data.from_pandas(ev).repartition(5),
+                      num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(x)
+        want = (np.abs(x[:, None] - x[None, :]).sum() / 2
+                / (n * (n - 1) / 2))
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n"].iloc[0]) == n
+        assert abs(row["gmd"].iloc[0] - want) < 1e-9, uid
+    # two-point distribution {0, 10}: GMD = 2*p*(1-p)*n^2/(n(n-1))*10
+    x = np.r_[np.zeros(30), np.full(10, 10.0)]
+    pl = pd.DataFrame({
+        "event_id": np.arange(40, dtype=np.int64),
+        "user_id": np.full(40, 1, dtype=np.int64),
+        "value": x})
+    out = gini_values(ray.data.from_pandas(pl), num_partitions=2)
+    want = 30 * 10 * 1000 / (40 * 39 / 2)  # pairs across the groups
+    assert abs(out["gmd"].iloc[0] - want) < 1e-9
+
+
+def test_quartile_cv_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import quartile_cv
+
+    ev = _valued(seed=411, n=1500, nusers=12)
+    got = quartile_cv(ray.data.from_pandas(ev).repartition(5),
+                      num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        x = np.sort(np.rint(g["value"].to_numpy() * 100)
+                    .astype(np.int64))
+        n = len(x)
+        q1 = x[(n + 3) // 4 - 1]
+        q3 = x[(3 * n + 3) // 4 - 1]
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["iqr"].iloc[0]) == q3 - q1
+        if q3 + q1 != 0:
+            assert abs(row["cqv"].iloc[0] - (q3 - q1) / (q3 + q1)) \
+                < 1e-12, uid
+    # known order stats: values 1..8 -> Q1 = x_(2) = 2, Q3 = x_(6) = 6
+    pl = pd.DataFrame({
+        "event_id": np.arange(8, dtype=np.int64),
+        "user_id": np.full(8, 2, dtype=np.int64),
+        "value": np.arange(1, 9, dtype=np.float64)})
+    out = quartile_cv(ray.data.from_pandas(pl), num_partitions=2)
+    assert int(out["iqr"].iloc[0]) == 400
+    assert abs(out["cqv"].iloc[0] - 400 / 800) < 1e-12
+
+
+def test_daily_profile_drift_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import daily_profile_drift
+
+    ev = _events(seed=421, n=3000, nusers=15)
+    got = daily_profile_drift(ray.data.from_pandas(ev).repartition(6),
+                              num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        hb = g["ts"].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        day, hod = hb // 24, hb % 24
+        prof = np.bincount(hod, minlength=24).astype(np.float64)
+        tot = prof.sum()
+        kls = []
+        for d in np.unique(day):
+            c = np.bincount(hod[day == d], minlength=24
+                            ).astype(np.float64)
+            cd = c.sum()
+            m = c > 0
+            kls.append(((c[m] / cd)
+                        * np.log((c[m] / cd) / (prof[m] / tot))).sum())
+        row = got[got["user_id"] == uid]
+        if len(kls) < 2:
+            assert len(row) == 0
+            continue
+        assert len(row) == 1 and int(row["n_days"].iloc[0]) == len(kls)
+        assert abs(row["max_kl"].iloc[0] - max(kls)) < 1e-9, uid
+        assert abs(row["mean_kl"].iloc[0] - np.mean(kls)) < 1e-9, uid
+    # planted routine break: 9 days at hour 9, one day at hour 21 —
+    # the odd day must dominate max_kl
+    days = np.r_[np.arange(9), [9]]
+    hours = np.r_[np.full(9, 9), [21]]
+    ts = (days * 24 + hours) * 3_600 * 10**6
+    pl = pd.DataFrame({
+        "event_id": np.arange(10, dtype=np.int64),
+        "user_id": np.full(10, 4, dtype=np.int64),
+        "ts": pd.to_datetime(ts, unit="us").astype("datetime64[us]")})
+    out = daily_profile_drift(ray.data.from_pandas(pl),
+                              num_partitions=2)
+    # odd day: KL = ln(1/(1/10)) = ln 10; routine days: ln(10/9)
+    assert abs(out["max_kl"].iloc[0] - np.log(10.0)) < 1e-12
