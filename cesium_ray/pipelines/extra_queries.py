@@ -8791,7 +8791,87 @@ FROM a WHERE u > 0
 """
 
 
+def q_count_acf(sf_dir):
+    """★-checked per-key activity autocorrelation at lags 1/24 on
+    the dense hourly grid (stages/tsmath.py): exact int64 lag-product
+    sums, the acf_lags mirrored closing."""
+    from ..stages.tsmath import count_acf
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return round6(count_acf(ev, num_partitions=8))
+
+
+COUNT_ACF_SQL = """
+WITH b AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb FROM events),
+r AS (SELECT user_id, min(hb) AS mn, max(hb) AS mx FROM b GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS h FROM r),
+c AS (SELECT user_id, hb, count(*) AS cnt FROM b GROUP BY 1, 2),
+g AS (SELECT grid.user_id, grid.h, coalesce(c.cnt, 0) AS cnt
+      FROM grid LEFT JOIN c
+        ON grid.user_id = c.user_id AND grid.h = c.hb),
+w AS (SELECT user_id, cnt,
+             lag(cnt, 1) OVER ww AS c1, lag(cnt, 24) OVER ww AS c24
+      FROM g WINDOW ww AS (PARTITION BY user_id ORDER BY h)),
+a AS (SELECT user_id, count(*) AS n, sum(cnt) AS sc,
+             sum(cnt*cnt) AS qc,
+             sum(cnt*c1) AS sxy1, sum(c1) AS sh1,
+             sum(cnt) FILTER (c1 IS NOT NULL) AS st1,
+             sum(cnt*c24) AS sxy24, sum(c24) AS sh24,
+             sum(cnt) FILTER (c24 IS NOT NULL) AS st24
+      FROM w GROUP BY 1),
+m AS (SELECT *, CAST(sc AS DOUBLE)/CAST(n AS DOUBLE) AS mu FROM a),
+e AS (SELECT *, CAST(qc AS DOUBLE) - mu*CAST(sc AS DOUBLE) AS den
+      FROM m)
+SELECT user_id, n AS n_hours,
+       round((CAST(sxy1 AS DOUBLE) - mu*CAST(st1 AS DOUBLE)
+              - mu*CAST(sh1 AS DOUBLE)
+              + CAST(n-1 AS DOUBLE)*mu*mu)/den, 6) AS cacf1,
+       round((CAST(sxy24 AS DOUBLE) - mu*CAST(st24 AS DOUBLE)
+              - mu*CAST(sh24 AS DOUBLE)
+              + CAST(n-24 AS DOUBLE)*mu*mu)/den, 6) AS cacf24
+FROM e WHERE n > 24 AND den <> 0
+"""
+
+
+def q_circadian_phase(sf_dir):
+    """★-checked per-key circular time-of-day statistics
+    (stages/tsmath.py): exact µs time-of-day remainders, mirrored
+    quadrature/resultant/atan2-phase closings, R̄ > 0.01 phase gate
+    identical on both sides."""
+    from ..stages.tsmath import circadian_phase
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return round6(circadian_phase(ev, num_partitions=8))
+
+
+CIRCADIAN_SQL = """
+WITH b AS (
+  SELECT user_id,
+         2.0*pi()*CAST(epoch_us(ts) % 86400000000 AS DOUBLE)
+           / 86400000000.0 AS ang
+  FROM events),
+a AS (SELECT user_id, count(*) AS n, sum(cos(ang)) AS cs,
+             sum(sin(ang)) AS sn
+      FROM b GROUP BY 1),
+m AS (SELECT user_id, n,
+             sqrt(cs*cs + sn*sn)/CAST(n AS DOUBLE) AS r,
+             atan2(sn, cs)*(24.0/(2.0*pi())) AS ph
+      FROM a)
+SELECT user_id, n, round(r, 6) AS resultant,
+       round(CASE WHEN r > 0.01
+                  THEN CASE WHEN ph < 0.0 THEN ph + 24.0 ELSE ph END
+             END, 6) AS mean_hour
+FROM m WHERE n >= 1
+"""
+
+
 EXTRA_QUERIES = {
+    "count_acf": q_count_acf,
+    "circadian_phase": q_circadian_phase,
     "gini_values": q_gini_values,
     "quartile_cv": q_quartile_cv,
     "daily_profile_drift": q_daily_profile_drift,
@@ -8978,6 +9058,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "count_acf": COUNT_ACF_SQL,
+    "circadian_phase": CIRCADIAN_SQL,
     "gini_values": GINI_VALUES_SQL,
     "quartile_cv": QUARTILE_CV_SQL,
     "daily_profile_drift": DAILY_PROFILE_DRIFT_SQL,

@@ -3325,3 +3325,124 @@ def daily_profile_drift(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def count_acf(
+    ds: ray.data.Dataset,
+    lags: tuple = (1, 24),
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key autocorrelation of the DENSE hourly ACTIVITY series at
+    the given lags (defaults 1 and 24): acf_L = Σ(c_t−μ)(c_{t−L}−μ) /
+    Σ(c_t−μ)² over the zero-filled hourly count grid — the shift-based
+    rhythm detector (acf₂₄ high ⇒ same-hour-tomorrow activity repeats)
+    complementing the phase-coherent ``seasonal_power`` and the
+    value-stream ``acf_lags``.
+
+    All sufficient statistics (Σc, Σc², lag products, masked
+    head/tail sums) are exact int64 over the bincount grid; each acf
+    closes in the acf_lags mirrored float expression.  Keys need
+    span > max(lag) and nonzero variance.  One key-hash exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_hours": pd.Series(dtype="int64")}
+        for lg in lags:
+            cols[f"cacf{lg}"] = pd.Series(dtype="float64")
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        hb = df[ts_col].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        order = np.argsort(kc, kind="stable")
+        k, h = kc[order], hb[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        lmax = max(lags)
+        rows = []
+        for s, e in zip(starts, ends):
+            hk = h[s:e]
+            mn, mx = int(hk.min()), int(hk.max())
+            span = mx - mn + 1
+            if span <= lmax:
+                continue
+            c = np.bincount(hk - mn, minlength=span).astype(np.int64)
+            sc = int(c.sum())
+            qc = int((c * c).sum())
+            nf = float(span)
+            mu = float(sc) / nf
+            den = float(qc) - mu * float(sc)
+            if den == 0.0:
+                continue
+            rec = [np.asarray(kuniq)[k[s]], span]
+            for lg in lags:
+                sxy = int((c[lg:] * c[:-lg]).sum())
+                sh = int(c[:-lg].sum())
+                st = int(c[lg:].sum())
+                nl = float(span - lg)
+                rec.append((float(sxy) - mu * float(st)
+                            - mu * float(sh) + nl * mu * mu) / den)
+            rows.append(tuple(rec))
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(rows, columns=list(cols))
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def circadian_phase(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key circular statistics of event time-of-day on the 24 h
+    circle (Fisher 1993): with angles θ = 2π·tod/86400 s, the
+    resultant length R̄ = √(C² + S²)/n (1 = all events at one moment,
+    0 = uniform around the clock) and the mean phase hour
+    atan2(S, C)·24/2π mapped to [0, 24) — the principled "when does
+    this user live?" statistic (unlike the argmax hour, it averages
+    correctly across midnight).
+
+    Time-of-day is the exact integer µs remainder; the quadrature
+    sums, R̄, and atan2 phase close in mirrored float expressions.
+    The phase is reported only when R̄ > 0.01 (NULL otherwise on both
+    sides — near-uniform keys have no meaningful phase and atan2
+    would amplify last-ulp noise).  One key-hash exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "resultant": pd.Series(dtype="float64"),
+                "mean_hour": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        tod = df[ts_col].to_numpy("datetime64[us]").view(np.int64) \
+            % 86_400_000_000
+        ang = 2.0 * np.pi * tod.astype(np.float64) / 86_400_000_000.0
+        nk = len(kuniq)
+        n = np.bincount(kc, minlength=nk).astype(np.int64)
+        cs = np.bincount(kc, weights=np.cos(ang), minlength=nk)
+        sn = np.bincount(kc, weights=np.sin(ang), minlength=nk)
+        nf = n.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.sqrt(cs * cs + sn * sn) / nf
+            ph = np.arctan2(sn, cs) * (24.0 / (2.0 * np.pi))
+            ph = np.where(ph < 0.0, ph + 24.0, ph)
+            ph = np.where(r > 0.01, ph, np.nan)
+        res = pd.DataFrame({key: np.asarray(kuniq), "n": n,
+                            "resultant": r, "mean_hour": ph})
+        return res[res["n"] >= 1]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

@@ -2418,3 +2418,78 @@ def test_daily_profile_drift_bruteforce(ray_session):
                               num_partitions=2)
     # odd day: KL = ln(1/(1/10)) = ln 10; routine days: ln(10/9)
     assert abs(out["max_kl"].iloc[0] - np.log(10.0)) < 1e-12
+
+
+def test_count_acf_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import count_acf
+
+    ev = _events(seed=441, n=3000, nusers=15)
+    got = count_acf(ray.data.from_pandas(ev).repartition(6),
+                    num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        hb = g["ts"].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        mn, mx = int(hb.min()), int(hb.max())
+        span = mx - mn + 1
+        row = got[got["user_id"] == uid]
+        if span <= 24:
+            assert len(row) == 0
+            continue
+        c = np.bincount(hb - mn, minlength=span).astype(np.float64)
+        mu = c.mean()
+        den = ((c - mu) ** 2).sum()
+        if den == 0:
+            assert len(row) == 0
+            continue
+        assert len(row) == 1 and int(row["n_hours"].iloc[0]) == span
+        for lg, col in ((1, "cacf1"), (24, "cacf24")):
+            want = ((c[lg:] - mu) * (c[:-lg] - mu)).sum() / den
+            assert abs(row[col].iloc[0] - want) < 1e-9, (uid, lg)
+    # planted perfect 24h repetition: cacf24 near 1, cacf1 low
+    hours = np.arange(24 * 12)
+    counts = np.where(hours % 24 == 9, 5, np.where(hours % 24 == 15,
+                                                   3, 0))
+    ts = np.repeat(hours * 3_600 * 10**6, counts)
+    pl = pd.DataFrame({
+        "event_id": np.arange(len(ts), dtype=np.int64),
+        "user_id": np.full(len(ts), 2, dtype=np.int64),
+        "ts": pd.to_datetime(ts, unit="us").astype("datetime64[us]")})
+    out = count_acf(ray.data.from_pandas(pl), num_partitions=2)
+    assert out["cacf24"].iloc[0] > 0.9
+    assert out["cacf1"].iloc[0] < 0.3
+
+
+def test_circadian_phase_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import circadian_phase
+
+    ev = _events(seed=451, n=2500, nusers=15)
+    got = circadian_phase(ray.data.from_pandas(ev).repartition(6),
+                          num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        tod = g["ts"].to_numpy("datetime64[us]").view(np.int64) \
+            % 86_400_000_000
+        ang = 2 * np.pi * tod / 86_400_000_000
+        cs, sn = np.cos(ang).sum(), np.sin(ang).sum()
+        n = len(ang)
+        r = np.sqrt(cs * cs + sn * sn) / n
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n"].iloc[0]) == n
+        assert abs(row["resultant"].iloc[0] - r) < 1e-9, uid
+        if r > 0.01:
+            ph = np.arctan2(sn, cs) * 24 / (2 * np.pi)
+            if ph < 0:
+                ph += 24
+            assert abs(row["mean_hour"].iloc[0] - ph) < 1e-9, uid
+    # planted: events at 23:00 and 01:00 average to midnight (0h),
+    # NOT to the arithmetic mean 12h — the circular-mean acid test
+    ts = np.array([23 * 3600, 25 * 3600, 23 * 3600 + 86400,
+                   25 * 3600 + 86400], dtype=np.int64) * 10**6
+    pl = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "user_id": np.full(4, 3, dtype=np.int64),
+        "ts": pd.to_datetime(ts, unit="us").astype("datetime64[us]")})
+    out = circadian_phase(ray.data.from_pandas(pl), num_partitions=2)
+    mh = out["mean_hour"].iloc[0]
+    assert min(mh, 24 - mh) < 1e-6
+    assert abs(out["resultant"].iloc[0]
+               - np.cos(2 * np.pi * 3600 / 86400)) < 1e-9
