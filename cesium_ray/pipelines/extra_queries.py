@@ -8869,7 +8869,45 @@ FROM m WHERE n >= 1
 """
 
 
+def q_class_separation(sf_dir):
+    """★-checked per-label embedding separation diagnostics
+    (stages/ann.py): constant-size per-block moment partials, exact
+    float32→float64 widening, mirrored WSS/centroid closings."""
+    from ..stages.ann import class_separation
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return round6(class_separation(emb))
+
+
+CLASS_SEPARATION_SQL = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+u AS (SELECT label, generate_subscripts(v, 1) AS d, unnest(v) AS x
+      FROM e),
+nc AS (SELECT label, count(*) AS n FROM e GROUP BY 1),
+qq AS (SELECT label, sum(x*x) AS q FROM u GROUP BY 1),
+pc AS (SELECT label, d, sum(x) AS s FROM u GROUP BY 1, 2),
+gl AS (SELECT d, sum(s) AS gs FROM pc GROUP BY 1),
+gn AS (SELECT CAST(sum(n) AS DOUBLE) AS g FROM nc),
+ssn AS (SELECT label, sum(s*s) AS ssn FROM pc GROUP BY 1),
+dist AS (SELECT pc.label,
+                sum((pc.s/CAST(nc.n AS DOUBLE) - gl.gs/gn.g)
+                    * (pc.s/CAST(nc.n AS DOUBLE) - gl.gs/gn.g)) AS dd
+         FROM pc JOIN nc USING (label) JOIN gl USING (d), gn
+         GROUP BY 1)
+SELECT CAST(nc.label AS BIGINT) AS label, nc.n,
+       round(qq.q - ssn.ssn/CAST(nc.n AS DOUBLE), 6) AS wss,
+       round(sqrt(ssn.ssn)/CAST(nc.n AS DOUBLE), 6) AS mu_norm,
+       round(sqrt(dist.dd), 6) AS dist_global
+FROM nc JOIN qq USING (label) JOIN ssn USING (label)
+        JOIN dist USING (label)
+"""
+
+
 EXTRA_QUERIES = {
+    "class_separation": q_class_separation,
     "count_acf": q_count_acf,
     "circadian_phase": q_circadian_phase,
     "gini_values": q_gini_values,
@@ -9058,6 +9096,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "class_separation": CLASS_SEPARATION_SQL,
     "count_acf": COUNT_ACF_SQL,
     "circadian_phase": CIRCADIAN_SQL,
     "gini_values": GINI_VALUES_SQL,

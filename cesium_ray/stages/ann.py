@@ -568,3 +568,75 @@ def mmr_rerank(
         sel.append(best[2])
     return pd.DataFrame(rows, columns=["rank", id_col, "rel",
                                        "mmr_score"])
+
+
+def class_separation(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Per-class embedding-space separation diagnostics: for each
+    label c with n_c vectors, the within-class sum of squares
+    WSS_c = Σ‖x‖² − ‖Σx‖²/n_c, the centroid norm ‖μ_c‖ and the
+    centroid's distance to the GLOBAL centroid ‖μ_c − μ‖ — the
+    building blocks of Calinski–Harabasz / Fisher separation scores,
+    used as the embedding-quality gate after training-data curation
+    (labels collapsing onto the global centroid, or WSS ≫ between-
+    class distances, flag a useless embedding column).
+
+    Distributed shape: one ``map_batches`` reduces each block to
+    ≤ |labels| partial rows (n, Σ‖x‖², per-dim Σx) — a constant-size
+    cell independent of block size — combined on the driver (the
+    label alphabet is broadcast-small by assumption).  float32 →
+    float64 widening is exact on both sides; the moment sums and
+    closings are mirrored float expressions (round-6 robust)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({label_col: pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "q": pd.Series(dtype="float64"),
+                                 "svec": pd.Series(dtype=object)})
+        lab, uniq = pd.factorize(df[label_col])
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df[vec_col]])
+        nk = len(uniq)
+        n = np.bincount(lab, minlength=nk).astype(np.int64)
+        q = np.bincount(lab, weights=(m * m).sum(axis=1),
+                        minlength=nk)
+        svec = np.zeros((nk, m.shape[1]))
+        np.add.at(svec, lab, m)
+        return pd.DataFrame({
+            label_col: np.asarray(uniq, dtype=np.int64),
+            "n": n, "q": q, "svec": [row for row in svec]})
+
+    parts = ds.select_columns([label_col, vec_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {label_col: pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "wss": pd.Series(dtype="float64"),
+            "mu_norm": pd.Series(dtype="float64"),
+            "dist_global": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    agg = {}
+    for _, r in parts.iterrows():
+        lb = int(r[label_col])
+        if lb not in agg:
+            agg[lb] = [0, 0.0, np.zeros(len(r["svec"]))]
+        agg[lb][0] += int(r["n"])
+        agg[lb][1] += float(r["q"])
+        agg[lb][2] = agg[lb][2] + np.asarray(r["svec"])
+    gvec = np.sum([v[2] for v in agg.values()], axis=0)
+    gn = float(sum(v[0] for v in agg.values()))
+    rows = []
+    for lb in sorted(agg):
+        n, q, svec = agg[lb]
+        nf = float(n)
+        ssn = float((svec * svec).sum())
+        wss = q - ssn / nf
+        mu_norm = np.sqrt(ssn) / nf
+        dvec = svec / nf - gvec / gn
+        dist = np.sqrt(float((dvec * dvec).sum()))
+        rows.append((lb, n, wss, mu_norm, dist))
+    return pd.DataFrame(rows, columns=list(cols))

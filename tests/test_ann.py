@@ -198,3 +198,47 @@ def test_mmr_rerank_properties(ray_session):
         j = int(np.argmax(scores))  # ties: lowest index = lowest id order
         assert out.iloc[step]["vec_id"] == cand[j]
         sel.append(j)
+
+
+def test_class_separation_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from cesium_ray.stages.ann import class_separation
+
+    rng = np.random.default_rng(61)
+    # three well-separated gaussian blobs + one wide blob
+    centers = {0: (5.0, 0.3), 1: (-5.0, 0.3), 2: (0.0, 3.0)}
+    rows = []
+    for lb, (mu, sd) in centers.items():
+        for _ in range(40):
+            rows.append((lb, (mu + sd * rng.standard_normal(8)
+                              ).astype(np.float32)))
+    df = pd.DataFrame({"label": np.asarray([r[0] for r in rows],
+                                           dtype=np.int32),
+                       "embedding": [r[1] for r in rows]})
+    got = class_separation(ray.data.from_pandas(df).repartition(5))
+    assert got["label"].tolist() == [0, 1, 2]
+    for lb, (mu, sd) in centers.items():
+        m = np.stack([r[1].astype(np.float64) for r in rows
+                      if r[0] == lb])
+        cen = m.mean(axis=0)
+        wss = ((m - cen) ** 2).sum()
+        row = got[got["label"] == lb]
+        assert int(row["n"].iloc[0]) == 40
+        assert abs(row["wss"].iloc[0] - wss) < 1e-6, lb
+        assert abs(row["mu_norm"].iloc[0]
+                   - np.linalg.norm(cen)) < 1e-9, lb
+    g = np.stack([r[1].astype(np.float64) for r in rows]).mean(axis=0)
+    for lb in centers:
+        m = np.stack([r[1].astype(np.float64) for r in rows
+                      if r[0] == lb])
+        want = np.linalg.norm(m.mean(axis=0) - g)
+        assert abs(got.set_index("label").loc[lb, "dist_global"]
+                   - want) < 1e-9
+    # the tight separated blobs sit far from the global centroid and
+    # have small WSS; the wide central blob is the opposite
+    t = got.set_index("label")
+    assert t.loc[2, "wss"] > 5 * max(t.loc[0, "wss"], t.loc[1, "wss"])
+    assert min(t.loc[0, "dist_global"], t.loc[1, "dist_global"]) \
+        > 3 * t.loc[2, "dist_global"]
