@@ -8906,7 +8906,69 @@ FROM nc JOIN qq USING (label) JOIN ssn USING (label)
 """
 
 
+def q_dim_variance(sf_dir):
+    """★-checked per-dimension embedding moment profile + dead-dim
+    flag (stages/ann.py): one constant-size moment partial per block,
+    mirrored mean/var closings."""
+    from ..stages.ann import dim_variance
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return round6(dim_variance(emb))
+
+
+DIM_VARIANCE_SQL = """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+u AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e),
+a AS (SELECT dim, count(*) AS n, sum(x) AS s, sum(x*x) AS q
+      FROM u GROUP BY 1),
+m AS (SELECT dim, s/CAST(n AS DOUBLE) AS mean,
+             q/CAST(n AS DOUBLE)
+               - (s/CAST(n AS DOUBLE))*(s/CAST(n AS DOUBLE)) AS v
+      FROM a)
+SELECT dim, round(mean, 6) AS mean, round(v, 6) AS "var",
+       v < 0.000001 AS dead
+FROM m
+"""
+
+
+def q_rising_keys(sf_dir):
+    """★-checked first-half vs second-half traffic-share drift
+    (stages/analytics.py): exact integer half counts and the
+    float-free cross-multiplied score c₂T₁ − c₁T₂; mirrored
+    share_delta attached for human units."""
+    from ..stages.analytics import rising_keys
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return round6(rising_keys(ev, num_partitions=8))
+
+
+RISING_KEYS_SQL = """
+WITH r AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+           FROM events),
+b AS (SELECT user_id, epoch_us(ts) > (r.lo + r.hi) // 2 AS second
+      FROM events, r),
+c AS (SELECT user_id,
+             count(*) FILTER (NOT second) AS c1,
+             count(*) FILTER (second) AS c2
+      FROM b GROUP BY 1),
+t AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+             CAST(sum(c2) AS BIGINT) AS t2 FROM c)
+SELECT user_id, c1, c2,
+       CAST(c2*t1 - c1*t2 AS BIGINT) AS score,
+       round(CAST(c2 AS DOUBLE)/CAST(t2 AS DOUBLE)
+             - CAST(c1 AS DOUBLE)/CAST(t1 AS DOUBLE), 6)
+         AS share_delta
+FROM c, t WHERE c2*t1 - c1*t2 <> 0
+"""
+
+
 EXTRA_QUERIES = {
+    "dim_variance": q_dim_variance,
+    "rising_keys": q_rising_keys,
     "class_separation": q_class_separation,
     "count_acf": q_count_acf,
     "circadian_phase": q_circadian_phase,
@@ -9096,6 +9158,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "dim_variance": DIM_VARIANCE_SQL,
+    "rising_keys": RISING_KEYS_SQL,
     "class_separation": CLASS_SEPARATION_SQL,
     "count_acf": COUNT_ACF_SQL,
     "circadian_phase": CIRCADIAN_SQL,

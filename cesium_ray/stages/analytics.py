@@ -1952,3 +1952,67 @@ def theil_index(
     cf, uf = float(c), float(u)
     return pd.DataFrame({"n_users": [u], "total": [c],
                          "theil": [s1 / cf - np.log(cf / uf)]})
+
+
+def rising_keys(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Share-drift detector: split the dataset's time range at its
+    midpoint (µs midpoint of [min ts, max ts]), count each key's
+    events in the two halves (c₁, c₂ with totals T₁, T₂), and score
+    drift by the EXACT integer cross-multiplied share difference
+    score = c₂·T₁ − c₁·T₂ (> 0 ⇔ the key's share of traffic rose) —
+    the "which conversations are heating up?" gate with a float-free
+    ordering (no round-6 rank instability).  The mirrored float
+    ``share_delta`` = c₂/T₂ − c₁/T₁ is attached for human units.
+
+    Two passes: a cheap min/max ts aggregate, then one key-hash
+    exchange producing exact per-key half counts.  Keys in only one
+    half get c = 0 in the other, score still exact.  Drops keys with
+    score = 0 (stable keys) to bound output to the drifting set."""
+
+    lohi = ds.select_columns([ts_col]).aggregate(
+        ray.data.aggregate.Min(ts_col), ray.data.aggregate.Max(ts_col))
+    lo = pd.Timestamp(lohi[f"min({ts_col})"]).value // 1000
+    hi = pd.Timestamp(lohi[f"max({ts_col})"]).value // 1000
+    mid = (lo + hi) // 2
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: pd.Series(dtype="int64"),
+                                 "c1": pd.Series(dtype="int64"),
+                                 "c2": pd.Series(dtype="int64")})
+        kc, kuniq = pd.factorize(df[key])
+        t = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        second = t > mid
+        nk = len(kuniq)
+        c1 = np.bincount(kc[~second], minlength=nk).astype(np.int64)
+        c2 = np.bincount(kc[second], minlength=nk).astype(np.int64)
+        return pd.DataFrame({key: np.asarray(kuniq),
+                             "c1": c1, "c2": c2})
+
+    per = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    cols = {key: pd.Series(dtype="int64"),
+            "c1": pd.Series(dtype="int64"),
+            "c2": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="int64"),
+            "share_delta": pd.Series(dtype="float64")}
+    if per.empty:
+        return pd.DataFrame(cols)
+    t1 = int(per["c1"].sum())
+    t2 = int(per["c2"].sum())
+    c1 = per["c1"].to_numpy(np.int64)
+    c2 = per["c2"].to_numpy(np.int64)
+    score = c2 * t1 - c1 * t2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        delta = c2.astype(np.float64) / float(t2) \
+            - c1.astype(np.float64) / float(t1)
+    res = pd.DataFrame({key: per[key].to_numpy(np.int64),
+                        "c1": c1, "c2": c2, "score": score,
+                        "share_delta": delta})
+    return (res[res["score"] != 0]
+            .sort_values(key).reset_index(drop=True))

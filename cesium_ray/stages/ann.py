@@ -640,3 +640,51 @@ def class_separation(
         dist = np.sqrt(float((dvec * dvec).sum()))
         rows.append((lb, n, wss, mu_norm, dist))
     return pd.DataFrame(rows, columns=list(cols))
+
+
+def dim_variance(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    dead_eps: float = 1e-6,
+) -> pd.DataFrame:
+    """Per-DIMENSION embedding moment profile: mean, population
+    variance and a dead-dimension flag (var < ``dead_eps``) for each
+    coordinate — the standard whitening / collapsed-dimension
+    diagnostic run before indexing an embedding column (dead or
+    near-constant dims waste index bits and distort cosine
+    distances).
+
+    One ``map_batches`` reduces each block to a single (per-dim Σx,
+    Σx², n) partial row — constant size regardless of block size —
+    combined on the driver.  float32 → float64 widening is exact;
+    mean/var close in mirrored float expressions; the dead flag
+    compares the SAME mirrored var on both sides."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"n": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype=object),
+                                 "q": pd.Series(dtype=object)})
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df[vec_col]])
+        return pd.DataFrame({"n": [len(m)], "s": [m.sum(axis=0)],
+                             "q": [(m * m).sum(axis=0)]})
+
+    parts = ds.select_columns([vec_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {"dim": pd.Series(dtype="int64"),
+            "mean": pd.Series(dtype="float64"),
+            "var": pd.Series(dtype="float64"),
+            "dead": pd.Series(dtype="bool")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    n = int(parts["n"].sum())
+    s = np.sum([np.asarray(v) for v in parts["s"]], axis=0)
+    q = np.sum([np.asarray(v) for v in parts["q"]], axis=0)
+    nf = float(n)
+    mean = s / nf
+    var = q / nf - mean * mean
+    return pd.DataFrame({"dim": np.arange(1, len(s) + 1,
+                                          dtype=np.int64),
+                         "mean": mean, "var": var,
+                         "dead": var < dead_eps})

@@ -598,3 +598,42 @@ def test_theil_index_bruteforce(ray_session):
     even = pd.DataFrame({"user_id": np.repeat(np.arange(10), 7)})
     out = theil_index(ray.data.from_pandas(even), num_partitions=2)
     assert abs(out["theil"].iloc[0]) < 1e-12
+
+
+def test_rising_keys_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import rising_keys
+
+    ev = _events(seed=461, n=3000, nusers=20)
+    got = rising_keys(ray.data.from_pandas(ev).repartition(6),
+                      num_partitions=4)
+    t = ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+    mid = (int(t.min()) + int(t.max())) // 2
+    second = t > mid
+    c1 = ev.loc[~second].groupby("user_id").size()
+    c2 = ev.loc[second].groupby("user_id").size()
+    t1, t2 = int(c1.sum()), int(c2.sum())
+    for uid in np.union1d(c1.index, c2.index):
+        a, b = int(c1.get(uid, 0)), int(c2.get(uid, 0))
+        score = b * t1 - a * t2
+        row = got[got["user_id"] == uid]
+        if score == 0:
+            assert len(row) == 0
+            continue
+        assert len(row) == 1
+        assert (int(row["c1"].iloc[0]), int(row["c2"].iloc[0])) \
+            == (a, b)
+        assert int(row["score"].iloc[0]) == score
+        assert abs(row["share_delta"].iloc[0]
+                   - (b / t2 - a / t1)) < 1e-12, uid
+    # planted riser: all events in the second half -> max positive
+    # score relative to its volume
+    base = pd.DataFrame({
+        "event_id": np.arange(100, dtype=np.int64),
+        "user_id": np.repeat(np.arange(2), 50).astype(np.int64),
+        "ts": pd.to_datetime(
+            np.r_[np.arange(50), 100 + np.arange(50)] * 10**6,
+            unit="us").astype("datetime64[us]")})
+    out = rising_keys(ray.data.from_pandas(base), num_partitions=2)
+    s = out.set_index("user_id")
+    assert s.loc[1, "score"] > 0 > s.loc[0, "score"]
+    assert abs(s.loc[1, "share_delta"] - 1.0) < 1e-12

@@ -242,3 +242,25 @@ def test_class_separation_bruteforce(ray_session):
     assert t.loc[2, "wss"] > 5 * max(t.loc[0, "wss"], t.loc[1, "wss"])
     assert min(t.loc[0, "dist_global"], t.loc[1, "dist_global"]) \
         > 3 * t.loc[2, "dist_global"]
+
+
+def test_dim_variance_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from cesium_ray.stages.ann import dim_variance
+
+    rng = np.random.default_rng(71)
+    m = rng.standard_normal((120, 6)).astype(np.float32)
+    m[:, 2] = 0.5          # dead dimension
+    m[:, 5] *= 3.0         # hot dimension
+    df = pd.DataFrame({"embedding": [row for row in m]})
+    got = dim_variance(ray.data.from_pandas(df).repartition(5))
+    assert got["dim"].tolist() == [1, 2, 3, 4, 5, 6]
+    md = m.astype(np.float64)
+    assert np.allclose(got["mean"], md.mean(axis=0), atol=1e-9)
+    assert np.allclose(got["var"],
+                       md.var(axis=0), atol=1e-9)
+    assert got["dead"].tolist() == [False, False, True, False,
+                                    False, False]
+    assert got["var"].idxmax() == 5
