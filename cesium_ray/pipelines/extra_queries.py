@@ -8966,7 +8966,109 @@ FROM c, t WHERE c2*t1 - c1*t2 <> 0
 """
 
 
+def q_hour_runs(sf_dir):
+    """★-checked per-key active/idle run-length profile of the dense
+    hourly grid (stages/tsmath.py): exact integer run counts/lengths,
+    two mirrored mean ratios; rn − rs gaps-and-islands twin."""
+    from ..stages.tsmath import hour_runs
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return round6(hour_runs(ev, num_partitions=8))
+
+
+HOUR_RUNS_SQL = """
+WITH b AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb FROM events),
+r AS (SELECT user_id, min(hb) AS mn, max(hb) AS mx FROM b GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS h FROM r),
+c AS (SELECT user_id, hb, count(*) AS cnt FROM b GROUP BY 1, 2),
+g AS (SELECT grid.user_id, grid.h AS t, coalesce(c.cnt, 0) AS cnt
+      FROM grid LEFT JOIN c
+        ON grid.user_id = c.user_id AND grid.h = c.hb),
+st AS (SELECT user_id, t, cnt > 0 AS act,
+              row_number() OVER (PARTITION BY user_id ORDER BY t)
+                AS rn,
+              row_number() OVER (PARTITION BY user_id, cnt > 0
+                                 ORDER BY t) AS rs
+       FROM g),
+runs AS (SELECT user_id, act, rn - rs AS grp, count(*) AS len
+         FROM st GROUP BY 1, 2, 3),
+a AS (SELECT user_id,
+             count(*) FILTER (act) AS na,
+             max(len) FILTER (act) AS mxa,
+             CAST(sum(len) FILTER (act) AS BIGINT) AS ta,
+             count(*) FILTER (NOT act) AS ni,
+             CAST(sum(len) FILTER (NOT act) AS BIGINT) AS ti
+      FROM runs GROUP BY 1),
+n AS (SELECT user_id, count(*) AS nh FROM g GROUP BY 1)
+SELECT a.user_id, n.nh AS n_hours, a.na AS active_runs,
+       a.mxa AS max_active_run,
+       round(CAST(ta AS DOUBLE)/CAST(na AS DOUBLE), 6)
+         AS mean_active_run,
+       round(CASE WHEN ni > 0
+                  THEN CAST(ti AS DOUBLE)/CAST(ni AS DOUBLE) END, 6)
+         AS mean_idle_run
+FROM a JOIN n USING (user_id)
+"""
+
+
+def q_revenue_leak(sf_dir):
+    """★-checked TPC-H-Q6-style forgone-discount revenue: quantity,
+    discount-band and ship-year predicates are PUSHED TO THE READ as
+    a pyarrow filter expression (row-group/page pruning at the
+    scanner — the 100-TB path reads a fraction of the table), then
+    one exact-int Σ price_cents·disc_pct cell per batch is combined
+    on the driver."""
+    import pyarrow.compute as pc
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+        filter=((pc.field("l_quantity") < 24)
+                & (pc.field("l_shipdate") >= lo)
+                & (pc.field("l_shipdate") < hi)),
+    )
+
+    def cell(df: pd.DataFrame) -> pd.DataFrame:
+        d = np.rint(df["l_discount"].to_numpy(np.float64) * 100.0
+                    ).astype(np.int64)
+        keep = (d >= 5) & (d <= 7)
+        p = np.rint(df["l_extendedprice"].to_numpy(np.float64)[keep]
+                    * 100.0).astype(np.int64)
+        return pd.DataFrame({"n": [int(keep.sum())],
+                             "units": [int((p * d[keep]).sum())]})
+
+    parts = li.map_batches(cell, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    units = int(parts["units"].sum())
+    return pd.DataFrame({"n_rows": [n], "leak_units": [units],
+                         "leak_dollars":
+                         [round(float(units) / 10000.0, 6)]})
+
+
+REVENUE_LEAK_SQL = """
+WITH f AS (
+  SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS p,
+         CAST(round(l_discount*100) AS BIGINT) AS d
+  FROM lineitem
+  WHERE l_quantity < 24
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7)
+SELECT count(*) AS n_rows, CAST(sum(p*d) AS BIGINT) AS leak_units,
+       round(CAST(CAST(sum(p*d) AS BIGINT) AS DOUBLE)/10000.0, 6)
+         AS leak_dollars
+FROM f
+"""
+
+
 EXTRA_QUERIES = {
+    "hour_runs": q_hour_runs,
+    "revenue_leak": q_revenue_leak,
     "dim_variance": q_dim_variance,
     "rising_keys": q_rising_keys,
     "class_separation": q_class_separation,
@@ -9158,6 +9260,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "hour_runs": HOUR_RUNS_SQL,
+    "revenue_leak": REVENUE_LEAK_SQL,
     "dim_variance": DIM_VARIANCE_SQL,
     "rising_keys": RISING_KEYS_SQL,
     "class_separation": CLASS_SEPARATION_SQL,

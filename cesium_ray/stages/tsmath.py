@@ -3446,3 +3446,68 @@ def circadian_phase(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def hour_runs(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key activity run-length profile of the DENSE hourly grid:
+    consecutive active hours (≥ 1 event) form active runs, the
+    zero-count hours between them idle runs; reports run counts, the
+    longest active run, and mean active/idle run lengths — the
+    duty-cycle texture of a stream (many short runs = flicker, few
+    long runs = sessions), the hour-scale sibling of ``day_streak``.
+
+    All counts are exact integers (one bincount + one boundary scan
+    per key); only the two mean-length ratios are float, closed in
+    mirrored expressions.  The grid spans [first, last] active hour,
+    so it begins and ends active and idle runs are interior.  One
+    key-hash exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_hours": pd.Series(dtype="int64"),
+                "active_runs": pd.Series(dtype="int64"),
+                "max_active_run": pd.Series(dtype="int64"),
+                "mean_active_run": pd.Series(dtype="float64"),
+                "mean_idle_run": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        hb = df[ts_col].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        order = np.argsort(kc, kind="stable")
+        k, h = kc[order], hb[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        rows = []
+        for s, e in zip(starts, ends):
+            hk = h[s:e]
+            mn, mx = int(hk.min()), int(hk.max())
+            span = mx - mn + 1
+            act = np.bincount(hk - mn, minlength=span) > 0
+            # run boundaries: state changes
+            chg = np.flatnonzero(act[1:] != act[:-1])
+            lens = np.diff(np.r_[0, chg + 1, span])
+            states = act[np.r_[0, chg + 1]]
+            alen = lens[states]
+            ilen = lens[~states]
+            na, ni = len(alen), len(ilen)
+            tot_a = int(alen.sum())
+            tot_i = int(ilen.sum())
+            mean_a = float(tot_a) / float(na)
+            mean_i = float(tot_i) / float(ni) if ni > 0 else np.nan
+            rows.append((np.asarray(kuniq)[k[s]], span, na,
+                         int(alen.max()), mean_a, mean_i))
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(rows, columns=list(cols))
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

@@ -2493,3 +2493,72 @@ def test_circadian_phase_bruteforce(ray_session):
     assert min(mh, 24 - mh) < 1e-6
     assert abs(out["resultant"].iloc[0]
                - np.cos(2 * np.pi * 3600 / 86400)) < 1e-9
+
+
+def test_hour_runs_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import hour_runs
+
+    ev = _events(seed=471, n=3000, nusers=15)
+    got = hour_runs(ray.data.from_pandas(ev).repartition(6),
+                    num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        hb = g["ts"].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        mn, mx = int(hb.min()), int(hb.max())
+        span = mx - mn + 1
+        act = np.bincount(hb - mn, minlength=span) > 0
+        runs, cur, st = [], 1, act[0]
+        for i in range(1, span):
+            if act[i] == st:
+                cur += 1
+            else:
+                runs.append((st, cur))
+                st, cur = act[i], 1
+        runs.append((st, cur))
+        alen = [l for s, l in runs if s]
+        ilen = [l for s, l in runs if not s]
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n_hours"].iloc[0]) == span
+        assert int(row["active_runs"].iloc[0]) == len(alen)
+        assert int(row["max_active_run"].iloc[0]) == max(alen)
+        assert abs(row["mean_active_run"].iloc[0]
+                   - np.mean(alen)) < 1e-12, uid
+        if ilen:
+            assert abs(row["mean_idle_run"].iloc[0]
+                       - np.mean(ilen)) < 1e-12, uid
+        else:
+            assert np.isnan(row["mean_idle_run"].iloc[0])
+    # planted duty cycle: 3 h on / 5 h off, 8 cycles + final on-block
+    on = []
+    for c in range(8):
+        on.extend(range(c * 8, c * 8 + 3))
+    on.extend(range(64, 67))
+    ts = np.asarray(on, dtype=np.int64) * 3_600 * 10**6
+    pl = pd.DataFrame({
+        "event_id": np.arange(len(ts), dtype=np.int64),
+        "user_id": np.full(len(ts), 9, dtype=np.int64),
+        "ts": pd.to_datetime(ts, unit="us").astype("datetime64[us]")})
+    out = hour_runs(ray.data.from_pandas(pl), num_partitions=2)
+    assert int(out["active_runs"].iloc[0]) == 9
+    assert int(out["max_active_run"].iloc[0]) == 3
+    assert abs(out["mean_active_run"].iloc[0] - 3.0) < 1e-12
+    assert abs(out["mean_idle_run"].iloc[0] - 5.0) < 1e-12
+
+
+def test_revenue_leak_smoke(ray_session):
+    """Q6-style at sf0.001: pushdown read + DuckDB recomputation."""
+    import duckdb
+
+    from cesium_ray.pipelines.extra_queries import (
+        REVENUE_LEAK_SQL, q_revenue_leak)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_revenue_leak(sf)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.sql(REVENUE_LEAK_SQL).df()
+    assert int(got["n_rows"].iloc[0]) == int(want["n_rows"].iloc[0])
+    assert int(got["leak_units"].iloc[0]) \
+        == int(want["leak_units"].iloc[0])
+    assert got["n_rows"].iloc[0] > 0
