@@ -9066,7 +9066,83 @@ FROM f
 """
 
 
+def q_lmoments(sf_dir):
+    """★-checked per-key sample L-moments λ₂/τ₃/τ₄
+    (stages/tsmath.py): exact int64 binomial-weighted order-statistic
+    numerators, mirrored probability-weighted-moment closings."""
+    from ..stages.tsmath import lmoments
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    return round6(lmoments(ev, num_partitions=8))
+
+
+LMOMENTS_SQL = """
+WITH b AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY
+                            CAST(round(value*100) AS BIGINT)) - 1
+           AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+a AS (SELECT user_id, max(n) AS n,
+             CAST(sum(x) AS BIGINT) AS n0,
+             CAST(sum(i*x) AS BIGINT) AS n1,
+             CAST(sum((i*(i-1)//2)*x) AS BIGINT) AS n2,
+             CAST(sum((i*(i-1)*(i-2)//6)*x) AS BIGINT) AS n3
+      FROM b GROUP BY 1),
+m AS (SELECT user_id, n, CAST(n AS DOUBLE) AS nf,
+             CAST(n0 AS DOUBLE) AS f0, CAST(n1 AS DOUBLE) AS f1,
+             CAST(n2 AS DOUBLE) AS f2, CAST(n3 AS DOUBLE) AS f3
+      FROM a),
+p AS (SELECT user_id, n,
+             f0/nf AS b0,
+             f1/(nf*(nf-1.0)) AS b1,
+             f2/(nf*((nf-1.0)*(nf-2.0)/2.0)) AS b2,
+             f3/(nf*((nf-1.0)*(nf-2.0)*(nf-3.0)/6.0)) AS b3
+      FROM m),
+l AS (SELECT user_id, n, 2.0*b1 - b0 AS l2,
+             6.0*b2 - 6.0*b1 + b0 AS l3,
+             20.0*b3 - 30.0*b2 + 12.0*b1 - b0 AS l4
+      FROM p)
+SELECT user_id, n, round(l2, 6) AS l2,
+       round(CASE WHEN l2 <> 0 THEN l3/l2 END, 6) AS t3,
+       round(CASE WHEN l2 <> 0 THEN l4/l2 END, 6) AS t4
+FROM l WHERE n >= 4 AND l2 <> 0
+"""
+
+
+def q_df_histogram(sf_dir):
+    """★-checked corpus document-frequency histogram
+    (stages/pack.py): per-block distinct-doc partials, token-keyed
+    exchange, per-partition df value_counts; exact int counts, one
+    mirrored share division."""
+    from ..stages.pack import df_histogram
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return round6(df_histogram(docs, num_partitions=8))
+
+
+DF_HISTOGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+'))
+           AS term
+  FROM documents),
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+t AS (SELECT count(*) AS v FROM d)
+SELECT df, count(*) AS n_terms,
+       round(CAST(count(*) AS DOUBLE)/CAST(t.v AS DOUBLE), 6) AS share
+FROM d, t GROUP BY df, t.v
+"""
+
+
 EXTRA_QUERIES = {
+    "lmoments": q_lmoments,
+    "df_histogram": q_df_histogram,
     "hour_runs": q_hour_runs,
     "revenue_leak": q_revenue_leak,
     "dim_variance": q_dim_variance,
@@ -9260,6 +9336,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "lmoments": LMOMENTS_SQL,
+    "df_histogram": DF_HISTOGRAM_SQL,
     "hour_runs": HOUR_RUNS_SQL,
     "revenue_leak": REVENUE_LEAK_SQL,
     "dim_variance": DIM_VARIANCE_SQL,

@@ -988,3 +988,59 @@ def keyness_terms(
                              "g2": pd.Series(dtype="float64")})
     return (out.sort_values([id_col, "term"], kind="mergesort")
             .reset_index(drop=True))
+
+
+def df_histogram(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Corpus document-frequency histogram: for each df value k, how
+    many distinct terms appear in exactly k documents — the corpus-
+    health fingerprint read before dedup/curation (a heavy high-df
+    head means boilerplate/templated text; the hapax mass at df = 1
+    calibrates shingle-based near-dup thresholds).
+
+    Distributed shape: per-block distinct (token → doc-count)
+    partials (a doc is whole within one block, the tfidf DF-build
+    invariant), one token-keyed exchange sums them, and each result
+    partition reduces to its df value_counts — only |distinct df|
+    rows reach the driver.  All counts exact int64; the share column
+    closes in one mirrored division."""
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df[text_col].astype(str).str.lower()
+                .str.findall(_TOKEN_RE))
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "df": pd.Series(dtype="int64")})
+        pair = pd.DataFrame({"d": ex.index.to_numpy(),
+                             "t": ex.to_numpy()})
+        vc = pair.drop_duplicates()["t"].value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(object),
+                             "df": vc.to_numpy(np.int64)})
+
+    def hist_cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False, sort=False)["df"].sum()
+        vc = g["df"].value_counts()
+        return pd.DataFrame({"df": vc.index.to_numpy(np.int64),
+                             "n_terms": vc.to_numpy(np.int64)})
+
+    parts = group_apply(
+        ds.select_columns([text_col]).map_batches(
+            df_partial, batch_format="pandas"),
+        hist_cells, num_partitions=num_partitions, key="token",
+    ).to_pandas()
+    cols = {"df": pd.Series(dtype="int64"),
+            "n_terms": pd.Series(dtype="int64"),
+            "share": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    agg = parts.groupby("df", as_index=False)["n_terms"].sum()
+    tot = float(agg["n_terms"].sum())
+    agg["n_terms"] = agg["n_terms"].astype(np.int64)
+    agg["share"] = agg["n_terms"].to_numpy(np.int64
+                                           ).astype(np.float64) / tot
+    return agg.sort_values("df").reset_index(drop=True)

@@ -3511,3 +3511,74 @@ def hour_runs(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def lmoments(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key sample L-moments (Hosking 1990): L-scale λ₂ and the
+    L-moment ratios L-skewness τ₃ = λ₃/λ₂ and L-kurtosis τ₄ = λ₄/λ₂
+    from the probability-weighted moments
+        b_r = (1/n)·Σᵢ [C(i−1, r)/C(n−1, r)]·x₍ᵢ₎
+        λ₂ = 2b₁ − b₀,  λ₃ = 6b₂ − 6b₁ + b₀,
+        λ₄ = 20b₃ − 30b₂ + 12b₁ − b₀
+    — the linear-in-order-statistics shape descriptors: far more
+    outlier-robust than moment skew/kurtosis (every coefficient is
+    bounded), the standard fit in extreme-value practice.
+
+    The binomial-weighted numerators N_r = Σ C(i−1,r)·x₍ᵢ₎ are EXACT
+    int64 (tie-invariant: a tie block's weights sum to a constant);
+    the λ and τ ratios close in mirrored float expressions with
+    denominators n·C(n−1,r).  Int64 bound: C(n−1,3)·|x| ≤ 9·10¹⁸ ⇒
+    n ≲ 2.4·10⁵ per key at |x| ≤ 10⁴ (beyond that, lift to float —
+    the sandbox keys are ≪ that).  Keys need n ≥ 4 and λ₂ ≠ 0.
+    One key-hash exchange; one lexsort, no per-key loop."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "l2": pd.Series(dtype="float64"),
+                "t3": pd.Series(dtype="float64"),
+                "t4": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        x = _quantize(df[val_col].to_numpy())
+        perm = np.lexsort((x, kc))
+        k, xs = kc[perm], x[perm]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        i = np.arange(len(k), dtype=np.int64) \
+            - np.repeat(starts, n)              # 0-based in-key rank
+        w1 = i
+        w2 = i * (i - 1) // 2
+        w3 = i * (i - 1) * (i - 2) // 6
+        n0 = np.add.reduceat(xs, starts)
+        n1 = np.add.reduceat(w1 * xs, starts)
+        n2 = np.add.reduceat(w2 * xs, starts)
+        n3 = np.add.reduceat(w3 * xs, starts)
+        nf = n.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            b0 = n0.astype(np.float64) / nf
+            b1 = n1.astype(np.float64) / (nf * (nf - 1.0))
+            b2 = n2.astype(np.float64) \
+                / (nf * ((nf - 1.0) * (nf - 2.0) / 2.0))
+            b3 = n3.astype(np.float64) \
+                / (nf * ((nf - 1.0) * (nf - 2.0) * (nf - 3.0) / 6.0))
+            l2 = 2.0 * b1 - b0
+            l3 = 6.0 * b2 - 6.0 * b1 + b0
+            l4 = 20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0
+            t3 = np.where(l2 != 0.0, l3 / l2, np.nan)
+            t4 = np.where(l2 != 0.0, l4 / l2, np.nan)
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]], "n": n,
+                            "l2": l2, "t3": t3, "t4": t4})
+        return res[(res["n"] >= 4) & (l2 != 0.0)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

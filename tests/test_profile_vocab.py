@@ -496,3 +496,37 @@ def test_keyness_terms_bruteforce(ray_session):
                 assert len(row) == 1, (d, w)
                 assert abs(row["g2"].iloc[0] - g2) < 1e-9
     assert seen == set(zip(got["doc_id"], got["term"]))
+
+
+def test_df_histogram_bruteforce(ray_session):
+    import re
+    from cesium_ray.stages.pack import df_histogram
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["apple banana cherry",
+                 "apple banana",
+                 "apple date",
+                 "egg egg egg",       # in-doc repeats count once
+                 "Apple",             # case-folds into apple
+                 ""]})
+    got = df_histogram(ray.data.from_pandas(docs).repartition(4))
+    # dfs: apple 4, banana 2, cherry 1, date 1, egg 1
+    want = {1: 3, 2: 1, 4: 1}
+    assert dict(zip(got["df"], got["n_terms"])) == want
+    assert abs(got["share"].sum() - 1.0) < 1e-12
+    # cross-check on a random corpus against a pandas recomputation
+    rng = np.random.default_rng(91)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(5, 30))))
+             for _ in range(40)]
+    docs2 = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                          "text": texts})
+    got2 = df_histogram(ray.data.from_pandas(docs2).repartition(5))
+    df_count = {}
+    for t in texts:
+        for w in set(re.findall(r"[^ \t\n\r\f\v]+", t.lower())):
+            df_count[w] = df_count.get(w, 0) + 1
+    want2 = pd.Series(list(df_count.values())).value_counts()
+    assert dict(zip(got2["df"], got2["n_terms"])) \
+        == {int(k): int(v) for k, v in want2.items()}

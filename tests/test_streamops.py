@@ -2562,3 +2562,45 @@ def test_revenue_leak_smoke(ray_session):
     assert int(got["leak_units"].iloc[0]) \
         == int(want["leak_units"].iloc[0])
     assert got["n_rows"].iloc[0] > 0
+
+
+def test_lmoments_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import lmoments
+
+    ev = _valued(seed=481, n=1500, nusers=12)
+    got = lmoments(ray.data.from_pandas(ev).repartition(5),
+                   num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        x = np.sort(np.rint(g["value"].to_numpy() * 100)
+                    .astype(np.int64)).astype(np.float64)
+        n = len(x)
+        i = np.arange(n)
+        b0 = x.mean()
+        b1 = (i * x).sum() / (n * (n - 1))
+        b2 = (i * (i - 1) / 2 * x).sum() / (n * (n - 1) * (n - 2) / 2)
+        b3 = (i * (i - 1) * (i - 2) / 6 * x).sum() \
+            / (n * (n - 1) * (n - 2) * (n - 3) / 6)
+        l2 = 2 * b1 - b0
+        l3 = 6 * b2 - 6 * b1 + b0
+        l4 = 20 * b3 - 30 * b2 + 12 * b1 - b0
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1 and int(row["n"].iloc[0]) == n
+        assert abs(row["l2"].iloc[0] - l2) < 1e-9, uid
+        assert abs(row["t3"].iloc[0] - l3 / l2) < 1e-9, uid
+        assert abs(row["t4"].iloc[0] - l4 / l2) < 1e-9, uid
+    # known-answer gates: a symmetric uniform sample has t3 ~ 0 and
+    # t4 ~ 0 (uniform L-kurtosis is exactly 0); an exponential-shaped
+    # sample has t3 ~ 1/3
+    rng = np.random.default_rng(13)
+    n = 4000
+    uni = np.round(rng.uniform(-40, 40, n), 2)
+    expo = np.round(rng.exponential(20.0, n), 2)
+    df = pd.DataFrame({
+        "event_id": np.arange(2 * n, dtype=np.int64),
+        "user_id": np.r_[np.full(n, 1), np.full(n, 2)].astype(np.int64),
+        "value": np.r_[uni, expo]})
+    out = lmoments(ray.data.from_pandas(df), num_partitions=2
+                   ).set_index("user_id")
+    assert abs(out.loc[1, "t3"]) < 0.02
+    assert abs(out.loc[1, "t4"]) < 0.02
+    assert abs(out.loc[2, "t3"] - 1.0 / 3.0) < 0.03
