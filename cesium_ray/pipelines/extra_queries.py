@@ -9140,7 +9140,245 @@ FROM d, t GROUP BY df, t.v
 """
 
 
+def q_hjorth_params(sf_dir):
+    """★-checked per-key Hjorth activity/mobility/complexity
+    (stages/tsmath.py): exact int64 Σx/Σx² over the value stream and
+    its first/second in-key differences, three mirrored float
+    variance closings; lag-window twin."""
+    from ..stages.tsmath import hjorth_params
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return round6(hjorth_params(ev, num_partitions=8))
+
+
+HJORTH_SQL = """
+WITH o AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         lag(CAST(round(value*100) AS BIGINT)) OVER w AS x1,
+         lag(CAST(round(value*100) AS BIGINT), 2) OVER w AS x2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+a AS (
+  SELECT user_id, count(*) AS n,
+         sum(x) AS s1, sum(x*x) AS s2,
+         sum(x - x1) AS sd1, sum((x-x1)*(x-x1)) AS sd2,
+         sum(x - 2*x1 + x2) AS sdd1,
+         sum((x-2*x1+x2)*(x-2*x1+x2)) AS sdd2
+  FROM o GROUP BY 1),
+v AS (
+  SELECT user_id, n,
+         (CAST(s2 AS DOUBLE)
+          - (CAST(s1 AS DOUBLE)/n)*CAST(s1 AS DOUBLE)) / n AS vx,
+         (CAST(sd2 AS DOUBLE)
+          - (CAST(sd1 AS DOUBLE)/(n-1.0))*CAST(sd1 AS DOUBLE))
+           / (n-1.0) AS vd,
+         (CAST(sdd2 AS DOUBLE)
+          - (CAST(sdd1 AS DOUBLE)/(n-2.0))*CAST(sdd1 AS DOUBLE))
+           / (n-2.0) AS vdd
+  FROM a)
+SELECT user_id, n,
+       round(vx/10000.0, 6) AS activity,
+       round(sqrt(vd/vx), 6) AS mobility,
+       round(sqrt(vdd/vd)/sqrt(vd/vx), 6) AS complexity
+FROM v WHERE n >= 3 AND vx > 0 AND vd > 0
+"""
+
+
+def q_teager_energy(sf_dir):
+    """★-checked per-key Teager–Kaiser energy profile
+    (stages/tsmath.py): exact int64 ΣΨ and negative-Ψ counts over
+    interior points of the sorted value stream, two mirrored float
+    closings; lag/lead-window twin."""
+    from ..stages.tsmath import teager_energy
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return round6(teager_energy(ev, num_partitions=8))
+
+
+TEAGER_SQL = """
+WITH o AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         lag(CAST(round(value*100) AS BIGINT)) OVER w AS xp,
+         lead(CAST(round(value*100) AS BIGINT)) OVER w AS xn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (SELECT user_id, x*x - xp*xn AS psi FROM o
+      WHERE xp IS NOT NULL AND xn IS NOT NULL),
+a AS (SELECT user_id, count(*) AS n_psi, sum(psi) AS sp,
+             count(*) FILTER (psi < 0) AS neg
+      FROM p GROUP BY 1)
+SELECT user_id, n_psi,
+       round(CAST(sp AS DOUBLE)/n_psi/10000.0, 6) AS mean_psi,
+       round(CAST(neg AS DOUBLE)/n_psi, 6) AS neg_share
+FROM a WHERE n_psi >= 1
+"""
+
+
+def q_fractal_dims(sf_dir):
+    """★-checked per-key Petrosian + Katz fractal dimensions
+    (stages/tsmath.py): exact int64 path length / extent / strict
+    sign-change counts, two mirrored log10 closings; double-lag
+    window twin."""
+    from ..stages.tsmath import fractal_dims
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return round6(fractal_dims(ev, num_partitions=8))
+
+
+FRACTAL_SQL = """
+WITH o AS (
+  SELECT user_id, x, lag(x) OVER w AS x1, lag(x, 2) OVER w AS x2,
+         first_value(x) OVER w AS x0
+  FROM (SELECT user_id, ts, event_id,
+               CAST(round(value*100) AS BIGINT) AS x FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+a AS (SELECT user_id, count(*) AS n,
+             sum(abs(x - x1)) AS L,
+             max(abs(x - x0)) AS D,
+             count(*) FILTER ((x - x1)*(x1 - x2) < 0) AS nd
+      FROM o GROUP BY 1)
+SELECT user_id, n, nd AS n_delta,
+       round(log10(CAST(n AS DOUBLE))
+             / (log10(CAST(n AS DOUBLE))
+                + log10(CAST(n AS DOUBLE)
+                        / (CAST(n AS DOUBLE) + 0.4*nd))), 6) AS pfd,
+       round(log10(n - 1.0)
+             / (log10(n - 1.0)
+                + log10(CAST(D AS DOUBLE)/CAST(L AS DOUBLE))), 6)
+         AS katz_fd
+FROM a WHERE n >= 3 AND L > 0 AND D > 0
+"""
+
+
+def q_page_hinkley(sf_dir):
+    """★-checked per-key offline Page–Hinkley mean-shift gaps
+    (stages/tsmath.py): integer-space cumulative deviations
+    n·Σx_i − t·Σx with exact running min/max (HUGEINT window
+    frames in the twin), two mirrored descale closings."""
+    from ..stages.tsmath import page_hinkley
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return round6(page_hinkley(ev, num_partitions=8))
+
+
+PAGE_HINKLEY_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value*100) AS BIGINT) AS x,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY user_id) AS s1
+  FROM events),
+c AS (SELECT user_id, ts, event_id, n,
+             sum(n*x - s1) OVER w AS cum
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)),
+r AS (SELECT user_id, n, cum,
+             min(cum) OVER w2 AS rmin,
+             max(cum) OVER w2 AS rmax
+      FROM c
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING)),
+a AS (SELECT user_id, max(n) AS n,
+             max(cum - rmin) AS upi, max(rmax - cum) AS dni
+      FROM r GROUP BY 1)
+SELECT user_id, n,
+       round(CAST(upi AS DOUBLE)/(n*100.0), 6) AS ph_up,
+       round(CAST(dni AS DOUBLE)/(n*100.0), 6) AS ph_down
+FROM a WHERE n >= 2
+"""
+
+
+def q_grubbs_stat(sf_dir):
+    """★-checked per-key Grubbs extreme-outlier statistic
+    (stages/tsmath.py): exact int64 Σx/Σx², float max-deviation and
+    sample-std closings mirrored over the identical deviation set."""
+    from ..stages.tsmath import grubbs_stat
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    return round6(grubbs_stat(ev, num_partitions=8))
+
+
+GRUBBS_SQL = """
+WITH o AS (SELECT user_id,
+                  CAST(round(value*100) AS BIGINT) AS x FROM events),
+a AS (SELECT user_id, count(*) AS n, sum(x) AS s1, sum(x*x) AS s2
+      FROM o GROUP BY 1),
+m AS (SELECT user_id, n, s1, s2,
+             CAST(s1 AS DOUBLE)/n AS mu FROM a),
+d AS (SELECT o.user_id,
+             max(abs(CAST(o.x AS DOUBLE) - m.mu)) AS mx
+      FROM o JOIN m ON o.user_id = m.user_id GROUP BY 1),
+v AS (SELECT m.user_id, m.n, d.mx,
+             (CAST(m.s2 AS DOUBLE) - m.mu*CAST(m.s1 AS DOUBLE))
+               / (m.n - 1.0) AS var
+      FROM m JOIN d ON m.user_id = d.user_id)
+SELECT user_id, n,
+       round(mx/100.0, 6) AS max_dev,
+       round(mx/sqrt(var), 6) AS grubbs_g
+FROM v WHERE n >= 3 AND var > 0
+"""
+
+
+def q_rfm_segmentation(sf_dir):
+    """★-checked RFM customer segmentation (stages/analytics.py):
+    exact µs recency / count / k-space monetary per key, integer
+    rank-quintile scores with row_number tie-breaks mirrored in the
+    twin."""
+    from ..stages.analytics import rfm_segmentation
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return round6(rfm_segmentation(ev, num_partitions=8))
+
+
+RFM_SQL = """
+WITH a AS (SELECT user_id, max(epoch_us(ts)) AS last_t,
+                  count(*) AS freq,
+                  sum(CAST(round(value*100) AS BIGINT)) AS mon
+           FROM events GROUP BY 1),
+h AS (SELECT max(last_t) AS hi FROM a),
+b AS (SELECT user_id, hi - last_t AS rec, freq, mon FROM a, h),
+r AS (SELECT user_id, rec, freq, mon,
+             row_number() OVER (ORDER BY rec, user_id) AS rr,
+             row_number() OVER (ORDER BY freq DESC, user_id) AS rf,
+             row_number() OVER (ORDER BY mon DESC, user_id) AS rm,
+             count(*) OVER () AS n
+      FROM b)
+SELECT user_id, rec AS recency_us, freq,
+       round(CAST(mon AS DOUBLE)/100.0, 6) AS monetary,
+       5 - (rr - 1)*5 // n AS r_score,
+       5 - (rf - 1)*5 // n AS f_score,
+       5 - (rm - 1)*5 // n AS m_score,
+       100*(5 - (rr - 1)*5 // n) + 10*(5 - (rf - 1)*5 // n)
+         + (5 - (rm - 1)*5 // n) AS rfm
+FROM r
+"""
+
+
 EXTRA_QUERIES = {
+    "grubbs_stat": q_grubbs_stat,
+    "rfm_segmentation": q_rfm_segmentation,
+    "fractal_dims": q_fractal_dims,
+    "page_hinkley": q_page_hinkley,
+    "hjorth_params": q_hjorth_params,
+    "teager_energy": q_teager_energy,
     "lmoments": q_lmoments,
     "df_histogram": q_df_histogram,
     "hour_runs": q_hour_runs,
@@ -9336,6 +9574,12 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "grubbs_stat": GRUBBS_SQL,
+    "rfm_segmentation": RFM_SQL,
+    "fractal_dims": FRACTAL_SQL,
+    "page_hinkley": PAGE_HINKLEY_SQL,
+    "hjorth_params": HJORTH_SQL,
+    "teager_energy": TEAGER_SQL,
     "lmoments": LMOMENTS_SQL,
     "df_histogram": DF_HISTOGRAM_SQL,
     "hour_runs": HOUR_RUNS_SQL,

@@ -2016,3 +2016,77 @@ def rising_keys(
                         "share_delta": delta})
     return (res[res["score"] != 0]
             .sort_values(key).reset_index(drop=True))
+
+
+def rfm_segmentation(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Classic RFM customer segmentation: per key the Recency
+    (µs from the key's last event to the global max timestamp),
+    Frequency (event count) and Monetary (Σvalue) aggregates, each
+    mapped to a 1–5 score by exact integer rank quintiles —
+    score = 5 − ⌊(rank−1)·5/N⌋ with rank ordered best-first
+    (recency ascending, frequency/monetary descending) and ties
+    broken deterministically by key — plus the combined
+    ``rfm = 100·r + 10·f + m`` cell.
+
+    Everything is integer-exact: µs recencies, counts, k-space value
+    sums and the rank arithmetic (the SQL twin uses the identical
+    ``row_number()`` ordering and floor division); the only float is
+    the monetary descale /100.  One key-hash exchange reduces the
+    stream to one row per key; scoring is a rank pass over that
+    reduced table (keys ≪ rows — at larger scale swap the driver
+    pass for ds.sort, same semantics)."""
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        v = np.rint(df[val_col].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        tmp = pd.DataFrame({key: df[key].to_numpy(),
+                            "t": tus, "v": v})
+        a = tmp.groupby(key, as_index=False, observed=True).agg(
+            last_t=("t", "max"), freq=("t", "size"), mon=("v", "sum"))
+        return a
+
+    cells = group_apply(
+        ds.select_columns([key, ts_col, val_col]),
+        per_key, num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    cols = {key: pd.Series(dtype="int64"),
+            "recency_us": pd.Series(dtype="int64"),
+            "freq": pd.Series(dtype="int64"),
+            "monetary": pd.Series(dtype="float64"),
+            "r_score": pd.Series(dtype="int64"),
+            "f_score": pd.Series(dtype="int64"),
+            "m_score": pd.Series(dtype="int64"),
+            "rfm": pd.Series(dtype="int64")}
+    if not len(cells):
+        return pd.DataFrame(cols)
+    hi = int(cells["last_t"].max())
+    uid = cells[key].to_numpy()
+    rec = hi - cells["last_t"].to_numpy(np.int64)
+    freq = cells["freq"].to_numpy(np.int64)
+    mon = cells["mon"].to_numpy(np.int64)
+    n = len(uid)
+
+    def score(order_key, asc):
+        # rank 1 = best; ties broken by key ascending
+        perm = np.lexsort((uid, order_key if asc else -order_key))
+        rn = np.empty(n, np.int64)
+        rn[perm] = np.arange(1, n + 1)
+        return 5 - (rn - 1) * 5 // n
+
+    r_s = score(rec, True)
+    f_s = score(freq, False)
+    m_s = score(mon, False)
+    out = pd.DataFrame({key: uid, "recency_us": rec, "freq": freq,
+                        "monetary": mon.astype(np.float64) / 100.0,
+                        "r_score": r_s, "f_score": f_s,
+                        "m_score": m_s,
+                        "rfm": 100 * r_s + 10 * f_s + m_s})
+    return out.sort_values(key).reset_index(drop=True)

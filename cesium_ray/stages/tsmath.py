@@ -3582,3 +3582,335 @@ def lmoments(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def hjorth_params(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Hjorth parameters (Hjorth 1970) of the (ts, order)-
+    sorted value series — the classic EEG time-domain descriptor trio
+    reused as a signal-shape profile for event value streams:
+        activity   = Var(x)           (value² units)
+        mobility   = sqrt(Var(Δx)/Var(x))
+        complexity = sqrt(Var(Δ²x)/Var(Δx)) / mobility
+    Mobility rises with dominant frequency; complexity is 1 for a
+    pure sine and grows with bandwidth.
+
+    All three population variances come from EXACT int64 sums in
+    k-space (Σx, Σx² and the same pair over the first and second
+    in-key differences, accumulated with np.add.at over group ids —
+    the durbin_watson pattern); only the closing expressions are
+    float, mirrored operation-for-operation by the SQL twin
+    (``mu = Σx/n``, ``den = Σx² − mu·Σx``, ``var = den/n``).
+    Activity is descaled k² → value² (/1e4); the two ratios are
+    scale-free.  Keys need n ≥ 3, Var(x) > 0 and Var(Δx) > 0.
+    One key-hash exchange, one lexsort, no per-key loop."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "activity": pd.Series(dtype="float64"),
+                "mobility": pd.Series(dtype="float64"),
+                "complexity": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        s1 = np.add.reduceat(x, starts)
+        s2 = np.add.reduceat(x * x, starts)
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        same = k[1:] == k[:-1]
+        d = x[1:] - x[:-1]
+        sd1 = np.zeros(len(starts), np.int64)
+        sd2 = np.zeros(len(starts), np.int64)
+        g1 = gid[1:][same]
+        np.add.at(sd1, g1, d[same])
+        np.add.at(sd2, g1, d[same] * d[same])
+        same2 = same[1:] & same[:-1]          # i-2,i-1,i all in-key
+        dd = d[1:] - d[:-1]
+        sdd1 = np.zeros(len(starts), np.int64)
+        sdd2 = np.zeros(len(starts), np.int64)
+        g2 = gid[2:][same2]
+        np.add.at(sdd1, g2, dd[same2])
+        np.add.at(sdd2, g2, dd[same2] * dd[same2])
+        nf = n.astype(np.float64)
+        nd = nf - 1.0
+        ndd = nf - 2.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu = s1.astype(np.float64) / nf
+            vx = (s2.astype(np.float64)
+                  - mu * s1.astype(np.float64)) / nf
+            mud = sd1.astype(np.float64) / nd
+            vd = (sd2.astype(np.float64)
+                  - mud * sd1.astype(np.float64)) / nd
+            mudd = sdd1.astype(np.float64) / ndd
+            vdd = (sdd2.astype(np.float64)
+                   - mudd * sdd1.astype(np.float64)) / ndd
+            activity = vx / 1e4
+            mobility = np.sqrt(vd / vx)
+            complexity = np.sqrt(vdd / vd) / mobility
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]], "n": n,
+                            "activity": activity, "mobility": mobility,
+                            "complexity": complexity})
+        return res[(n >= 3) & (vx > 0) & (vd > 0)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def teager_energy(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Teager–Kaiser energy operator profile (Kaiser 1990):
+    Ψᵢ = xᵢ² − xᵢ₋₁·xᵢ₊₁ over the (ts, order)-sorted interior points
+    — the instantaneous-energy tracker (for a sampled sine it equals
+    A²sin²ω: amplitude × frequency energy in one number) whose
+    NEGATIVE excursions flag phase jumps / transients that plain
+    variance misses.
+
+    ΣΨ and the negative-Ψ count are EXACT int64 in k-space (one
+    vectorized pass over the sorted stream, np.add.at over group
+    ids); mean_psi (descaled /1e4) and neg_share are the only float
+    closings, mirrored by the SQL twin's lag/lead window.  Keys need
+    n ≥ 3.  One key-hash exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_psi": pd.Series(dtype="int64"),
+                "mean_psi": pd.Series(dtype="float64"),
+                "neg_share": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        if len(x) < 3:
+            return pd.DataFrame(cols)
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        same = k[1:] == k[:-1]
+        interior = same[1:] & same[:-1]       # i-1, i, i+1 in-key
+        psi = x[1:-1] * x[1:-1] - x[:-2] * x[2:]
+        sp = np.zeros(len(starts), np.int64)
+        neg = np.zeros(len(starts), np.int64)
+        gi = gid[1:-1][interior]
+        np.add.at(sp, gi, psi[interior])
+        np.add.at(neg, gi, (psi[interior] < 0).astype(np.int64))
+        npsi = n - 2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_psi = sp.astype(np.float64) \
+                / npsi.astype(np.float64) / 1e4
+            neg_share = neg.astype(np.float64) \
+                / npsi.astype(np.float64)
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]],
+                            "n_psi": npsi, "mean_psi": mean_psi,
+                            "neg_share": neg_share})
+        return res[n >= 3]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def fractal_dims(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key waveform fractal dimensions of the (ts, order)-sorted
+    value stream — the two classic O(n) estimators:
+      * Petrosian FD = log10(n) / (log10(n) + log10(n/(n + 0.4·NΔ)))
+        with NΔ = # strict sign changes of the first difference;
+      * Katz FD = log10(n−1) / (log10(n−1) + log10(D/L)) with path
+        length L = Σ|Δx| and extent D = max|xᵢ − x₀|
+    — 1.0 for a monotone ramp, rising toward ~1.5+ for noise-like
+    streams; the roughness complement to hurst/perm_entropy.
+
+    NΔ, L and D are EXACT int64 in k-space (one vectorized boundary
+    scan, np.add.at / np.maximum.at over group ids); the two FD
+    closings are the only floats, mirrored term-for-term by the SQL
+    twin.  Keys need n ≥ 3, L > 0 and D > 0.  One key-hash
+    exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "n_delta": pd.Series(dtype="int64"),
+                "pfd": pd.Series(dtype="float64"),
+                "katz_fd": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        same = k[1:] == k[:-1]
+        d = x[1:] - x[:-1]
+        L = np.zeros(len(starts), np.int64)
+        np.add.at(L, gid[1:][same], np.abs(d[same]))
+        # D = max |x_i - x_first|; broadcast first value per group
+        x0 = np.repeat(x[starts], n)
+        dev = np.abs(x - x0)
+        D = np.zeros(len(starts), np.int64)
+        np.maximum.at(D, gid, dev)
+        # N_delta: strict sign changes d_i * d_{i+1} < 0, both in-key
+        same2 = same[1:] & same[:-1]
+        sgn = d[1:] * d[:-1] < 0
+        nd = np.zeros(len(starts), np.int64)
+        np.add.at(nd, gid[2:][same2], sgn[same2].astype(np.int64))
+        nf = n.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lg = np.log10(nf)
+            pfd = lg / (lg + np.log10(
+                nf / (nf + 0.4 * nd.astype(np.float64))))
+            lg1 = np.log10(nf - 1.0)
+            katz = lg1 / (lg1 + np.log10(
+                D.astype(np.float64) / L.astype(np.float64)))
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]], "n": n,
+                            "n_delta": nd, "pfd": pfd,
+                            "katz_fd": katz})
+        return res[(n >= 3) & (L > 0) & (D > 0)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def page_hinkley(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key offline Page–Hinkley mean-shift statistics of the
+    (ts, order)-sorted value stream: with cumulative deviations
+    mₜ = Σᵢ≤ₜ(xᵢ − x̄), PH⁺ = maxₜ(mₜ − minₛ≤ₜ mₛ) detects an upward
+    mean shift and PH⁻ = maxₜ(maxₛ≤ₜ mₛ − mₜ) a downward one — the
+    classic sequential change detector run retrospectively (δ = 0),
+    the directional complement to the CUSUM changepoint locator.
+
+    The whole computation stays in EXACT integer space: cumulating
+    cₜ = Σᵢ≤ₜ(n·xᵢ − Σx) = n·Σᵢ≤ₜxᵢ − t·Σx avoids the float mean, so
+    the running min/max and the two gaps are exact int64 here and
+    exact HUGEINT in the SQL twin's window frames; the only floats
+    are the final descalings PH± = PH±int/(n·100).  Int64 bound:
+    |cₜ| ≤ 10⁴·n² ⇒ n ≲ 10⁶ per key at |value| ≤ 50 (lift to float
+    beyond — sandbox keys are ≪ that).  Keys need n ≥ 2.  One
+    key-hash exchange, one lexsort; the running extrema are pandas
+    groupby cummin/cummax (C-vectorized), no Python per-key loop."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "ph_up": pd.Series(dtype="float64"),
+                "ph_down": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        sid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        s1 = np.add.reduceat(x, starts)
+        dev = np.repeat(n, n) * x - np.repeat(s1, n)   # n·xᵢ − Σx
+        c = np.cumsum(dev)
+        carry = np.repeat(np.r_[np.int64(0),
+                                c[starts[1:] - 1]], n) \
+            if len(starts) > 1 else np.zeros(len(c), np.int64)
+        cg = c - carry                                  # per-group cum
+        g = pd.Series(cg).groupby(sid)
+        rmin = g.cummin().to_numpy()
+        rmax = g.cummax().to_numpy()
+        up = np.zeros(len(starts), np.int64)
+        dn = np.zeros(len(starts), np.int64)
+        np.maximum.at(up, sid, cg - rmin)
+        np.maximum.at(dn, sid, rmax - cg)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ph_up = up.astype(np.float64) \
+                / (n.astype(np.float64) * 100.0)
+            ph_down = dn.astype(np.float64) \
+                / (n.astype(np.float64) * 100.0)
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]], "n": n,
+                            "ph_up": ph_up, "ph_down": ph_down})
+        return res[n >= 2]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def grubbs_stat(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Grubbs extreme-outlier statistic (Grubbs 1950)
+    G = max|xᵢ − x̄| / s with the SAMPLE std s (ddof = 1) — the
+    single-most-suspicious-point gate: compare G against the
+    t-distribution critical value for the chosen α to declare the
+    extremum an outlier.  Also reports the deviation itself in value
+    units (max_dev) so downstream thresholds can work in either
+    scale.
+
+    Σx and Σx² are EXACT int64 in k-space; x̄, the per-point |x − x̄|
+    deviations, s and G are float closings mirrored
+    operation-for-operation by the SQL twin (both sides take the max
+    over the IDENTICAL float deviation set, so the extremum agrees
+    bit-for-bit).  Keys need n ≥ 3 and nonzero variance.  Order-free
+    (no sort): one key-hash exchange, np.maximum.at over group
+    ids."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "max_dev": pd.Series(dtype="float64"),
+                "grubbs_g": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        x = _quantize(df[val_col].to_numpy())
+        order = np.argsort(kc, kind="stable")
+        k, xs = kc[order], x[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        s1 = np.add.reduceat(xs, starts)
+        s2 = np.add.reduceat(xs * xs, starts)
+        nf = n.astype(np.float64)
+        mu = s1.astype(np.float64) / nf
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        dev = np.abs(xs.astype(np.float64) - mu[gid])
+        mx = np.zeros(len(starts), np.float64)
+        np.maximum.at(mx, gid, dev)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (s2.astype(np.float64)
+                   - mu * s1.astype(np.float64)) / (nf - 1.0)
+            g = mx / np.sqrt(var)
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]], "n": n,
+                            "max_dev": mx / 100.0, "grubbs_g": g})
+        return res[(n >= 3) & (var > 0)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

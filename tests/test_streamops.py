@@ -2604,3 +2604,232 @@ def test_lmoments_bruteforce(ray_session):
     assert abs(out.loc[1, "t3"]) < 0.02
     assert abs(out.loc[1, "t4"]) < 0.02
     assert abs(out.loc[2, "t3"] - 1.0 / 3.0) < 0.03
+
+
+def test_hjorth_params_bruteforce_and_sine(ray_session):
+    from cesium_ray.stages.tsmath import hjorth_params
+
+    ev = _valued(seed=301, n=2600, nusers=15)
+    got = hjorth_params(ray.data.from_pandas(ev).repartition(6),
+                        num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.float64)
+        vx = x.var()
+        d = np.diff(x)
+        vd = d.var()
+        dd = np.diff(d)
+        vdd = dd.var()
+        row = got[got["user_id"] == uid]
+        if len(x) < 3 or vx == 0 or vd == 0:
+            assert len(row) == 0
+            continue
+        assert len(row) == 1
+        assert abs(row["activity"].iloc[0] - vx / 1e4) < 1e-6 * max(vx, 1)
+        assert abs(row["mobility"].iloc[0] - np.sqrt(vd / vx)) < 1e-9
+        assert abs(row["complexity"].iloc[0]
+                   - np.sqrt(vdd / vd) / np.sqrt(vd / vx)) < 1e-9
+    # planted sine: mobility -> 2 sin(w/2), complexity -> ~1
+    w, A, n = 0.3, 40.0, 5000
+    sine = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 7, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.round(A * np.sin(w * np.arange(n)), 2)})
+    out = hjorth_params(ray.data.from_pandas(sine), num_partitions=2)
+    assert abs(out["mobility"].iloc[0] - 2 * np.sin(w / 2)) < 0.01
+    assert abs(out["complexity"].iloc[0] - 1.0) < 0.02
+
+
+def test_teager_energy_bruteforce_and_sine(ray_session):
+    from cesium_ray.stages.tsmath import teager_energy
+
+    ev = _valued(seed=307, n=2400, nusers=15)
+    got = teager_energy(ray.data.from_pandas(ev).repartition(6),
+                        num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        row = got[got["user_id"] == uid]
+        if len(x) < 3:
+            assert len(row) == 0
+            continue
+        psi = x[1:-1] * x[1:-1] - x[:-2] * x[2:]
+        assert len(row) == 1
+        assert row["n_psi"].iloc[0] == len(psi)
+        assert abs(row["mean_psi"].iloc[0]
+                   - psi.sum() / len(psi) / 1e4) < 1e-9 * max(
+                       abs(psi.sum()), 1)
+        assert abs(row["neg_share"].iloc[0]
+                   - (psi < 0).mean()) < 1e-12
+    # planted sine: psi = A^2 sin^2(w) everywhere, no negatives
+    w, A, n = 0.3, 40.0, 4000
+    sine = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 3, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.round(A * np.sin(w * np.arange(n)), 2)})
+    out = teager_energy(ray.data.from_pandas(sine), num_partitions=2)
+    expect = A * A * np.sin(w) ** 2
+    assert abs(out["mean_psi"].iloc[0] - expect) < 0.05 * expect
+    assert out["neg_share"].iloc[0] < 0.02
+
+
+def test_fractal_dims_bruteforce_and_shapes(ray_session):
+    from cesium_ray.stages.tsmath import fractal_dims
+
+    ev = _valued(seed=311, n=2400, nusers=15)
+    got = fractal_dims(ray.data.from_pandas(ev).repartition(6),
+                       num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(x)
+        d = np.diff(x)
+        L = int(np.abs(d).sum())
+        D = int(np.abs(x - x[0]).max())
+        nd = int((d[1:] * d[:-1] < 0).sum())
+        row = got[got["user_id"] == uid]
+        if n < 3 or L == 0 or D == 0:
+            assert len(row) == 0
+            continue
+        assert len(row) == 1
+        assert row["n_delta"].iloc[0] == nd
+        lg = np.log10(n)
+        pfd = lg / (lg + np.log10(n / (n + 0.4 * nd)))
+        assert abs(row["pfd"].iloc[0] - pfd) < 1e-9
+        katz = np.log10(n - 1.0) / (np.log10(n - 1.0)
+                                    + np.log10(D / L))
+        assert abs(row["katz_fd"].iloc[0] - katz) < 1e-9
+    # shape separation: a monotone ramp has pfd ~= 1 (nd = 0) and a
+    # sign-alternating sawtooth maximal nd = n - 2
+    n = 1000
+    base = {"event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                                 ).astype("datetime64[us]")}
+    ramp = pd.DataFrame({**base,
+                         "user_id": np.full(n, 1, dtype=np.int64),
+                         "value": np.arange(n) * 0.5})
+    saw = pd.DataFrame({**base,
+                        "user_id": np.full(n, 2, dtype=np.int64),
+                        "value": np.where(np.arange(n) % 2, 10.0,
+                                          -10.0)})
+    out = fractal_dims(
+        ray.data.from_pandas(pd.concat([ramp, saw],
+                                       ignore_index=True)),
+        num_partitions=2)
+    r = out[out["user_id"] == 1].iloc[0]
+    z = out[out["user_id"] == 2].iloc[0]
+    assert r["n_delta"] == 0 and abs(r["pfd"] - 1.0) < 1e-12
+    assert z["n_delta"] == n - 2
+    assert z["pfd"] > r["pfd"]
+
+
+def test_page_hinkley_bruteforce_and_shift(ray_session):
+    from cesium_ray.stages.tsmath import page_hinkley
+
+    ev = _valued(seed=313, n=2200, nusers=15)
+    got = page_hinkley(ray.data.from_pandas(ev).repartition(6),
+                       num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(x)
+        row = got[got["user_id"] == uid]
+        if n < 2:
+            assert len(row) == 0
+            continue
+        c = np.cumsum(n * x - x.sum())
+        up = max(c[i] - c[:i + 1].min() for i in range(n))
+        dn = max(c[:i + 1].max() - c[i] for i in range(n))
+        assert len(row) == 1
+        assert abs(row["ph_up"].iloc[0] - up / (n * 100.0)) < 1e-9
+        assert abs(row["ph_down"].iloc[0] - dn / (n * 100.0)) < 1e-9
+    # planted upward step: ph_up >> ph_down, magnitude ~ shift*n/4
+    n, shift = 2000, 8.0
+    step = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 5, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.where(np.arange(n) < n // 2, 0.0, shift)})
+    out = page_hinkley(ray.data.from_pandas(step), num_partitions=2)
+    # the step makes a V-shaped cumsum: full ascent n·shift/4 on the
+    # up side, the same descent less the first step on the down side
+    expect = shift * n / 4.0
+    assert abs(out["ph_up"].iloc[0] - expect) < 1e-6
+    assert abs(out["ph_down"].iloc[0] - (expect - shift / 2)) < 1e-6
+
+
+def test_grubbs_stat_bruteforce_and_outlier(ray_session):
+    from cesium_ray.stages.tsmath import grubbs_stat
+
+    ev = _valued(seed=317, n=2000, nusers=15)
+    got = grubbs_stat(ray.data.from_pandas(ev).repartition(6),
+                      num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.float64)
+        n = len(x)
+        row = got[got["user_id"] == uid]
+        if n < 3 or x.var() == 0:
+            assert len(row) == 0
+            continue
+        mu = x.mean()
+        mx = np.abs(x - mu).max()
+        s = np.sqrt(((x - mu) ** 2).sum() / (n - 1))
+        assert len(row) == 1
+        assert abs(row["max_dev"].iloc[0] - mx / 100.0) < 1e-9
+        assert abs(row["grubbs_g"].iloc[0] - mx / s) < 1e-9
+    # planted gross outlier dominates G
+    base = np.full(500, 10.0)
+    base[250] = 500.0
+    pl = pd.DataFrame({"user_id": np.full(500, 1, dtype=np.int64),
+                       "value": base + np.round(
+                           np.random.default_rng(3).uniform(
+                               -0.5, 0.5, 500), 2)})
+    out = grubbs_stat(ray.data.from_pandas(pl), num_partitions=2)
+    assert out["grubbs_g"].iloc[0] > 20.0
+    assert abs(out["max_dev"].iloc[0] - (500.0 - out["max_dev"].iloc[0]
+               * 0 - 10.0)) < 2.0
+
+
+def test_rfm_segmentation_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import rfm_segmentation
+
+    ev = _valued(seed=331, n=2500, nusers=20)
+    got = rfm_segmentation(ray.data.from_pandas(ev).repartition(6),
+                           num_partitions=4)
+    agg = ev.assign(k=np.rint(ev["value"] * 100).astype(np.int64),
+                    t=ev["ts"].astype("datetime64[us]").astype(
+                        np.int64)) \
+        .groupby("user_id").agg(last_t=("t", "max"),
+                                freq=("t", "size"), mon=("k", "sum"))
+    hi = agg["last_t"].max()
+    agg["rec"] = hi - agg["last_t"]
+    n = len(agg)
+    assert len(got) == n
+
+    def scores(series, asc):
+        o = series.sort_values(ascending=asc).index \
+            if asc else None
+        df = series.reset_index()
+        df = df.sort_values([series.name, "user_id"],
+                            ascending=[asc, True])
+        df["rn"] = np.arange(1, n + 1)
+        return dict(zip(df["user_id"], 5 - (df["rn"] - 1) * 5 // n))
+
+    rs = scores(agg["rec"], True)
+    fs = scores(agg["freq"], False)
+    ms = scores(agg["mon"], False)
+    for _, row in got.iterrows():
+        uid = row["user_id"]
+        assert row["recency_us"] == agg.loc[uid, "rec"]
+        assert row["freq"] == agg.loc[uid, "freq"]
+        assert abs(row["monetary"] - agg.loc[uid, "mon"] / 100.0) \
+            < 1e-9
+        assert row["r_score"] == rs[uid], uid
+        assert row["f_score"] == fs[uid], uid
+        assert row["m_score"] == ms[uid], uid
+        assert row["rfm"] == 100 * rs[uid] + 10 * fs[uid] + ms[uid]
