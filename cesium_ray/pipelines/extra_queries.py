@@ -9372,7 +9372,93 @@ FROM r
 """
 
 
+def q_basket_lift(sf_dir):
+    """★-checked users-as-baskets association lift over event-type
+    pairs (stages/analytics.py): map-side distinct partials, one
+    user-keyed exchange to |items|²-bounded cells, mirrored
+    support/lift closings; distinct self-join twin."""
+    from ..stages.analytics import basket_lift
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return round6(basket_lift(ev, num_partitions=8))
+
+
+BASKET_LIFT_SQL = """
+WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+s AS (SELECT event_type, count(*) AS c FROM u GROUP BY 1),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM u a JOIN u b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT type_a, type_b, sa.c AS n_a, sb.c AS n_b, n_both,
+       round(CAST(n_both AS DOUBLE)/nu, 6) AS support,
+       round(CAST(n_both AS DOUBLE)*nu
+             /CAST(sa.c*sb.c AS DOUBLE), 6) AS lift
+FROM p, n
+JOIN s sa ON sa.event_type = type_a
+JOIN s sb ON sb.event_type = type_b
+"""
+
+
+def q_heaps_law(sf_dir):
+    """★-checked Heaps'-law vocabulary-growth fit (stages/pack.py):
+    exact doc/token/vocab counts at 16 checkpoint ranks, log-log OLS
+    over sequential running sums mirrored by window frames."""
+    from ..stages.pack import heaps_law
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return round6(heaps_law(docs, num_partitions=8))
+
+
+HEAPS_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+'))
+           AS term
+  FROM documents),
+dc AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY 1),
+d2 AS (SELECT d.doc_id, coalesce(dc.m, 0) AS m
+       FROM documents d LEFT JOIN dc USING (doc_id)),
+o AS (SELECT doc_id, m,
+             row_number() OVER (ORDER BY doc_id) AS r,
+             sum(m) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cumtok
+      FROM d2),
+nn AS (SELECT count(*) AS dd, CAST(sum(m) AS BIGINT) AS tt FROM d2),
+ck AS (SELECT i, i*dd//16 AS rj
+       FROM (SELECT unnest(generate_series(1, 16)) AS i), nn),
+cp AS (SELECT ck.i, o.doc_id, o.cumtok
+       FROM ck JOIN o ON o.r = ck.rj),
+fd AS (SELECT term, min(doc_id) AS f FROM tok GROUP BY 1),
+vt AS (SELECT count(*) AS vocab FROM fd),
+vj AS (SELECT cp.i, cp.cumtok,
+              (SELECT count(*) FROM fd WHERE fd.f <= cp.doc_id) AS v
+       FROM cp),
+w AS (SELECT i, ln(CAST(cumtok AS DOUBLE)) AS xx,
+             ln(CAST(v AS DOUBLE)) AS yy FROM vj),
+rs AS (SELECT i, sum(xx) OVER wo AS sx, sum(yy) OVER wo AS sy,
+             sum(xx*xx) OVER wo AS sxx, sum(xx*yy) OVER wo AS sxy
+       FROM w
+       WINDOW wo AS (ORDER BY i ROWS UNBOUNDED PRECEDING)),
+f AS (SELECT (16.0*sxy - sx*sy)/(16.0*sxx - sx*sx) AS beta,
+             sx, sy FROM rs WHERE i = 16)
+SELECT nn.dd AS n_docs, nn.tt AS tokens_total,
+       vt.vocab AS vocab_total,
+       round(f.beta, 6) AS beta,
+       round(exp((f.sy - f.beta*f.sx)/16.0), 6) AS k_coef
+FROM nn, vt, f
+"""
+
+
 EXTRA_QUERIES = {
+    "basket_lift": q_basket_lift,
+    "heaps_law": q_heaps_law,
     "grubbs_stat": q_grubbs_stat,
     "rfm_segmentation": q_rfm_segmentation,
     "fractal_dims": q_fractal_dims,
@@ -9574,6 +9660,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "basket_lift": BASKET_LIFT_SQL,
+    "heaps_law": HEAPS_SQL,
     "grubbs_stat": GRUBBS_SQL,
     "rfm_segmentation": RFM_SQL,
     "fractal_dims": FRACTAL_SQL,

@@ -2090,3 +2090,81 @@ def rfm_segmentation(
                         "m_score": m_s,
                         "rfm": 100 * r_s + 10 * f_s + m_s})
     return out.sort_values(key).reset_index(drop=True)
+
+
+def basket_lift(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    item_col: str = "event_type",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Market-basket association over users-as-baskets: for every
+    unordered item pair (a < b), the distinct-user co-occurrence
+    count, support = n_both/N and
+    lift = N·n_both/(n_a·n_b) — lift > 1 flags items attracting the
+    same users (the cross-feature signal behind bundling /
+    next-event-type suggestions), < 1 repulsion.
+
+    Distributed shape: a map-side distinct (user, item) partial
+    per block, ONE user-keyed exchange, then each partition reduces
+    its users to pair / single / distinct-user cells (bounded by
+    |items|² per partition, not by rows) that sum driver-side.  All
+    counts exact int64; support and lift close in mirrored float
+    expressions."""
+    from .partition import group_apply
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key, item_col]].drop_duplicates()
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        m = d.merge(d, on=key)
+        ax, bx = item_col + "_x", item_col + "_y"
+        p = m[m[ax] < m[bx]]
+        pc = p.groupby([ax, bx], as_index=False, observed=True).size()
+        sc = d.groupby(item_col, as_index=False, observed=True).size()
+        out = pd.concat([
+            pd.DataFrame({"kind": "p", "a": pc[ax].to_numpy(object),
+                          "b": pc[bx].to_numpy(object),
+                          "cnt": pc["size"].to_numpy(np.int64)}),
+            pd.DataFrame({"kind": "s", "a": sc[item_col]
+                          .to_numpy(object), "b": "",
+                          "cnt": sc["size"].to_numpy(np.int64)}),
+            pd.DataFrame({"kind": ["n"], "a": [""], "b": [""],
+                          "cnt": [np.int64(d[key].nunique())]}),
+        ], ignore_index=True)
+        return out
+
+    parts = group_apply(
+        ds.select_columns([key, item_col]).map_batches(
+            distinct_partial, batch_format="pandas"),
+        cells, num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    cols = {"type_a": pd.Series(dtype=object),
+            "type_b": pd.Series(dtype=object),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "n_both": pd.Series(dtype="int64"),
+            "support": pd.Series(dtype="float64"),
+            "lift": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    agg = parts.groupby(["kind", "a", "b"], as_index=False,
+                        observed=True)["cnt"].sum()
+    n_users = int(agg.loc[agg["kind"] == "n", "cnt"].sum())
+    singles = dict(zip(agg.loc[agg["kind"] == "s", "a"],
+                       agg.loc[agg["kind"] == "s", "cnt"]))
+    pr = agg[agg["kind"] == "p"]
+    if pr.empty or n_users == 0:
+        return pd.DataFrame(cols)
+    na = pr["a"].map(singles).to_numpy(np.int64)
+    nb = pr["b"].map(singles).to_numpy(np.int64)
+    nboth = pr["cnt"].to_numpy(np.int64)
+    support = nboth.astype(np.float64) / np.float64(n_users)
+    lift = nboth.astype(np.float64) * np.float64(n_users) \
+        / (na * nb).astype(np.float64)
+    out = pd.DataFrame({"type_a": pr["a"].to_numpy(object),
+                        "type_b": pr["b"].to_numpy(object),
+                        "n_a": na, "n_b": nb, "n_both": nboth,
+                        "support": support, "lift": lift})
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)

@@ -1044,3 +1044,111 @@ def df_histogram(
     agg["share"] = agg["n_terms"].to_numpy(np.int64
                                            ).astype(np.float64) / tot
     return agg.sort_values("df").reset_index(drop=True)
+
+
+def heaps_law(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 16,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) ≈ K·N^β over the corpus
+    read in ``id_col`` order: distinct-vocabulary size V and
+    cumulative token count N are sampled at ``n_checkpoints`` equally
+    spaced document ranks and a log-log OLS over those checkpoints
+    yields (β, K) — the sublinearity gauge (β ≈ 0.4–0.6 for natural
+    text; β → 1 flags id-like/boilerplate token streams) read before
+    sizing vocab-keyed stages.
+
+    Distributed shape: pass A is an embarrassingly-parallel per-doc
+    token count (one small row per doc reaches the driver — swap for
+    a distributed rank pass beyond ~10⁸ docs); pass B builds per-block
+    (term → min doc) partials, one token-keyed exchange reduces to
+    global first-doc per term, and each partition then collapses to
+    ``n_checkpoints + 1`` bucket counts via searchsorted against the
+    broadcast checkpoint doc-ids — vocabulary never reaches the
+    driver.  Counts are exact int64; the OLS runs over running float
+    sums in checkpoint order, mirrored by the SQL twin's sequential
+    window frames."""
+    ck = int(n_checkpoints)
+
+    def doc_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "m": df[text_col].astype(str).str.lower()
+                 .str.count(_TOKEN_RE).to_numpy(np.int64)})
+
+    percount = ds.select_columns([id_col, text_col]).map_batches(
+        doc_counts, batch_format="pandas").to_pandas()
+    cols = {"n_docs": pd.Series(dtype="int64"),
+            "tokens_total": pd.Series(dtype="int64"),
+            "vocab_total": pd.Series(dtype="int64"),
+            "beta": pd.Series(dtype="float64"),
+            "k_coef": pd.Series(dtype="float64")}
+    nd = len(percount)
+    if nd < ck:
+        return pd.DataFrame(cols)
+    percount = percount.sort_values(id_col, kind="mergesort")
+    cumtok = np.cumsum(percount["m"].to_numpy(np.int64))
+    ranks = np.arange(1, ck + 1, dtype=np.int64) * nd // ck
+    ck_docs = percount[id_col].to_numpy()[ranks - 1]
+    ck_cum = cumtok[ranks - 1]
+
+    def first_doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df[text_col].astype(str).str.lower()
+                .str.findall(_TOKEN_RE))
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"term": pd.Series(dtype=object),
+                                 "f": pd.Series(dtype="int64")})
+        pair = pd.DataFrame({
+            "term": ex.to_numpy(object),
+            "f": df[id_col].to_numpy(np.int64)[ex.index.to_numpy()]})
+        g = pair.groupby("term", as_index=False, sort=False)["f"].min()
+        return g
+
+    cks = np.sort(ck_docs)
+    order = np.argsort(ck_docs, kind="stable")
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", observed=True)["f"].min()
+        f = g.to_numpy(np.int64)
+        # idx = # sorted checkpoints strictly below f; a term counts
+        # toward every checkpoint j >= idx (f <= cks[j], ties in)
+        idx = np.searchsorted(cks, f, side="left")
+        cnt = np.bincount(idx, minlength=len(cks) + 1)
+        v_sorted = np.cumsum(cnt)[:len(cks)]
+        # undo the sort so bucket i matches checkpoint i
+        v = np.empty(len(cks), np.int64)
+        v[order] = v_sorted
+        return pd.DataFrame({"i": np.arange(len(cks), dtype=np.int64),
+                             "v": v,
+                             "vocab": np.int64(len(f))})
+
+    parts = group_apply(
+        ds.select_columns([id_col, text_col]).map_batches(
+            first_doc_partial, batch_format="pandas"),
+        bucket_counts, num_partitions=num_partitions, key="term",
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(cols)
+    agg = parts.groupby("i")["v"].sum()
+    v = agg.to_numpy(np.int64)
+    # one i=0 row per result partition, each carrying that
+    # partition's distinct-term count
+    vocab_total = int(parts[parts["i"] == 0]["vocab"].sum())
+    xs = np.log(ck_cum.astype(np.float64))
+    ys = np.log(v.astype(np.float64))
+    sx = float(np.cumsum(xs)[-1])
+    sy = float(np.cumsum(ys)[-1])
+    sxx = float(np.cumsum(xs * xs)[-1])
+    sxy = float(np.cumsum(xs * ys)[-1])
+    kf = float(ck)
+    beta = (kf * sxy - sx * sy) / (kf * sxx - sx * sx)
+    k_coef = float(np.exp((sy - beta * sx) / kf))
+    return pd.DataFrame({
+        "n_docs": [np.int64(nd)],
+        "tokens_total": [np.int64(int(cumtok[-1]))],
+        "vocab_total": [np.int64(vocab_total)],
+        "beta": [beta], "k_coef": [k_coef]})

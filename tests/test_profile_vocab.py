@@ -530,3 +530,87 @@ def test_df_histogram_bruteforce(ray_session):
     want2 = pd.Series(list(df_count.values())).value_counts()
     assert dict(zip(got2["df"], got2["n_terms"])) \
         == {int(k): int(v) for k, v in want2.items()}
+
+
+def test_basket_lift_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import basket_lift
+
+    ev = _events(seed=91, n=3000, nusers=30)
+    ev["event_type"] = np.random.default_rng(92).choice(
+        list("abcde"), len(ev))
+    got = basket_lift(ray.data.from_pandas(ev).repartition(6),
+                      num_partitions=4)
+    d = ev[["user_id", "event_type"]].drop_duplicates()
+    N = d["user_id"].nunique()
+    singles = d.groupby("event_type").size()
+    m = d.merge(d, on="user_id")
+    p = m[m["event_type_x"] < m["event_type_y"]]
+    pc = p.groupby(["event_type_x", "event_type_y"]).size()
+    assert len(got) == len(pc)
+    for (a, b), nboth in pc.items():
+        row = got[(got["type_a"] == a) & (got["type_b"] == b)]
+        assert len(row) == 1
+        na, nb = singles[a], singles[b]
+        assert row["n_a"].iloc[0] == na
+        assert row["n_b"].iloc[0] == nb
+        assert row["n_both"].iloc[0] == nboth
+        assert abs(row["support"].iloc[0] - nboth / N) < 1e-12
+        assert abs(row["lift"].iloc[0]
+                   - nboth * N / (na * nb)) < 1e-12
+    # planted association: users take x and y together or neither
+    rng = np.random.default_rng(7)
+    rows = []
+    for u in range(100):
+        if u % 2 == 0:
+            rows += [(u, "x"), (u, "y")]
+        else:
+            rows += [(u, "z")]
+    pl = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    out = basket_lift(ray.data.from_pandas(pl), num_partitions=2)
+    xy = out[(out["type_a"] == "x") & (out["type_b"] == "y")]
+    assert abs(xy["lift"].iloc[0] - 2.0) < 1e-12  # 100*50/(50*50)
+    assert not ((out["type_a"] == "x")
+                & (out["type_b"] == "z")).any()
+
+
+def test_heaps_law_bruteforce_and_growth(ray_session):
+    from cesium_ray.stages.pack import heaps_law
+
+    rng = np.random.default_rng(41)
+    # Zipf-ish corpus: doc d draws 20-60 tokens from a power-law vocab
+    vocab = np.array([f"w{i}" for i in range(800)])
+    pw = 1.0 / np.arange(1, 801) ** 1.1
+    pw /= pw.sum()
+    docs = pd.DataFrame({
+        "doc_id": np.arange(64, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, rng.integers(20, 61),
+                                     p=pw)) for _ in range(64)]})
+    got = heaps_law(ray.data.from_pandas(docs).repartition(5),
+                    num_partitions=4)
+    assert len(got) == 1
+    # brute force
+    toks = [d.lower().split() for d in docs["text"]]
+    m = np.array([len(t) for t in toks])
+    cum = np.cumsum(m)
+    nd = len(docs)
+    ranks = np.arange(1, 17) * nd // 16
+    seen, first = set(), {}
+    for d, tt in zip(docs["doc_id"], toks):
+        for t in tt:
+            if t not in first:
+                first[t] = d
+    fvals = np.array(sorted(first.values()))
+    ckdocs = docs["doc_id"].to_numpy()[ranks - 1]
+    v = np.array([(fvals <= cd).sum() for cd in ckdocs])
+    assert got["n_docs"].iloc[0] == nd
+    assert got["tokens_total"].iloc[0] == m.sum()
+    assert got["vocab_total"].iloc[0] == len(first)
+    xs, ys = np.log(cum[ranks - 1].astype(float)), np.log(
+        v.astype(float))
+    sx, sy = xs.sum(), ys.sum()
+    sxx, sxy = (xs * xs).sum(), (xs * ys).sum()
+    beta = (16 * sxy - sx * sy) / (16 * sxx - sx * sx)
+    assert abs(got["beta"].iloc[0] - beta) < 1e-9
+    assert 0.2 < beta < 0.95          # sublinear growth for Zipf text
+    k = np.exp((sy - beta * sx) / 16)
+    assert abs(got["k_coef"].iloc[0] - k) < 1e-6 * k
