@@ -9456,7 +9456,78 @@ FROM nn, vt, f
 """
 
 
+def q_pareto_concentration(sf_dir):
+    """★-checked Lorenz concentration-curve points (top-p% key share
+    of events; stages/analytics.py): exact integer cut ranks
+    k = max(1, p·N//100) with count-desc/key-asc ordering, one
+    mirrored share closing."""
+    from ..stages.analytics import pareto_concentration
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    return round6(pareto_concentration(ev, num_partitions=8))
+
+
+PARETO_SQL = """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+r AS (SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, user_id) AS rn,
+             count(*) OVER () AS n,
+             sum(cnt) OVER (ORDER BY cnt DESC, user_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+p AS (SELECT unnest([1, 5, 10, 25, 50]) AS pct)
+SELECT p.pct, r.rn AS n_top_keys,
+       CAST(r.cum AS BIGINT) AS top_events,
+       round(CAST(r.cum AS DOUBLE)/CAST(t.total AS DOUBLE), 6)
+         AS share
+FROM p, t
+JOIN r ON r.rn = greatest(1, p.pct * r.n // 100)
+"""
+
+
+def q_vocab_richness(sf_dir):
+    """★-checked corpus vocabulary-richness indices (Yule's K,
+    Simpson's D, Sichel's S, hapax share; stages/pack.py): exact
+    int64 term-frequency moment cells through one token-keyed
+    exchange, four mirrored float closings."""
+    from ..stages.pack import vocab_richness
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return round6(vocab_richness(docs, num_partitions=8))
+
+
+VOCAB_RICHNESS_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+'))
+           AS term
+  FROM documents),
+c AS (SELECT term, count(*) AS m FROM tok GROUP BY 1),
+a AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+             CAST(sum(m*m) AS BIGINT) AS s2,
+             CAST(sum(m*(m-1)) AS BIGINT) AS sp,
+             count(*) AS v,
+             count(*) FILTER (m = 1) AS v1,
+             count(*) FILTER (m = 2) AS v2
+      FROM c)
+SELECT n AS n_tokens, v AS vocab, v1, v2,
+       round(10000.0*CAST(s2 - n AS DOUBLE)
+             /(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)), 6) AS yule_k,
+       round(CAST(sp AS DOUBLE)
+             /(CAST(n AS DOUBLE)*(n - 1.0)), 6) AS simpson_d,
+       round(CAST(v2 AS DOUBLE)/CAST(v AS DOUBLE), 6) AS sichel_s,
+       round(CAST(v1 AS DOUBLE)/CAST(v AS DOUBLE), 6) AS hapax_share
+FROM a WHERE n >= 2 AND v > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "pareto_concentration": q_pareto_concentration,
+    "vocab_richness": q_vocab_richness,
     "basket_lift": q_basket_lift,
     "heaps_law": q_heaps_law,
     "grubbs_stat": q_grubbs_stat,
@@ -9660,6 +9731,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "pareto_concentration": PARETO_SQL,
+    "vocab_richness": VOCAB_RICHNESS_SQL,
     "basket_lift": BASKET_LIFT_SQL,
     "heaps_law": HEAPS_SQL,
     "grubbs_stat": GRUBBS_SQL,

@@ -2168,3 +2168,56 @@ def basket_lift(
                         "n_a": na, "n_b": nb, "n_both": nboth,
                         "support": support, "lift": lift})
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def pareto_concentration(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    pcts: tuple = (1, 5, 10, 25, 50),
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Activity-concentration (Lorenz) curve points: for each
+    percentile p of keys, the share of all events produced by the
+    top-p% busiest keys (count-descending, key-ascending tie-break)
+    — the "what fraction of traffic is the hot head" planning number
+    behind salting/LPT decisions, read pointwise where gini/theil
+    give one index.
+
+    Per-key counts reduce through one keyed exchange (map-side
+    partial counts first); ranking and the cumulative prefix run on
+    the one-row-per-key table (swap for a distributed sort beyond
+    ~10⁸ keys).  Cut ranks use exact integer arithmetic
+    k = max(1, p·N//100) matching the twin's row_number/greatest;
+    the share is the only float closing."""
+    from .partition import group_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, as_index=False, observed=True).size()
+        return g.rename(columns={"size": "cnt"})
+
+    counts = group_apply(
+        ds.select_columns([key]).map_batches(partial,
+                                             batch_format="pandas"),
+        lambda df: df.groupby(key, as_index=False,
+                              observed=True)["cnt"].sum(),
+        num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    cols = {"pct": pd.Series(dtype="int64"),
+            "n_top_keys": pd.Series(dtype="int64"),
+            "top_events": pd.Series(dtype="int64"),
+            "share": pd.Series(dtype="float64")}
+    if counts.empty:
+        return pd.DataFrame(cols)
+    c = counts["cnt"].to_numpy(np.int64)
+    uid = counts[key].to_numpy()
+    perm = np.lexsort((uid, -c))
+    cs = np.cumsum(c[perm])
+    n = len(c)
+    total = int(cs[-1])
+    rows = []
+    for p in pcts:
+        k = max(1, int(p) * n // 100)
+        top = int(cs[k - 1])
+        rows.append((np.int64(p), np.int64(k), np.int64(top),
+                     float(top) / float(total)))
+    return pd.DataFrame(rows, columns=list(cols))

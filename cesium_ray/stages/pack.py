@@ -1152,3 +1152,74 @@ def heaps_law(
         "tokens_total": [np.int64(int(cumtok[-1]))],
         "vocab_total": [np.int64(vocab_total)],
         "beta": [beta], "k_coef": [k_coef]})
+
+
+def vocab_richness(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Corpus-level vocabulary-richness indices from the term-
+    frequency spectrum (V_m = # terms occurring exactly m times):
+    Yule's K = 10⁴·(Σ V_m·m² − N)/N², Simpson's repeat-rate
+    D = Σ V_m·m·(m−1)/(N·(N−1)), Sichel's S = V₂/V and the hapax
+    share V₁/V — the classic stylometric constants (K and S are
+    ~document-length-invariant), the corpus twin of the per-doc
+    lexical_diversity profile and the TERM-frequency complement of
+    df_histogram's DOC-frequency view.
+
+    Distributed shape: per-block token value_counts partials, ONE
+    token-keyed exchange sums them, and each partition reduces to
+    constant-size moment cells (Σm, Σm², Σm(m−1), V, V₁, V₂) — only
+    six numbers per partition reach the driver.  All sums exact
+    int64; the four index closings are mirrored float expressions."""
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (df[text_col].astype(str).str.lower()
+              .str.findall(_TOKEN_RE).explode().dropna()
+              .value_counts())
+        return pd.DataFrame({"token": vc.index.to_numpy(object),
+                             "m": vc.to_numpy(np.int64)})
+
+    def moment_cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", observed=True)["m"].sum()
+        m = g.to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(m.sum())],
+            "s2": [np.int64((m * m).sum())],
+            "sp": [np.int64((m * (m - 1)).sum())],
+            "v": [np.int64(len(m))],
+            "v1": [np.int64((m == 1).sum())],
+            "v2": [np.int64((m == 2).sum())]})
+
+    parts = group_apply(
+        ds.select_columns([text_col]).map_batches(
+            tf_partial, batch_format="pandas"),
+        moment_cells, num_partitions=num_partitions, key="token",
+    ).to_pandas()
+    cols = {"n_tokens": pd.Series(dtype="int64"),
+            "vocab": pd.Series(dtype="int64"),
+            "v1": pd.Series(dtype="int64"),
+            "v2": pd.Series(dtype="int64"),
+            "yule_k": pd.Series(dtype="float64"),
+            "simpson_d": pd.Series(dtype="float64"),
+            "sichel_s": pd.Series(dtype="float64"),
+            "hapax_share": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    n = int(parts["n"].sum())
+    s2 = int(parts["s2"].sum())
+    sp = int(parts["sp"].sum())
+    v = int(parts["v"].sum())
+    v1 = int(parts["v1"].sum())
+    v2 = int(parts["v2"].sum())
+    if n < 2 or v == 0:
+        return pd.DataFrame(cols)
+    nf = float(n)
+    return pd.DataFrame({
+        "n_tokens": [np.int64(n)], "vocab": [np.int64(v)],
+        "v1": [np.int64(v1)], "v2": [np.int64(v2)],
+        "yule_k": [10000.0 * float(s2 - n) / (nf * nf)],
+        "simpson_d": [float(sp) / (nf * (nf - 1.0))],
+        "sichel_s": [float(v2) / float(v)],
+        "hapax_share": [float(v1) / float(v)]})

@@ -614,3 +614,65 @@ def test_heaps_law_bruteforce_and_growth(ray_session):
     assert 0.2 < beta < 0.95          # sublinear growth for Zipf text
     k = np.exp((sy - beta * sx) / 16)
     assert abs(got["k_coef"].iloc[0] - k) < 1e-6 * k
+
+
+def test_pareto_concentration_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import pareto_concentration
+
+    ev = _events(seed=97, n=5000, nusers=60)
+    got = pareto_concentration(
+        ray.data.from_pandas(ev).repartition(6), num_partitions=4)
+    cnt = ev.groupby("user_id").size().reset_index(name="c")
+    cnt = cnt.sort_values(["c", "user_id"],
+                          ascending=[False, True])
+    cs = cnt["c"].cumsum().to_numpy()
+    n, total = len(cnt), int(cnt["c"].sum())
+    assert len(got) == 5
+    for _, row in got.iterrows():
+        k = max(1, int(row["pct"]) * n // 100)
+        assert row["n_top_keys"] == k
+        assert row["top_events"] == cs[k - 1]
+        assert abs(row["share"] - cs[k - 1] / total) < 1e-12
+    # monotone: larger pct => larger share, and top-50% >> 50% under skew
+    sh = got.sort_values("pct")["share"].to_numpy()
+    assert (np.diff(sh) >= 0).all()
+    # planted extreme skew: one user makes 90% of events
+    pl = pd.DataFrame({"user_id": np.r_[np.zeros(900, np.int64),
+                                        np.arange(1, 101)]})
+    out = pareto_concentration(ray.data.from_pandas(pl),
+                               num_partitions=2)
+    assert out[out["pct"] == 1]["share"].iloc[0] == 0.9
+
+
+def test_vocab_richness_bruteforce(ray_session):
+    from cesium_ray.stages.pack import vocab_richness
+
+    rng = np.random.default_rng(51)
+    vocab = np.array([f"w{i}" for i in range(300)])
+    pw = 1.0 / np.arange(1, 301) ** 1.2
+    pw /= pw.sum()
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, 50, p=pw))
+                 for _ in range(40)]})
+    got = vocab_richness(ray.data.from_pandas(docs).repartition(5),
+                         num_partitions=4)
+    allt = " ".join(docs["text"]).lower().split()
+    vc = pd.Series(allt).value_counts()
+    m = vc.to_numpy()
+    n, v = int(m.sum()), len(m)
+    assert got["n_tokens"].iloc[0] == n
+    assert got["vocab"].iloc[0] == v
+    assert got["v1"].iloc[0] == int((m == 1).sum())
+    assert got["v2"].iloc[0] == int((m == 2).sum())
+    assert abs(got["yule_k"].iloc[0]
+               - 1e4 * ((m * m).sum() - n) / (n * n)) < 1e-9
+    assert abs(got["simpson_d"].iloc[0]
+               - (m * (m - 1)).sum() / (n * (n - 1.0))) < 1e-12
+    # a repeated-single-token corpus maximizes concentration
+    mono = pd.DataFrame({"doc_id": [0, 1],
+                         "text": ["x x x x x", "x x x"]})
+    out = vocab_richness(ray.data.from_pandas(mono),
+                         num_partitions=2)
+    assert out["vocab"].iloc[0] == 1
+    assert abs(out["simpson_d"].iloc[0] - 1.0) < 1e-12
