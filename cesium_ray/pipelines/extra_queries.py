@@ -9525,7 +9525,49 @@ FROM a WHERE n >= 2 AND v > 0
 """
 
 
+def q_monotone_runs(sf_dir):
+    """★-checked per-key monotone-run profile (stages/tsmath.py):
+    longest up/down/flat runs + run count over successive-difference
+    signs — pure integer, rn − rs gaps-and-islands twin."""
+    from ..stages.tsmath import monotone_runs
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return round6(monotone_runs(ev, num_partitions=8))
+
+
+MONOTONE_RUNS_SQL = """
+WITH o AS (SELECT user_id, ts, event_id,
+                  CAST(round(value*100) AS BIGINT) AS x FROM events),
+d AS (SELECT user_id,
+             CASE WHEN x > lag(x) OVER w THEN 1
+                  WHEN x < lag(x) OVER w THEN -1 ELSE 0 END AS sg,
+             row_number() OVER w AS rn
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+d2 AS (SELECT user_id, sg, rn,
+              row_number() OVER (PARTITION BY user_id, sg
+                                 ORDER BY rn) AS rs
+       FROM d WHERE rn > 1),
+runs AS (SELECT user_id, sg, rn - rs AS grp, count(*) AS len
+         FROM d2 GROUP BY 1, 2, 3),
+a AS (SELECT user_id,
+             coalesce(max(len) FILTER (sg = 1), 0) AS longest_up,
+             coalesce(max(len) FILTER (sg = -1), 0) AS longest_down,
+             coalesce(max(len) FILTER (sg = 0), 0) AS longest_flat,
+             count(*) AS n_runs
+      FROM runs GROUP BY 1),
+n AS (SELECT user_id, count(*) AS n FROM o GROUP BY 1)
+SELECT n.user_id, n.n, a.longest_up, a.longest_down,
+       a.longest_flat, a.n_runs
+FROM n JOIN a ON n.user_id = a.user_id WHERE n.n >= 2
+"""
+
+
 EXTRA_QUERIES = {
+    "monotone_runs": q_monotone_runs,
     "pareto_concentration": q_pareto_concentration,
     "vocab_richness": q_vocab_richness,
     "basket_lift": q_basket_lift,
@@ -9731,6 +9773,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "monotone_runs": MONOTONE_RUNS_SQL,
     "pareto_concentration": PARETO_SQL,
     "vocab_richness": VOCAB_RICHNESS_SQL,
     "basket_lift": BASKET_LIFT_SQL,

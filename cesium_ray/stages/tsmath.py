@@ -3914,3 +3914,72 @@ def grubbs_stat(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def monotone_runs(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key monotone-run profile of the (ts, order)-sorted value
+    stream: classify each successive difference as up/down/flat and
+    report the longest up, down and flat runs plus the total number
+    of maximal sign runs — the run-texture descriptor (few long runs
+    = trending, many short = choppy) complementing turning_points'
+    single count, and a pure-INTEGER operator (no float closings at
+    all, so the gaps-and-islands SQL twin is trivially exact).
+
+    One key-hash exchange, one lexsort, a vectorized boundary scan —
+    no per-key loop.  Keys need n ≥ 2 (at least one difference)."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "longest_up": pd.Series(dtype="int64"),
+                "longest_down": pd.Series(dtype="int64"),
+                "longest_flat": pd.Series(dtype="int64"),
+                "n_runs": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        if len(x) < 2:
+            return pd.DataFrame(cols)
+        same = k[1:] == k[:-1]
+        d = x[1:] - x[:-1]
+        sg = np.sign(d).astype(np.int64)
+        gid = (np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1)[1:]
+        valid = same
+        # run id over valid diffs only
+        vi = np.flatnonzero(valid)
+        if not len(vi):
+            return pd.DataFrame(cols)
+        sgv, gv = sg[vi], gid[vi]
+        newrun = np.r_[True, (gv[1:] != gv[:-1])
+                       | (sgv[1:] != sgv[:-1])
+                       | (vi[1:] != vi[:-1] + 1)]
+        rid = np.cumsum(newrun) - 1
+        rlen = np.bincount(rid)
+        rsign = sgv[np.flatnonzero(newrun)]
+        rgrp = gv[np.flatnonzero(newrun)]
+        up = np.zeros(len(starts), np.int64)
+        dn = np.zeros(len(starts), np.int64)
+        fl = np.zeros(len(starts), np.int64)
+        nr = np.zeros(len(starts), np.int64)
+        np.maximum.at(up, rgrp[rsign == 1], rlen[rsign == 1])
+        np.maximum.at(dn, rgrp[rsign == -1], rlen[rsign == -1])
+        np.maximum.at(fl, rgrp[rsign == 0], rlen[rsign == 0])
+        np.add.at(nr, rgrp, 1)
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]], "n": n,
+                            "longest_up": up, "longest_down": dn,
+                            "longest_flat": fl, "n_runs": nr})
+        return res[n >= 2]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

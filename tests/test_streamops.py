@@ -2833,3 +2833,49 @@ def test_rfm_segmentation_bruteforce(ray_session):
         assert row["f_score"] == fs[uid], uid
         assert row["m_score"] == ms[uid], uid
         assert row["rfm"] == 100 * rs[uid] + 10 * fs[uid] + ms[uid]
+
+
+def test_monotone_runs_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import monotone_runs
+
+    ev = _valued(seed=337, n=2400, nusers=15)
+    got = monotone_runs(ray.data.from_pandas(ev).repartition(6),
+                        num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(x)
+        row = got[got["user_id"] == uid]
+        if n < 2:
+            assert len(row) == 0
+            continue
+        sg = np.sign(np.diff(x))
+        runs = []
+        cur, ln = sg[0], 1
+        for v in sg[1:]:
+            if v == cur:
+                ln += 1
+            else:
+                runs.append((cur, ln))
+                cur, ln = v, 1
+        runs.append((cur, ln))
+        assert len(row) == 1
+        assert row["n"].iloc[0] == n
+        assert row["n_runs"].iloc[0] == len(runs)
+        for sgn, col in [(1, "longest_up"), (-1, "longest_down"),
+                         (0, "longest_flat")]:
+            want = max([l for s_, l in runs if s_ == sgn],
+                       default=0)
+            assert row[col].iloc[0] == want, (uid, col)
+    # planted: strictly increasing ramp = one run of n-1 ups
+    n = 300
+    ramp = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 9, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.arange(n) * 0.25})
+    out = monotone_runs(ray.data.from_pandas(ramp), num_partitions=2)
+    assert out["longest_up"].iloc[0] == n - 1
+    assert out["n_runs"].iloc[0] == 1
+    assert out["longest_down"].iloc[0] == 0
