@@ -9566,7 +9566,67 @@ FROM n JOIN a ON n.user_id = a.user_id WHERE n.n >= 2
 """
 
 
+def q_rank_compare(sf_dir):
+    """★-checked pairwise Mann–Whitney U + Cliff's delta over all
+    event-type pairs (stages/analytics.py): exact int64 histogram-
+    cell pair counts and tie term, mirrored z/δ closings."""
+    from ..stages.analytics import rank_compare
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return round6(rank_compare(ev))
+
+
+RANK_COMPARE_SQL = """
+WITH q AS (SELECT event_type AS t,
+                  CAST(round(value*100) AS BIGINT) AS k FROM events
+           WHERE value IS NOT NULL),
+c AS (SELECT t, k, count(*) AS c FROM q GROUP BY 1, 2),
+ty AS (SELECT DISTINCT t FROM q),
+pairs AS (SELECT a.t AS ta, b.t AS tb
+          FROM ty a JOIN ty b ON a.t < b.t),
+h AS (SELECT p.ta, p.tb, c.k,
+             sum(CASE WHEN c.t = p.ta THEN c.c ELSE 0 END) AS ca,
+             sum(CASE WHEN c.t = p.tb THEN c.c ELSE 0 END) AS cb
+      FROM pairs p JOIN c ON c.t IN (p.ta, p.tb)
+      GROUP BY 1, 2, 3),
+w AS (SELECT ta, tb, k, ca, cb,
+             sum(cb) OVER wo - cb AS cb_less,
+             sum(ca) OVER wo - ca AS ca_less
+      FROM h
+      WINDOW wo AS (PARTITION BY ta, tb ORDER BY k
+                    ROWS UNBOUNDED PRECEDING)),
+a AS (SELECT ta AS type_a, tb AS type_b,
+             CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(sum(ca*cb_less) AS BIGINT) AS gt_pairs,
+             CAST(sum(cb*ca_less) AS BIGINT) AS lt_pairs,
+             CAST(sum(ca*cb) AS BIGINT) AS eq_pairs,
+             CAST(sum((ca+cb)*(ca+cb)*(ca+cb) - (ca+cb)) AS BIGINT)
+               AS st
+      FROM w GROUP BY 1, 2)
+SELECT type_a, type_b, n_a, n_b,
+       2*gt_pairs + eq_pairs AS u_twice,
+       gt_pairs, lt_pairs, eq_pairs,
+       round((CAST(2*gt_pairs + eq_pairs AS DOUBLE)
+              - CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE))
+             /(2.0*sqrt((CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)
+                         /12.0)
+                        *((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                          - CAST(st AS DOUBLE)
+                            /(CAST(n_a + n_b AS DOUBLE)
+                              *(CAST(n_a + n_b AS DOUBLE) - 1.0))))),
+             6) AS z_score,
+       round(CAST(gt_pairs - lt_pairs AS DOUBLE)
+             /(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)), 6)
+         AS cliffs_delta
+FROM a WHERE n_a > 0 AND n_b > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "rank_compare": q_rank_compare,
     "monotone_runs": q_monotone_runs,
     "pareto_concentration": q_pareto_concentration,
     "vocab_richness": q_vocab_richness,
@@ -9773,6 +9833,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "rank_compare": RANK_COMPARE_SQL,
     "monotone_runs": MONOTONE_RUNS_SQL,
     "pareto_concentration": PARETO_SQL,
     "vocab_richness": VOCAB_RICHNESS_SQL,

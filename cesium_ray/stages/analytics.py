@@ -2221,3 +2221,85 @@ def pareto_concentration(
         rows.append((np.int64(p), np.int64(k), np.int64(top),
                      float(top) / float(total)))
     return pd.DataFrame(rows, columns=list(cols))
+
+
+def rank_compare(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+) -> pd.DataFrame:
+    """Pairwise Mann–Whitney U with tie-corrected normal z plus
+    Cliff's delta for EVERY ordered pair of categories (a < b) of a
+    bounded-alphabet column — the nonparametric "do these two event
+    types draw different value distributions" gate, robust where
+    welch_ttest assumes normality; Cliff's δ = (gt − lt)/(n_a·n_b)
+    is its effect size.
+
+    Everything reduces to (category, quantized-value) histogram
+    cells: per-block partials combine driver-side (cells bounded by
+    |alphabet| × |value domain|, never by rows — the table_profile
+    contract), then per-pair prefix sums give the exact int64
+    greater/less/equal pair counts, doubled rank-sum
+    U₂ = 2·gt + eq, and the tie term Σ(t³−t).  Only z and δ close
+    in float, mirrored term-for-term by the SQL twin's window
+    frames."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(np.float64)
+        ok = ~np.isnan(v)                   # mirror: WHERE value IS NOT NULL
+        k = np.rint(v[ok] * 100.0).astype(np.int64)
+        g = pd.DataFrame({"t": df[type_col].to_numpy(object)[ok],
+                          "k": k}).groupby(
+            ["t", "k"], as_index=False, observed=True).size()
+        return g.rename(columns={"size": "c"})
+
+    parts = ds.select_columns([type_col, val_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {"type_a": pd.Series(dtype=object),
+            "type_b": pd.Series(dtype=object),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "u_twice": pd.Series(dtype="int64"),
+            "gt_pairs": pd.Series(dtype="int64"),
+            "lt_pairs": pd.Series(dtype="int64"),
+            "eq_pairs": pd.Series(dtype="int64"),
+            "z_score": pd.Series(dtype="float64"),
+            "cliffs_delta": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    cells = parts.groupby(["t", "k"], as_index=False,
+                          observed=True)["c"].sum()
+    types = sorted(cells["t"].unique())
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            sub = cells[cells["t"].isin([ta, tb])]
+            h = sub.pivot_table(index="k", columns="t", values="c",
+                                fill_value=0, aggfunc="sum")
+            ks = h.index.to_numpy(np.int64)
+            ca = h[ta].to_numpy(np.int64)
+            cb = h[tb].to_numpy(np.int64)
+            na, nb = int(ca.sum()), int(cb.sum())
+            if na == 0 or nb == 0:
+                continue
+            cb_less = np.cumsum(cb) - cb
+            ca_less = np.cumsum(ca) - ca
+            gt = int((ca * cb_less).sum())
+            lt = int((cb * ca_less).sum())
+            eq = int((ca * cb).sum())
+            t = ca + cb
+            st = int((t * t * t - t).sum())
+            u2 = 2 * gt + eq
+            naf, nbf = float(na), float(nb)
+            nf = float(na + nb)
+            sigma2 = (naf * nbf / 12.0) * (
+                (nf + 1.0) - float(st) / (nf * (nf - 1.0)))
+            z = (float(u2) - naf * nbf) / (2.0 * np.sqrt(sigma2)) \
+                if sigma2 > 0 else np.nan
+            delta = float(gt - lt) / (naf * nbf)
+            rows.append((ta, tb, np.int64(na), np.int64(nb),
+                         np.int64(u2), np.int64(gt), np.int64(lt),
+                         np.int64(eq), z, delta))
+    if not rows:
+        return pd.DataFrame(cols)
+    return pd.DataFrame(rows, columns=list(cols))

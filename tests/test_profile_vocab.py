@@ -676,3 +676,40 @@ def test_vocab_richness_bruteforce(ray_session):
                          num_partitions=2)
     assert out["vocab"].iloc[0] == 1
     assert abs(out["simpson_d"].iloc[0] - 1.0) < 1e-12
+
+
+def test_rank_compare_bruteforce_and_shift(ray_session):
+    from cesium_ray.stages.analytics import rank_compare
+    ev = _events(seed=131, n=3000, nusers=30)
+    got = rank_compare(ray.data.from_pandas(ev).repartition(6))
+    kq = np.rint(ev["value"].to_numpy() * 100)
+    ev2 = ev.assign(k=kq)
+    ev2 = ev2.dropna(subset=["k"])
+    types = sorted(ev2["event_type"].unique())
+    import itertools
+    for ta, tb in itertools.combinations(types, 2):
+        xa = ev2.loc[ev2["event_type"] == ta, "k"].to_numpy()
+        xb = ev2.loc[ev2["event_type"] == tb, "k"].to_numpy()
+        gt = int((xa[:, None] > xb[None, :]).sum())
+        lt = int((xa[:, None] < xb[None, :]).sum())
+        eq = int((xa[:, None] == xb[None, :]).sum())
+        row = got[(got["type_a"] == ta) & (got["type_b"] == tb)]
+        assert len(row) == 1
+        assert row["gt_pairs"].iloc[0] == gt
+        assert row["lt_pairs"].iloc[0] == lt
+        assert row["eq_pairs"].iloc[0] == eq
+        assert row["u_twice"].iloc[0] == 2 * gt + eq
+        assert abs(row["cliffs_delta"].iloc[0]
+                   - (gt - lt) / (len(xa) * len(xb))) < 1e-12
+    # planted location shift: type Y stochastically dominates X
+    rng = np.random.default_rng(5)
+    n = 800
+    pl = pd.DataFrame({
+        "event_type": np.r_[np.full(n, "X"), np.full(n, "Y")],
+        "value": np.r_[np.round(rng.normal(10, 2, n), 2),
+                       np.round(rng.normal(14, 2, n), 2)]})
+    out = rank_compare(ray.data.from_pandas(pl))
+    r = out.iloc[0]
+    assert r["type_a"] == "X" and r["type_b"] == "Y"
+    assert r["cliffs_delta"] < -0.5      # X mostly below Y
+    assert r["z_score"] < -10.0
