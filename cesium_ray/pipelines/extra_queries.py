@@ -9625,7 +9625,56 @@ FROM a WHERE n_a > 0 AND n_b > 0
 """
 
 
+def q_kruskal_wallis(sf_dir):
+    """★-checked Kruskal–Wallis H across all event types
+    (stages/analytics.py): exact int64 doubled rank sums per group
+    from the global value histogram, mirrored H / tie-corrected H
+    closings."""
+    from ..stages.analytics import kruskal_wallis
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return round6(kruskal_wallis(ev))
+
+
+KRUSKAL_SQL = """
+WITH q AS (SELECT event_type AS t,
+                  CAST(round(value*100) AS BIGINT) AS k FROM events
+           WHERE value IS NOT NULL),
+c AS (SELECT t, k, count(*) AS c FROM q GROUP BY 1, 2),
+g AS (SELECT k, CAST(sum(c) AS BIGINT) AS tk FROM c GROUP BY 1),
+w AS (SELECT k, tk,
+             sum(tk) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) - tk
+               AS less
+      FROM g),
+r AS (SELECT c.t, CAST(sum(c.c) AS BIGINT) AS n_i,
+             CAST(sum(c.c*(2*w.less + w.tk + 1)) AS BIGINT)
+               AS r_twice
+      FROM c JOIN w USING (k) GROUP BY 1),
+tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+               sum(CAST(r_twice AS DOUBLE)*CAST(r_twice AS DOUBLE)
+                   /(4.0*CAST(n_i AS DOUBLE))) AS s2
+        FROM r),
+tie AS (SELECT CAST(sum(tk*tk*tk - tk) AS BIGINT) AS st FROM g),
+h AS (SELECT n,
+             12.0/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) + 1.0))*s2
+               - 3.0*(CAST(n AS DOUBLE) + 1.0) AS hstat,
+             st
+      FROM tot, tie)
+SELECT r.t AS event_type, r.n_i, r.r_twice, h.n AS n_total,
+       round(h.hstat, 6) AS h_stat,
+       round(h.hstat
+             /(1.0 - CAST(h.st AS DOUBLE)
+               /(CAST(h.n AS DOUBLE)*CAST(h.n AS DOUBLE)
+                 *CAST(h.n AS DOUBLE) - CAST(h.n AS DOUBLE))), 6)
+         AS h_tie
+FROM r, h
+"""
+
+
 EXTRA_QUERIES = {
+    "kruskal_wallis": q_kruskal_wallis,
     "rank_compare": q_rank_compare,
     "monotone_runs": q_monotone_runs,
     "pareto_concentration": q_pareto_concentration,
@@ -9833,6 +9882,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "kruskal_wallis": KRUSKAL_SQL,
     "rank_compare": RANK_COMPARE_SQL,
     "monotone_runs": MONOTONE_RUNS_SQL,
     "pareto_concentration": PARETO_SQL,

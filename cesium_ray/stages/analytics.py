@@ -2303,3 +2303,74 @@ def rank_compare(
     if not rows:
         return pd.DataFrame(cols)
     return pd.DataFrame(rows, columns=list(cols))
+
+
+def kruskal_wallis(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+) -> pd.DataFrame:
+    """Kruskal–Wallis rank test across ALL categories of a bounded-
+    alphabet column at once — the k-group extension of rank_compare's
+    pairwise Mann–Whitney: doubled rank sums 2R_i per group are EXACT
+    int64 from the global value histogram (2·avg_rank(v) =
+    2·cnt_less + t_v + 1), and
+    H = 12/(N(N+1))·Σ R_i²/n_i − 3(N+1), tie-corrected by
+    1 − Σ(t³−t)/(N³−N), closes in float.  Output is one row per
+    group (n_i, r_twice exact) with the shared H columns repeated —
+    the maximal oracle surface.
+
+    Same distributed shape as rank_compare: per-block histogram
+    partials, driver-side cells bounded by |alphabet|·|value
+    domain|.  Int64 bound: (2R_i)² < 2⁶³ ⇒ N·n_i ≲ 1.5·10⁹ pairs
+    (lift to float beyond — sandbox is ≪ that)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        k = np.rint(v[ok] * 100.0).astype(np.int64)
+        g = pd.DataFrame({"t": df[type_col].to_numpy(object)[ok],
+                          "k": k}).groupby(
+            ["t", "k"], as_index=False, observed=True).size()
+        return g.rename(columns={"size": "c"})
+
+    parts = ds.select_columns([type_col, val_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {"event_type": pd.Series(dtype=object),
+            "n_i": pd.Series(dtype="int64"),
+            "r_twice": pd.Series(dtype="int64"),
+            "n_total": pd.Series(dtype="int64"),
+            "h_stat": pd.Series(dtype="float64"),
+            "h_tie": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    cells = parts.groupby(["t", "k"], as_index=False,
+                          observed=True)["c"].sum()
+    gk = cells.groupby("k")["c"].sum().sort_index()
+    ks = gk.index.to_numpy(np.int64)
+    tk = gk.to_numpy(np.int64)
+    less = np.cumsum(tk) - tk
+    avg2 = 2 * less + tk + 1                 # 2·average rank of k
+    a2 = dict(zip(ks, avg2))
+    cells["a2"] = cells["k"].map(a2).astype(np.int64)
+    r = cells.assign(prod=cells["c"] * cells["a2"]).groupby(
+        "t", as_index=False).agg(n_i=("c", "sum"),
+                                 r_twice=("prod", "sum"))
+    r = r.sort_values("t").reset_index(drop=True)
+    n = int(r["n_i"].sum())
+    if n < 2:
+        return pd.DataFrame(cols)
+    nf = float(n)
+    r2 = r["r_twice"].to_numpy(np.int64)
+    ni = r["n_i"].to_numpy(np.int64)
+    s2 = float(np.sum(r2.astype(np.float64) * r2.astype(np.float64)
+                      / (4.0 * ni.astype(np.float64))))
+    h = 12.0 / (nf * (nf + 1.0)) * s2 - 3.0 * (nf + 1.0)
+    st = int((tk * tk * tk - tk).sum())
+    h_tie = h / (1.0 - float(st) / (nf * nf * nf - nf))
+    return pd.DataFrame({
+        "event_type": r["t"].to_numpy(object),
+        "n_i": ni, "r_twice": r2,
+        "n_total": np.full(len(r), n, dtype=np.int64),
+        "h_stat": np.full(len(r), h),
+        "h_tie": np.full(len(r), h_tie)})

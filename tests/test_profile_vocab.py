@@ -713,3 +713,36 @@ def test_rank_compare_bruteforce_and_shift(ray_session):
     assert r["type_a"] == "X" and r["type_b"] == "Y"
     assert r["cliffs_delta"] < -0.5      # X mostly below Y
     assert r["z_score"] < -10.0
+
+
+def test_kruskal_wallis_bruteforce_and_shift(ray_session):
+    from cesium_ray.stages.analytics import kruskal_wallis
+
+    ev = _events(seed=137, n=2500, nusers=25)
+    got = kruskal_wallis(ray.data.from_pandas(ev).repartition(6))
+    d = ev.dropna(subset=["value"]).copy()
+    d["k"] = np.rint(d["value"] * 100).astype(np.int64)
+    d["rank"] = d["k"].rank(method="average")
+    n = len(d)
+    s2 = 0.0
+    for t, g in d.groupby("event_type"):
+        row = got[got["event_type"] == t]
+        assert len(row) == 1
+        assert row["n_i"].iloc[0] == len(g)
+        r2 = int(round(2 * g["rank"].sum()))
+        assert row["r_twice"].iloc[0] == r2
+        s2 += (g["rank"].sum()) ** 2 / len(g)
+    h = 12.0 / (n * (n + 1)) * s2 - 3 * (n + 1)
+    tk = d.groupby("k").size().to_numpy()
+    hc = h / (1 - ((tk ** 3 - tk).sum()) / (n ** 3 - n))
+    assert abs(got["h_stat"].iloc[0] - h) < 1e-6
+    assert abs(got["h_tie"].iloc[0] - hc) < 1e-6
+    # planted: one group shifted far above the rest -> huge H
+    rng = np.random.default_rng(9)
+    pl = pd.DataFrame({
+        "event_type": np.r_[np.full(400, "lo1"), np.full(400, "lo2"),
+                            np.full(400, "hi")],
+        "value": np.r_[np.round(rng.normal(5, 1, 800), 2),
+                       np.round(rng.normal(50, 1, 400), 2)]})
+    out = kruskal_wallis(ray.data.from_pandas(pl))
+    assert out["h_tie"].iloc[0] > 500.0
