@@ -9673,7 +9673,56 @@ FROM r, h
 """
 
 
+def q_activity_corr_pairs(sf_dir):
+    """★-checked pairwise hourly-activity Pearson correlation over
+    the top-20 busiest users (stages/analytics.py): exact int64
+    co-activity sums on the shared dense grid, one mirrored r
+    closing."""
+    from ..stages.analytics import activity_corr_pairs
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return round6(activity_corr_pairs(ev, num_partitions=8))
+
+
+ACTIVITY_CORR_SQL = """
+WITH cnt AS (SELECT user_id, count(*) AS cnt
+             FROM events GROUP BY 1),
+top AS (SELECT user_id FROM (
+          SELECT user_id,
+                 row_number() OVER (ORDER BY cnt DESC, user_id) AS rn
+          FROM cnt) WHERE rn <= 20),
+cell AS (SELECT e.user_id, epoch_us(e.ts)//3600000000 AS hb,
+                count(*) AS c
+         FROM events e JOIN top USING (user_id) GROUP BY 1, 2),
+g AS (SELECT CAST(max(hb) - min(hb) + 1 AS BIGINT) AS h FROM cell),
+s AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c*c) AS BIGINT) AS q
+      FROM cell GROUP BY 1),
+p AS (SELECT a.user_id AS ua, b.user_id AS ub
+      FROM top a JOIN top b ON a.user_id < b.user_id),
+xy0 AS (SELECT ca.user_id AS ua, cb.user_id AS ub,
+               CAST(sum(ca.c*cb.c) AS BIGINT) AS sxy
+        FROM cell ca JOIN cell cb
+          ON ca.hb = cb.hb AND ca.user_id < cb.user_id
+        GROUP BY 1, 2),
+f AS (SELECT p.ua, p.ub, coalesce(xy0.sxy, 0) AS sxy
+      FROM p LEFT JOIN xy0 ON xy0.ua = p.ua AND xy0.ub = p.ub)
+SELECT f.ua AS user_a, f.ub AS user_b, g.h AS n_hours, f.sxy,
+       round(CAST(g.h*f.sxy - sa.s*sb.s AS DOUBLE)
+             / sqrt(CAST((g.h*sa.q - sa.s*sa.s)
+                         *(g.h*sb.q - sb.s*sb.s) AS DOUBLE)), 6)
+         AS r
+FROM f, g
+JOIN s sa ON sa.user_id = f.ua
+JOIN s sb ON sb.user_id = f.ub
+WHERE (g.h*sa.q - sa.s*sa.s) > 0 AND (g.h*sb.q - sb.s*sb.s) > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "activity_corr_pairs": q_activity_corr_pairs,
     "kruskal_wallis": q_kruskal_wallis,
     "rank_compare": q_rank_compare,
     "monotone_runs": q_monotone_runs,
@@ -9882,6 +9931,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "activity_corr_pairs": ACTIVITY_CORR_SQL,
     "kruskal_wallis": KRUSKAL_SQL,
     "rank_compare": RANK_COMPARE_SQL,
     "monotone_runs": MONOTONE_RUNS_SQL,

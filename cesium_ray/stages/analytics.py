@@ -2374,3 +2374,102 @@ def kruskal_wallis(
         "n_total": np.full(len(r), n, dtype=np.int64),
         "h_stat": np.full(len(r), h),
         "h_tie": np.full(len(r), h_tie)})
+
+
+def activity_corr_pairs(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    top_n: int = 20,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Pairwise Pearson correlation of HOURLY ACTIVITY between the
+    top-N busiest keys: each key's event counts on the shared dense
+    hourly grid [min, max] over the selected keys form a vector, and
+    every unordered key pair gets
+    r = (H·Σxy − Σx·Σy)/√((H·Σx² − (Σx)²)(H·Σy² − (Σy)²)) — the
+    who-moves-with-whom synchrony matrix (bot farms / shared
+    schedules show as near-1 blocks) that single-key autocorrelation
+    cannot see.
+
+    Selection is deterministic (count desc, key asc — the top_users
+    rule); every sum is EXACT int64 (zero hours contribute nothing
+    to Σxy, so only co-active cells are touched); r is the single
+    mirrored float closing.  Two keyed exchanges (per-key counts,
+    then (key,hour) cells for the N keys); the N²/2 closing runs on
+    cells, not rows."""
+    from .partition import group_apply
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, as_index=False, observed=True).size()
+        return g.rename(columns={"size": "cnt"})
+
+    counts = group_apply(
+        ds.select_columns([key]).map_batches(cnt_partial,
+                                             batch_format="pandas"),
+        lambda df: df.groupby(key, as_index=False,
+                              observed=True)["cnt"].sum(),
+        num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    cols = {"user_a": pd.Series(dtype="int64"),
+            "user_b": pd.Series(dtype="int64"),
+            "n_hours": pd.Series(dtype="int64"),
+            "sxy": pd.Series(dtype="int64"),
+            "r": pd.Series(dtype="float64")}
+    if counts.empty:
+        return pd.DataFrame(cols)
+    c = counts["cnt"].to_numpy(np.int64)
+    u = counts[key].to_numpy(np.int64)
+    perm = np.lexsort((u, -c))[:top_n]
+    chosen = np.sort(u[perm])
+
+    def hour_cells(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(df[key].to_numpy(), chosen)
+        d = df.loc[m]
+        hb = d[ts_col].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        g = pd.DataFrame({key: d[key].to_numpy(np.int64),
+                          "hb": hb}).groupby(
+            [key, "hb"], as_index=False, observed=True).size()
+        return g.rename(columns={"size": "c"})
+
+    cells = group_apply(
+        ds.select_columns([key, ts_col]).map_batches(
+            hour_cells, batch_format="pandas"),
+        lambda df: df.groupby([key, "hb"], as_index=False,
+                              observed=True)["c"].sum(),
+        num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    if cells.empty:
+        return pd.DataFrame(cols)
+    H = int(cells["hb"].max() - cells["hb"].min() + 1)
+    per = {}
+    for uid, g in cells.groupby(key):
+        hb = g["hb"].to_numpy(np.int64)
+        cc = g["c"].to_numpy(np.int64)
+        per[int(uid)] = (dict(zip(hb, cc)), int(cc.sum()),
+                         int((cc * cc).sum()))
+    rows = []
+    Hf = float(H)
+    for i, ua in enumerate(chosen):
+        if int(ua) not in per:
+            continue
+        da, sa, qa = per[int(ua)]
+        for ub in chosen[i + 1:]:
+            if int(ub) not in per:
+                continue
+            db, sb, qb = per[int(ub)]
+            small, big = (da, db) if len(da) <= len(db) else (db, da)
+            sxy = int(sum(v * big.get(k, 0)
+                          for k, v in small.items()))
+            num = H * sxy - sa * sb
+            dena = H * qa - sa * sa
+            denb = H * qb - sb * sb
+            if dena <= 0 or denb <= 0:      # zero-variance key (twin
+                continue                    # drops it too)
+            r = float(num) / np.sqrt(float(dena * denb))
+            rows.append((np.int64(ua), np.int64(ub), np.int64(H),
+                         np.int64(sxy), r))
+    if not rows:
+        return pd.DataFrame(cols)
+    return pd.DataFrame(rows, columns=list(cols))

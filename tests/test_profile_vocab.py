@@ -746,3 +746,55 @@ def test_kruskal_wallis_bruteforce_and_shift(ray_session):
                        np.round(rng.normal(50, 1, 400), 2)]})
     out = kruskal_wallis(ray.data.from_pandas(pl))
     assert out["h_tie"].iloc[0] > 500.0
+
+
+def test_activity_corr_pairs_bruteforce_and_sync(ray_session):
+    from cesium_ray.stages.analytics import activity_corr_pairs
+
+    ev = _events(seed=141, n=4000, nusers=30)
+    got = activity_corr_pairs(ray.data.from_pandas(ev).repartition(6),
+                              top_n=8, num_partitions=4)
+    cnt = ev.groupby("user_id").size().reset_index(name="c")
+    cnt = cnt.sort_values(["c", "user_id"], ascending=[False, True])
+    chosen = sorted(cnt.head(8)["user_id"].tolist())
+    sub = ev[ev["user_id"].isin(chosen)].copy()
+    sub["hb"] = sub["ts"].astype("datetime64[us]").astype(
+        np.int64) // 3_600_000_000
+    lo, hi = sub["hb"].min(), sub["hb"].max()
+    H = int(hi - lo + 1)
+    vecs = {}
+    for uid in chosen:
+        v = np.zeros(H, np.int64)
+        for hb, c in sub[sub["user_id"] == uid].groupby(
+                "hb").size().items():
+            v[hb - lo] = c
+        vecs[uid] = v
+    import itertools
+    npairs = 0
+    for ua, ub in itertools.combinations(chosen, 2):
+        x, y = vecs[ua], vecs[ub]
+        row = got[(got["user_a"] == ua) & (got["user_b"] == ub)]
+        num = H * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        da = H * int((x * x).sum()) - int(x.sum()) ** 2
+        db = H * int((y * y).sum()) - int(y.sum()) ** 2
+        if da <= 0 or db <= 0:
+            assert len(row) == 0
+            continue
+        npairs += 1
+        assert len(row) == 1
+        assert row["n_hours"].iloc[0] == H
+        assert row["sxy"].iloc[0] == int((x * y).sum())
+        assert abs(row["r"].iloc[0] - num / np.sqrt(da * db)) < 1e-9
+    assert len(got) == npairs
+    # planted sync: two users with identical hourly pattern -> r ~ 1
+    hours = np.repeat(np.arange(50), np.tile([5, 1], 25))
+    rows = []
+    for uid in (101, 102):
+        rows.append(pd.DataFrame({
+            "user_id": np.full(len(hours), uid, dtype=np.int64),
+            "ts": pd.to_datetime(hours * 3_600_000_000, unit="us"
+                                 ).astype("datetime64[us]")}))
+    pl = pd.concat(rows, ignore_index=True)
+    out = activity_corr_pairs(ray.data.from_pandas(pl), top_n=2,
+                              num_partitions=2)
+    assert abs(out["r"].iloc[0] - 1.0) < 1e-12
