@@ -9721,7 +9721,141 @@ WHERE (g.h*sa.q - sa.s*sa.s) > 0 AND (g.h*sb.q - sb.s*sb.s) > 0
 """
 
 
+def q_anova_f(sf_dir):
+    """★-checked one-way ANOVA F + η² across event types
+    (stages/analytics.py): exact int64 per-group moments, mirrored
+    between/within sum-of-squares closings."""
+    from ..stages.analytics import anova_f
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return round6(anova_f(ev))
+
+
+ANOVA_SQL = """
+WITH q AS (SELECT event_type AS t,
+                  CAST(round(value*100) AS BIGINT) AS k FROM events
+           WHERE value IS NOT NULL),
+g AS (SELECT t, count(*) AS n_i, CAST(sum(k) AS BIGINT) AS s_i,
+             CAST(sum(k*k) AS BIGINT) AS q_i
+      FROM q GROUP BY 1),
+tot AS (SELECT count(*) AS kg, CAST(sum(n_i) AS BIGINT) AS n,
+               CAST(sum(s_i) AS BIGINT) AS s,
+               CAST(sum(q_i) AS BIGINT) AS qq,
+               sum(CAST(s_i AS DOUBLE)*CAST(s_i AS DOUBLE)
+                   /CAST(n_i AS DOUBLE)) AS tsum
+        FROM g),
+h AS (SELECT kg, n,
+             tsum - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)
+                      /CAST(n AS DOUBLE) AS ssb,
+             CAST(qq AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)
+                      /CAST(n AS DOUBLE) AS sst,
+             CAST(qq AS DOUBLE) - tsum AS ssw
+      FROM tot)
+SELECT g.t AS event_type, g.n_i, g.s_i, g.q_i,
+       round((h.ssb/(h.kg - 1.0))
+             /(h.ssw/(CAST(h.n AS DOUBLE) - h.kg)), 6) AS f_stat,
+       round(h.ssb/h.sst, 6) AS eta_sq
+FROM g, h WHERE h.kg >= 2 AND h.n > h.kg AND h.ssw > 0 AND h.sst > 0
+"""
+
+
+def q_returned_revenue(sf_dir):
+    """★-checked TPC-H-Q10-style lost-revenue ranking: top-20
+    customers by returned-item revenue.  Scale shape: lineitem is
+    returnflag-filtered at the read and pre-aggregated to exact-int
+    per-orderkey revenue cells map-side, the one hash join (orderkey)
+    carries cells, custkey re-aggregation is a second cell-sized
+    exchange, and customer names attach from the dimension read at
+    the end; the integer top-20 (units desc, custkey) is
+    deterministic."""
+    import pyarrow.compute as pc
+    from ..stages.partition import group_apply
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=(pc.field("l_returnflag") == "R"),
+    )
+
+    def li_cells(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.rint(df["l_extendedprice"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        d = np.rint(df["l_discount"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "_rev": p * (100 - d)})
+        return g.groupby("l_orderkey", as_index=False).sum()
+
+    cells = li.map_batches(li_cells, batch_format="pandas")
+
+    def ords_map(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": df["o_custkey"].to_numpy(np.int64)})
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(ords_map, batch_format="pandas")
+
+    rev = group_apply(
+        cells,
+        lambda df: df.groupby("l_orderkey",
+                              as_index=False)["_rev"].sum(),
+        num_partitions=8, key="l_orderkey")
+    joined = rev.join(ords, "inner", num_partitions=8,
+                      on=("l_orderkey",))
+    per_cust = group_apply(
+        joined,
+        lambda df: df.groupby("o_custkey",
+                              as_index=False)["_rev"].sum(),
+        num_partitions=8, key="o_custkey").to_pandas()
+    if per_cust.empty:
+        return pd.DataFrame({
+            "c_custkey": pd.Series(dtype="int64"),
+            "c_name": pd.Series(dtype=object),
+            "rev_units": pd.Series(dtype="int64"),
+            "revenue": pd.Series(dtype="float64")})
+    top = per_cust.sort_values(["_rev", "o_custkey"],
+                               ascending=[False, True],
+                               kind="mergesort").head(20)
+    names = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+    ).to_pandas().set_index("c_custkey")["c_name"]
+    out = pd.DataFrame({
+        "c_custkey": top["o_custkey"].to_numpy(np.int64),
+        "c_name": top["o_custkey"].map(names).to_numpy(object),
+        "rev_units": top["_rev"].to_numpy(np.int64),
+        "revenue": np.round(top["_rev"].to_numpy(np.int64)
+                            .astype(np.float64) / 10000.0, 6)})
+    return out.reset_index(drop=True)
+
+
+RETURNED_REVENUE_SQL = """
+WITH f AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS u
+  FROM lineitem WHERE l_returnflag = 'R'),
+g AS (SELECT o.o_custkey, CAST(sum(f.u) AS BIGINT) AS units
+      FROM f JOIN orders o ON f.l_orderkey = o.o_orderkey
+      GROUP BY 1)
+SELECT g.o_custkey AS c_custkey, c.c_name,
+       g.units AS rev_units,
+       round(CAST(g.units AS DOUBLE)/10000.0, 6) AS revenue
+FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+ORDER BY g.units DESC, g.o_custkey LIMIT 20
+"""
+
+
 EXTRA_QUERIES = {
+    "anova_f": q_anova_f,
+    "returned_revenue": q_returned_revenue,
     "activity_corr_pairs": q_activity_corr_pairs,
     "kruskal_wallis": q_kruskal_wallis,
     "rank_compare": q_rank_compare,
@@ -9931,6 +10065,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "anova_f": ANOVA_SQL,
+    "returned_revenue": RETURNED_REVENUE_SQL,
     "activity_corr_pairs": ACTIVITY_CORR_SQL,
     "kruskal_wallis": KRUSKAL_SQL,
     "rank_compare": RANK_COMPARE_SQL,

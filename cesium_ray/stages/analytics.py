@@ -2473,3 +2473,70 @@ def activity_corr_pairs(
     if not rows:
         return pd.DataFrame(cols)
     return pd.DataFrame(rows, columns=list(cols))
+
+
+def anova_f(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+) -> pd.DataFrame:
+    """Classic one-way ANOVA across ALL categories of a bounded-
+    alphabet column: between/within sums of squares from EXACT int64
+    per-group moments (n_i, Σx, Σx² in k-space),
+    F = (SSB/(k−1))/(SSW/(N−k)) and the effect size η² = SSB/SST —
+    the parametric k-group complement to kruskal_wallis (equal-means
+    gate under normality; read them together: F significant + H not
+    ⇒ suspect outliers).  Output is one row per group with the exact
+    moments as oracle surface and the shared F/η² repeated.
+
+    Per-block moment partials; driver-side closing over |alphabet|
+    cells.  Mirrored float ops: tᵢ = (Σxᵢ)²/nᵢ in doubles, grand
+    term S²/N, the two ratios."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        k = np.rint(v[ok] * 100.0).astype(np.int64)
+        g = pd.DataFrame({"t": df[type_col].to_numpy(object)[ok],
+                          "k": k, "k2": k * k}).groupby(
+            "t", as_index=False, observed=True).agg(
+            n=("k", "size"), s=("k", "sum"), q=("k2", "sum"))
+        return g
+
+    parts = ds.select_columns([type_col, val_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {"event_type": pd.Series(dtype=object),
+            "n_i": pd.Series(dtype="int64"),
+            "s_i": pd.Series(dtype="int64"),
+            "q_i": pd.Series(dtype="int64"),
+            "f_stat": pd.Series(dtype="float64"),
+            "eta_sq": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    g = parts.groupby("t", as_index=False).agg(
+        n_i=("n", "sum"), s_i=("s", "sum"), q_i=("q", "sum"))
+    g = g.sort_values("t").reset_index(drop=True)
+    kg = len(g)
+    N = int(g["n_i"].sum())
+    if kg < 2 or N <= kg:
+        return pd.DataFrame(cols)
+    sf_ = g["s_i"].to_numpy(np.int64).astype(np.float64)
+    nf_ = g["n_i"].to_numpy(np.int64).astype(np.float64)
+    tsum = float(np.sum(sf_ * sf_ / nf_))
+    S = float(int(g["s_i"].sum()))
+    Q = float(int(g["q_i"].sum()))
+    Nf = float(N)
+    ssb = tsum - S * S / Nf
+    sst = Q - S * S / Nf
+    ssw = Q - tsum
+    if ssw <= 0 or sst <= 0:
+        return pd.DataFrame(cols)
+    f = (ssb / (kg - 1.0)) / (ssw / (Nf - kg))
+    eta = ssb / sst
+    return pd.DataFrame({
+        "event_type": g["t"].to_numpy(object),
+        "n_i": g["n_i"].to_numpy(np.int64),
+        "s_i": g["s_i"].to_numpy(np.int64),
+        "q_i": g["q_i"].to_numpy(np.int64),
+        "f_stat": np.full(kg, f),
+        "eta_sq": np.full(kg, eta)})

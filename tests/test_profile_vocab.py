@@ -798,3 +798,53 @@ def test_activity_corr_pairs_bruteforce_and_sync(ray_session):
     out = activity_corr_pairs(ray.data.from_pandas(pl), top_n=2,
                               num_partitions=2)
     assert abs(out["r"].iloc[0] - 1.0) < 1e-12
+
+
+def test_anova_f_bruteforce_and_shift(ray_session):
+    from cesium_ray.stages.analytics import anova_f
+
+    ev = _events(seed=151, n=2500, nusers=25)
+    got = anova_f(ray.data.from_pandas(ev).repartition(6))
+    d = ev.dropna(subset=["value"]).copy()
+    d["k"] = np.rint(d["value"] * 100).astype(np.int64)
+    groups = {t: g["k"].to_numpy(np.float64)
+              for t, g in d.groupby("event_type")}
+    N = len(d)
+    kg = len(groups)
+    tsum = sum(x.sum() ** 2 / len(x) for x in groups.values())
+    S = d["k"].sum()
+    Q = (d["k"] ** 2).sum()
+    ssb = tsum - S * S / N
+    ssw = Q - tsum
+    f = (ssb / (kg - 1)) / (ssw / (N - kg))
+    for t, x in groups.items():
+        row = got[got["event_type"] == t]
+        assert len(row) == 1
+        assert row["n_i"].iloc[0] == len(x)
+        assert row["s_i"].iloc[0] == int(x.sum())
+        assert row["q_i"].iloc[0] == int((x * x).sum())
+        assert abs(row["f_stat"].iloc[0] - f) < 1e-6 * max(abs(f), 1)
+        assert abs(row["eta_sq"].iloc[0]
+                   - ssb / (Q - S * S / N)) < 1e-9
+    # planted mean shift in one group -> F explodes
+    rng = np.random.default_rng(13)
+    pl = pd.DataFrame({
+        "event_type": np.r_[np.full(500, "a"), np.full(500, "b"),
+                            np.full(500, "c")],
+        "value": np.r_[np.round(rng.normal(10, 2, 1000), 2),
+                       np.round(rng.normal(30, 2, 500), 2)]})
+    out = anova_f(ray.data.from_pandas(pl))
+    assert out["f_stat"].iloc[0] > 1000.0
+    assert out["eta_sq"].iloc[0] > 0.7
+
+
+def test_returned_revenue_smoke(ray_session):
+    from cesium_ray.pipelines.extra_queries import q_returned_revenue
+
+    out = q_returned_revenue("/root/testdata/sf0.001")
+    assert len(out) == 20
+    # descending by exact units, revenue = units/1e4
+    u = out["rev_units"].to_numpy()
+    assert (np.diff(u) <= 0).all()
+    assert np.allclose(out["revenue"], u / 1e4)
+    assert out["c_name"].notna().all()
