@@ -9853,7 +9853,93 @@ ORDER BY g.units DESC, g.o_custkey LIMIT 20
 """
 
 
+def q_cramers_v(sf_dir):
+    """★-checked Cramér's V association between document language
+    and source (stages/analytics.py): exact int64 contingency cells,
+    mirrored full-grid χ² + V closings."""
+    from ..stages.analytics import cramers_v
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    return round6(cramers_v(docs))
+
+
+CRAMERS_V_SQL = """
+WITH o AS (SELECT lang AS a, source AS b,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY a),
+ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY b),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+grid AS (SELECT rt.a, ct.b, rt.r, ct.c, n.n,
+                coalesce(o.o, 0) AS o
+         FROM rt CROSS JOIN ct CROSS JOIN n
+         LEFT JOIN o ON o.a = rt.a AND o.b = ct.b),
+x AS (SELECT (SELECT n FROM n) AS n_rows,
+             (SELECT CAST(count(*) AS BIGINT) FROM rt)
+               AS n_classes_a,
+             (SELECT CAST(count(*) AS BIGINT) FROM ct)
+               AS n_classes_b,
+             sum(pow(o - CAST(r AS DOUBLE)*c/n, 2)
+                 /(CAST(r AS DOUBLE)*c/n)) AS chi2
+      FROM grid)
+SELECT n_rows, n_classes_a, n_classes_b,
+       (n_classes_a - 1)*(n_classes_b - 1) AS dof,
+       round(chi2, 6) AS chi2,
+       round(sqrt(chi2/(CAST(n_rows AS DOUBLE)
+                        *(least(n_classes_a, n_classes_b) - 1.0))),
+             6) AS cramers_v
+FROM x
+"""
+
+
+def q_levene_bf(sf_dir):
+    """★-checked Brown–Forsythe variance-homogeneity W across event
+    types (stages/analytics.py): group medians from the value
+    histogram in doubled k-space (2·median exact int), |2k − 2med|
+    deviation moments exact, one mirrored F-ratio closing."""
+    from ..stages.analytics import levene_bf
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return round6(levene_bf(ev))
+
+
+LEVENE_SQL = """
+WITH q AS (SELECT event_type AS t,
+                  CAST(round(value*100) AS BIGINT) AS k FROM events
+           WHERE value IS NOT NULL),
+m AS (SELECT t, CAST(2*median(k) AS BIGINT) AS med2
+      FROM q GROUP BY 1),
+d AS (SELECT q.t, abs(2*q.k - m.med2) AS dev, m.med2
+      FROM q JOIN m ON q.t = m.t),
+g AS (SELECT t, max(med2) AS med2, count(*) AS n_i,
+             CAST(sum(dev) AS BIGINT) AS s_i,
+             CAST(sum(dev*dev) AS BIGINT) AS q_i
+      FROM d GROUP BY 1),
+tot AS (SELECT count(*) AS kg, CAST(sum(n_i) AS BIGINT) AS n,
+               CAST(sum(s_i) AS BIGINT) AS s,
+               CAST(sum(q_i) AS BIGINT) AS qq,
+               sum(CAST(s_i AS DOUBLE)*CAST(s_i AS DOUBLE)
+                   /CAST(n_i AS DOUBLE)) AS tsum
+        FROM g),
+h AS (SELECT kg, n,
+             tsum - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)
+                      /CAST(n AS DOUBLE) AS ssb,
+             CAST(qq AS DOUBLE) - tsum AS ssw
+      FROM tot)
+SELECT g.t AS event_type, g.n_i, g.med2, g.s_i, g.q_i,
+       round((h.ssb/(h.kg - 1.0))
+             /(h.ssw/(CAST(h.n AS DOUBLE) - h.kg)), 6) AS w_stat
+FROM g, h WHERE h.kg >= 2 AND h.n > h.kg AND h.ssw > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "cramers_v": q_cramers_v,
+    "levene_bf": q_levene_bf,
     "anova_f": q_anova_f,
     "returned_revenue": q_returned_revenue,
     "activity_corr_pairs": q_activity_corr_pairs,
@@ -10065,6 +10151,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "cramers_v": CRAMERS_V_SQL,
+    "levene_bf": LEVENE_SQL,
     "anova_f": ANOVA_SQL,
     "returned_revenue": RETURNED_REVENUE_SQL,
     "activity_corr_pairs": ACTIVITY_CORR_SQL,

@@ -2540,3 +2540,136 @@ def anova_f(
         "q_i": g["q_i"].to_numpy(np.int64),
         "f_stat": np.full(kg, f),
         "eta_sq": np.full(kg, eta)})
+
+
+def cramers_v(
+    ds: ray.data.Dataset,
+    col_a: str = "lang",
+    col_b: str = "source",
+) -> pd.DataFrame:
+    """Cramér's V association strength between two bounded-alphabet
+    columns: the χ² of independence over the full r×c grid
+    (zero cells included) normalized to [0, 1] by
+    V = √(χ²/(N·(min(r,c)−1))) — the effect size the raw χ² (which
+    grows with N) cannot give; the documents-table companion to
+    chi_square_independence on events.
+
+    Observed counts are exact int64 map-side cells; expected counts,
+    χ² and V close in the mirrored float grid sum (the chi_square
+    oracle idiom)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([col_a, col_b], as_index=False,
+                       observed=True).size()
+        return g.rename(columns={"size": "o"})
+
+    parts = ds.select_columns([col_a, col_b]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {"n_rows": pd.Series(dtype="int64"),
+            "n_classes_a": pd.Series(dtype="int64"),
+            "n_classes_b": pd.Series(dtype="int64"),
+            "dof": pd.Series(dtype="int64"),
+            "chi2": pd.Series(dtype="float64"),
+            "cramers_v": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    cells = parts.groupby([col_a, col_b], as_index=False,
+                          observed=True)["o"].sum()
+    piv = cells.pivot_table(index=col_a, columns=col_b, values="o",
+                            fill_value=0, aggfunc="sum")
+    o = piv.to_numpy(np.int64)
+    r = o.sum(axis=1).astype(np.int64)
+    c = o.sum(axis=0).astype(np.int64)
+    n = int(o.sum())
+    ra, cb = len(r), len(c)
+    if n == 0 or ra < 2 or cb < 2:
+        return pd.DataFrame(cols)
+    nf = float(n)
+    e = r.astype(np.float64)[:, None] * c.astype(np.float64)[None, :] \
+        / nf
+    chi2 = float(np.sum((o.astype(np.float64) - e) ** 2 / e))
+    v = float(np.sqrt(chi2 / (nf * (min(ra, cb) - 1.0))))
+    return pd.DataFrame({
+        "n_rows": [np.int64(n)], "n_classes_a": [np.int64(ra)],
+        "n_classes_b": [np.int64(cb)],
+        "dof": [np.int64((ra - 1) * (cb - 1))],
+        "chi2": [chi2], "cramers_v": [v]})
+
+
+def levene_bf(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+) -> pd.DataFrame:
+    """Brown–Forsythe (median-based Levene) test of variance
+    homogeneity across categories: each observation becomes its
+    absolute deviation from the GROUP MEDIAN and a one-way ANOVA F
+    runs on those deviations — the robust are-the-spreads-equal gate
+    that validates anova_f's equal-variance assumption (read W
+    before trusting F).
+
+    Exactness: medians come from the per-group value histogram in
+    doubled k-space (2·median is always integer), deviations
+    |2k − 2med| stay exact int64 cell-weighted, and only the final
+    F ratio closes in mirrored floats.  Per-block histogram
+    partials; driver closing over |alphabet|·|domain| cells."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        k = np.rint(v[ok] * 100.0).astype(np.int64)
+        g = pd.DataFrame({"t": df[type_col].to_numpy(object)[ok],
+                          "k": k}).groupby(
+            ["t", "k"], as_index=False, observed=True).size()
+        return g.rename(columns={"size": "c"})
+
+    parts = ds.select_columns([type_col, val_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {"event_type": pd.Series(dtype=object),
+            "n_i": pd.Series(dtype="int64"),
+            "med2": pd.Series(dtype="int64"),
+            "s_i": pd.Series(dtype="int64"),
+            "q_i": pd.Series(dtype="int64"),
+            "w_stat": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    cells = parts.groupby(["t", "k"], as_index=False,
+                          observed=True)["c"].sum()
+    rows = []
+    for t, g in cells.groupby("t"):
+        g = g.sort_values("k")
+        ks = g["k"].to_numpy(np.int64)
+        cc = g["c"].to_numpy(np.int64)
+        n = int(cc.sum())
+        cum = np.cumsum(cc)
+        lo = int(ks[np.searchsorted(cum, (n - 1) // 2 + 1)])
+        hi = int(ks[np.searchsorted(cum, n // 2 + 1)])
+        m2 = lo + hi                       # 2·median, exact
+        dev = np.abs(2 * ks - m2)
+        s = int((cc * dev).sum())
+        q = int((cc * dev * dev).sum())
+        rows.append((t, n, m2, s, q))
+    r = pd.DataFrame(rows, columns=["t", "n_i", "med2", "s_i", "q_i"])
+    r = r.sort_values("t").reset_index(drop=True)
+    kg = len(r)
+    N = int(r["n_i"].sum())
+    if kg < 2 or N <= kg:
+        return pd.DataFrame(cols)
+    sf_ = r["s_i"].to_numpy(np.int64).astype(np.float64)
+    nf_ = r["n_i"].to_numpy(np.int64).astype(np.float64)
+    tsum = float(np.sum(sf_ * sf_ / nf_))
+    S = float(int(r["s_i"].sum()))
+    Q = float(int(r["q_i"].sum()))
+    Nf = float(N)
+    ssb = tsum - S * S / Nf
+    ssw = Q - tsum
+    if ssw <= 0:
+        return pd.DataFrame(cols)
+    w = (ssb / (kg - 1.0)) / (ssw / (Nf - kg))
+    return pd.DataFrame({
+        "event_type": r["t"].to_numpy(object),
+        "n_i": r["n_i"].to_numpy(np.int64),
+        "med2": r["med2"].to_numpy(np.int64),
+        "s_i": r["s_i"].to_numpy(np.int64),
+        "q_i": r["q_i"].to_numpy(np.int64),
+        "w_stat": np.full(kg, w)})

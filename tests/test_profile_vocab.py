@@ -848,3 +848,72 @@ def test_returned_revenue_smoke(ray_session):
     assert (np.diff(u) <= 0).all()
     assert np.allclose(out["revenue"], u / 1e4)
     assert out["c_name"].notna().all()
+
+
+def test_cramers_v_bruteforce_and_extremes(ray_session):
+    from cesium_ray.stages.analytics import cramers_v
+
+    rng = np.random.default_rng(61)
+    n = 2000
+    docs = pd.DataFrame({
+        "lang": rng.choice(["en", "de", "fr"], n),
+        "source": rng.choice([f"s{i}" for i in range(6)], n)})
+    got = cramers_v(ray.data.from_pandas(docs).repartition(5),
+                    col_a="lang", col_b="source")
+    piv = docs.groupby(["lang", "source"]).size().unstack(
+        fill_value=0)
+    o = piv.to_numpy(float)
+    e = o.sum(1)[:, None] * o.sum(0)[None, :] / o.sum()
+    chi2 = ((o - e) ** 2 / e).sum()
+    assert got["n_rows"].iloc[0] == n
+    assert got["dof"].iloc[0] == (3 - 1) * (6 - 1)
+    assert abs(got["chi2"].iloc[0] - chi2) < 1e-8
+    v = np.sqrt(chi2 / (n * 2))
+    assert abs(got["cramers_v"].iloc[0] - v) < 1e-9
+    # perfect association: each lang maps to exactly one source
+    det = pd.DataFrame({"lang": np.repeat(["en", "de", "fr"], 100)})
+    det["source"] = det["lang"].map({"en": "a", "de": "b",
+                                     "fr": "c"})
+    out = cramers_v(ray.data.from_pandas(det), col_a="lang",
+                    col_b="source")
+    assert abs(out["cramers_v"].iloc[0] - 1.0) < 1e-12
+
+
+def test_levene_bf_bruteforce_and_spread(ray_session):
+    from cesium_ray.stages.analytics import levene_bf
+
+    ev = _events(seed=163, n=2500, nusers=25)
+    got = levene_bf(ray.data.from_pandas(ev).repartition(6))
+    d = ev.dropna(subset=["value"]).copy()
+    d["k"] = np.rint(d["value"] * 100).astype(np.int64)
+    devs = {}
+    for t, g in d.groupby("event_type"):
+        ks = np.sort(g["k"].to_numpy(np.int64))
+        n = len(ks)
+        m2 = int(ks[(n - 1) // 2]) + int(ks[n // 2])
+        dev = np.abs(2 * ks - m2)
+        devs[t] = dev
+        row = got[got["event_type"] == t]
+        assert len(row) == 1
+        assert row["med2"].iloc[0] == m2
+        assert row["n_i"].iloc[0] == n
+        assert row["s_i"].iloc[0] == int(dev.sum())
+        assert row["q_i"].iloc[0] == int((dev * dev).sum())
+    N = sum(len(v) for v in devs.values())
+    kg = len(devs)
+    tsum = sum(v.sum() ** 2 / len(v) for v in devs.values())
+    S = sum(v.sum() for v in devs.values())
+    Q = sum((v.astype(np.float64) ** 2).sum() for v in devs.values())
+    ssb = tsum - S * S / N
+    ssw = Q - tsum
+    w = (ssb / (kg - 1)) / (ssw / (N - kg))
+    assert abs(got["w_stat"].iloc[0] - w) < 1e-6 * max(abs(w), 1)
+    # planted heteroscedasticity: one wide group -> W explodes
+    rng = np.random.default_rng(17)
+    pl = pd.DataFrame({
+        "event_type": np.r_[np.full(600, "tight"),
+                            np.full(600, "wide")],
+        "value": np.r_[np.round(rng.normal(0, 1, 600), 2),
+                       np.round(rng.normal(0, 20, 600), 2)]})
+    out = levene_bf(ray.data.from_pandas(pl))
+    assert out["w_stat"].iloc[0] > 300.0
