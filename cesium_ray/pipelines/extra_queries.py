@@ -9937,7 +9937,177 @@ FROM g, h WHERE h.kg >= 2 AND h.n > h.kg AND h.ssw > 0
 """
 
 
+def q_wilcoxon_shift(sf_dir):
+    """★-checked Wilcoxon signed-rank corpus activity-shift test
+    (stages/analytics.py): paired first/second-half counts per user,
+    exact doubled rank sums over the |d| histogram, mirrored
+    tie-corrected z."""
+    from ..stages.analytics import wilcoxon_shift
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return round6(wilcoxon_shift(ev, num_partitions=8))
+
+
+WILCOXON_SQL = """
+WITH r AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+           FROM events),
+c AS (SELECT user_id,
+             count(*) FILTER (epoch_us(ts) <= (r.lo + r.hi)//2)
+               AS c1,
+             count(*) FILTER (epoch_us(ts) > (r.lo + r.hi)//2)
+               AS c2
+      FROM events, r GROUP BY 1),
+d AS (SELECT c2 - c1 AS d, abs(c2 - c1) AS ad FROM c
+      WHERE c2 <> c1),
+h AS (SELECT ad, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1),
+w AS (SELECT ad, t,
+             sum(t) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) - t
+               AS less
+      FROM h),
+pos AS (SELECT CAST(sum(2*w.less + w.t + 1) AS BIGINT) AS w2p
+        FROM d JOIN w USING (ad) WHERE d.d > 0),
+st AS (SELECT count(*) AS m,
+              count(*) FILTER (d > 0) AS np,
+              count(*) FILTER (d < 0) AS nn
+       FROM d),
+tie AS (SELECT CAST(sum(t*t*t - t) AS BIGINT) AS st FROM h)
+SELECT st.m, st.np AS n_pos, st.nn AS n_neg,
+       coalesce(pos.w2p, 0) AS w2_pos,
+       round((CAST(coalesce(pos.w2p, 0) AS DOUBLE)
+              - st.m*(st.m + 1.0)/2.0)
+             /(2.0*sqrt(st.m*(st.m + 1.0)*(2.0*st.m + 1.0)/24.0
+                        - CAST(tie.st AS DOUBLE)/48.0)), 6)
+         AS z_score
+FROM st, tie, pos WHERE st.m > 0
+"""
+
+
+def q_nation_trade(sf_dir):
+    """★-checked TPC-H-Q7-style bilateral trade-flow matrix:
+    revenue per (supplier nation, customer nation, ship year).
+    Same 100-TB plan as the Q5 star join: supplier→nation and
+    customer→nation broadcast once via ray.put, orders enriched
+    map-side to (orderkey, cust-nation), lineitem enriched with its
+    supplier nation + ship year and PRE-AGGREGATED to exact-int
+    (orderkey, supp-nation, year) cells before the single
+    large×large orderkey hash join; the flow groupby runs on
+    cell-sized join output."""
+    from ..stages.partition import group_apply
+
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet").to_pandas()
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nname = dict(zip(nation["n_nationkey"].astype(np.int64),
+                     nation["n_name"]))
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    sv = supp.set_index("s_suppkey").loc[sk, "s_nationkey"] \
+        .to_numpy(np.int64)
+    ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
+    cv = cust.set_index("c_custkey").loc[ck, "c_nationkey"] \
+        .to_numpy(np.int64)
+    dims = ray.put((sk, sv, ck, cv))
+
+    def orders_enrich(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, k, v = ray.get(dims)
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "c_nat": v[np.searchsorted(
+                k, df["o_custkey"].to_numpy(np.int64))]})
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(orders_enrich, batch_format="pandas")
+
+    def li_cells(df: pd.DataFrame) -> pd.DataFrame:
+        k, v, _, _ = ray.get(dims)
+        snat = v[np.searchsorted(
+            k, df["l_suppkey"].to_numpy(np.int64))]
+        yr = pd.DatetimeIndex(
+            df["l_shipdate"].to_numpy("datetime64[us]")
+        ).year.to_numpy(np.int64)
+        p = np.rint(df["l_extendedprice"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        d = np.rint(df["l_discount"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "s_nat": snat, "ship_year": yr,
+            "units": p * (100 - d)})
+        return g.groupby(["l_orderkey", "s_nat", "ship_year"],
+                         as_index=False).sum()
+
+    cells = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_cells, batch_format="pandas")
+
+    combined = group_apply(
+        cells,
+        lambda df: df.groupby(["l_orderkey", "s_nat", "ship_year"],
+                              as_index=False)["units"].sum(),
+        num_partitions=8, key="l_orderkey")
+    joined = combined.join(ords, "inner", num_partitions=8,
+                           on=("l_orderkey",))
+
+    def flow_cells(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["s_nat", "c_nat", "ship_year"],
+                          as_index=False)["units"].sum()
+
+    flows = joined.map_batches(
+        flow_cells, batch_format="pandas").to_pandas()
+    if flows.empty:
+        return pd.DataFrame({
+            "supp_nation": pd.Series(dtype=object),
+            "cust_nation": pd.Series(dtype=object),
+            "ship_year": pd.Series(dtype="int64"),
+            "rev_units": pd.Series(dtype="int64"),
+            "revenue": pd.Series(dtype="float64")})
+    agg_ = flows.groupby(["s_nat", "c_nat", "ship_year"],
+                         as_index=False)["units"].sum()
+    out = pd.DataFrame({
+        "supp_nation": agg_["s_nat"].map(nname).to_numpy(object),
+        "cust_nation": agg_["c_nat"].map(nname).to_numpy(object),
+        "ship_year": agg_["ship_year"].to_numpy(np.int64),
+        "rev_units": agg_["units"].to_numpy(np.int64),
+        "revenue": np.round(agg_["units"].to_numpy(np.int64)
+                            .astype(np.float64) / 10000.0, 6)})
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "ship_year"]
+    ).reset_index(drop=True)
+
+
+NATION_TRADE_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+            AS BIGINT) AS rev_units,
+       round(CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount*100)
+                                    AS BIGINT))) AS DOUBLE)
+             /10000.0, 6) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
 EXTRA_QUERIES = {
+    "wilcoxon_shift": q_wilcoxon_shift,
+    "nation_trade": q_nation_trade,
     "cramers_v": q_cramers_v,
     "levene_bf": q_levene_bf,
     "anova_f": q_anova_f,
@@ -10151,6 +10321,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "wilcoxon_shift": WILCOXON_SQL,
+    "nation_trade": NATION_TRADE_SQL,
     "cramers_v": CRAMERS_V_SQL,
     "levene_bf": LEVENE_SQL,
     "anova_f": ANOVA_SQL,

@@ -2673,3 +2673,82 @@ def levene_bf(
         "s_i": r["s_i"].to_numpy(np.int64),
         "q_i": r["q_i"].to_numpy(np.int64),
         "w_stat": np.full(kg, w)})
+
+
+def wilcoxon_shift(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Wilcoxon signed-rank test of the corpus-wide activity shift
+    between the first and second halves of the observation window:
+    each key contributes the paired difference d = c₂ − c₁ of its
+    event counts (zero differences drop, Wilcoxon convention), |d|
+    ranks use average ties, and W⁺ = Σ_{d>0} rank(|d|) — the paired
+    nonparametric complement to rising_keys' per-key drift scores
+    (one corpus p-gate instead of a per-key ranking).
+
+    Doubled rank sums keep everything EXACT int64 (2·avg_rank =
+    2·cnt_less + t + 1 from the |d| histogram); the tie-corrected
+    normal z is the only float closing, mirrored term-for-term.  One
+    keyed exchange to per-key (c₁, c₂) cells; the histogram closing
+    is |d|-domain-sized."""
+    from .partition import group_apply
+
+    # two-pass: global window bounds first (cheap aggregate), then
+    # per-key half counts against the broadcast midpoint
+    bounds = ds.select_columns([ts_col]).map_batches(
+        lambda df: pd.DataFrame({
+            "lo": [df[ts_col].to_numpy("datetime64[us]")
+                   .view(np.int64).min()],
+            "hi": [df[ts_col].to_numpy("datetime64[us]")
+                   .view(np.int64).max()]}),
+        batch_format="pandas").to_pandas()
+    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
+    mid = (lo + hi) // 2
+
+    def half_counts(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        second = tus > mid
+        g = pd.DataFrame({key: df[key].to_numpy(),
+                          "c1": (~second).astype(np.int64),
+                          "c2": second.astype(np.int64)})
+        return g.groupby(key, as_index=False, observed=True).sum()
+
+    cells = group_apply(
+        ds.select_columns([key, ts_col]).map_batches(
+            half_counts, batch_format="pandas"),
+        lambda df: df.groupby(key, as_index=False,
+                              observed=True)[["c1", "c2"]].sum(),
+        num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    cols = {"m": pd.Series(dtype="int64"),
+            "n_pos": pd.Series(dtype="int64"),
+            "n_neg": pd.Series(dtype="int64"),
+            "w2_pos": pd.Series(dtype="int64"),
+            "z_score": pd.Series(dtype="float64")}
+    if cells.empty:
+        return pd.DataFrame(cols)
+    d = cells["c2"].to_numpy(np.int64) - cells["c1"].to_numpy(np.int64)
+    d = d[d != 0]
+    m = len(d)
+    if m == 0:
+        return pd.DataFrame(cols)
+    ad = np.abs(d)
+    vals, cnts = np.unique(ad, return_counts=True)
+    less = np.cumsum(cnts) - cnts
+    avg2 = 2 * less + cnts + 1
+    a2 = dict(zip(vals, avg2))
+    r2 = np.array([a2[v] for v in ad], dtype=np.int64)
+    w2p = int(r2[d > 0].sum())
+    st = int((cnts.astype(np.int64) ** 3 - cnts).sum())
+    mf = float(m)
+    sigma2 = mf * (mf + 1.0) * (2.0 * mf + 1.0) / 24.0 \
+        - float(st) / 48.0
+    z = (float(w2p) - mf * (mf + 1.0) / 2.0) \
+        / (2.0 * np.sqrt(sigma2)) if sigma2 > 0 else np.nan
+    return pd.DataFrame({
+        "m": [np.int64(m)], "n_pos": [np.int64(int((d > 0).sum()))],
+        "n_neg": [np.int64(int((d < 0).sum()))],
+        "w2_pos": [np.int64(w2p)], "z_score": [z]})

@@ -917,3 +917,65 @@ def test_levene_bf_bruteforce_and_spread(ray_session):
                        np.round(rng.normal(0, 20, 600), 2)]})
     out = levene_bf(ray.data.from_pandas(pl))
     assert out["w_stat"].iloc[0] > 300.0
+
+
+def test_wilcoxon_shift_bruteforce_and_drift(ray_session):
+    from cesium_ray.stages.analytics import wilcoxon_shift
+
+    ev = _events(seed=171, n=3000, nusers=40)
+    got = wilcoxon_shift(ray.data.from_pandas(ev).repartition(6),
+                         num_partitions=4)
+    tus = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    mid = (tus.min() + tus.max()) // 2
+    c = ev.assign(second=tus > mid).groupby("user_id")["second"] \
+        .agg(c2="sum", n="size")
+    d = (c["c2"] - (c["n"] - c["c2"])).to_numpy(np.int64)
+    d = d[d != 0]
+    m = len(d)
+    ad = np.abs(d).astype(np.float64)
+    rk = pd.Series(ad).rank(method="average").to_numpy()
+    w2p = int(round(2 * rk[d > 0].sum()))
+    assert got["m"].iloc[0] == m
+    assert got["n_pos"].iloc[0] == int((d > 0).sum())
+    assert got["w2_pos"].iloc[0] == w2p
+    vals, cnts = np.unique(np.abs(d), return_counts=True)
+    st = int((cnts.astype(np.int64) ** 3 - cnts).sum())
+    sigma2 = m * (m + 1) * (2 * m + 1) / 24.0 - st / 48.0
+    z = (w2p - m * (m + 1) / 2.0) / (2 * np.sqrt(sigma2))
+    assert abs(got["z_score"].iloc[0] - z) < 1e-9
+    # planted drift: everyone doubles activity in the second half
+    rng = np.random.default_rng(19)
+    rows = []
+    for uid in range(50):
+        t1 = rng.integers(0, 43200, 5)
+        t2 = rng.integers(43201, 86400, 15)
+        ts = np.r_[t1, t2] * 10**6
+        rows.append(pd.DataFrame({
+            "user_id": np.full(len(ts), uid, dtype=np.int64),
+            "ts": pd.to_datetime(ts, unit="us"
+                                 ).astype("datetime64[us]")}))
+    pl = pd.concat(rows, ignore_index=True)
+    # anchor the exact window bounds
+    out = wilcoxon_shift(ray.data.from_pandas(pl),
+                         num_partitions=2)
+    assert out["n_pos"].iloc[0] > out["n_neg"].iloc[0]
+    assert out["z_score"].iloc[0] > 4.0
+
+
+def test_nation_trade_conservation(ray_session):
+    from cesium_ray.pipelines.extra_queries import q_nation_trade
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = q_nation_trade(sf)
+    # total across the flow matrix == total revenue units of lineitem
+    con = duckdb.connect()
+    total = con.sql(
+        f"""SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+            * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+            FROM read_parquet('{sf}/lineitem.parquet')"""
+    ).fetchone()[0]
+    assert int(out["rev_units"].sum()) == int(total)
+    assert out["supp_nation"].notna().all()
+    assert (out.groupby(["supp_nation", "cust_nation", "ship_year"])
+            .size() == 1).all()
