@@ -10105,7 +10105,93 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_centroid_cosine(sf_dir):
+    """★-checked pairwise class-centroid cosine/distance matrix
+    (stages/ann.py): constant-size per-block (n, per-dim Σx)
+    partials, mirrored centroid closings."""
+    from ..stages.ann import centroid_cosine
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["label", "embedding"],
+    )
+    return round6(centroid_cosine(emb))
+
+
+CENTROID_COSINE_SQL = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+u AS (SELECT label, generate_subscripts(v, 1) AS d, unnest(v) AS x
+      FROM e),
+nc AS (SELECT label, count(*) AS n FROM e GROUP BY 1),
+pc AS (SELECT label, d, sum(x) AS s FROM u GROUP BY 1, 2),
+c AS (SELECT pc.label, pc.d,
+             pc.s/CAST(nc.n AS DOUBLE) AS m
+      FROM pc JOIN nc USING (label)),
+p AS (SELECT a.label AS la, b.label AS lb
+      FROM nc a JOIN nc b ON a.label < b.label),
+dots AS (SELECT p.la, p.lb,
+                sum(ca.m*cb.m) AS num,
+                sum(ca.m*ca.m) AS qa,
+                sum(cb.m*cb.m) AS qb,
+                sum((ca.m - cb.m)*(ca.m - cb.m)) AS dd
+         FROM p JOIN c ca ON ca.label = p.la
+                JOIN c cb ON cb.label = p.lb AND cb.d = ca.d
+         GROUP BY 1, 2)
+SELECT CAST(d.la AS BIGINT) AS label_a,
+       CAST(d.lb AS BIGINT) AS label_b,
+       na.n AS n_a, nb.n AS n_b,
+       round(d.num/(sqrt(d.qa)*sqrt(d.qb)), 6) AS cosine,
+       round(sqrt(d.dd), 6) AS dist
+FROM dots d
+JOIN nc na ON na.label = d.la
+JOIN nc nb ON nb.label = d.lb
+WHERE d.qa > 0 AND d.qb > 0
+"""
+
+
+def q_trigram_entropy(sf_dir):
+    """★-checked corpus order-2 Markov conditional entropy of the
+    event-type process (stages/analytics.py): exact int64 trigram
+    cells through one key-hash exchange, mirrored H₂/perplexity
+    closings."""
+    from ..stages.analytics import trigram_entropy
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return round6(trigram_entropy(ev, num_partitions=8))
+
+
+TRIGRAM_ENTROPY_SQL = """
+WITH o AS (
+  SELECT user_id, event_type AS t,
+         lag(event_type) OVER w AS b1,
+         lag(event_type, 2) OVER w AS a2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT a2 AS a, b1 AS b, t AS c, count(*) AS cnt
+      FROM o WHERE a2 IS NOT NULL GROUP BY 1, 2, 3),
+ctx AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS nab
+        FROM g GROUP BY 1, 2),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g),
+h AS (SELECT sum(CAST(g.cnt AS DOUBLE)/n.n
+                 * ln(CAST(ctx.nab AS DOUBLE)
+                      /CAST(g.cnt AS DOUBLE))) AS h2
+      FROM g JOIN ctx USING (a, b), n)
+SELECT n.n AS n_trigrams,
+       (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_cells,
+       (SELECT CAST(count(*) AS BIGINT) FROM ctx) AS n_contexts,
+       round(h.h2, 6) AS h2,
+       round(exp(h.h2), 6) AS perplexity
+FROM n, h
+"""
+
+
 EXTRA_QUERIES = {
+    "centroid_cosine": q_centroid_cosine,
+    "trigram_entropy": q_trigram_entropy,
     "wilcoxon_shift": q_wilcoxon_shift,
     "nation_trade": q_nation_trade,
     "cramers_v": q_cramers_v,
@@ -10321,6 +10407,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "centroid_cosine": CENTROID_COSINE_SQL,
+    "trigram_entropy": TRIGRAM_ENTROPY_SQL,
     "wilcoxon_shift": WILCOXON_SQL,
     "nation_trade": NATION_TRADE_SQL,
     "cramers_v": CRAMERS_V_SQL,

@@ -2752,3 +2752,76 @@ def wilcoxon_shift(
         "m": [np.int64(m)], "n_pos": [np.int64(int((d > 0).sum()))],
         "n_neg": [np.int64(int((d < 0).sum()))],
         "w2_pos": [np.int64(w2p)], "z_score": [z]})
+
+
+def trigram_entropy(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Corpus order-2 Markov (trigram) conditional entropy of the
+    event-type process: H₂ = Σ (n_abc/N)·ln(n_ab·/n_abc) over all
+    within-key trigrams, with perplexity exp(H₂) — how predictable
+    the next event type is GIVEN THE LAST TWO (markov_entropy's
+    order-1 rate can look random when the order-2 structure is
+    nearly deterministic; compare the two to size the memory of the
+    process).
+
+    Trigram counts are exact int64 cells ((alphabet)³-bounded)
+    through one key-hash exchange with vectorized shift matching;
+    H₂ and perplexity close in mirrored float expressions."""
+    from .partition import group_apply
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"a": pd.Series(dtype=object),
+               "b": pd.Series(dtype=object),
+               "c": pd.Series(dtype=object),
+               "cnt": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(out)
+        kc, _ = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        oid = df[order_col].to_numpy(np.int64)
+        perm = np.lexsort((oid, tus, kc))
+        k = kc[perm]
+        t = df[type_col].to_numpy(object)[perm]
+        if len(t) < 3:
+            return pd.DataFrame(out)
+        same = k[1:] == k[:-1]
+        ok = same[1:] & same[:-1]
+        g = pd.DataFrame({"a": t[:-2][ok], "b": t[1:-1][ok],
+                          "c": t[2:][ok]}).groupby(
+            ["a", "b", "c"], as_index=False, observed=True).size()
+        return g.rename(columns={"size": "cnt"})
+
+    parts = group_apply(
+        ds.select_columns([key, type_col, ts_col, order_col]),
+        cells, num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    cols = {"n_trigrams": pd.Series(dtype="int64"),
+            "n_cells": pd.Series(dtype="int64"),
+            "n_contexts": pd.Series(dtype="int64"),
+            "h2": pd.Series(dtype="float64"),
+            "perplexity": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    g = parts.groupby(["a", "b", "c"], as_index=False,
+                      observed=True)["cnt"].sum()
+    N = int(g["cnt"].sum())
+    if N == 0:
+        return pd.DataFrame(cols)
+    ctx = g.groupby(["a", "b"])["cnt"].transform("sum") \
+        .to_numpy(np.int64)
+    nabc = g["cnt"].to_numpy(np.int64)
+    Nf = float(N)
+    h2 = float(np.sum(nabc.astype(np.float64) / Nf
+                      * np.log(ctx.astype(np.float64)
+                               / nabc.astype(np.float64))))
+    return pd.DataFrame({
+        "n_trigrams": [np.int64(N)],
+        "n_cells": [np.int64(len(g))],
+        "n_contexts": [np.int64(g.groupby(["a", "b"]).ngroups)],
+        "h2": [h2], "perplexity": [float(np.exp(h2))]})

@@ -688,3 +688,76 @@ def dim_variance(
                                           dtype=np.int64),
                          "mean": mean, "var": var,
                          "dead": var < dead_eps})
+
+
+def centroid_cosine(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Pairwise class-centroid geometry: for every label pair
+    (a < b), the cosine similarity and Euclidean distance between
+    class centroids — the confusability map that complements
+    class_separation's per-class spreads (two labels with
+    near-parallel centroids AND large WSS are the ones a classifier
+    will mix up).
+
+    Same distributed shape as class_separation: each block reduces
+    to ≤ |labels| partial rows (n, per-dim Σx), driver-side combine,
+    |labels|²/2 closings on centroid vectors.  float32 → float64
+    widening is exact both sides; the dim sums and closings are
+    mirrored float expressions (round-6 robust)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({label_col: pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "svec": pd.Series(dtype=object)})
+        lab, uniq = pd.factorize(df[label_col])
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df[vec_col]])
+        nk = len(uniq)
+        n = np.bincount(lab, minlength=nk).astype(np.int64)
+        svec = np.zeros((nk, m.shape[1]))
+        np.add.at(svec, lab, m)
+        return pd.DataFrame({
+            label_col: np.asarray(uniq, dtype=np.int64),
+            "n": n, "svec": [row for row in svec]})
+
+    parts = ds.select_columns([label_col, vec_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {"label_a": pd.Series(dtype="int64"),
+            "label_b": pd.Series(dtype="int64"),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+            "dist": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    agg = {}
+    for _, row in parts.iterrows():
+        lb = int(row[label_col])
+        n0, s0 = agg.get(lb, (0, None))
+        v = np.asarray(row["svec"], np.float64)
+        agg[lb] = (n0 + int(row["n"]),
+                   v if s0 is None else s0 + v)
+    labels = sorted(agg)
+    rows = []
+    for i, la in enumerate(labels):
+        na, sa = agg[la]
+        ca = sa / float(na)
+        for lb_ in labels[i + 1:]:
+            nb, sb = agg[lb_]
+            cb = sb / float(nb)
+            num = float(np.sum(ca * cb))
+            qa = float(np.sum(ca * ca))
+            qb = float(np.sum(cb * cb))
+            if qa <= 0 or qb <= 0:
+                continue
+            cos = num / (np.sqrt(qa) * np.sqrt(qb))
+            dist = float(np.sqrt(np.sum((ca - cb) * (ca - cb))))
+            rows.append((np.int64(la), np.int64(lb_), np.int64(na),
+                         np.int64(nb), cos, dist))
+    if not rows:
+        return pd.DataFrame(cols)
+    return pd.DataFrame(rows, columns=list(cols))

@@ -979,3 +979,86 @@ def test_nation_trade_conservation(ray_session):
     assert out["supp_nation"].notna().all()
     assert (out.groupby(["supp_nation", "cust_nation", "ship_year"])
             .size() == 1).all()
+
+
+def test_centroid_cosine_bruteforce_and_geometry(ray_session):
+    from cesium_ray.stages.ann import centroid_cosine
+
+    rng = np.random.default_rng(71)
+    n, dim = 600, 16
+    labels = rng.integers(0, 4, n)
+    base = rng.normal(0, 1, (4, dim)) * 5
+    vecs = base[labels] + rng.normal(0, 0.5, (n, dim))
+    emb = pd.DataFrame({
+        "label": labels.astype(np.int32),
+        "embedding": [v.astype(np.float32) for v in vecs]})
+    got = centroid_cosine(ray.data.from_pandas(emb).repartition(5))
+    assert len(got) == 6
+    import itertools
+    for la, lb in itertools.combinations(range(4), 2):
+        ca = vecs[labels == la].astype(np.float64)
+        ca = np.stack([v.astype(np.float32) for v in ca]).astype(
+            np.float64)
+        cb = np.stack([v.astype(np.float32)
+                       for v in vecs[labels == lb]]).astype(
+            np.float64)
+        ma, mb = ca.mean(0), cb.mean(0)
+        cos = ma @ mb / (np.linalg.norm(ma) * np.linalg.norm(mb))
+        dist = np.linalg.norm(ma - mb)
+        row = got[(got["label_a"] == la) & (got["label_b"] == lb)]
+        assert len(row) == 1
+        assert row["n_a"].iloc[0] == (labels == la).sum()
+        assert abs(row["cosine"].iloc[0] - cos) < 1e-9
+        assert abs(row["dist"].iloc[0] - dist) < 1e-9
+    # identical-direction plant: two labels on the same ray -> cos 1
+    m = 100
+    pl = pd.DataFrame({
+        "label": np.r_[np.zeros(m, np.int32), np.ones(m, np.int32)],
+        "embedding": [np.full(8, 1.0, np.float32)] * m
+        + [np.full(8, 3.0, np.float32)] * m})
+    out = centroid_cosine(ray.data.from_pandas(pl))
+    assert abs(out["cosine"].iloc[0] - 1.0) < 1e-12
+
+
+def test_trigram_entropy_bruteforce_and_determinism(ray_session):
+    from cesium_ray.stages.analytics import trigram_entropy
+
+    ev = _events(seed=181, n=2500, nusers=20)
+    got = trigram_entropy(ray.data.from_pandas(ev).repartition(6),
+                          num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"],
+                       kind="mergesort")
+    tri = {}
+    for uid, g in s.groupby("user_id"):
+        t = g["event_type"].tolist()
+        for i in range(len(t) - 2):
+            tri[(t[i], t[i + 1], t[i + 2])] = tri.get(
+                (t[i], t[i + 1], t[i + 2]), 0) + 1
+    N = sum(tri.values())
+    ctx = {}
+    for (a, b, c), v in tri.items():
+        ctx[(a, b)] = ctx.get((a, b), 0) + v
+    h2 = sum(v / N * np.log(ctx[(a, b)] / v)
+             for (a, b, c), v in tri.items())
+    assert got["n_trigrams"].iloc[0] == N
+    assert got["n_cells"].iloc[0] == len(tri)
+    assert got["n_contexts"].iloc[0] == len(ctx)
+    assert abs(got["h2"].iloc[0] - h2) < 1e-9
+    # deterministic order-2 process (c = f(a,b)) has H2 = 0 even
+    # though the order-1 mix looks balanced
+    seq = []
+    state = ("a", "b")
+    nxt = {("a", "b"): "c", ("b", "c"): "a", ("c", "a"): "b"}
+    for _ in range(600):
+        seq.append(state[0])
+        state = (state[1], nxt[state])
+    det = pd.DataFrame({
+        "event_id": np.arange(len(seq), dtype=np.int64),
+        "user_id": np.full(len(seq), 1, dtype=np.int64),
+        "event_type": seq,
+        "ts": pd.to_datetime(np.arange(len(seq)) * 10**6, unit="us"
+                             ).astype("datetime64[us]")})
+    out = trigram_entropy(ray.data.from_pandas(det),
+                          num_partitions=2)
+    assert out["h2"].iloc[0] < 1e-12
+    assert abs(out["perplexity"].iloc[0] - 1.0) < 1e-9
