@@ -10189,7 +10189,129 @@ FROM n, h
 """
 
 
+def q_variogram(sf_dir):
+    """★-checked corpus structure function γ(h) at index lags
+    1/2/4/8 (stages/tsmath.py): exact int64 pair sums per lag, one
+    mirrored descale closing."""
+    from ..stages.tsmath import variogram
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return round6(variogram(ev, num_partitions=8))
+
+
+VARIOGRAM_SQL = """
+WITH o AS (SELECT user_id, ts, event_id,
+                  CAST(round(value*100) AS BIGINT) AS x FROM events),
+l AS (
+  SELECT 1 AS lag, x - lag(x, 1)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d FROM o
+  UNION ALL
+  SELECT 2, x - lag(x, 2)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id) FROM o
+  UNION ALL
+  SELECT 4, x - lag(x, 4)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id) FROM o
+  UNION ALL
+  SELECT 8, x - lag(x, 8)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id) FROM o)
+SELECT lag, count(*) AS n_pairs,
+       CAST(sum(d*d) AS BIGINT) AS ss,
+       round(CAST(sum(d*d) AS DOUBLE)/(2.0*count(*))/10000.0, 6)
+         AS gamma
+FROM l WHERE d IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_late_fulfillment(sf_dir):
+    """★-checked TPC-H-Q4-style late-fulfillment share by order
+    priority: an order is late when ANY lineitem ships more than 90
+    days after the order date (max-shipdate cells make the EXISTS a
+    plain max).  Map-side exact-µs per-orderkey max cells, one
+    orderkey hash join, priority-keyed exact counts."""
+    from ..stages.partition import group_apply
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+    )
+
+    def mx_cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "mx": df["l_shipdate"].to_numpy("datetime64[us]")
+            .view(np.int64)})
+        return g.groupby("l_orderkey", as_index=False).max()
+
+    cells = group_apply(
+        li.map_batches(mx_cells, batch_format="pandas"),
+        lambda df: df.groupby("l_orderkey", as_index=False)["mx"]
+        .max(),
+        num_partitions=8, key="l_orderkey")
+
+    def ords_map(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "odate": df["o_orderdate"].to_numpy("datetime64[us]")
+            .view(np.int64),
+            "pr": df["o_orderpriority"].to_numpy(object)})
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(ords_map, batch_format="pandas")
+
+    joined = cells.join(ords, "inner", num_partitions=8,
+                        on=("l_orderkey",))
+
+    def pr_cells(df: pd.DataFrame) -> pd.DataFrame:
+        late = (df["mx"].to_numpy(np.int64)
+                > df["odate"].to_numpy(np.int64)
+                + 90 * 86_400_000_000).astype(np.int64)
+        g = pd.DataFrame({"pr": df["pr"].to_numpy(object),
+                          "n": np.int64(1), "late": late})
+        return g.groupby("pr", as_index=False).sum()
+
+    parts = joined.map_batches(
+        pr_cells, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "o_orderpriority": pd.Series(dtype=object),
+            "n_orders": pd.Series(dtype="int64"),
+            "n_late": pd.Series(dtype="int64"),
+            "late_share": pd.Series(dtype="float64")})
+    agg_ = parts.groupby("pr", as_index=False)[["n", "late"]].sum()
+    out = pd.DataFrame({
+        "o_orderpriority": agg_["pr"].to_numpy(object),
+        "n_orders": agg_["n"].to_numpy(np.int64),
+        "n_late": agg_["late"].to_numpy(np.int64),
+        "late_share": agg_["late"].to_numpy(np.int64)
+        .astype(np.float64)
+        / agg_["n"].to_numpy(np.int64).astype(np.float64)})
+    return round6(out.sort_values("o_orderpriority")
+                  .reset_index(drop=True))
+
+
+LATE_FULFILLMENT_SQL = """
+WITH m AS (SELECT l_orderkey, max(epoch_us(l_shipdate)) AS mx
+           FROM lineitem GROUP BY 1),
+j AS (SELECT o.o_orderpriority AS pr,
+             CASE WHEN m.mx > epoch_us(o.o_orderdate)
+                           + 90*86400000000 THEN 1 ELSE 0 END
+               AS late
+      FROM orders o JOIN m ON m.l_orderkey = o.o_orderkey)
+SELECT pr AS o_orderpriority, count(*) AS n_orders,
+       CAST(sum(late) AS BIGINT) AS n_late,
+       round(CAST(sum(late) AS DOUBLE)/count(*), 6) AS late_share
+FROM j GROUP BY 1
+"""
+
+
 EXTRA_QUERIES = {
+    "variogram": q_variogram,
+    "late_fulfillment": q_late_fulfillment,
     "centroid_cosine": q_centroid_cosine,
     "trigram_entropy": q_trigram_entropy,
     "wilcoxon_shift": q_wilcoxon_shift,
@@ -10407,6 +10529,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "variogram": VARIOGRAM_SQL,
+    "late_fulfillment": LATE_FULFILLMENT_SQL,
     "centroid_cosine": CENTROID_COSINE_SQL,
     "trigram_entropy": TRIGRAM_ENTROPY_SQL,
     "wilcoxon_shift": WILCOXON_SQL,

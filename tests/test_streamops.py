@@ -2879,3 +2879,59 @@ def test_monotone_runs_bruteforce(ray_session):
     assert out["longest_up"].iloc[0] == n - 1
     assert out["n_runs"].iloc[0] == 1
     assert out["longest_down"].iloc[0] == 0
+
+
+def test_variogram_bruteforce_and_walk(ray_session):
+    from cesium_ray.stages.tsmath import variogram
+
+    ev = _valued(seed=347, n=2400, nusers=15)
+    got = variogram(ray.data.from_pandas(ev).repartition(6),
+                    num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for h in (1, 2, 4, 8):
+        ss, npair = 0, 0
+        for uid, g in s.groupby("user_id"):
+            x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+            if len(x) > h:
+                d = x[h:] - x[:-h]
+                ss += int((d * d).sum())
+                npair += len(d)
+        row = got[got["lag"] == h]
+        assert len(row) == 1
+        assert row["n_pairs"].iloc[0] == npair
+        assert row["ss"].iloc[0] == ss
+        assert abs(row["gamma"].iloc[0]
+                   - ss / (2.0 * npair) / 1e4) < 1e-9
+    # random walk: gamma grows ~linearly in lag; white noise: flat
+    rng = np.random.default_rng(23)
+    n = 4000
+    walk = np.cumsum(rng.choice([-1.0, 1.0], n))
+    wdf = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 1, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": walk})
+    out = variogram(ray.data.from_pandas(wdf), num_partitions=2)
+    g1 = out[out["lag"] == 1]["gamma"].iloc[0]
+    g8 = out[out["lag"] == 8]["gamma"].iloc[0]
+    assert 5.0 < g8 / g1 < 11.0       # ideal random walk: ratio 8
+
+
+def test_late_fulfillment_consistency(ray_session):
+    from cesium_ray.pipelines.extra_queries import q_late_fulfillment
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = q_late_fulfillment(sf)
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH m AS (SELECT l_orderkey, max(l_shipdate) AS mx
+                   FROM read_parquet('{sf}/lineitem.parquet')
+                   GROUP BY 1)
+        SELECT count(*) FROM read_parquet('{sf}/orders.parquet') o
+        JOIN m ON m.l_orderkey = o.o_orderkey
+        WHERE m.mx > o.o_orderdate + INTERVAL 90 DAY
+    """).fetchone()[0]
+    assert int(out["n_late"].sum()) == int(want)
+    assert ((out["late_share"] >= 0) & (out["late_share"] <= 1)).all()
