@@ -10309,7 +10309,121 @@ FROM j GROUP BY 1
 """
 
 
+def q_banded_revenue(sf_dir):
+    """★-checked TPC-H-Q19-style banded revenue: three (brand,
+    quantity-band) disjuncts, one row each.  The OR-of-ANDs
+    predicate cannot all push to the scanner, so the plan pushes the
+    UNION of the quantity bands as the read filter (row-group
+    pruning), broadcasts the partkey→brand dimension once via
+    ray.put, and resolves the per-band conjunction map-side on
+    exact-int cells."""
+    import pyarrow.compute as pc
+    BANDS = [("Brand#11", 1, 11), ("Brand#22", 10, 20),
+             ("Brand#33", 20, 30)]
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    pk = np.sort(part["p_partkey"].to_numpy(np.int64))
+    pb = part.set_index("p_partkey").loc[pk, "p_brand"] \
+        .to_numpy(object)
+    dim = ray.put((pk, pb))
+
+    lo = min(b[1] for b in BANDS)
+    hi = max(b[2] for b in BANDS)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+        filter=((pc.field("l_quantity") >= lo)
+                & (pc.field("l_quantity") <= hi)),
+    )
+
+    def band_cells(df: pd.DataFrame) -> pd.DataFrame:
+        k, b = ray.get(dim)
+        brand = b[np.searchsorted(
+            k, df["l_partkey"].to_numpy(np.int64))]
+        q = df["l_quantity"].to_numpy(np.float64)
+        p = np.rint(df["l_extendedprice"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        d = np.rint(df["l_discount"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        units = p * (100 - d)
+        rows = []
+        for name, qlo, qhi in BANDS:
+            m = (brand == name) & (q >= qlo) & (q <= qhi)
+            rows.append((name, np.int64(qlo), np.int64(qhi),
+                         np.int64(int(m.sum())),
+                         np.int64(int(units[m].sum()))))
+        return pd.DataFrame(rows, columns=["p_brand", "q_lo",
+                                           "q_hi", "n", "units"])
+
+    parts = li.map_batches(band_cells,
+                           batch_format="pandas").to_pandas()
+    agg_ = parts.groupby(["p_brand", "q_lo", "q_hi"],
+                         as_index=False)[["n", "units"]].sum()
+    out = pd.DataFrame({
+        "p_brand": agg_["p_brand"].to_numpy(object),
+        "q_lo": agg_["q_lo"].to_numpy(np.int64),
+        "q_hi": agg_["q_hi"].to_numpy(np.int64),
+        "n_items": agg_["n"].to_numpy(np.int64),
+        "rev_units": agg_["units"].to_numpy(np.int64),
+        "revenue": np.round(agg_["units"].to_numpy(np.int64)
+                            .astype(np.float64) / 10000.0, 6)})
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+BANDED_REVENUE_SQL = """
+WITH b AS (
+  SELECT * FROM (VALUES ('Brand#11', 1, 11), ('Brand#22', 10, 20),
+                        ('Brand#33', 20, 30))
+    AS t(p_brand, q_lo, q_hi)),
+j AS (SELECT p.p_brand, l.l_quantity AS q,
+             CAST(round(l.l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+               AS u
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+SELECT b.p_brand, CAST(b.q_lo AS BIGINT) AS q_lo,
+       CAST(b.q_hi AS BIGINT) AS q_hi,
+       count(j.u) AS n_items,
+       CAST(coalesce(sum(j.u), 0) AS BIGINT) AS rev_units,
+       round(CAST(coalesce(sum(j.u), 0) AS DOUBLE)/10000.0, 6)
+         AS revenue
+FROM b LEFT JOIN j
+  ON j.p_brand = b.p_brand AND j.q >= b.q_lo AND j.q <= b.q_hi
+GROUP BY 1, 2, 3
+"""
+
+
+def q_load_factor(sf_dir):
+    """★-checked daily peak-to-mean load profile (stages/tsmath.py):
+    (day, hour) exact count cells, mirrored peak·24/n closing."""
+    from ..stages.tsmath import load_factor
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    )
+    return round6(load_factor(ev))
+
+
+LOAD_FACTOR_SQL = """
+WITH c AS (SELECT epoch_us(ts)//86400000000 AS day,
+                  (epoch_us(ts)//3600000000) % 24 AS hour,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2),
+p AS (SELECT day, CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(max(c) AS BIGINT) AS peak_hour_cnt
+      FROM c GROUP BY 1)
+SELECT day, n_events, peak_hour_cnt,
+       round(CAST(peak_hour_cnt AS DOUBLE)*24.0
+             /CAST(n_events AS DOUBLE), 6) AS load_factor
+FROM p
+"""
+
+
 EXTRA_QUERIES = {
+    "load_factor": q_load_factor,
+    "banded_revenue": q_banded_revenue,
     "variogram": q_variogram,
     "late_fulfillment": q_late_fulfillment,
     "centroid_cosine": q_centroid_cosine,
@@ -10529,6 +10643,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "load_factor": LOAD_FACTOR_SQL,
+    "banded_revenue": BANDED_REVENUE_SQL,
     "variogram": VARIOGRAM_SQL,
     "late_fulfillment": LATE_FULFILLMENT_SQL,
     "centroid_cosine": CENTROID_COSINE_SQL,

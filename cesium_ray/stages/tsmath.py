@@ -4046,3 +4046,48 @@ def variogram(
                         "n_pairs": npair, "ss": ss, "gamma": gamma})
     return out[out["n_pairs"] > 0].sort_values("lag") \
         .reset_index(drop=True)
+
+
+def load_factor(
+    ds: ray.data.Dataset,
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Daily peak-to-mean load profile of the whole event stream:
+    per UTC day, the event count, the busiest hour's count and the
+    load factor peak/(n/24) — the capacity-planning number (1.0 =
+    perfectly flat, 24 = everything in one hour) that sizes
+    per-stage concurrency against the hot hour rather than the
+    daily mean.
+
+    Map-side (day, hour) partial cells (bounded by days×24, never
+    by rows) combine driver-side; counts exact int64, the load
+    factor is one mirrored float closing."""
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        day = tus // 86_400_000_000
+        hour = (tus // 3_600_000_000) % 24
+        g = pd.DataFrame({"day": day, "hour": hour}).groupby(
+            ["day", "hour"], as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    parts = ds.select_columns([ts_col]).map_batches(
+        cells, batch_format="pandas").to_pandas()
+    cols = {"day": pd.Series(dtype="int64"),
+            "n_events": pd.Series(dtype="int64"),
+            "peak_hour_cnt": pd.Series(dtype="int64"),
+            "load_factor": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    agg = parts.groupby(["day", "hour"], as_index=False)["c"].sum()
+    per = agg.groupby("day", as_index=False).agg(
+        n_events=("c", "sum"), peak_hour_cnt=("c", "max"))
+    lf = per["peak_hour_cnt"].to_numpy(np.int64).astype(np.float64) \
+        * 24.0 / per["n_events"].to_numpy(np.int64).astype(np.float64)
+    out = pd.DataFrame({"day": per["day"].to_numpy(np.int64),
+                        "n_events": per["n_events"]
+                        .to_numpy(np.int64),
+                        "peak_hour_cnt": per["peak_hour_cnt"]
+                        .to_numpy(np.int64),
+                        "load_factor": lf})
+    return out.sort_values("day").reset_index(drop=True)

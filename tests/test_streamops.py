@@ -2935,3 +2935,47 @@ def test_late_fulfillment_consistency(ray_session):
     """).fetchone()[0]
     assert int(out["n_late"].sum()) == int(want)
     assert ((out["late_share"] >= 0) & (out["late_share"] <= 1)).all()
+
+
+def test_load_factor_bruteforce_and_spike(ray_session):
+    from cesium_ray.stages.tsmath import load_factor
+
+    ev = _events(seed=353, n=3000, nusers=20)
+    got = load_factor(ray.data.from_pandas(ev).repartition(6))
+    tus = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    d = pd.DataFrame({"day": tus // 86_400_000_000,
+                      "hour": (tus // 3_600_000_000) % 24})
+    per = d.groupby(["day", "hour"]).size().reset_index(name="c")
+    for day, g in per.groupby("day"):
+        row = got[got["day"] == day]
+        assert len(row) == 1
+        assert row["n_events"].iloc[0] == g["c"].sum()
+        assert row["peak_hour_cnt"].iloc[0] == g["c"].max()
+        assert abs(row["load_factor"].iloc[0]
+                   - g["c"].max() * 24.0 / g["c"].sum()) < 1e-12
+    # planted: all of a day's events in one hour -> load factor 24
+    ts = pd.to_datetime(np.full(120, 13) * 3_600_000_000
+                        + np.arange(120) * 10**6, unit="us")
+    pl = pd.DataFrame({"ts": ts.astype("datetime64[us]")})
+    out = load_factor(ray.data.from_pandas(pl))
+    assert abs(out["load_factor"].iloc[0] - 24.0) < 1e-12
+
+
+def test_banded_revenue_consistency(ray_session):
+    from cesium_ray.pipelines.extra_queries import q_banded_revenue
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = q_banded_revenue(sf)
+    assert len(out) == 3
+    con = duckdb.connect()
+    n = con.sql(f"""
+        SELECT count(*) FROM read_parquet('{sf}/lineitem.parquet') l
+        JOIN read_parquet('{sf}/part.parquet') p
+          ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#11'
+          AND l.l_quantity BETWEEN 1 AND 11
+    """).fetchone()[0]
+    assert int(out[out["p_brand"] == "Brand#11"]["n_items"]
+               .iloc[0]) == int(n)
+    assert (out["rev_units"] >= 0).all()
