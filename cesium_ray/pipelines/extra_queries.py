@@ -10421,7 +10421,121 @@ FROM p
 """
 
 
+def q_median_test(sf_dir):
+    """★-checked Mood's median test across event types
+    (stages/analytics.py): grand median exact in doubled k-space,
+    above/below counts exact, mirrored k×2 χ² closing."""
+    from ..stages.analytics import median_test
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return round6(median_test(ev))
+
+
+MEDIAN_TEST_SQL = """
+WITH q AS (SELECT event_type AS t,
+                  CAST(round(value*100) AS BIGINT) AS k FROM events
+           WHERE value IS NOT NULL),
+m AS (SELECT CAST(2*median(k) AS BIGINT) AS m2, count(*) AS n
+      FROM q),
+g AS (SELECT q.t,
+             count(*) FILTER (2*q.k > m.m2) AS a,
+             count(*) FILTER (2*q.k <= m.m2) AS b
+      FROM q, m GROUP BY 1),
+t AS (SELECT CAST(sum(a) AS BIGINT) AS ra,
+             CAST(sum(b) AS BIGINT) AS rb,
+             CAST(sum(a + b) AS BIGINT) AS n FROM g),
+x AS (SELECT sum(
+        pow(g.a - CAST(g.a + g.b AS DOUBLE)*t.ra/t.n, 2)
+          /(CAST(g.a + g.b AS DOUBLE)*t.ra/t.n)
+        + pow(g.b - CAST(g.a + g.b AS DOUBLE)*t.rb/t.n, 2)
+          /(CAST(g.a + g.b AS DOUBLE)*t.rb/t.n)) AS chi2
+      FROM g, t)
+SELECT g.t AS event_type, g.a AS n_above, g.b AS n_below,
+       m.m2 AS med2, round(x.chi2, 6) AS chi2
+FROM g, m, x, t WHERE t.ra > 0 AND t.rb > 0
+"""
+
+
+def q_top_supplier_revenue(sf_dir):
+    """★-checked TPC-H-Q15-style top supplier(s): revenue per
+    supplier over one quarter, returning every supplier tied at the
+    maximum (the classic correlated-max).  Map-side exact-int
+    revenue cells keyed on suppkey after a scanner date filter; the
+    max and the tie filter run on the cell table; names attach from
+    the dimension read."""
+    import pyarrow.compute as pc
+    from ..stages.partition import group_apply
+
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1997-04-01", "us")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= lo)
+                & (pc.field("l_shipdate") < hi)),
+    )
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.rint(df["l_extendedprice"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        d = np.rint(df["l_discount"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "units": p * (100 - d)})
+        return g.groupby("l_suppkey", as_index=False).sum()
+
+    per = group_apply(
+        li.map_batches(cells, batch_format="pandas"),
+        lambda df: df.groupby("l_suppkey",
+                              as_index=False)["units"].sum(),
+        num_partitions=8, key="l_suppkey").to_pandas()
+    if per.empty:
+        return pd.DataFrame({
+            "s_suppkey": pd.Series(dtype="int64"),
+            "s_name": pd.Series(dtype=object),
+            "rev_units": pd.Series(dtype="int64"),
+            "revenue": pd.Series(dtype="float64")})
+    mx = int(per["units"].max())
+    top = per[per["units"] == mx].sort_values("l_suppkey")
+    names = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+    ).to_pandas().set_index("s_suppkey")["s_name"]
+    return pd.DataFrame({
+        "s_suppkey": top["l_suppkey"].to_numpy(np.int64),
+        "s_name": top["l_suppkey"].map(names).to_numpy(object),
+        "rev_units": top["units"].to_numpy(np.int64),
+        "revenue": np.round(top["units"].to_numpy(np.int64)
+                            .astype(np.float64) / 10000.0, 6)}
+    ).reset_index(drop=True)
+
+
+TOP_SUPPLIER_SQL = """
+WITH f AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT)))
+              AS BIGINT) AS units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1),
+m AS (SELECT max(units) AS mx FROM f)
+SELECT f.l_suppkey AS s_suppkey, s.s_name,
+       f.units AS rev_units,
+       round(CAST(f.units AS DOUBLE)/10000.0, 6) AS revenue
+FROM f JOIN supplier s ON s.s_suppkey = f.l_suppkey, m
+WHERE f.units = m.mx
+"""
+
+
 EXTRA_QUERIES = {
+    "median_test": q_median_test,
+    "top_supplier_revenue": q_top_supplier_revenue,
     "load_factor": q_load_factor,
     "banded_revenue": q_banded_revenue,
     "variogram": q_variogram,
@@ -10643,6 +10757,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "median_test": MEDIAN_TEST_SQL,
+    "top_supplier_revenue": TOP_SUPPLIER_SQL,
     "load_factor": LOAD_FACTOR_SQL,
     "banded_revenue": BANDED_REVENUE_SQL,
     "variogram": VARIOGRAM_SQL,

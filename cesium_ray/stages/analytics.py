@@ -2825,3 +2825,77 @@ def trigram_entropy(
         "n_cells": [np.int64(len(g))],
         "n_contexts": [np.int64(g.groupby(["a", "b"]).ngroups)],
         "h2": [h2], "perplexity": [float(np.exp(h2))]})
+
+
+def median_test(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+) -> pd.DataFrame:
+    """Mood's median test across categories: count each group's
+    observations strictly above / not above the GRAND median and
+    χ²-test the resulting k×2 contingency table — the coarsest but
+    most outlier-proof k-group location gate (uses only the side of
+    the median, so one wild value cannot move it), completing the
+    location-test ladder anova_f (means) → kruskal_wallis (ranks) →
+    median_test (signs).
+
+    The grand median is exact in doubled k-space from the global
+    value histogram (2·median integer); above/below counts are exact
+    int64; χ² closes in the mirrored full-grid float sum.  Output:
+    one row per group (n_above, n_below exact) with the shared χ²
+    repeated."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        k = np.rint(v[ok] * 100.0).astype(np.int64)
+        g = pd.DataFrame({"t": df[type_col].to_numpy(object)[ok],
+                          "k": k}).groupby(
+            ["t", "k"], as_index=False, observed=True).size()
+        return g.rename(columns={"size": "c"})
+
+    parts = ds.select_columns([type_col, val_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {"event_type": pd.Series(dtype=object),
+            "n_above": pd.Series(dtype="int64"),
+            "n_below": pd.Series(dtype="int64"),
+            "med2": pd.Series(dtype="int64"),
+            "chi2": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    cells = parts.groupby(["t", "k"], as_index=False,
+                          observed=True)["c"].sum()
+    gk = cells.groupby("k")["c"].sum().sort_index()
+    ks = gk.index.to_numpy(np.int64)
+    cc = gk.to_numpy(np.int64)
+    n = int(cc.sum())
+    if n < 2:
+        return pd.DataFrame(cols)
+    cum = np.cumsum(cc)
+    lo = int(ks[np.searchsorted(cum, (n - 1) // 2 + 1)])
+    hi = int(ks[np.searchsorted(cum, n // 2 + 1)])
+    m2 = lo + hi                            # 2·grand median
+    above = cells["k"].to_numpy(np.int64) * 2 > m2
+    g = cells.assign(
+        a=np.where(above, cells["c"], 0),
+        b=np.where(above, 0, cells["c"])).groupby(
+        "t", as_index=False)[["a", "b"]].sum()
+    g = g.sort_values("t").reset_index(drop=True)
+    a = g["a"].to_numpy(np.int64)
+    b = g["b"].to_numpy(np.int64)
+    ra = int(a.sum())
+    rb = int(b.sum())
+    if ra == 0 or rb == 0 or len(g) < 2:
+        return pd.DataFrame(cols)
+    nf = float(n)
+    o = np.stack([a, b], axis=1).astype(np.float64)
+    colt = np.array([float(ra), float(rb)])
+    rowt = (a + b).astype(np.float64)
+    e = rowt[:, None] * colt[None, :] / nf
+    chi2 = float(np.sum((o - e) ** 2 / e))
+    return pd.DataFrame({
+        "event_type": g["t"].to_numpy(object),
+        "n_above": a, "n_below": b,
+        "med2": np.full(len(g), m2, dtype=np.int64),
+        "chi2": np.full(len(g), chi2)})

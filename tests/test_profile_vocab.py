@@ -1062,3 +1062,60 @@ def test_trigram_entropy_bruteforce_and_determinism(ray_session):
                           num_partitions=2)
     assert out["h2"].iloc[0] < 1e-12
     assert abs(out["perplexity"].iloc[0] - 1.0) < 1e-9
+
+
+def test_median_test_bruteforce_and_shift(ray_session):
+    from cesium_ray.stages.analytics import median_test
+
+    ev = _events(seed=191, n=2500, nusers=25)
+    got = median_test(ray.data.from_pandas(ev).repartition(6))
+    d = ev.dropna(subset=["value"]).copy()
+    d["k"] = np.rint(d["value"] * 100).astype(np.int64)
+    ks = np.sort(d["k"].to_numpy())
+    n = len(ks)
+    m2 = int(ks[(n - 1) // 2]) + int(ks[n // 2])
+    above = d["k"] * 2 > m2
+    tab = pd.crosstab(d["event_type"], above)
+    for t in tab.index:
+        row = got[got["event_type"] == t]
+        assert len(row) == 1
+        assert row["med2"].iloc[0] == m2
+        assert row["n_above"].iloc[0] == tab.loc[t].get(True, 0)
+        assert row["n_below"].iloc[0] == tab.loc[t].get(False, 0)
+    o = tab.reindex(columns=[True, False]).fillna(0).to_numpy(float)
+    e = o.sum(1)[:, None] * o.sum(0)[None, :] / o.sum()
+    chi2 = ((o - e) ** 2 / e).sum()
+    assert abs(got["chi2"].iloc[0] - chi2) < 1e-8
+    # planted: one group entirely above the grand median
+    rng = np.random.default_rng(29)
+    pl = pd.DataFrame({
+        "event_type": np.r_[np.full(600, "lo"), np.full(300, "hi")],
+        "value": np.r_[np.round(rng.uniform(0, 10, 600), 2),
+                       np.round(rng.uniform(100, 110, 300), 2)]})
+    out = median_test(ray.data.from_pandas(pl))
+    hi_row = out[out["event_type"] == "hi"]
+    assert hi_row["n_below"].iloc[0] == 0
+    assert out["chi2"].iloc[0] > 400.0
+
+
+def test_top_supplier_revenue_consistency(ray_session):
+    from cesium_ray.pipelines.extra_queries import (
+        q_top_supplier_revenue)
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = q_top_supplier_revenue(sf)
+    assert len(out) >= 1
+    con = duckdb.connect()
+    want = con.sql(f"""
+        SELECT max(u) FROM (
+          SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                 AS BIGINT) AS u
+          FROM read_parquet('{sf}/lineitem.parquet')
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+    """).fetchone()[0]
+    assert (out["rev_units"] == int(want)).all()
+    assert out["s_name"].notna().all()
