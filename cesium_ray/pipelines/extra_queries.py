@@ -10533,7 +10533,72 @@ WHERE f.units = m.mx
 """
 
 
+def q_time_reversal(sf_dir):
+    """★-checked per-key time-reversal asymmetry
+    (stages/tsmath.py): exact int64 ΣΔ²/ΣΔ³, mirrored
+    standardization closing."""
+    from ..stages.tsmath import time_reversal
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return round6(time_reversal(ev, num_partitions=8))
+
+
+TIME_REVERSAL_SQL = """
+WITH o AS (SELECT user_id,
+                  CAST(round(value*100) AS BIGINT) AS x,
+                  lag(CAST(round(value*100) AS BIGINT)) OVER w AS x1
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts, event_id)),
+a AS (SELECT user_id, count(x1) AS nd,
+             CAST(sum((x - x1)*(x - x1)) AS BIGINT) AS s2,
+             CAST(sum((x - x1)*(x - x1)*(x - x1)) AS BIGINT) AS s3
+      FROM o WHERE x1 IS NOT NULL GROUP BY 1)
+SELECT user_id, nd AS n_diff, s3 AS d3_sum,
+       round((CAST(s3 AS DOUBLE)/nd)
+             /((CAST(s2 AS DOUBLE)/nd)
+               * sqrt(CAST(s2 AS DOUBLE)/nd)), 6) AS trev
+FROM a WHERE s2 > 0
+"""
+
+
+def q_c3_nonlinearity(sf_dir):
+    """★-checked per-key c3 third-order cross-moment
+    (stages/tsmath.py): exact int64 triple-product sums at lag 1,
+    one mirrored mean-descale closing."""
+    from ..stages.tsmath import c3_nonlinearity
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return round6(c3_nonlinearity(ev, lag=1, num_partitions=8))
+
+
+C3_SQL = """
+WITH o AS (SELECT user_id,
+                  CAST(round(value*100) AS BIGINT) AS x,
+                  lag(CAST(round(value*100) AS BIGINT)) OVER w AS x1,
+                  lag(CAST(round(value*100) AS BIGINT), 2) OVER w
+                    AS x2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts, event_id)),
+a AS (SELECT user_id, count(x2) AS n_terms,
+             CAST(sum(x*x1*x2) AS BIGINT) AS c3_sum
+      FROM o WHERE x2 IS NOT NULL GROUP BY 1)
+SELECT user_id, n_terms, c3_sum,
+       round(CAST(c3_sum AS DOUBLE)/n_terms/1000000.0, 6) AS c3
+FROM a WHERE n_terms > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "time_reversal": q_time_reversal,
+    "c3_nonlinearity": q_c3_nonlinearity,
     "median_test": q_median_test,
     "top_supplier_revenue": q_top_supplier_revenue,
     "load_factor": q_load_factor,
@@ -10757,6 +10822,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "time_reversal": TIME_REVERSAL_SQL,
+    "c3_nonlinearity": C3_SQL,
     "median_test": MEDIAN_TEST_SQL,
     "top_supplier_revenue": TOP_SUPPLIER_SQL,
     "load_factor": LOAD_FACTOR_SQL,

@@ -4091,3 +4091,112 @@ def load_factor(
                         .to_numpy(np.int64),
                         "load_factor": lf})
     return out.sort_values("day").reset_index(drop=True)
+
+
+def time_reversal(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key time-reversal asymmetry of the (ts, order)-sorted
+    value stream: the standardized third moment of the first
+    differences, trev = (ΣΔ³/n_d) / (ΣΔ²/n_d)^{3/2} — zero for any
+    time-reversible process (all linear Gaussian ones), nonzero for
+    asymmetric rise/fall dynamics (slow build / fast crash), the
+    classic nonlinearity screen the ACF family is blind to.
+
+    ΣΔ² and ΣΔ³ are EXACT int64 in k-space (|Δ|³ ≤ 10¹² per term —
+    n ≲ 9·10⁶ per key before overflow; lift to float beyond); the
+    standardization is the only float closing, mirrored
+    term-for-term.  Keys need n ≥ 2 and ΣΔ² > 0.  One key-hash
+    exchange."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_diff": pd.Series(dtype="int64"),
+                "d3_sum": pd.Series(dtype="int64"),
+                "trev": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        same = k[1:] == k[:-1]
+        d = x[1:] - x[:-1]
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        g1 = gid[1:][same]
+        s2 = np.zeros(len(starts), np.int64)
+        s3 = np.zeros(len(starts), np.int64)
+        np.add.at(s2, g1, d[same] * d[same])
+        np.add.at(s3, g1, d[same] * d[same] * d[same])
+        nd = (n - 1).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m2 = s2.astype(np.float64) / nd
+            m3 = s3.astype(np.float64) / nd
+            trev = m3 / (m2 * np.sqrt(m2))
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]],
+                            "n_diff": (n - 1), "d3_sum": s3,
+                            "trev": trev})
+        return res[(n >= 2) & (s2 > 0)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def c3_nonlinearity(
+    ds: ray.data.Dataset,
+    lag: int = 1,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key c3 nonlinearity statistic (Schreiber & Schmitz 1997):
+    c3 = mean(xₜ·xₜ₋ₗ·xₜ₋₂ₗ) over the (ts, order)-sorted stream — a
+    third-order cross-moment that vanishes for symmetric linear
+    processes; its magnitude screens for multiplicative/threshold
+    dynamics (the tsfresh companion to time_reversal, which looks at
+    differences where c3 looks at levels).
+
+    The triple-product sum is EXACT int64 in k-space (|x|³ ≤
+    1.25·10¹¹ per term ⇒ n ≲ 7·10⁷ per key; lift to float beyond);
+    mean descale /(10⁶) value³-units is the only float closing.
+    Keys need n > 2·lag.  One key-hash exchange."""
+    h = int(lag)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_terms": pd.Series(dtype="int64"),
+                "c3_sum": pd.Series(dtype="int64"),
+                "c3": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        if len(x) <= 2 * h:
+            return pd.DataFrame(cols)
+        ok = (k[2 * h:] == k[:-2 * h])
+        prod = x[2 * h:] * x[h:-h] * x[:-2 * h]
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        g2 = gid[2 * h:][ok]
+        s = np.zeros(len(starts), np.int64)
+        cnt = np.zeros(len(starts), np.int64)
+        np.add.at(s, g2, prod[ok])
+        np.add.at(cnt, g2, 1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c3 = s.astype(np.float64) / cnt.astype(np.float64) / 1e6
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]],
+                            "n_terms": cnt, "c3_sum": s, "c3": c3})
+        return res[cnt > 0]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

@@ -2979,3 +2979,68 @@ def test_banded_revenue_consistency(ray_session):
     assert int(out[out["p_brand"] == "Brand#11"]["n_items"]
                .iloc[0]) == int(n)
     assert (out["rev_units"] >= 0).all()
+
+
+def test_time_reversal_bruteforce_and_sawtooth(ray_session):
+    from cesium_ray.stages.tsmath import time_reversal
+
+    ev = _valued(seed=359, n=2200, nusers=15)
+    got = time_reversal(ray.data.from_pandas(ev).repartition(6),
+                        num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        d = np.diff(x)
+        row = got[got["user_id"] == uid]
+        if len(x) < 2 or (d * d).sum() == 0:
+            assert len(row) == 0
+            continue
+        nd = len(d)
+        m2 = (d * d).sum() / nd
+        m3 = (d.astype(np.float64) ** 3).sum() / nd
+        assert len(row) == 1
+        assert row["d3_sum"].iloc[0] == int((d ** 3).sum())
+        assert abs(row["trev"].iloc[0] - m3 / (m2 * np.sqrt(m2))) \
+            < 1e-9
+    # asymmetric sawtooth: slow rise, sharp crash -> trev < 0
+    n = 1200
+    saw = np.tile(np.r_[np.arange(9, dtype=float), 0.0], n // 10)
+    pl = pd.DataFrame({
+        "event_id": np.arange(len(saw), dtype=np.int64),
+        "user_id": np.full(len(saw), 2, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(len(saw)) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": saw})
+    out = time_reversal(ray.data.from_pandas(pl), num_partitions=2)
+    assert out["trev"].iloc[0] < -1.0
+
+
+def test_c3_nonlinearity_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import c3_nonlinearity
+
+    ev = _valued(seed=367, n=2000, nusers=15)
+    got = c3_nonlinearity(ray.data.from_pandas(ev).repartition(6),
+                          lag=1, num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        row = got[got["user_id"] == uid]
+        if len(x) <= 2:
+            assert len(row) == 0
+            continue
+        prod = x[2:] * x[1:-1] * x[:-2]
+        assert len(row) == 1
+        assert row["n_terms"].iloc[0] == len(prod)
+        assert row["c3_sum"].iloc[0] == int(prod.sum())
+        assert abs(row["c3"].iloc[0]
+                   - prod.sum() / len(prod) / 1e6) < 1e-9
+    # constant positive level: c3 = level^3 exactly
+    pl = pd.DataFrame({
+        "event_id": np.arange(100, dtype=np.int64),
+        "user_id": np.full(100, 1, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(100) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.full(100, 7.0)})
+    out = c3_nonlinearity(ray.data.from_pandas(pl), lag=1,
+                          num_partitions=2)
+    assert abs(out["c3"].iloc[0] - 343.0) < 1e-9
