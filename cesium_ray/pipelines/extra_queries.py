@@ -10596,7 +10596,74 @@ FROM a WHERE n_terms > 0
 """
 
 
+def q_energy_chunks(sf_dir):
+    """★-checked per-key energy-ratio-by-chunks profile
+    (stages/tsmath.py): integer chunk ranks rank₀·8//n, exact Σx²
+    per chunk, one mirrored share closing."""
+    from ..stages.tsmath import energy_chunks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return round6(energy_chunks(ev, n_chunks=8, num_partitions=8))
+
+
+ENERGY_CHUNKS_SQL = """
+WITH o AS (SELECT user_id,
+                  CAST(round(value*100) AS BIGINT) AS x,
+                  row_number() OVER w - 1 AS r0,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts, event_id)),
+c AS (SELECT user_id, r0*8//n AS chunk, count(*) AS n_c,
+             CAST(sum(x*x) AS BIGINT) AS e_sum
+      FROM o GROUP BY 1, 2),
+t AS (SELECT user_id, CAST(sum(e_sum) AS BIGINT) AS tot
+      FROM c GROUP BY 1)
+SELECT c.user_id, c.chunk, c.n_c, c.e_sum,
+       round(CAST(c.e_sum AS DOUBLE)/CAST(t.tot AS DOUBLE), 6)
+         AS share
+FROM c JOIN t USING (user_id) WHERE t.tot > 0
+"""
+
+
+def q_binned_entropy(sf_dir):
+    """★-checked per-key binned value entropy (stages/tsmath.py):
+    integer equal-width binning over the key's own range, exact bin
+    counts, mirrored H closing."""
+    from ..stages.tsmath import binned_entropy
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    return round6(binned_entropy(ev, n_bins=10, num_partitions=8))
+
+
+BINNED_ENTROPY_SQL = """
+WITH q AS (SELECT user_id,
+                  CAST(round(value*100) AS BIGINT) AS x FROM events),
+m AS (SELECT user_id, min(x) AS mn, max(x) AS mx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY 1),
+b AS (SELECT q.user_id, (q.x - m.mn)*10//(m.mx - m.mn + 1) AS bin
+      FROM q JOIN m USING (user_id)),
+c AS (SELECT user_id, bin, count(*) AS c FROM b GROUP BY 1, 2),
+a AS (SELECT user_id, count(*) AS bins_used,
+             sum(CAST(c AS DOUBLE)*ln(CAST(c AS DOUBLE))) AS slc,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM c GROUP BY 1)
+SELECT user_id, n, bins_used,
+       round(ln(CAST(n AS DOUBLE)) - slc/CAST(n AS DOUBLE), 6)
+         AS entropy
+FROM a
+"""
+
+
 EXTRA_QUERIES = {
+    "energy_chunks": q_energy_chunks,
+    "binned_entropy": q_binned_entropy,
     "time_reversal": q_time_reversal,
     "c3_nonlinearity": q_c3_nonlinearity,
     "median_test": q_median_test,
@@ -10822,6 +10889,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "energy_chunks": ENERGY_CHUNKS_SQL,
+    "binned_entropy": BINNED_ENTROPY_SQL,
     "time_reversal": TIME_REVERSAL_SQL,
     "c3_nonlinearity": C3_SQL,
     "median_test": MEDIAN_TEST_SQL,

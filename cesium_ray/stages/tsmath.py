@@ -4200,3 +4200,124 @@ def c3_nonlinearity(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def energy_chunks(
+    ds: ray.data.Dataset,
+    n_chunks: int = 8,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key energy-ratio-by-chunks profile: the (ts, order)-sorted
+    stream is cut into ``n_chunks`` equal index ranges and each
+    chunk reports its share of the key's total energy Σx² — the
+    within-series nonstationarity fingerprint (a flat profile is
+    stationary; energy piling into late chunks flags ramp-up), the
+    level-domain sibling of trend_seasonal.
+
+    Chunk assignment is pure integer (chunk = rank₀·C // n, the SQL
+    row_number mirror); Σx² per chunk is EXACT int64; the share is
+    the only float closing.  One key-hash exchange, one lexsort."""
+    C = int(n_chunks)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "chunk": pd.Series(dtype="int64"),
+                "n_c": pd.Series(dtype="int64"),
+                "e_sum": pd.Series(dtype="int64"),
+                "share": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        rank0 = np.arange(len(k), dtype=np.int64) \
+            - np.repeat(starts, n)
+        chunk = rank0 * C // np.repeat(n, n)
+        cell = gid * C + chunk
+        e = np.zeros(len(starts) * C, np.int64)
+        cnt = np.zeros(len(starts) * C, np.int64)
+        np.add.at(e, cell, x * x)
+        np.add.at(cnt, cell, 1)
+        tot = np.repeat(np.add.reduceat(x * x, starts), C)
+        keep = cnt > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            share = e.astype(np.float64) / tot.astype(np.float64)
+        res = pd.DataFrame({
+            key: np.asarray(kuniq)[k[starts]][
+                np.arange(len(e)) // C],
+            "chunk": np.arange(len(e), dtype=np.int64) % C,
+            "n_c": cnt, "e_sum": e, "share": share})
+        return res[keep & (tot > 0)]
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values([key, "chunk"]).reset_index(drop=True)
+
+
+def binned_entropy(
+    ds: ray.data.Dataset,
+    n_bins: int = 10,
+    key: str = "user_id",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key binned entropy of the value distribution: each key's
+    values drop into ``n_bins`` equal-width bins over the key's OWN
+    [min, max] range and H = ln n − (Σ c·ln c)/n over the bin counts
+    — the amplitude-diversity score (0 for constant or two-level
+    streams, → ln B for uniform wander), the value-domain sibling of
+    perm_entropy's ordinal one.
+
+    Binning is pure integer in k-space (bin = (x − min)·B //
+    (max − min + 1), always in [0, B)); counts exact int64; H is the
+    one mirrored float closing.  Order-free: one key-hash
+    exchange, bincount per key segment."""
+    B = int(n_bins)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "bins_used": pd.Series(dtype="int64"),
+                "entropy": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        x = _quantize(df[val_col].to_numpy())
+        order = np.argsort(kc, kind="stable")
+        k, xs = kc[order], x[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        mn = np.minimum.reduceat(xs, starts)
+        mx = np.maximum.reduceat(xs, starts)
+        width = np.repeat(mx - mn + 1, n)
+        b = (xs - np.repeat(mn, n)) * B // width
+        cell = gid * B + b
+        cnt = np.zeros(len(starts) * B, np.int64)
+        np.add.at(cnt, cell, 1)
+        cm = cnt.reshape(len(starts), B)
+        nf = n.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cf = cm.astype(np.float64)
+            clc = np.where(cm > 0, cf * np.log(
+                np.where(cm > 0, cf, 1.0)), 0.0)
+            h = np.log(nf) - clc.sum(axis=1) / nf
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]],
+                            "n": n,
+                            "bins_used": (cm > 0).sum(axis=1)
+                            .astype(np.int64),
+                            "entropy": h})
+        return res
+
+    out = group_apply(ds.select_columns([key, val_col]), per_key,
+                      num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

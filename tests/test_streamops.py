@@ -3044,3 +3044,75 @@ def test_c3_nonlinearity_bruteforce(ray_session):
     out = c3_nonlinearity(ray.data.from_pandas(pl), lag=1,
                           num_partitions=2)
     assert abs(out["c3"].iloc[0] - 343.0) < 1e-9
+
+
+def test_energy_chunks_bruteforce_and_ramp(ray_session):
+    from cesium_ray.stages.tsmath import energy_chunks
+
+    ev = _valued(seed=373, n=2000, nusers=12)
+    got = energy_chunks(ray.data.from_pandas(ev).repartition(6),
+                        n_chunks=8, num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(x)
+        tot = int((x * x).sum())
+        ch = np.arange(n) * 8 // n
+        sub = got[got["user_id"] == uid]
+        for c in range(8):
+            m = ch == c
+            row = sub[sub["chunk"] == c]
+            if not m.any() or tot == 0:
+                assert len(row) == 0
+                continue
+            assert len(row) == 1
+            e = int((x[m] * x[m]).sum())
+            assert row["n_c"].iloc[0] == int(m.sum())
+            assert row["e_sum"].iloc[0] == e
+            assert abs(row["share"].iloc[0] - e / tot) < 1e-12
+    # ramp: energy concentrates in the last chunk
+    n = 800
+    ramp = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 4, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.arange(n) * 0.1})
+    out = energy_chunks(ray.data.from_pandas(ramp), n_chunks=8,
+                        num_partitions=2)
+    sh = out.sort_values("chunk")["share"].to_numpy()
+    assert sh[-1] > 0.3 and sh[0] < 0.01
+    assert (np.diff(sh) > 0).all()
+
+
+def test_binned_entropy_bruteforce_and_levels(ray_session):
+    from cesium_ray.stages.tsmath import binned_entropy
+
+    ev = _valued(seed=379, n=2000, nusers=12)
+    got = binned_entropy(ray.data.from_pandas(ev).repartition(6),
+                         n_bins=10, num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(x)
+        mn, mx = x.min(), x.max()
+        b = (x - mn) * 10 // (mx - mn + 1)
+        c = np.bincount(b, minlength=10)
+        c = c[c > 0]
+        h = np.log(n) - (c * np.log(c)).sum() / n
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1
+        assert row["bins_used"].iloc[0] == len(c)
+        assert abs(row["entropy"].iloc[0] - h) < 1e-9
+    # constant stream: single bin, zero entropy; uniform: ~ln(10)
+    rng = np.random.default_rng(31)
+    pl = pd.DataFrame({
+        "user_id": np.r_[np.full(500, 1, dtype=np.int64),
+                         np.full(5000, 2, dtype=np.int64)],
+        "value": np.r_[np.full(500, 3.14),
+                       np.round(rng.uniform(0, 100, 5000), 2)]})
+    out = binned_entropy(ray.data.from_pandas(pl), n_bins=10,
+                         num_partitions=2)
+    r1 = out[out["user_id"] == 1].iloc[0]
+    r2 = out[out["user_id"] == 2].iloc[0]
+    assert r1["bins_used"] == 1 and abs(r1["entropy"]) < 1e-12
+    assert abs(r2["entropy"] - np.log(10)) < 0.02
