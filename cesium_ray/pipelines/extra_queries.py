@@ -10661,7 +10661,116 @@ FROM a
 """
 
 
+def q_psd_profile(sf_dir):
+    """★-checked per-key low-frequency Fourier power profile +
+    spectral slope over the dense hourly grid (stages/tsmath.py):
+    seasonal_power demeaning idiom at 8 Fourier bins, running-sum
+    OLS slope mirrored by window frames."""
+    from ..stages.tsmath import psd_profile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return round6(psd_profile(ev, n_freqs=8, num_partitions=8))
+
+
+PSD_PROFILE_SQL = """
+WITH b AS (SELECT user_id, epoch_us(ts)//3600000000 AS hb
+           FROM events),
+r AS (SELECT user_id, min(hb) AS mn, max(hb) AS mx
+      FROM b GROUP BY 1),
+grid AS (SELECT user_id, mn, unnest(generate_series(mn, mx)) AS h
+         FROM r),
+cc AS (SELECT user_id, hb, count(*) AS cnt FROM b GROUP BY 1, 2),
+g AS (SELECT grid.user_id, grid.h - grid.mn AS t,
+             coalesce(cc.cnt, 0) AS cnt
+      FROM grid LEFT JOIN cc
+        ON grid.user_id = cc.user_id AND grid.h = cc.hb),
+nn AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cnt) AS BIGINT) AS sc
+       FROM g GROUP BY 1),
+js AS (SELECT unnest(generate_series(1, 8)) AS j),
+q AS (SELECT g.user_id, js.j, g.cnt,
+             cos(2.0*pi()*CAST((g.t*js.j) % nn.n AS DOUBLE)
+                 /CAST(nn.n AS DOUBLE)) AS co,
+             sin(2.0*pi()*CAST((g.t*js.j) % nn.n AS DOUBLE)
+                 /CAST(nn.n AS DOUBLE)) AS si
+      FROM g JOIN nn USING (user_id), js
+      WHERE nn.n >= 17),
+a AS (SELECT user_id, j,
+             sum(CAST(cnt AS DOUBLE)*co) AS ccs, sum(co) AS sco,
+             sum(CAST(cnt AS DOUBLE)*si) AS css, sum(si) AS ssi
+      FROM q GROUP BY 1, 2),
+m AS (SELECT a.*, CAST(nn.sc AS DOUBLE)/CAST(nn.n AS DOUBLE) AS mu,
+             nn.n
+      FROM a JOIN nn USING (user_id)),
+p AS (SELECT user_id, j, n,
+             (ccs - mu*sco)*(ccs - mu*sco)
+               + (css - mu*ssi)*(css - mu*ssi) AS power
+      FROM m),
+t2 AS (SELECT user_id, sum(power) AS tot, min(power) AS mnp
+       FROM p GROUP BY 1),
+w AS (SELECT p.user_id, p.j, p.n, p.power, t2.tot,
+             sum(ln(CAST(p.j AS DOUBLE))) OVER wo AS sx,
+             sum(ln(p.power)) OVER wo AS sy,
+             sum(ln(CAST(p.j AS DOUBLE))
+                 *ln(CAST(p.j AS DOUBLE))) OVER wo AS sxx,
+             sum(ln(CAST(p.j AS DOUBLE))*ln(p.power)) OVER wo AS sxy
+      FROM p JOIN t2 USING (user_id) WHERE t2.mnp > 0
+      WINDOW wo AS (PARTITION BY p.user_id ORDER BY p.j
+                    ROWS UNBOUNDED PRECEDING)),
+s AS (SELECT user_id,
+             (8.0*sxy - sx*sy)/(8.0*sxx - sx*sx) AS slope
+      FROM w WHERE j = 8)
+SELECT w.user_id, w.j, w.n AS n_hours,
+       round(w.power, 6) AS power,
+       round(w.power/w.tot, 6) AS share,
+       round(s.slope, 6) AS slope
+FROM w JOIN s USING (user_id)
+"""
+
+
+def q_extreme_locations(sf_dir):
+    """★-checked per-key extrema locations (stages/tsmath.py):
+    exact 0-based first/last ranks of max and min, two mirrored
+    relative-position closings; row_number window twin."""
+    from ..stages.tsmath import extreme_locations
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return round6(extreme_locations(ev, num_partitions=8))
+
+
+EXTREME_LOC_SQL = """
+WITH o AS (SELECT user_id,
+                  CAST(round(value*100) AS BIGINT) AS x,
+                  row_number() OVER w - 1 AS r0
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts, event_id)),
+m AS (SELECT user_id, max(x) AS mx, min(x) AS mn,
+             CAST(count(*) AS BIGINT) AS n
+      FROM o GROUP BY 1),
+a AS (SELECT o.user_id, m.n,
+             min(o.r0) FILTER (o.x = m.mx) AS first_max,
+             max(o.r0) FILTER (o.x = m.mx) AS last_max,
+             min(o.r0) FILTER (o.x = m.mn) AS first_min,
+             max(o.r0) FILTER (o.x = m.mn) AS last_min
+      FROM o JOIN m USING (user_id) GROUP BY 1, 2)
+SELECT user_id, n, first_max, last_max, first_min, last_min,
+       round(CAST(first_max AS DOUBLE)/CAST(n AS DOUBLE), 6)
+         AS first_max_rel,
+       round(CAST(last_min AS DOUBLE)/CAST(n AS DOUBLE), 6)
+         AS last_min_rel
+FROM a
+"""
+
+
 EXTRA_QUERIES = {
+    "psd_profile": q_psd_profile,
+    "extreme_locations": q_extreme_locations,
     "energy_chunks": q_energy_chunks,
     "binned_entropy": q_binned_entropy,
     "time_reversal": q_time_reversal,
@@ -10889,6 +10998,8 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "psd_profile": PSD_PROFILE_SQL,
+    "extreme_locations": EXTREME_LOC_SQL,
     "energy_chunks": ENERGY_CHUNKS_SQL,
     "binned_entropy": BINNED_ENTROPY_SQL,
     "time_reversal": TIME_REVERSAL_SQL,

@@ -4321,3 +4321,152 @@ def binned_entropy(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def psd_profile(
+    ds: ray.data.Dataset,
+    n_freqs: int = 8,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key low-frequency Fourier power profile of the DENSE
+    hourly activity grid: demeaned DFT power at the first
+    ``n_freqs`` Fourier frequencies j/n plus the log-log OLS
+    spectral slope over those bins — the 1/f^α color of each key's
+    activity (slope ≈ 0 white, ≈ −2 random-walk-like), the
+    multi-bin generalization of seasonal_power's two fixed
+    harmonics.
+
+    Counts on the grid are exact; the trig sums, demeaning
+    (c_j = Σc·cos − μ·Σcos, the seasonal_power idiom), powers,
+    self-normalized shares and the slope's running sums are
+    mirrored float expressions (round-6 robust).  Keys need
+    span ≥ 2·n_freqs + 1 and all powers > 0 (else dropped).  One
+    key-hash exchange; per-key work O(span·n_freqs)."""
+    J = int(n_freqs)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "j": pd.Series(dtype="int64"),
+                "n_hours": pd.Series(dtype="int64"),
+                "power": pd.Series(dtype="float64"),
+                "share": pd.Series(dtype="float64"),
+                "slope": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        hb = df[ts_col].to_numpy("datetime64[us]").view(np.int64) \
+            // 3_600_000_000
+        order = np.argsort(kc, kind="stable")
+        k, h = kc[order], hb[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        rows = []
+        for s, e in zip(starts, ends):
+            hk = h[s:e]
+            mn, mx = int(hk.min()), int(hk.max())
+            n = mx - mn + 1
+            if n < 2 * J + 1:
+                continue
+            c = np.bincount(hk - mn, minlength=n).astype(np.int64)
+            nf = float(n)
+            mu = float(int(c.sum())) / nf
+            t = np.arange(n, dtype=np.int64)
+            powers = np.empty(J, np.float64)
+            for j in range(1, J + 1):
+                ang = 2.0 * np.pi * ((t * j) % n).astype(
+                    np.float64) / nf
+                co, si = np.cos(ang), np.sin(ang)
+                cf = c.astype(np.float64)
+                cj = float((cf * co).sum()) - mu * float(co.sum())
+                sj = float((cf * si).sum()) - mu * float(si.sum())
+                powers[j - 1] = cj * cj + sj * sj
+            if powers.min() <= 0.0:
+                continue
+            tot = float(powers.sum())
+            lx = np.log(np.arange(1, J + 1, dtype=np.float64))
+            ly = np.log(powers)
+            sx = float(np.cumsum(lx)[-1])
+            sy = float(np.cumsum(ly)[-1])
+            sxx = float(np.cumsum(lx * lx)[-1])
+            sxy = float(np.cumsum(lx * ly)[-1])
+            jf = float(J)
+            slope = (jf * sxy - sx * sy) / (jf * sxx - sx * sx)
+            for j in range(1, J + 1):
+                rows.append((np.asarray(kuniq)[k[s]], j, n,
+                             powers[j - 1], powers[j - 1] / tot,
+                             slope))
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(rows, columns=list(cols))
+
+    out = group_apply(ds.select_columns([key, ts_col]), per_key,
+                      num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values([key, "j"]).reset_index(drop=True)
+
+
+def extreme_locations(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key locations of the extrema in the (ts, order)-sorted
+    value stream: first/last 0-based rank of the maximum and of the
+    minimum, plus their relative positions rank/n — the tsfresh
+    first/last_location_of_maximum/minimum quartet (late maxima =
+    still climbing; early maxima + late minima = decaying stream).
+
+    Ranks are pure integers from one lexsort + masked min/max per
+    group; the four relative positions are the only float
+    closings, mirrored by row_number window twins."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "first_max": pd.Series(dtype="int64"),
+                "last_max": pd.Series(dtype="int64"),
+                "first_min": pd.Series(dtype="int64"),
+                "last_min": pd.Series(dtype="int64"),
+                "first_max_rel": pd.Series(dtype="float64"),
+                "last_min_rel": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, _, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        rank0 = np.arange(len(k), dtype=np.int64) \
+            - np.repeat(starts, n)
+        mx = np.maximum.reduceat(x, starts)
+        mn = np.minimum.reduceat(x, starts)
+        ismax = x == np.repeat(mx, n)
+        ismin = x == np.repeat(mn, n)
+        BIG = np.int64(2**62)
+        fmax = np.full(len(starts), BIG)
+        lmax = np.full(len(starts), np.int64(-1))
+        fmin = np.full(len(starts), BIG)
+        lmin = np.full(len(starts), np.int64(-1))
+        np.minimum.at(fmax, gid[ismax], rank0[ismax])
+        np.maximum.at(lmax, gid[ismax], rank0[ismax])
+        np.minimum.at(fmin, gid[ismin], rank0[ismin])
+        np.maximum.at(lmin, gid[ismin], rank0[ismin])
+        nf = n.astype(np.float64)
+        res = pd.DataFrame({
+            key: np.asarray(kuniq)[k[starts]], "n": n,
+            "first_max": fmax, "last_max": lmax,
+            "first_min": fmin, "last_min": lmin,
+            "first_max_rel": fmax.astype(np.float64) / nf,
+            "last_min_rel": lmin.astype(np.float64) / nf})
+        return res
+
+    out = group_apply(ds, per_key, num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

@@ -3116,3 +3116,77 @@ def test_binned_entropy_bruteforce_and_levels(ray_session):
     r2 = out[out["user_id"] == 2].iloc[0]
     assert r1["bins_used"] == 1 and abs(r1["entropy"]) < 1e-12
     assert abs(r2["entropy"] - np.log(10)) < 0.02
+
+
+def test_psd_profile_bruteforce_and_tone(ray_session):
+    from cesium_ray.stages.tsmath import psd_profile
+
+    ev = _events(seed=383, n=3000, nusers=12)
+    got = psd_profile(ray.data.from_pandas(ev).repartition(6),
+                      n_freqs=8, num_partitions=4)
+    hb = ev["ts"].astype("datetime64[us]").astype(np.int64) \
+        // 3_600_000_000
+    for uid, g in pd.DataFrame({"u": ev["user_id"], "hb": hb}) \
+            .groupby("u"):
+        mn, mx = g["hb"].min(), g["hb"].max()
+        n = int(mx - mn + 1)
+        sub = got[got["user_id"] == uid]
+        if n < 17:
+            assert len(sub) == 0
+            continue
+        c = np.bincount(g["hb"] - mn, minlength=n).astype(float)
+        mu = c.sum() / n
+        t = np.arange(n)
+        pw = []
+        for j in range(1, 9):
+            ang = 2 * np.pi * ((t * j) % n) / n
+            cj = (c * np.cos(ang)).sum() - mu * np.cos(ang).sum()
+            sj = (c * np.sin(ang)).sum() - mu * np.sin(ang).sum()
+            pw.append(cj * cj + sj * sj)
+        pw = np.array(pw)
+        if pw.min() <= 0:
+            assert len(sub) == 0
+            continue
+        assert len(sub) == 8
+        for j in range(1, 9):
+            row = sub[sub["j"] == j]
+            assert abs(row["power"].iloc[0] - pw[j - 1]) \
+                < 1e-6 * max(pw[j - 1], 1)
+            assert abs(row["share"].iloc[0]
+                       - pw[j - 1] / pw.sum()) < 1e-9
+    # planted tone at Fourier bin 4 of a 64-hour grid dominates
+    hours = []
+    for t_ in range(64):
+        reps = 2 + int(10 * (1 + np.cos(2 * np.pi * 4 * t_ / 64)))
+        hours += [t_] * reps
+    pl = pd.DataFrame({
+        "user_id": np.full(len(hours), 9, dtype=np.int64),
+        "ts": pd.to_datetime(np.array(hours) * 3_600_000_000
+                             + np.arange(len(hours)), unit="us"
+                             ).astype("datetime64[us]")})
+    out = psd_profile(ray.data.from_pandas(pl), n_freqs=8,
+                      num_partitions=2)
+    assert out[out["j"] == 4]["share"].iloc[0] > 0.9
+
+
+def test_extreme_locations_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import extreme_locations
+
+    ev = _valued(seed=389, n=2200, nusers=15)
+    got = extreme_locations(ray.data.from_pandas(ev).repartition(6),
+                            num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1
+        idx_max = np.flatnonzero(x == x.max())
+        idx_min = np.flatnonzero(x == x.min())
+        assert row["first_max"].iloc[0] == idx_max[0]
+        assert row["last_max"].iloc[0] == idx_max[-1]
+        assert row["first_min"].iloc[0] == idx_min[0]
+        assert row["last_min"].iloc[0] == idx_min[-1]
+        assert abs(row["first_max_rel"].iloc[0]
+                   - idx_max[0] / len(x)) < 1e-12
+        assert abs(row["last_min_rel"].iloc[0]
+                   - idx_min[-1] / len(x)) < 1e-12
