@@ -10768,7 +10768,45 @@ FROM a
 """
 
 
+def q_weibull_gaps(sf_dir):
+    """★-checked per-key Weibull moment fit of inter-event gaps
+    (stages/tsmath.py): exact int64 whole-second gap sums, Justus
+    shape k = cv^-1.086 closed as a mirrored exp/ln expression."""
+    from ..stages.tsmath import weibull_gaps
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return round6(weibull_gaps(ev, num_partitions=8))
+
+
+WEIBULL_GAPS_SQL = """
+WITH o AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+d AS (SELECT user_id,
+             (t - lag(t) OVER (PARTITION BY user_id ORDER BY t))
+               // 1000000 AS g
+      FROM o),
+a AS (SELECT user_id,
+             CAST(count(g) AS BIGINT) AS n_gaps,
+             CAST(sum(g) AS BIGINT) AS s1,
+             CAST(sum(g*g) AS BIGINT) AS s2
+      FROM d WHERE g IS NOT NULL GROUP BY 1),
+f AS (SELECT user_id, n_gaps,
+             CAST(s1 AS DOUBLE)/CAST(n_gaps AS DOUBLE) AS mu,
+             CAST(s2 AS DOUBLE)/CAST(n_gaps AS DOUBLE)
+               - (CAST(s1 AS DOUBLE)/CAST(n_gaps AS DOUBLE))
+                 *(CAST(s1 AS DOUBLE)/CAST(n_gaps AS DOUBLE)) AS v
+      FROM a WHERE n_gaps >= 2)
+SELECT user_id, n_gaps,
+       round(mu, 6) AS mean_gap_s,
+       round(sqrt(v)/mu, 6) AS gap_cv,
+       round(exp(-1.086*ln(sqrt(v)/mu)), 6) AS weibull_k
+FROM f WHERE v > 0 AND mu > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "weibull_gaps": q_weibull_gaps,
     "psd_profile": q_psd_profile,
     "extreme_locations": q_extreme_locations,
     "energy_chunks": q_energy_chunks,
@@ -11000,6 +11038,7 @@ EXTRA_QUERIES = {
 EXTRA_ORACLE_SQL = {
     "psd_profile": PSD_PROFILE_SQL,
     "extreme_locations": EXTREME_LOC_SQL,
+    "weibull_gaps": WEIBULL_GAPS_SQL,
     "energy_chunks": ENERGY_CHUNKS_SQL,
     "binned_entropy": BINNED_ENTROPY_SQL,
     "time_reversal": TIME_REVERSAL_SQL,

@@ -4470,3 +4470,72 @@ def extreme_locations(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def weibull_gaps(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key Weibull fit of the inter-event gap distribution via
+    the closed-form Justus (1978) moment estimator: shape
+    k = (σ/μ)^(−1.086) from the gap coefficient of variation, scale
+    λ = μ/Γ(1 + 1/k) — k < 1 means bursty/clustered arrivals
+    (heavier than exponential), k = 1 recovers exp_gap_fit's
+    Poisson case, k > 1 regular/pacemaker streams.  The shape
+    completes the gap family: burstiness (one number), exp_gap_fit
+    (rate + KS), weibull_gaps (full two-parameter law).
+
+    Gaps are mirrored whole seconds ((Δts µs) // 10⁶, the
+    burstiness/xcorr_gap recipe — raw-µs Σd² would overflow int64 on
+    multi-hour gaps); gap count and Σd/Σd² travel as EXACT int64
+    sums through one keyed exchange; k and the gap CV close in
+    mirrored float expressions (the scale λ = μ/Γ(1+1/k) is left to
+    the caller: DuckDB's gamma() differs from libm's by 1 ulp, so it
+    cannot sit inside a bit-exact oracle column).  Keys need
+    n_gaps ≥ 2, nonzero gap variance and μ > 0."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n_gaps": pd.Series(dtype="int64"),
+                "mean_gap_s": pd.Series(dtype="float64"),
+                "gap_cv": pd.Series(dtype="float64"),
+                "weibull_k": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        perm = np.lexsort((tus, kc))
+        k, t = kc[perm], tus[perm]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        same = k[1:] == k[:-1]
+        d = (t[1:] - t[:-1]) // 1_000_000          # whole seconds
+        gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        g1 = gid[1:][same]
+        dv = d[same]
+        s1 = np.zeros(len(starts), np.int64)
+        s2 = np.zeros(len(starts), np.int64)
+        np.add.at(s1, g1, dv)
+        np.add.at(s2, g1, dv * dv)
+        ng = (n - 1).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mu = s1.astype(np.float64) / ng
+            var = s2.astype(np.float64) / ng - mu * mu
+            cv = np.sqrt(var) / mu
+            # exp/ln composition (not **): the proven mirrored-float
+            # idiom — DuckDB twin closes as exp(-1.086*ln(cv))
+            kk = np.exp(-1.086 * np.log(cv))
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]],
+                            "n_gaps": n - 1,
+                            "mean_gap_s": mu,
+                            "gap_cv": cv, "weibull_k": kk})
+        return res[(n >= 3) & (var > 0) & (mu > 0)]
+
+    out = group_apply(ds.select_columns([key, ts_col]), per_key,
+                      num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

@@ -3190,3 +3190,53 @@ def test_extreme_locations_bruteforce(ray_session):
                    - idx_max[0] / len(x)) < 1e-12
         assert abs(row["last_min_rel"].iloc[0]
                    - idx_min[-1] / len(x)) < 1e-12
+
+
+def test_weibull_gaps_bruteforce_and_shape(ray_session):
+    from cesium_ray.stages.tsmath import weibull_gaps
+
+    ev = _events(seed=397, n=2600, nusers=14)
+    got = weibull_gaps(ray.data.from_pandas(ev).repartition(6),
+                       num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        t = np.sort(g["ts"].astype("datetime64[us]")
+                    .astype(np.int64).to_numpy())
+        d = (t[1:] - t[:-1]) // 1_000_000
+        row = got[got["user_id"] == uid]
+        if len(d) < 2:
+            assert len(row) == 0
+            continue
+        mu = d.sum() / len(d)
+        var = (d * d).sum() / len(d) - mu * mu
+        if var <= 0 or mu <= 0:
+            assert len(row) == 0
+            continue
+        assert len(row) == 1
+        cv = np.sqrt(var) / mu
+        assert row["n_gaps"].iloc[0] == len(d)
+        assert abs(row["mean_gap_s"].iloc[0] - mu) < 1e-9 * max(mu, 1)
+        assert abs(row["gap_cv"].iloc[0] - cv) < 1e-12
+        assert abs(row["weibull_k"].iloc[0]
+                   - np.exp(-1.086 * np.log(cv))) < 1e-12
+    # planted shapes: exponential gaps -> k ~ 1; Weibull k=0.6 bursty
+    # stream -> k < 0.75; near-regular jittered metronome -> k >> 1
+    rng = np.random.default_rng(401)
+    frames = []
+    for uid, gaps in [
+            (1, rng.exponential(3600.0, 4000)),
+            (2, 3600.0 * rng.weibull(0.6, 4000)),
+            (3, 3600.0 + rng.uniform(-60, 60, 4000))]:
+        t = np.cumsum(np.maximum(gaps, 1.0)).astype(np.int64)
+        frames.append(pd.DataFrame({
+            "user_id": np.full(len(t), uid, dtype=np.int64),
+            "ts": pd.to_datetime(t * 10**6, unit="us"
+                                 ).astype("datetime64[us]")}))
+    out = weibull_gaps(
+        ray.data.from_pandas(pd.concat(frames, ignore_index=True)),
+        num_partitions=2)
+    k1 = out[out["user_id"] == 1]["weibull_k"].iloc[0]
+    k2 = out[out["user_id"] == 2]["weibull_k"].iloc[0]
+    k3 = out[out["user_id"] == 3]["weibull_k"].iloc[0]
+    assert abs(k1 - 1.0) < 0.08
+    assert k2 < 0.75
+    assert k3 > 5.0
