@@ -10805,7 +10805,180 @@ FROM f WHERE v > 0 AND mu > 0
 """
 
 
+def q_bartlett(sf_dir):
+    """★-checked Bartlett variance-homogeneity test across event
+    types (stages/analytics.py): exact int64 per-group moments,
+    mirrored ln-variance closing — completes the spread ladder next
+    to levene_bf / median_test."""
+    from ..stages.analytics import bartlett_test
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return round6(bartlett_test(ev))
+
+
+BARTLETT_SQL = """
+WITH q AS (SELECT event_type AS t,
+                  CAST(round(value*100) AS BIGINT) AS k FROM events
+           WHERE value IS NOT NULL),
+g AS (SELECT t, CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(k) AS BIGINT) AS s_i,
+             CAST(sum(k*k) AS BIGINT) AS q_i
+      FROM q GROUP BY 1 HAVING count(*) >= 2),
+v AS (SELECT t, n_i, s_i, q_i,
+             (CAST(q_i AS DOUBLE)
+              - CAST(s_i AS DOUBLE)*CAST(s_i AS DOUBLE)
+                /CAST(n_i AS DOUBLE))/(CAST(n_i AS DOUBLE) - 1.0)
+               AS var_i
+      FROM g),
+f AS (SELECT * FROM v WHERE var_i > 0),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS kg,
+               CAST(sum(n_i) AS BIGINT) AS n,
+               sum((CAST(n_i AS DOUBLE) - 1.0)*var_i) AS sv,
+               sum((CAST(n_i AS DOUBLE) - 1.0)*ln(var_i)) AS slv,
+               sum(1.0/(CAST(n_i AS DOUBLE) - 1.0)) AS sinv
+        FROM f),
+h AS (SELECT kg, n,
+             ((CAST(n AS DOUBLE) - CAST(kg AS DOUBLE))
+              *ln(sv/(CAST(n AS DOUBLE) - CAST(kg AS DOUBLE)))
+              - slv)
+             /(1.0 + (sinv - 1.0/(CAST(n AS DOUBLE)
+                                  - CAST(kg AS DOUBLE)))
+                     /(3.0*(CAST(kg AS DOUBLE) - 1.0))) AS t_stat
+      FROM tot)
+SELECT f.t AS event_type, f.n_i, f.s_i, f.q_i,
+       round(f.var_i, 6) AS var_i,
+       round(h.t_stat, 6) AS bartlett_t
+FROM f, h WHERE h.kg >= 2 AND h.n > h.kg
+"""
+
+
+def q_friedman(sf_dir):
+    """★-checked Friedman blocked rank test (stages/analytics.py):
+    user blocks × event-type treatments on event counts, exact
+    int64 doubled within-block ranks and tie term, mirrored χ²
+    closing."""
+    from ..stages.analytics import friedman_test
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return round6(friedman_test(ev, num_partitions=8))
+
+
+FRIEDMAN_SQL = """
+WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+u AS (SELECT DISTINCT user_id FROM events),
+t AS (SELECT DISTINCT event_type FROM events),
+g AS (SELECT u.user_id, t.event_type, coalesce(c.cnt, 0) AS cnt
+      FROM u CROSS JOIN t
+      LEFT JOIN c ON c.user_id = u.user_id
+                 AND c.event_type = t.event_type),
+r AS (SELECT user_id, event_type, cnt,
+             2*rank() OVER (PARTITION BY user_id ORDER BY cnt)
+               + CAST(count(*) OVER (PARTITION BY user_id, cnt)
+                      AS BIGINT) - 1 AS d2,
+             CAST(count(*) OVER (PARTITION BY user_id, cnt)
+                  AS BIGINT) AS e
+      FROM g),
+s AS (SELECT event_type, CAST(sum(d2) AS BIGINT) AS s2x
+      FROM r GROUP BY 1),
+meta AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n,
+                (SELECT CAST(count(*) AS BIGINT) FROM t) AS k,
+                (SELECT CAST(sum(e*e - 1) AS BIGINT) FROM r)
+                  AS tie),
+h AS (SELECT n, k, tie,
+             3.0*(SELECT sum(CAST(s2x AS DOUBLE)
+                             *CAST(s2x AS DOUBLE)) FROM s)
+               /(CAST(n AS DOUBLE)*CAST(k AS DOUBLE)
+                 *(CAST(k AS DOUBLE) + 1.0))
+               - 3.0*CAST(n AS DOUBLE)*(CAST(k AS DOUBLE) + 1.0)
+               AS chi2,
+             1.0 - CAST(tie AS DOUBLE)
+               /(CAST(n AS DOUBLE)
+                 *(CAST(k AS DOUBLE)*CAST(k AS DOUBLE)
+                   *CAST(k AS DOUBLE) - CAST(k AS DOUBLE)))
+               AS corr
+      FROM meta)
+SELECT s.event_type, s.s2x AS rank_sum_2x, h.n AS n_blocks,
+       h.k AS n_types, h.tie AS tie_term,
+       round(h.chi2, 6) AS chi2_stat,
+       round(h.chi2/h.corr, 6) AS chi2_tie
+FROM s, h
+WHERE h.n >= 2 AND h.k >= 2
+  AND h.tie < h.n*(h.k*h.k*h.k - h.k)
+"""
+
+
+def q_jonckheere(sf_dir):
+    """★-checked Jonckheere–Terpstra ordered-alternative trend test
+    across event types (stages/analytics.py): exact int64 doubled
+    pair statistic + null mean from histogram cells, mirrored
+    tie-corrected variance/z closing."""
+    from ..stages.analytics import jonckheere_terpstra
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return round6(jonckheere_terpstra(ev))
+
+
+JONCKHEERE_SQL = """
+WITH q AS (SELECT event_type AS t,
+                  CAST(round(value*100) AS BIGINT) AS k FROM events
+           WHERE value IS NOT NULL),
+c AS (SELECT t, k, count(*) AS c FROM q GROUP BY 1, 2),
+ty AS (SELECT DISTINCT t FROM q),
+pairs AS (SELECT a.t AS ta, b.t AS tb
+          FROM ty a JOIN ty b ON a.t < b.t),
+h AS (SELECT p.ta, p.tb, c.k,
+             sum(CASE WHEN c.t = p.ta THEN c.c ELSE 0 END) AS ca,
+             sum(CASE WHEN c.t = p.tb THEN c.c ELSE 0 END) AS cb
+      FROM pairs p JOIN c ON c.t IN (p.ta, p.tb)
+      GROUP BY 1, 2, 3),
+w AS (SELECT ta, tb, k, ca, cb,
+             sum(ca) OVER wo - ca AS ca_less
+      FROM h
+      WINDOW wo AS (PARTITION BY ta, tb ORDER BY k
+                    ROWS UNBOUNDED PRECEDING)),
+jt AS (SELECT CAST(sum(2*cb*ca_less + ca*cb) AS BIGINT) AS jt2
+       FROM w),
+gn AS (SELECT t, CAST(sum(c) AS BIGINT) AS n_i FROM c GROUP BY 1),
+tk AS (SELECT k, CAST(sum(c) AS BIGINT) AS tc FROM c GROUP BY 1),
+tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+               CAST(sum(n_i*n_i) AS BIGINT) AS sn2,
+               CAST(sum(n_i*(n_i-1)*(2*n_i+5)) AS BIGINT) AS a1,
+               CAST(sum(n_i*(n_i-1)*(n_i-2)) AS BIGINT) AS a2,
+               CAST(sum(n_i*(n_i-1)) AS BIGINT) AS a3
+        FROM gn),
+tt AS (SELECT CAST(sum(tc*(tc-1)*(2*tc+5)) AS BIGINT) AS b1,
+              CAST(sum(tc*(tc-1)*(tc-2)) AS BIGINT) AS b2,
+              CAST(sum(tc*(tc-1)) AS BIGINT) AS b3
+       FROM tk),
+v AS (SELECT n, (n*n - sn2)//2 AS cross_pairs,
+             (CAST(n*(n-1)*(2*n+5) - a1 - b1 AS DOUBLE)/72.0
+              + CAST(a2 AS DOUBLE)*CAST(b2 AS DOUBLE)
+                /(36.0*CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)
+                  *(CAST(n AS DOUBLE)-2.0))
+              + CAST(a3 AS DOUBLE)*CAST(b3 AS DOUBLE)
+                /(8.0*CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)))
+               AS var
+      FROM tot, tt)
+SELECT gn.t AS event_type, gn.n_i, v.n AS n_total,
+       jt.jt2 AS jt_twice, v.cross_pairs AS jt_mean_twice,
+       round((CAST(jt.jt2 AS DOUBLE)
+              - CAST(v.cross_pairs AS DOUBLE))
+             /(2.0*sqrt(v.var)), 6) AS z_score
+FROM gn, jt, v WHERE v.n >= 3 AND v.var > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "bartlett": q_bartlett,
+    "friedman": q_friedman,
+    "jonckheere": q_jonckheere,
     "weibull_gaps": q_weibull_gaps,
     "psd_profile": q_psd_profile,
     "extreme_locations": q_extreme_locations,
@@ -11039,6 +11212,9 @@ EXTRA_ORACLE_SQL = {
     "psd_profile": PSD_PROFILE_SQL,
     "extreme_locations": EXTREME_LOC_SQL,
     "weibull_gaps": WEIBULL_GAPS_SQL,
+    "bartlett": BARTLETT_SQL,
+    "friedman": FRIEDMAN_SQL,
+    "jonckheere": JONCKHEERE_SQL,
     "energy_chunks": ENERGY_CHUNKS_SQL,
     "binned_entropy": BINNED_ENTROPY_SQL,
     "time_reversal": TIME_REVERSAL_SQL,

@@ -2899,3 +2899,274 @@ def median_test(
         "n_above": a, "n_below": b,
         "med2": np.full(len(g), m2, dtype=np.int64),
         "chi2": np.full(len(g), chi2)})
+
+
+def bartlett_test(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+) -> pd.DataFrame:
+    """Bartlett's test of variance homogeneity across ALL categories
+    of a bounded-alphabet column — the normal-theory member that
+    completes the spread ladder (levene_bf = robust center-distance,
+    median_test = location, bartlett = log-variance ratio):
+    T = [(N−k)·ln(s_p²) − Σ(n_i−1)·ln(s_i²)] / C with
+    C = 1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1)).
+
+    Sufficient statistics are the same EXACT int64 per-group moments
+    anova_f ships (n_i, Σx, Σx² in k-space); the sample variances
+    s_i² = (q_i − s_i²/n_i)/(n_i−1), the pooled s_p² and T close in
+    one mirrored float expression (ln on both sides).  Groups with
+    n_i < 2 or zero variance drop on both sides.  Per-block moment
+    partials; driver closing over |alphabet| cells."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        k = np.rint(v[ok] * 100.0).astype(np.int64)
+        g = pd.DataFrame({"t": df[type_col].to_numpy(object)[ok],
+                          "k": k, "k2": k * k}).groupby(
+            "t", as_index=False, observed=True).agg(
+            n=("k", "size"), s=("k", "sum"), q=("k2", "sum"))
+        return g
+
+    parts = ds.select_columns([type_col, val_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {"event_type": pd.Series(dtype=object),
+            "n_i": pd.Series(dtype="int64"),
+            "s_i": pd.Series(dtype="int64"),
+            "q_i": pd.Series(dtype="int64"),
+            "var_i": pd.Series(dtype="float64"),
+            "bartlett_t": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    g = parts.groupby("t", as_index=False).agg(
+        n_i=("n", "sum"), s_i=("s", "sum"), q_i=("q", "sum"))
+    g = g[g["n_i"] >= 2].sort_values("t").reset_index(drop=True)
+    ni = g["n_i"].to_numpy(np.int64)
+    si = g["s_i"].to_numpy(np.int64)
+    qi = g["q_i"].to_numpy(np.int64)
+    nf = ni.astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vi = (qi.astype(np.float64)
+              - si.astype(np.float64) * si.astype(np.float64) / nf) \
+            / (nf - 1.0)
+    keep = vi > 0.0
+    g, ni, nf, vi = g[keep], ni[keep], nf[keep], vi[keep]
+    kg = len(g)
+    N = int(ni.sum())
+    if kg < 2 or N <= kg:
+        return pd.DataFrame(cols)
+    Nf, kf = float(N), float(kg)
+    sp2 = float(np.sum((nf - 1.0) * vi)) / (Nf - kf)
+    tnum = (Nf - kf) * np.log(sp2) \
+        - float(np.sum((nf - 1.0) * np.log(vi)))
+    corr = 1.0 + (float(np.sum(1.0 / (nf - 1.0)))
+                  - 1.0 / (Nf - kf)) / (3.0 * (kf - 1.0))
+    t = tnum / corr
+    return pd.DataFrame({
+        "event_type": g["t"].to_numpy(object),
+        "n_i": ni,
+        "s_i": g["s_i"].to_numpy(np.int64),
+        "q_i": g["q_i"].to_numpy(np.int64),
+        "var_i": vi,
+        "bartlett_t": np.full(kg, t)})
+
+
+def friedman_test(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Friedman blocked rank test: does per-block activity differ
+    across treatments when each block (key) is its own control?
+    Blocks are keys, treatments the bounded event-type alphabet, the
+    observation per (block, treatment) is the EVENT COUNT (0 for a
+    type the key never fired — a valid count observation, so every
+    block is complete).  Within-block doubled average ranks
+    d2 = 2·#less + #eq + 1 are EXACT int64; per-type rank sums S_j,
+    the per-block tie term Σ(t³−t) = Σ_cells(e²−1), block count n
+    and alphabet size k travel as exact partials;
+    χ² = 3·ΣS_j²/(n·k·(k+1)) − 3·n·(k+1), tie-corrected by
+    1 − T/(n·(k³−k)), closes in one mirrored float expression.
+
+    The k-group ladder's blocked member: anova_f/kruskal_wallis
+    compare pooled value distributions, friedman removes per-key
+    level differences first (a heavy user inflates every type
+    equally and cancels).  One keyed exchange of (key, type) count
+    cells; per-partition rank work is O(rows·k²) with k the bounded
+    alphabet; driver reduction is k rows per partition."""
+    from .partition import group_apply
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key, type_col], as_index=False,
+                       observed=True).size()
+        return g.rename(columns={"size": "c"})
+
+    cells_ds = ds.select_columns([key, type_col]).map_batches(
+        cell_partial, batch_format="pandas")
+
+    def type_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({type_col: df[type_col].unique()})
+
+    types = sorted(
+        cells_ds.map_batches(type_partial, batch_format="pandas")
+        .to_pandas()[type_col].unique().tolist())
+    kg = len(types)
+    t_index = {t: i for i, t in enumerate(types)}
+    cols = {"event_type": pd.Series(dtype=object),
+            "rank_sum_2x": pd.Series(dtype="int64"),
+            "n_blocks": pd.Series(dtype="int64"),
+            "n_types": pd.Series(dtype="int64"),
+            "tie_term": pd.Series(dtype="int64"),
+            "chi2_stat": pd.Series(dtype="float64"),
+            "chi2_tie": pd.Series(dtype="float64")}
+    if kg < 2:
+        return pd.DataFrame(cols)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"t": pd.Series(dtype=object),
+               "s2x": pd.Series(dtype="int64"),
+               "tie": pd.Series(dtype="int64"),
+               "nu": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(out)
+        g = df.groupby([key, type_col], as_index=False,
+                       observed=True)["c"].sum()
+        uc, uu = pd.factorize(g[key])
+        tc = g[type_col].map(t_index).to_numpy(np.int64)
+        M = np.zeros((len(uu), kg), np.int64)
+        M[uc, tc] = g["c"].to_numpy(np.int64)
+        less = (M[:, None, :] < M[:, :, None]).sum(axis=2)
+        eq = (M[:, None, :] == M[:, :, None]).sum(axis=2)
+        d2 = 2 * less + eq + 1
+        s2x = d2.sum(axis=0).astype(np.int64)
+        tie = int((eq * eq - 1).sum())
+        tievec = np.zeros(kg, np.int64)
+        nuvec = np.zeros(kg, np.int64)
+        tievec[0] = tie                 # carried on types[0] only
+        nuvec[0] = len(uu)
+        return pd.DataFrame({"t": np.asarray(types, object),
+                             "s2x": s2x, "tie": tievec,
+                             "nu": nuvec})
+
+    parts = group_apply(cells_ds, per_part,
+                        num_partitions=num_partitions,
+                        key=key).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(cols)
+    agg = parts.groupby("t", as_index=False).agg(
+        s2x=("s2x", "sum"))
+    agg = agg.sort_values("t").reset_index(drop=True)
+    n = int(parts["nu"].sum())
+    tie = int(parts["tie"].sum())
+    if n < 2 or kg < 2 or tie >= n * (kg * kg * kg - kg):
+        return pd.DataFrame(cols)
+    s2x = agg["s2x"].to_numpy(np.int64)
+    nf, kf = float(n), float(kg)
+    ssq = float(np.sum(s2x.astype(np.float64)
+                       * s2x.astype(np.float64)))
+    chi2 = 3.0 * ssq / (nf * kf * (kf + 1.0)) \
+        - 3.0 * nf * (kf + 1.0)
+    c = 1.0 - float(tie) / (nf * (kf * kf * kf - kf))
+    return pd.DataFrame({
+        "event_type": agg["t"].to_numpy(object),
+        "rank_sum_2x": s2x,
+        "n_blocks": np.full(kg, n, dtype=np.int64),
+        "n_types": np.full(kg, kg, dtype=np.int64),
+        "tie_term": np.full(kg, tie, dtype=np.int64),
+        "chi2_stat": np.full(kg, chi2),
+        "chi2_tie": np.full(kg, chi2 / c)})
+
+
+def jonckheere_terpstra(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+) -> pd.DataFrame:
+    """Jonckheere–Terpstra ordered-alternative test: is there a
+    monotone value trend ACROSS groups taken in their natural
+    (lexicographic) order?  JT = Σ_{i<j} U_ij where U_ij counts
+    pairs (x∈group_i) < (y∈group_j) plus half-ties — strictly more
+    powerful than kruskal_wallis when the alternative is ordered.
+
+    Doubled statistic 2·JT = Σ 2·lt + eq is EXACT int64 from the
+    global value histogram (the rank_compare pair machinery summed
+    over ordered pairs); the null mean E[2JT] = Σ_{i<j} n_i·n_j is
+    exact int, and the tie-corrected null variance (Hollander–Wolfe
+    6.19) closes in float from exact int ingredients
+    T1 = N(N−1)(2N+5) − Σn(n−1)(2n+5) − Σt(t−1)(2t+5),
+    A2·B2/(36N(N−1)(N−2)), A3·B3/(8N(N−1)) with A_* over group
+    sizes and B_* over global value multiplicities (the A2·B2 and
+    A3·B3 products are formed in float — each factor fits int64,
+    the product may not).  z = (2JT − E[2JT])/(2√V).
+
+    Per-block histogram partials; driver closing over bounded
+    |alphabet|·|value domain| cells."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        k = np.rint(v[ok] * 100.0).astype(np.int64)
+        g = pd.DataFrame({"t": df[type_col].to_numpy(object)[ok],
+                          "k": k}).groupby(
+            ["t", "k"], as_index=False, observed=True).size()
+        return g.rename(columns={"size": "c"})
+
+    parts = ds.select_columns([type_col, val_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {"event_type": pd.Series(dtype=object),
+            "n_i": pd.Series(dtype="int64"),
+            "n_total": pd.Series(dtype="int64"),
+            "jt_twice": pd.Series(dtype="int64"),
+            "jt_mean_twice": pd.Series(dtype="int64"),
+            "z_score": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    cells = parts.groupby(["t", "k"], as_index=False,
+                          observed=True)["c"].sum()
+    types = np.sort(cells["t"].unique())
+    kg = len(types)
+    if kg < 2:
+        return pd.DataFrame(cols)
+    ks = np.sort(cells["k"].unique())
+    G = np.zeros((len(ks), kg), np.int64)
+    ti = pd.Series(np.arange(kg), index=types)
+    ki = pd.Series(np.arange(len(ks)), index=ks)
+    G[cells["k"].map(ki).to_numpy(np.int64),
+      cells["t"].map(ti).to_numpy(np.int64)] = \
+        cells["c"].to_numpy(np.int64)
+    C = np.cumsum(G, axis=0) - G            # count strictly below
+    P = np.cumsum(C, axis=1) - C            # Σ over earlier groups
+    lt = int((G * P).sum())
+    row = G.sum(axis=1)
+    eq = int((row * row - (G * G).sum(axis=1)).sum()) // 2
+    jt2 = 2 * lt + eq
+    nj = G.sum(axis=0)
+    N = int(nj.sum())
+    cross = (N * N - int((nj * nj).sum())) // 2
+    if N < 3:
+        return pd.DataFrame(cols)
+    a1 = int((nj * (nj - 1) * (2 * nj + 5)).sum())
+    b1 = int((row * (row - 1) * (2 * row + 5)).sum())
+    t1 = N * (N - 1) * (2 * N + 5) - a1 - b1
+    a2 = int((nj * (nj - 1) * (nj - 2)).sum())
+    b2 = int((row * (row - 1) * (row - 2)).sum())
+    a3 = int((nj * (nj - 1)).sum())
+    b3 = int((row * (row - 1)).sum())
+    Nf = float(N)
+    var = float(t1) / 72.0 \
+        + float(a2) * float(b2) \
+        / (36.0 * Nf * (Nf - 1.0) * (Nf - 2.0)) \
+        + float(a3) * float(b3) / (8.0 * Nf * (Nf - 1.0))
+    if var <= 0:
+        return pd.DataFrame(cols)
+    z = (float(jt2) - float(cross)) / (2.0 * np.sqrt(var))
+    return pd.DataFrame({
+        "event_type": types.astype(object),
+        "n_i": nj,
+        "n_total": np.full(kg, N, dtype=np.int64),
+        "jt_twice": np.full(kg, jt2, dtype=np.int64),
+        "jt_mean_twice": np.full(kg, cross, dtype=np.int64),
+        "z_score": np.full(kg, z)})

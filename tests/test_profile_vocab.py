@@ -1119,3 +1119,142 @@ def test_top_supplier_revenue_consistency(ray_session):
     """).fetchone()[0]
     assert (out["rev_units"] == int(want)).all()
     assert out["s_name"].notna().all()
+
+
+def test_bartlett_bruteforce_and_spread(ray_session):
+    from cesium_ray.stages.analytics import bartlett_test
+
+    ev = _events(seed=211, n=2600, nusers=20)
+    got = bartlett_test(ray.data.from_pandas(ev).repartition(6))
+    d = ev.dropna(subset=["value"]).copy()
+    d["k"] = np.rint(d["value"] * 100).astype(np.int64)
+    groups = {t: g["k"].to_numpy(np.float64)
+              for t, g in d.groupby("event_type")}
+    vi = {t: x.var(ddof=1) for t, x in groups.items()}
+    N = sum(len(x) for x in groups.values())
+    kg = len(groups)
+    sp2 = sum((len(x) - 1) * vi[t]
+              for t, x in groups.items()) / (N - kg)
+    tnum = (N - kg) * np.log(sp2) - sum(
+        (len(x) - 1) * np.log(vi[t]) for t, x in groups.items())
+    corr = 1.0 + (sum(1.0 / (len(x) - 1) for x in groups.values())
+                  - 1.0 / (N - kg)) / (3.0 * (kg - 1))
+    t_ref = tnum / corr
+    for t, x in groups.items():
+        row = got[got["event_type"] == t]
+        assert len(row) == 1
+        assert row["n_i"].iloc[0] == len(x)
+        assert abs(row["var_i"].iloc[0] - vi[t]) \
+            < 1e-6 * max(vi[t], 1)
+        assert abs(row["bartlett_t"].iloc[0] - t_ref) \
+            < 1e-6 * max(abs(t_ref), 1)
+    # planted heteroscedasticity: one group 10x the spread
+    rng = np.random.default_rng(17)
+    pl = pd.DataFrame({
+        "event_type": np.r_[np.full(600, "a"), np.full(600, "b")],
+        "value": np.r_[np.round(rng.normal(0, 1, 600), 2),
+                       np.round(rng.normal(0, 10, 600), 2)]})
+    out = bartlett_test(ray.data.from_pandas(pl))
+    assert out["bartlett_t"].iloc[0] > 500.0
+    # equal spreads -> small statistic
+    eq = pd.DataFrame({
+        "event_type": np.r_[np.full(600, "a"), np.full(600, "b")],
+        "value": np.round(rng.normal(0, 5, 1200), 2)})
+    out2 = bartlett_test(ray.data.from_pandas(eq))
+    assert out2["bartlett_t"].iloc[0] < 10.0
+
+
+def test_friedman_bruteforce_and_shift(ray_session):
+    from cesium_ray.stages.analytics import friedman_test
+
+    ev = _events(seed=223, n=3000, nusers=30)
+    got = friedman_test(ray.data.from_pandas(ev).repartition(6),
+                        num_partitions=4)
+    piv = ev.groupby(["user_id", "event_type"]).size().unstack(
+        fill_value=0)
+    kg = piv.shape[1]
+    n = piv.shape[0]
+    ranks = piv.rank(axis=1)              # average ranks, halves
+    rsum = ranks.sum(axis=0)
+    ssq = float((rsum ** 2).sum())
+    chi2 = 12.0 / (n * kg * (kg + 1)) * ssq - 3.0 * n * (kg + 1)
+    tie = 0
+    for _, rowv in piv.iterrows():
+        vc = rowv.value_counts()
+        tie += int((vc ** 3 - vc).sum())
+    c = 1.0 - tie / (n * (kg ** 3 - kg))
+    for t in piv.columns:
+        row = got[got["event_type"] == t]
+        assert len(row) == 1
+        assert row["rank_sum_2x"].iloc[0] == int(2 * rsum[t])
+        assert row["n_blocks"].iloc[0] == n
+        assert row["tie_term"].iloc[0] == tie
+        assert abs(row["chi2_stat"].iloc[0] - chi2) \
+            < 1e-6 * max(abs(chi2), 1)
+        assert abs(row["chi2_tie"].iloc[0] - chi2 / c) \
+            < 1e-6 * max(abs(chi2 / c), 1)
+    # planted treatment effect: type "b" always the busiest
+    rng = np.random.default_rng(19)
+    rows = []
+    for uid in range(40):
+        for t, lam in [("a", 3), ("b", 40), ("c", 3)]:
+            rows += [(uid, t)] * int(1 + rng.poisson(lam))
+    pl = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    out = friedman_test(ray.data.from_pandas(pl),
+                        num_partitions=2)
+    assert out["chi2_tie"].iloc[0] > 40.0
+
+
+def test_jonckheere_bruteforce_and_trend(ray_session):
+    from cesium_ray.stages.analytics import jonckheere_terpstra
+
+    ev = _events(seed=227, n=2200, nusers=20)
+    got = jonckheere_terpstra(ray.data.from_pandas(ev)
+                              .repartition(6))
+    d = ev.dropna(subset=["value"]).copy()
+    d["k"] = np.rint(d["value"] * 100).astype(np.int64)
+    types = sorted(d["event_type"].unique())
+    arrs = [d[d["event_type"] == t]["k"].to_numpy(np.int64)
+            for t in types]
+    jt2 = 0
+    for i in range(len(arrs)):
+        for j in range(i + 1, len(arrs)):
+            a, b = arrs[i], arrs[j]
+            lt = int((a[:, None] < b[None, :]).sum())
+            eqp = int((a[:, None] == b[None, :]).sum())
+            jt2 += 2 * lt + eqp
+    nj = np.array([len(a) for a in arrs], np.int64)
+    N = int(nj.sum())
+    cross = (N * N - int((nj * nj).sum())) // 2
+    vc = d["k"].value_counts().to_numpy(np.int64)
+    t1 = N * (N - 1) * (2 * N + 5) \
+        - int((nj * (nj - 1) * (2 * nj + 5)).sum()) \
+        - int((vc * (vc - 1) * (2 * vc + 5)).sum())
+    var = t1 / 72.0 \
+        + float((nj * (nj - 1) * (nj - 2)).sum()) \
+        * float((vc * (vc - 1) * (vc - 2)).sum()) \
+        / (36.0 * N * (N - 1) * (N - 2)) \
+        + float((nj * (nj - 1)).sum()) \
+        * float((vc * (vc - 1)).sum()) / (8.0 * N * (N - 1))
+    z_ref = (jt2 - cross) / (2.0 * np.sqrt(var))
+    assert (got["jt_twice"] == jt2).all()
+    assert (got["jt_mean_twice"] == cross).all()
+    assert (got["n_total"] == N).all()
+    for t, nji in zip(types, nj):
+        assert got[got["event_type"] == t]["n_i"].iloc[0] == nji
+    assert np.allclose(got["z_score"], z_ref, atol=1e-9)
+    # planted ordered trend a < b < c -> large positive z
+    rng = np.random.default_rng(23)
+    pl = pd.DataFrame({
+        "event_type": np.r_[np.full(400, "a"), np.full(400, "b"),
+                            np.full(400, "c")],
+        "value": np.r_[np.round(rng.normal(0, 2, 400), 2),
+                       np.round(rng.normal(5, 2, 400), 2),
+                       np.round(rng.normal(10, 2, 400), 2)]})
+    out = jonckheere_terpstra(ray.data.from_pandas(pl))
+    assert out["z_score"].iloc[0] > 20.0
+    # reversed trend -> large negative
+    pl2 = pl.assign(event_type=pl["event_type"].map(
+        {"a": "c", "b": "b", "c": "a"}))
+    out2 = jonckheere_terpstra(ray.data.from_pandas(pl2))
+    assert out2["z_score"].iloc[0] < -20.0
