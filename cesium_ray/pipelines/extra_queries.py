@@ -10975,7 +10975,163 @@ FROM gn, jt, v WHERE v.n >= 3 AND v.var > 0
 """
 
 
+def q_complexity_profile(sf_dir):
+    """★-checked per-key CID complexity + absolute-change energy +
+    telescoped mean second derivative (stages/tsmath.py): exact
+    int64 Δ-sums, mirrored sqrt/ratio closings."""
+    from ..stages.tsmath import complexity_profile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return round6(complexity_profile(ev, num_partitions=8))
+
+
+COMPLEXITY_SQL = """
+WITH o AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+                  row_number() OVER w - 1 AS r0
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts, event_id)),
+d AS (SELECT user_id,
+             x - lag(x) OVER (PARTITION BY user_id ORDER BY r0)
+               AS dx
+      FROM o),
+a AS (SELECT user_id, CAST(count(dx) + 1 AS BIGINT) AS n,
+             CAST(sum(abs(dx)) AS BIGINT) AS sac,
+             CAST(sum(dx*dx) AS BIGINT) AS cesq
+      FROM d WHERE dx IS NOT NULL GROUP BY 1),
+e AS (SELECT o.user_id,
+             CAST(sum(CASE WHEN o.r0 = a.n - 1 THEN o.x ELSE 0 END)
+                  - sum(CASE WHEN o.r0 = a.n - 2 THEN o.x
+                        ELSE 0 END)
+                  - sum(CASE WHEN o.r0 = 1 THEN o.x ELSE 0 END)
+                  + sum(CASE WHEN o.r0 = 0 THEN o.x ELSE 0 END)
+                  AS BIGINT) AS msd_num
+      FROM o JOIN a USING (user_id) GROUP BY 1)
+SELECT a.user_id, a.n, a.sac AS sum_abs_change, a.cesq AS ce_sq,
+       round(sqrt(CAST(a.cesq AS DOUBLE)), 6) AS cid,
+       round(CAST(a.sac AS DOUBLE)/(CAST(a.n AS DOUBLE) - 1.0), 6)
+         AS mean_abs_change,
+       round(CAST(e.msd_num AS DOUBLE)
+             /(2.0*(CAST(a.n AS DOUBLE) - 2.0)), 6) AS msd
+FROM a JOIN e USING (user_id) WHERE a.n >= 3
+"""
+
+
+def q_strike_profile(sf_dir):
+    """★-checked per-key mean-relative run structure
+    (stages/tsmath.py): longest strike above/below the mean and
+    mean-crossing count with the above test done as x·n > Σx —
+    every output column exact int64, zero float closings."""
+    from ..stages.tsmath import strike_profile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return round6(strike_profile(ev, num_partitions=8))
+
+
+STRIKE_SQL = """
+WITH o AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+                  row_number() OVER w - 1 AS r0
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts, event_id)),
+m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s FROM o GROUP BY 1),
+f AS (SELECT o.user_id, o.r0,
+             CASE WHEN o.x*m.n > m.s THEN 1
+                  WHEN o.x*m.n < m.s THEN -1 ELSE 0 END AS flag
+      FROM o JOIN m USING (user_id)),
+i AS (SELECT user_id, flag, r0,
+             r0 - row_number() OVER (PARTITION BY user_id, flag
+                                     ORDER BY r0) AS grp
+      FROM f),
+runs AS (SELECT user_id, flag, grp,
+                CAST(count(*) AS BIGINT) AS len
+         FROM i GROUP BY 1, 2, 3),
+ru AS (SELECT user_id,
+              coalesce(max(CASE WHEN flag = 1 THEN len END),
+                       0) AS longest_above,
+              coalesce(max(CASE WHEN flag = -1 THEN len END),
+                       0) AS longest_below
+       FROM runs GROUP BY 1),
+ab AS (SELECT user_id,
+              CAST(sum(CASE WHEN flag = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_above
+       FROM f GROUP BY 1),
+cr AS (SELECT user_id,
+              CAST(sum(CASE WHEN gt <> pg THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_cross
+       FROM (SELECT user_id,
+                    CASE WHEN flag = 1 THEN 1 ELSE 0 END AS gt,
+                    lag(CASE WHEN flag = 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY r0)
+                      AS pg
+             FROM f)
+       WHERE pg IS NOT NULL GROUP BY 1)
+SELECT m.user_id, m.n, m.s AS sum_x, ab.n_above,
+       ru.longest_above, ru.longest_below,
+       coalesce(cr.n_cross, 0) AS n_cross
+FROM m JOIN ru USING (user_id) JOIN ab USING (user_id)
+LEFT JOIN cr USING (user_id)
+"""
+
+
+def q_index_mass_quantile(sf_dir):
+    """★-checked per-key index-mass-quantile profile
+    (stages/tsmath.py): earliest index reaching 25/50/75 % of the
+    |x| mass via the all-integer 100·cumsum ≥ q·total test;
+    mirrored i/n relative closings."""
+    from ..stages.tsmath import index_mass_quantile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return round6(index_mass_quantile(ev, num_partitions=8))
+
+
+IMQ_SQL = """
+WITH o AS (SELECT user_id,
+                  abs(CAST(round(value*100) AS BIGINT)) AS a,
+                  row_number() OVER w AS r1
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts, event_id)),
+c AS (SELECT user_id, r1,
+             sum(a) OVER (PARTITION BY user_id ORDER BY r1
+                          ROWS UNBOUNDED PRECEDING) AS cs
+      FROM o),
+m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS tot FROM o GROUP BY 1),
+q AS (SELECT c.user_id,
+             CAST(min(CASE WHEN 100*c.cs >= 25*m.tot THEN c.r1
+                      END) AS BIGINT) AS idx_25,
+             CAST(min(CASE WHEN 100*c.cs >= 50*m.tot THEN c.r1
+                      END) AS BIGINT) AS idx_50,
+             CAST(min(CASE WHEN 100*c.cs >= 75*m.tot THEN c.r1
+                      END) AS BIGINT) AS idx_75
+      FROM c JOIN m USING (user_id) GROUP BY 1)
+SELECT m.user_id, m.n, m.tot AS total_abs,
+       q.idx_25, q.idx_50, q.idx_75,
+       round(CAST(q.idx_25 AS DOUBLE)/CAST(m.n AS DOUBLE), 6)
+         AS rel_25,
+       round(CAST(q.idx_50 AS DOUBLE)/CAST(m.n AS DOUBLE), 6)
+         AS rel_50,
+       round(CAST(q.idx_75 AS DOUBLE)/CAST(m.n AS DOUBLE), 6)
+         AS rel_75
+FROM m JOIN q USING (user_id) WHERE m.tot > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "complexity_profile": q_complexity_profile,
+    "strike_profile": q_strike_profile,
+    "index_mass_quantile": q_index_mass_quantile,
     "bartlett": q_bartlett,
     "friedman": q_friedman,
     "jonckheere": q_jonckheere,
@@ -11215,6 +11371,9 @@ EXTRA_ORACLE_SQL = {
     "bartlett": BARTLETT_SQL,
     "friedman": FRIEDMAN_SQL,
     "jonckheere": JONCKHEERE_SQL,
+    "complexity_profile": COMPLEXITY_SQL,
+    "strike_profile": STRIKE_SQL,
+    "index_mass_quantile": IMQ_SQL,
     "energy_chunks": ENERGY_CHUNKS_SQL,
     "binned_entropy": BINNED_ENTROPY_SQL,
     "time_reversal": TIME_REVERSAL_SQL,

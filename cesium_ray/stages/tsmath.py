@@ -4539,3 +4539,209 @@ def weibull_gaps(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def complexity_profile(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key complexity-invariant-distance profile of the (ts,
+    order)-sorted value stream: CE = √Σ(Δx)² (the CID complexity
+    estimate — how much the curve 'wiggles'), Σ|Δx| and its mean
+    (absolute-change energy), and the central mean second
+    derivative, which telescopes to
+    ((x_{n−1}−x_{n−2}) − (x_1−x_0)) / (2(n−2)) — the net
+    acceleration of the stream's endpoints.
+
+    Σ|Δx|, Σ(Δx)² and the telescoped numerator are EXACT int64
+    k-space sums through one keyed exchange; cid/mean/msd close in
+    mirrored float expressions.  Keys need n ≥ 3.  Int64 bound:
+    Σ(Δx)² ≤ n·(2·100·max|v|)² — fine to ~10⁸ rows/key."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "sum_abs_change": pd.Series(dtype="int64"),
+                "ce_sq": pd.Series(dtype="int64"),
+                "cid": pd.Series(dtype="float64"),
+                "mean_abs_change": pd.Series(dtype="float64"),
+                "msd": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, t, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        same = k[1:] == k[:-1]
+        gid = np.cumsum(np.r_[True, ~same]) - 1
+        g1 = gid[1:][same]
+        dx = (x[1:] - x[:-1])[same]
+        sac = np.zeros(len(starts), np.int64)
+        ces = np.zeros(len(starts), np.int64)
+        np.add.at(sac, g1, np.abs(dx))
+        np.add.at(ces, g1, dx * dx)
+        ends = np.r_[starts[1:], len(k)] - 1
+        keep = n >= 3
+        msd_num = np.zeros(len(starts), np.int64)
+        msd_num[keep] = (x[ends[keep]] - x[ends[keep] - 1]
+                         - x[starts[keep] + 1] + x[starts[keep]])
+        nf = n.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cid = np.sqrt(ces.astype(np.float64))
+            mac = sac.astype(np.float64) / (nf - 1.0)
+            msd = msd_num.astype(np.float64) / (2.0 * (nf - 2.0))
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]],
+                            "n": n, "sum_abs_change": sac,
+                            "ce_sq": ces, "cid": cid,
+                            "mean_abs_change": mac, "msd": msd})
+        return res[keep]
+
+    out = group_apply(
+        ds.select_columns([key, ts_col, val_col, order_col]),
+        per_key, num_partitions=num_partitions, key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def strike_profile(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key mean-relative run structure of the value stream, ALL
+    in exact integer space: the above-mean test x_i > mean is
+    evaluated as x_i·n > Σx (no float mean ever formed), giving the
+    longest strike above / below the mean, the above count, and the
+    number of mean crossings (adjacent flips of the strictly-above
+    flag) — the tsfresh longest_strike_above_mean /
+    number_crossing_m pair done shuffle-once and float-free.
+
+    One keyed exchange; per-partition run-length work is O(n) via
+    run-id cumsums; every output column is exact int64, so the
+    DuckDB twin (gaps-and-islands) matches bit-for-bit with no
+    float closing at all."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "sum_x": pd.Series(dtype="int64"),
+                "n_above": pd.Series(dtype="int64"),
+                "longest_above": pd.Series(dtype="int64"),
+                "longest_below": pd.Series(dtype="int64"),
+                "n_cross": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, t, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        S = np.add.reduceat(x, starts)
+        n_r = np.repeat(n, n)
+        s_r = np.repeat(S, n)
+        lhs = x * n_r
+        above = lhs > s_r
+        below = lhs < s_r
+        keybrk = np.r_[True, k[1:] != k[:-1]]
+
+        def longest(mask: np.ndarray) -> np.ndarray:
+            brk = keybrk | ~mask
+            rid = np.cumsum(brk) - 1
+            lens = np.bincount(rid[mask],
+                               minlength=rid[-1] + 1 if len(rid)
+                               else 0)
+            per_pos = np.where(mask, lens[rid], 0)
+            return np.maximum.reduceat(per_pos, starts) \
+                .astype(np.int64)
+
+        nab = np.add.reduceat(above.astype(np.int64), starts)
+        same = ~keybrk[1:]
+        gid = np.cumsum(keybrk) - 1
+        flips = same & (above[1:] != above[:-1])
+        ncross = np.zeros(len(starts), np.int64)
+        np.add.at(ncross, gid[1:][flips], 1)
+        return pd.DataFrame({key: np.asarray(kuniq)[k[starts]],
+                             "n": n, "sum_x": S,
+                             "n_above": nab,
+                             "longest_above": longest(above),
+                             "longest_below": longest(below),
+                             "n_cross": ncross})
+
+    out = group_apply(
+        ds.select_columns([key, ts_col, val_col, order_col]),
+        per_key, num_partitions=num_partitions, key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def index_mass_quantile(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key tsfresh index-mass-quantile profile: the smallest
+    1-based index i where the running |x| mass reaches q of the
+    total, for q ∈ {0.25, 0.5, 0.75} — 'how early does the stream
+    concentrate its energy'.  rel_q = i/n near q means evenly
+    spread mass; ≪ q means a front-loaded burst.
+
+    The threshold test is all-integer (100·cumsum ≥ q%·total — no
+    float mass ever formed), so the three indices are EXACT int64;
+    only the rel_* ratios close in mirrored floats.  Keys with zero
+    total |x| mass drop on both sides.  One keyed exchange,
+    O(n) per-partition cumsums."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "total_abs": pd.Series(dtype="int64"),
+                "idx_25": pd.Series(dtype="int64"),
+                "idx_50": pd.Series(dtype="int64"),
+                "idx_75": pd.Series(dtype="int64"),
+                "rel_25": pd.Series(dtype="float64"),
+                "rel_50": pd.Series(dtype="float64"),
+                "rel_75": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kuniq, k, t, x, starts, n = _sorted_streams(
+            df, key, ts_col, val_col, order_col)
+        a = np.abs(x)
+        cs = np.cumsum(a)
+        base = np.repeat(np.r_[0, cs[np.r_[starts[1:], len(a)] - 1]
+                               [:-1]], n)
+        cs = cs - base
+        tot = np.add.reduceat(a, starts)
+        tot_r = np.repeat(tot, n)
+        pos1 = np.arange(len(a), dtype=np.int64) \
+            - np.repeat(starts, n) + 1
+        big = np.int64(np.iinfo(np.int64).max)
+        idx = {}
+        for q in (25, 50, 75):
+            hit = 100 * cs >= q * tot_r
+            masked = np.where(hit, pos1, big)
+            idx[q] = np.minimum.reduceat(masked, starts) \
+                .astype(np.int64)
+        keep = tot > 0
+        nf = n.astype(np.float64)
+        res = pd.DataFrame({key: np.asarray(kuniq)[k[starts]],
+                            "n": n, "total_abs": tot,
+                            "idx_25": idx[25], "idx_50": idx[50],
+                            "idx_75": idx[75],
+                            "rel_25": idx[25] / nf,
+                            "rel_50": idx[50] / nf,
+                            "rel_75": idx[75] / nf})
+        return res[keep]
+
+    out = group_apply(
+        ds.select_columns([key, ts_col, val_col, order_col]),
+        per_key, num_partitions=num_partitions, key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

@@ -3240,3 +3240,122 @@ def test_weibull_gaps_bruteforce_and_shape(ray_session):
     assert abs(k1 - 1.0) < 0.08
     assert k2 < 0.75
     assert k3 > 5.0
+
+
+def test_complexity_profile_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import complexity_profile
+
+    ev = _valued(seed=409, n=2400, nusers=16)
+    got = complexity_profile(ray.data.from_pandas(ev)
+                             .repartition(6), num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"],
+                       kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        row = got[got["user_id"] == uid]
+        if len(x) < 3:
+            assert len(row) == 0
+            continue
+        d = np.diff(x)
+        assert len(row) == 1
+        assert row["sum_abs_change"].iloc[0] == np.abs(d).sum()
+        assert row["ce_sq"].iloc[0] == (d * d).sum()
+        assert abs(row["cid"].iloc[0]
+                   - np.sqrt(float((d * d).sum()))) < 1e-6
+        assert abs(row["mean_abs_change"].iloc[0]
+                   - np.abs(d).sum() / (len(x) - 1)) < 1e-9
+        msd = (x[-1] - x[-2] - x[1] + x[0]) / (2.0 * (len(x) - 2))
+        assert abs(row["msd"].iloc[0] - msd) < 1e-9
+    # a straight line has zero second derivative and constant steps
+    n = 100
+    pl = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 7, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.arange(n) * 0.05})
+    out = complexity_profile(ray.data.from_pandas(pl),
+                             num_partitions=2)
+    assert out["msd"].iloc[0] == 0.0
+    assert out["sum_abs_change"].iloc[0] == 5 * (n - 1)
+
+
+def test_strike_profile_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import strike_profile
+
+    ev = _valued(seed=419, n=2400, nusers=16)
+    got = strike_profile(ray.data.from_pandas(ev).repartition(6),
+                         num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"],
+                       kind="mergesort")
+
+    def longest_run(mask):
+        best = cur = 0
+        for b in mask:
+            cur = cur + 1 if b else 0
+            best = max(best, cur)
+        return best
+
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        n, S = len(x), x.sum()
+        above = x * n > S
+        below = x * n < S
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1
+        assert row["n_above"].iloc[0] == above.sum()
+        assert row["longest_above"].iloc[0] == longest_run(above)
+        assert row["longest_below"].iloc[0] == longest_run(below)
+        assert row["n_cross"].iloc[0] == \
+            int((above[1:] != above[:-1]).sum())
+    # alternating square wave: strikes of 1, crossings everywhere
+    n = 80
+    pl = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 3, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.where(np.arange(n) % 2 == 0, 1.0, -1.0)})
+    out = strike_profile(ray.data.from_pandas(pl),
+                         num_partitions=2)
+    assert out["longest_above"].iloc[0] == 1
+    assert out["longest_below"].iloc[0] == 1
+    assert out["n_cross"].iloc[0] == n - 1
+
+
+def test_index_mass_quantile_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import index_mass_quantile
+
+    ev = _valued(seed=421, n=2400, nusers=16)
+    got = index_mass_quantile(ray.data.from_pandas(ev)
+                              .repartition(6), num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"],
+                       kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        a = np.abs(np.rint(g["value"].to_numpy() * 100)
+                   .astype(np.int64))
+        tot = a.sum()
+        row = got[got["user_id"] == uid]
+        if tot == 0:
+            assert len(row) == 0
+            continue
+        assert len(row) == 1
+        cs = np.cumsum(a)
+        for q, col in [(25, "idx_25"), (50, "idx_50"),
+                       (75, "idx_75")]:
+            i = int(np.argmax(100 * cs >= q * tot)) + 1
+            assert row[col].iloc[0] == i
+            assert abs(row["rel_" + col[4:]].iloc[0]
+                       - i / len(a)) < 1e-12
+    # front-loaded burst: one huge first value -> all indices = 1
+    n = 50
+    v = np.r_[1000.0, np.full(n - 1, 0.01)]
+    pl = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 5, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": v})
+    out = index_mass_quantile(ray.data.from_pandas(pl),
+                              num_partitions=2)
+    assert (out[["idx_25", "idx_50", "idx_75"]].iloc[0] == 1).all()
