@@ -11128,7 +11128,252 @@ FROM m JOIN q USING (user_id) WHERE m.tot > 0
 """
 
 
+def q_order_count_dist(sf_dir):
+    """★-checked TPC-H-Q13-style order-count distribution: how many
+    customers placed exactly k orders, zero included.  Scale shape:
+    per-custkey counts are map-side partials through one custkey
+    exchange, the count histogram is a SECOND map-side partial
+    (bounded by max orders/customer), and only the tiny histogram
+    plus one customer-table count reach the driver — no per-customer
+    driver pull."""
+    from ..stages.partition import group_apply
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    per_cust = group_apply(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        ).map_batches(cnt_partial, batch_format="pandas"),
+        lambda df: df.groupby("o_custkey",
+                              as_index=False)["cnt"].sum(),
+        num_partitions=8, key="o_custkey")
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cnt", as_index=False).size()
+        return g.rename(columns={"size": "custdist"})
+
+    hist = per_cust.map_batches(
+        hist_partial, batch_format="pandas").to_pandas()
+    n_cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]).count()
+    if hist.empty:
+        agg_ = pd.DataFrame({"cnt": pd.Series(dtype="int64"),
+                             "custdist": pd.Series(dtype="int64")})
+    else:
+        agg_ = hist.groupby("cnt", as_index=False)["custdist"].sum()
+    zero = int(n_cust) - int(agg_["custdist"].sum())
+    if zero > 0:
+        agg_ = pd.concat([agg_, pd.DataFrame(
+            {"cnt": [0], "custdist": [zero]})], ignore_index=True)
+    agg_ = agg_.sort_values("cnt").reset_index(drop=True)
+    return pd.DataFrame({
+        "c_count": agg_["cnt"].to_numpy(np.int64),
+        "custdist": agg_["custdist"].to_numpy(np.int64)})
+
+
+ORDER_COUNT_DIST_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1)
+GROUP BY 1
+"""
+
+
+def q_small_qty_revenue(sf_dir):
+    """★-checked TPC-H-Q17-style small-quantity revenue: average
+    yearly revenue lost if sub-20%-of-average-quantity orders of one
+    brand's parts were dropped.  The per-part average-quantity gate
+    is ALL-INTEGER (5·q·n < Σq — no float average formed).  Scale
+    shape: the brand's partkeys broadcast once (1/|brands| of the
+    part table), pass 1 computes per-part (n, Σq) cells map-side,
+    the tiny per-part table broadcasts back, pass 2 re-filters
+    lineitem and reduces price units map-side — two lineitem scans,
+    zero large shuffles."""
+    brand = "Brand#4"
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    pk = np.sort(part.loc[part["p_brand"] == brand, "p_partkey"]
+                 .to_numpy(np.int64))
+    pk_ref = ray.put(pk)
+
+    def li_cells(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(pk_ref)
+        lp = df["l_partkey"].to_numpy(np.int64)
+        if len(keys):
+            idx = np.searchsorted(keys, lp)
+            idx[idx >= len(keys)] = 0
+            sel = keys[idx] == lp
+        else:
+            sel = np.zeros(len(lp), bool)
+        q = np.rint(df["l_quantity"].to_numpy(np.float64)[sel]) \
+            .astype(np.int64)
+        g = pd.DataFrame({"l_partkey": lp[sel], "q": q, "one": 1})
+        return g.groupby("l_partkey", as_index=False).agg(
+            n=("one", "sum"), s=("q", "sum"))
+
+    cells = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity"],
+    ).map_batches(li_cells, batch_format="pandas").to_pandas()
+    out_cols = {"p_brand": pd.Series(dtype=object),
+                "n_parts": pd.Series(dtype="int64"),
+                "n_lines": pd.Series(dtype="int64"),
+                "price_units": pd.Series(dtype="int64"),
+                "avg_yearly": pd.Series(dtype="float64")}
+    if cells.empty:
+        return pd.DataFrame(out_cols)
+    per_part = cells.groupby("l_partkey", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    ppk = per_part["l_partkey"].to_numpy(np.int64)
+    stats_ref = ray.put((ppk, per_part["n"].to_numpy(np.int64),
+                         per_part["s"].to_numpy(np.int64)))
+
+    def li_filter(df: pd.DataFrame) -> pd.DataFrame:
+        keys, nn, ss = ray.get(stats_ref)
+        lp = df["l_partkey"].to_numpy(np.int64)
+        idx = np.searchsorted(keys, lp)
+        idx[idx >= len(keys)] = 0
+        sel = keys[idx] == lp
+        q = np.rint(df["l_quantity"].to_numpy(np.float64)) \
+            .astype(np.int64)
+        p = np.rint(df["l_extendedprice"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        hit = sel & (5 * q * nn[idx] < ss[idx])
+        return pd.DataFrame({"n_lines": [int(hit.sum())],
+                             "units": [int(p[hit].sum())]})
+
+    parts2 = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(li_filter, batch_format="pandas").to_pandas()
+    units = int(parts2["units"].sum())
+    return pd.DataFrame({
+        "p_brand": [brand],
+        "n_parts": np.array([len(per_part)], np.int64),
+        "n_lines": np.array([int(parts2["n_lines"].sum())],
+                            np.int64),
+        "price_units": np.array([units], np.int64),
+        "avg_yearly": [round(float(units) / 100.0 / 7.0, 6)]})
+
+
+SMALL_QTY_SQL = """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+l AS (SELECT ln.l_partkey,
+             CAST(round(ln.l_quantity) AS BIGINT) AS q,
+             CAST(round(ln.l_extendedprice*100) AS BIGINT) AS p
+      FROM lineitem ln JOIN pk ON ln.l_partkey = pk.p_partkey),
+a AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s FROM l GROUP BY 1),
+f AS (SELECT l.p FROM l JOIN a USING (l_partkey)
+      WHERE 5*l.q*a.n < a.s)
+SELECT 'Brand#4' AS p_brand,
+       (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_parts,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(p), 0) AS BIGINT) AS price_units,
+       round(CAST(coalesce(sum(p), 0) AS DOUBLE)/100.0/7.0, 6)
+         AS avg_yearly
+FROM f
+"""
+
+
+def q_large_volume_orders(sf_dir):
+    """★-checked TPC-H-Q18-style large-volume customers: top-100
+    orders by total price among orders whose summed quantity
+    exceeds 150.  Scale shape: per-orderkey quantity cells map-side
+    → one orderkey exchange → the >150 filter cuts the stream to
+    selectivity-bounded survivors BEFORE the orders hash join; only
+    survivors reach the driver for the deterministic integer
+    top-100 (price units desc, orderkey asc); names attach last."""
+    from ..stages.partition import group_apply
+
+    def qty_cells(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(df["l_quantity"].to_numpy(np.float64)) \
+            .astype(np.int64)
+        g = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "sq": q})
+        return g.groupby("l_orderkey", as_index=False).sum()
+
+    cells = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+    ).map_batches(qty_cells, batch_format="pandas")
+
+    def reduce_filter(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False)["sq"].sum()
+        return g[g["sq"] > 150]
+
+    big = group_apply(cells, reduce_filter,
+                      num_partitions=8, key="l_orderkey")
+
+    def ords_map(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "o_orderdate":
+                df["o_orderdate"].to_numpy("datetime64[us]"),
+            "price_units": np.rint(
+                df["o_totalprice"].to_numpy(np.float64) * 100.0
+            ).astype(np.int64)})
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"],
+    ).map_batches(ords_map, batch_format="pandas")
+    joined = big.join(ords, "inner", num_partitions=8,
+                      on=("l_orderkey",)).to_pandas()
+    cols = {"c_name": pd.Series(dtype=object),
+            "o_custkey": pd.Series(dtype="int64"),
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_orderdate": pd.Series(dtype="datetime64[us]"),
+            "price_units": pd.Series(dtype="int64"),
+            "sum_qty": pd.Series(dtype="int64")}
+    if joined.empty:
+        return pd.DataFrame(cols)
+    top = joined.sort_values(["price_units", "l_orderkey"],
+                             ascending=[False, True],
+                             kind="mergesort").head(100)
+    names = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+    ).to_pandas().set_index("c_custkey")["c_name"]
+    return pd.DataFrame({
+        "c_name": top["o_custkey"].map(names).to_numpy(object),
+        "o_custkey": top["o_custkey"].to_numpy(np.int64),
+        "o_orderkey": top["l_orderkey"].to_numpy(np.int64),
+        "o_orderdate":
+            top["o_orderdate"].to_numpy("datetime64[us]"),
+        "price_units": top["price_units"].to_numpy(np.int64),
+        "sum_qty": top["sq"].to_numpy(np.int64)}) \
+        .reset_index(drop=True)
+
+
+LARGE_VOLUME_SQL = """
+WITH t AS (SELECT l_orderkey,
+                  CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                       AS BIGINT) AS sq
+           FROM lineitem GROUP BY 1
+           HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 150)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice*100) AS BIGINT) AS price_units,
+       t.sq AS sum_qty
+FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY price_units DESC, o.o_orderkey LIMIT 100
+"""
+
+
 EXTRA_QUERIES = {
+    "order_count_dist": q_order_count_dist,
+    "small_qty_revenue": q_small_qty_revenue,
+    "large_volume_orders": q_large_volume_orders,
     "complexity_profile": q_complexity_profile,
     "strike_profile": q_strike_profile,
     "index_mass_quantile": q_index_mass_quantile,
@@ -11374,6 +11619,9 @@ EXTRA_ORACLE_SQL = {
     "complexity_profile": COMPLEXITY_SQL,
     "strike_profile": STRIKE_SQL,
     "index_mass_quantile": IMQ_SQL,
+    "order_count_dist": ORDER_COUNT_DIST_SQL,
+    "small_qty_revenue": SMALL_QTY_SQL,
+    "large_volume_orders": LARGE_VOLUME_SQL,
     "energy_chunks": ENERGY_CHUNKS_SQL,
     "binned_entropy": BINNED_ENTROPY_SQL,
     "time_reversal": TIME_REVERSAL_SQL,

@@ -1258,3 +1258,63 @@ def test_jonckheere_bruteforce_and_trend(ray_session):
         {"a": "c", "b": "b", "c": "a"}))
     out2 = jonckheere_terpstra(ray.data.from_pandas(pl2))
     assert out2["z_score"].iloc[0] < -20.0
+
+
+def test_order_count_dist_smoke(ray_session):
+    import duckdb
+
+    from cesium_ray.pipelines.extra_queries import q_order_count_dist
+
+    sf = "/root/testdata/sf0.001"
+    out = q_order_count_dist(sf)
+    con = duckdb.connect()
+    n_cust = con.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/customer.parquet')"
+    ).fetchone()[0]
+    n_ord = con.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/orders.parquet')"
+    ).fetchone()[0]
+    # every customer lands in exactly one bucket; mass adds back up
+    assert out["custdist"].sum() == n_cust
+    assert (out["c_count"] * out["custdist"]).sum() == n_ord
+    assert out["c_count"].is_unique
+
+
+def test_small_qty_revenue_smoke(ray_session):
+    import duckdb
+
+    from cesium_ray.pipelines.extra_queries import q_small_qty_revenue
+
+    sf = "/root/testdata/sf0.001"
+    out = q_small_qty_revenue(sf)
+    assert len(out) == 1
+    want = duckdb.sql(f"""
+        WITH pk AS (SELECT p_partkey
+                    FROM read_parquet('{sf}/part.parquet')
+                    WHERE p_brand = 'Brand#4'),
+        l AS (SELECT ln.l_partkey,
+                     CAST(round(ln.l_quantity) AS BIGINT) AS q,
+                     CAST(round(ln.l_extendedprice*100) AS BIGINT)
+                       AS p
+              FROM read_parquet('{sf}/lineitem.parquet') ln
+              JOIN pk ON ln.l_partkey = pk.p_partkey),
+        a AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(q) AS BIGINT) AS s FROM l GROUP BY 1)
+        SELECT CAST(coalesce(sum(l.p), 0) AS BIGINT)
+        FROM l JOIN a USING (l_partkey) WHERE 5*l.q*a.n < a.s
+    """).fetchone()[0]
+    assert out["price_units"].iloc[0] == int(want)
+    assert abs(out["avg_yearly"].iloc[0]
+               - int(want) / 100.0 / 7.0) < 1e-6
+
+
+def test_large_volume_orders_smoke(ray_session):
+    from cesium_ray.pipelines.extra_queries import \
+        q_large_volume_orders
+
+    out = q_large_volume_orders("/root/testdata/sf0.001")
+    assert (out["sum_qty"] > 150).all()
+    u = out["price_units"].to_numpy()
+    assert (np.diff(u) <= 0).all()
+    assert out["c_name"].notna().all()
+    assert out["o_orderkey"].is_unique
