@@ -11370,7 +11370,287 @@ ORDER BY price_units DESC, o.o_orderkey LIMIT 100
 """
 
 
+def q_market_share(sf_dir):
+    """★-checked TPC-H-Q8-style market share: the yearly revenue
+    share held by ASIA-region suppliers for PROMO-type parts.
+    Scale shape: the PROMO partkey set and the suppkey→is-ASIA flag
+    broadcast once via ray.put (each ≪ fact size); lineitem is
+    scanned once, filtered to PROMO parts map-side, and
+    PRE-AGGREGATED to exact-int (orderkey, is_target) revenue cells
+    before the single large×large orderkey hash join against the
+    (orderkey, order-year) projection of orders; the per-year
+    share closes over year-sized cells on the driver."""
+    from ..stages.partition import group_apply
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    pk = np.sort(part.loc[part["p_type"] == "PROMO", "p_partkey"]
+                 .to_numpy(np.int64))
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet").to_pandas()
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet").to_pandas()
+    asia = int(region.loc[region["r_name"] == "ASIA",
+                          "r_regionkey"].iloc[0])
+    asia_nations = set(nation.loc[nation["n_regionkey"] == asia,
+                                  "n_nationkey"].astype(np.int64))
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    sflag = supp.set_index("s_suppkey").loc[sk, "s_nationkey"] \
+        .isin(asia_nations).to_numpy(bool)
+    dims = ray.put((pk, sk, sflag))
+
+    def li_cells(df: pd.DataFrame) -> pd.DataFrame:
+        keys, s_k, s_f = ray.get(dims)
+        lp = df["l_partkey"].to_numpy(np.int64)
+        if len(keys):
+            idx = np.searchsorted(keys, lp)
+            idx[idx >= len(keys)] = 0
+            sel = keys[idx] == lp
+        else:
+            sel = np.zeros(len(lp), bool)
+        if not sel.any():
+            return pd.DataFrame({
+                "l_orderkey": pd.Series(dtype="int64"),
+                "is_target": pd.Series(dtype="int64"),
+                "units": pd.Series(dtype="int64")})
+        p = np.rint(df["l_extendedprice"].to_numpy(np.float64)[sel]
+                    * 100.0).astype(np.int64)
+        d = np.rint(df["l_discount"].to_numpy(np.float64)[sel]
+                    * 100.0).astype(np.int64)
+        tgt = s_f[np.searchsorted(
+            s_k, df["l_suppkey"].to_numpy(np.int64)[sel])] \
+            .astype(np.int64)
+        g = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64)[sel],
+            "is_target": tgt, "units": p * (100 - d)})
+        return g.groupby(["l_orderkey", "is_target"],
+                         as_index=False)["units"].sum()
+
+    cells = group_apply(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"],
+        ).map_batches(li_cells, batch_format="pandas"),
+        lambda df: df.groupby(["l_orderkey", "is_target"],
+                              as_index=False)["units"].sum(),
+        num_partitions=8, key="l_orderkey")
+
+    def orders_proj(df: pd.DataFrame) -> pd.DataFrame:
+        yr = pd.DatetimeIndex(
+            df["o_orderdate"].to_numpy("datetime64[us]")
+        ).year.to_numpy(np.int64)
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_year": yr})
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+    ).map_batches(orders_proj, batch_format="pandas")
+    joined = cells.join(ords, "inner", num_partitions=8,
+                        on=("l_orderkey",))
+
+    def yr_cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.copy()
+        g["tgt_units"] = g["units"] * g["is_target"]
+        return g.groupby("o_year", as_index=False).agg(
+            rev_units_all=("units", "sum"),
+            rev_units_target=("tgt_units", "sum"))
+
+    yrs = joined.map_batches(
+        yr_cells, batch_format="pandas").to_pandas()
+    if yrs.empty:
+        return pd.DataFrame({
+            "o_year": pd.Series(dtype="int64"),
+            "rev_units_all": pd.Series(dtype="int64"),
+            "rev_units_target": pd.Series(dtype="int64"),
+            "mkt_share": pd.Series(dtype="float64")})
+    agg_ = yrs.groupby("o_year", as_index=False).sum() \
+        .sort_values("o_year").reset_index(drop=True)
+    a = agg_["rev_units_all"].to_numpy(np.int64)
+    t = agg_["rev_units_target"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "o_year": agg_["o_year"].to_numpy(np.int64),
+        "rev_units_all": a,
+        "rev_units_target": t,
+        "mkt_share": np.round(
+            t.astype(np.float64)
+            / np.where(a == 0, 1, a).astype(np.float64), 6)})
+
+
+MARKET_SHARE_SQL = """
+WITH asia AS (
+  SELECT n.n_nationkey FROM nation n
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'),
+l AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(ln.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(ln.l_discount*100) AS BIGINT))
+           AS units,
+         CASE WHEN s.s_nationkey IN (SELECT n_nationkey FROM asia)
+              THEN 1 ELSE 0 END AS tgt
+  FROM lineitem ln
+  JOIN part p ON ln.l_partkey = p.p_partkey
+  JOIN supplier s ON ln.l_suppkey = s.s_suppkey
+  JOIN orders o ON ln.l_orderkey = o.o_orderkey
+  WHERE p.p_type = 'PROMO')
+SELECT o_year,
+       CAST(sum(units) AS BIGINT) AS rev_units_all,
+       CAST(sum(units*tgt) AS BIGINT) AS rev_units_target,
+       round(CAST(sum(units*tgt) AS DOUBLE)
+             / CAST(CASE WHEN sum(units) = 0 THEN 1
+                         ELSE sum(units) END AS DOUBLE), 6)
+         AS mkt_share
+FROM l GROUP BY 1
+"""
+
+
+def q_product_profit(sf_dir):
+    """★-checked TPC-H-Q9-style product profit by supplier nation
+    and order year, for parts whose name contains 'red'.  The
+    testdata schema has no partsupp table, so part.p_retailprice
+    stands in for ps_supplycost (same join topology, documented
+    here and mirrored identically in the oracle): profit units =
+    extprice·(100−disc) − 10000·retailprice·qty, all exact int64.
+    Scale shape: the matching partkey→retailprice map and
+    suppkey→nation map broadcast once; lineitem pre-aggregates to
+    (orderkey, nation) profit cells before the one orderkey hash
+    join against the (orderkey, year) orders projection."""
+    from ..stages.partition import group_apply
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"]
+    ).to_pandas()
+    sel = part["p_name"].str.contains("red", regex=False)
+    pk = np.sort(part.loc[sel, "p_partkey"].to_numpy(np.int64))
+    rp = np.rint(part.loc[sel].set_index("p_partkey")
+                 .loc[pk, "p_retailprice"].to_numpy(np.float64)
+                 * 100.0).astype(np.int64)
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet").to_pandas()
+    nname = dict(zip(nation["n_nationkey"].astype(np.int64),
+                     nation["n_name"]))
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    sv = supp.set_index("s_suppkey").loc[sk, "s_nationkey"] \
+        .to_numpy(np.int64)
+    dims = ray.put((pk, rp, sk, sv))
+
+    def li_cells(df: pd.DataFrame) -> pd.DataFrame:
+        keys, cost, s_k, s_v = ray.get(dims)
+        lp = df["l_partkey"].to_numpy(np.int64)
+        if len(keys):
+            idx = np.searchsorted(keys, lp)
+            idx[idx >= len(keys)] = 0
+            hit = keys[idx] == lp
+        else:
+            hit = np.zeros(len(lp), bool)
+        if not hit.any():
+            return pd.DataFrame({
+                "l_orderkey": pd.Series(dtype="int64"),
+                "s_nat": pd.Series(dtype="int64"),
+                "profit_units": pd.Series(dtype="int64")})
+        p = np.rint(df["l_extendedprice"].to_numpy(np.float64)[hit]
+                    * 100.0).astype(np.int64)
+        d = np.rint(df["l_discount"].to_numpy(np.float64)[hit]
+                    * 100.0).astype(np.int64)
+        q = np.rint(df["l_quantity"].to_numpy(np.float64)[hit]) \
+            .astype(np.int64)
+        prof = p * (100 - d) - 100 * cost[idx[hit]] * q
+        snat = s_v[np.searchsorted(
+            s_k, df["l_suppkey"].to_numpy(np.int64)[hit])]
+        g = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64)[hit],
+            "s_nat": snat, "profit_units": prof})
+        return g.groupby(["l_orderkey", "s_nat"],
+                         as_index=False)["profit_units"].sum()
+
+    cells = group_apply(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_quantity", "l_extendedprice",
+                     "l_discount"],
+        ).map_batches(li_cells, batch_format="pandas"),
+        lambda df: df.groupby(["l_orderkey", "s_nat"],
+                              as_index=False)["profit_units"]
+        .sum(),
+        num_partitions=8, key="l_orderkey")
+
+    def orders_proj(df: pd.DataFrame) -> pd.DataFrame:
+        yr = pd.DatetimeIndex(
+            df["o_orderdate"].to_numpy("datetime64[us]")
+        ).year.to_numpy(np.int64)
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_year": yr})
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+    ).map_batches(orders_proj, batch_format="pandas")
+    joined = cells.join(ords, "inner", num_partitions=8,
+                        on=("l_orderkey",))
+
+    prof = joined.map_batches(
+        lambda df: df.groupby(["s_nat", "o_year"],
+                              as_index=False)["profit_units"]
+        .sum(),
+        batch_format="pandas").to_pandas()
+    if prof.empty:
+        return pd.DataFrame({
+            "nation": pd.Series(dtype=object),
+            "o_year": pd.Series(dtype="int64"),
+            "profit_units": pd.Series(dtype="int64"),
+            "profit": pd.Series(dtype="float64")})
+    agg_ = prof.groupby(["s_nat", "o_year"],
+                        as_index=False)["profit_units"].sum()
+    u = agg_["profit_units"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "nation": agg_["s_nat"].map(nname).to_numpy(object),
+        "o_year": agg_["o_year"].to_numpy(np.int64),
+        "profit_units": u,
+        "profit": np.round(u.astype(np.float64) / 10000.0, 6)})
+
+
+PRODUCT_PROFIT_SQL = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(ln.l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(ln.l_discount*100) AS BIGINT))
+                - 100 * CAST(round(p.p_retailprice*100) AS BIGINT)
+                  * CAST(round(ln.l_quantity) AS BIGINT))
+            AS BIGINT) AS profit_units,
+       round(CAST(sum(CAST(round(ln.l_extendedprice*100)
+                           AS BIGINT)
+                      * (100 - CAST(round(ln.l_discount*100)
+                                    AS BIGINT))
+                      - 100 * CAST(round(p.p_retailprice*100)
+                                   AS BIGINT)
+                        * CAST(round(ln.l_quantity) AS BIGINT))
+                  AS DOUBLE) / 10000.0, 6) AS profit
+FROM lineitem ln
+JOIN part p ON ln.l_partkey = p.p_partkey
+JOIN supplier s ON ln.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON ln.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
 EXTRA_QUERIES = {
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
     "order_count_dist": q_order_count_dist,
     "small_qty_revenue": q_small_qty_revenue,
     "large_volume_orders": q_large_volume_orders,
@@ -11619,6 +11899,8 @@ EXTRA_ORACLE_SQL = {
     "complexity_profile": COMPLEXITY_SQL,
     "strike_profile": STRIKE_SQL,
     "index_mass_quantile": IMQ_SQL,
+    "market_share": MARKET_SHARE_SQL,
+    "product_profit": PRODUCT_PROFIT_SQL,
     "order_count_dist": ORDER_COUNT_DIST_SQL,
     "small_qty_revenue": SMALL_QTY_SQL,
     "large_volume_orders": LARGE_VOLUME_SQL,

@@ -1318,3 +1318,49 @@ def test_large_volume_orders_smoke(ray_session):
     assert (np.diff(u) <= 0).all()
     assert out["c_name"].notna().all()
     assert out["o_orderkey"].is_unique
+
+
+def test_market_share_consistency(ray_session):
+    from cesium_ray.pipelines.extra_queries import q_market_share
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = q_market_share(sf)
+    # target revenue is a subset of total revenue, per year
+    assert (out["rev_units_target"] <= out["rev_units_all"]).all()
+    assert (out["rev_units_target"] >= 0).all()
+    assert ((out["mkt_share"] >= 0) & (out["mkt_share"] <= 1)).all()
+    assert out["o_year"].is_unique
+    # total across years == PROMO-part revenue of lineitem
+    con = duckdb.connect()
+    total = con.sql(
+        f"""SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+            * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+            FROM read_parquet('{sf}/lineitem.parquet') ln
+            JOIN read_parquet('{sf}/part.parquet') p
+              ON ln.l_partkey = p.p_partkey
+            WHERE p.p_type = 'PROMO'"""
+    ).fetchone()[0]
+    assert int(out["rev_units_all"].sum()) == int(total)
+
+
+def test_product_profit_conservation(ray_session):
+    from cesium_ray.pipelines.extra_queries import q_product_profit
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = q_product_profit(sf)
+    con = duckdb.connect()
+    total = con.sql(
+        f"""SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+            * (100 - CAST(round(l_discount*100) AS BIGINT))
+            - 100 * CAST(round(p.p_retailprice*100) AS BIGINT)
+              * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+            FROM read_parquet('{sf}/lineitem.parquet') ln
+            JOIN read_parquet('{sf}/part.parquet') p
+              ON ln.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE '%red%'"""
+    ).fetchone()[0]
+    assert int(out["profit_units"].sum()) == int(total)
+    assert (out.groupby(["nation", "o_year"]).size() == 1).all()
+    assert out["nation"].notna().all()
