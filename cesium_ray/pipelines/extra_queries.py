@@ -11648,7 +11648,221 @@ GROUP BY 1, 2
 """
 
 
+def q_waiting_suppliers(sf_dir):
+    """★-checked TPC-H-Q21-style suppliers who kept orders waiting:
+    for multi-supplier orders, the supplier who was the ONLY late
+    one (late = last ship > order date + 90 days; the testdata has
+    no receipt/commit dates, so shipdate lateness stands in —
+    documented and mirrored in the oracle).  Scale shape: lineitem
+    collapses map-side to (orderkey, suppkey, max_ship) cells, one
+    orderkey exchange merges them, the (orderkey, orderdate)
+    projection of orders joins once by orderkey, and the
+    sole-late-supplier test is a vectorized per-order groupby over
+    cell-sized data; only per-supplier counts reach the driver."""
+    from ..stages.partition import group_apply
+
+    def li_cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "sk": df["l_suppkey"].to_numpy(np.int64),
+            "ms": df["l_shipdate"].to_numpy("datetime64[us]")
+            .astype(np.int64)})
+        return g.groupby(["l_orderkey", "sk"],
+                         as_index=False)["ms"].max()
+
+    cells = group_apply(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        ).map_batches(li_cells, batch_format="pandas"),
+        lambda df: df.groupby(["l_orderkey", "sk"],
+                              as_index=False)["ms"].max(),
+        num_partitions=8, key="l_orderkey")
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+    ).map_batches(
+        lambda df: pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "od": df["o_orderdate"].to_numpy("datetime64[us]")
+            .astype(np.int64)}),
+        batch_format="pandas")
+    joined = cells.join(ords, "inner", num_partitions=8,
+                        on=("l_orderkey",))
+
+    LATE_US = 90 * 86400 * 10**6
+
+    def wait_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # one orderkey never straddles partitions after the join
+        # (both sides are hash-partitioned on it), so the per-order
+        # sole-late test is exact inside each output partition
+        late = (df["ms"].to_numpy(np.int64)
+                > df["od"].to_numpy(np.int64) + LATE_US)
+        g = pd.DataFrame({"ok": df["l_orderkey"].to_numpy(np.int64),
+                          "sk": df["sk"].to_numpy(np.int64),
+                          "late": late.astype(np.int64)})
+        per = g.groupby("ok").agg(n=("sk", "size"),
+                                  nl=("late", "sum"))
+        g = g.join(per, on="ok")
+        q = g[(g["late"] == 1) & (g["nl"] == 1) & (g["n"] >= 2)]
+        return q.groupby("sk", as_index=False).size() \
+            .rename(columns={"size": "numwait"})
+
+    waits = joined.map_batches(
+        wait_partial, batch_format="pandas",
+        batch_size=None).to_pandas()
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"]).to_pandas()
+    if waits.empty:
+        return pd.DataFrame({"s_name": pd.Series(dtype=object),
+                             "numwait": pd.Series(dtype="int64")})
+    agg_ = waits.groupby("sk", as_index=False)["numwait"].sum()
+    names = supp.set_index("s_suppkey")["s_name"]
+    return pd.DataFrame({
+        "s_name": agg_["sk"].map(names).to_numpy(object),
+        "numwait": agg_["numwait"].to_numpy(np.int64)}) \
+        .sort_values("s_name").reset_index(drop=True)
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH l AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+                  max(epoch_us(l_shipdate)) AS ms
+           FROM lineitem GROUP BY 1, 2),
+j AS (SELECT l.ok, l.sk,
+             CASE WHEN l.ms > epoch_us(o.o_orderdate)
+                           + CAST(7776000000000 AS BIGINT)
+                  THEN 1 ELSE 0 END AS late
+      FROM l JOIN orders o ON l.ok = o.o_orderkey),
+f AS (SELECT ok, count(*) AS n, sum(late) AS nl
+      FROM j GROUP BY 1),
+q AS (SELECT j.sk FROM j JOIN f USING (ok)
+      WHERE j.late = 1 AND f.nl = 1 AND f.n >= 2)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM q JOIN supplier s ON q.sk = s.s_suppkey
+GROUP BY 1
+"""
+
+
+def q_dormant_balance(sf_dir):
+    """★-checked TPC-H-Q22-style global sales opportunity: per
+    market segment (the schema's country-code stand-in), customers
+    with above-segment-average positive balance and NO RECENT
+    orders (none on/after 1999-01-01 — this testdata has no fully
+    orderless customers, so dormancy replaces Q22's never-ordered
+    anti-join; same pattern, documented and mirrored in the
+    oracle).  The average gate is ALL-INTEGER (bal_units·n >
+    Σbal_units over the segment's positive balances — no float
+    average formed).  Scale shape: per-segment (n, Σ) gate cells
+    reduce map-side (segments are few); the recent-order custkey
+    set reduces through a date-pushed scanner read + per-block
+    distinct partials and broadcasts sorted via ray.put for a
+    searchsorted anti-probe (at 100-TB key cardinality the same
+    test runs as a bucketed custkey co-group — stages/joins.py
+    documents the swap); only per-segment counts reach the
+    driver."""
+    import pyarrow.compute as pc
+
+    cutoff = np.datetime64("1999-01-01", "us")
+    cust_cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+
+    def seg_cells(df: pd.DataFrame) -> pd.DataFrame:
+        bal = np.rint(df["c_acctbal"].to_numpy(np.float64)
+                      * 100.0).astype(np.int64)
+        pos = bal > 0
+        g = pd.DataFrame({"seg": df["c_mktsegment"].to_numpy(object)[pos],
+                          "bal": bal[pos], "one": 1})
+        return g.groupby("seg", as_index=False).agg(
+            n=("one", "sum"), s=("bal", "sum"))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=cust_cols)
+    segs = cust.map_batches(
+        seg_cells, batch_format="pandas").to_pandas()
+    segs = segs.groupby("seg", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+
+    def has_orders_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": np.unique(df["o_custkey"].to_numpy(np.int64))})
+
+    hk = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=(pc.field("o_orderdate") >= cutoff),
+    ).map_batches(has_orders_partial,
+                  batch_format="pandas").to_pandas()
+    has_orders = np.unique(hk["k"].to_numpy(np.int64))
+    gate = ray.put((has_orders,
+                    dict(zip(segs["seg"],
+                             zip(segs["n"].astype(np.int64),
+                                 segs["s"].astype(np.int64))))))
+
+    def dormant_cells(df: pd.DataFrame) -> pd.DataFrame:
+        keys, seg_gate = ray.get(gate)
+        ck = df["c_custkey"].to_numpy(np.int64)
+        if len(keys):
+            idx = np.searchsorted(keys, ck)
+            idx[idx >= len(keys)] = 0
+            cold = keys[idx] != ck
+        else:
+            cold = np.ones(len(ck), bool)
+        bal = np.rint(df["c_acctbal"].to_numpy(np.float64)
+                      * 100.0).astype(np.int64)
+        seg = df["c_mktsegment"].to_numpy(object)
+        nn = np.array([seg_gate.get(s_, (0, 0))[0] for s_ in seg],
+                      np.int64)
+        ss = np.array([seg_gate.get(s_, (0, 0))[1] for s_ in seg],
+                      np.int64)
+        hit = cold & (bal * nn > ss)
+        g = pd.DataFrame({"seg": seg[hit], "bal": bal[hit],
+                          "one": 1})
+        return g.groupby("seg", as_index=False).agg(
+            numcust=("one", "sum"), bal_units=("bal", "sum"))
+
+    out = cust.map_batches(
+        dormant_cells, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "c_mktsegment": pd.Series(dtype=object),
+            "numcust": pd.Series(dtype="int64"),
+            "bal_units": pd.Series(dtype="int64"),
+            "totacctbal": pd.Series(dtype="float64")})
+    agg_ = out.groupby("seg", as_index=False).sum() \
+        .sort_values("seg").reset_index(drop=True)
+    u = agg_["bal_units"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "c_mktsegment": agg_["seg"].to_numpy(object),
+        "numcust": agg_["numcust"].to_numpy(np.int64),
+        "bal_units": u,
+        "totacctbal": np.round(u.astype(np.float64) / 100.0, 6)})
+
+
+DORMANT_BALANCE_SQL = """
+WITH pos AS (
+  SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM customer WHERE round(c_acctbal*100) > 0 GROUP BY 1),
+sel AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(round(c.c_acctbal*100) AS BIGINT) AS bal
+  FROM customer c JOIN pos ON c.c_mktsegment = pos.seg
+  WHERE CAST(round(c.c_acctbal*100) AS BIGINT) * pos.n > pos.s
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+SELECT seg AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal) AS BIGINT) AS bal_units,
+       round(CAST(sum(bal) AS DOUBLE)/100.0, 6) AS totacctbal
+FROM sel GROUP BY 1
+"""
+
+
 EXTRA_QUERIES = {
+    "waiting_suppliers": q_waiting_suppliers,
+    "dormant_balance": q_dormant_balance,
     "market_share": q_market_share,
     "product_profit": q_product_profit,
     "order_count_dist": q_order_count_dist,
@@ -11899,6 +12113,8 @@ EXTRA_ORACLE_SQL = {
     "complexity_profile": COMPLEXITY_SQL,
     "strike_profile": STRIKE_SQL,
     "index_mass_quantile": IMQ_SQL,
+    "waiting_suppliers": WAITING_SUPPLIERS_SQL,
+    "dormant_balance": DORMANT_BALANCE_SQL,
     "market_share": MARKET_SHARE_SQL,
     "product_profit": PRODUCT_PROFIT_SQL,
     "order_count_dist": ORDER_COUNT_DIST_SQL,

@@ -1364,3 +1364,54 @@ def test_product_profit_conservation(ray_session):
     assert int(out["profit_units"].sum()) == int(total)
     assert (out.groupby(["nation", "o_year"]).size() == 1).all()
     assert out["nation"].notna().all()
+
+
+def test_waiting_suppliers_consistency(ray_session):
+    from cesium_ray.pipelines.extra_queries import \
+        q_waiting_suppliers
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = q_waiting_suppliers(sf)
+    # brute-force the sole-late-supplier rule in one SQL pass
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH l AS (SELECT l_orderkey ok, l_suppkey sk,
+                          max(epoch_us(l_shipdate)) ms
+                   FROM read_parquet('{sf}/lineitem.parquet')
+                   GROUP BY 1, 2),
+        j AS (SELECT l.ok, l.sk,
+                     CASE WHEN l.ms > epoch_us(o.o_orderdate)
+                                   + CAST(7776000000000 AS BIGINT)
+                          THEN 1 ELSE 0 END AS late
+              FROM l JOIN read_parquet('{sf}/orders.parquet') o
+                ON l.ok = o.o_orderkey),
+        f AS (SELECT ok, count(*) n, sum(late) nl FROM j GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) FROM j JOIN f USING (ok)
+        WHERE j.late = 1 AND f.nl = 1 AND f.n >= 2""").fetchone()[0]
+    assert int(out["numwait"].sum()) == int(want)
+    assert out["s_name"].is_unique and out["s_name"].notna().all()
+    assert (out["numwait"] >= 1).all()
+
+
+def test_dormant_balance_consistency(ray_session):
+    from cesium_ray.pipelines.extra_queries import q_dormant_balance
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = q_dormant_balance(sf)
+    assert len(out) >= 1  # the dormancy cutoff must select someone
+    assert (out["numcust"] >= 1).all()
+    assert out["c_mktsegment"].is_unique
+    # every selected customer is dormant AND above the segment mean
+    con = duckdb.connect()
+    n_dormant = con.sql(f"""
+        SELECT count(*) FROM read_parquet('{sf}/customer.parquet') c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM read_parquet('{sf}/orders.parquet') o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01')""") \
+        .fetchone()[0]
+    assert int(out["numcust"].sum()) <= int(n_dormant)
+    assert np.allclose(out["totacctbal"],
+                       out["bal_units"].to_numpy(np.int64) / 100.0)
