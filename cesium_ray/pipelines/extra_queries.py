@@ -11860,7 +11860,134 @@ FROM sel GROUP BY 1
 """
 
 
+def q_cochran_q(sf_dir):
+    """★-checked Cochran's Q binary blocked test
+    (stages/analytics.py): user blocks × event-type treatments on
+    "fired in the trailing 7-day window" indicators — exact int64
+    G_j/N/ΣR² moments, one mirrored Q closing.  The k-group
+    ladder's binary member next to friedman."""
+    from ..stages.analytics import cochran_q
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"])
+    return round6(cochran_q(ev, num_partitions=8))
+
+
+COCHRAN_Q_SQL = """
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+x AS (SELECT DISTINCT user_id, event_type
+      FROM events, mx
+      WHERE epoch_us(ts) >= mx.m - CAST(604800000000 AS BIGINT)),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS gj
+      FROM x GROUP BY 1),
+r AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ri
+      FROM x GROUP BY 1),
+m2 AS (SELECT CAST(sum(ri) AS BIGINT) AS n,
+              CAST(sum(ri*ri) AS BIGINT) AS r2,
+              CAST(count(*) AS BIGINT) AS nb FROM r),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(gj*gj) AS BIGINT) AS gg FROM g)
+SELECT g.event_type, g.gj AS g_count, m2.nb AS n_blocks,
+       kk.k AS n_types, m2.n AS n_total,
+       round((CAST(kk.k AS DOUBLE) - 1.0)
+             * (CAST(kk.k AS DOUBLE)*CAST(kk.gg AS DOUBLE)
+                - CAST(m2.n AS DOUBLE)*CAST(m2.n AS DOUBLE))
+             / (CAST(kk.k AS DOUBLE)*CAST(m2.n AS DOUBLE)
+                - CAST(m2.r2 AS DOUBLE)), 6) AS q_stat
+FROM g, m2, kk
+WHERE kk.k >= 2 AND kk.k*m2.n - m2.r2 > 0
+"""
+
+
+def q_mcnemar(sf_dir):
+    """★-checked McNemar paired-proportion test
+    (stages/analytics.py): per-user "more purchases than errors"
+    indicators in the first vs second half of the time range —
+    exact 2×2 table, integer-numerator plain and Edwards-corrected
+    χ² closings."""
+    from ..stages.analytics import mcnemar_halves
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"])
+    return round6(mcnemar_halves(ev, num_partitions=8))
+
+
+MCNEMAR_SQL = """
+WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+           FROM events),
+f AS (SELECT user_id,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                 AND epoch_us(ts) < (b.mn+b.mx)//2
+                                THEN 1 ELSE 0 END)
+                     > sum(CASE WHEN event_type = 'error'
+                                 AND epoch_us(ts) < (b.mn+b.mx)//2
+                                THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS x1,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                 AND epoch_us(ts) >= (b.mn+b.mx)//2
+                                THEN 1 ELSE 0 END)
+                     > sum(CASE WHEN event_type = 'error'
+                                 AND epoch_us(ts) >= (b.mn+b.mx)//2
+                                THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS x2
+      FROM events, b GROUP BY 1),
+t AS (SELECT CAST(sum(x1*x2) AS BIGINT) AS a,
+             CAST(sum(x1*(1-x2)) AS BIGINT) AS b,
+             CAST(sum((1-x1)*x2) AS BIGINT) AS c,
+             CAST(sum((1-x1)*(1-x2)) AS BIGINT) AS d
+      FROM f)
+SELECT a AS n_both, b AS n_first_only, c AS n_second_only,
+       d AS n_neither,
+       round(CAST((b-c)*(b-c) AS DOUBLE)/CAST(b+c AS DOUBLE), 6)
+         AS chi2_plain,
+       round(CAST((abs(b-c)-1)*(abs(b-c)-1) AS DOUBLE)
+             /CAST(b+c AS DOUBLE), 6) AS chi2_corrected
+FROM t WHERE b + c > 0
+"""
+
+
+def q_sign_test(sf_dir):
+    """★-checked paired sign test (stages/analytics.py): per-user
+    first-half vs second-half event counts, exact plus/minus/tie
+    counts, continuity-corrected z closing — the direction-only
+    sibling of wilcoxon_shift."""
+    from ..stages.analytics import sign_test_halves
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return round6(sign_test_halves(ev, num_partitions=8))
+
+
+SIGN_TEST_SQL = """
+WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+           FROM events),
+f AS (SELECT user_id,
+             CAST(sum(CASE WHEN epoch_us(ts) < (b.mn + b.mx)//2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN epoch_us(ts) >= (b.mn + b.mx)//2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM events, b GROUP BY 1),
+t AS (SELECT CAST(sum(CASE WHEN c2 > c1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p,
+             CAST(sum(CASE WHEN c1 > c2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m,
+             CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t
+      FROM f)
+SELECT p AS n_plus, m AS n_minus, t AS n_ties,
+       round((2.0*CAST(greatest(p, m) AS DOUBLE)
+              - CAST(p+m AS DOUBLE) - 1.0)
+             / sqrt(CAST(p+m AS DOUBLE)), 6) AS z_stat
+FROM t WHERE p + m > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "cochran_q": q_cochran_q,
+    "mcnemar": q_mcnemar,
+    "sign_test": q_sign_test,
     "waiting_suppliers": q_waiting_suppliers,
     "dormant_balance": q_dormant_balance,
     "market_share": q_market_share,
@@ -12113,6 +12240,9 @@ EXTRA_ORACLE_SQL = {
     "complexity_profile": COMPLEXITY_SQL,
     "strike_profile": STRIKE_SQL,
     "index_mass_quantile": IMQ_SQL,
+    "cochran_q": COCHRAN_Q_SQL,
+    "mcnemar": MCNEMAR_SQL,
+    "sign_test": SIGN_TEST_SQL,
     "waiting_suppliers": WAITING_SUPPLIERS_SQL,
     "dormant_balance": DORMANT_BALANCE_SQL,
     "market_share": MARKET_SHARE_SQL,

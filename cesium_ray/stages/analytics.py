@@ -3170,3 +3170,261 @@ def jonckheere_terpstra(
         "jt_twice": np.full(kg, jt2, dtype=np.int64),
         "jt_mean_twice": np.full(kg, cross, dtype=np.int64),
         "z_score": np.full(kg, z)})
+
+
+def cochran_q(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window_us: int = 7 * 86400 * 10**6,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Cochran's Q test on binary per-block treatment indicators:
+    did block (key) i fire treatment (type) j inside the trailing
+    window [tmax − window, tmax]?  Completes the k-group ladder's
+    binary member next to friedman_test (counts) — Q is Friedman
+    restricted to 0/1 observations.
+
+    All moments are EXACT int64: column totals G_j, N = ΣR_i and
+    ΣR_i² from per-block row sums; blocks with R_i = 0 contribute
+    nothing to either side, so only keys active in the window need
+    materializing.  Q = (k−1)(k·ΣG_j² − N²)/(k·N − ΣR_i²) closes in
+    one mirrored float expression.
+
+    Scale shape: the window predicate is evaluated map-side against
+    the broadcast tmax scalar, (key, type) pairs collapse to
+    distinct cells per block before ONE keyed exchange, and the
+    driver sees k + a-few-scalars partials per partition."""
+    from .partition import group_apply
+
+    tmax = int(pd.Timestamp(ds.max(ts_col)).value) // 1000
+    lo = tmax - int(window_us)
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        m = tus >= lo
+        g = df.loc[m, [key, type_col]].drop_duplicates()
+        return g.reset_index(drop=True)
+
+    cells = ds.select_columns([key, type_col, ts_col]).map_batches(
+        cell_partial, batch_format="pandas")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"t": pd.Series(dtype=object),
+               "g": pd.Series(dtype="int64"),
+               "r1": pd.Series(dtype="int64"),
+               "r2": pd.Series(dtype="int64"),
+               "nb": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(out)
+        u = df[[key, type_col]].drop_duplicates()
+        gj = u.groupby(type_col, as_index=False).size() \
+            .rename(columns={"size": "g"})
+        ri = u.groupby(key).size().to_numpy(np.int64)
+        res = pd.DataFrame({"t": gj[type_col].to_numpy(object),
+                            "g": gj["g"].to_numpy(np.int64)})
+        res["r1"] = 0
+        res["r2"] = 0
+        res["nb"] = 0
+        res.loc[0, "r1"] = int(ri.sum())
+        res.loc[0, "r2"] = int((ri * ri).sum())
+        res.loc[0, "nb"] = len(ri)
+        return res
+
+    parts = group_apply(cells, per_part,
+                        num_partitions=num_partitions,
+                        key=key).to_pandas()
+    cols = {"event_type": pd.Series(dtype=object),
+            "g_count": pd.Series(dtype="int64"),
+            "n_blocks": pd.Series(dtype="int64"),
+            "n_types": pd.Series(dtype="int64"),
+            "n_total": pd.Series(dtype="int64"),
+            "q_stat": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    agg = parts.groupby("t", as_index=False)["g"].sum() \
+        .sort_values("t").reset_index(drop=True)
+    kg = len(agg)
+    n = int(parts["r1"].sum())
+    r2 = int(parts["r2"].sum())
+    nb = int(parts["nb"].sum())
+    gg = int((agg["g"].to_numpy(np.int64)
+              * agg["g"].to_numpy(np.int64)).sum())
+    den = kg * n - r2
+    if kg < 2 or den <= 0:
+        return pd.DataFrame(cols)
+    kf = float(kg)
+    q = (kf - 1.0) * (kf * float(gg) - float(n) * float(n)) \
+        / (kf * float(n) - float(r2))
+    return pd.DataFrame({
+        "event_type": agg["t"].to_numpy(object),
+        "g_count": agg["g"].to_numpy(np.int64),
+        "n_blocks": np.full(kg, nb, dtype=np.int64),
+        "n_types": np.full(kg, kg, dtype=np.int64),
+        "n_total": np.full(kg, n, dtype=np.int64),
+        "q_stat": np.full(kg, q)})
+
+
+def mcnemar_halves(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    etype_a: str = "purchase",
+    etype_b: str = "error",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """McNemar paired-proportion test: per block (key), the binary
+    outcome "fired MORE ``etype_a`` than ``etype_b`` events" in the
+    FIRST vs SECOND half of the global time range (split at the
+    integer-µs midpoint) — an exact-integer comparison per half, so
+    the indicator itself needs no float.  The discordant counts
+    b (first only) / c (second only) are exact; both χ² variants
+    have INTEGER numerators — plain (b−c)² and Edwards-corrected
+    (|b−c|−1)² — so each closes in one mirrored float division.
+
+    Scale shape: tmin/tmax are two cheap metadata passes, the
+    midpoint broadcasts as a plain int, per-key half-count cells
+    sum-combine map-side then once per keyed exchange, and the
+    driver sees a 2×2 table per partition."""
+    from .partition import group_apply
+
+    tmax = int(pd.Timestamp(ds.max(ts_col)).value) // 1000
+    tmin = int(pd.Timestamp(ds.min(ts_col)).value) // 1000
+    tmid = (tmin + tmax) // 2
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        et = df[type_col].to_numpy(object)
+        ha = et == etype_a
+        hb = et == etype_b
+        h1 = tus < tmid
+        g = pd.DataFrame({
+            key: df[key].to_numpy(np.int64),
+            "a1": (ha & h1).astype(np.int64),
+            "b1": (hb & h1).astype(np.int64),
+            "a2": (ha & ~h1).astype(np.int64),
+            "b2": (hb & ~h1).astype(np.int64)})
+        return g.groupby(key, as_index=False).sum()
+
+    cells = ds.select_columns([key, type_col, ts_col]).map_batches(
+        cnt_partial, batch_format="pandas")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "c": pd.Series(dtype="int64"),
+                "d": pd.Series(dtype="int64")})
+        g = df.groupby(key, as_index=False)[
+            ["a1", "b1", "a2", "b2"]].sum()
+        x1 = (g["a1"].to_numpy(np.int64)
+              > g["b1"].to_numpy(np.int64)).astype(np.int64)
+        x2 = (g["a2"].to_numpy(np.int64)
+              > g["b2"].to_numpy(np.int64)).astype(np.int64)
+        return pd.DataFrame({
+            "a": [int((x1 & x2).sum())],
+            "b": [int((x1 & (1 - x2)).sum())],
+            "c": [int(((1 - x1) & x2).sum())],
+            "d": [int(((1 - x1) & (1 - x2)).sum())]})
+
+    parts = group_apply(cells, per_part,
+                        num_partitions=num_partitions,
+                        key=key).to_pandas()
+    cols = {"n_both": pd.Series(dtype="int64"),
+            "n_first_only": pd.Series(dtype="int64"),
+            "n_second_only": pd.Series(dtype="int64"),
+            "n_neither": pd.Series(dtype="int64"),
+            "chi2_plain": pd.Series(dtype="float64"),
+            "chi2_corrected": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    a = int(parts["a"].sum())
+    b = int(parts["b"].sum())
+    c = int(parts["c"].sum())
+    d = int(parts["d"].sum())
+    if b + c == 0:
+        return pd.DataFrame(cols)
+    num_p = (b - c) * (b - c)
+    num_c = (abs(b - c) - 1) * (abs(b - c) - 1)
+    return pd.DataFrame({
+        "n_both": np.array([a], np.int64),
+        "n_first_only": np.array([b], np.int64),
+        "n_second_only": np.array([c], np.int64),
+        "n_neither": np.array([d], np.int64),
+        "chi2_plain": [float(num_p) / float(b + c)],
+        "chi2_corrected": [float(num_c) / float(b + c)]})
+
+
+def sign_test_halves(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Paired sign test on per-block activity: did each key fire
+    MORE events in the second half of the global time range than
+    the first (split at the integer-µs midpoint)?  Ties drop, the
+    large-sample z closes from the exact plus/minus counts with
+    continuity correction: z = (2·max(p,m) − n − 1)/√n, n = p+m.
+
+    The nonparametric sibling of wilcoxon_shift (which ranks the
+    magnitude of the change; the sign test uses direction only) —
+    same scale shape: per-key (c1, c2) count cells sum-combine
+    map-side then once per keyed exchange; three ints per partition
+    reach the driver."""
+    from .partition import group_apply
+
+    tmax = int(pd.Timestamp(ds.max(ts_col)).value) // 1000
+    tmin = int(pd.Timestamp(ds.min(ts_col)).value) // 1000
+    tmid = (tmin + tmax) // 2
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({
+            key: df[key].to_numpy(np.int64),
+            "c1": (tus < tmid).astype(np.int64),
+            "c2": (tus >= tmid).astype(np.int64)})
+        return g.groupby(key, as_index=False).sum()
+
+    cells = ds.select_columns([key, ts_col]).map_batches(
+        cnt_partial, batch_format="pandas")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "p": pd.Series(dtype="int64"),
+                "m": pd.Series(dtype="int64"),
+                "t": pd.Series(dtype="int64")})
+        g = df.groupby(key, as_index=False)[["c1", "c2"]].sum()
+        c1 = g["c1"].to_numpy(np.int64)
+        c2 = g["c2"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "p": [int((c2 > c1).sum())],
+            "m": [int((c1 > c2).sum())],
+            "t": [int((c1 == c2).sum())]})
+
+    parts = group_apply(cells, per_part,
+                        num_partitions=num_partitions,
+                        key=key).to_pandas()
+    cols = {"n_plus": pd.Series(dtype="int64"),
+            "n_minus": pd.Series(dtype="int64"),
+            "n_ties": pd.Series(dtype="int64"),
+            "z_stat": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    p = int(parts["p"].sum())
+    m = int(parts["m"].sum())
+    t = int(parts["t"].sum())
+    n = p + m
+    if n == 0:
+        return pd.DataFrame(cols)
+    z = (2.0 * float(max(p, m)) - float(n) - 1.0) \
+        / float(np.sqrt(float(n)))
+    return pd.DataFrame({
+        "n_plus": np.array([p], np.int64),
+        "n_minus": np.array([m], np.int64),
+        "n_ties": np.array([t], np.int64),
+        "z_stat": [z]})

@@ -1415,3 +1415,120 @@ def test_dormant_balance_consistency(ray_session):
     assert int(out["numcust"].sum()) <= int(n_dormant)
     assert np.allclose(out["totacctbal"],
                        out["bal_units"].to_numpy(np.int64) / 100.0)
+
+
+def _halves_events(seed=11, n=6000, nusers=60):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, nusers, n),
+        "event_type": rng.choice(
+            ["purchase", "error", "view", "click"], n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 20 * 86400, n) * 10**6, unit="us"
+        ).astype("datetime64[us]"),
+    })
+
+
+def test_cochran_q_bruteforce_and_shift(ray_session):
+    from cesium_ray.stages.analytics import cochran_q
+
+    # sparse: most users miss at least one type in the window, so
+    # the Q denominator k·N − ΣR² stays positive
+    ev = _halves_events(seed=11, n=900, nusers=220)
+    win = 5 * 86400 * 10**6
+    got = cochran_q(ray.data.from_pandas(ev).repartition(5),
+                    window_us=win, num_partitions=4)
+    # brute force
+    tus = ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    w = ev[tus >= tus.max() - win]
+    x = w[["user_id", "event_type"]].drop_duplicates()
+    gj = x.groupby("event_type").size().sort_index()
+    ri = x.groupby("user_id").size().to_numpy(np.int64)
+    k, n, r2 = len(gj), int(ri.sum()), int((ri * ri).sum())
+    q = (k - 1.0) * (k * float((gj.to_numpy(np.int64) ** 2).sum())
+                     - float(n) * float(n)) \
+        / (k * float(n) - float(r2))
+    assert list(got["event_type"]) == list(gj.index)
+    assert (got["g_count"].to_numpy(np.int64)
+            == gj.to_numpy(np.int64)).all()
+    assert np.allclose(got["q_stat"], q)
+    assert int(got["n_total"].iloc[0]) == n
+    # planted signal: one type fired by every user in-window, the
+    # rest by almost nobody -> Q explodes vs the uniform corpus
+    ev2 = ev.copy()
+    ev2["event_type"] = "view"
+    late = ev2["ts"] >= ev2["ts"].max() - pd.Timedelta(days=5)
+    few = ev2["user_id"] < 3
+    ev2.loc[late & few, "event_type"] = "purchase"
+    got2 = cochran_q(ray.data.from_pandas(ev2).repartition(5),
+                     window_us=win, num_partitions=4)
+    assert got2["q_stat"].iloc[0] > got["q_stat"].iloc[0]
+
+
+def test_mcnemar_bruteforce_and_drift(ray_session):
+    from cesium_ray.stages.analytics import mcnemar_halves
+
+    ev = _halves_events(seed=12)
+    got = mcnemar_halves(ray.data.from_pandas(ev).repartition(5),
+                         num_partitions=4)
+    tus = ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    tmid = (int(tus.min()) + int(tus.max())) // 2
+    df = ev.assign(
+        tus=tus,
+        p=(ev["event_type"] == "purchase").astype(int),
+        e=(ev["event_type"] == "error").astype(int))
+    h1 = df[df["tus"] < tmid].groupby("user_id")[["p", "e"]].sum()
+    h2 = df[df["tus"] >= tmid].groupby("user_id")[["p", "e"]].sum()
+    allu = df.groupby("user_id").size().index
+    x1 = h1.reindex(allu, fill_value=0)
+    x2 = h2.reindex(allu, fill_value=0)
+    f1 = (x1["p"] > x1["e"]).to_numpy()
+    f2 = (x2["p"] > x2["e"]).to_numpy()
+    b = int((f1 & ~f2).sum())
+    c = int((~f1 & f2).sum())
+    assert int(got["n_first_only"].iloc[0]) == b
+    assert int(got["n_second_only"].iloc[0]) == c
+    assert int(got["n_both"].iloc[0]) == int((f1 & f2).sum())
+    assert np.isclose(got["chi2_plain"].iloc[0],
+                      (b - c) ** 2 / (b + c))
+    # planted drift: purchases only in the second half -> c >> b
+    ev3 = ev.copy()
+    early = ev3["ts"].to_numpy("datetime64[us]").astype(np.int64) \
+        < tmid
+    ev3.loc[early & (ev3["event_type"] == "purchase"),
+            "event_type"] = "view"
+    got3 = mcnemar_halves(ray.data.from_pandas(ev3).repartition(5),
+                          num_partitions=4)
+    assert int(got3["n_first_only"].iloc[0]) == 0
+    assert int(got3["n_second_only"].iloc[0]) > 0
+
+
+def test_sign_test_bruteforce_and_shift(ray_session):
+    from cesium_ray.stages.analytics import sign_test_halves
+
+    ev = _halves_events(seed=13)
+    got = sign_test_halves(ray.data.from_pandas(ev).repartition(5),
+                           num_partitions=4)
+    tus = ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    tmid = (int(tus.min()) + int(tus.max())) // 2
+    c1 = ev[tus < tmid].groupby("user_id").size()
+    c2 = ev[tus >= tmid].groupby("user_id").size()
+    allu = ev.groupby("user_id").size().index
+    a = c1.reindex(allu, fill_value=0).to_numpy(np.int64)
+    b = c2.reindex(allu, fill_value=0).to_numpy(np.int64)
+    p, m = int((b > a).sum()), int((a > b).sum())
+    assert int(got["n_plus"].iloc[0]) == p
+    assert int(got["n_minus"].iloc[0]) == m
+    assert int(got["n_ties"].iloc[0]) == int((a == b).sum())
+    n = p + m
+    assert np.isclose(got["z_stat"].iloc[0],
+                      (2.0 * max(p, m) - n - 1.0) / np.sqrt(n))
+    # planted shift: drop 80% of first-half rows -> n_plus dominates
+    keep = ~((tus < tmid)
+             & (np.arange(len(ev)) % 5 != 0))
+    got4 = sign_test_halves(
+        ray.data.from_pandas(ev[keep]).repartition(5),
+        num_partitions=4)
+    assert int(got4["n_plus"].iloc[0]) \
+        > int(got4["n_minus"].iloc[0])
