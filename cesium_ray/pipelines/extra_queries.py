@@ -11984,7 +11984,131 @@ FROM t WHERE p + m > 0
 """
 
 
+_TWO_SAMPLE_HIST_CTE = """
+WITH q AS (SELECT CAST(round(value*100) AS BIGINT) AS k,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                    AS isx
+           FROM events
+           WHERE value IS NOT NULL
+             AND event_type IN ('click', 'view')),
+h AS (SELECT k, CAST(sum(isx) AS BIGINT) AS cx,
+             CAST(sum(1 - isx) AS BIGINT) AS cy
+      FROM q GROUP BY 1),
+w AS (SELECT k, cx, cy,
+             sum(cx) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+               AS cxc,
+             sum(cy) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+               AS cyc
+      FROM h),
+mm AS (SELECT CAST(sum(cx) AS BIGINT) AS n,
+              CAST(sum(cy) AS BIGINT) AS m FROM h)
+"""
+
+
+def q_cvm_test(sf_dir):
+    """★-checked two-sample Cramér–von Mises EDF test
+    (stages/analytics.py): click vs view values, exact int cell
+    deviations D_k = M·CX − N·CY accumulated in Python-int /
+    HUGEINT, one mirrored closing division."""
+    from ..stages.analytics import cvm_two_sample
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(cvm_two_sample(ev))
+
+
+CVM_SQL = _TWO_SAMPLE_HIST_CTE + """,
+s AS (SELECT sum(CAST(cx + cy AS HUGEINT)
+                 * (mm.m*cxc - mm.n*cyc)
+                 * (mm.m*cxc - mm.n*cyc)) AS num
+      FROM w, mm)
+SELECT mm.n AS n_x, mm.m AS n_y,
+       round(CAST(s.num AS DOUBLE)
+             / CAST(CAST(mm.n + mm.m AS HUGEINT)*(mm.n + mm.m)
+                    *mm.n*mm.m AS DOUBLE), 6) AS t_stat
+FROM s, mm WHERE mm.n > 0 AND mm.m > 0
+"""
+
+
+def q_ansari_bradley(sf_dir):
+    """★-checked Ansari–Bradley nonparametric scale test
+    (stages/analytics.py): click vs view values, exact doubled
+    mid-rank scores from both ends, mirrored tie-corrected z."""
+    from ..stages.analytics import ansari_bradley
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(ansari_bradley(ev))
+
+
+ANSARI_SQL = _TWO_SAMPLE_HIST_CTE + """,
+a AS (SELECT cx, cy, cx + cy AS l,
+             2*(cxc + cyc) - (cx + cy) + 1 AS d2
+      FROM w),
+sc AS (SELECT cx, l,
+              least(d2, 2*(mm.n + mm.m + 1) - d2) AS a2
+       FROM a, mm),
+s AS (SELECT CAST(sum(cx*a2) AS BIGINT) AS w2,
+             CAST(sum(l*a2) AS BIGINT) AS s1,
+             sum(CAST(l AS HUGEINT)*a2*a2) AS s2
+      FROM sc)
+SELECT mm.n AS n_x, mm.m AS n_y, s.w2 AS w_twice,
+       round(CAST((mm.n + mm.m)*s.w2 - mm.n*s.s1 AS DOUBLE)
+             / sqrt(CAST(CAST(mm.n AS HUGEINT)*mm.m
+                         *(CAST(mm.n + mm.m AS HUGEINT)*s.s2
+                           - CAST(s.s1 AS HUGEINT)*s.s1)
+                         AS DOUBLE)
+                    / CAST(mm.n + mm.m - 1 AS DOUBLE)), 6)
+         AS z_stat
+FROM s, mm
+WHERE mm.n > 0 AND mm.m > 0
+  AND CAST(mm.n AS HUGEINT)*mm.m
+      *(CAST(mm.n + mm.m AS HUGEINT)*s.s2
+        - CAST(s.s1 AS HUGEINT)*s.s1) > 0
+"""
+
+
+def q_mood_scale(sf_dir):
+    """★-checked Mood squared-rank scale test
+    (stages/analytics.py): click vs view values, exact doubled-rank
+    deviations e = d2 − (N+1), T4 = Σcx·e² int64, mirrored
+    moment z (S2 = Σl·e⁴ in Python-int / HUGEINT)."""
+    from ..stages.analytics import mood_scale
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(mood_scale(ev))
+
+
+MOOD_SCALE_SQL = _TWO_SAMPLE_HIST_CTE + """,
+a AS (SELECT cx, cy, cx + cy AS l,
+             2*(cxc + cyc) - (cx + cy) + 1 AS d2
+      FROM w),
+sc AS (SELECT cx, l, d2 - (mm.n + mm.m + 1) AS e FROM a, mm),
+s AS (SELECT CAST(sum(cx*e*e) AS BIGINT) AS t4,
+             CAST(sum(l*e*e) AS BIGINT) AS s1,
+             sum(CAST(l AS HUGEINT)*e*e*e*e) AS s2
+      FROM sc)
+SELECT mm.n AS n_x, mm.m AS n_y, s.t4 AS t_quad,
+       round(CAST((mm.n + mm.m)*s.t4 - mm.n*s.s1 AS DOUBLE)
+             / sqrt(CAST(CAST(mm.n AS HUGEINT)*mm.m
+                         *(CAST(mm.n + mm.m AS HUGEINT)*s.s2
+                           - CAST(s.s1 AS HUGEINT)*s.s1)
+                         AS DOUBLE)
+                    / CAST(mm.n + mm.m - 1 AS DOUBLE)), 6)
+         AS z_stat
+FROM s, mm
+WHERE mm.n > 0 AND mm.m > 0
+  AND CAST(mm.n AS HUGEINT)*mm.m
+      *(CAST(mm.n + mm.m AS HUGEINT)*s.s2
+        - CAST(s.s1 AS HUGEINT)*s.s1) > 0
+"""
+
+
 EXTRA_QUERIES = {
+    "cvm_test": q_cvm_test,
+    "ansari_bradley": q_ansari_bradley,
+    "mood_scale": q_mood_scale,
     "cochran_q": q_cochran_q,
     "mcnemar": q_mcnemar,
     "sign_test": q_sign_test,
@@ -12240,6 +12364,9 @@ EXTRA_ORACLE_SQL = {
     "complexity_profile": COMPLEXITY_SQL,
     "strike_profile": STRIKE_SQL,
     "index_mass_quantile": IMQ_SQL,
+    "cvm_test": CVM_SQL,
+    "ansari_bradley": ANSARI_SQL,
+    "mood_scale": MOOD_SCALE_SQL,
     "cochran_q": COCHRAN_Q_SQL,
     "mcnemar": MCNEMAR_SQL,
     "sign_test": SIGN_TEST_SQL,

@@ -3428,3 +3428,181 @@ def sign_test_halves(
         "n_minus": np.array([m], np.int64),
         "n_ties": np.array([t], np.int64),
         "z_stat": [z]})
+
+
+def _two_sample_hist(
+    ds: ray.data.Dataset,
+    type_col: str,
+    val_col: str,
+    type_x: str,
+    type_y: str,
+) -> pd.DataFrame:
+    """Shared map-side partial for the two-sample EDF/scale tests:
+    exact (k = round(value·100), cx, cy) histogram cells for the two
+    requested categories.  Cells are bounded by the value domain, so
+    the driver-side closing never sees row-scale data."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(np.float64)
+        t = df[type_col].to_numpy(object)
+        ok = ~np.isnan(v) & ((t == type_x) | (t == type_y))
+        k = np.rint(v[ok] * 100.0).astype(np.int64)
+        isx = (t[ok] == type_x).astype(np.int64)
+        g = pd.DataFrame({"k": k, "cx": isx, "cy": 1 - isx})
+        return g.groupby("k", as_index=False).sum()
+
+    parts = ds.select_columns([type_col, val_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return parts
+    return parts.groupby("k", as_index=False)[["cx", "cy"]].sum() \
+        .sort_values("k").reset_index(drop=True)
+
+
+def cvm_two_sample(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+    type_x: str = "click",
+    type_y: str = "view",
+) -> pd.DataFrame:
+    """Two-sample Cramér–von Mises statistic in its tie-robust
+    EDF-functional form: T = NM/(N+M) · Σ_k (l_k/(N+M)) ·
+    (F_N(k) − G_M(k))² with the pooled EDF as the integrator —
+    equivalently T = Σ_k l_k·D_k² / ((N+M)²·N·M) with the EXACT
+    integer cell deviations D_k = M·CX_k − N·CY_k.  The whole-
+    distribution sibling of ks_drift (KS reads only the max EDF
+    gap; CvM integrates every gap).
+
+    Σ l·D² overflows int64 at ~10⁹ pooled rows, so the driver
+    accumulates PYTHON ints over the (value-domain-bounded)
+    histogram and the oracle mirrors in HUGEINT; the single closing
+    division is the only float."""
+    hist = _two_sample_hist(ds, type_col, val_col, type_x, type_y)
+    cols = {"n_x": pd.Series(dtype="int64"),
+            "n_y": pd.Series(dtype="int64"),
+            "t_stat": pd.Series(dtype="float64")}
+    if len(hist) == 0:
+        return pd.DataFrame(cols)
+    cx = [int(v) for v in hist["cx"]]
+    cy = [int(v) for v in hist["cy"]]
+    n, m = sum(cx), sum(cy)
+    if n == 0 or m == 0:
+        return pd.DataFrame(cols)
+    num = 0
+    CX = CY = 0
+    for cxk, cyk in zip(cx, cy):
+        CX += cxk
+        CY += cyk
+        d = m * CX - n * CY
+        num += (cxk + cyk) * d * d
+    den = (n + m) * (n + m) * n * m
+    return pd.DataFrame({
+        "n_x": np.array([n], np.int64),
+        "n_y": np.array([m], np.int64),
+        "t_stat": [float(num) / float(den)]})
+
+
+def ansari_bradley(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+    type_x: str = "click",
+    type_y: str = "view",
+) -> pd.DataFrame:
+    """Ansari–Bradley two-sample scale test with mid-rank ties:
+    scores run 1, 2, … toward the middle from BOTH ends, so a
+    sample squeezed toward the pooled median scores high.  Doubled
+    mid-rank d2_k = 2·less_k + l_k + 1 and doubled score
+    a2_k = min(d2_k, 2(N+1) − d2_k) are EXACT int64 from the pooled
+    histogram; W2 = Σ cx_k·a2_k, S1 = Σ l_k·a2_k, S2 = Σ l_k·a2_k²
+    are exact partial-friendly moments, and the tie-corrected
+    normal closing z = (N·W2 − m·S1)/√(m·n·(N·S2 − S1²)/(N−1))
+    is one mirrored float expression (N·S2 overflows int64 at
+    ~10⁶ pooled rows → Python-int driver / HUGEINT oracle).
+
+    Completes the scale ladder next to levene_bf/bartlett (moment
+    tests) with a fully nonparametric member."""
+    hist = _two_sample_hist(ds, type_col, val_col, type_x, type_y)
+    cols = {"n_x": pd.Series(dtype="int64"),
+            "n_y": pd.Series(dtype="int64"),
+            "w_twice": pd.Series(dtype="int64"),
+            "z_stat": pd.Series(dtype="float64")}
+    if len(hist) == 0:
+        return pd.DataFrame(cols)
+    cx = [int(v) for v in hist["cx"]]
+    cy = [int(v) for v in hist["cy"]]
+    n_x, n_y = sum(cx), sum(cy)
+    N = n_x + n_y
+    if n_x == 0 or n_y == 0 or N < 2:
+        return pd.DataFrame(cols)
+    w2 = s1 = s2 = 0
+    less = 0
+    for cxk, cyk in zip(cx, cy):
+        lk = cxk + cyk
+        d2 = 2 * less + lk + 1
+        a2 = min(d2, 2 * (N + 1) - d2)
+        w2 += cxk * a2
+        s1 += lk * a2
+        s2 += lk * a2 * a2
+        less += lk
+    var_num = n_x * n_y * (N * s2 - s1 * s1)
+    if var_num <= 0:
+        return pd.DataFrame(cols)
+    z = float(N * w2 - n_x * s1) \
+        / float(np.sqrt(float(var_num) / float(N - 1)))
+    return pd.DataFrame({
+        "n_x": np.array([n_x], np.int64),
+        "n_y": np.array([n_y], np.int64),
+        "w_twice": np.array([w2], np.int64),
+        "z_stat": [z]})
+
+
+def mood_scale(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+    type_x: str = "click",
+    type_y: str = "view",
+) -> pd.DataFrame:
+    """Mood two-sample squared-rank scale test: T = Σ_X
+    (r_i − (N+1)/2)², mid-ranks for ties.  In doubled rank space
+    e_k = d2_k − (N+1) is an exact int and T4 = 4T = Σ cx_k·e_k²;
+    the moment closing z = (N·T4 − m·S1)/√(m·n·(N·S2 − S1²)/(N−1))
+    uses S1 = Σ l·e², S2 = Σ l·e⁴ (e⁴ overflows int64 at ~10⁵
+    pooled rows → Python-int driver / HUGEINT oracle).  The
+    squared-deviation sibling of ansari_bradley (different score
+    function, same machinery)."""
+    hist = _two_sample_hist(ds, type_col, val_col, type_x, type_y)
+    cols = {"n_x": pd.Series(dtype="int64"),
+            "n_y": pd.Series(dtype="int64"),
+            "t_quad": pd.Series(dtype="int64"),
+            "z_stat": pd.Series(dtype="float64")}
+    if len(hist) == 0:
+        return pd.DataFrame(cols)
+    cx = [int(v) for v in hist["cx"]]
+    cy = [int(v) for v in hist["cy"]]
+    n_x, n_y = sum(cx), sum(cy)
+    N = n_x + n_y
+    if n_x == 0 or n_y == 0 or N < 2:
+        return pd.DataFrame(cols)
+    t4 = s1 = s2 = 0
+    less = 0
+    for cxk, cyk in zip(cx, cy):
+        lk = cxk + cyk
+        e = 2 * less + lk + 1 - (N + 1)
+        e2 = e * e
+        t4 += cxk * e2
+        s1 += lk * e2
+        s2 += lk * e2 * e2
+        less += lk
+    var_num = n_x * n_y * (N * s2 - s1 * s1)
+    if var_num <= 0:
+        return pd.DataFrame(cols)
+    z = float(N * t4 - n_x * s1) \
+        / float(np.sqrt(float(var_num) / float(N - 1)))
+    return pd.DataFrame({
+        "n_x": np.array([n_x], np.int64),
+        "n_y": np.array([n_y], np.int64),
+        "t_quad": np.array([t4], np.int64),
+        "z_stat": [z]})

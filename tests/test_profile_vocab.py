@@ -1532,3 +1532,95 @@ def test_sign_test_bruteforce_and_shift(ray_session):
         num_partitions=4)
     assert int(got4["n_plus"].iloc[0]) \
         > int(got4["n_minus"].iloc[0])
+
+
+def _two_type_events(xvals, yvals):
+    n1, n2 = len(xvals), len(yvals)
+    return pd.DataFrame({
+        "event_type": ["click"] * n1 + ["view"] * n2,
+        "value": np.concatenate([xvals, yvals]),
+    })
+
+
+def _pooled_midranks(x, y):
+    """doubled midranks + per-value pooled counts, brute force"""
+    kx = np.rint(x * 100).astype(np.int64)
+    ky = np.rint(y * 100).astype(np.int64)
+    pooled = np.concatenate([kx, ky])
+    ks, counts = np.unique(pooled, return_counts=True)
+    less = np.cumsum(counts) - counts
+    d2 = 2 * less + counts + 1
+    return kx, ky, ks, counts, d2
+
+
+def test_cvm_two_sample_bruteforce_and_spread(ray_session):
+    from cesium_ray.stages.analytics import cvm_two_sample
+
+    rng = np.random.default_rng(21)
+    x = np.round(rng.normal(50, 10, 400), 2)
+    y = np.round(rng.normal(50, 10, 300), 2)
+    ev = _two_type_events(x, y)
+    got = cvm_two_sample(ray.data.from_pandas(ev).repartition(4))
+    kx, ky, ks, counts, _ = _pooled_midranks(x, y)
+    n, m = len(kx), len(ky)
+    CX = np.array([(kx <= k).sum() for k in ks], np.int64)
+    CY = np.array([(ky <= k).sum() for k in ks], np.int64)
+    D = m * CX - n * CY
+    num = int(np.sum(counts * D * D))
+    t = num / float((n + m) ** 2 * n * m)
+    assert int(got["n_x"].iloc[0]) == n
+    assert np.isclose(got["t_stat"].iloc[0], t)
+    # planted location shift -> T explodes
+    ev2 = _two_type_events(x, y + 30)
+    got2 = cvm_two_sample(ray.data.from_pandas(ev2).repartition(4))
+    assert got2["t_stat"].iloc[0] > 20 * got["t_stat"].iloc[0]
+
+
+def test_ansari_bradley_bruteforce_and_scale(ray_session):
+    from cesium_ray.stages.analytics import ansari_bradley
+
+    rng = np.random.default_rng(22)
+    x = np.round(rng.normal(50, 3, 350), 2)   # tight
+    y = np.round(rng.normal(50, 15, 450), 2)  # wide
+    ev = _two_type_events(x, y)
+    got = ansari_bradley(ray.data.from_pandas(ev).repartition(4))
+    kx, ky, ks, counts, d2 = _pooled_midranks(x, y)
+    N = len(kx) + len(ky)
+    a2 = np.minimum(d2, 2 * (N + 1) - d2)
+    cx = np.array([(kx == k).sum() for k in ks], np.int64)
+    w2 = int(np.sum(cx * a2))
+    s1 = int(np.sum(counts * a2))
+    s2 = int(np.sum(counts * a2 * a2))
+    nx, ny = len(kx), len(ky)
+    z = (N * w2 - nx * s1) / np.sqrt(
+        nx * ny * (N * s2 - s1 * s1) / (N - 1))
+    assert int(got["w_twice"].iloc[0]) == w2
+    assert np.isclose(got["z_stat"].iloc[0], z)
+    # tight sample scores high from both ends -> strongly positive z
+    assert got["z_stat"].iloc[0] > 3.0
+
+
+def test_mood_scale_bruteforce_and_scale(ray_session):
+    from cesium_ray.stages.analytics import mood_scale
+
+    rng = np.random.default_rng(23)
+    x = np.round(rng.normal(50, 3, 350), 2)   # tight
+    y = np.round(rng.normal(50, 15, 450), 2)  # wide
+    ev = _two_type_events(x, y)
+    got = mood_scale(ray.data.from_pandas(ev).repartition(4))
+    kx, ky, ks, counts, d2 = _pooled_midranks(x, y)
+    N = len(kx) + len(ky)
+    e = (d2 - (N + 1)).astype(object)  # python ints: e^4 overflows
+    cx = np.array([(kx == k).sum() for k in ks], np.int64)
+    t4 = int(sum(int(c) * int(ee) ** 2 for c, ee in zip(cx, e)))
+    s1 = int(sum(int(c) * int(ee) ** 2
+                 for c, ee in zip(counts, e)))
+    s2 = int(sum(int(c) * int(ee) ** 4
+                 for c, ee in zip(counts, e)))
+    nx, ny = len(kx), len(ky)
+    z = float(N * t4 - nx * s1) / np.sqrt(
+        float(nx * ny * (N * s2 - s1 * s1)) / (N - 1))
+    assert int(got["t_quad"].iloc[0]) == t4
+    assert np.isclose(got["z_stat"].iloc[0], z)
+    # tight sample has small squared deviations -> strongly negative
+    assert got["z_stat"].iloc[0] < -3.0
