@@ -12105,7 +12105,121 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_ratio_beyond_sigma(sf_dir):
+    """★-checked tsfresh-style ratio_beyond_r_sigma profile
+    (stages/tsmath.py): per-key share of points beyond 1σ/2σ of the
+    key's own mean via the all-integer (n·x−S)² > r²·(n·Q−S²) test;
+    mirrored float shares only."""
+    from ..stages.tsmath import ratio_beyond_sigma
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return round6(ratio_beyond_sigma(ev, num_partitions=8))
+
+
+RATIO_SIGMA_SQL = """
+WITH o AS (SELECT user_id,
+                  CAST(round(value*100) AS BIGINT) AS x
+           FROM events),
+m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x*x) AS BIGINT) AS q
+      FROM o GROUP BY 1),
+f AS (SELECT o.user_id,
+             CAST(m.n*o.x - m.s AS HUGEINT) AS dev,
+             CAST(m.n AS HUGEINT)*m.q
+               - CAST(m.s AS HUGEINT)*m.s AS vn
+      FROM o JOIN m USING (user_id)),
+c AS (SELECT user_id,
+             CAST(sum(CASE WHEN dev*dev > vn THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN dev*dev > 4*vn THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM f GROUP BY 1)
+SELECT m.user_id, m.n, c.c1 AS n_beyond_1s, c.c2 AS n_beyond_2s,
+       round(CAST(c.c1 AS DOUBLE)/CAST(m.n AS DOUBLE), 6)
+         AS ratio_1s,
+       round(CAST(c.c2 AS DOUBLE)/CAST(m.n AS DOUBLE), 6)
+         AS ratio_2s
+FROM m JOIN c USING (user_id)
+"""
+
+
+def q_reoccurrence_profile(sf_dir):
+    """★-checked tsfresh reoccurrence quartet (stages/tsmath.py):
+    per-key distinct count, values seen >1×, Σ reoccurring values
+    once / per point — exact int64 over (key, k) histogram cells;
+    mirrored shares only."""
+    from ..stages.tsmath import reoccurrence_profile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return round6(reoccurrence_profile(ev, num_partitions=8))
+
+
+REOCC_SQL = """
+WITH o AS (SELECT user_id,
+                  CAST(round(value*100) AS BIGINT) AS k
+           FROM events),
+g AS (SELECT user_id, k, CAST(count(*) AS BIGINT) AS c
+      FROM o GROUP BY 1, 2),
+r AS (SELECT user_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_reocc_vals,
+             CAST(sum(CASE WHEN c > 1 THEN k ELSE 0 END)
+                  AS BIGINT) AS sum_reocc_vals,
+             CAST(sum(CASE WHEN c > 1 THEN k*c ELSE 0 END)
+                  AS BIGINT) AS sum_reocc_points,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                  AS BIGINT) AS n_reocc_points
+      FROM g GROUP BY 1)
+SELECT user_id, n, n_distinct, n_reocc_vals, sum_reocc_vals,
+       sum_reocc_points,
+       round(CAST(n_reocc_points AS DOUBLE)/CAST(n AS DOUBLE), 6)
+         AS pct_reocc_points,
+       round(CAST(n_distinct AS DOUBLE)/CAST(n AS DOUBLE), 6)
+         AS distinct_ratio
+FROM r
+"""
+
+
+def q_abs_max_profile(sf_dir):
+    """★-checked tsfresh mean_n_absolute_max (stages/tsmath.py):
+    per-key mean of the 5 largest |value|s; the top-k |k| multiset
+    is order-unique so the integer sum is exact, one mirrored
+    descaled closing."""
+    from ..stages.tsmath import abs_max_profile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return round6(abs_max_profile(ev, top_n=5, num_partitions=8))
+
+
+ABS_MAX_SQL = """
+WITH o AS (SELECT user_id,
+                  abs(CAST(round(value*100) AS BIGINT)) AS a
+           FROM events),
+rk AS (SELECT user_id, a,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY a DESC) AS r
+       FROM o),
+m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM o GROUP BY 1),
+t AS (SELECT user_id, CAST(sum(a) AS BIGINT) AS s
+      FROM rk WHERE r <= 5 GROUP BY 1)
+SELECT m.user_id, m.n, t.s AS top_abs_sum,
+       round(CAST(t.s AS DOUBLE)/(100.0*least(m.n, 5)), 6)
+         AS mean_abs_max
+FROM m JOIN t USING (user_id)
+"""
+
+
 EXTRA_QUERIES = {
+    "ratio_beyond_sigma": q_ratio_beyond_sigma,
+    "reoccurrence_profile": q_reoccurrence_profile,
+    "abs_max_profile": q_abs_max_profile,
     "cvm_test": q_cvm_test,
     "ansari_bradley": q_ansari_bradley,
     "mood_scale": q_mood_scale,
@@ -12355,6 +12469,9 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "ratio_beyond_sigma": RATIO_SIGMA_SQL,
+    "reoccurrence_profile": REOCC_SQL,
+    "abs_max_profile": ABS_MAX_SQL,
     "psd_profile": PSD_PROFILE_SQL,
     "extreme_locations": EXTREME_LOC_SQL,
     "weibull_gaps": WEIBULL_GAPS_SQL,

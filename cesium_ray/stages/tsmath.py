@@ -4745,3 +4745,190 @@ def index_mass_quantile(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def ratio_beyond_sigma(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key share of points beyond 1σ / 2σ of the key's own mean
+    (tsfresh ratio_beyond_r_sigma) — the tail-heaviness screen that
+    kurtosis reads as one moment and this reads as two exact counts.
+
+    The σ test never forms a float: |x − μ| > r·σ ⟺
+    (n·x − S)² > r²·(n·Q − S²) with S = Σx, Q = Σx² in int64
+    k-space (bound: n·Q ≲ 2³¹ rows·k² — far past sandbox scale).
+    Counts are exact; the two shares are the only mirrored float
+    divisions.  One key-hash exchange, reduceat per key segment."""
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "n_beyond_1s": pd.Series(dtype="int64"),
+                "n_beyond_2s": pd.Series(dtype="int64"),
+                "ratio_1s": pd.Series(dtype="float64"),
+                "ratio_2s": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        x = _quantize(df[val_col].to_numpy())
+        order = np.argsort(kc, kind="stable")
+        k, xs = kc[order], x[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        S = np.add.reduceat(xs, starts)
+        Q = np.add.reduceat(xs * xs, starts)
+        nn = np.repeat(n, n)
+        dev = nn * xs - np.repeat(S, n)
+        dev2 = dev * dev
+        var_n = np.repeat(n * Q - S * S, n)
+        b1 = dev2 > var_n
+        b2 = dev2 > 4 * var_n
+        seg = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        c1 = np.zeros(len(starts), np.int64)
+        c2 = np.zeros(len(starts), np.int64)
+        np.add.at(c1, seg, b1.astype(np.int64))
+        np.add.at(c2, seg, b2.astype(np.int64))
+        return pd.DataFrame({
+            key: np.asarray(kuniq)[k[starts]],
+            "n": n, "n_beyond_1s": c1, "n_beyond_2s": c2,
+            "ratio_1s": c1.astype(np.float64) / n.astype(np.float64),
+            "ratio_2s": c2.astype(np.float64)
+            / n.astype(np.float64)})
+
+    out = group_apply(ds.select_columns([key, val_col]), per_key,
+                      num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def reoccurrence_profile(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key value-reoccurrence profile (the tsfresh reoccurrence
+    quartet in one pass): distinct count, distinct values seen more
+    than once, Σ of each reoccurring value counted ONCE
+    (sum_of_reoccurring_values) and counted per point
+    (sum_of_reoccurring_data_points), plus the two mirrored shares
+    (points carrying a reoccurring value / n, distinct / n).
+    Separates quantized/clipped streams (heavy reoccurrence) from
+    continuous ones — a data-quality screen binned_entropy can't
+    express.
+
+    All sums are exact int64 in k-space over (key, k) histogram
+    cells; one key-hash exchange."""
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "n_distinct": pd.Series(dtype="int64"),
+                "n_reocc_vals": pd.Series(dtype="int64"),
+                "sum_reocc_vals": pd.Series(dtype="int64"),
+                "sum_reocc_points": pd.Series(dtype="int64"),
+                "pct_reocc_points": pd.Series(dtype="float64"),
+                "distinct_ratio": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        g = pd.DataFrame({key: df[key].to_numpy(),
+                          "k": _quantize(df[val_col].to_numpy())})
+        c = g.groupby([key, "k"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        cc = c["c"].to_numpy(np.int64)
+        kk = c["k"].to_numpy(np.int64)
+        re = cc > 1
+        agg = pd.DataFrame({
+            key: c[key].to_numpy(),
+            "one": 1,
+            "cnt": cc,
+            "rv": re.astype(np.int64),
+            "sv": np.where(re, kk, 0),
+            "sp": np.where(re, kk * cc, 0),
+            "rp": np.where(re, cc, 0)})
+        r = agg.groupby(key, as_index=False).agg(
+            n=("cnt", "sum"), n_distinct=("one", "sum"),
+            n_reocc_vals=("rv", "sum"),
+            sum_reocc_vals=("sv", "sum"),
+            sum_reocc_points=("sp", "sum"),
+            n_reocc_points=("rp", "sum"))
+        nf = r["n"].to_numpy(np.int64).astype(np.float64)
+        return pd.DataFrame({
+            key: r[key].to_numpy(),
+            "n": r["n"].to_numpy(np.int64),
+            "n_distinct": r["n_distinct"].to_numpy(np.int64),
+            "n_reocc_vals": r["n_reocc_vals"].to_numpy(np.int64),
+            "sum_reocc_vals": r["sum_reocc_vals"].to_numpy(np.int64),
+            "sum_reocc_points":
+                r["sum_reocc_points"].to_numpy(np.int64),
+            "pct_reocc_points":
+                r["n_reocc_points"].to_numpy(np.int64)
+                .astype(np.float64) / nf,
+            "distinct_ratio":
+                r["n_distinct"].to_numpy(np.int64)
+                .astype(np.float64) / nf})
+
+    out = group_apply(ds.select_columns([key, val_col]), per_key,
+                      num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def abs_max_profile(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    val_col: str = "value",
+    top_n: int = 5,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key mean of the ``top_n`` largest |value|s (tsfresh
+    mean_n_absolute_max) — the spike-magnitude scale that a plain
+    max reads as one point and a mean dilutes.  The top-k multiset
+    of |k| values is order-unique, so the integer sum is exact and
+    tie-break-free; mean_abs_max = sum/(100·min(top_n, n)) is the
+    one mirrored closing (descaled back to value units).  One
+    key-hash exchange, lexsorted segments, positional top-k."""
+    from .partition import group_apply
+
+    T = int(top_n)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "top_abs_sum": pd.Series(dtype="int64"),
+                "mean_abs_max": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        kc, kuniq = pd.factorize(df[key])
+        ak = np.abs(_quantize(df[val_col].to_numpy()))
+        order = np.lexsort((-ak, kc))
+        k, a = kc[order], ak[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        pos = np.arange(len(k)) - np.repeat(starts, n)
+        top = pos < T
+        seg = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        s = np.zeros(len(starts), np.int64)
+        np.add.at(s, seg[top], a[top])
+        denom = np.minimum(n, T).astype(np.float64)
+        return pd.DataFrame({
+            key: np.asarray(kuniq)[k[starts]],
+            "n": n, "top_abs_sum": s,
+            "mean_abs_max": s.astype(np.float64)
+            / (100.0 * denom)})
+
+    out = group_apply(ds.select_columns([key, val_col]), per_key,
+                      num_partitions=num_partitions,
+                      key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)

@@ -3359,3 +3359,105 @@ def test_index_mass_quantile_bruteforce(ray_session):
     out = index_mass_quantile(ray.data.from_pandas(pl),
                               num_partitions=2)
     assert (out[["idx_25", "idx_50", "idx_75"]].iloc[0] == 1).all()
+
+
+def test_ratio_beyond_sigma_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import ratio_beyond_sigma
+
+    ev = _valued(seed=433, n=2400, nusers=16)
+    got = ratio_beyond_sigma(ray.data.from_pandas(ev)
+                             .repartition(6), num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(x)
+        mu, sd = x.mean(), x.std()  # population sigma
+        c1 = int((np.abs(x - mu) > sd).sum())
+        c2 = int((np.abs(x - mu) > 2 * sd).sum())
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1
+        assert row["n"].iloc[0] == n
+        assert row["n_beyond_1s"].iloc[0] == c1
+        assert row["n_beyond_2s"].iloc[0] == c2
+        assert abs(row["ratio_1s"].iloc[0] - c1 / n) < 1e-12
+        assert abs(row["ratio_2s"].iloc[0] - c2 / n) < 1e-12
+    # constant series: sigma = 0, nothing is beyond it
+    n = 40
+    pl = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 7, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.full(n, 3.5)})
+    out = ratio_beyond_sigma(ray.data.from_pandas(pl),
+                             num_partitions=2)
+    assert out["n_beyond_1s"].iloc[0] == 0
+    assert out["ratio_2s"].iloc[0] == 0.0
+
+
+def test_reoccurrence_profile_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import reoccurrence_profile
+
+    ev = _valued(seed=434, n=2400, nusers=16)
+    # force heavy reoccurrence: quantize values to integers
+    ev["value"] = np.round(ev["value"])
+    got = reoccurrence_profile(ray.data.from_pandas(ev)
+                               .repartition(6), num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        k = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        vals, cnts = np.unique(k, return_counts=True)
+        re = cnts > 1
+        n = len(k)
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1
+        assert row["n"].iloc[0] == n
+        assert row["n_distinct"].iloc[0] == len(vals)
+        assert row["n_reocc_vals"].iloc[0] == int(re.sum())
+        assert row["sum_reocc_vals"].iloc[0] == int(vals[re].sum())
+        assert row["sum_reocc_points"].iloc[0] == \
+            int((vals[re] * cnts[re]).sum())
+        assert abs(row["pct_reocc_points"].iloc[0]
+                   - cnts[re].sum() / n) < 1e-12
+        assert abs(row["distinct_ratio"].iloc[0]
+                   - len(vals) / n) < 1e-12
+    # all-unique series: zero reoccurrence, distinct_ratio = 1
+    n = 30
+    pl = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 9, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.arange(n, dtype=np.float64)})
+    out = reoccurrence_profile(ray.data.from_pandas(pl),
+                               num_partitions=2)
+    assert out["n_reocc_vals"].iloc[0] == 0
+    assert out["sum_reocc_points"].iloc[0] == 0
+    assert out["distinct_ratio"].iloc[0] == 1.0
+
+
+def test_abs_max_profile_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import abs_max_profile
+
+    ev = _valued(seed=435, n=2400, nusers=16)
+    got = abs_max_profile(ray.data.from_pandas(ev)
+                          .repartition(6), top_n=5,
+                          num_partitions=4)
+    for uid, g in ev.groupby("user_id"):
+        a = np.abs(np.rint(g["value"].to_numpy() * 100)
+                   .astype(np.int64))
+        top = np.sort(a)[::-1][:5]
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1
+        assert row["top_abs_sum"].iloc[0] == int(top.sum())
+        assert abs(row["mean_abs_max"].iloc[0]
+                   - top.sum() / (100.0 * min(len(a), 5))) < 1e-12
+    # short series (n < top_n): mean over all n points
+    pl = pd.DataFrame({
+        "event_id": np.arange(3, dtype=np.int64),
+        "user_id": np.full(3, 2, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(3) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.array([-4.0, 1.0, 2.5])})
+    out = abs_max_profile(ray.data.from_pandas(pl), top_n=5,
+                          num_partitions=2)
+    assert out["top_abs_sum"].iloc[0] == 750
+    assert abs(out["mean_abs_max"].iloc[0] - 2.5) < 1e-12
