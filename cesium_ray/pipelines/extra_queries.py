@@ -12105,6 +12105,226 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_brunner_munzel(sf_dir):
+    """★-checked Brunner–Munzel heteroscedastic rank test
+    (stages/analytics.py): click vs view values; exact doubled
+    placements / pooled ranks over the shared value histogram,
+    Python-int/HUGEINT variance moments, mirrored p̂ and W."""
+    from ..stages.analytics import brunner_munzel
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(brunner_munzel(ev))
+
+
+BRUNNER_MUNZEL_SQL = _TWO_SAMPLE_HIST_CTE + """,
+a AS (SELECT cx, cy,
+             2*(cxc + cyc) - (cx + cy) + 1 AS r2,
+             2*cyc - cy AS p2x,
+             2*cxc - cx AS p2y
+      FROM w),
+s AS (SELECT CAST(sum(cx*p2x) AS HUGEINT) AS px,
+             CAST(sum(cy*p2y) AS HUGEINT) AS py,
+             CAST(sum(cx*r2) AS HUGEINT) AS sxr,
+             CAST(sum(cy*r2) AS HUGEINT) AS syr
+      FROM a),
+v AS (SELECT sum(CAST(a.cx AS HUGEINT)
+                 * (mm.n*a.p2x - s.px) * (mm.n*a.p2x - s.px))
+        AS vx,
+             sum(CAST(a.cy AS HUGEINT)
+                 * (mm.m*a.p2y - s.py) * (mm.m*a.p2y - s.py))
+        AS vy
+      FROM a, s, mm)
+SELECT mm.n AS n_x, mm.m AS n_y,
+       round(CAST(s.py AS DOUBLE)/CAST(2*mm.n*mm.m AS DOUBLE), 6)
+         AS p_hat,
+       round(CAST(mm.n*s.syr - mm.m*s.sxr AS DOUBLE)
+             / (CAST(mm.n + mm.m AS DOUBLE)
+                * sqrt(CAST(v.vx AS DOUBLE)
+                         / CAST(mm.n*(mm.n - 1) AS DOUBLE)
+                       + CAST(v.vy AS DOUBLE)
+                         / CAST(mm.m*(mm.m - 1) AS DOUBLE))), 6)
+         AS w_stat
+FROM s, v, mm
+WHERE mm.n >= 2 AND mm.m >= 2 AND (v.vx > 0 OR v.vy > 0)
+"""
+
+
+def q_cucconi(sf_dir):
+    """★-checked Cucconi location–scale test
+    (stages/analytics.py): exact doubled-midrank S1/S2 moments,
+    both-end squared-rank numerators as exact ints, mirrored
+    U/V/ρ/C closings."""
+    from ..stages.analytics import cucconi_test
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(cucconi_test(ev))
+
+
+CUCCONI_SQL = _TWO_SAMPLE_HIST_CTE + """,
+a AS (SELECT cy, 2*(cxc + cyc) - (cx + cy) + 1 AS r2 FROM w),
+s AS (SELECT CAST(sum(cy*r2) AS HUGEINT) AS s1,
+             sum(CAST(cy AS HUGEINT)*r2*r2) AS s2
+      FROM a),
+nn AS (SELECT mm.n, mm.m, mm.n + mm.m AS nt,
+              3*s.s2 - 2*CAST(mm.m AS HUGEINT)
+                *(mm.n + mm.m + 1)*(2*(mm.n + mm.m) + 1) AS nu_u,
+              3*s.s2 - 12*CAST(mm.n + mm.m + 1 AS HUGEINT)*s.s1
+                + 12*CAST(mm.m AS HUGEINT)
+                  *(mm.n + mm.m + 1)*(mm.n + mm.m + 1)
+                - 2*CAST(mm.m AS HUGEINT)
+                  *(mm.n + mm.m + 1)*(2*(mm.n + mm.m) + 1) AS nu_v
+       FROM s, mm),
+uv AS (SELECT n, m,
+              CAST(nu_u AS DOUBLE)
+              / (2.0*sqrt(CAST(m AS DOUBLE)*CAST(n AS DOUBLE)
+                          *CAST(nt + 1 AS DOUBLE)
+                          *CAST(2*nt + 1 AS DOUBLE)
+                          *CAST(8*nt + 11 AS DOUBLE)/5.0)) AS u,
+              CAST(nu_v AS DOUBLE)
+              / (2.0*sqrt(CAST(m AS DOUBLE)*CAST(n AS DOUBLE)
+                          *CAST(nt + 1 AS DOUBLE)
+                          *CAST(2*nt + 1 AS DOUBLE)
+                          *CAST(8*nt + 11 AS DOUBLE)/5.0)) AS v,
+              2.0*CAST(nt*nt - 4 AS DOUBLE)
+              / (CAST(2*nt + 1 AS DOUBLE)*CAST(8*nt + 11 AS DOUBLE))
+                - 1.0 AS rho
+       FROM nn WHERE n > 0 AND m > 0 AND nt >= 3)
+SELECT n AS n_x, m AS n_y, round(u, 6) AS u_stat,
+       round(v, 6) AS v_stat,
+       round((u*u + v*v - 2.0*rho*u*v)/(2.0*(1.0 - rho*rho)), 6)
+         AS c_stat
+FROM uv
+"""
+
+
+def q_dagostino_k2(sf_dir):
+    """★-checked D'Agostino–Pearson K² omnibus normality test per
+    event type (stages/analytics.py): exact HUGEINT power sums
+    S1..S4, mirrored D'Agostino-skew / Anscombe–Glynn-kurtosis
+    transform ladder (ln/sqrt/cbrt) and K² = z₁² + z₂²."""
+    from ..stages.analytics import dagostino_k2
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(dagostino_k2(ev))
+
+
+DAGOSTINO_SQL = """
+WITH q AS (SELECT event_type,
+                  CAST(round(value*100) AS BIGINT) AS k
+           FROM events WHERE value IS NOT NULL),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS s1,
+             CAST(sum(k*k) AS BIGINT) AS s2,
+             sum(CAST(k AS HUGEINT)*k*k) AS s3,
+             sum(CAST(k AS HUGEINT)*k*k*k) AS s4
+      FROM q GROUP BY 1 HAVING count(*) >= 20),
+mo AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nf,
+              CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS m1,
+              CAST(s2 AS DOUBLE) AS f2, CAST(s3 AS DOUBLE) AS f3,
+              CAST(s4 AS DOUBLE) AS f4
+       FROM s),
+ce AS (SELECT event_type, n, nf, m1,
+              f2/nf - m1*m1 AS m2,
+              f3/nf - 3.0*m1*(f2/nf) + 2.0*m1*m1*m1 AS m3,
+              f4/nf - 4.0*m1*(f3/nf) + 6.0*m1*m1*(f2/nf)
+                - 3.0*m1*m1*m1*m1 AS m4
+       FROM mo),
+gg AS (SELECT event_type, n, nf,
+              m3/(m2*sqrt(m2)) AS g1, m4/(m2*m2) AS b2
+       FROM ce WHERE m2 > 0.0),
+sk AS (SELECT event_type, n, nf, g1, b2,
+              g1*sqrt((nf + 1.0)*(nf + 3.0)/(6.0*(nf - 2.0))) AS y,
+              -1.0 + sqrt(2.0*(3.0*(nf*nf + 27.0*nf - 70.0)
+                               *(nf + 1.0)*(nf + 3.0)
+                               /((nf - 2.0)*(nf + 5.0)*(nf + 7.0)
+                                 *(nf + 9.0)) - 1.0)) AS w2
+       FROM gg),
+z1c AS (SELECT event_type, n, nf, g1, b2,
+               (1.0/sqrt(0.5*ln(w2)))
+               *ln(y/sqrt(2.0/(w2 - 1.0))
+                   + sqrt((y/sqrt(2.0/(w2 - 1.0)))
+                          *(y/sqrt(2.0/(w2 - 1.0))) + 1.0)) AS z1
+        FROM sk),
+ag AS (SELECT event_type, n, nf, g1, b2, z1,
+              (b2 - 3.0*(nf - 1.0)/(nf + 1.0))
+              /sqrt(24.0*nf*(nf - 2.0)*(nf - 3.0)
+                    /((nf + 1.0)*(nf + 1.0)*(nf + 3.0)
+                      *(nf + 5.0))) AS xk,
+              6.0 + 8.0/(6.0*(nf*nf - 5.0*nf + 2.0)
+                         /((nf + 7.0)*(nf + 9.0))
+                         *sqrt(6.0*(nf + 3.0)*(nf + 5.0)
+                               /(nf*(nf - 2.0)*(nf - 3.0))))
+                *(2.0/(6.0*(nf*nf - 5.0*nf + 2.0)
+                       /((nf + 7.0)*(nf + 9.0))
+                       *sqrt(6.0*(nf + 3.0)*(nf + 5.0)
+                             /(nf*(nf - 2.0)*(nf - 3.0))))
+                  + sqrt(1.0 + 4.0
+                         /((6.0*(nf*nf - 5.0*nf + 2.0)
+                            /((nf + 7.0)*(nf + 9.0))
+                            *sqrt(6.0*(nf + 3.0)*(nf + 5.0)
+                                  /(nf*(nf - 2.0)*(nf - 3.0))))
+                           *(6.0*(nf*nf - 5.0*nf + 2.0)
+                             /((nf + 7.0)*(nf + 9.0))
+                             *sqrt(6.0*(nf + 3.0)*(nf + 5.0)
+                                   /(nf*(nf - 2.0)
+                                     *(nf - 3.0))))))) AS aa
+       FROM z1c),
+z2c AS (SELECT event_type, n, g1, b2, z1,
+               ((1.0 - 2.0/(9.0*aa))
+                - cbrt((1.0 - 2.0/aa)
+                       /(1.0 + xk*sqrt(2.0/(aa - 4.0)))))
+               *sqrt(4.5*aa) AS z2
+        FROM ag)
+SELECT event_type, n, round(g1, 6) AS skew_g1,
+       round(b2, 6) AS kurt_b2, round(z1, 6) AS z_skew,
+       round(z2, 6) AS z_kurt,
+       round(z1*z1 + z2*z2, 6) AS k2_stat
+FROM z2c
+"""
+
+
+def q_cox_stuart(sf_dir):
+    """★-checked Cox–Stuart per-key trend test
+    (stages/analytics.py): first-half vs c-shifted pairs, exact
+    integer sign counts, one continuity z closing."""
+    from ..stages.analytics import cox_stuart
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    return round6(cox_stuart(ev, num_partitions=8))
+
+
+COX_STUART_SQL = """
+WITH o AS (SELECT user_id,
+                  CAST(round(value*100) AS BIGINT) AS x,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS r
+           FROM events),
+m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM o GROUP BY 1),
+p AS (SELECT a.user_id,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_plus,
+             CAST(sum(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_minus
+      FROM o a JOIN m ON m.user_id = a.user_id
+      JOIN o b ON b.user_id = a.user_id
+              AND b.r = a.r + (m.n - m.n // 2)
+      WHERE a.r <= m.n // 2
+      GROUP BY 1)
+SELECT m.user_id, m.n, p.n_plus, p.n_minus,
+       round(CAST(2*p.n_plus - (p.n_plus + p.n_minus) AS DOUBLE)
+             / sqrt(CAST(p.n_plus + p.n_minus AS DOUBLE)), 6)
+         AS z_stat
+FROM m JOIN p ON p.user_id = m.user_id
+WHERE p.n_plus + p.n_minus > 0
+"""
+
+
 def q_ratio_beyond_sigma(sf_dir):
     """★-checked tsfresh-style ratio_beyond_r_sigma profile
     (stages/tsmath.py): per-key share of points beyond 1σ/2σ of the
@@ -12217,6 +12437,10 @@ FROM m JOIN t USING (user_id)
 
 
 EXTRA_QUERIES = {
+    "brunner_munzel": q_brunner_munzel,
+    "cucconi": q_cucconi,
+    "dagostino_k2": q_dagostino_k2,
+    "cox_stuart": q_cox_stuart,
     "ratio_beyond_sigma": q_ratio_beyond_sigma,
     "reoccurrence_profile": q_reoccurrence_profile,
     "abs_max_profile": q_abs_max_profile,
@@ -12469,6 +12693,10 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "brunner_munzel": BRUNNER_MUNZEL_SQL,
+    "cucconi": CUCCONI_SQL,
+    "dagostino_k2": DAGOSTINO_SQL,
+    "cox_stuart": COX_STUART_SQL,
     "ratio_beyond_sigma": RATIO_SIGMA_SQL,
     "reoccurrence_profile": REOCC_SQL,
     "abs_max_profile": ABS_MAX_SQL,

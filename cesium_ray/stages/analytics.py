@@ -3606,3 +3606,310 @@ def mood_scale(
         "n_y": np.array([n_y], np.int64),
         "t_quad": np.array([t4], np.int64),
         "z_stat": [z]})
+
+
+def brunner_munzel(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+    type_x: str = "click",
+    type_y: str = "view",
+) -> pd.DataFrame:
+    """Brunner–Munzel heteroscedastic rank test (the "generalized
+    Wilcoxon"): tests P(X<Y) + ½P(X=Y) = ½ WITHOUT assuming equal
+    variances or shapes — the rank ladder's Welch analogue, next to
+    cvm/ansari/mood which all assume exchangeability under H0.
+
+    Everything reduces over the shared exact (k, cx, cy) value
+    histogram: doubled placements p2x_k = 2·cy_less + cy_k (x among
+    y) and p2y_k = 2·cx_less + cx_k are exact ints; the placement
+    variance moments VX = Σ cx·(n·p2x − Px)², VY likewise, and the
+    doubled mean-rank gap num2 = n·Σcy·r2 − m·Σcx·r2 overflow int64
+    at ~10⁵ pooled rows → Python-int driver / HUGEINT oracle.
+    Closings (p̂ = Py/2nm and W = num2 / (N·√(VX/(n²(n−1)) +
+    VY/(m²(m−1)))·... standard scipy form) are the mirrored float
+    expressions."""
+    hist = _two_sample_hist(ds, type_col, val_col, type_x, type_y)
+    cols = {"n_x": pd.Series(dtype="int64"),
+            "n_y": pd.Series(dtype="int64"),
+            "p_hat": pd.Series(dtype="float64"),
+            "w_stat": pd.Series(dtype="float64")}
+    if len(hist) == 0:
+        return pd.DataFrame(cols)
+    cx = [int(v) for v in hist["cx"]]
+    cy = [int(v) for v in hist["cy"]]
+    n, m = sum(cx), sum(cy)
+    N = n + m
+    if n < 2 or m < 2:
+        return pd.DataFrame(cols)
+    cxlt = cylt = 0
+    px = py = 0          # Σ cx·p2x, Σ cy·p2y (doubled placements)
+    sx_r = sy_r = 0      # Σ cx·r2, Σ cy·r2 (doubled pooled ranks)
+    cells = []
+    for cxk, cyk in zip(cx, cy):
+        r2 = 2 * (cxlt + cylt) + (cxk + cyk) + 1
+        p2x = 2 * cylt + cyk
+        p2y = 2 * cxlt + cxk
+        px += cxk * p2x
+        py += cyk * p2y
+        sx_r += cxk * r2
+        sy_r += cyk * r2
+        cells.append((cxk, cyk, p2x, p2y))
+        cxlt += cxk
+        cylt += cyk
+    vx = vy = 0
+    for cxk, cyk, p2x, p2y in cells:
+        dx = n * p2x - px
+        dy = m * p2y - py
+        vx += cxk * dx * dx
+        vy += cyk * dy * dy
+    num2 = n * sy_r - m * sx_r
+    if vx == 0 and vy == 0:
+        return pd.DataFrame(cols)
+    p_hat = float(py) / float(2 * n * m)
+    # scipy form: W = nm(R̄y−R̄x)/((n+m)·sqrt(n·Sx + m·Sy)) with
+    # Sx = VX/(4n²(n−1)); nm(R̄y−R̄x) = num2/2 ⇒ the 2s cancel:
+    w = float(num2) / (float(N) * np.sqrt(
+        float(vx) / float(n * (n - 1))
+        + float(vy) / float(m * (m - 1))))
+    return pd.DataFrame({
+        "n_x": np.array([n], np.int64),
+        "n_y": np.array([m], np.int64),
+        "p_hat": [p_hat],
+        "w_stat": [w]})
+
+
+def cucconi_test(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+    type_x: str = "click",
+    type_y: str = "view",
+) -> pd.DataFrame:
+    """Cucconi two-sample location–scale test: combines the squared
+    ranks from BOTH ends (U on R², V on (N+1−R)²) with their exact
+    negative correlation ρ into one elliptic statistic
+    C = (U² + V² − 2ρUV)/(2(1−ρ²)) — older than and competitive
+    with Lepage, and the only member of the ladder that reads
+    location AND scale shifts in a single number.
+
+    Mid-rank ties via the doubled-rank histogram: S1 = Σ cy·r2,
+    S2 = Σ cy·r2² are exact (Python-int / HUGEINT; r2² overflows
+    int64 at ~10⁵ pooled rows).  With ΣR² = S2/4 and
+    Σ(N+1−R)² = S2/4 − (N+1)·S1/2 + m(N+1)², the doubled numerators
+    nuU = 3·S2 − 2m(N+1)(2N+1) and
+    nuV = 3·S2 − 12(N+1)·S1 + 12m(N+1)² − 2m(N+1)(2N+1) are exact
+    ints; U = nuU/(2√D), V = nuV/(2√D) with
+    D = mn(N+1)(2N+1)(8N+11)/5 and
+    ρ = 2(N²−4)/((2N+1)(8N+11)) − 1 close as mirrored floats."""
+    hist = _two_sample_hist(ds, type_col, val_col, type_x, type_y)
+    cols = {"n_x": pd.Series(dtype="int64"),
+            "n_y": pd.Series(dtype="int64"),
+            "u_stat": pd.Series(dtype="float64"),
+            "v_stat": pd.Series(dtype="float64"),
+            "c_stat": pd.Series(dtype="float64")}
+    if len(hist) == 0:
+        return pd.DataFrame(cols)
+    cx = [int(v) for v in hist["cx"]]
+    cy = [int(v) for v in hist["cy"]]
+    n, m = sum(cx), sum(cy)
+    N = n + m
+    if n == 0 or m == 0 or N < 3:
+        return pd.DataFrame(cols)
+    less = 0
+    s1 = s2 = 0
+    for cxk, cyk in zip(cx, cy):
+        lk = cxk + cyk
+        r2 = 2 * less + lk + 1
+        s1 += cyk * r2
+        s2 += cyk * r2 * r2
+        less += lk
+    nu_u = 3 * s2 - 2 * m * (N + 1) * (2 * N + 1)
+    nu_v = (3 * s2 - 12 * (N + 1) * s1 + 12 * m * (N + 1) * (N + 1)
+            - 2 * m * (N + 1) * (2 * N + 1))
+    den = 2.0 * np.sqrt(
+        float(m) * float(n) * float(N + 1) * float(2 * N + 1)
+        * float(8 * N + 11) / 5.0)
+    u = float(nu_u) / den
+    v = float(nu_v) / den
+    rho = 2.0 * float(N * N - 4) \
+        / (float(2 * N + 1) * float(8 * N + 11)) - 1.0
+    c = (u * u + v * v - 2.0 * rho * u * v) \
+        / (2.0 * (1.0 - rho * rho))
+    return pd.DataFrame({
+        "n_x": np.array([n], np.int64),
+        "n_y": np.array([m], np.int64),
+        "u_stat": [u], "v_stat": [v], "c_stat": [c]})
+
+
+def dagostino_k2(
+    ds: ray.data.Dataset,
+    group_col: str = "event_type",
+    val_col: str = "value",
+) -> pd.DataFrame:
+    """D'Agostino–Pearson K² omnibus normality test per group: the
+    skewness z (D'Agostino 1970 transform) and kurtosis z
+    (Anscombe–Glynn 1983) combined as K² = z₁² + z₂² ~ χ²(2) —
+    the distribution-shape gate that jarque_bera approximates with
+    raw moments and this finishes with the finite-n transforms
+    scipy.stats.normaltest uses.
+
+    Map-side partials are exact power sums S1..S4 over quantized
+    k-space (k⁴ overflows int64 at ~10⁴ rows → Python-int driver /
+    HUGEINT oracle); every downstream quantity (central moments,
+    g1, b2, the ln/sqrt/cbrt ladder of both transforms) is a
+    deterministic float expression mirrored verbatim in the SQL
+    twin.  One bounded-alphabet reduce, no exchange."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(np.float64)
+        g = df[group_col].to_numpy(object)
+        ok = ~np.isnan(v)
+        k = np.rint(v[ok] * 100.0).astype(np.int64)
+        d = pd.DataFrame({group_col: g[ok], "n": 1, "s1": k,
+                          "s2": k * k})
+        # k³/k⁴ overflow int64 in bulk — object (Python int) sums
+        d["s3"] = [int(x) ** 3 for x in k]
+        d["s4"] = [int(x) ** 4 for x in k]
+        return d.groupby(group_col, as_index=False).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"),
+            s3=("s3", "sum"), s4=("s4", "sum"))
+
+    parts = ds.select_columns([group_col, val_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {group_col: pd.Series(dtype=object),
+            "n": pd.Series(dtype="int64"),
+            "skew_g1": pd.Series(dtype="float64"),
+            "kurt_b2": pd.Series(dtype="float64"),
+            "z_skew": pd.Series(dtype="float64"),
+            "z_kurt": pd.Series(dtype="float64"),
+            "k2_stat": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    rows = []
+    for gname, g in parts.groupby(group_col):
+        n = int(g["n"].sum())
+        if n < 20:        # Anscombe–Glynn needs n ≥ 20
+            continue
+        s1 = int(g["s1"].sum())
+        s2 = int(g["s2"].sum())
+        s3 = sum(int(x) for x in g["s3"])
+        s4 = sum(int(x) for x in g["s4"])
+        nf = float(n)
+        m1 = float(s1) / nf
+        m2 = float(s2) / nf - m1 * m1
+        m3 = float(s3) / nf - 3.0 * m1 * (float(s2) / nf) \
+            + 2.0 * m1 * m1 * m1
+        m4 = float(s4) / nf - 4.0 * m1 * (float(s3) / nf) \
+            + 6.0 * m1 * m1 * (float(s2) / nf) \
+            - 3.0 * m1 * m1 * m1 * m1
+        if m2 <= 0.0:
+            continue
+        g1 = m3 / (m2 * np.sqrt(m2))
+        b2 = m4 / (m2 * m2)
+        # D'Agostino (1970) skewness transform
+        y = g1 * np.sqrt((nf + 1.0) * (nf + 3.0)
+                         / (6.0 * (nf - 2.0)))
+        beta2 = (3.0 * (nf * nf + 27.0 * nf - 70.0)
+                 * (nf + 1.0) * (nf + 3.0)
+                 / ((nf - 2.0) * (nf + 5.0) * (nf + 7.0)
+                    * (nf + 9.0)))
+        w2 = -1.0 + np.sqrt(2.0 * (beta2 - 1.0))
+        delta = 1.0 / np.sqrt(0.5 * np.log(w2))
+        alpha = np.sqrt(2.0 / (w2 - 1.0))
+        ya = y / alpha
+        z1 = delta * np.log(ya + np.sqrt(ya * ya + 1.0))
+        # Anscombe–Glynn (1983) kurtosis transform
+        eb2 = 3.0 * (nf - 1.0) / (nf + 1.0)
+        vb2 = (24.0 * nf * (nf - 2.0) * (nf - 3.0)
+               / ((nf + 1.0) * (nf + 1.0) * (nf + 3.0)
+                  * (nf + 5.0)))
+        xk = (b2 - eb2) / np.sqrt(vb2)
+        sqb1 = (6.0 * (nf * nf - 5.0 * nf + 2.0)
+                / ((nf + 7.0) * (nf + 9.0))
+                * np.sqrt(6.0 * (nf + 3.0) * (nf + 5.0)
+                          / (nf * (nf - 2.0) * (nf - 3.0))))
+        aa = 6.0 + 8.0 / sqb1 * (2.0 / sqb1
+                                 + np.sqrt(1.0 + 4.0
+                                           / (sqb1 * sqb1)))
+        z2 = ((1.0 - 2.0 / (9.0 * aa))
+              - np.cbrt((1.0 - 2.0 / aa)
+                        / (1.0 + xk * np.sqrt(2.0 / (aa - 4.0))))
+              ) * np.sqrt(4.5 * aa)
+        rows.append((gname, np.int64(n), float(g1), float(b2),
+                     float(z1), float(z2),
+                     float(z1 * z1 + z2 * z2)))
+    if not rows:
+        return pd.DataFrame(cols)
+    return pd.DataFrame(rows, columns=list(cols)) \
+        .sort_values(group_col).reset_index(drop=True)
+
+
+def cox_stuart(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Cox–Stuart trend test per key: pair each of the first
+    ⌊n/2⌋ points with the point c = n − ⌊n/2⌋ positions later
+    (the middle point drops out when n is odd) and sign-test the
+    pairs — the O(n) trend screen next to mann_kendall's O(n²)
+    statistic and theilsen's O(n²) slope.  Exact integer
+    plus/minus/tie counts in quantized k-space; ties drop per
+    Cox–Stuart; the one closing is the continuity-corrected
+    z = (2·n_plus − mtot)/√mtot over mtot = n_plus + n_minus."""
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "n_plus": pd.Series(dtype="int64"),
+                "n_minus": pd.Series(dtype="int64"),
+                "z_stat": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        s = df.sort_values([key, ts_col, order_col],
+                           kind="mergesort")
+        kc, kuniq = pd.factorize(s[key])
+        x = np.rint(s[val_col].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        order = np.argsort(kc, kind="stable")
+        k, xs = kc[order], x[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        rows = []
+        for i, st in enumerate(starts):
+            ni = int(n[i])
+            half = ni // 2
+            if half == 0:
+                continue
+            c = ni - half
+            a = xs[st:st + half]
+            b = xs[st + c:st + c + half]
+            plus = int((b > a).sum())
+            minus = int((b < a).sum())
+            mtot = plus + minus
+            if mtot == 0:
+                continue
+            z = float(2 * plus - mtot) / float(np.sqrt(float(mtot)))
+            rows.append((int(np.asarray(kuniq)[k[st]]),
+                         np.int64(ni), np.int64(plus),
+                         np.int64(minus), z))
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(rows, columns=list(cols))
+
+    out = group_apply(
+        ds.select_columns([key, ts_col, val_col, order_col]),
+        per_key, num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({key: pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "n_plus": pd.Series(dtype="int64"),
+                             "n_minus": pd.Series(dtype="int64"),
+                             "z_stat": pd.Series(dtype="float64")})
+    return out.sort_values(key).reset_index(drop=True)

@@ -1624,3 +1624,141 @@ def test_mood_scale_bruteforce_and_scale(ray_session):
     assert np.isclose(got["z_stat"].iloc[0], z)
     # tight sample has small squared deviations -> strongly negative
     assert got["z_stat"].iloc[0] < -3.0
+
+
+def test_brunner_munzel_bruteforce_and_shift(ray_session):
+    from cesium_ray.stages.analytics import brunner_munzel
+
+    rng = np.random.default_rng(61)
+    x = np.round(rng.normal(50, 3, 300), 2)
+    y = np.round(rng.normal(55, 12, 400), 2)  # shifted AND wider
+    ev = _two_type_events(x, y)
+    got = brunner_munzel(ray.data.from_pandas(ev).repartition(4))
+    # brute force per scipy.stats.brunnermunzel's definition
+    kx = np.rint(x * 100).astype(np.int64)
+    ky = np.rint(y * 100).astype(np.int64)
+    n, m = len(kx), len(ky)
+    pooled = np.concatenate([kx, ky])
+
+    def midranks(vals, ref):
+        return np.array([(ref < v).sum() + ((ref == v).sum() + 1) / 2
+                         for v in vals])
+
+    rc_x = midranks(kx, pooled)
+    rc_y = midranks(ky, pooled)
+    rx = midranks(kx, kx)
+    ry = midranks(ky, ky)
+    mbar_x, mbar_y = rc_x.mean(), rc_y.mean()
+    sx = ((rc_x - rx - mbar_x + (n + 1) / 2) ** 2).sum() / (n - 1)
+    sy = ((rc_y - ry - mbar_y + (m + 1) / 2) ** 2).sum() / (m - 1)
+    w = n * m * (mbar_y - mbar_x) / ((n + m) * np.sqrt(n * sx + m * sy))
+    p_hat = (np.array([(kx < v).sum() + 0.5 * (kx == v).sum()
+                       for v in ky]).sum()) / (n * m)
+    assert int(got["n_x"].iloc[0]) == n
+    assert np.isclose(got["w_stat"].iloc[0], w)
+    assert np.isclose(got["p_hat"].iloc[0], p_hat)
+    # y stochastically above x -> p_hat > 1/2, W positive
+    assert got["p_hat"].iloc[0] > 0.6
+    assert got["w_stat"].iloc[0] > 3.0
+
+
+def test_cucconi_bruteforce_and_locscale(ray_session):
+    from cesium_ray.stages.analytics import cucconi_test
+
+    rng = np.random.default_rng(62)
+    x = np.round(rng.normal(50, 8, 350), 2)
+    y = np.round(rng.normal(50, 8, 300), 2)
+    ev = _two_type_events(x, y)
+    got = cucconi_test(ray.data.from_pandas(ev).repartition(4))
+    kx, ky, ks, counts, d2 = _pooled_midranks(x, y)
+    n, m = len(kx), len(ky)
+    N = n + m
+    cy = np.array([(ky == k).sum() for k in ks], np.int64)
+    s1 = int(np.sum(cy * d2))
+    s2 = int(np.sum(cy * d2.astype(object) * d2.astype(object)))
+    den = 2.0 * np.sqrt(float(m) * float(n) * (N + 1.0)
+                        * (2.0 * N + 1.0) * (8.0 * N + 11.0) / 5.0)
+    u = (3 * s2 - 2 * m * (N + 1) * (2 * N + 1)) / den
+    v = (3 * s2 - 12 * (N + 1) * s1 + 12 * m * (N + 1) ** 2
+         - 2 * m * (N + 1) * (2 * N + 1)) / den
+    rho = 2.0 * (N * N - 4.0) / ((2.0 * N + 1.0) * (8.0 * N + 11.0)) - 1.0
+    c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    assert np.isclose(got["u_stat"].iloc[0], u)
+    assert np.isclose(got["v_stat"].iloc[0], v)
+    assert np.isclose(got["c_stat"].iloc[0], c)
+    same_c = got["c_stat"].iloc[0]
+    # location+scale shift -> C explodes vs the null-ish sample
+    ev2 = _two_type_events(x, np.round(rng.normal(58, 20, 300), 2))
+    got2 = cucconi_test(ray.data.from_pandas(ev2).repartition(4))
+    assert got2["c_stat"].iloc[0] > 10 * max(same_c, 1.0)
+
+
+def test_dagostino_k2_bruteforce_and_shape(ray_session):
+    from cesium_ray.stages.analytics import dagostino_k2
+
+    rng = np.random.default_rng(63)
+    norm = np.round(rng.normal(0, 10, 2000), 2)
+    skewed = np.round(rng.exponential(10, 2000), 2)
+    ev = pd.DataFrame({
+        "event_type": ["norm"] * 2000 + ["skew"] * 2000,
+        "value": np.concatenate([norm, skewed])})
+    got = dagostino_k2(ray.data.from_pandas(ev).repartition(4))
+    assert list(got["event_type"]) == ["norm", "skew"]
+    # brute force against the same transform ladder on raw moments
+    for name, data in [("norm", norm), ("skew", skewed)]:
+        k = np.rint(data * 100).astype(np.int64)
+        nf = float(len(k))
+        m1 = k.sum() / nf
+        d = k - m1
+        m2 = (d ** 2).mean()
+        g1 = (d ** 3).mean() / m2 ** 1.5
+        b2 = (d ** 4).mean() / m2 ** 2
+        row = got[got["event_type"] == name].iloc[0]
+        assert np.isclose(row["skew_g1"], g1, atol=1e-9)
+        assert np.isclose(row["kurt_b2"], b2, atol=1e-9)
+    nrow = got[got["event_type"] == "norm"].iloc[0]
+    srow = got[got["event_type"] == "skew"].iloc[0]
+    # normal sample: K2 small; exponential: z_skew huge
+    assert nrow["k2_stat"] < 12.0
+    assert srow["z_skew"] > 10.0
+    assert srow["k2_stat"] > 100.0
+
+
+def test_cox_stuart_bruteforce_and_trend(ray_session):
+    from cesium_ray.stages.analytics import cox_stuart
+
+    rng = np.random.default_rng(64)
+    rows = []
+    for uid in range(12):
+        nn = int(rng.integers(10, 120))
+        v = np.round(rng.uniform(-50, 50, nn), 2)
+        if uid == 3:
+            v = np.round(np.linspace(-40, 40, nn)
+                         + rng.normal(0, 1, nn), 2)  # planted trend
+        for i in range(nn):
+            rows.append((len(rows), uid,
+                         np.datetime64(i * 10 ** 6, "us"), v[i]))
+    ev = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "value"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    got = cox_stuart(ray.data.from_pandas(ev).repartition(4),
+                     num_partitions=3)
+    for uid, g in ev.groupby("user_id"):
+        x = np.rint(g.sort_values(["ts", "event_id"])["value"]
+                    .to_numpy() * 100).astype(np.int64)
+        nn = len(x)
+        half = nn // 2
+        c = nn - half
+        a, b = x[:half], x[c:c + half]
+        plus, minus = int((b > a).sum()), int((b < a).sum())
+        row = got[got["user_id"] == uid]
+        if plus + minus == 0:
+            assert len(row) == 0
+            continue
+        assert row["n_plus"].iloc[0] == plus
+        assert row["n_minus"].iloc[0] == minus
+        z = (2 * plus - (plus + minus)) / np.sqrt(plus + minus)
+        assert np.isclose(row["z_stat"].iloc[0], z)
+    # planted monotone trend -> near-all plus pairs, z large
+    trow = got[got["user_id"] == 3]
+    assert trow["z_stat"].iloc[0] > 4.0
