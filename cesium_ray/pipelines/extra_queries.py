@@ -12105,6 +12105,204 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_page_trend(sf_dir):
+    """★-checked Page's L ordered-trend test
+    (stages/analytics.py): user blocks × four ordered time
+    quarters, exact integer quarter assignment / doubled midranks
+    / L2, one normal-z closing."""
+    from ..stages.analytics import page_trend
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return round6(page_trend(ev, num_quarters=4))
+
+
+PAGE_TREND_SQL = """
+WITH b AS (SELECT min(epoch_us(ts)) AS t0,
+                  max(epoch_us(ts)) AS t1 FROM events),
+q AS (SELECT user_id,
+             least(3, (epoch_us(ts) - b.t0)*4
+                      // (b.t1 - b.t0 + 1)) AS qt
+      FROM events, b),
+c AS (SELECT user_id, qt, CAST(count(*) AS BIGINT) AS c
+      FROM q GROUP BY 1, 2),
+u AS (SELECT DISTINCT user_id FROM q),
+fb AS (SELECT u.user_id, g.qt, coalesce(c.c, 0) AS c
+       FROM u CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS qt) g
+       LEFT JOIN c ON c.user_id = u.user_id AND c.qt = g.qt),
+r AS (SELECT user_id, qt, c,
+             2*(rank() OVER (PARTITION BY user_id ORDER BY c) - 1)
+               + count(*) OVER (PARTITION BY user_id, c) + 1 AS d2
+      FROM fb),
+s AS (SELECT CAST(sum((qt + 1)*d2) AS BIGINT) AS l2,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS b
+      FROM r)
+SELECT b AS n_blocks, CAST(4 AS BIGINT) AS n_quarters, l2,
+       round(CAST(l2 - b*4*5*5 // 2 AS DOUBLE)
+             / (2.0*sqrt(CAST(b AS DOUBLE)*16.0*5.0*15.0/144.0)),
+             6) AS z_stat
+FROM s
+"""
+
+
+def q_hodges_lehmann(sf_dir):
+    """★-checked Hodges–Lehmann shift estimator
+    (stages/analytics.py): click vs view; exact integer
+    convolution of deci-quantized histograms, doubled-median order
+    stats, one /20 closing."""
+    from ..stages.analytics import hodges_lehmann
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(hodges_lehmann(ev))
+
+
+HODGES_LEHMANN_SQL = """
+WITH q AS (SELECT CAST(round(value*10) AS BIGINT) AS k,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                    AS isx
+           FROM events
+           WHERE value IS NOT NULL
+             AND event_type IN ('click', 'view')),
+hx AS (SELECT k, CAST(count(*) AS BIGINT) AS c
+       FROM q WHERE isx = 1 GROUP BY 1),
+hy AS (SELECT k, CAST(count(*) AS BIGINT) AS c
+       FROM q WHERE isx = 0 GROUP BY 1),
+d AS (SELECT hy.k - hx.k AS diff,
+             CAST(sum(hx.c*hy.c) AS BIGINT) AS cnt
+      FROM hx, hy GROUP BY 1),
+cu AS (SELECT diff, sum(cnt) OVER (ORDER BY diff
+                                   ROWS UNBOUNDED PRECEDING)
+         AS cum
+       FROM d),
+mm AS (SELECT CAST(sum(cnt) AS BIGINT) AS p FROM d),
+lo AS (SELECT min(diff) AS v FROM cu, mm
+       WHERE cum >= (p + 1) // 2),
+hi AS (SELECT min(diff) AS v FROM cu, mm
+       WHERE cum >= p // 2 + 1)
+SELECT (SELECT CAST(sum(c) AS BIGINT) FROM hx) AS n_x,
+       (SELECT CAST(sum(c) AS BIGINT) FROM hy) AS n_y,
+       lo.v + hi.v AS hl2,
+       round(CAST(lo.v + hi.v AS DOUBLE)/20.0, 6) AS hl_shift
+FROM lo, hi
+"""
+
+
+def q_ams_f2(sf_dir):
+    """★-checked AMS F₂ sketch with exact-F₂ validation twin
+    (stages/sketch.py): nine linear-hash sign rows, exact int64
+    Z sums, median-of-squares estimate and its relative error."""
+    from ..stages.sketch import ams_f2
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"])
+    return round6(ams_f2(ev))
+
+
+def _ams_sql() -> str:
+    """SQL twin of stages/sketch.py::ams_f2 — constants
+    single-sourced from the stage module."""
+    from ..stages.sketch import _AMS_A, _AMS_B, _AMS_P
+
+    zcols = ",\n       ".join(
+        f"CAST(sum(1 - 2*((({_AMS_A[r]}*user_id + {_AMS_B[r]}) "
+        f"% {_AMS_P}) % 2)) AS BIGINT) AS z{r}"
+        for r in range(9))
+    zlist = ", ".join(f"z{r}" for r in range(9))
+    return f"""
+WITH z AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       {zcols}
+    FROM events),
+cc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+       FROM events GROUP BY 1),
+f AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c*c) AS BIGINT) AS f2 FROM cc),
+me AS (SELECT CAST(median(v*v) AS DOUBLE) AS est
+       FROM (SELECT unnest([{zlist}]) AS v FROM z))
+SELECT z.n AS n_events, f.n_keys, f.f2 AS f2_exact,
+       round(me.est, 6) AS f2_ams,
+       round(abs(me.est - CAST(f.f2 AS DOUBLE))
+             / CAST(f.f2 AS DOUBLE), 6) AS rel_err
+FROM z, f, me
+"""
+
+
+def q_number_peaks(sf_dir):
+    """★-checked tsfresh number_peaks at supports 1/2/3
+    (stages/tsmath.py): strict both-side neighbour dominance within
+    the key's own time order; exact int counts, no float."""
+    from ..stages.tsmath import number_peaks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    return number_peaks(ev, max_support=3)
+
+
+NUMBER_PEAKS_SQL = """
+WITH o AS (SELECT user_id,
+                  CAST(round(value*100) AS BIGINT) AS x,
+                  row_number() OVER w AS r
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts, event_id)),
+l AS (SELECT user_id, x,
+             lag(x, 1) OVER w AS l1, lead(x, 1) OVER w AS d1,
+             lag(x, 2) OVER w AS l2, lead(x, 2) OVER w AS d2,
+             lag(x, 3) OVER w AS l3, lead(x, 3) OVER w AS d3
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY r))
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN x > l1 AND x > d1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks_1,
+       CAST(sum(CASE WHEN x > l1 AND x > d1 AND x > l2 AND x > d2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks_2,
+       CAST(sum(CASE WHEN x > l1 AND x > d1 AND x > l2 AND x > d2
+                          AND x > l3 AND x > d3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks_3
+FROM l GROUP BY 1
+"""
+
+
+def q_chunk_trend(sf_dir):
+    """★-checked tsfresh agg_linear_trend profile
+    (stages/tsmath.py): OLS slope per full 16-point chunk with
+    exact int numerators and a constant denominator, per-key
+    min/max/positive-share aggregates."""
+    from ..stages.tsmath import chunk_trend_profile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    return round6(chunk_trend_profile(ev, chunk_len=16,
+                                      num_partitions=8))
+
+
+CHUNK_TREND_SQL = """
+WITH o AS (SELECT user_id,
+                  CAST(round(value*100) AS BIGINT) AS x,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) - 1
+                    AS r0
+           FROM events),
+g AS (SELECT user_id, r0 // 16 AS chunk,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum((r0 % 16)*x) AS BIGINT) AS stx
+      FROM o GROUP BY 1, 2 HAVING count(*) = 16),
+p AS (SELECT user_id, 16*stx - 120*sx AS num FROM g),
+m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM o GROUP BY 1)
+SELECT m.user_id, m.n, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos_slope,
+       round(CAST(min(num) AS DOUBLE)/(5440.0*100.0), 6)
+         AS slope_min,
+       round(CAST(max(num) AS DOUBLE)/(5440.0*100.0), 6)
+         AS slope_max
+FROM p JOIN m ON m.user_id = p.user_id
+GROUP BY 1, 2
+"""
+
+
 def q_brunner_munzel(sf_dir):
     """★-checked Brunner–Munzel heteroscedastic rank test
     (stages/analytics.py): click vs view values; exact doubled
@@ -12437,6 +12635,11 @@ FROM m JOIN t USING (user_id)
 
 
 EXTRA_QUERIES = {
+    "number_peaks": q_number_peaks,
+    "chunk_trend": q_chunk_trend,
+    "hodges_lehmann": q_hodges_lehmann,
+    "ams_f2": q_ams_f2,
+    "page_trend": q_page_trend,
     "brunner_munzel": q_brunner_munzel,
     "cucconi": q_cucconi,
     "dagostino_k2": q_dagostino_k2,
@@ -12693,6 +12896,11 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLE_SQL = {
+    "number_peaks": NUMBER_PEAKS_SQL,
+    "chunk_trend": CHUNK_TREND_SQL,
+    "hodges_lehmann": HODGES_LEHMANN_SQL,
+    "ams_f2": _ams_sql(),
+    "page_trend": PAGE_TREND_SQL,
     "brunner_munzel": BRUNNER_MUNZEL_SQL,
     "cucconi": CUCCONI_SQL,
     "dagostino_k2": DAGOSTINO_SQL,

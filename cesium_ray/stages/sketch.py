@@ -294,3 +294,63 @@ def cms_join_cardinality(
         "n_left": np.array([int(sa[0].sum())], np.int64),
         "n_right": np.array([int(sb[0].sum())], np.int64),
     })
+
+
+_AMS_P = 2147483647                       # 2^31 − 1, Mersenne
+_AMS_A = [3571, 7919, 12553, 17389, 23431, 29443, 37199, 43063,
+          50021]
+_AMS_B = [1471, 2971, 4523, 6037, 7919, 9461, 11087, 12743, 14407]
+
+
+def ams_f2(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+) -> pd.DataFrame:
+    """AMS (Alon–Matias–Szegedy) F₂ sketch over the key-frequency
+    vector: nine ±1 sign rows s_r(u) = 1 − 2·(((a_r·u + b_r) mod
+    p) mod 2) (pairwise-independent linear hashes — a documented
+    simplification of the paper's 4-wise BCH construction; the
+    median across rows still concentrates on real key
+    distributions), each row's Z_r = Σ_events s_r(u) is one exact
+    int64 map-side sum, and F̂₂ = median(Z_r²).  The exact
+    F₂ = Σ_u c_u² rides along through per-key count cells so the
+    output carries its own relative error — the sketch is the
+    scale path (9 counters per partition, no exchange), the exact
+    path is the validation twin."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[key].to_numpy(np.int64)
+        out = {"n": np.array([len(u)], np.int64)}
+        for r in range(9):
+            h = (_AMS_A[r] * u + _AMS_B[r]) % _AMS_P
+            s = 1 - 2 * (h % 2)
+            out[f"z{r}"] = np.array([int(s.sum())], np.int64)
+        return pd.DataFrame(out)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    zs = ds.select_columns([key]).map_batches(
+        partial, batch_format="pandas").to_pandas().sum()
+    counts = ds.select_columns([key]).map_batches(
+        count_partial, batch_format="pandas").to_pandas() \
+        .groupby(key, as_index=False)["c"].sum()
+    cols = {"n_events": pd.Series(dtype="int64"),
+            "n_keys": pd.Series(dtype="int64"),
+            "f2_exact": pd.Series(dtype="int64"),
+            "f2_ams": pd.Series(dtype="float64"),
+            "rel_err": pd.Series(dtype="float64")}
+    if len(counts) == 0:
+        return pd.DataFrame(cols)
+    c = counts["c"].to_numpy(np.int64)
+    f2 = int((c * c).sum())
+    z2 = np.array([int(zs[f"z{r}"]) ** 2 for r in range(9)],
+                  np.int64)
+    est = float(np.median(z2))
+    return pd.DataFrame({
+        "n_events": np.array([int(zs["n"])], np.int64),
+        "n_keys": np.array([len(c)], np.int64),
+        "f2_exact": np.array([f2], np.int64),
+        "f2_ams": [est],
+        "rel_err": [abs(est - float(f2)) / float(f2)]})

@@ -4932,3 +4932,152 @@ def abs_max_profile(
     if out.empty:
         return per_key(pd.DataFrame())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def number_peaks(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    max_support: int = 3,
+) -> pd.DataFrame:
+    """Per-key count of peaks at supports 1..max_support (tsfresh
+    number_peaks): a point is an s-peak when it is STRICTLY greater
+    than all s neighbours on BOTH sides, all within the key's own
+    time-ordered series (edge points lacking s neighbours can't be
+    peaks — the lag/lead-NULL semantics of the SQL twin).  All
+    counts exact int64 in quantized k-space; no float closings.
+    One key-hash exchange, shift-mask vectorized per segment."""
+    from .partition import group_apply
+
+    S = int(max_support)
+    out_cols = [key, "n"] + [f"n_peaks_{s}" for s in range(1, S + 1)]
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {c: pd.Series(dtype="int64") for c in out_cols}
+        if not len(df):
+            return pd.DataFrame(cols)
+        srt = df.sort_values([key, ts_col, order_col],
+                             kind="mergesort")
+        kc, kuniq = pd.factorize(srt[key])
+        x = _quantize(srt[val_col].to_numpy())
+        order = np.argsort(kc, kind="stable")
+        k, xs = kc[order], x[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        pos = np.arange(len(k)) - np.repeat(starts, n)
+        nn = np.repeat(n, n)
+        seg = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        res = {key: np.asarray(kuniq)[k[starts]], "n": n}
+        ok = np.ones(len(k), bool)
+        for s in range(1, S + 1):
+            inb = (pos >= s) & (pos < nn - s)
+            gt_l = np.zeros(len(k), bool)
+            gt_r = np.zeros(len(k), bool)
+            gt_l[s:] = xs[s:] > xs[:-s]
+            gt_r[:-s] = xs[:-s] > xs[s:]
+            ok = ok & inb & gt_l & gt_r
+            c = np.zeros(len(starts), np.int64)
+            np.add.at(c, seg[ok], 1)
+            res[f"n_peaks_{s}"] = c
+        return pd.DataFrame(res)
+
+    out = group_apply(
+        ds.select_columns([key, ts_col, val_col, order_col]),
+        per_key, num_partitions=16, key=key).to_pandas()
+    if out.empty:
+        return per_key(pd.DataFrame())
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def chunk_trend_profile(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    chunk_len: int = 16,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Per-key aggregated chunked linear trend (tsfresh
+    agg_linear_trend): the time-ordered series is cut into
+    consecutive FULL chunks of ``chunk_len`` points (trailing
+    partial chunk dropped — documented divergence from tsfresh's
+    nan-slope partials), an OLS slope is fit per chunk against
+    within-chunk index 0..C−1, and the per-key profile reports
+    n_chunks, min/max slope and the positive-slope share.
+
+    Slope numerators C·Σ(t·x) − Σt·Σx are exact int64 per chunk
+    with a CONSTANT positive denominator C·Σt² − (Σt)², so
+    min/max/sign aggregate over exact integers and the only floats
+    are the two descaled closings min_num/(den·100), one per
+    extremum — no float-sum ordering anywhere."""
+    from .partition import group_apply
+
+    C = int(chunk_len)
+    st_sum = C * (C - 1) // 2
+    st_sq = (C - 1) * C * (2 * C - 1) // 6
+    den = C * st_sq - st_sum * st_sum
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "n_chunks": pd.Series(dtype="int64"),
+                "n_pos_slope": pd.Series(dtype="int64"),
+                "slope_min": pd.Series(dtype="float64"),
+                "slope_max": pd.Series(dtype="float64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        srt = df.sort_values([key, ts_col, order_col],
+                             kind="mergesort")
+        kc, kuniq = pd.factorize(srt[key])
+        x = _quantize(srt[val_col].to_numpy())
+        order = np.argsort(kc, kind="stable")
+        k, xs = kc[order], x[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        pos = np.arange(len(k)) - np.repeat(starts, n)
+        chunk = pos // C
+        t = pos % C
+        full = chunk < np.repeat(n, n) // C
+        seg = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        gid = seg * (1 << 32) + chunk        # (key, chunk) packed
+        g = pd.DataFrame({
+            "gid": gid[full], "seg": seg[full],
+            "sx": xs[full], "stx": t[full] * xs[full]})
+        agg = g.groupby("gid", as_index=False).agg(
+            seg=("seg", "first"), sx=("sx", "sum"),
+            stx=("stx", "sum"))
+        num = C * agg["stx"].to_numpy(np.int64) \
+            - st_sum * agg["sx"].to_numpy(np.int64)
+        per = pd.DataFrame({"seg": agg["seg"].to_numpy(),
+                            "num": num,
+                            "pos": (num > 0).astype(np.int64)})
+        r = per.groupby("seg", as_index=False).agg(
+            n_chunks=("num", "size"), n_pos_slope=("pos", "sum"),
+            mn=("num", "min"), mx=("num", "max"))
+        segkeys = np.asarray(kuniq)[k[starts]]
+        out = pd.DataFrame({
+            key: segkeys[r["seg"].to_numpy()],
+            "n": n[r["seg"].to_numpy()],
+            "n_chunks": r["n_chunks"].to_numpy(np.int64),
+            "n_pos_slope": r["n_pos_slope"].to_numpy(np.int64),
+            "slope_min": r["mn"].to_numpy(np.int64)
+            .astype(np.float64) / (float(den) * 100.0),
+            "slope_max": r["mx"].to_numpy(np.int64)
+            .astype(np.float64) / (float(den) * 100.0)})
+        return out
+
+    out = group_apply(
+        ds.select_columns([key, ts_col, val_col, order_col]),
+        per_key, num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({key: pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "n_chunks": pd.Series(dtype="int64"),
+                             "n_pos_slope": pd.Series(dtype="int64"),
+                             "slope_min": pd.Series(dtype="float64"),
+                             "slope_max": pd.Series(dtype="float64")})
+    return out.sort_values(key).reset_index(drop=True)

@@ -1762,3 +1762,96 @@ def test_cox_stuart_bruteforce_and_trend(ray_session):
     # planted monotone trend -> near-all plus pairs, z large
     trow = got[got["user_id"] == 3]
     assert trow["z_stat"].iloc[0] > 4.0
+
+
+def test_hodges_lehmann_bruteforce_and_shift(ray_session):
+    from cesium_ray.stages.analytics import hodges_lehmann
+
+    rng = np.random.default_rng(65)
+    x = np.round(rng.normal(50, 5, 150), 2)
+    y = np.round(rng.normal(57, 5, 130), 2)  # planted +7 shift
+    ev = _two_type_events(x, y)
+    got = hodges_lehmann(ray.data.from_pandas(ev).repartition(4))
+    # brute force: the actual n*m pairwise-difference multiset
+    kx = np.rint(x * 10).astype(np.int64)
+    ky = np.rint(y * 10).astype(np.int64)
+    diffs = np.sort((ky[:, None] - kx[None, :]).ravel())
+    P = len(diffs)
+    lo = diffs[(P + 1) // 2 - 1]
+    hi = diffs[P // 2]
+    assert int(got["hl2"].iloc[0]) == int(lo + hi)
+    assert np.isclose(got["hl_shift"].iloc[0], (lo + hi) / 20.0)
+    # recovered shift ~ +7
+    assert 5.5 < got["hl_shift"].iloc[0] < 8.5
+    # null: same distribution -> shift near 0
+    ev0 = _two_type_events(x, np.round(rng.normal(50, 5, 130), 2))
+    got0 = hodges_lehmann(ray.data.from_pandas(ev0).repartition(4))
+    assert abs(got0["hl_shift"].iloc[0]) < 2.0
+
+
+def test_ams_f2_bruteforce_and_accuracy(ray_session):
+    from cesium_ray.stages.sketch import (
+        _AMS_A, _AMS_B, _AMS_P, ams_f2)
+
+    rng = np.random.default_rng(66)
+    # Zipf-ish key frequencies
+    u = rng.zipf(1.6, 4000) % 500
+    ev = pd.DataFrame({"user_id": u.astype(np.int64)})
+    got = ams_f2(ray.data.from_pandas(ev).repartition(5))
+    vals, cnts = np.unique(u, return_counts=True)
+    f2 = int((cnts.astype(object) ** 2).sum())
+    assert int(got["f2_exact"].iloc[0]) == f2
+    assert int(got["n_keys"].iloc[0]) == len(vals)
+    # reproduce the sketch serially
+    z2 = []
+    for r in range(9):
+        h = (_AMS_A[r] * u.astype(np.int64) + _AMS_B[r]) % _AMS_P
+        s = 1 - 2 * (h % 2)
+        z2.append(int(s.sum()) ** 2)
+    assert np.isclose(got["f2_ams"].iloc[0], float(np.median(z2)))
+    # estimator quality on this corpus: within 4x (median of 9
+    # pairwise-independent rows — loose but real bound)
+    assert got["rel_err"].iloc[0] < 3.0
+
+
+def test_page_trend_bruteforce_and_monotone(ray_session):
+    from cesium_ray.stages.analytics import page_trend
+
+    rng = np.random.default_rng(67)
+    rows = []
+    t_us = 0
+    # 10 flat users + 6 users whose activity ramps up by quarter
+    for uid in range(16):
+        rates = [5, 5, 5, 5] if uid < 4 else [1, 4, 9, 16]
+        for qtr in range(4):
+            for _ in range(int(rng.poisson(rates[qtr])) + 1):
+                t = qtr * 1000 + int(rng.integers(0, 1000))
+                rows.append((uid, np.datetime64(t * 10**6, "us")))
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    got = page_trend(ray.data.from_pandas(ev).repartition(4),
+                     num_quarters=4)
+    # brute force with the same integer quarter rule
+    tus = ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+    t0, t1 = int(tus.min()), int(tus.max())
+    qt = np.minimum(3, (tus - t0) * 4 // (t1 - t0 + 1))
+    l2 = 0
+    b = ev["user_id"].nunique()
+    for uid, g in pd.DataFrame({"u": ev["user_id"], "q": qt}) \
+            .groupby("u"):
+        c = np.bincount(g["q"].to_numpy(), minlength=4)
+        less = (c[None, :] < c[:, None]).sum(axis=1)
+        eq = (c[None, :] == c[:, None]).sum(axis=1)
+        d2 = 2 * less + eq + 1
+        l2 += int((d2 * np.arange(1, 5)).sum())
+    assert int(got["l2"].iloc[0]) == l2
+    mu2 = b * 4 * 25 // 2
+    z = (l2 - mu2) / (2.0 * np.sqrt(b * 16.0 * 5.0 * 15.0 / 144.0))
+    assert np.isclose(got["z_stat"].iloc[0], z)
+    # planted ramp cohort -> strongly positive trend
+    assert got["z_stat"].iloc[0] > 2.5
+    # all-flat control: |z| small
+    ev0 = ev[ev["user_id"] < 4]
+    got0 = page_trend(ray.data.from_pandas(ev0.reset_index(drop=True))
+                      .repartition(3), num_quarters=4)
+    assert abs(got0["z_stat"].iloc[0]) < 2.5

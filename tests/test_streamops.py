@@ -3461,3 +3461,82 @@ def test_abs_max_profile_bruteforce(ray_session):
                           num_partitions=2)
     assert out["top_abs_sum"].iloc[0] == 750
     assert abs(out["mean_abs_max"].iloc[0] - 2.5) < 1e-12
+
+
+def test_number_peaks_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import number_peaks
+
+    ev = _valued(seed=437, n=2400, nusers=16)
+    got = number_peaks(ray.data.from_pandas(ev).repartition(6),
+                       max_support=3)
+    s = ev.sort_values(["user_id", "ts", "event_id"],
+                       kind="mergesort")
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        nn = len(x)
+        row = got[got["user_id"] == uid]
+        assert len(row) == 1
+        for sp in (1, 2, 3):
+            cnt = 0
+            for i in range(sp, nn - sp):
+                if all(x[i] > x[i - j] and x[i] > x[i + j]
+                       for j in range(1, sp + 1)):
+                    cnt += 1
+            assert row[f"n_peaks_{sp}"].iloc[0] == cnt
+    # strict sawtooth: every interior odd point is a 1-peak, none
+    # survive support 2 (equal-height neighbours at distance 2)
+    n = 41
+    pl = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 4, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.where(np.arange(n) % 2 == 1, 2.0, 1.0)})
+    out = number_peaks(ray.data.from_pandas(pl))
+    assert out["n_peaks_1"].iloc[0] == 20
+    assert out["n_peaks_2"].iloc[0] == 0
+
+
+def test_chunk_trend_profile_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import chunk_trend_profile
+
+    ev = _valued(seed=438, n=2400, nusers=12)
+    C = 16
+    got = chunk_trend_profile(ray.data.from_pandas(ev)
+                              .repartition(6), chunk_len=C,
+                              num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"],
+                       kind="mergesort")
+    st = C * (C - 1) // 2
+    den = C * (C - 1) * C * (2 * C - 1) // 6 - st * st
+    for uid, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        nch = len(x) // C
+        row = got[got["user_id"] == uid]
+        if nch == 0:
+            assert len(row) == 0
+            continue
+        t = np.arange(C, dtype=np.int64)
+        nums = [C * int((t * x[i*C:(i+1)*C]).sum())
+                - st * int(x[i*C:(i+1)*C].sum())
+                for i in range(nch)]
+        assert row["n_chunks"].iloc[0] == nch
+        assert row["n_pos_slope"].iloc[0] == sum(v > 0 for v in nums)
+        assert abs(row["slope_min"].iloc[0]
+                   - min(nums) / (den * 100.0)) < 1e-9
+        assert abs(row["slope_max"].iloc[0]
+                   - max(nums) / (den * 100.0)) < 1e-9
+    # pure ramp: every chunk slope = the ramp step
+    n = 64
+    pl = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.full(n, 8, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.arange(n, dtype=np.float64) * 0.5})
+    out = chunk_trend_profile(ray.data.from_pandas(pl),
+                              chunk_len=16, num_partitions=2)
+    assert out["n_chunks"].iloc[0] == 4
+    assert out["n_pos_slope"].iloc[0] == 4
+    assert abs(out["slope_min"].iloc[0] - 0.5) < 1e-9
+    assert abs(out["slope_max"].iloc[0] - 0.5) < 1e-9
