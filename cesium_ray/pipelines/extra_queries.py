@@ -12105,6 +12105,91 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_diebold_mariano(sf_dir):
+    """★-checked Diebold–Mariano forecast comparison
+    (stages/tsmath.py): naive vs two-point-mean one-step
+    forecasters pooled over per-key series; exact 4-scaled loss
+    differentials, Python-int/HUGEINT Q, one mirrored z."""
+    from ..stages.tsmath import diebold_mariano
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    return round6(diebold_mariano(ev, num_partitions=8))
+
+
+DIEBOLD_MARIANO_SQL = """
+WITH o AS (SELECT user_id,
+                  CAST(round(value*100) AS BIGINT) AS x,
+                  lag(CAST(round(value*100) AS BIGINT), 1) OVER w
+                    AS x1,
+                  lag(CAST(round(value*100) AS BIGINT), 2) OVER w
+                    AS x2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts, event_id)),
+d AS (SELECT 4*(x - x1)*(x - x1)
+             - (2*x - x1 - x2)*(2*x - x1 - x2) AS dd
+      FROM o WHERE x1 IS NOT NULL AND x2 IS NOT NULL),
+ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(dd) AS BIGINT) AS sd,
+              sum(CAST(dd AS HUGEINT)*dd) AS q
+       FROM d),
+cl AS (SELECT n, sd,
+              CAST(sd AS DOUBLE)/CAST(n AS DOUBLE) AS dbar,
+              CAST(q AS DOUBLE)/CAST(n AS DOUBLE)
+                - (CAST(sd AS DOUBLE)/CAST(n AS DOUBLE))
+                  *(CAST(sd AS DOUBLE)/CAST(n AS DOUBLE)) AS g0
+       FROM ag WHERE n >= 2)
+SELECT n AS n_pairs, sd AS sum_d,
+       round(dbar/sqrt(g0/CAST(n AS DOUBLE)), 6) AS dm_stat
+FROM cl WHERE g0 > 0.0
+"""
+
+
+def q_kmv_jaccard(sf_dir):
+    """★-checked KMV set-similarity sketch with exact twin
+    (stages/sketch.py): click-users vs view-users under the Knuth
+    hash; k-min-wise Jaccard estimate plus the exact Jaccard from
+    the same distinct cells."""
+    from ..stages.sketch import kmv_jaccard
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id"])
+    return round6(kmv_jaccard(ev, k=256))
+
+
+KMV_JACCARD_SQL = """
+WITH ha AS (SELECT DISTINCT
+              (CAST(user_id AS UBIGINT)*2654435761)
+                % 4294967296 AS hv
+            FROM events WHERE event_type = 'click'),
+hb AS (SELECT DISTINCT
+         (CAST(user_id AS UBIGINT)*2654435761)
+           % 4294967296 AS hv
+       FROM events WHERE event_type = 'view'),
+ix AS (SELECT hv FROM ha INTERSECT SELECT hv FROM hb),
+un AS (SELECT hv FROM ha UNION SELECT hv FROM hb),
+ks AS (SELECT hv FROM un ORDER BY hv
+       LIMIT 256),
+bo AS (SELECT count(*) AS c FROM ks
+       WHERE hv IN (SELECT hv FROM ix)),
+mm AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ha) AS n_a,
+              (SELECT CAST(count(*) AS BIGINT) FROM hb) AS n_b,
+              (SELECT CAST(count(*) AS BIGINT) FROM ix) AS ni,
+              (SELECT CAST(count(*) AS BIGINT) FROM un) AS nu,
+              (SELECT CAST(count(*) AS BIGINT) FROM ks) AS kk,
+              (SELECT CAST(c AS BIGINT) FROM bo) AS nboth)
+SELECT kk AS k_used, n_a, n_b,
+       round(CAST(nboth AS DOUBLE)/CAST(kk AS DOUBLE), 6)
+         AS jaccard_kmv,
+       round(CAST(ni AS DOUBLE)/CAST(nu AS DOUBLE), 6)
+         AS jaccard_exact
+FROM mm WHERE n_a > 0 AND n_b > 0
+"""
+
+
 def q_page_trend(sf_dir):
     """★-checked Page's L ordered-trend test
     (stages/analytics.py): user blocks × four ordered time
@@ -12640,6 +12725,8 @@ EXTRA_QUERIES = {
     "hodges_lehmann": q_hodges_lehmann,
     "ams_f2": q_ams_f2,
     "page_trend": q_page_trend,
+    "diebold_mariano": q_diebold_mariano,
+    "kmv_jaccard": q_kmv_jaccard,
     "brunner_munzel": q_brunner_munzel,
     "cucconi": q_cucconi,
     "dagostino_k2": q_dagostino_k2,
@@ -12901,6 +12988,8 @@ EXTRA_ORACLE_SQL = {
     "hodges_lehmann": HODGES_LEHMANN_SQL,
     "ams_f2": _ams_sql(),
     "page_trend": PAGE_TREND_SQL,
+    "diebold_mariano": DIEBOLD_MARIANO_SQL,
+    "kmv_jaccard": KMV_JACCARD_SQL,
     "brunner_munzel": BRUNNER_MUNZEL_SQL,
     "cucconi": CUCCONI_SQL,
     "dagostino_k2": DAGOSTINO_SQL,

@@ -354,3 +354,69 @@ def ams_f2(
         "f2_exact": np.array([f2], np.int64),
         "f2_ams": [est],
         "rel_err": [abs(est - float(f2)) / float(f2)]})
+
+
+def kmv_jaccard(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    key: str = "user_id",
+    type_a: str = "click",
+    type_b: str = "view",
+    k: int = 256,
+) -> pd.DataFrame:
+    """KMV set-similarity sketch between two key sets (the users who
+    ever fired ``type_a`` vs ``type_b``): Jaccard ≈ |{k smallest
+    hashes of A∪B} ∩ A ∩ B| / k' (Bar-Yossef/Beyer k-min-wise
+    estimator) under the same Knuth hash as kmv_distinct, so the
+    sketch AND the estimate are exactly SQL-expressible.  The exact
+    Jaccard rides along from the same distinct-key cells, so the
+    output carries its own error — the sketch is the scale path
+    (two k·8 B sketches, no key exchange beyond the distinct
+    partial), the exact path the validation twin."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[type_col].to_numpy(object)
+        u = df[key].to_numpy(np.int64)
+        out = []
+        for side, tt in (("a", type_a), ("b", type_b)):
+            uu = np.unique(u[t == tt])
+            h = np.unique((uu.astype(np.uint64)
+                           * np.uint64(2654435761))
+                          % np.uint64(1 << 32))
+            # full distinct cells (not h[:k]): the k-min sketch alone
+            # would survive per-batch truncation, but the exact-
+            # Jaccard validation twin needs every distinct hash
+            out.append(pd.DataFrame({
+                "side": side, "hv": h.astype(np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = ds.select_columns([type_col, key]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {"k_used": pd.Series(dtype="int64"),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "jaccard_kmv": pd.Series(dtype="float64"),
+            "jaccard_exact": pd.Series(dtype="float64")}
+    ha = np.unique(parts.loc[parts["side"] == "a", "hv"]
+                   .to_numpy(np.int64))
+    hb = np.unique(parts.loc[parts["side"] == "b", "hv"]
+                   .to_numpy(np.int64))
+    if not len(ha) or not len(hb):
+        return pd.DataFrame(cols)
+    # the Knuth multiplicative hash is injective mod 2^32 on 32-bit
+    # keys, so distinct hashes == distinct keys and the exact
+    # Jaccard can be read from the full hash sets
+    inter = np.intersect1d(ha, hb)
+    union = len(ha) + len(hb) - len(inter)
+    exact = float(len(inter)) / float(union)
+    hu = np.union1d(ha, hb)
+    kk = min(k, len(hu))
+    topu = hu[:kk]
+    both = np.intersect1d(topu, inter)
+    est = float(len(both)) / float(kk)
+    return pd.DataFrame({
+        "k_used": np.array([kk], np.int64),
+        "n_a": np.array([len(ha)], np.int64),
+        "n_b": np.array([len(hb)], np.int64),
+        "jaccard_kmv": [est],
+        "jaccard_exact": [exact]})

@@ -3540,3 +3540,78 @@ def test_chunk_trend_profile_bruteforce(ray_session):
     assert out["n_pos_slope"].iloc[0] == 4
     assert abs(out["slope_min"].iloc[0] - 0.5) < 1e-9
     assert abs(out["slope_max"].iloc[0] - 0.5) < 1e-9
+
+
+def test_diebold_mariano_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import diebold_mariano
+
+    ev = _valued(seed=440, n=2400, nusers=16)
+    got = diebold_mariano(ray.data.from_pandas(ev).repartition(6),
+                          num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"],
+                       kind="mergesort")
+    Ds = []
+    for _, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        for t in range(2, len(x)):
+            e1 = int(x[t] - x[t - 1])
+            e2 = int(2 * x[t] - x[t - 1] - x[t - 2])
+            Ds.append(4 * e1 * e1 - e2 * e2)
+    n = len(Ds)
+    S = sum(Ds)
+    Q = sum(d * d for d in Ds)
+    dbar = S / n
+    g0 = Q / n - dbar * dbar
+    z = dbar / np.sqrt(g0 / n)
+    assert int(got["n_pairs"].iloc[0]) == n
+    assert int(got["sum_d"].iloc[0]) == S
+    assert np.isclose(got["dm_stat"].iloc[0], z)
+    # iid noise: smoothing beats naive -> mean D > 0, z positive
+    assert got["dm_stat"].iloc[0] > 3.0
+    # AR-free ramp: naive is better (lag-2 forecaster lags the
+    # trend twice as far) -> negative differential
+    n2 = 400
+    pl = pd.DataFrame({
+        "event_id": np.arange(n2, dtype=np.int64),
+        "user_id": np.full(n2, 5, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(n2) * 10**6, unit="us"
+                             ).astype("datetime64[us]"),
+        "value": np.round(np.arange(n2, dtype=np.float64) * 0.2
+                          + np.random.default_rng(7)
+                          .normal(0, 0.05, n2), 2)})
+    out = diebold_mariano(ray.data.from_pandas(pl),
+                          num_partitions=2)
+    assert out["sum_d"].iloc[0] < 0
+
+
+def test_kmv_jaccard_bruteforce(ray_session):
+    from cesium_ray.stages.sketch import kmv_jaccard
+
+    rng = np.random.default_rng(441)
+    ua = rng.choice(2000, 700, replace=False)
+    ub = np.concatenate([ua[:350],
+                         2000 + rng.choice(1000, 300,
+                                           replace=False)])
+    ev = pd.DataFrame({
+        "event_type": ["click"] * len(ua) + ["view"] * len(ub),
+        "user_id": np.concatenate([ua, ub]).astype(np.int64)})
+    # duplicate some rows: set semantics must hold
+    ev = pd.concat([ev, ev.iloc[::3]], ignore_index=True)
+    got = kmv_jaccard(ray.data.from_pandas(ev).repartition(5),
+                      k=256)
+    inter = len(np.intersect1d(ua, ub))
+    union = len(np.union1d(ua, ub))
+    exact = inter / union
+    assert np.isclose(got["jaccard_exact"].iloc[0], exact)
+    assert int(got["n_a"].iloc[0]) == len(ua)
+    assert int(got["n_b"].iloc[0]) == len(np.unique(ub))
+    # sketch estimate within ±0.15 of truth at k=256
+    assert abs(got["jaccard_kmv"].iloc[0] - exact) < 0.15
+    # serial replay of the k-min-wise estimator
+    h = lambda u: (u.astype(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(1 << 32)
+    ha, hb = np.unique(h(ua)), np.unique(h(np.unique(ub)))
+    hu = np.union1d(ha, hb)
+    kk = min(256, len(hu))
+    both = np.intersect1d(hu[:kk], np.intersect1d(ha, hb))
+    assert np.isclose(got["jaccard_kmv"].iloc[0], len(both) / kk)
