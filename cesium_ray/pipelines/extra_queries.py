@@ -12105,6 +12105,246 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_kuiper(sf_dir):
+    """★-checked Kuiper two-sample EDF test
+    (stages/analytics.py): exact integer cell deviations, two max
+    closings, V = D⁺ + D⁻."""
+    from ..stages.analytics import kuiper_test
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(kuiper_test(ev))
+
+
+KUIPER_SQL = _TWO_SAMPLE_HIST_CTE + """,
+dv AS (SELECT mm.m*w.cxc - mm.n*w.cyc AS d FROM w, mm),
+ex AS (SELECT greatest(CAST(max(d) AS BIGINT), 0) AS dp,
+              greatest(CAST(max(-d) AS BIGINT), 0) AS dm
+       FROM dv)
+SELECT mm.n AS n_x, mm.m AS n_y,
+       round(CAST(ex.dp AS DOUBLE)
+             / (CAST(mm.n AS DOUBLE)*CAST(mm.m AS DOUBLE)), 6)
+         AS d_plus,
+       round(CAST(ex.dm AS DOUBLE)
+             / (CAST(mm.n AS DOUBLE)*CAST(mm.m AS DOUBLE)), 6)
+         AS d_minus,
+       round(CAST(ex.dp + ex.dm AS DOUBLE)
+             / (CAST(mm.n AS DOUBLE)*CAST(mm.m AS DOUBLE)), 6)
+         AS v_stat
+FROM ex, mm WHERE mm.n > 0 AND mm.m > 0
+"""
+
+
+def q_wasserstein1(sf_dir):
+    """★-checked 1-D Wasserstein-1 distance
+    (stages/analytics.py): exact Σ Δk·|m·CX − n·CY| numerator in
+    Python-int/HUGEINT, one descaled closing."""
+    from ..stages.analytics import wasserstein1
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(wasserstein1(ev))
+
+
+WASSERSTEIN_SQL = _TWO_SAMPLE_HIST_CTE + """,
+gp AS (SELECT k, cxc, cyc,
+              lead(k) OVER (ORDER BY k) - k AS g
+       FROM w),
+nu AS (SELECT sum(CAST(g AS HUGEINT)
+                  * abs(mm.m*gp.cxc - mm.n*gp.cyc)) AS num
+       FROM gp, mm WHERE g IS NOT NULL)
+SELECT mm.n AS n_x, mm.m AS n_y,
+       round(CAST(nu.num AS DOUBLE)
+             / (CAST(mm.n AS DOUBLE)*CAST(mm.m AS DOUBLE)*100.0),
+             6) AS w1_dist
+FROM nu, mm WHERE mm.n > 0 AND mm.m > 0 AND nu.num IS NOT NULL
+"""
+
+
+def q_energy_distance(sf_dir):
+    """★-checked Székely–Rizzo energy distance
+    (stages/analytics.py): three exact EDF-integral numerators
+    over the shared histogram, mirrored E|X−Y|/E|X−X'|/E|Y−Y'|
+    and D² closings."""
+    from ..stages.analytics import energy_distance
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(energy_distance(ev))
+
+
+ENERGY_DIST_SQL = _TWO_SAMPLE_HIST_CTE + """,
+gp AS (SELECT k, cxc, cyc,
+              lead(k) OVER (ORDER BY k) - k AS g
+       FROM w),
+nu AS (SELECT sum(CAST(g AS HUGEINT)
+                  * (gp.cxc*(mm.m - gp.cyc)
+                     + gp.cyc*(mm.n - gp.cxc))) AS a,
+              sum(CAST(g AS HUGEINT)*2*gp.cxc*(mm.n - gp.cxc))
+                AS b,
+              sum(CAST(g AS HUGEINT)*2*gp.cyc*(mm.m - gp.cyc))
+                AS c
+       FROM gp, mm WHERE g IS NOT NULL),
+cl AS (SELECT CAST(nu.a AS DOUBLE)
+              / (CAST(mm.n AS DOUBLE)*CAST(mm.m AS DOUBLE)*100.0)
+                AS exy,
+              CAST(nu.b AS DOUBLE)
+              / (CAST(mm.n AS DOUBLE)*CAST(mm.n AS DOUBLE)*100.0)
+                AS exx,
+              CAST(nu.c AS DOUBLE)
+              / (CAST(mm.m AS DOUBLE)*CAST(mm.m AS DOUBLE)*100.0)
+                AS eyy,
+              mm.n, mm.m
+       FROM nu, mm
+       WHERE mm.n > 0 AND mm.m > 0 AND nu.a IS NOT NULL)
+SELECT n AS n_x, m AS n_y, round(exy, 6) AS e_xy,
+       round(exx, 6) AS e_xx, round(eyy, 6) AS e_yy,
+       round(2.0*exy - exx - eyy, 6) AS energy_d2
+FROM cl
+"""
+
+
+def q_hbos_anomalies(sf_dir):
+    """★-checked HBOS density anomalies (stages/analytics.py):
+    value-bin × hour histograms, exact-integer c_v·c_h rank order,
+    mirrored ln display score, top-20."""
+    from ..stages.analytics import hbos_anomalies
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "value"])
+    return round6(hbos_anomalies(ev, top=20))
+
+
+HBOS_SQL = """
+WITH f AS (SELECT event_id,
+                  least(greatest(CAST(round(value*100) AS BIGINT)
+                                 + 5000, 0) // 500, 20) AS vbin,
+                  (epoch_us(ts) // 3600000000) % 24 AS hour
+           FROM events),
+cv AS (SELECT vbin, CAST(count(*) AS BIGINT) AS c
+       FROM f GROUP BY 1),
+chh AS (SELECT hour, CAST(count(*) AS BIGINT) AS c
+        FROM f GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+sc AS (SELECT f.event_id, f.vbin, f.hour,
+              cv.c AS c_vbin, chh.c AS c_hour,
+              cv.c*chh.c AS prod
+       FROM f JOIN cv USING (vbin) JOIN chh USING (hour))
+SELECT event_id, vbin, hour, c_vbin, c_hour,
+       round((ln(CAST(nn.n AS DOUBLE))
+              - ln(CAST(c_vbin AS DOUBLE)))
+             + (ln(CAST(nn.n AS DOUBLE))
+                - ln(CAST(c_hour AS DOUBLE))), 6) AS hbos_score
+FROM sc, nn
+QUALIFY row_number() OVER (ORDER BY prod, event_id) <= 20
+"""
+
+
+def q_conformal_interval(sf_dir):
+    """★-checked split-conformal calibration of the naive one-step
+    forecaster (stages/tsmath.py): parity-split residual
+    histograms, exact ⌈(n+1)(1−α)⌉ order-stat qhat, one coverage
+    closing."""
+    from ..stages.tsmath import conformal_interval
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    return round6(conformal_interval(ev, alpha_pct=10,
+                                     num_partitions=8))
+
+
+CONFORMAL_SQL = """
+WITH o AS (SELECT user_id,
+                  CAST(round(value*100) AS BIGINT) AS x,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) - 1
+                    AS p
+           FROM events),
+pr AS (SELECT abs(b.x - a.x) AS r, b.p AS p
+       FROM o a JOIN o b ON b.user_id = a.user_id
+                        AND b.p = a.p + 1),
+h AS (SELECT r,
+             CAST(sum(CASE WHEN p % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cal,
+             CAST(sum(CASE WHEN p % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tst
+      FROM pr GROUP BY 1),
+mm AS (SELECT CAST(sum(cal) AS BIGINT) AS n_cal,
+              CAST(sum(tst) AS BIGINT) AS n_tst FROM h),
+qr AS (SELECT n_cal, n_tst,
+              least((n_cal + 1)*90 // 100
+                    + CASE WHEN ((n_cal + 1)*90) % 100 = 0
+                           THEN 0 ELSE 1 END, n_cal) AS q_rank
+       FROM mm),
+cu AS (SELECT r, sum(cal) OVER (ORDER BY r
+                                ROWS UNBOUNDED PRECEDING) AS cum
+       FROM h),
+qh AS (SELECT (SELECT min(r) FROM cu
+               WHERE cum >= qr.q_rank) AS qhat
+       FROM qr),
+cov AS (SELECT CAST(sum(tst) AS BIGINT) AS n_covered
+        FROM h, qh WHERE h.r <= qh.qhat)
+SELECT qr.n_cal AS n_calib, qr.n_tst AS n_test, qr.q_rank,
+       qh.qhat AS qhat_k, cov.n_covered,
+       round(CAST(cov.n_covered AS DOUBLE)
+             / CAST(qr.n_tst AS DOUBLE), 6) AS coverage,
+       0.9 AS target
+FROM qr, qh, cov WHERE qr.n_cal > 0 AND qr.n_tst > 0
+"""
+
+
+def q_rrf_fuse(sf_dir):
+    """★-checked reciprocal-rank fusion (stages/ann.py::rrf_fuse):
+    the two lowest vec_ids as query vectors, top-200 retrieved
+    lists fused by Σ 1/(60+rank), top-20 by fused score; ranks
+    exact ints, each score a fixed-order two-term float."""
+    from ..stages.ann import rrf_fuse
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    head = emb.sort("vec_id").limit(2).to_pandas()
+    Q = np.stack([np.asarray(v, np.float64)
+                  for v in head["embedding"]])
+    out = rrf_fuse(emb, Q, head["vec_id"].to_numpy(np.int64),
+                   k_retrieve=200, top=20, c=60)
+    return round6(out[["vec_id", "rank_0", "rank_1",
+                       "rrf_score"]])
+
+
+RRF_SQL = """
+WITH q AS (SELECT vec_id AS query_id,
+                  CAST(embedding AS DOUBLE[]) AS qe,
+                  row_number() OVER (ORDER BY vec_id) - 1 AS qi
+           FROM embeddings ORDER BY vec_id LIMIT 2),
+scored AS (SELECT q.qi, e.vec_id,
+                  list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+           FROM embeddings e CROSS JOIN q),
+rk AS (SELECT qi, vec_id,
+              row_number() OVER (PARTITION BY qi
+                                 ORDER BY sim DESC, vec_id) AS rnk
+       FROM scored),
+tp AS (SELECT * FROM rk WHERE rnk <= 200),
+la AS (SELECT vec_id, rnk FROM tp WHERE qi = 0),
+lb AS (SELECT vec_id, rnk FROM tp WHERE qi = 1),
+fu AS (SELECT coalesce(la.vec_id, lb.vec_id) AS vec_id,
+              CAST(coalesce(la.rnk, 0) AS BIGINT) AS rank_0,
+              CAST(coalesce(lb.rnk, 0) AS BIGINT) AS rank_1,
+              (CASE WHEN la.rnk IS NULL THEN 0.0
+                    ELSE 1.0/(60.0 + CAST(la.rnk AS DOUBLE)) END)
+              + (CASE WHEN lb.rnk IS NULL THEN 0.0
+                      ELSE 1.0/(60.0 + CAST(lb.rnk AS DOUBLE)) END)
+                AS rrf_score
+       FROM la FULL JOIN lb ON la.vec_id = lb.vec_id)
+SELECT vec_id, rank_0, rank_1, round(rrf_score, 6) AS rrf_score
+FROM fu
+QUALIFY row_number() OVER (ORDER BY rrf_score DESC, vec_id) <= 20
+"""
+
+
 def q_diebold_mariano(sf_dir):
     """★-checked Diebold–Mariano forecast comparison
     (stages/tsmath.py): naive vs two-point-mean one-step
@@ -12727,6 +12967,12 @@ EXTRA_QUERIES = {
     "page_trend": q_page_trend,
     "diebold_mariano": q_diebold_mariano,
     "kmv_jaccard": q_kmv_jaccard,
+    "rrf_fuse": q_rrf_fuse,
+    "hbos_anomalies": q_hbos_anomalies,
+    "conformal_interval": q_conformal_interval,
+    "kuiper": q_kuiper,
+    "wasserstein1": q_wasserstein1,
+    "energy_distance": q_energy_distance,
     "brunner_munzel": q_brunner_munzel,
     "cucconi": q_cucconi,
     "dagostino_k2": q_dagostino_k2,
@@ -12990,6 +13236,12 @@ EXTRA_ORACLE_SQL = {
     "page_trend": PAGE_TREND_SQL,
     "diebold_mariano": DIEBOLD_MARIANO_SQL,
     "kmv_jaccard": KMV_JACCARD_SQL,
+    "rrf_fuse": RRF_SQL,
+    "hbos_anomalies": HBOS_SQL,
+    "conformal_interval": CONFORMAL_SQL,
+    "kuiper": KUIPER_SQL,
+    "wasserstein1": WASSERSTEIN_SQL,
+    "energy_distance": ENERGY_DIST_SQL,
     "brunner_munzel": BRUNNER_MUNZEL_SQL,
     "cucconi": CUCCONI_SQL,
     "dagostino_k2": DAGOSTINO_SQL,

@@ -4042,3 +4042,224 @@ def page_trend(
         "n_quarters": np.array([k], np.int64),
         "l2": np.array([l2], np.int64),
         "z_stat": [z]})
+
+
+def hbos_anomalies(
+    ds: ray.data.Dataset,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    top: int = 20,
+) -> pd.DataFrame:
+    """HBOS (histogram-based outlier score, Goldstein–Dengel 2012)
+    over two bounded feature histograms — the value's 500-centi-k
+    bin and the hour of day: score = −ln(p_bin) − ln(p_hour),
+    assuming feature independence.  The density-based member of
+    the anomaly ladder next to zscore_anomalies (parametric) and
+    robust_anomalies (order-statistic).
+
+    Rank order NEVER touches a float: score is monotone decreasing
+    in the exact integer product c_bin·c_hour, so the top-``top``
+    selection orders by (c_bin·c_hour ASC, id) — bit-stable across
+    engines; hbos_score = (ln n − ln c_bin) + (ln n − ln c_hour)
+    is a mirrored display closing.  Two bounded-cell count partials
+    (21 + 24 cells), one broadcast, per-batch partial top-k."""
+    import ray as _ray
+
+    def feat(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.rint(df[val_col].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        vb = np.minimum(np.maximum(k + 5000, 0) // 500, 20)
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        hr = (tus // 3_600_000_000) % 24
+        return pd.DataFrame({order_col: df[order_col].to_numpy(),
+                             "vbin": vb, "hour": hr})
+
+    feats = ds.select_columns([order_col, ts_col, val_col]) \
+        .map_batches(feat, batch_format="pandas")
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.groupby("vbin", as_index=False).size() \
+            .rename(columns={"vbin": "cell", "size": "c"})
+        a["dim"] = 0
+        b = df.groupby("hour", as_index=False).size() \
+            .rename(columns={"hour": "cell", "size": "c"})
+        b["dim"] = 1
+        return pd.concat([a, b], ignore_index=True)
+
+    cells = feats.map_batches(cell_partial, batch_format="pandas") \
+        .to_pandas().groupby(["dim", "cell"], as_index=False)["c"] \
+        .sum()
+    cols = {order_col: pd.Series(dtype="int64"),
+            "vbin": pd.Series(dtype="int64"),
+            "hour": pd.Series(dtype="int64"),
+            "c_vbin": pd.Series(dtype="int64"),
+            "c_hour": pd.Series(dtype="int64"),
+            "hbos_score": pd.Series(dtype="float64")}
+    if cells.empty:
+        return pd.DataFrame(cols)
+    n = int(cells.loc[cells["dim"] == 0, "c"].sum())
+    cv = dict(zip(cells.loc[cells["dim"] == 0, "cell"],
+                  cells.loc[cells["dim"] == 0, "c"]))
+    ch = dict(zip(cells.loc[cells["dim"] == 1, "cell"],
+                  cells.loc[cells["dim"] == 1, "c"]))
+    ref = _ray.put((n, cv, ch))
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        nn, cvd, chd = _ray.get(ref)
+        a = df["vbin"].map(cvd).to_numpy(np.int64)
+        b = df["hour"].map(chd).to_numpy(np.int64)
+        d = pd.DataFrame({order_col: df[order_col].to_numpy(),
+                          "vbin": df["vbin"].to_numpy(np.int64),
+                          "hour": df["hour"].to_numpy(np.int64),
+                          "c_vbin": a, "c_hour": b,
+                          "prod": a * b})
+        return d.sort_values(["prod", order_col],
+                             kind="mergesort").head(top)
+
+    cand = feats.map_batches(score_topk, batch_format="pandas") \
+        .to_pandas().sort_values(["prod", order_col],
+                                 kind="mergesort").head(top)
+    nf = float(n)
+    sc = (np.log(nf)
+          - np.log(cand["c_vbin"].to_numpy(np.float64))) \
+        + (np.log(nf)
+           - np.log(cand["c_hour"].to_numpy(np.float64)))
+    out = cand.drop(columns=["prod"]).reset_index(drop=True)
+    out["hbos_score"] = sc
+    return out
+
+
+def kuiper_test(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+    type_x: str = "click",
+    type_y: str = "view",
+) -> pd.DataFrame:
+    """Kuiper two-sample test: V = D⁺ + D⁻ = max(F−G) + max(G−F)
+    over the pooled value grid — the rotation-invariant sibling of
+    ks_drift (KS reads one max and is blind to equal-and-opposite
+    tail deviations; Kuiper weighs both directions equally and is
+    the right EDF test for circular/wrapped quantities).
+
+    Exact integer cell deviations d_k = m·CX_k − n·CY_k give
+    D⁺ = max(d)/nm and D⁻ = max(−d)/nm; the deviations travel with
+    the shared value histogram and the two closings are the only
+    floats."""
+    hist = _two_sample_hist(ds, type_col, val_col, type_x, type_y)
+    cols = {"n_x": pd.Series(dtype="int64"),
+            "n_y": pd.Series(dtype="int64"),
+            "d_plus": pd.Series(dtype="float64"),
+            "d_minus": pd.Series(dtype="float64"),
+            "v_stat": pd.Series(dtype="float64")}
+    if len(hist) == 0:
+        return pd.DataFrame(cols)
+    cx = hist["cx"].to_numpy(np.int64)
+    cy = hist["cy"].to_numpy(np.int64)
+    n, m = int(cx.sum()), int(cy.sum())
+    if n == 0 or m == 0:
+        return pd.DataFrame(cols)
+    d = m * np.cumsum(cx) - n * np.cumsum(cy)
+    # include the empty prefix (deviation 0) like the EDF does
+    dp = max(0, int(d.max()))
+    dm = max(0, int(-d.min()))
+    nm = float(n) * float(m)
+    return pd.DataFrame({
+        "n_x": np.array([n], np.int64),
+        "n_y": np.array([m], np.int64),
+        "d_plus": [float(dp) / nm],
+        "d_minus": [float(dm) / nm],
+        "v_stat": [float(dp + dm) / nm]})
+
+
+def wasserstein1(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+    type_x: str = "click",
+    type_y: str = "view",
+) -> pd.DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between the two
+    samples' value distributions: W₁ = ∫|F_n − G_m| dx over the
+    pooled grid — the AREA between the EDFs, where ks/kuiper read
+    only extreme gaps and cvm squares them.  The natural "how far
+    apart in value units" drift number.
+
+    Exact: with cell gaps Δk to the next occupied cell,
+    num = Σ_k Δk·|m·CX_k − n·CY_k| is an exact Python int
+    (HUGEINT oracle), and W₁ = num/(n·m·100) — descaled back to
+    value units — is the single closing."""
+    hist = _two_sample_hist(ds, type_col, val_col, type_x, type_y)
+    cols = {"n_x": pd.Series(dtype="int64"),
+            "n_y": pd.Series(dtype="int64"),
+            "w1_dist": pd.Series(dtype="float64")}
+    if len(hist) == 0:
+        return pd.DataFrame(cols)
+    k = hist["k"].to_numpy(np.int64)
+    cx = hist["cx"].to_numpy(np.int64)
+    cy = hist["cy"].to_numpy(np.int64)
+    n, m = int(cx.sum()), int(cy.sum())
+    if n == 0 or m == 0 or len(k) < 2:
+        return pd.DataFrame(cols)
+    d = m * np.cumsum(cx) - n * np.cumsum(cy)
+    gaps = np.diff(k)
+    num = sum(int(g) * abs(int(dd))
+              for g, dd in zip(gaps, d[:-1]))
+    w1 = float(num) / (float(n) * float(m) * 100.0)
+    return pd.DataFrame({
+        "n_x": np.array([n], np.int64),
+        "n_y": np.array([m], np.int64),
+        "w1_dist": [w1]})
+
+
+def energy_distance(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+    type_x: str = "click",
+    type_y: str = "view",
+) -> pd.DataFrame:
+    """Székely–Rizzo energy distance between the two value
+    distributions: D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — zero iff
+    the distributions are equal, metric-strength sensitivity where
+    wasserstein1 is the plain transport cost.
+
+    In 1-D every expectation is an EDF integral on the pooled
+    grid: E|X−Y| = Σ Δk·(CX·(m−CY) + CY·(n−CX))/(n·m) and
+    E|X−X'| = Σ Δk·2·CX·(n−CX)/n², so the three numerators are
+    exact Python ints (HUGEINT oracle) over the shared histogram
+    and D² = 2A/(nm·100) − B/(n²·100) − C/(m²·100) is the one
+    mirrored float expression."""
+    hist = _two_sample_hist(ds, type_col, val_col, type_x, type_y)
+    cols = {"n_x": pd.Series(dtype="int64"),
+            "n_y": pd.Series(dtype="int64"),
+            "e_xy": pd.Series(dtype="float64"),
+            "e_xx": pd.Series(dtype="float64"),
+            "e_yy": pd.Series(dtype="float64"),
+            "energy_d2": pd.Series(dtype="float64")}
+    if len(hist) == 0:
+        return pd.DataFrame(cols)
+    k = hist["k"].to_numpy(np.int64)
+    cx = hist["cx"].to_numpy(np.int64)
+    cy = hist["cy"].to_numpy(np.int64)
+    n, m = int(cx.sum()), int(cy.sum())
+    if n == 0 or m == 0 or len(k) < 2:
+        return pd.DataFrame(cols)
+    CX = np.cumsum(cx)
+    CY = np.cumsum(cy)
+    gaps = np.diff(k)
+    A = B = C = 0
+    for g, Cx, Cy in zip(gaps, CX[:-1], CY[:-1]):
+        gi, cxi, cyi = int(g), int(Cx), int(Cy)
+        A += gi * (cxi * (m - cyi) + cyi * (n - cxi))
+        B += gi * 2 * cxi * (n - cxi)
+        C += gi * 2 * cyi * (m - cyi)
+    exy = float(A) / (float(n) * float(m) * 100.0)
+    exx = float(B) / (float(n) * float(n) * 100.0)
+    eyy = float(C) / (float(m) * float(m) * 100.0)
+    return pd.DataFrame({
+        "n_x": np.array([n], np.int64),
+        "n_y": np.array([m], np.int64),
+        "e_xy": [exy], "e_xx": [exx], "e_yy": [eyy],
+        "energy_d2": [2.0 * exy - exx - eyy]})

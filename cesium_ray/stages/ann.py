@@ -761,3 +761,57 @@ def centroid_cosine(
     if not rows:
         return pd.DataFrame(cols)
     return pd.DataFrame(rows, columns=list(cols))
+
+
+def rrf_fuse(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    k_retrieve: int = 200,
+    top: int = 20,
+    c: int = 60,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of the
+    retrieved top-``k_retrieve`` lists of several query vectors:
+    fused(d) = Σ_q 1/(c + rank_q(d)) over the lists d appears in —
+    the standard way to combine rankings without score calibration
+    (complements mmr_rerank, which diversifies ONE list; this
+    merges several).
+
+    Retrieval is brute_force_topk's broadcast-matmul partial top-k
+    (only ≤ k_retrieve+1 rows per query per partition move), ranks
+    are exact ints under the (sim desc, id) tie-break, and each
+    fused score is a FIXED-ORDER small sum of 1/(c+r) terms — no
+    float aggregation, so the SQL twin reproduces the ordering
+    bit-for-bit.  Items absent from a list contribute 0 (rank
+    column 0), per standard retrieved-list RRF."""
+    lists = brute_force_topk(ds, queries, query_ids,
+                             k=k_retrieve, id_col=id_col,
+                             emb_col=emb_col, exclude_self=False)
+    qids = list(np.asarray(query_ids))
+    fused = None
+    for i, qid in enumerate(qids):
+        li = lists[lists["query_id"] == qid] \
+            .sort_values(["sim", id_col],
+                         ascending=[False, True],
+                         kind="mergesort").reset_index(drop=True)
+        li = pd.DataFrame({id_col: li[id_col].to_numpy(),
+                           f"rank_{i}": np.arange(
+                               1, len(li) + 1, dtype=np.int64)})
+        fused = li if fused is None else fused.merge(
+            li, on=id_col, how="outer")
+    for i in range(len(qids)):
+        fused[f"rank_{i}"] = fused[f"rank_{i}"].fillna(0) \
+            .astype(np.int64)
+    score = np.zeros(len(fused), np.float64)
+    for i in range(len(qids)):       # fixed q-order sum
+        r = fused[f"rank_{i}"].to_numpy(np.float64)
+        score = score + np.where(
+            r > 0, 1.0 / (float(c) + r), 0.0)
+    fused["rrf_score"] = score
+    out = fused.sort_values(["rrf_score", id_col],
+                            ascending=[False, True],
+                            kind="mergesort").head(top)
+    return out.reset_index(drop=True)

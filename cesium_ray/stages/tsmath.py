@@ -5154,3 +5154,88 @@ def diebold_mariano(
         "n_pairs": np.array([n], np.int64),
         "sum_d": np.array([S], np.int64),
         "dm_stat": [z]})
+
+
+def conformal_interval(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "event_id",
+    alpha_pct: int = 10,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Split-conformal calibration of the naive one-step forecaster
+    (ŷ_t = x_{t−1}): consecutive-pair absolute residuals
+    r = |x_t − x_{t−1}| split by the parity of the later point's
+    within-key position — odd positions calibrate, even positions
+    test — qhat is the ⌈(n_cal+1)(1−α)⌉-th smallest calibration
+    residual (the finite-sample-valid conformal quantile), and the
+    output reports the achieved test coverage against the 1−α
+    target.  Everything is exact: residuals are int64 k-space,
+    both splits travel as bounded residual-histogram cells, qhat
+    is one order statistic on the cumulative calibration counts,
+    and coverage = n_covered/n_test is the single float closing."""
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"r": pd.Series(dtype="int64"),
+                "cal": pd.Series(dtype="int64"),
+                "tst": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        s = df.sort_values([key, ts_col, order_col],
+                           kind="mergesort")
+        kc, _ = pd.factorize(s[key])
+        x = _quantize(s[val_col].to_numpy())
+        order = np.argsort(kc, kind="stable")
+        k, xs = kc[order], x[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        pos = np.arange(len(k)) - np.repeat(starts, n)
+        same = np.zeros(len(k), bool)
+        same[1:] = k[1:] == k[:-1]
+        i = np.flatnonzero(same)
+        r = np.abs(xs[i] - xs[i - 1])
+        is_cal = (pos[i] % 2) == 1      # 1-based pair position odd
+        g = pd.DataFrame({"r": r,
+                          "cal": is_cal.astype(np.int64),
+                          "tst": 1 - is_cal.astype(np.int64)})
+        return g.groupby("r", as_index=False).sum()
+
+    hist = group_apply(
+        ds.select_columns([key, ts_col, val_col, order_col]),
+        per_key, num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    cols = {"n_calib": pd.Series(dtype="int64"),
+            "n_test": pd.Series(dtype="int64"),
+            "q_rank": pd.Series(dtype="int64"),
+            "qhat_k": pd.Series(dtype="int64"),
+            "n_covered": pd.Series(dtype="int64"),
+            "coverage": pd.Series(dtype="float64"),
+            "target": pd.Series(dtype="float64")}
+    if hist.empty:
+        return pd.DataFrame(cols)
+    hist = hist.groupby("r", as_index=False)[["cal", "tst"]].sum() \
+        .sort_values("r").reset_index(drop=True)
+    n_cal = int(hist["cal"].sum())
+    n_tst = int(hist["tst"].sum())
+    if n_cal == 0 or n_tst == 0:
+        return pd.DataFrame(cols)
+    # ⌈(n_cal+1)(1−α)⌉ in exact non-negative integer arithmetic
+    # (sign-free so the SQL twin needn't rely on //'s negative
+    # semantics)
+    num = (n_cal + 1) * (100 - alpha_pct)
+    q_rank = min(num // 100 + (1 if num % 100 else 0), n_cal)
+    cum = np.cumsum(hist["cal"].to_numpy(np.int64))
+    qhat = int(hist["r"].to_numpy(np.int64)[
+        int(np.searchsorted(cum, q_rank))])
+    covered = int(hist.loc[hist["r"] <= qhat, "tst"].sum())
+    return pd.DataFrame({
+        "n_calib": np.array([n_cal], np.int64),
+        "n_test": np.array([n_tst], np.int64),
+        "q_rank": np.array([q_rank], np.int64),
+        "qhat_k": np.array([qhat], np.int64),
+        "n_covered": np.array([covered], np.int64),
+        "coverage": [float(covered) / float(n_tst)],
+        "target": [float(100 - alpha_pct) / 100.0]})

@@ -1855,3 +1855,79 @@ def test_page_trend_bruteforce_and_monotone(ray_session):
     got0 = page_trend(ray.data.from_pandas(ev0.reset_index(drop=True))
                       .repartition(3), num_quarters=4)
     assert abs(got0["z_stat"].iloc[0]) < 2.5
+
+
+def test_kuiper_bruteforce_and_shift(ray_session):
+    from cesium_ray.stages.analytics import kuiper_test
+
+    rng = np.random.default_rng(68)
+    x = np.round(rng.normal(50, 10, 400), 2)
+    y = np.round(rng.normal(50, 10, 350), 2)
+    ev = _two_type_events(x, y)
+    got = kuiper_test(ray.data.from_pandas(ev).repartition(4))
+    kx, ky, ks, counts, _ = _pooled_midranks(x, y)
+    n, m = len(kx), len(ky)
+    CX = np.array([(kx <= k).sum() for k in ks], np.int64)
+    CY = np.array([(ky <= k).sum() for k in ks], np.int64)
+    d = m * CX - n * CY
+    dp, dm = max(0, int(d.max())), max(0, int(-d.min()))
+    assert np.isclose(got["d_plus"].iloc[0], dp / (n * m))
+    assert np.isclose(got["d_minus"].iloc[0], dm / (n * m))
+    assert np.isclose(got["v_stat"].iloc[0], (dp + dm) / (n * m))
+    # a pure scale change moves BOTH tails: each one-sided KS D is
+    # half the story, Kuiper adds them
+    ev2 = _two_type_events(x, np.round((y - 50) * 3 + 50, 2))
+    got2 = kuiper_test(ray.data.from_pandas(ev2).repartition(4))
+    assert got2["v_stat"].iloc[0] > 2 * got["v_stat"].iloc[0]
+    assert got2["d_plus"].iloc[0] > 0.1
+    assert got2["d_minus"].iloc[0] > 0.1
+
+
+def test_wasserstein1_bruteforce_and_shift(ray_session):
+    from cesium_ray.stages.analytics import wasserstein1
+
+    rng = np.random.default_rng(69)
+    x = np.round(rng.normal(40, 6, 300), 2)
+    y = np.round(rng.normal(43, 6, 260), 2)  # planted +3 shift
+    ev = _two_type_events(x, y)
+    got = wasserstein1(ray.data.from_pandas(ev).repartition(4))
+    kx = np.rint(x * 100).astype(np.int64)
+    ky = np.rint(y * 100).astype(np.int64)
+    # brute force: W1 between empirical distributions via sorted
+    # quantile coupling on the common refinement
+    ks = np.unique(np.concatenate([kx, ky]))
+    n, m = len(kx), len(ky)
+    CX = np.array([(kx <= k).sum() for k in ks], np.int64)
+    CY = np.array([(ky <= k).sum() for k in ks], np.int64)
+    num = sum(int(g) * abs(int(m * cx - n * cy))
+              for g, cx, cy in zip(np.diff(ks), CX[:-1], CY[:-1]))
+    assert np.isclose(got["w1_dist"].iloc[0], num / (n * m * 100.0))
+    # W1 of a location shift ≈ the shift itself
+    assert 2.0 < got["w1_dist"].iloc[0] < 4.5
+
+
+def test_energy_distance_bruteforce_and_null(ray_session):
+    from cesium_ray.stages.analytics import energy_distance
+
+    rng = np.random.default_rng(70)
+    x = np.round(rng.normal(40, 6, 250), 2)
+    y = np.round(rng.normal(46, 9, 220), 2)
+    ev = _two_type_events(x, y)
+    got = energy_distance(ray.data.from_pandas(ev).repartition(4))
+    kx = np.rint(x * 100).astype(np.int64)
+    ky = np.rint(y * 100).astype(np.int64)
+    # brute force pairwise expectations in value units
+    exy = np.abs(kx[:, None] - ky[None, :]).mean() / 100.0
+    exx = np.abs(kx[:, None] - kx[None, :]).mean() / 100.0
+    eyy = np.abs(ky[:, None] - ky[None, :]).mean() / 100.0
+    assert np.isclose(got["e_xy"].iloc[0], exy, rtol=1e-9)
+    assert np.isclose(got["e_xx"].iloc[0], exx, rtol=1e-9)
+    assert np.isclose(got["e_yy"].iloc[0], eyy, rtol=1e-9)
+    assert np.isclose(got["energy_d2"].iloc[0],
+                      2 * exy - exx - eyy, rtol=1e-8)
+    assert got["energy_d2"].iloc[0] > 0.5  # real separation
+    # same distribution -> near zero
+    ev0 = _two_type_events(x, np.round(rng.normal(40, 6, 220), 2))
+    got0 = energy_distance(ray.data.from_pandas(ev0)
+                           .repartition(4))
+    assert got0["energy_d2"].iloc[0] < 0.2

@@ -3615,3 +3615,101 @@ def test_kmv_jaccard_bruteforce(ray_session):
     kk = min(256, len(hu))
     both = np.intersect1d(hu[:kk], np.intersect1d(ha, hb))
     assert np.isclose(got["jaccard_kmv"].iloc[0], len(both) / kk)
+
+
+def test_rrf_fuse_bruteforce(ray_session):
+    from cesium_ray.stages.ann import rrf_fuse
+
+    rng = np.random.default_rng(442)
+    n, d = 300, 16
+    X = rng.normal(0, 1, (n, d))
+    emb = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [row.astype(np.float64) for row in X]})
+    Q = X[:2].astype(np.float64)
+    got = rrf_fuse(ray.data.from_pandas(emb).repartition(4),
+                   Q, np.array([0, 1], np.int64),
+                   k_retrieve=50, top=10, c=60)
+    # serial replay
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Xn @ Qn.T
+    score = {}
+    ranks = {}
+    for qi in range(2):
+        order = np.lexsort((np.arange(n), -sims[:, qi]))[:50]
+        for r, vid in enumerate(order, 1):
+            score[vid] = score.get(vid, 0.0)
+            ranks.setdefault(vid, [0, 0])[qi] = r
+    for vid, (r0, r1) in ranks.items():
+        score[vid] = (1.0 / (60.0 + r0) if r0 else 0.0) \
+            + (1.0 / (60.0 + r1) if r1 else 0.0)
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(got["vec_id"]) == [v for v, _ in want]
+    for (vid, sc), (_, row) in zip(want, got.iterrows()):
+        assert np.isclose(row["rrf_score"], sc)
+    # each query's own vector leads its list: rank_0 of vec 0 is 1
+    r0 = got[got["vec_id"] == 0]
+    if len(r0):
+        assert r0["rank_0"].iloc[0] == 1
+
+
+def test_hbos_anomalies_bruteforce(ray_session):
+    from cesium_ray.stages.analytics import hbos_anomalies
+
+    ev = _valued(seed=443, n=3000, nusers=20)
+    # plant one extreme-value, odd-hour outlier
+    ev.loc[0, "value"] = 49.99
+    ev.loc[0, "ts"] = pd.Timestamp("2024-01-01 03:00:01")
+    got = hbos_anomalies(ray.data.from_pandas(ev)
+                         .repartition(6), top=20)
+    assert len(got) == 20
+    # serial replay of the exact integer ordering
+    k = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    vb = np.minimum(np.maximum(k + 5000, 0) // 500, 20)
+    tus = ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+    hr = (tus // 3_600_000_000) % 24
+    import collections
+    cv = collections.Counter(vb)
+    ch = collections.Counter(hr)
+    prod = np.array([cv[v] * ch[h] for v, h in zip(vb, hr)],
+                    np.int64)
+    order = np.lexsort((ev["event_id"].to_numpy(), prod))[:20]
+    assert list(got["event_id"]) == \
+        list(ev["event_id"].to_numpy()[order])
+    nf = float(len(ev))
+    want0 = (np.log(nf) - np.log(float(cv[vb[order[0]]]))) \
+        + (np.log(nf) - np.log(float(ch[hr[order[0]]])))
+    assert np.isclose(got["hbos_score"].iloc[0], want0)
+    # scores are non-increasing down the list
+    assert (np.diff(got["hbos_score"].to_numpy()) <= 1e-12).all()
+
+
+def test_conformal_interval_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import conformal_interval
+
+    ev = _valued(seed=444, n=3000, nusers=20)
+    got = conformal_interval(ray.data.from_pandas(ev)
+                             .repartition(6), alpha_pct=10,
+                             num_partitions=4)
+    s = ev.sort_values(["user_id", "ts", "event_id"],
+                       kind="mergesort")
+    cal, tst = [], []
+    for _, g in s.groupby("user_id"):
+        x = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        for p in range(1, len(x)):
+            r = abs(int(x[p]) - int(x[p - 1]))
+            (cal if p % 2 == 1 else tst).append(r)
+    n_cal, n_tst = len(cal), len(tst)
+    num = (n_cal + 1) * 90
+    q_rank = min(num // 100 + (1 if num % 100 else 0), n_cal)
+    qhat = sorted(cal)[q_rank - 1]
+    covered = sum(r <= qhat for r in tst)
+    assert int(got["n_calib"].iloc[0]) == n_cal
+    assert int(got["n_test"].iloc[0]) == n_tst
+    assert int(got["q_rank"].iloc[0]) == q_rank
+    assert int(got["qhat_k"].iloc[0]) == qhat
+    assert int(got["n_covered"].iloc[0]) == covered
+    assert np.isclose(got["coverage"].iloc[0], covered / n_tst)
+    # conformal validity: coverage near the 90% target on iid data
+    assert 0.85 < got["coverage"].iloc[0] < 0.96
