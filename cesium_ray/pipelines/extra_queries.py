@@ -12105,6 +12105,204 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_yuen_trimmed(sf_dir):
+    """★-checked Yuen 20 %-trimmed-mean test
+    (stages/analytics.py): exact trimmed-range cell counts and
+    winsorized sums, mirrored SSw/d/t closings."""
+    from ..stages.analytics import yuen_trimmed
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(yuen_trimmed(ev))
+
+
+YUEN_SQL = _TWO_SAMPLE_HIST_CTE + """,
+gx AS (SELECT mm.n AS n, mm.n//5 AS g,
+              mm.n - 2*(mm.n//5) AS h FROM mm),
+gy AS (SELECT mm.m AS n, mm.m//5 AS g,
+              mm.m - 2*(mm.m//5) AS h FROM mm),
+bx AS (SELECT
+  (SELECT min(k) FROM w, gx WHERE cxc >= gx.g + 1) AS lo,
+  (SELECT min(k) FROM w, gx WHERE cxc >= gx.n - gx.g) AS hi),
+yb AS (SELECT
+  (SELECT min(k) FROM w, gy WHERE cyc >= gy.g + 1) AS lo,
+  (SELECT min(k) FROM w, gy WHERE cyc >= gy.n - gy.g) AS hi),
+tx AS (SELECT CAST(sum(k*tc) AS BIGINT) AS st,
+              sum(CAST(k AS HUGEINT)*k*tc) AS qt
+       FROM (SELECT k, greatest(0, least(cxc, gx.n - gx.g)
+                                 - greatest(cxc - cx, gx.g)) AS tc
+             FROM w, gx)),
+ty AS (SELECT CAST(sum(k*tc) AS BIGINT) AS st,
+              sum(CAST(k AS HUGEINT)*k*tc) AS qt
+       FROM (SELECT k, greatest(0, least(cyc, gy.n - gy.g)
+                                 - greatest(cyc - cy, gy.g)) AS tc
+             FROM w, gy)),
+sx AS (SELECT gx.n, gx.h, tx.st,
+              tx.st + gx.g*(bx.lo + bx.hi) AS sw,
+              tx.qt + gx.g*(CAST(bx.lo AS HUGEINT)*bx.lo
+                            + CAST(bx.hi AS HUGEINT)*bx.hi) AS qw
+       FROM tx, gx, bx),
+sy AS (SELECT gy.n, gy.h, ty.st,
+              ty.st + gy.g*(yb.lo + yb.hi) AS sw,
+              ty.qt + gy.g*(CAST(yb.lo AS HUGEINT)*yb.lo
+                            + CAST(yb.hi AS HUGEINT)*yb.hi) AS qw
+       FROM ty, gy, yb),
+cl AS (SELECT sx.n AS n_x, sy.n AS n_y, sx.h AS h_x,
+              sy.h AS h_y,
+              CAST(sx.st AS DOUBLE)/CAST(sx.h AS DOUBLE) AS tmx,
+              CAST(sy.st AS DOUBLE)/CAST(sy.h AS DOUBLE) AS tmy,
+              (CAST(sx.qw AS DOUBLE)
+               - CAST(sx.sw AS DOUBLE)*CAST(sx.sw AS DOUBLE)
+                 /CAST(sx.n AS DOUBLE))
+              /CAST(sx.h*(sx.h - 1) AS DOUBLE) AS dx,
+              (CAST(sy.qw AS DOUBLE)
+               - CAST(sy.sw AS DOUBLE)*CAST(sy.sw AS DOUBLE)
+                 /CAST(sy.n AS DOUBLE))
+              /CAST(sy.h*(sy.h - 1) AS DOUBLE) AS dy
+       FROM sx, sy WHERE sx.h > 1 AND sy.h > 1)
+SELECT n_x, n_y, h_x, h_y, round(tmx/100.0, 6) AS tmean_x,
+       round(tmy/100.0, 6) AS tmean_y,
+       round((tmx - tmy)/sqrt(dx + dy), 6) AS yuen_t
+FROM cl WHERE dx + dy > 0.0
+"""
+
+
+def q_hill_tail(sf_dir):
+    """★-checked Hill upper-tail index (stages/analytics.py): top
+    100 positive values via exact clipped cells, the ln prefix sum
+    accumulated in descending value order (kaplan_meier's ordered-
+    window device), mirrored H and α̂ closings."""
+    from ..stages.analytics import hill_tail
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"])
+    return round6(hill_tail(ev, tail_k=100))
+
+
+HILL_SQL = """
+WITH p AS (SELECT CAST(round(value*100) AS BIGINT) AS k
+           FROM events
+           WHERE value IS NOT NULL
+             AND CAST(round(value*100) AS BIGINT) >= 1),
+h AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1),
+mm AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+w AS (SELECT k, c, sum(c) OVER (ORDER BY k DESC
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h),
+rf AS (SELECT max(k) AS ref FROM w WHERE cum >= 101),
+tcc AS (SELECT k, greatest(0, least(cum, 100)
+                           - greatest(cum - c, 0)) AS tc
+        FROM w),
+s AS (SELECT sum(CASE WHEN tc > 0
+                 THEN CAST(tc AS DOUBLE)*ln(CAST(k AS DOUBLE))
+                 ELSE 0.0 END)
+             OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING)
+               AS run,
+             row_number() OVER (ORDER BY k DESC) AS rn
+      FROM tcc),
+tot AS (SELECT run FROM s ORDER BY rn DESC LIMIT 1),
+cl AS (SELECT mm.n, rf.ref,
+              (tot.run - 100.0*ln(CAST(rf.ref AS DOUBLE)))/100.0
+                AS hh
+       FROM mm, rf, tot WHERE mm.n >= 101)
+SELECT n AS n_pos, CAST(100 AS BIGINT) AS tail_k, ref AS x_ref,
+       round(hh, 6) AS hill_h, round(1.0/hh, 6) AS alpha
+FROM cl WHERE hh > 0.0
+"""
+
+
+def q_lepage(sf_dir):
+    """★-checked Lepage location–scale omnibus
+    (stages/analytics.py): tie-corrected Wilcoxon z + Ansari z
+    over the shared histogram, L = z_W² + z_A²."""
+    from ..stages.analytics import lepage_test
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(lepage_test(ev))
+
+
+LEPAGE_SQL = _TWO_SAMPLE_HIST_CTE + """,
+a AS (SELECT cx, cy, cx + cy AS l,
+             2*(cxc + cyc) - (cx + cy) + 1 AS r2
+      FROM w),
+b AS (SELECT cx, l, r2,
+             least(r2, 2*(mm.n + mm.m + 1) - r2) AS a2
+      FROM a, mm),
+s AS (SELECT CAST(sum(cx*r2) AS BIGINT) AS w2,
+             sum(CAST(l AS HUGEINT)*l*l - l) AS tie3,
+             CAST(sum(cx*a2) AS BIGINT) AS aw2,
+             CAST(sum(l*a2) AS BIGINT) AS s1,
+             sum(CAST(l AS HUGEINT)*a2*a2) AS s2
+      FROM b),
+cl AS (SELECT mm.n, mm.m,
+              CAST(s.w2 - mm.n*(mm.n + mm.m + 1) AS DOUBLE)
+              / (2.0*sqrt(CAST(CAST(mm.n AS HUGEINT)*mm.m
+                               *((mm.n + mm.m + 1)
+                                 *CAST(mm.n + mm.m AS HUGEINT)
+                                 *(mm.n + mm.m - 1) - s.tie3)
+                               AS DOUBLE)
+                          / CAST(12*(mm.n + mm.m)
+                                 *(mm.n + mm.m - 1) AS DOUBLE)))
+                AS zw,
+              CAST((mm.n + mm.m)*s.aw2 - mm.n*s.s1 AS DOUBLE)
+              / sqrt(CAST(CAST(mm.n AS HUGEINT)*mm.m
+                          *(CAST(mm.n + mm.m AS HUGEINT)*s.s2
+                            - CAST(s.s1 AS HUGEINT)*s.s1)
+                          AS DOUBLE)
+                     / CAST(mm.n + mm.m - 1 AS DOUBLE)) AS za
+       FROM s, mm
+       WHERE mm.n > 0 AND mm.m > 0 AND mm.n + mm.m >= 3
+         AND (mm.n + mm.m + 1)*CAST(mm.n + mm.m AS HUGEINT)
+             *(mm.n + mm.m - 1) - s.tie3 > 0
+         AND CAST(mm.n AS HUGEINT)*mm.m
+             *(CAST(mm.n + mm.m AS HUGEINT)*s.s2
+               - CAST(s.s1 AS HUGEINT)*s.s1) > 0)
+SELECT n AS n_x, m AS n_y, round(zw, 6) AS z_wilcoxon,
+       round(za, 6) AS z_ansari,
+       round(zw*zw + za*za, 6) AS lepage_l
+FROM cl
+"""
+
+
+def q_qte_profile(sf_dir):
+    """★-checked quantile treatment effects at the quartiles
+    (stages/analytics.py): exact type-1 order stats per group,
+    descaled quartile differences."""
+    from ..stages.analytics import qte_profile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(qte_profile(ev))
+
+
+QTE_SQL = _TWO_SAMPLE_HIST_CTE + """,
+qq AS (SELECT
+  (SELECT min(k) FROM w, mm WHERE cxc >= (mm.n*1 + 3)//4)
+    AS q25_x,
+  (SELECT min(k) FROM w, mm WHERE cxc >= (mm.n*2 + 3)//4)
+    AS q50_x,
+  (SELECT min(k) FROM w, mm WHERE cxc >= (mm.n*3 + 3)//4)
+    AS q75_x,
+  (SELECT min(k) FROM w, mm WHERE cyc >= (mm.m*1 + 3)//4)
+    AS q25_y,
+  (SELECT min(k) FROM w, mm WHERE cyc >= (mm.m*2 + 3)//4)
+    AS q50_y,
+  (SELECT min(k) FROM w, mm WHERE cyc >= (mm.m*3 + 3)//4)
+    AS q75_y)
+SELECT mm.n AS n_x, mm.m AS n_y,
+       qq.q25_x, qq.q50_x, qq.q75_x,
+       qq.q25_y, qq.q50_y, qq.q75_y,
+       round(CAST(qq.q25_y - qq.q25_x AS DOUBLE)/100.0, 6)
+         AS qte_25,
+       round(CAST(qq.q50_y - qq.q50_x AS DOUBLE)/100.0, 6)
+         AS qte_50,
+       round(CAST(qq.q75_y - qq.q75_x AS DOUBLE)/100.0, 6)
+         AS qte_75
+FROM qq, mm WHERE mm.n > 0 AND mm.m > 0
+"""
+
+
 def q_kuiper(sf_dir):
     """★-checked Kuiper two-sample EDF test
     (stages/analytics.py): exact integer cell deviations, two max
@@ -12973,6 +13171,10 @@ EXTRA_QUERIES = {
     "kuiper": q_kuiper,
     "wasserstein1": q_wasserstein1,
     "energy_distance": q_energy_distance,
+    "lepage": q_lepage,
+    "qte_profile": q_qte_profile,
+    "yuen_trimmed": q_yuen_trimmed,
+    "hill_tail": q_hill_tail,
     "brunner_munzel": q_brunner_munzel,
     "cucconi": q_cucconi,
     "dagostino_k2": q_dagostino_k2,
@@ -13242,6 +13444,10 @@ EXTRA_ORACLE_SQL = {
     "kuiper": KUIPER_SQL,
     "wasserstein1": WASSERSTEIN_SQL,
     "energy_distance": ENERGY_DIST_SQL,
+    "lepage": LEPAGE_SQL,
+    "qte_profile": QTE_SQL,
+    "yuen_trimmed": YUEN_SQL,
+    "hill_tail": HILL_SQL,
     "brunner_munzel": BRUNNER_MUNZEL_SQL,
     "cucconi": CUCCONI_SQL,
     "dagostino_k2": DAGOSTINO_SQL,

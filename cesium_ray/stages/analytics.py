@@ -4263,3 +4263,267 @@ def energy_distance(
         "n_y": np.array([m], np.int64),
         "e_xy": [exy], "e_xx": [exx], "e_yy": [eyy],
         "energy_d2": [2.0 * exy - exx - eyy]})
+
+
+def lepage_test(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+    type_x: str = "click",
+    type_y: str = "view",
+) -> pd.DataFrame:
+    """Lepage two-sample location–scale omnibus: L = z_W² + z_A² —
+    the tie-corrected Wilcoxon rank-sum z (location) plus the
+    Ansari–Bradley z (scale), both over the shared exact value
+    histogram.  Cucconi's classical rival (squared-rank ellipse vs
+    component sum); having both lets drift monitoring distinguish
+    "moved", "spread", and "both".
+
+    Exactness: doubled midranks r2 and both-end scores a2 are
+    int64; W2 = Σcx·r2, the tie term T = Σ(l³−l), and the Ansari
+    moments S1/S2 are exact Python ints (HUGEINT oracle); the two
+    z closings and L are the mirrored float expressions."""
+    hist = _two_sample_hist(ds, type_col, val_col, type_x, type_y)
+    cols = {"n_x": pd.Series(dtype="int64"),
+            "n_y": pd.Series(dtype="int64"),
+            "z_wilcoxon": pd.Series(dtype="float64"),
+            "z_ansari": pd.Series(dtype="float64"),
+            "lepage_l": pd.Series(dtype="float64")}
+    if len(hist) == 0:
+        return pd.DataFrame(cols)
+    cx = [int(v) for v in hist["cx"]]
+    cy = [int(v) for v in hist["cy"]]
+    n, m = sum(cx), sum(cy)
+    N = n + m
+    if n == 0 or m == 0 or N < 3:
+        return pd.DataFrame(cols)
+    less = 0
+    w2 = 0          # doubled Wilcoxon rank sum of X
+    tie3 = 0        # Σ (l³ − l)
+    aw2 = s1 = s2 = 0
+    for cxk, cyk in zip(cx, cy):
+        lk = cxk + cyk
+        r2 = 2 * less + lk + 1
+        w2 += cxk * r2
+        tie3 += lk * lk * lk - lk
+        a2 = min(r2, 2 * (N + 1) - r2)
+        aw2 += cxk * a2
+        s1 += lk * a2
+        s2 += lk * a2 * a2
+        less += lk
+    # Wilcoxon: var·12·N·(N−1) = n·m·((N+1)·N·(N−1) − T)
+    aa = (N + 1) * N * (N - 1) - tie3
+    if aa <= 0:
+        return pd.DataFrame(cols)
+    zw = float(w2 - n * (N + 1)) \
+        / (2.0 * np.sqrt(float(n * m * aa)
+                         / float(12 * N * (N - 1))))
+    var_num = n * m * (N * s2 - s1 * s1)
+    if var_num <= 0:
+        return pd.DataFrame(cols)
+    za = float(N * aw2 - n * s1) \
+        / float(np.sqrt(float(var_num) / float(N - 1)))
+    return pd.DataFrame({
+        "n_x": np.array([n], np.int64),
+        "n_y": np.array([m], np.int64),
+        "z_wilcoxon": [zw], "z_ansari": [za],
+        "lepage_l": [zw * zw + za * za]})
+
+
+def qte_profile(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+    type_x: str = "click",
+    type_y: str = "view",
+) -> pd.DataFrame:
+    """Quantile treatment effects at the quartiles: the per-group
+    type-1 (inverse-EDF) 25/50/75 % order statistics and their
+    differences — where hodges_lehmann reports ONE robust shift,
+    this reads the shift at three depths and shows whether a
+    treatment moved the tails or the middle.
+
+    Entirely exact: quantile q_p = smallest value with
+    cum ≥ ⌈p·n⌉ on the shared integer histogram; the three
+    qte_* closings descale the integer differences by /100."""
+    hist = _two_sample_hist(ds, type_col, val_col, type_x, type_y)
+    cols = {"n_x": pd.Series(dtype="int64"),
+            "n_y": pd.Series(dtype="int64"),
+            "q25_x": pd.Series(dtype="int64"),
+            "q50_x": pd.Series(dtype="int64"),
+            "q75_x": pd.Series(dtype="int64"),
+            "q25_y": pd.Series(dtype="int64"),
+            "q50_y": pd.Series(dtype="int64"),
+            "q75_y": pd.Series(dtype="int64"),
+            "qte_25": pd.Series(dtype="float64"),
+            "qte_50": pd.Series(dtype="float64"),
+            "qte_75": pd.Series(dtype="float64")}
+    if len(hist) == 0:
+        return pd.DataFrame(cols)
+    k = hist["k"].to_numpy(np.int64)
+    cx = hist["cx"].to_numpy(np.int64)
+    cy = hist["cy"].to_numpy(np.int64)
+    n, m = int(cx.sum()), int(cy.sum())
+    if n == 0 or m == 0:
+        return pd.DataFrame(cols)
+    CX, CY = np.cumsum(cx), np.cumsum(cy)
+
+    def q(cum, tot, pnum, pden):
+        r = (tot * pnum + pden - 1) // pden   # ⌈p·tot⌉
+        return int(k[int(np.searchsorted(cum, r))])
+
+    qx = [q(CX, n, p, 4) for p in (1, 2, 3)]
+    qy = [q(CY, m, p, 4) for p in (1, 2, 3)]
+    return pd.DataFrame({
+        "n_x": np.array([n], np.int64),
+        "n_y": np.array([m], np.int64),
+        "q25_x": np.array([qx[0]], np.int64),
+        "q50_x": np.array([qx[1]], np.int64),
+        "q75_x": np.array([qx[2]], np.int64),
+        "q25_y": np.array([qy[0]], np.int64),
+        "q50_y": np.array([qy[1]], np.int64),
+        "q75_y": np.array([qy[2]], np.int64),
+        "qte_25": [float(qy[0] - qx[0]) / 100.0],
+        "qte_50": [float(qy[1] - qx[1]) / 100.0],
+        "qte_75": [float(qy[2] - qx[2]) / 100.0]})
+
+
+def yuen_trimmed(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+    type_x: str = "click",
+    type_y: str = "view",
+    trim_pct: int = 20,
+) -> pd.DataFrame:
+    """Yuen's trimmed-mean two-sample test (20 % default): compares
+    the central 60 % of each distribution with winsorized-variance
+    standard errors — the robust-location member of the ladder
+    (welch_ttest breaks under heavy tails; wilcoxon reads ranks
+    only; Yuen keeps the value scale AND the robustness).
+
+    Everything before the closing is exact on the shared integer
+    histogram: trim depth g = ⌊n·trim/100⌋, the trimmed-range cell
+    counts max(0, min(cum, n−g) − max(cum−c, g)), the trimmed sums
+    St/Qt and the winsorized corrections g·(lo + hi) /
+    g·(lo² + hi²) are all int64 (HUGEINT oracle for Q).  The
+    closings mirror float-for-float: SSw = Qw − Sw²/n,
+    d = SSw/(h(h−1)), t = (St_x/h_x − St_y/h_y)/(100·√(d_x+d_y))
+    — descaled to value units."""
+    hist = _two_sample_hist(ds, type_col, val_col, type_x, type_y)
+    cols = {"n_x": pd.Series(dtype="int64"),
+            "n_y": pd.Series(dtype="int64"),
+            "h_x": pd.Series(dtype="int64"),
+            "h_y": pd.Series(dtype="int64"),
+            "tmean_x": pd.Series(dtype="float64"),
+            "tmean_y": pd.Series(dtype="float64"),
+            "yuen_t": pd.Series(dtype="float64")}
+    if len(hist) == 0:
+        return pd.DataFrame(cols)
+    k = hist["k"].to_numpy(np.int64)
+
+    def side(c):
+        n = int(c.sum())
+        if n == 0:
+            return None
+        g = n * trim_pct // 100
+        h = n - 2 * g
+        if h <= 1:
+            return None
+        cum = np.cumsum(c)
+        lo = int(k[int(np.searchsorted(cum, g + 1))])
+        hi = int(k[int(np.searchsorted(cum, n - g))])
+        tc = np.maximum(
+            0, np.minimum(cum, n - g) - np.maximum(cum - c, g))
+        st = int((k * tc).sum())
+        qt = sum(int(kk) * int(kk) * int(cc)
+                 for kk, cc in zip(k, tc) if cc)
+        sw = st + g * (lo + hi)
+        qw = qt + g * (lo * lo + hi * hi)
+        ssw = float(qw) - float(sw) * float(sw) / float(n)
+        d = ssw / float(h * (h - 1))
+        return n, h, st, d
+
+    sx = side(hist["cx"].to_numpy(np.int64))
+    sy = side(hist["cy"].to_numpy(np.int64))
+    if sx is None or sy is None:
+        return pd.DataFrame(cols)
+    n_x, h_x, st_x, d_x = sx
+    n_y, h_y, st_y, d_y = sy
+    if d_x + d_y <= 0.0:
+        return pd.DataFrame(cols)
+    tm_x = float(st_x) / float(h_x)
+    tm_y = float(st_y) / float(h_y)
+    # t is scale-free (the /100 descales cancel) — mirror the
+    # k-space expression verbatim
+    t = (tm_x - tm_y) / np.sqrt(d_x + d_y)
+    return pd.DataFrame({
+        "n_x": np.array([n_x], np.int64),
+        "n_y": np.array([n_y], np.int64),
+        "h_x": np.array([h_x], np.int64),
+        "h_y": np.array([h_y], np.int64),
+        "tmean_x": [tm_x / 100.0],
+        "tmean_y": [tm_y / 100.0],
+        "yuen_t": [t]})
+
+
+def hill_tail(
+    ds: ray.data.Dataset,
+    val_col: str = "value",
+    tail_k: int = 100,
+) -> pd.DataFrame:
+    """Hill estimator of the upper-tail index over positive values:
+    α̂ = 1/H with H = (1/k)·Σ_{i≤k} ln(x_(i)/x_(k+1)) on the k
+    largest observations — the standard POT tail-heaviness number
+    next to gumbel_maxima (block maxima) and pareto_concentration
+    (share curve).
+
+    Counts per value cell are exact; the ln terms accumulate in
+    DESCENDING value order as an explicit sequential prefix sum —
+    the same ordered-window device the kaplan_meier oracle uses —
+    so the float path is reproducible; H and α̂ are the mirrored
+    closings."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        kk = np.rint(df[val_col].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        kk = kk[kk >= 1]
+        g = pd.DataFrame({"k": kk})
+        c = g.groupby("k", as_index=False).size()
+        return c.rename(columns={"size": "c"})
+
+    hist = ds.select_columns([val_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {"n_pos": pd.Series(dtype="int64"),
+            "tail_k": pd.Series(dtype="int64"),
+            "x_ref": pd.Series(dtype="int64"),
+            "hill_h": pd.Series(dtype="float64"),
+            "alpha": pd.Series(dtype="float64")}
+    if hist.empty:
+        return pd.DataFrame(cols)
+    hist = hist.groupby("k", as_index=False)["c"].sum() \
+        .sort_values("k", ascending=False).reset_index(drop=True)
+    k = hist["k"].to_numpy(np.int64)
+    c = hist["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    if n < tail_k + 1:
+        return pd.DataFrame(cols)
+    cum = np.cumsum(c)
+    # k largest values, clipped per descending cell
+    tc = np.maximum(0, np.minimum(cum, tail_k)
+                    - np.maximum(cum - c, 0))
+    ref = int(k[int(np.searchsorted(cum, tail_k + 1))])
+    sln = 0.0
+    for kv, cc in zip(k, tc):     # descending-k sequential sum
+        if cc:
+            sln = sln + float(int(cc)) * float(np.log(float(kv)))
+    h = (sln - float(tail_k) * float(np.log(float(ref)))) \
+        / float(tail_k)
+    if h <= 0.0:
+        return pd.DataFrame(cols)
+    return pd.DataFrame({
+        "n_pos": np.array([n], np.int64),
+        "tail_k": np.array([tail_k], np.int64),
+        "x_ref": np.array([ref], np.int64),
+        "hill_h": [h],
+        "alpha": [1.0 / h]})

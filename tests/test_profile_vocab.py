@@ -1931,3 +1931,132 @@ def test_energy_distance_bruteforce_and_null(ray_session):
     got0 = energy_distance(ray.data.from_pandas(ev0)
                            .repartition(4))
     assert got0["energy_d2"].iloc[0] < 0.2
+
+
+def test_lepage_bruteforce_and_components(ray_session):
+    from cesium_ray.stages.analytics import (
+        ansari_bradley, lepage_test)
+
+    rng = np.random.default_rng(71)
+    x = np.round(rng.normal(50, 5, 300), 2)
+    y = np.round(rng.normal(54, 11, 280), 2)  # shift AND spread
+    ev = _two_type_events(x, y)
+    got = lepage_test(ray.data.from_pandas(ev).repartition(4))
+    # Wilcoxon component brute force (tie-corrected)
+    kx, ky, ks, counts, d2 = _pooled_midranks(x, y)
+    n, m = len(kx), len(ky)
+    N = n + m
+    cx = np.array([(kx == k).sum() for k in ks], np.int64)
+    w2 = int(np.sum(cx * d2))
+    t3 = int(np.sum(counts.astype(object) ** 3 - counts))
+    aa = (N + 1) * N * (N - 1) - t3
+    zw = (w2 - n * (N + 1)) / (2.0 * np.sqrt(
+        (n * m * aa) / (12 * N * (N - 1))))
+    assert np.isclose(got["z_wilcoxon"].iloc[0], zw)
+    # Ansari component must equal the standalone stage
+    za = ansari_bradley(ray.data.from_pandas(ev)
+                        .repartition(4))["z_stat"].iloc[0]
+    assert np.isclose(got["z_ansari"].iloc[0], za)
+    assert np.isclose(got["lepage_l"].iloc[0],
+                      zw * zw + za * za)
+    # both moved -> both components large, L very large
+    assert abs(got["z_wilcoxon"].iloc[0]) > 3
+    assert abs(got["z_ansari"].iloc[0]) > 3
+    assert got["lepage_l"].iloc[0] > 25
+
+
+def test_qte_profile_bruteforce_and_tail_shift(ray_session):
+    from cesium_ray.stages.analytics import qte_profile
+
+    rng = np.random.default_rng(72)
+    x = np.round(rng.normal(50, 6, 400), 2)
+    # right-tail-only treatment: upper half stretched
+    y0 = rng.normal(50, 6, 380)
+    y = np.round(np.where(y0 > 50, 50 + (y0 - 50) * 2, y0), 2)
+    ev = _two_type_events(x, y)
+    got = qte_profile(ray.data.from_pandas(ev).repartition(4))
+    kx = np.sort(np.rint(x * 100).astype(np.int64))
+    ky = np.sort(np.rint(y * 100).astype(np.int64))
+    for p, cols_ in ((1, ("q25_x", "q25_y", "qte_25")),
+                     (2, ("q50_x", "q50_y", "qte_50")),
+                     (3, ("q75_x", "q75_y", "qte_75"))):
+        qx = int(kx[(len(kx) * p + 3) // 4 - 1])
+        qy = int(ky[(len(ky) * p + 3) // 4 - 1])
+        assert int(got[cols_[0]].iloc[0]) == qx
+        assert int(got[cols_[1]].iloc[0]) == qy
+        assert np.isclose(got[cols_[2]].iloc[0], (qy - qx) / 100.0)
+    # tail-only effect: qte_75 >> |qte_25|
+    assert got["qte_75"].iloc[0] > 2.0
+    assert abs(got["qte_25"].iloc[0]) < 2.0
+
+
+def test_yuen_trimmed_bruteforce_and_outliers(ray_session):
+    from cesium_ray.stages.analytics import yuen_trimmed
+
+    rng = np.random.default_rng(73)
+    x = np.round(rng.normal(50, 5, 300), 2)
+    y = np.round(rng.normal(53, 5, 280), 2)
+    ev = _two_type_events(x, y)
+    got = yuen_trimmed(ray.data.from_pandas(ev).repartition(4))
+
+    def side(vals):
+        k = np.sort(np.rint(vals * 100).astype(np.int64))
+        n = len(k)
+        g = n * 20 // 100
+        h = n - 2 * g
+        t = k[g:n - g]
+        wn = k.copy()
+        wn[:g] = k[g]
+        wn[n - g:] = k[n - g - 1]
+        sw, qw = int(wn.sum()), int((wn.astype(object) ** 2).sum())
+        ssw = qw - sw * sw / n
+        return n, h, int(t.sum()), ssw / (h * (h - 1))
+
+    nx, hx, stx, dx = side(x)
+    ny, hy, sty, dy = side(y)
+    assert int(got["h_x"].iloc[0]) == hx
+    assert np.isclose(got["tmean_x"].iloc[0], stx / hx / 100.0)
+    t = (stx / hx - sty / hy) / np.sqrt(dx + dy)
+    assert np.isclose(got["yuen_t"].iloc[0], t, rtol=1e-9)
+    assert got["yuen_t"].iloc[0] < -4.0  # y above x
+    # gross outliers in x barely move the trimmed result
+    x2 = x.copy()
+    x2[:5] = 10000.0
+    got2 = yuen_trimmed(ray.data.from_pandas(
+        _two_type_events(x2, y)).repartition(4))
+    assert abs(got2["tmean_x"].iloc[0]
+               - got["tmean_x"].iloc[0]) < 0.5
+
+
+def test_hill_tail_bruteforce_and_heaviness(ray_session):
+    from cesium_ray.stages.analytics import hill_tail
+
+    rng = np.random.default_rng(74)
+    # Pareto(alpha=2) scaled into the value domain
+    v = np.round((rng.pareto(2.0, 5000) + 1.0), 2)
+    ev = pd.DataFrame({"value": v})
+    got = hill_tail(ray.data.from_pandas(ev).repartition(5),
+                    tail_k=100)
+    k = np.sort(np.rint(v * 100).astype(np.int64))[::-1]
+    k = k[k >= 1]
+    ref = int(k[100])
+    # sequential replay in the same descending-cell order
+    ks, cs = np.unique(k, return_counts=True)
+    ks, cs = ks[::-1], cs[::-1]
+    cum = np.cumsum(cs)
+    tc = np.maximum(0, np.minimum(cum, 100)
+                    - np.maximum(cum - cs, 0))
+    sln = 0.0
+    for kv, cc in zip(ks, tc):
+        if cc:
+            sln += float(cc) * float(np.log(float(kv)))
+    hh = (sln - 100.0 * np.log(float(ref))) / 100.0
+    assert int(got["x_ref"].iloc[0]) == ref
+    assert np.isclose(got["hill_h"].iloc[0], hh)
+    # recovered tail index near the true alpha = 2
+    assert 1.3 < got["alpha"].iloc[0] < 3.0
+    # lighter tail (alpha = 4) -> larger alpha estimate
+    v2 = np.round((rng.pareto(4.0, 5000) + 1.0), 2)
+    got2 = hill_tail(ray.data.from_pandas(
+        pd.DataFrame({"value": v2})).repartition(5), tail_k=100)
+    assert got2["alpha"].iloc[0] > got["alpha"].iloc[0]
