@@ -12105,6 +12105,84 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_rmst(sf_dir):
+    """★-checked restricted mean survival time
+    (stages/analytics.py): the kaplan_meier curve integrated to
+    the censor horizon with the same ordered-prefix float walk."""
+    from ..stages.analytics import rmst
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"])
+    return round6(rmst(ev, num_partitions=8))
+
+
+RMST_SQL = """
+WITH su AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+pu AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+  FROM events e JOIN su USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > su.t0
+  GROUP BY 1
+),
+mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+dur AS (
+  SELECT su.user_id,
+         coalesce(pu.tp, mx.tmax) - su.t0 AS d_us,
+         (pu.tp IS NOT NULL) AS ev
+  FROM su LEFT JOIN pu USING (user_id), mx
+),
+evt AS (
+  SELECT d_us, CAST(count(*) AS BIGINT) AS d
+  FROM dur WHERE ev GROUP BY d_us
+),
+risk AS (
+  SELECT e.d_us, e.d,
+         (SELECT CAST(count(*) AS BIGINT) FROM dur
+          WHERE dur.d_us >= e.d_us) AS n_risk
+  FROM evt e
+),
+curve AS (
+  SELECT d_us,
+         exp(sum(CASE WHEN d >= n_risk
+                  THEN CAST('-infinity' AS DOUBLE)
+                  ELSE ln(1 - CAST(d AS DOUBLE) / n_risk) END)
+             OVER (ORDER BY d_us ROWS UNBOUNDED PRECEDING))
+           AS surv
+  FROM risk
+),
+ta AS (SELECT CAST(max(d_us) AS BIGINT) AS tau FROM dur),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_dur,
+              CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_ev
+       FROM dur),
+integ AS (SELECT d_us, surv,
+                 lag(surv, 1, 1.0) OVER (ORDER BY d_us) AS sprev,
+                 lag(d_us, 1, 0) OVER (ORDER BY d_us) AS tprev
+          FROM curve),
+run AS (SELECT sum(sprev*CAST(d_us - tprev AS DOUBLE))
+               OVER (ORDER BY d_us ROWS UNBOUNDED PRECEDING)
+                 AS acc,
+               surv, d_us,
+               row_number() OVER (ORDER BY d_us) AS rn,
+               count(*) OVER () AS cnt
+        FROM integ),
+fin AS (SELECT acc, surv, d_us FROM run WHERE rn = cnt)
+SELECT nn.n_dur AS n_durations, nn.n_ev AS n_events,
+       ta.tau AS tau_us,
+       round((fin.acc
+              + fin.surv*CAST(ta.tau - fin.d_us AS DOUBLE))
+             / 86400000000.0, 6) AS rmst_days,
+       round((fin.acc
+              + fin.surv*CAST(ta.tau - fin.d_us AS DOUBLE))
+             / CAST(ta.tau AS DOUBLE), 6) AS rmst_share
+FROM nn, ta, fin WHERE ta.tau > 0
+"""
+
+
 def q_yuen_trimmed(sf_dir):
     """★-checked Yuen 20 %-trimmed-mean test
     (stages/analytics.py): exact trimmed-range cell counts and
@@ -13175,6 +13253,7 @@ EXTRA_QUERIES = {
     "qte_profile": q_qte_profile,
     "yuen_trimmed": q_yuen_trimmed,
     "hill_tail": q_hill_tail,
+    "rmst": q_rmst,
     "brunner_munzel": q_brunner_munzel,
     "cucconi": q_cucconi,
     "dagostino_k2": q_dagostino_k2,
@@ -13448,6 +13527,7 @@ EXTRA_ORACLE_SQL = {
     "qte_profile": QTE_SQL,
     "yuen_trimmed": YUEN_SQL,
     "hill_tail": HILL_SQL,
+    "rmst": RMST_SQL,
     "brunner_munzel": BRUNNER_MUNZEL_SQL,
     "cucconi": CUCCONI_SQL,
     "dagostino_k2": DAGOSTINO_SQL,

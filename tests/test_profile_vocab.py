@@ -2060,3 +2060,55 @@ def test_hill_tail_bruteforce_and_heaviness(ray_session):
     got2 = hill_tail(ray.data.from_pandas(
         pd.DataFrame({"value": v2})).repartition(5), tail_k=100)
     assert got2["alpha"].iloc[0] > got["alpha"].iloc[0]
+
+
+def test_rmst_bruteforce_and_bounds(ray_session):
+    from cesium_ray.stages.analytics import rmst
+
+    rng = np.random.default_rng(75)
+    rows = []
+    for uid in range(25):
+        t0 = int(rng.integers(0, 1000))
+        rows.append((uid, "signup", t0))
+        if uid % 3 != 0:  # 2/3 convert
+            rows.append((uid, "purchase",
+                         t0 + int(rng.integers(1, 5000))))
+        rows.append((uid, "view", int(rng.integers(5000, 9000))))
+    ev = pd.DataFrame(rows, columns=["user_id", "event_type", "t"])
+    ev["ts"] = pd.to_datetime(ev["t"] * 10**6, unit="us") \
+        .astype("datetime64[us]")
+    ev = ev.drop(columns=["t"])
+    got = rmst(ray.data.from_pandas(ev).repartition(4),
+               num_partitions=3)
+    # brute force KM + integral
+    tmax = int(ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+               .max())
+    durs, obs = [], []
+    for uid, g in ev.groupby("user_id"):
+        tus = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        et = g["event_type"].to_numpy()
+        t0 = int(tus[et == "signup"].min())
+        pv = tus[(et == "purchase") & (tus > t0)]
+        if len(pv):
+            durs.append(int(pv.min()) - t0)
+            obs.append(True)
+        else:
+            durs.append(tmax - t0)
+            obs.append(False)
+    durs = np.array(durs); obs = np.array(obs)
+    tau = int(durs.max())
+    acc, sp, tp, ls = 0.0, 1.0, 0, 0.0
+    for t in np.unique(durs[obs]):
+        nr = int((durs >= t).sum())
+        d = int((durs[obs] == t).sum())
+        acc += sp * float(int(t) - tp)
+        ls += np.log(1 - d / nr) if d < nr else -np.inf
+        sp, tp = float(np.exp(ls)), int(t)
+    r = acc + sp * float(tau - tp)
+    assert int(got["n_durations"].iloc[0]) == len(durs)
+    assert int(got["n_events"].iloc[0]) == int(obs.sum())
+    assert int(got["tau_us"].iloc[0]) == tau
+    assert np.isclose(got["rmst_days"].iloc[0], r / 86400000000.0)
+    assert np.isclose(got["rmst_share"].iloc[0], r / tau)
+    # RMST is bounded by the horizon and positive
+    assert 0.0 < got["rmst_share"].iloc[0] <= 1.0
