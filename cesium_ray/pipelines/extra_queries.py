@@ -12105,6 +12105,144 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_gehan(sf_dir):
+    """★-checked Gehan generalized Wilcoxon on censored
+    time-to-conversion, even vs odd user cohorts
+    (stages/analytics.py): exact definite-ordering scores from
+    cumulative (duration, status) counts, HUGEINT ΣG², one z."""
+    from ..stages.analytics import gehan_wilcoxon
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"])
+    return round6(gehan_wilcoxon(ev, num_partitions=8))
+
+
+GEHAN_SQL = """
+WITH su AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+pu AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+  FROM events e JOIN su USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > su.t0
+  GROUP BY 1
+),
+mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+dur AS (SELECT su.user_id,
+               coalesce(pu.tp, mx.tmax) - su.t0 AS t,
+               CASE WHEN pu.tp IS NOT NULL THEN 1 ELSE 0 END AS o
+        FROM su LEFT JOIN pu USING (user_id), mx),
+h AS (SELECT t, CAST(count(*) AS BIGINT) AS c_all,
+             CAST(sum(o) AS BIGINT) AS c_obs
+      FROM dur GROUP BY 1),
+w AS (SELECT t, c_all, c_obs,
+             sum(c_all) OVER (ORDER BY t
+                              ROWS UNBOUNDED PRECEDING)
+               AS cum_all,
+             sum(c_obs) OVER (ORDER BY t
+                              ROWS UNBOUNDED PRECEDING)
+               AS cum_obs
+      FROM h),
+tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS nt FROM h),
+g AS (SELECT d.user_id,
+             (w.cum_obs - w.c_obs) + (1 - d.o)*w.c_obs
+             - d.o*((tot.nt - w.cum_all)
+                    + (w.c_all - w.c_obs)) AS gg
+      FROM dur d JOIN w ON w.t = d.t, tot),
+mm AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN user_id % 2 = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS m
+       FROM g),
+st AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0
+                       THEN gg ELSE 0 END) AS BIGINT) AS wsum,
+              sum(CAST(gg AS HUGEINT)*gg) AS sg2
+       FROM g)
+SELECT mm.n AS n_a, mm.m AS n_b, st.wsum AS w_gehan,
+       round(CAST(st.wsum AS DOUBLE)
+             / sqrt(CAST(CAST(mm.n AS HUGEINT)*mm.m*st.sg2
+                         AS DOUBLE)
+                    / CAST((mm.n + mm.m)
+                           *CAST(mm.n + mm.m - 1 AS HUGEINT)
+                           AS DOUBLE)), 6) AS z_stat
+FROM mm, st
+WHERE mm.n > 0 AND mm.m > 0
+  AND CAST(mm.n AS HUGEINT)*mm.m*st.sg2 > 0
+"""
+
+
+def q_cuped(sf_dir):
+    """★-checked CUPED variance-reduced treatment effect
+    (stages/analytics.py): per-user pre/post value sums as exact
+    int cells, pooled θ from exact moments, mirrored raw/adjusted
+    effect and ρ² closings."""
+    from ..stages.analytics import cuped_effect
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value"])
+    return round6(cuped_effect(ev, num_partitions=8))
+
+
+CUPED_SQL = """
+WITH b AS (SELECT min(epoch_us(ts)) AS t0,
+                  max(epoch_us(ts)) AS t1 FROM events),
+u AS (SELECT user_id,
+             CAST(sum(CASE WHEN epoch_us(ts) <= (b.t0 + b.t1)//2
+                      THEN CAST(round(value*100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_us(ts) > (b.t0 + b.t1)//2
+                      THEN CAST(round(value*100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events, b GROUP BY 1),
+mo AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+              CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(y) AS BIGINT) AS sy,
+              sum(CAST(x AS HUGEINT)*y) AS sxy,
+              sum(CAST(x AS HUGEINT)*x) AS sx2,
+              sum(CAST(y AS HUGEINT)*y) AS sy2,
+              CAST(sum(CASE WHEN user_id % 2 = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+              CAST(sum(CASE WHEN user_id % 2 = 1
+                       THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+              CAST(sum(CASE WHEN user_id % 2 = 1
+                       THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+              CAST(sum(CASE WHEN user_id % 2 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+              CAST(sum(CASE WHEN user_id % 2 = 0
+                       THEN x ELSE 0 END) AS BIGINT) AS sx_c,
+              CAST(sum(CASE WHEN user_id % 2 = 0
+                       THEN y ELSE 0 END) AS BIGINT) AS sy_c
+       FROM u),
+cl AS (SELECT nu, n_t, n_c,
+              CAST(nu*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+              / CAST(nu*sx2 - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+                AS theta,
+              CAST(sy_t AS DOUBLE)/CAST(n_t AS DOUBLE)
+              - CAST(sy_c AS DOUBLE)/CAST(n_c AS DOUBLE)
+                AS raw_k,
+              CAST(sx_t AS DOUBLE)/CAST(n_t AS DOUBLE)
+              - CAST(sx_c AS DOUBLE)/CAST(n_c AS DOUBLE)
+                AS rawx_k,
+              CAST(nu*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+              *CAST(nu*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+              / (CAST(nu*sx2 - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+                 *CAST(nu*sy2 - CAST(sy AS HUGEINT)*sy
+                       AS DOUBLE)) AS rho2
+       FROM mo
+       WHERE n_t > 0 AND n_c > 0
+         AND nu*sx2 - CAST(sx AS HUGEINT)*sx > 0
+         AND nu*sy2 - CAST(sy AS HUGEINT)*sy > 0)
+SELECT nu AS n_users, n_t AS n_treat, round(theta, 6) AS theta,
+       round(raw_k/100.0, 6) AS raw_effect,
+       round((raw_k - theta*rawx_k)/100.0, 6) AS cuped_effect,
+       round(rho2, 6) AS rho2
+FROM cl
+"""
+
+
 def q_rmst(sf_dir):
     """★-checked restricted mean survival time
     (stages/analytics.py): the kaplan_meier curve integrated to
@@ -13254,6 +13392,8 @@ EXTRA_QUERIES = {
     "yuen_trimmed": q_yuen_trimmed,
     "hill_tail": q_hill_tail,
     "rmst": q_rmst,
+    "gehan": q_gehan,
+    "cuped": q_cuped,
     "brunner_munzel": q_brunner_munzel,
     "cucconi": q_cucconi,
     "dagostino_k2": q_dagostino_k2,
@@ -13528,6 +13668,8 @@ EXTRA_ORACLE_SQL = {
     "yuen_trimmed": YUEN_SQL,
     "hill_tail": HILL_SQL,
     "rmst": RMST_SQL,
+    "gehan": GEHAN_SQL,
+    "cuped": CUPED_SQL,
     "brunner_munzel": BRUNNER_MUNZEL_SQL,
     "cucconi": CUCCONI_SQL,
     "dagostino_k2": DAGOSTINO_SQL,

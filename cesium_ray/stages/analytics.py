@@ -4613,3 +4613,193 @@ def rmst(
         "tau_us": np.array([tau], np.int64),
         "rmst_days": [r / 86400000000.0],
         "rmst_share": [r / float(tau)]})
+
+
+def gehan_wilcoxon(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Gehan's generalized Wilcoxon test for right-censored
+    durations between two cohorts (even vs odd key — the
+    deterministic A/B split): does time-to-conversion differ?  The
+    censoring-aware TEST that completes the survival family next
+    to kaplan_meier (the curve) and rmst (the summary).
+
+    Durations/censor rule are identical to kaplan_meier's cells.
+    Definite orderings only: i beats j iff j converted AND
+    (t_i > t_j, or t_i = t_j with i censored).  Per-subject Gehan
+    scores G = A − B come from exact cumulative (duration, status)
+    histogram counts; W = Σ_{cohort A} G and the permutation
+    variance n·m·ΣG²/(N(N−1)) use Python-int/HUGEINT sums (G² is
+    O(N²), overflows int64 at ~10⁵ subjects); z = W/√Var is the
+    one closing."""
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in df.groupby(key, observed=True):
+            tus = g[ts_col].to_numpy("datetime64[us]").view(np.int64)
+            et = g[type_col].to_numpy()
+            st = tus[et == start_type]
+            if not len(st):
+                out.append((int(uid), -1, -1, int(tus.max())))
+                continue
+            t0 = int(st.min())
+            ev = tus[(et == event_type) & (tus > t0)]
+            out.append((int(uid), t0,
+                        int(ev.min()) if len(ev) else -1,
+                        int(tus.max())))
+        return pd.DataFrame(out, columns=[key, "t0", "tp", "tmax"])
+
+    cells = group_apply(
+        ds.select_columns([key, type_col, ts_col]),
+        per_key, num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    cols = {"n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "w_gehan": pd.Series(dtype="int64"),
+            "z_stat": pd.Series(dtype="float64")}
+    if not len(cells):
+        return pd.DataFrame(cols)
+    tmax = int(cells["tmax"].max())
+    cells = cells[cells["t0"] >= 0]
+    if not len(cells):
+        return pd.DataFrame(cols)
+    obs = cells["tp"].to_numpy(np.int64) >= 0
+    dur = np.where(obs, cells["tp"].to_numpy(np.int64),
+                   tmax) - cells["t0"].to_numpy(np.int64)
+    grp_a = (cells[key].to_numpy(np.int64) % 2) == 0
+    n, m = int(grp_a.sum()), int((~grp_a).sum())
+    if n == 0 or m == 0:
+        return pd.DataFrame(cols)
+    N = n + m
+    # pooled (duration, status) histogram with cumulative counts
+    hdf = pd.DataFrame({"t": dur, "o": obs.astype(np.int64)})
+    hist = hdf.groupby("t", as_index=False).agg(
+        c_all=("o", "size"), c_obs=("o", "sum")) \
+        .sort_values("t").reset_index(drop=True)
+    ht = hist["t"].to_numpy(np.int64)
+    call = hist["c_all"].to_numpy(np.int64)
+    cobs = hist["c_obs"].to_numpy(np.int64)
+    cum_all = np.cumsum(call)
+    cum_obs = np.cumsum(cobs)
+    idx = np.searchsorted(ht, dur)
+    obs_lt = cum_obs[idx] - cobs[idx]          # observed with t < t_i
+    obs_eq = cobs[idx]
+    all_gt = int(cum_all[-1]) - cum_all[idx]   # subjects with t > t_i
+    cens_eq = call[idx] - cobs[idx]
+    oi = obs.astype(np.int64)
+    # A_i: observed strictly before, plus observed at t_i when i
+    # is censored; B_i (only if i observed): later subjects plus
+    # same-time censored
+    A = obs_lt + (1 - oi) * obs_eq
+    B = oi * (all_gt + cens_eq)                # self never counted
+    G = A - B
+    W = int(G[grp_a].sum())
+    sg2 = sum(int(g) * int(g) for g in G)
+    var_num = n * m * sg2
+    if var_num <= 0:
+        return pd.DataFrame(cols)
+    z = float(W) / float(np.sqrt(float(var_num)
+                                 / float(N * (N - 1))))
+    return pd.DataFrame({
+        "n_a": np.array([n], np.int64),
+        "n_b": np.array([m], np.int64),
+        "w_gehan": np.array([W], np.int64),
+        "z_stat": [z]})
+
+
+def cuped_effect(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data,
+    Deng et al., WSDM 2013): the variance-reduced treatment-effect
+    estimate ŷ_cuped = ȳ − θ·x̄ per cohort with θ = cov(x,y)/var(x)
+    fit on the pooled users — x is each user's PRE-period value sum
+    (first half of the global time range), y the post-period sum,
+    treatment the deterministic odd-key cohort.  Reports raw vs
+    adjusted effect and ρ² (the variance fraction CUPED removes).
+
+    Per-user (x, y) cells are exact int64 k-space sums through one
+    keyed exchange; every pooled/cohort moment (Σx, Σxy, Σx², …)
+    is an exact Python-int/HUGEINT partial; θ, the two effects and
+    ρ² are the mirrored float closings (descaled /100)."""
+    from .partition import group_apply
+
+    t0 = int(pd.Timestamp(ds.min(ts_col)).value) // 1000
+    t1 = int(pd.Timestamp(ds.max(ts_col)).value) // 1000
+    tmid = (t0 + t1) // 2
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        k = np.rint(df[val_col].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        pre = tus <= tmid
+        g = pd.DataFrame({key: df[key].to_numpy(),
+                          "x": np.where(pre, k, 0),
+                          "y": np.where(pre, 0, k)})
+        u = g.groupby(key, as_index=False)[["x", "y"]].sum()
+        t = (u[key].to_numpy(np.int64) % 2) == 1
+        x = u["x"].to_numpy(np.int64)
+        y = u["y"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "nu": [np.int64(len(u))],
+            "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxy": [sum(int(a) * int(b) for a, b in zip(x, y))],
+            "sx2": [sum(int(a) * int(a) for a in x)],
+            "sy2": [sum(int(b) * int(b) for b in y)],
+            "n_t": [np.int64(int(t.sum()))],
+            "sx_t": [int(x[t].sum())], "sy_t": [int(y[t].sum())],
+            "n_c": [np.int64(int((~t).sum()))],
+            "sx_c": [int(x[~t].sum())],
+            "sy_c": [int(y[~t].sum())]})
+
+    parts = group_apply(
+        ds.select_columns([key, ts_col, val_col]),
+        per_key, num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    cols = {"n_users": pd.Series(dtype="int64"),
+            "n_treat": pd.Series(dtype="int64"),
+            "theta": pd.Series(dtype="float64"),
+            "raw_effect": pd.Series(dtype="float64"),
+            "cuped_effect": pd.Series(dtype="float64"),
+            "rho2": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    nu = int(parts["nu"].sum())
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxy = sum(int(v) for v in parts["sxy"])
+    sx2 = sum(int(v) for v in parts["sx2"])
+    sy2 = sum(int(v) for v in parts["sy2"])
+    n_t = int(parts["n_t"].sum())
+    sx_t = sum(int(v) for v in parts["sx_t"])
+    sy_t = sum(int(v) for v in parts["sy_t"])
+    n_c = int(parts["n_c"].sum())
+    sx_c = sum(int(v) for v in parts["sx_c"])
+    sy_c = sum(int(v) for v in parts["sy_c"])
+    vx = nu * sx2 - sx * sx
+    vy = nu * sy2 - sy * sy
+    if n_t == 0 or n_c == 0 or vx <= 0 or vy <= 0:
+        return pd.DataFrame(cols)
+    cxy = nu * sxy - sx * sy
+    theta = float(cxy) / float(vx)
+    raw_k = float(sy_t) / float(n_t) - float(sy_c) / float(n_c)
+    rawx_k = float(sx_t) / float(n_t) - float(sx_c) / float(n_c)
+    rho2 = float(cxy) * float(cxy) / (float(vx) * float(vy))
+    return pd.DataFrame({
+        "n_users": np.array([nu], np.int64),
+        "n_treat": np.array([n_t], np.int64),
+        "theta": [theta],
+        "raw_effect": [raw_k / 100.0],
+        "cuped_effect": [(raw_k - theta * rawx_k) / 100.0],
+        "rho2": [rho2]})

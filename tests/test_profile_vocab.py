@@ -2112,3 +2112,114 @@ def test_rmst_bruteforce_and_bounds(ray_session):
     assert np.isclose(got["rmst_share"].iloc[0], r / tau)
     # RMST is bounded by the horizon and positive
     assert 0.0 < got["rmst_share"].iloc[0] <= 1.0
+
+
+def test_gehan_wilcoxon_bruteforce_and_shift(ray_session):
+    from cesium_ray.stages.analytics import gehan_wilcoxon
+
+    rng = np.random.default_rng(76)
+    rows = []
+    for uid in range(40):
+        t0 = int(rng.integers(0, 500))
+        rows.append((uid, "signup", t0))
+        # even cohort converts fast, odd slowly; 1/4 censored
+        if rng.random() > 0.25:
+            lag = int(rng.integers(1, 1000)) if uid % 2 == 0 \
+                else int(rng.integers(2000, 6000))
+            rows.append((uid, "purchase", t0 + lag))
+        rows.append((uid, "view", 9000 + uid))
+    ev = pd.DataFrame(rows, columns=["user_id", "event_type", "t"])
+    ev["ts"] = pd.to_datetime(ev["t"] * 10**6, unit="us") \
+        .astype("datetime64[us]")
+    ev = ev.drop(columns=["t"])
+    got = gehan_wilcoxon(ray.data.from_pandas(ev).repartition(4),
+                         num_partitions=3)
+    # brute force pairwise definite orderings
+    tmax = int(ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+               .max())
+    subs = []
+    for uid, g in ev.groupby("user_id"):
+        tus = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        et = g["event_type"].to_numpy()
+        t0 = int(tus[et == "signup"].min())
+        pv = tus[(et == "purchase") & (tus > t0)]
+        if len(pv):
+            subs.append((uid, int(pv.min()) - t0, 1))
+        else:
+            subs.append((uid, tmax - t0, 0))
+
+    def beats(a, b):
+        # a outlives b definitively
+        return b[2] == 1 and (a[1] > b[1]
+                              or (a[1] == b[1] and a[2] == 0))
+
+    G = {}
+    for a in subs:
+        G[a[0]] = sum(beats(a, b) for b in subs if b is not a) \
+            - sum(beats(b, a) for b in subs if b is not a)
+    W = sum(G[u] for u, _, _ in subs if u % 2 == 0)
+    n = sum(1 for u, _, _ in subs if u % 2 == 0)
+    m = len(subs) - n
+    N = n + m
+    sg2 = sum(g * g for g in G.values())
+    z = W / np.sqrt((n * m * sg2) / (N * (N - 1)))
+    assert int(got["w_gehan"].iloc[0]) == W
+    assert np.isclose(got["z_stat"].iloc[0], z)
+    # even cohort converts sooner -> shorter durations -> negative W
+    assert got["z_stat"].iloc[0] < -3.0
+
+
+def test_cuped_bruteforce_and_variance_reduction(ray_session):
+    from cesium_ray.stages.analytics import cuped_effect
+
+    rng = np.random.default_rng(77)
+    rows = []
+    for uid in range(60):
+        base = rng.uniform(5, 45)          # user-level level
+        for t in range(20):                 # pre period
+            rows.append((uid, t * 100,
+                         round(base + rng.normal(0, 2), 2)))
+        lift = 3.0 if uid % 2 == 1 else 0.0
+        for t in range(20):                 # post period
+            rows.append((uid, 10**6 + t * 100,
+                         round(base + lift + rng.normal(0, 2), 2)))
+    ev = pd.DataFrame(rows, columns=["user_id", "t", "value"])
+    ev["ts"] = pd.to_datetime(ev["t"] * 10**6, unit="us") \
+        .astype("datetime64[us]")
+    ev = ev.drop(columns=["t"])
+    got = cuped_effect(ray.data.from_pandas(ev).repartition(5),
+                       num_partitions=4)
+    # brute force
+    tus = ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+    tmid = (int(tus.min()) + int(tus.max())) // 2
+    k = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    df = pd.DataFrame({"u": ev["user_id"], "pre": tus <= tmid,
+                       "k": k})
+    ux = df[df.pre].groupby("u")["k"].sum()
+    uy = df[~df.pre].groupby("u")["k"].sum()
+    users = sorted(df["u"].unique())
+    x = np.array([int(ux.get(u, 0)) for u in users], object)
+    y = np.array([int(uy.get(u, 0)) for u in users], object)
+    nu = len(users)
+    cxy = nu * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    vx = nu * int((x * x).sum()) - int(x.sum()) ** 2
+    vy = nu * int((y * y).sum()) - int(y.sum()) ** 2
+    theta = cxy / vx
+    t_mask = np.array([u % 2 == 1 for u in users])
+    raw = float(y[t_mask].sum()) / t_mask.sum() \
+        - float(y[~t_mask].sum()) / (~t_mask).sum()
+    rawx = float(x[t_mask].sum()) / t_mask.sum() \
+        - float(x[~t_mask].sum()) / (~t_mask).sum()
+    assert np.isclose(got["theta"].iloc[0], theta, rtol=1e-9)
+    assert np.isclose(got["raw_effect"].iloc[0], raw / 100.0,
+                      rtol=1e-9)
+    assert np.isclose(got["cuped_effect"].iloc[0],
+                      (raw - theta * rawx) / 100.0, rtol=1e-6)
+    # planted +3/event lift on 20 post events -> sum effect ~60
+    assert 50.0 < got["cuped_effect"].iloc[0] < 75.0
+    assert got["rho2"].iloc[0] > 0.8
+    # CUPED's whole point: the adjusted effect is closer to the
+    # true sum lift (60) than the raw difference, whose user-level
+    # base variation dominates at 60 users
+    assert abs(got["cuped_effect"].iloc[0] - 60.0) \
+        < abs(got["raw_effect"].iloc[0] - 60.0)
