@@ -12105,6 +12105,99 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_did(sf_dir):
+    """★-checked difference-in-differences on value means
+    (stages/analytics.py): four exact (cohort, period) cells, no
+    exchange, mirrored mean and DiD closings."""
+    from ..stages.analytics import did_effect
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value"])
+    return round6(did_effect(ev))
+
+
+DID_SQL = """
+WITH b AS (SELECT min(epoch_us(ts)) AS t0,
+                  max(epoch_us(ts)) AS t1 FROM events),
+c AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+             CASE WHEN epoch_us(ts) > (b.t0 + b.t1)//2
+                  THEN 1 ELSE 0 END AS p,
+             CAST(round(value*100) AS BIGINT) AS k
+      FROM events, b),
+g AS (SELECT t, p, CAST(sum(k) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY 1, 2),
+m AS (SELECT
+  (SELECT CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/100.0
+   FROM g WHERE t = 0 AND p = 0) AS m00,
+  (SELECT CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/100.0
+   FROM g WHERE t = 0 AND p = 1) AS m01,
+  (SELECT CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/100.0
+   FROM g WHERE t = 1 AND p = 0) AS m10,
+  (SELECT CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/100.0
+   FROM g WHERE t = 1 AND p = 1) AS m11)
+SELECT round(m00, 6) AS mean_pre_c, round(m01, 6) AS mean_post_c,
+       round(m10, 6) AS mean_pre_t, round(m11, 6) AS mean_post_t,
+       round((m11 - m10) - (m01 - m00), 6) AS did
+FROM m WHERE m00 IS NOT NULL AND m01 IS NOT NULL
+  AND m10 IS NOT NULL AND m11 IS NOT NULL
+"""
+
+
+def q_sprt(sf_dir):
+    """★-checked Wald SPRT on per-key conversion
+    (stages/analytics.py): closed-form LLR per prefix (exact int
+    counts × literal ln constants — no float accumulation), first
+    boundary crossing in key order."""
+    from ..stages.analytics import sprt_conversion
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type"])
+    return round6(sprt_conversion(ev))
+
+
+def _sprt_sql() -> str:
+    """SQL twin of sprt_conversion — the four ln constants are
+    computed by the SAME numpy expressions the stage uses and
+    embedded as exact double literals, so the per-row boundary
+    comparisons are bit-identical."""
+    p0, p1, alpha, beta = 0.3, 0.4, 0.05, 0.05
+    la = float(np.log(p1 / p0))
+    lb = float(np.log((1.0 - p1) / (1.0 - p0)))
+    up = float(np.log((1.0 - beta) / alpha))
+    lo = float(np.log(beta / (1.0 - alpha)))
+    return f"""
+WITH u AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS c
+           FROM events GROUP BY 1),
+o AS (SELECT user_id, c,
+             sum(c) OVER (ORDER BY user_id
+                          ROWS UNBOUNDED PRECEDING) AS cc,
+             row_number() OVER (ORDER BY user_id) AS i
+      FROM u),
+l AS (SELECT i, CAST(cc AS DOUBLE)*({la!r})
+               + CAST(i - cc AS DOUBLE)*({lb!r}) AS llr
+      FROM o),
+hit AS (SELECT i, llr,
+               CASE WHEN llr >= {up!r} THEN 'reject_h0'
+                    ELSE 'accept_h0' END AS dec
+        FROM l WHERE llr >= {up!r} OR llr <= {lo!r}
+        ORDER BY i LIMIT 1),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS nk,
+              CAST(sum(c) AS BIGINT) AS nc FROM u),
+fin AS (SELECT llr AS lf, i AS nd FROM l
+        ORDER BY i DESC LIMIT 1)
+SELECT mm.nk AS n_keys, mm.nc AS n_conversions,
+       coalesce(hit.dec, 'continue') AS decision,
+       CAST(coalesce(hit.i, fin.nd) AS BIGINT) AS n_at_decision,
+       round(coalesce(hit.llr, fin.lf), 6) AS llr_final
+FROM mm LEFT JOIN hit ON TRUE LEFT JOIN fin ON TRUE
+"""
+
+
 def q_gehan(sf_dir):
     """★-checked Gehan generalized Wilcoxon on censored
     time-to-conversion, even vs odd user cohorts
@@ -13394,6 +13487,8 @@ EXTRA_QUERIES = {
     "rmst": q_rmst,
     "gehan": q_gehan,
     "cuped": q_cuped,
+    "did": q_did,
+    "sprt": q_sprt,
     "brunner_munzel": q_brunner_munzel,
     "cucconi": q_cucconi,
     "dagostino_k2": q_dagostino_k2,
@@ -13670,6 +13765,8 @@ EXTRA_ORACLE_SQL = {
     "rmst": RMST_SQL,
     "gehan": GEHAN_SQL,
     "cuped": CUPED_SQL,
+    "did": DID_SQL,
+    "sprt": _sprt_sql(),
     "brunner_munzel": BRUNNER_MUNZEL_SQL,
     "cucconi": CUCCONI_SQL,
     "dagostino_k2": DAGOSTINO_SQL,

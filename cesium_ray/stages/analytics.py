@@ -4803,3 +4803,123 @@ def cuped_effect(
         "raw_effect": [raw_k / 100.0],
         "cuped_effect": [(raw_k - theta * rawx_k) / 100.0],
         "rho2": [rho2]})
+
+
+def did_effect(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Difference-in-differences on per-event value means: cohorts
+    are the deterministic odd-key treatment split, periods the two
+    halves of the global time range, and
+    DiD = (post_t − pre_t) − (post_c − pre_c) — the causal
+    baseline that CUPED refines; reporting both lets a pipeline
+    show parallel-trends health alongside the adjusted effect.
+
+    Four exact (cohort, period) cells of (Σk, count) through
+    map-side partials — no keyed exchange at all; the four means
+    and the DiD closing are the mirrored floats (descaled /100)."""
+    t0 = int(pd.Timestamp(ds.min(ts_col)).value) // 1000
+    t1 = int(pd.Timestamp(ds.max(ts_col)).value) // 1000
+    tmid = (t0 + t1) // 2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        k = np.rint(df[val_col].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        treat = (df[key].to_numpy(np.int64) % 2) == 1
+        post = tus > tmid
+        g = pd.DataFrame({"t": treat.astype(np.int64),
+                          "p": post.astype(np.int64), "k": k})
+        c = g.groupby(["t", "p"], as_index=False).agg(
+            s=("k", "sum"), n=("k", "size"))
+        return c
+
+    cells = ds.select_columns([key, ts_col, val_col]).map_batches(
+        partial, batch_format="pandas").to_pandas() \
+        .groupby(["t", "p"], as_index=False)[["s", "n"]].sum()
+    cols = {"mean_pre_c": pd.Series(dtype="float64"),
+            "mean_post_c": pd.Series(dtype="float64"),
+            "mean_pre_t": pd.Series(dtype="float64"),
+            "mean_post_t": pd.Series(dtype="float64"),
+            "did": pd.Series(dtype="float64")}
+    if len(cells) < 4:
+        return pd.DataFrame(cols)
+    m = {}
+    for _, r in cells.iterrows():
+        m[(int(r["t"]), int(r["p"]))] = \
+            float(int(r["s"])) / float(int(r["n"])) / 100.0
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    return pd.DataFrame({
+        "mean_pre_c": [m[(0, 0)]], "mean_post_c": [m[(0, 1)]],
+        "mean_pre_t": [m[(1, 0)]], "mean_post_t": [m[(1, 1)]],
+        "did": [did]})
+
+
+def sprt_conversion(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    p0: float = 0.3,
+    p1: float = 0.4,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> pd.DataFrame:
+    """Wald's sequential probability ratio test on the per-key
+    conversion rate (did the key ever fire ``convert_type``): walk
+    keys in key order and stop the first time the log-likelihood
+    ratio leaves (ln(β/(1−α)), ln((1−β)/α)) — the streaming A/B
+    stopping rule that fixed-horizon tests can't give.
+
+    No float ever ACCUMULATES: after i keys with c conversions the
+    LLR is the closed form c·ln(p1/p0) + (i−c)·ln((1−p1)/(1−p0)),
+    an exact-int pair times two constants — so the crossing index
+    is a per-row mirrored comparison over the cumulative
+    conversion counts, immune to summation order."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        conv = df.groupby(key, observed=True)[type_col].agg(
+            lambda s: int((s.to_numpy(object)
+                           == convert_type).any()))
+        return pd.DataFrame({key: conv.index.to_numpy(np.int64),
+                             "c": conv.to_numpy(np.int64)})
+
+    users = ds.select_columns([key, type_col]).map_batches(
+        partial, batch_format="pandas").to_pandas() \
+        .groupby(key, as_index=False)["c"].max() \
+        .sort_values(key).reset_index(drop=True)
+    cols = {"n_keys": pd.Series(dtype="int64"),
+            "n_conversions": pd.Series(dtype="int64"),
+            "decision": pd.Series(dtype=object),
+            "n_at_decision": pd.Series(dtype="int64"),
+            "llr_final": pd.Series(dtype="float64")}
+    if users.empty:
+        return pd.DataFrame(cols)
+    la = float(np.log(p1 / p0))
+    lb = float(np.log((1.0 - p1) / (1.0 - p0)))
+    up = float(np.log((1.0 - beta) / alpha))
+    lo = float(np.log(beta / (1.0 - alpha)))
+    c = np.cumsum(users["c"].to_numpy(np.int64))
+    i = np.arange(1, len(users) + 1, dtype=np.int64)
+    llr = c.astype(np.float64) * la \
+        + (i - c).astype(np.float64) * lb
+    hit_up = llr >= up
+    hit_lo = llr <= lo
+    hit = hit_up | hit_lo
+    if hit.any():
+        j = int(np.argmax(hit))
+        dec = "reject_h0" if bool(hit_up[j]) else "accept_h0"
+        nd = int(i[j])
+        lf = float(llr[j])
+    else:
+        dec, nd, lf = "continue", int(i[-1]), float(llr[-1])
+    return pd.DataFrame({
+        "n_keys": np.array([len(users)], np.int64),
+        "n_conversions": np.array([int(c[-1])], np.int64),
+        "decision": [dec],
+        "n_at_decision": np.array([nd], np.int64),
+        "llr_final": [lf]})

@@ -2223,3 +2223,88 @@ def test_cuped_bruteforce_and_variance_reduction(ray_session):
     # base variation dominates at 60 users
     assert abs(got["cuped_effect"].iloc[0] - 60.0) \
         < abs(got["raw_effect"].iloc[0] - 60.0)
+
+
+def test_did_effect_bruteforce_and_lift(ray_session):
+    from cesium_ray.stages.analytics import did_effect
+
+    rng = np.random.default_rng(78)
+    rows = []
+    for uid in range(40):
+        base = rng.uniform(10, 40)
+        for t in range(15):                 # pre
+            rows.append((uid, t * 100,
+                         round(base + rng.normal(0, 1), 2)))
+        lift = 5.0 if uid % 2 == 1 else 0.0
+        trend = 2.0                          # common shock
+        for t in range(15):                 # post
+            rows.append((uid, 10**6 + t * 100,
+                         round(base + trend + lift
+                               + rng.normal(0, 1), 2)))
+    ev = pd.DataFrame(rows, columns=["user_id", "t", "value"])
+    ev["ts"] = pd.to_datetime(ev["t"] * 10**6, unit="us") \
+        .astype("datetime64[us]")
+    ev = ev.drop(columns=["t"])
+    got = did_effect(ray.data.from_pandas(ev).repartition(4))
+    # brute force the 4 cell means
+    tus = ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+    tmid = (int(tus.min()) + int(tus.max())) // 2
+    k = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    tr = (ev["user_id"].to_numpy() % 2) == 1
+    po = tus > tmid
+    m = {}
+    for a in (0, 1):
+        for b in (0, 1):
+            sel = (tr == bool(a)) & (po == bool(b))
+            m[(a, b)] = float(int(k[sel].sum())) \
+                / float(int(sel.sum())) / 100.0
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    for col, cell in [("mean_pre_c", (0, 0)),
+                      ("mean_post_c", (0, 1)),
+                      ("mean_pre_t", (1, 0)),
+                      ("mean_post_t", (1, 1))]:
+        assert np.isclose(got[col].iloc[0], m[cell])
+    assert np.isclose(got["did"].iloc[0], did)
+    # DiD strips the common +2 shock and recovers the +5 lift
+    assert 4.3 < got["did"].iloc[0] < 5.7
+    assert got["mean_post_c"].iloc[0] \
+        > got["mean_pre_c"].iloc[0] + 1.0  # shock visible raw
+
+
+def test_sprt_conversion_bruteforce_and_stops(ray_session):
+    from cesium_ray.stages.analytics import sprt_conversion
+
+    rng = np.random.default_rng(79)
+    # 55% converters: decisively above p1=0.4 -> reject H0 early
+    rows = []
+    for uid in range(300):
+        rows.append((uid, "view"))
+        if rng.random() < 0.55:
+            rows.append((uid, "purchase"))
+    ev = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    got = sprt_conversion(ray.data.from_pandas(ev).repartition(4))
+    # serial replay
+    conv = ev.groupby("user_id")["event_type"] \
+        .apply(lambda s: int((s == "purchase").any())) \
+        .sort_index().to_numpy()
+    la = np.log(0.4 / 0.3)
+    lb = np.log(0.6 / 0.7)
+    up = np.log(0.95 / 0.05)
+    lo = np.log(0.05 / 0.95)
+    cc = np.cumsum(conv)
+    i = np.arange(1, len(conv) + 1)
+    llr = cc * la + (i - cc) * lb
+    hit = (llr >= up) | (llr <= lo)
+    j = int(np.argmax(hit))
+    assert got["decision"].iloc[0] == "reject_h0"
+    assert int(got["n_at_decision"].iloc[0]) == int(i[j])
+    assert np.isclose(got["llr_final"].iloc[0], llr[j])
+    # decided well before the full horizon (sequential win)
+    assert int(got["n_at_decision"].iloc[0]) < 200
+    # 10% converters -> accept H0
+    rows2 = [(u, "purchase" if rng.random() < 0.10 else "view")
+             for u in range(300)]
+    ev2 = pd.DataFrame(rows2, columns=["user_id", "event_type"])
+    got2 = sprt_conversion(ray.data.from_pandas(ev2)
+                           .repartition(3))
+    assert got2["decision"].iloc[0] == "accept_h0"
