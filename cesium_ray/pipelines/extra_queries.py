@@ -12105,6 +12105,152 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_mutual_information(sf_dir):
+    """★-checked mutual information + Theil's U between event type
+    and hour (stages/analytics.py): exact bounded cells, fixed-
+    order entropy prefix sums, three mirrored closings."""
+    from ..stages.analytics import mutual_information
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return round6(mutual_information(ev))
+
+
+MI_SQL = """
+WITH f AS (SELECT event_type AS a,
+                  (epoch_us(ts) // 3600000000) % 24 AS b
+           FROM events),
+cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        FROM f GROUP BY 1, 2),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cab),
+ha_r AS (SELECT sum(CAST(c AS DOUBLE)
+                    *(ln(CAST(nn.n AS DOUBLE))
+                      - ln(CAST(c AS DOUBLE))))
+                OVER (ORDER BY a ROWS UNBOUNDED PRECEDING) AS r,
+                row_number() OVER (ORDER BY a) AS rn
+         FROM (SELECT a, CAST(sum(c) AS BIGINT) AS c
+               FROM cab GROUP BY 1), nn),
+ha AS (SELECT r FROM ha_r ORDER BY rn DESC LIMIT 1),
+hb_r AS (SELECT sum(CAST(c AS DOUBLE)
+                    *(ln(CAST(nn.n AS DOUBLE))
+                      - ln(CAST(c AS DOUBLE))))
+                OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS r,
+                row_number() OVER (ORDER BY b) AS rn
+         FROM (SELECT b, CAST(sum(c) AS BIGINT) AS c
+               FROM cab GROUP BY 1), nn),
+hb AS (SELECT r FROM hb_r ORDER BY rn DESC LIMIT 1),
+hab_r AS (SELECT sum(CAST(c AS DOUBLE)
+                     *(ln(CAST(nn.n AS DOUBLE))
+                       - ln(CAST(c AS DOUBLE))))
+                 OVER (ORDER BY a, b ROWS UNBOUNDED PRECEDING)
+                   AS r,
+                 row_number() OVER (ORDER BY a, b) AS rn
+          FROM cab, nn),
+hab AS (SELECT r FROM hab_r ORDER BY rn DESC LIMIT 1),
+cl AS (SELECT nn.n,
+              ha.r/CAST(nn.n AS DOUBLE) AS h_a,
+              hb.r/CAST(nn.n AS DOUBLE) AS h_b,
+              hab.r/CAST(nn.n AS DOUBLE) AS h_ab
+       FROM nn, ha, hb, hab)
+SELECT n, round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+       round(h_ab, 6) AS h_ab,
+       round(h_a + h_b - h_ab, 6) AS mi,
+       round((h_a + h_b - h_ab)/h_a, 6) AS u_a_given_b,
+       round((h_a + h_b - h_ab)/h_b, 6) AS u_b_given_a
+FROM cl WHERE h_a > 0.0 AND h_b > 0.0
+"""
+
+
+def q_peacock_ks2d(sf_dir):
+    """★-checked Peacock 2-D KS over (value, hour)
+    (stages/analytics.py): exact 2-D integer prefix sums in all
+    four quadrant orientations, one max deviation closing."""
+    from ..stages.analytics import peacock_ks2d
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value", "ts"])
+    return round6(peacock_ks2d(ev))
+
+
+PEACOCK_SQL = """
+WITH q AS (SELECT CAST(round(value*100) AS BIGINT) AS k,
+                  (epoch_us(ts) // 3600000000) % 24 AS h,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                    AS isx
+           FROM events
+           WHERE value IS NOT NULL
+             AND event_type IN ('click', 'view')),
+cells AS (SELECT k, h, CAST(sum(isx) AS BIGINT) AS cx,
+                 CAST(sum(1 - isx) AS BIGINT) AS cy
+          FROM q GROUP BY 1, 2),
+grid AS (SELECT kk.k, hh.h,
+                coalesce(c.cx, 0) AS cx, coalesce(c.cy, 0) AS cy
+         FROM (SELECT DISTINCT k FROM cells) kk
+         CROSS JOIN (SELECT DISTINCT h FROM cells) hh
+         LEFT JOIN cells c ON c.k = kk.k AND c.h = hh.h),
+mm AS (SELECT CAST(sum(cx) AS BIGINT) AS n,
+              CAST(sum(cy) AS BIGINT) AS m FROM cells),
+q1 AS (SELECT k, h,
+              sum(cx) OVER (PARTITION BY k ORDER BY h ASC
+                            ROWS UNBOUNDED PRECEDING) AS rx,
+              sum(cy) OVER (PARTITION BY k ORDER BY h ASC
+                            ROWS UNBOUNDED PRECEDING) AS ry
+       FROM grid),
+q1c AS (SELECT sum(rx) OVER (PARTITION BY h ORDER BY k ASC
+                             ROWS UNBOUNDED PRECEDING) AS ccx,
+               sum(ry) OVER (PARTITION BY h ORDER BY k ASC
+                             ROWS UNBOUNDED PRECEDING) AS ccy
+        FROM q1),
+q2 AS (SELECT k, h,
+              sum(cx) OVER (PARTITION BY k ORDER BY h DESC
+                            ROWS UNBOUNDED PRECEDING) AS rx,
+              sum(cy) OVER (PARTITION BY k ORDER BY h DESC
+                            ROWS UNBOUNDED PRECEDING) AS ry
+       FROM grid),
+q2c AS (SELECT sum(rx) OVER (PARTITION BY h ORDER BY k ASC
+                             ROWS UNBOUNDED PRECEDING) AS ccx,
+               sum(ry) OVER (PARTITION BY h ORDER BY k ASC
+                             ROWS UNBOUNDED PRECEDING) AS ccy
+        FROM q2),
+q3 AS (SELECT k, h,
+              sum(cx) OVER (PARTITION BY k ORDER BY h ASC
+                            ROWS UNBOUNDED PRECEDING) AS rx,
+              sum(cy) OVER (PARTITION BY k ORDER BY h ASC
+                            ROWS UNBOUNDED PRECEDING) AS ry
+       FROM grid),
+q3c AS (SELECT sum(rx) OVER (PARTITION BY h ORDER BY k DESC
+                             ROWS UNBOUNDED PRECEDING) AS ccx,
+               sum(ry) OVER (PARTITION BY h ORDER BY k DESC
+                             ROWS UNBOUNDED PRECEDING) AS ccy
+        FROM q3),
+q4 AS (SELECT k, h,
+              sum(cx) OVER (PARTITION BY k ORDER BY h DESC
+                            ROWS UNBOUNDED PRECEDING) AS rx,
+              sum(cy) OVER (PARTITION BY k ORDER BY h DESC
+                            ROWS UNBOUNDED PRECEDING) AS ry
+       FROM grid),
+q4c AS (SELECT sum(rx) OVER (PARTITION BY h ORDER BY k DESC
+                             ROWS UNBOUNDED PRECEDING) AS ccx,
+               sum(ry) OVER (PARTITION BY h ORDER BY k DESC
+                             ROWS UNBOUNDED PRECEDING) AS ccy
+        FROM q4),
+dall AS (SELECT abs(mm.m*ccx - mm.n*ccy) AS d FROM q1c, mm
+         UNION ALL
+         SELECT abs(mm.m*ccx - mm.n*ccy) FROM q2c, mm
+         UNION ALL
+         SELECT abs(mm.m*ccx - mm.n*ccy) FROM q3c, mm
+         UNION ALL
+         SELECT abs(mm.m*ccx - mm.n*ccy) FROM q4c, mm),
+mx AS (SELECT CAST(max(d) AS BIGINT) AS best FROM dall)
+SELECT mm.n AS n_x, mm.m AS n_y, mx.best AS d_max_nm,
+       round(CAST(mx.best AS DOUBLE)
+             / (CAST(mm.n AS DOUBLE)*CAST(mm.m AS DOUBLE)), 6)
+         AS d_stat
+FROM mm, mx WHERE mm.n > 0 AND mm.m > 0
+"""
+
+
 def q_did(sf_dir):
     """★-checked difference-in-differences on value means
     (stages/analytics.py): four exact (cohort, period) cells, no
@@ -13489,6 +13635,8 @@ EXTRA_QUERIES = {
     "cuped": q_cuped,
     "did": q_did,
     "sprt": q_sprt,
+    "mutual_information": q_mutual_information,
+    "peacock_ks2d": q_peacock_ks2d,
     "brunner_munzel": q_brunner_munzel,
     "cucconi": q_cucconi,
     "dagostino_k2": q_dagostino_k2,
@@ -13767,6 +13915,8 @@ EXTRA_ORACLE_SQL = {
     "cuped": CUPED_SQL,
     "did": DID_SQL,
     "sprt": _sprt_sql(),
+    "mutual_information": MI_SQL,
+    "peacock_ks2d": PEACOCK_SQL,
     "brunner_munzel": BRUNNER_MUNZEL_SQL,
     "cucconi": CUCCONI_SQL,
     "dagostino_k2": DAGOSTINO_SQL,

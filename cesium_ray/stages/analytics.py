@@ -4923,3 +4923,140 @@ def sprt_conversion(
         "decision": [dec],
         "n_at_decision": np.array([nd], np.int64),
         "llr_final": [lf]})
+
+
+def mutual_information(
+    ds: ray.data.Dataset,
+    col_a: str = "event_type",
+    col_b: str = "hour",
+    ts_col: str = "ts",
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Mutual information and Theil's uncertainty coefficients
+    between two bounded-alphabet columns (event type × hour of
+    day): I(A;B) = H(A) + H(B) − H(A,B) in nats, U(A|B) =
+    I/H(A), U(B|A) = I/H(B) — the information-theoretic
+    association triple next to chi_square (significance) and
+    cramers_v (effect size); U is the asymmetric "how much does
+    knowing the hour tell you about the type".
+
+    Counts are exact int64 cells (one bounded exchange); every
+    entropy is a sum of c·(ln n − ln c) terms accumulated in a
+    FIXED cell order (lexicographic by value) — the ordered-prefix
+    float device — then three mirrored closings."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        hr = (tus // 3_600_000_000) % 24
+        g = pd.DataFrame({"a": df[col_a].to_numpy(object),
+                          "b": hr})
+        return g.groupby(["a", "b"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+
+    cells = ds.select_columns([col_a, ts_col]).map_batches(
+        partial, batch_format="pandas").to_pandas() \
+        .groupby(["a", "b"], as_index=False)["c"].sum()
+    cols = {"n": pd.Series(dtype="int64"),
+            "h_a": pd.Series(dtype="float64"),
+            "h_b": pd.Series(dtype="float64"),
+            "h_ab": pd.Series(dtype="float64"),
+            "mi": pd.Series(dtype="float64"),
+            "u_a_given_b": pd.Series(dtype="float64"),
+            "u_b_given_a": pd.Series(dtype="float64")}
+    if cells.empty:
+        return pd.DataFrame(cols)
+    n = int(cells["c"].sum())
+    nf = float(n)
+    lnn = float(np.log(nf))
+
+    def ent(counts_df, keys):
+        # H·n = Σ c·(ln n − ln c), accumulated in sorted key order
+        s = counts_df.sort_values(keys, kind="mergesort")
+        acc = 0.0
+        for c in s["c"]:
+            ci = float(int(c))
+            acc = acc + ci * (lnn - float(np.log(ci)))
+        return acc / nf
+
+    ha = ent(cells.groupby("a", as_index=False)["c"].sum(), ["a"])
+    hb = ent(cells.groupby("b", as_index=False)["c"].sum(), ["b"])
+    hab = ent(cells, ["a", "b"])
+    mi = ha + hb - hab
+    if ha <= 0.0 or hb <= 0.0:
+        return pd.DataFrame(cols)
+    return pd.DataFrame({
+        "n": np.array([n], np.int64),
+        "h_a": [ha], "h_b": [hb], "h_ab": [hab], "mi": [mi],
+        "u_a_given_b": [mi / ha], "u_b_given_a": [mi / hb]})
+
+
+def peacock_ks2d(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+    ts_col: str = "ts",
+    type_x: str = "click",
+    type_y: str = "view",
+) -> pd.DataFrame:
+    """Peacock's two-dimensional KS test between the click and view
+    populations over (value, hour-of-day): D = the max |F−G| over
+    all four quadrant orientations at every occupied grid point —
+    the 2-D drift test that catches joint-distribution changes the
+    marginal ks/kuiper/W1 ladder can't see (e.g. values unchanged,
+    hours unchanged, but the value-by-hour pattern rotated).
+
+    Exact throughout: the (k, hour) grid counts are int64 cells,
+    the four quadrant EDFs are 2-D integer prefix sums, and the
+    deviation max is over exact |m·CX − n·CY| values; D = that
+    max/(n·m) is the single closing."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(np.float64)
+        t = df[type_col].to_numpy(object)
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        ok = ~np.isnan(v) & ((t == type_x) | (t == type_y))
+        k = np.rint(v[ok] * 100.0).astype(np.int64)
+        hr = (tus[ok] // 3_600_000_000) % 24
+        isx = (t[ok] == type_x).astype(np.int64)
+        g = pd.DataFrame({"k": k, "h": hr, "cx": isx,
+                          "cy": 1 - isx})
+        return g.groupby(["k", "h"], as_index=False).sum()
+
+    cells = ds.select_columns([type_col, val_col, ts_col]) \
+        .map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby(["k", "h"], as_index=False)[["cx", "cy"]].sum()
+    cols = {"n_x": pd.Series(dtype="int64"),
+            "n_y": pd.Series(dtype="int64"),
+            "d_max_nm": pd.Series(dtype="int64"),
+            "d_stat": pd.Series(dtype="float64")}
+    if cells.empty:
+        return pd.DataFrame(cols)
+    ks = np.sort(cells["k"].unique())
+    hs = np.sort(cells["h"].unique())
+    ki = {v: i for i, v in enumerate(ks)}
+    hi = {v: i for i, v in enumerate(hs)}
+    X = np.zeros((len(ks), len(hs)), np.int64)
+    Y = np.zeros((len(ks), len(hs)), np.int64)
+    X[[ki[v] for v in cells["k"]], [hi[v] for v in cells["h"]]] \
+        = cells["cx"].to_numpy(np.int64)
+    Y[[ki[v] for v in cells["k"]], [hi[v] for v in cells["h"]]] \
+        = cells["cy"].to_numpy(np.int64)
+    n, m = int(X.sum()), int(Y.sum())
+    if n == 0 or m == 0:
+        return pd.DataFrame(cols)
+    best = 0
+    for fk in (False, True):
+        for fh in (False, True):
+            A = X[::-1] if fk else X
+            A = A[:, ::-1] if fh else A
+            B = Y[::-1] if fk else Y
+            B = B[:, ::-1] if fh else B
+            CA = A.cumsum(axis=0).cumsum(axis=1)
+            CB = B.cumsum(axis=0).cumsum(axis=1)
+            d = np.abs(m * CA - n * CB).max()
+            best = max(best, int(d))
+    return pd.DataFrame({
+        "n_x": np.array([n], np.int64),
+        "n_y": np.array([m], np.int64),
+        "d_max_nm": np.array([best], np.int64),
+        "d_stat": [float(best) / (float(n) * float(m))]})

@@ -2308,3 +2308,97 @@ def test_sprt_conversion_bruteforce_and_stops(ray_session):
     got2 = sprt_conversion(ray.data.from_pandas(ev2)
                            .repartition(3))
     assert got2["decision"].iloc[0] == "accept_h0"
+
+
+def test_mutual_information_bruteforce_and_dependence(ray_session):
+    from cesium_ray.stages.analytics import mutual_information
+
+    rng = np.random.default_rng(80)
+    n = 4000
+    # type depends on hour: 'click' concentrates in hours 0-5
+    hrs = rng.integers(0, 24, n)
+    typ = np.where((hrs < 6) & (rng.random(n) < 0.8), "click",
+                   rng.choice(["view", "buy"], n))
+    ev = pd.DataFrame({
+        "event_type": typ,
+        "ts": pd.to_datetime(hrs * 3600 * 10**6
+                             + rng.integers(0, 3.6e9, n).astype(
+                                 np.int64), unit="us")
+        .astype("datetime64[us]")})
+    got = mutual_information(ray.data.from_pandas(ev)
+                             .repartition(4))
+    # brute force in the same fixed cell order
+    df = pd.DataFrame({"a": typ, "b": hrs})
+    nn = float(n)
+    lnn = np.log(nn)
+
+    def ent(series_counts):
+        acc = 0.0
+        for c in series_counts:
+            acc += float(c) * (lnn - np.log(float(c)))
+        return acc / nn
+
+    ha = ent(df.groupby("a").size().sort_index())
+    hb = ent(df.groupby("b").size().sort_index())
+    hab = ent(df.groupby(["a", "b"]).size().sort_index())
+    mi = ha + hb - hab
+    assert np.isclose(got["h_a"].iloc[0], ha)
+    assert np.isclose(got["h_ab"].iloc[0], hab)
+    assert np.isclose(got["mi"].iloc[0], mi)
+    assert np.isclose(got["u_a_given_b"].iloc[0], mi / ha)
+    # planted dependence -> MI well above the independent case
+    assert got["mi"].iloc[0] > 0.1
+    # independent control -> MI near 0
+    ev0 = ev.copy()
+    ev0["event_type"] = rng.permutation(typ)
+    got0 = mutual_information(ray.data.from_pandas(ev0)
+                              .repartition(4))
+    assert got0["mi"].iloc[0] < 0.02
+
+
+def test_peacock_ks2d_bruteforce_and_joint_shift(ray_session):
+    from cesium_ray.stages.analytics import peacock_ks2d
+
+    rng = np.random.default_rng(81)
+    n = 1500
+
+    def mk(vals, hrs, types):
+        return pd.DataFrame({
+            "event_type": types, "value": vals,
+            "ts": pd.to_datetime(
+                hrs * 3600 * 10**6
+                + rng.integers(0, 3.6e9, len(hrs)).astype(np.int64),
+                unit="us").astype("datetime64[us]")})
+
+    # same marginals, DIFFERENT joint: x has high values at night,
+    # y has high values in the day
+    vx = np.round(np.abs(rng.normal(20, 8, n)), 2)
+    hx = np.where(vx > 20, rng.integers(0, 12, n),
+                  rng.integers(12, 24, n))
+    vy = np.round(np.abs(rng.normal(20, 8, n)), 2)
+    hy = np.where(vy > 20, rng.integers(12, 24, n),
+                  rng.integers(0, 12, n))
+    ev = pd.concat([mk(vx, hx, ["click"] * n),
+                    mk(vy, hy, ["view"] * n)], ignore_index=True)
+    got = peacock_ks2d(ray.data.from_pandas(ev).repartition(4))
+    # brute force over the exact grid
+    kx = np.rint(vx * 100).astype(np.int64)
+    ky = np.rint(vy * 100).astype(np.int64)
+    ks = np.unique(np.concatenate([kx, ky]))
+    hs = np.unique(np.concatenate([hx, hy]))
+    X = np.zeros((len(ks), len(hs)), np.int64)
+    Y = np.zeros((len(ks), len(hs)), np.int64)
+    for arr, kk, hh in ((X, kx, hx), (Y, ky, hy)):
+        for a, b in zip(kk, hh):
+            arr[np.searchsorted(ks, a), np.searchsorted(hs, b)] \
+                += 1
+    best = 0
+    for fk in (1, -1):
+        for fh in (1, -1):
+            CA = X[::fk, ::fh].cumsum(0).cumsum(1)
+            CB = Y[::fk, ::fh].cumsum(0).cumsum(1)
+            best = max(best, int(np.abs(n * CA - n * CB).max()))
+    assert int(got["d_max_nm"].iloc[0]) == best
+    assert np.isclose(got["d_stat"].iloc[0], best / (n * n))
+    # joint rotation is invisible to the marginals but loud here
+    assert got["d_stat"].iloc[0] > 0.3
