@@ -12105,6 +12105,65 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_anderson_darling(sf_dir):
+    """★-checked two-sample Anderson–Darling
+    (stages/analytics.py): exact doubled-midrank integer terms,
+    ordered per-cell float accumulation, one A² closing."""
+    from ..stages.analytics import anderson_darling_2s
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(anderson_darling_2s(ev))
+
+
+AD2_SQL = _TWO_SAMPLE_HIST_CTE + """,
+t AS (SELECT k, cx, cy, cx + cy AS l,
+             2*cxc - cx AS m2x, 2*cyc - cy AS m2y,
+             2*(cxc + cyc) - (cx + cy) AS b2
+      FROM w),
+tf AS (SELECT k,
+              CASE WHEN b2*(2*(mm.n + mm.m) - b2)
+                        - (mm.n + mm.m)*l > 0
+                   THEN CAST(CAST(l AS HUGEINT)
+                             *((mm.n + mm.m)*CAST(m2x AS HUGEINT)
+                               - mm.n*CAST(b2 AS HUGEINT))
+                             *((mm.n + mm.m)*CAST(m2x AS HUGEINT)
+                               - mm.n*CAST(b2 AS HUGEINT))
+                             AS DOUBLE)
+                        / CAST(CAST(b2 AS HUGEINT)
+                               *(2*(mm.n + mm.m) - b2)
+                               - (mm.n + mm.m)*l AS DOUBLE)
+                   ELSE 0.0 END AS tx,
+              CASE WHEN b2*(2*(mm.n + mm.m) - b2)
+                        - (mm.n + mm.m)*l > 0
+                   THEN CAST(CAST(l AS HUGEINT)
+                             *((mm.n + mm.m)*CAST(m2y AS HUGEINT)
+                               - mm.m*CAST(b2 AS HUGEINT))
+                             *((mm.n + mm.m)*CAST(m2y AS HUGEINT)
+                               - mm.m*CAST(b2 AS HUGEINT))
+                             AS DOUBLE)
+                        / CAST(CAST(b2 AS HUGEINT)
+                               *(2*(mm.n + mm.m) - b2)
+                               - (mm.n + mm.m)*l AS DOUBLE)
+                   ELSE 0.0 END AS ty
+       FROM t, mm),
+run AS (SELECT sum(tx) OVER (ORDER BY k
+                             ROWS UNBOUNDED PRECEDING) AS ax,
+               sum(ty) OVER (ORDER BY k
+                             ROWS UNBOUNDED PRECEDING) AS ay,
+               row_number() OVER (ORDER BY k) AS rn
+        FROM tf),
+fin AS (SELECT ax, ay FROM run ORDER BY rn DESC LIMIT 1)
+SELECT mm.n AS n_x, mm.m AS n_y,
+       round((fin.ax/CAST(mm.n AS DOUBLE)
+              + fin.ay/CAST(mm.m AS DOUBLE))
+             *CAST(mm.n + mm.m - 1 AS DOUBLE)
+             /(CAST(mm.n + mm.m AS DOUBLE)
+               *CAST(mm.n + mm.m AS DOUBLE)), 6) AS a2_stat
+FROM fin, mm WHERE mm.n > 0 AND mm.m > 0 AND mm.n + mm.m >= 3
+"""
+
+
 def q_mutual_information(sf_dir):
     """★-checked mutual information + Theil's U between event type
     and hour (stages/analytics.py): exact bounded cells, fixed-
@@ -13637,6 +13696,7 @@ EXTRA_QUERIES = {
     "sprt": q_sprt,
     "mutual_information": q_mutual_information,
     "peacock_ks2d": q_peacock_ks2d,
+    "anderson_darling": q_anderson_darling,
     "brunner_munzel": q_brunner_munzel,
     "cucconi": q_cucconi,
     "dagostino_k2": q_dagostino_k2,
@@ -13917,6 +13977,7 @@ EXTRA_ORACLE_SQL = {
     "sprt": _sprt_sql(),
     "mutual_information": MI_SQL,
     "peacock_ks2d": PEACOCK_SQL,
+    "anderson_darling": AD2_SQL,
     "brunner_munzel": BRUNNER_MUNZEL_SQL,
     "cucconi": CUCCONI_SQL,
     "dagostino_k2": DAGOSTINO_SQL,

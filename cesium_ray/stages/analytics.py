@@ -5060,3 +5060,59 @@ def peacock_ks2d(
         "n_y": np.array([m], np.int64),
         "d_max_nm": np.array([best], np.int64),
         "d_stat": [float(best) / (float(n) * float(m))]})
+
+
+def anderson_darling_2s(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    val_col: str = "value",
+    type_x: str = "click",
+    type_y: str = "view",
+) -> pd.DataFrame:
+    """Two-sample Anderson–Darling test in the Scholz–Stephens
+    (1987) midrank form — the tail-weighted member that completes
+    the EDF ladder (ks_drift reads the max gap, kuiper both tails,
+    cvm the unweighted integral, AD up-weights the tails where
+    drift hides first).
+
+    With doubled midrank quantities M2 = 2·cum − f and
+    B2 = 2·cum_pooled − l every per-cell term is a ratio of EXACT
+    integers, l·(N·M2 − nᵢ·B2)² / (B2·(2N − B2) − N·l)
+    (Python-int/HUGEINT; the numerator overflows int64 at ~10³
+    pooled rows), divided term-by-term and accumulated in
+    ascending cell order — the ordered-prefix float device — then
+    closed as A² = (Σx/n + Σy/m)·(N−1)/N²."""
+    hist = _two_sample_hist(ds, type_col, val_col, type_x, type_y)
+    cols = {"n_x": pd.Series(dtype="int64"),
+            "n_y": pd.Series(dtype="int64"),
+            "a2_stat": pd.Series(dtype="float64")}
+    if len(hist) == 0:
+        return pd.DataFrame(cols)
+    cx = [int(v) for v in hist["cx"]]
+    cy = [int(v) for v in hist["cy"]]
+    n, m = sum(cx), sum(cy)
+    N = n + m
+    if n == 0 or m == 0 or N < 3:
+        return pd.DataFrame(cols)
+    cum_x = cum_y = cum = 0
+    sx = sy = 0.0
+    for fx, fy in zip(cx, cy):
+        lk = fx + fy
+        m2x = 2 * (cum_x + fx) - fx
+        m2y = 2 * (cum_y + fy) - fy
+        b2 = 2 * (cum + lk) - lk
+        den = b2 * (2 * N - b2) - N * lk
+        if den > 0:
+            dx = N * m2x - n * b2
+            dy = N * m2y - m * b2
+            sx = sx + float(lk * dx * dx) / float(den)
+            sy = sy + float(lk * dy * dy) / float(den)
+        cum_x += fx
+        cum_y += fy
+        cum += lk
+    a2 = (sx / float(n) + sy / float(m)) \
+        * float(N - 1) / (float(N) * float(N))
+    return pd.DataFrame({
+        "n_x": np.array([n], np.int64),
+        "n_y": np.array([m], np.int64),
+        "a2_stat": [a2]})

@@ -2402,3 +2402,46 @@ def test_peacock_ks2d_bruteforce_and_joint_shift(ray_session):
     assert np.isclose(got["d_stat"].iloc[0], best / (n * n))
     # joint rotation is invisible to the marginals but loud here
     assert got["d_stat"].iloc[0] > 0.3
+
+
+def test_anderson_darling_2s_bruteforce_and_tails(ray_session):
+    from cesium_ray.stages.analytics import anderson_darling_2s
+
+    rng = np.random.default_rng(82)
+    x = np.round(rng.normal(50, 8, 350), 2)
+    y = np.round(rng.normal(50, 8, 320), 2)
+    ev = _two_type_events(x, y)
+    got = anderson_darling_2s(ray.data.from_pandas(ev)
+                              .repartition(4))
+    # brute force: Scholz–Stephens midrank A2akN for k=2
+    kx = np.rint(x * 100).astype(np.int64)
+    ky = np.rint(y * 100).astype(np.int64)
+    ks = np.unique(np.concatenate([kx, ky]))
+    n, m = len(kx), len(ky)
+    N = n + m
+    fx = np.array([(kx == k).sum() for k in ks], np.int64)
+    fy = np.array([(ky == k).sum() for k in ks], np.int64)
+    cumx = np.cumsum(fx); cumy = np.cumsum(fy)
+    ll = fx + fy
+    cum = np.cumsum(ll)
+    sx = sy = 0.0
+    for j in range(len(ks)):
+        m2x = 2 * cumx[j] - fx[j]
+        m2y = 2 * cumy[j] - fy[j]
+        b2 = 2 * cum[j] - ll[j]
+        den = int(b2) * (2 * N - int(b2)) - N * int(ll[j])
+        if den > 0:
+            dx = N * int(m2x) - n * int(b2)
+            dy = N * int(m2y) - m * int(b2)
+            sx += float(int(ll[j]) * dx * dx) / float(den)
+            sy += float(int(ll[j]) * dy * dy) / float(den)
+    a2 = (sx / n + sy / m) * (N - 1) / (N * N)
+    assert np.isclose(got["a2_stat"].iloc[0], a2)
+    # null: A2 ~ 1ish; pure tail inflation (same median/center):
+    # AD reacts strongly
+    y2 = np.round(np.where(np.abs(y - 50) > 8,
+                           50 + (y - 50) * 3, y), 2)
+    got2 = anderson_darling_2s(ray.data.from_pandas(
+        _two_type_events(x, y2)).repartition(4))
+    assert got2["a2_stat"].iloc[0] > 5 * got["a2_stat"].iloc[0]
+    assert got2["a2_stat"].iloc[0] > 3.0
