@@ -12105,6 +12105,142 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_two_proportion(sf_dir):
+    """★-checked two-proportion z + Wilson 95 % intervals on
+    even/odd-cohort conversion (stages/analytics.py): exact
+    counts, mirrored z and four Wilson bounds (1.96 literal)."""
+    from ..stages.analytics import two_proportion
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type"])
+    return round6(two_proportion(ev))
+
+
+TWO_PROP_SQL = """
+WITH u AS (SELECT user_id,
+                  CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)
+                          > sum(CASE WHEN event_type = 'error'
+                                THEN 1 ELSE 0 END)
+                       THEN 1 ELSE 0 END AS c
+           FROM events GROUP BY 1),
+mm AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              CAST(sum(CASE WHEN user_id % 2 = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+              CAST(sum(CASE WHEN user_id % 2 = 0
+                       THEN c ELSE 0 END) AS BIGINT) AS ca,
+              CAST(sum(CASE WHEN user_id % 2 = 1
+                       THEN c ELSE 0 END) AS BIGINT) AS cb
+       FROM u),
+cl AS (SELECT na, nb, ca, cb,
+              CAST(ca AS DOUBLE)/CAST(na AS DOUBLE) AS pa,
+              CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE) AS pb,
+              CAST(ca + cb AS DOUBLE)/CAST(na + nb AS DOUBLE)
+                AS pp
+       FROM mm WHERE na > 0 AND nb > 0),
+wz AS (SELECT na, nb, ca, cb, pa, pb,
+              pp*(1.0 - pp)*(1.0/CAST(na AS DOUBLE)
+                             + 1.0/CAST(nb AS DOUBLE)) AS se2
+       FROM cl)
+SELECT na AS n_a, nb AS n_b, ca AS conv_a, cb AS conv_b,
+       round((pa - pb)/sqrt(se2), 6) AS z_stat,
+       round((pa + 1.96*1.96/(2.0*CAST(na AS DOUBLE))
+              - 1.96*sqrt(pa*(1.0 - pa)/CAST(na AS DOUBLE)
+                          + 1.96*1.96/(4.0*CAST(na AS DOUBLE)
+                                       *CAST(na AS DOUBLE))))
+             /(1.0 + 1.96*1.96/CAST(na AS DOUBLE)), 6)
+         AS wilson_lo_a,
+       round((pa + 1.96*1.96/(2.0*CAST(na AS DOUBLE))
+              + 1.96*sqrt(pa*(1.0 - pa)/CAST(na AS DOUBLE)
+                          + 1.96*1.96/(4.0*CAST(na AS DOUBLE)
+                                       *CAST(na AS DOUBLE))))
+             /(1.0 + 1.96*1.96/CAST(na AS DOUBLE)), 6)
+         AS wilson_hi_a,
+       round((pb + 1.96*1.96/(2.0*CAST(nb AS DOUBLE))
+              - 1.96*sqrt(pb*(1.0 - pb)/CAST(nb AS DOUBLE)
+                          + 1.96*1.96/(4.0*CAST(nb AS DOUBLE)
+                                       *CAST(nb AS DOUBLE))))
+             /(1.0 + 1.96*1.96/CAST(nb AS DOUBLE)), 6)
+         AS wilson_lo_b,
+       round((pb + 1.96*1.96/(2.0*CAST(nb AS DOUBLE))
+              + 1.96*sqrt(pb*(1.0 - pb)/CAST(nb AS DOUBLE)
+                          + 1.96*1.96/(4.0*CAST(nb AS DOUBLE)
+                                       *CAST(nb AS DOUBLE))))
+             /(1.0 + 1.96*1.96/CAST(nb AS DOUBLE)), 6)
+         AS wilson_hi_b
+FROM wz WHERE se2 > 0.0
+"""
+
+
+def q_lincoln_petersen(sf_dir):
+    """★-checked Chapman capture–recapture population estimate
+    (stages/analytics.py): first/second-half key membership as
+    exact cells, mirrored N̂ and variance closings."""
+    from ..stages.analytics import lincoln_petersen
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return round6(lincoln_petersen(ev))
+
+
+LINCOLN_SQL = """
+WITH b AS (SELECT min(epoch_us(ts)) AS t0,
+                  max(epoch_us(ts)) AS t1 FROM events),
+u AS (SELECT user_id,
+             max(CASE WHEN epoch_us(ts) <= (b.t0 + b.t1)//2
+                 THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN epoch_us(ts) > (b.t0 + b.t1)//2
+                 THEN 1 ELSE 0 END) AS s
+      FROM events, b GROUP BY 1),
+mm AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+              CAST(sum(s) AS BIGINT) AS n2,
+              CAST(sum(a*s) AS BIGINT) AS mb
+       FROM u)
+SELECT n1 AS n_first, n2 AS n_second, mb AS n_both,
+       round(CAST((n1 + 1)*(n2 + 1) AS DOUBLE)
+             /CAST(mb + 1 AS DOUBLE) - 1.0, 6) AS n_hat,
+       round(CAST((n1 + 1)*(n2 + 1) AS DOUBLE)
+             *CAST((n1 - mb)*(n2 - mb) AS DOUBLE)
+             /(CAST((mb + 1)*(mb + 1) AS DOUBLE)
+               *CAST(mb + 2 AS DOUBLE)), 6) AS var_hat
+FROM mm WHERE n1 > 0 AND n2 > 0
+"""
+
+
+def q_chao1(sf_dir):
+    """★-checked Chao1 vocabulary projection + Good–Turing unseen
+    mass (stages/pack.py): exact V/V₁/V₂/N moment cells, two
+    mirrored closings."""
+    from ..stages.pack import chao1_richness
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"])
+    return round6(chao1_richness(docs, num_partitions=8))
+
+
+CHAO1_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f\v]+'))
+           AS term
+  FROM documents),
+c AS (SELECT term, count(*) AS m FROM tok GROUP BY 1),
+a AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(count(*) FILTER (m = 1) AS BIGINT) AS v1,
+             CAST(count(*) FILTER (m = 2) AS BIGINT) AS v2
+      FROM c)
+SELECT n AS n_tokens, v AS vocab, v1, v2,
+       round(CAST(v AS DOUBLE)
+             + CAST(v1*(v1 - 1) AS DOUBLE)
+               /(2.0*CAST(v2 + 1 AS DOUBLE)), 6) AS chao1,
+       round(CAST(v1 AS DOUBLE)/CAST(n AS DOUBLE), 6)
+         AS unseen_mass
+FROM a WHERE n > 0
+"""
+
+
 def q_anderson_darling(sf_dir):
     """★-checked two-sample Anderson–Darling
     (stages/analytics.py): exact doubled-midrank integer terms,
@@ -13697,6 +13833,9 @@ EXTRA_QUERIES = {
     "mutual_information": q_mutual_information,
     "peacock_ks2d": q_peacock_ks2d,
     "anderson_darling": q_anderson_darling,
+    "two_proportion": q_two_proportion,
+    "lincoln_petersen": q_lincoln_petersen,
+    "chao1": q_chao1,
     "brunner_munzel": q_brunner_munzel,
     "cucconi": q_cucconi,
     "dagostino_k2": q_dagostino_k2,
@@ -13978,6 +14117,9 @@ EXTRA_ORACLE_SQL = {
     "mutual_information": MI_SQL,
     "peacock_ks2d": PEACOCK_SQL,
     "anderson_darling": AD2_SQL,
+    "two_proportion": TWO_PROP_SQL,
+    "lincoln_petersen": LINCOLN_SQL,
+    "chao1": CHAO1_SQL,
     "brunner_munzel": BRUNNER_MUNZEL_SQL,
     "cucconi": CUCCONI_SQL,
     "dagostino_k2": DAGOSTINO_SQL,

@@ -5116,3 +5116,139 @@ def anderson_darling_2s(
         "n_x": np.array([n], np.int64),
         "n_y": np.array([m], np.int64),
         "a2_stat": [a2]})
+
+
+def two_proportion(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    baseline_type: str = "error",
+) -> pd.DataFrame:
+    """Two-proportion z-test with Wilson 95 % intervals on the
+    per-key success flag "more ``convert_type`` than
+    ``baseline_type`` events" (mcnemar's per-user indicator), even
+    vs odd cohorts — the conversion-rate A/B primitive underneath
+    sprt (sequential) and auc_score (ranking): pooled-variance z
+    plus a Wilson interval per cohort (the CI that behaves at
+    extreme rates, unlike Wald).
+
+    Flag counts are exact int64 cells (per-key type-count partials
+    → comparison); z and the four Wilson bounds are mirrored float
+    closings (z* = 1.96 literal)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[type_col].to_numpy(object)
+        g = pd.DataFrame({key: df[key].to_numpy(),
+                          "p": (t == convert_type)
+                          .astype(np.int64),
+                          "e": (t == baseline_type)
+                          .astype(np.int64)})
+        return g.groupby(key, as_index=False)[["p", "e"]].sum()
+
+    agg = ds.select_columns([key, type_col]).map_batches(
+        partial, batch_format="pandas").to_pandas() \
+        .groupby(key, as_index=False)[["p", "e"]].sum()
+    users = pd.DataFrame({
+        key: agg[key].to_numpy(np.int64),
+        "c": (agg["p"].to_numpy(np.int64)
+              > agg["e"].to_numpy(np.int64)).astype(np.int64)})
+    cols = {"n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "conv_a": pd.Series(dtype="int64"),
+            "conv_b": pd.Series(dtype="int64"),
+            "z_stat": pd.Series(dtype="float64"),
+            "wilson_lo_a": pd.Series(dtype="float64"),
+            "wilson_hi_a": pd.Series(dtype="float64"),
+            "wilson_lo_b": pd.Series(dtype="float64"),
+            "wilson_hi_b": pd.Series(dtype="float64")}
+    if users.empty:
+        return pd.DataFrame(cols)
+    even = (users[key].to_numpy(np.int64) % 2) == 0
+    c = users["c"].to_numpy(np.int64)
+    na, nb = int(even.sum()), int((~even).sum())
+    ca, cb = int(c[even].sum()), int(c[~even].sum())
+    if na == 0 or nb == 0:
+        return pd.DataFrame(cols)
+    pa = float(ca) / float(na)
+    pb = float(cb) / float(nb)
+    pp = float(ca + cb) / float(na + nb)
+    se2 = pp * (1.0 - pp) * (1.0 / float(na) + 1.0 / float(nb))
+    if se2 <= 0.0:
+        return pd.DataFrame(cols)
+    z = (pa - pb) / np.sqrt(se2)
+    zs = 1.96
+
+    def wilson(p, nn):
+        nf = float(nn)
+        den = 1.0 + zs * zs / nf
+        ctr = p + zs * zs / (2.0 * nf)
+        rad = zs * np.sqrt(p * (1.0 - p) / nf
+                           + zs * zs / (4.0 * nf * nf))
+        return (ctr - rad) / den, (ctr + rad) / den
+
+    la, ha = wilson(pa, na)
+    lb, hb = wilson(pb, nb)
+    return pd.DataFrame({
+        "n_a": np.array([na], np.int64),
+        "n_b": np.array([nb], np.int64),
+        "conv_a": np.array([ca], np.int64),
+        "conv_b": np.array([cb], np.int64),
+        "z_stat": [float(z)],
+        "wilson_lo_a": [la], "wilson_hi_a": [ha],
+        "wilson_lo_b": [lb], "wilson_hi_b": [hb]})
+
+
+def lincoln_petersen(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Lincoln–Petersen capture–recapture population estimate: the
+    keys active in the first half of the time range are the
+    "marked" sample, the second half the recapture, and
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (Chapman's bias-corrected form)
+    estimates how many keys exist INCLUDING the never-seen — the
+    classic answer to "how big is the real user base" that
+    distinct_users (seen only) cannot give.
+
+    Membership counts are exact via per-key first/second-half
+    flags (one bounded exchange); the Chapman estimate and its
+    variance are mirrored float closings."""
+    t0 = int(pd.Timestamp(ds.min(ts_col)).value) // 1000
+    t1 = int(pd.Timestamp(ds.max(ts_col)).value) // 1000
+    tmid = (t0 + t1) // 2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        g = pd.DataFrame({key: df[key].to_numpy(),
+                          "a": (tus <= tmid).astype(np.int64),
+                          "b": (tus > tmid).astype(np.int64)})
+        return g.groupby(key, as_index=False)[["a", "b"]].max()
+
+    users = ds.select_columns([key, ts_col]).map_batches(
+        partial, batch_format="pandas").to_pandas() \
+        .groupby(key, as_index=False)[["a", "b"]].max()
+    cols = {"n_first": pd.Series(dtype="int64"),
+            "n_second": pd.Series(dtype="int64"),
+            "n_both": pd.Series(dtype="int64"),
+            "n_hat": pd.Series(dtype="float64"),
+            "var_hat": pd.Series(dtype="float64")}
+    if users.empty:
+        return pd.DataFrame(cols)
+    a = users["a"].to_numpy(np.int64)
+    b = users["b"].to_numpy(np.int64)
+    n1, n2 = int(a.sum()), int(b.sum())
+    mboth = int((a & b).sum())
+    if n1 == 0 or n2 == 0:
+        return pd.DataFrame(cols)
+    nhat = float((n1 + 1) * (n2 + 1)) / float(mboth + 1) - 1.0
+    var = (float((n1 + 1) * (n2 + 1))
+           * float((n1 - mboth) * (n2 - mboth))
+           / (float((mboth + 1) * (mboth + 1))
+              * float(mboth + 2)))
+    return pd.DataFrame({
+        "n_first": np.array([n1], np.int64),
+        "n_second": np.array([n2], np.int64),
+        "n_both": np.array([mboth], np.int64),
+        "n_hat": [nhat], "var_hat": [var]})

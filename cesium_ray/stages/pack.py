@@ -1223,3 +1223,67 @@ def vocab_richness(
         "simpson_d": [float(sp) / (nf * (nf - 1.0))],
         "sichel_s": [float(v2) / float(v)],
         "hapax_share": [float(v1) / float(v)]})
+
+
+def chao1_richness(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Chao1 species-richness projection + Good–Turing unseen mass
+    over the corpus vocabulary: Ŝ = V + V₁(V₁−1)/(2(V₂+1))
+    (bias-corrected Chao1 — how many word types EXIST, including
+    those the corpus hasn't sampled yet) and GT = V₁/N (the
+    probability the next token is a new type).  The forward-
+    looking complement of vocab_richness's descriptive constants
+    and heaps_law's growth fit — the "how much vocabulary is still
+    out there" number a curation pipeline sizes dictionaries by.
+
+    Same distributed shape as vocab_richness: per-block token
+    value_counts partials, one token-keyed exchange, constant-size
+    moment cells; exact int64 V/V₁/V₂/N, two mirrored closings."""
+    from .partition import group_apply
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (df[text_col].astype(str).str.lower()
+              .str.findall(_TOKEN_RE).explode().dropna()
+              .value_counts())
+        return pd.DataFrame({"token": vc.index.to_numpy(object),
+                             "m": vc.to_numpy(np.int64)})
+
+    def moment_cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", observed=True)["m"].sum()
+        m = g.to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(m.sum())],
+            "v": [np.int64(len(m))],
+            "v1": [np.int64((m == 1).sum())],
+            "v2": [np.int64((m == 2).sum())]})
+
+    parts = group_apply(
+        ds.select_columns([text_col]).map_batches(
+            tf_partial, batch_format="pandas"),
+        moment_cells, num_partitions=num_partitions, key="token",
+    ).to_pandas()
+    cols = {"n_tokens": pd.Series(dtype="int64"),
+            "vocab": pd.Series(dtype="int64"),
+            "v1": pd.Series(dtype="int64"),
+            "v2": pd.Series(dtype="int64"),
+            "chao1": pd.Series(dtype="float64"),
+            "unseen_mass": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    n = int(parts["n"].sum())
+    v = int(parts["v"].sum())
+    v1 = int(parts["v1"].sum())
+    v2 = int(parts["v2"].sum())
+    if n == 0:
+        return pd.DataFrame(cols)
+    chao = float(v) + float(v1 * (v1 - 1)) / (2.0 * float(v2 + 1))
+    return pd.DataFrame({
+        "n_tokens": np.array([n], np.int64),
+        "vocab": np.array([v], np.int64),
+        "v1": np.array([v1], np.int64),
+        "v2": np.array([v2], np.int64),
+        "chao1": [chao],
+        "unseen_mass": [float(v1) / float(n)]})

@@ -2445,3 +2445,101 @@ def test_anderson_darling_2s_bruteforce_and_tails(ray_session):
         _two_type_events(x, y2)).repartition(4))
     assert got2["a2_stat"].iloc[0] > 5 * got["a2_stat"].iloc[0]
     assert got2["a2_stat"].iloc[0] > 3.0
+
+
+def test_two_proportion_bruteforce_and_lift(ray_session):
+    from cesium_ray.stages.analytics import two_proportion
+
+    rng = np.random.default_rng(83)
+    rows = []
+    for uid in range(200):
+        p_rate = 0.7 if uid % 2 == 0 else 0.4   # even cohort wins
+        for _ in range(10):
+            rows.append((uid, "purchase" if rng.random() < p_rate
+                         else "error"))
+    ev = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    got = two_proportion(ray.data.from_pandas(ev).repartition(4))
+    flag = ev.assign(p=(ev.event_type == "purchase").astype(int),
+                     e=(ev.event_type == "error").astype(int)) \
+        .groupby("user_id")[["p", "e"]].sum()
+    c = (flag["p"] > flag["e"]).astype(int)
+    even = c.index % 2 == 0
+    na, nb = int(even.sum()), int((~even).sum())
+    ca, cb = int(c[even].sum()), int(c[~even].sum())
+    pa, pb = ca / na, cb / nb
+    pp = (ca + cb) / (na + nb)
+    z = (pa - pb) / np.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    assert int(got["conv_a"].iloc[0]) == ca
+    assert int(got["conv_b"].iloc[0]) == cb
+    assert np.isclose(got["z_stat"].iloc[0], z)
+    # Wilson interval brute force for cohort a
+    zs = 1.96
+    den = 1 + zs * zs / na
+    ctr = pa + zs * zs / (2 * na)
+    rad = zs * np.sqrt(pa * (1 - pa) / na
+                       + zs * zs / (4 * na * na))
+    assert np.isclose(got["wilson_lo_a"].iloc[0],
+                      (ctr - rad) / den)
+    assert np.isclose(got["wilson_hi_a"].iloc[0],
+                      (ctr + rad) / den)
+    # planted 0.7-vs-0.4 per-event rates separate the cohorts
+    assert got["z_stat"].iloc[0] > 4.0
+    assert got["wilson_lo_a"].iloc[0] > got["wilson_hi_b"].iloc[0]
+
+
+def test_lincoln_petersen_bruteforce_and_recovery(ray_session):
+    from cesium_ray.stages.analytics import lincoln_petersen
+
+    rng = np.random.default_rng(84)
+    # true population 500; each user appears in each half w.p. 0.5
+    rows = []
+    for uid in range(500):
+        if rng.random() < 0.5:
+            rows.append((uid, int(rng.integers(0, 1000))))
+        if rng.random() < 0.5:
+            rows.append((uid, int(rng.integers(2000, 3000))))
+    rows.append((9999, 0))       # pin the range ends
+    rows.append((9998, 2999))
+    ev = pd.DataFrame(rows, columns=["user_id", "t"])
+    ev["ts"] = pd.to_datetime(ev["t"] * 10**6, unit="us") \
+        .astype("datetime64[us]")
+    ev = ev.drop(columns=["t"])
+    got = lincoln_petersen(ray.data.from_pandas(ev)
+                           .repartition(4))
+    tus = ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+    tmid = (int(tus.min()) + int(tus.max())) // 2
+    fa = ev[tus <= tmid]["user_id"].unique()
+    fb = ev[tus > tmid]["user_id"].unique()
+    n1, n2 = len(fa), len(fb)
+    mb = len(np.intersect1d(fa, fb))
+    nhat = (n1 + 1) * (n2 + 1) / (mb + 1) - 1
+    assert int(got["n_first"].iloc[0]) == n1
+    assert int(got["n_both"].iloc[0]) == mb
+    assert np.isclose(got["n_hat"].iloc[0], nhat)
+    # estimate recovers the true ~502 population within 20%
+    assert 380 < got["n_hat"].iloc[0] < 640
+
+
+def test_chao1_bruteforce_and_projection(ray_session):
+    from cesium_ray.stages.pack import chao1_richness
+
+    rng = np.random.default_rng(85)
+    # Zipf vocabulary: many singletons -> chao1 well above V
+    words = [f"w{int(w)}" for w in rng.zipf(1.8, 8000)]
+    docs = pd.DataFrame({
+        "text": [" ".join(words[i:i + 40])
+                 for i in range(0, 8000, 40)]})
+    got = chao1_richness(ray.data.from_pandas(docs)
+                         .repartition(4), num_partitions=4)
+    vals, cnts = np.unique(words, return_counts=True)
+    v, v1, v2 = len(vals), int((cnts == 1).sum()), \
+        int((cnts == 2).sum())
+    n = len(words)
+    chao = v + v1 * (v1 - 1) / (2 * (v2 + 1))
+    assert int(got["vocab"].iloc[0]) == v
+    assert int(got["v1"].iloc[0]) == v1
+    assert np.isclose(got["chao1"].iloc[0], chao)
+    assert np.isclose(got["unseen_mass"].iloc[0], v1 / n)
+    # heavy-singleton corpus -> projection well above observed
+    assert got["chao1"].iloc[0] > 1.3 * v
+    assert got["unseen_mass"].iloc[0] > 0.005
