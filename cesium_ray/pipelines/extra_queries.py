@@ -12105,6 +12105,103 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_effect_sizes(sf_dir):
+    """★-checked Cohen's d / Hedges' g / Cliff's δ
+    (stages/analytics.py): exact moments + exact pair counts,
+    three mirrored closings."""
+    from ..stages.analytics import effect_sizes
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return round6(effect_sizes(ev))
+
+
+EFFECT_SIZES_SQL = _TWO_SAMPLE_HIST_CTE + """,
+mo AS (SELECT CAST(sum(k*cx) AS BIGINT) AS sx,
+              CAST(sum(k*cy) AS BIGINT) AS sy,
+              sum(CAST(k AS HUGEINT)*k*cx) AS qx,
+              sum(CAST(k AS HUGEINT)*k*cy) AS qy,
+              CAST(sum(cx*(cyc - cy)) AS HUGEINT) AS lt,
+              CAST(sum(cy*(cxc - cx)) AS HUGEINT) AS gt
+       FROM w),
+cl AS (SELECT mm.n, mm.m,
+              (CAST(mo.sx AS DOUBLE)/CAST(mm.n AS DOUBLE)
+               - CAST(mo.sy AS DOUBLE)/CAST(mm.m AS DOUBLE))
+              / sqrt(((CAST(mo.qx AS DOUBLE)
+                       - CAST(mo.sx AS DOUBLE)
+                         *CAST(mo.sx AS DOUBLE)
+                         /CAST(mm.n AS DOUBLE))
+                      + (CAST(mo.qy AS DOUBLE)
+                         - CAST(mo.sy AS DOUBLE)
+                           *CAST(mo.sy AS DOUBLE)
+                           /CAST(mm.m AS DOUBLE)))
+                     / CAST(mm.n + mm.m - 2 AS DOUBLE)) AS d,
+              CAST(mo.gt - mo.lt AS DOUBLE)
+              / (CAST(mm.n AS DOUBLE)*CAST(mm.m AS DOUBLE))
+                AS delta
+       FROM mo, mm WHERE mm.n >= 2 AND mm.m >= 2)
+SELECT n AS n_x, m AS n_y, round(d, 6) AS cohens_d,
+       round(d*(1.0 - 3.0/(4.0*CAST(n + m - 2 AS DOUBLE) - 1.0)),
+             6) AS hedges_g,
+       round(delta, 6) AS cliffs_delta
+FROM cl
+"""
+
+
+def q_risk_ratios(sf_dir):
+    """★-checked odds ratio / relative risk with 95 % log
+    intervals on the even/odd-cohort 2×2 success table
+    (stages/analytics.py): exact cells, mirrored exp/ln
+    closings."""
+    from ..stages.analytics import risk_ratios
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type"])
+    return round6(risk_ratios(ev))
+
+
+RISK_RATIOS_SQL = """
+WITH u AS (SELECT user_id,
+                  CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)
+                          > sum(CASE WHEN event_type = 'error'
+                                THEN 1 ELSE 0 END)
+                       THEN 1 ELSE 0 END AS s
+           FROM events GROUP BY 1),
+t AS (SELECT
+  CAST(sum(CASE WHEN user_id % 2 = 0 AND s = 1
+           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+  CAST(sum(CASE WHEN user_id % 2 = 0 AND s = 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+  CAST(sum(CASE WHEN user_id % 2 = 1 AND s = 1
+           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+  CAST(sum(CASE WHEN user_id % 2 = 1 AND s = 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM u),
+cl AS (SELECT a, b, c, d,
+              (CAST(a AS DOUBLE)*CAST(d AS DOUBLE))
+              /(CAST(b AS DOUBLE)*CAST(c AS DOUBLE)) AS orr,
+              sqrt(1.0/CAST(a AS DOUBLE) + 1.0/CAST(b AS DOUBLE)
+                   + 1.0/CAST(c AS DOUBLE)
+                   + 1.0/CAST(d AS DOUBLE)) AS se_or,
+              (CAST(a AS DOUBLE)/CAST(a + b AS DOUBLE))
+              /(CAST(c AS DOUBLE)/CAST(c + d AS DOUBLE)) AS rr,
+              sqrt(1.0/CAST(a AS DOUBLE)
+                   - 1.0/CAST(a + b AS DOUBLE)
+                   + 1.0/CAST(c AS DOUBLE)
+                   - 1.0/CAST(c + d AS DOUBLE)) AS se_rr
+       FROM t WHERE least(a, b, c, d) > 0)
+SELECT a, b, c, d, round(orr, 6) AS odds_ratio,
+       round(exp(ln(orr) - 1.96*se_or), 6) AS or_lo,
+       round(exp(ln(orr) + 1.96*se_or), 6) AS or_hi,
+       round(rr, 6) AS rel_risk,
+       round(exp(ln(rr) - 1.96*se_rr), 6) AS rr_lo,
+       round(exp(ln(rr) + 1.96*se_rr), 6) AS rr_hi
+FROM cl
+"""
+
+
 def q_two_proportion(sf_dir):
     """★-checked two-proportion z + Wilson 95 % intervals on
     even/odd-cohort conversion (stages/analytics.py): exact
@@ -13834,6 +13931,8 @@ EXTRA_QUERIES = {
     "peacock_ks2d": q_peacock_ks2d,
     "anderson_darling": q_anderson_darling,
     "two_proportion": q_two_proportion,
+    "effect_sizes": q_effect_sizes,
+    "risk_ratios": q_risk_ratios,
     "lincoln_petersen": q_lincoln_petersen,
     "chao1": q_chao1,
     "brunner_munzel": q_brunner_munzel,
@@ -14118,6 +14217,8 @@ EXTRA_ORACLE_SQL = {
     "peacock_ks2d": PEACOCK_SQL,
     "anderson_darling": AD2_SQL,
     "two_proportion": TWO_PROP_SQL,
+    "effect_sizes": EFFECT_SIZES_SQL,
+    "risk_ratios": RISK_RATIOS_SQL,
     "lincoln_petersen": LINCOLN_SQL,
     "chao1": CHAO1_SQL,
     "brunner_munzel": BRUNNER_MUNZEL_SQL,

@@ -2543,3 +2543,64 @@ def test_chao1_bruteforce_and_projection(ray_session):
     # heavy-singleton corpus -> projection well above observed
     assert got["chao1"].iloc[0] > 1.3 * v
     assert got["unseen_mass"].iloc[0] > 0.005
+
+
+def test_effect_sizes_bruteforce_and_magnitude(ray_session):
+    from cesium_ray.stages.analytics import effect_sizes
+
+    rng = np.random.default_rng(86)
+    x = np.round(rng.normal(50, 8, 300), 2)
+    y = np.round(rng.normal(58, 8, 280), 2)  # ~1 SD shift
+    ev = _two_type_events(x, y)
+    got = effect_sizes(ray.data.from_pandas(ev).repartition(4))
+    kx = np.rint(x * 100).astype(np.int64)
+    ky = np.rint(y * 100).astype(np.int64)
+    n, m = len(kx), len(ky)
+    ssx = float((kx ** 2).sum()) - float(kx.sum()) ** 2 / n
+    ssy = float((ky.astype(object) ** 2).sum()) \
+        - float(ky.sum()) ** 2 / m
+    sp2 = (ssx + ssy) / (n + m - 2)
+    d = (kx.sum() / n - ky.sum() / m) / np.sqrt(sp2)
+    g = d * (1 - 3 / (4 * (n + m - 2) - 1))
+    gt = sum(int((kx < v).sum()) for v in ky)
+    lt = sum(int((kx > v).sum()) for v in ky)
+    delta = (gt - lt) / (n * m)
+    assert np.isclose(got["cohens_d"].iloc[0], d, rtol=1e-9)
+    assert np.isclose(got["hedges_g"].iloc[0], g, rtol=1e-9)
+    assert np.isclose(got["cliffs_delta"].iloc[0], delta)
+    # ~1 SD planted shift: d ≈ −1, delta strongly positive (y > x)
+    assert -1.4 < got["cohens_d"].iloc[0] < -0.6
+    assert got["cliffs_delta"].iloc[0] > 0.4
+
+
+def test_risk_ratios_bruteforce_and_direction(ray_session):
+    from cesium_ray.stages.analytics import risk_ratios
+
+    rng = np.random.default_rng(87)
+    rows = []
+    for uid in range(300):
+        p_rate = 0.7 if uid % 2 == 0 else 0.45
+        for _ in range(9):
+            rows.append((uid, "purchase" if rng.random() < p_rate
+                         else "error"))
+    ev = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    got = risk_ratios(ray.data.from_pandas(ev).repartition(4))
+    flag = ev.assign(p=(ev.event_type == "purchase").astype(int),
+                     e=(ev.event_type == "error").astype(int)) \
+        .groupby("user_id")[["p", "e"]].sum()
+    s = (flag["p"] > flag["e"]).astype(int)
+    even = s.index % 2 == 0
+    a = int((even & (s == 1)).sum()); b = int((even & (s == 0)).sum())
+    c = int((~even & (s == 1)).sum()); d = int((~even & (s == 0)).sum())
+    orr = a * d / (b * c)
+    rr = (a / (a + b)) / (c / (c + d))
+    assert int(got["a"].iloc[0]) == a
+    assert np.isclose(got["odds_ratio"].iloc[0], orr, rtol=1e-9)
+    assert np.isclose(got["rel_risk"].iloc[0], rr, rtol=1e-9)
+    # interval arithmetic replay for OR
+    se = np.sqrt(1/a + 1/b + 1/c + 1/d)
+    assert np.isclose(got["or_lo"].iloc[0],
+                      np.exp(np.log(orr) - 1.96 * se), rtol=1e-9)
+    # even cohort favored: RR > 1 and its CI excludes 1
+    assert got["rel_risk"].iloc[0] > 1.3
+    assert got["rr_lo"].iloc[0] > 1.0
