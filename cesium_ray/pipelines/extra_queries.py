@@ -12105,6 +12105,129 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_multi_regression(sf_dir):
+    """★-checked exact two-regressor OLS (value ~ hour + dow)
+    (stages/tsmath.py): integer Cramer determinants in
+    Python-int/HUGEINT, mirrored β and R² closings."""
+    from ..stages.tsmath import multi_regression
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return round6(multi_regression(ev))
+
+
+MULTI_REG_SQL = """
+WITH f AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS h,
+                  (epoch_us(ts) // 86400000000 + 4) % 7 AS d,
+                  CAST(round(value*100) AS BIGINT) AS y
+           FROM events),
+mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(h) AS BIGINT) AS sh,
+              CAST(sum(d) AS BIGINT) AS sd,
+              CAST(sum(h*h) AS BIGINT) AS shh,
+              CAST(sum(d*d) AS BIGINT) AS sdd,
+              CAST(sum(h*d) AS BIGINT) AS shd,
+              CAST(sum(y) AS BIGINT) AS sy,
+              sum(CAST(h AS HUGEINT)*y) AS shy,
+              sum(CAST(d AS HUGEINT)*y) AS sdy,
+              sum(CAST(y AS HUGEINT)*y) AS syy
+       FROM f),
+dt AS (SELECT n, sy, shy, sdy, syy,
+              CAST(n AS HUGEINT)*(CAST(shh AS HUGEINT)*sdd
+                                  - CAST(shd AS HUGEINT)*shd)
+              - CAST(sh AS HUGEINT)*(CAST(sh AS HUGEINT)*sdd
+                                     - CAST(shd AS HUGEINT)*sd)
+              + CAST(sd AS HUGEINT)*(CAST(sh AS HUGEINT)*shd
+                                     - CAST(shh AS HUGEINT)*sd)
+                AS da,
+              CAST(sy AS HUGEINT)*(CAST(shh AS HUGEINT)*sdd
+                                   - CAST(shd AS HUGEINT)*shd)
+              - CAST(sh AS HUGEINT)*(CAST(shy AS HUGEINT)*sdd
+                                     - CAST(shd AS HUGEINT)*sdy)
+              + CAST(sd AS HUGEINT)*(CAST(shy AS HUGEINT)*shd
+                                     - CAST(shh AS HUGEINT)*sdy)
+                AS d0,
+              CAST(n AS HUGEINT)*(CAST(shy AS HUGEINT)*sdd
+                                  - CAST(shd AS HUGEINT)*sdy)
+              - CAST(sy AS HUGEINT)*(CAST(sh AS HUGEINT)*sdd
+                                     - CAST(shd AS HUGEINT)*sd)
+              + CAST(sd AS HUGEINT)*(CAST(sh AS HUGEINT)*sdy
+                                     - CAST(shy AS HUGEINT)*sd)
+                AS d1,
+              CAST(n AS HUGEINT)*(CAST(shh AS HUGEINT)*sdy
+                                  - CAST(shy AS HUGEINT)*shd)
+              - CAST(sh AS HUGEINT)*(CAST(sh AS HUGEINT)*sdy
+                                     - CAST(shy AS HUGEINT)*sd)
+              + CAST(sy AS HUGEINT)*(CAST(sh AS HUGEINT)*shd
+                                     - CAST(shh AS HUGEINT)*sd)
+                AS d2
+       FROM mo WHERE n >= 4),
+cl AS (SELECT n, sy, shy, sdy, syy,
+              CAST(d0 AS DOUBLE)/CAST(da AS DOUBLE) AS b0,
+              CAST(d1 AS DOUBLE)/CAST(da AS DOUBLE) AS b1,
+              CAST(d2 AS DOUBLE)/CAST(da AS DOUBLE) AS b2,
+              CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)
+                /CAST(n AS DOUBLE) AS sst
+       FROM dt WHERE da <> 0)
+SELECT n, round(b0/100.0, 6) AS beta0,
+       round(b1/100.0, 6) AS beta_hour,
+       round(b2/100.0, 6) AS beta_dow,
+       round((b0*CAST(sy AS DOUBLE) + b1*CAST(shy AS DOUBLE)
+              + b2*CAST(sdy AS DOUBLE)
+              - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)
+                /CAST(n AS DOUBLE))/sst, 6) AS r2
+FROM cl WHERE sst > 0.0
+"""
+
+
+def q_cohen_kappa(sf_dir):
+    """★-checked Cohen's κ between labeled lang and the LangId
+    heuristic (stages/text.py): exact confusion cells, mirrored
+    accuracy and κ closings."""
+    from ..stages.text import cohen_kappa_langid
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "text"])
+    return round6(cohen_kappa_langid(docs))
+
+
+def _cohen_kappa_sql() -> str:
+    from .driver_queries import _lang_id_sql
+
+    pred = _lang_id_sql().strip()
+    return f"""
+WITH pred AS ({pred}),
+j AS (SELECT d.lang, p.lang_pred
+      FROM documents d JOIN pred p USING (doc_id)),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN lang = lang_pred
+                       THEN 1 ELSE 0 END) AS BIGINT) AS agree
+       FROM j),
+rc AS (SELECT c AS cls,
+              CAST(sum(nr) AS BIGINT) AS r,
+              CAST(sum(nc) AS BIGINT) AS cl
+       FROM (SELECT lang AS c, CAST(count(*) AS BIGINT) AS nr,
+                    0 AS nc
+             FROM j GROUP BY 1
+             UNION ALL
+             SELECT lang_pred AS c, 0, CAST(count(*) AS BIGINT)
+             FROM j GROUP BY 1)
+       GROUP BY 1),
+pe AS (SELECT sum(CAST(r AS HUGEINT)*cl) AS num FROM rc),
+cl2 AS (SELECT mm.n, mm.agree,
+               CAST(mm.agree AS DOUBLE)/CAST(mm.n AS DOUBLE)
+                 AS po,
+               CAST(pe.num AS DOUBLE)
+               /(CAST(mm.n AS DOUBLE)*CAST(mm.n AS DOUBLE)) AS pe
+        FROM mm, pe)
+SELECT n AS n_docs, agree AS n_agree, round(po, 6) AS accuracy,
+       round((po - pe)/(1.0 - pe), 6) AS kappa
+FROM cl2 WHERE pe < 1.0
+"""
+
+
 def q_effect_sizes(sf_dir):
     """★-checked Cohen's d / Hedges' g / Cliff's δ
     (stages/analytics.py): exact moments + exact pair counts,
@@ -13933,6 +14056,8 @@ EXTRA_QUERIES = {
     "two_proportion": q_two_proportion,
     "effect_sizes": q_effect_sizes,
     "risk_ratios": q_risk_ratios,
+    "multi_regression": q_multi_regression,
+    "cohen_kappa": q_cohen_kappa,
     "lincoln_petersen": q_lincoln_petersen,
     "chao1": q_chao1,
     "brunner_munzel": q_brunner_munzel,
@@ -14219,6 +14344,8 @@ EXTRA_ORACLE_SQL = {
     "two_proportion": TWO_PROP_SQL,
     "effect_sizes": EFFECT_SIZES_SQL,
     "risk_ratios": RISK_RATIOS_SQL,
+    "multi_regression": MULTI_REG_SQL,
+    "cohen_kappa": _cohen_kappa_sql(),
     "lincoln_petersen": LINCOLN_SQL,
     "chao1": CHAO1_SQL,
     "brunner_munzel": BRUNNER_MUNZEL_SQL,

@@ -205,3 +205,47 @@ def readability(ds: ray.data.Dataset, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pandas")
+
+
+def cohen_kappa_langid(
+    ds: ray.data.Dataset,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Cohen's κ between the corpus's labeled language and the
+    language_id heuristic's prediction — chance-corrected
+    agreement over the confusion matrix, the honest version of
+    the raw accuracy a skewed-language corpus inflates
+    (κ = (p_o − p_e)/(1 − p_e)).
+
+    The predictor is the existing count-based LangId stage (SQL-
+    exact); confusion cells, the diagonal and the row×column
+    chance products are exact int64/Python-int, and κ is the one
+    mirrored closing."""
+    pred = language_id(ds.select_columns([id_col, text_col])) \
+        .to_pandas()[[id_col, "lang_pred"]]
+    truth = ds.select_columns([id_col, lang_col]).to_pandas()
+    j = truth.merge(pred, on=id_col)
+    cols = {"n_docs": pd.Series(dtype="int64"),
+            "n_agree": pd.Series(dtype="int64"),
+            "accuracy": pd.Series(dtype="float64"),
+            "kappa": pd.Series(dtype="float64")}
+    if j.empty:
+        return pd.DataFrame(cols)
+    n = len(j)
+    agree = int((j[lang_col].to_numpy(object)
+                 == j["lang_pred"].to_numpy(object)).sum())
+    rows = j.groupby(lang_col).size()
+    colc = j.groupby("lang_pred").size()
+    pe_num = sum(int(rows.get(c, 0)) * int(colc.get(c, 0))
+                 for c in sorted(set(rows.index) | set(colc.index)))
+    po = float(agree) / float(n)
+    pe = float(pe_num) / (float(n) * float(n))
+    if pe >= 1.0:
+        return pd.DataFrame(cols)
+    return pd.DataFrame({
+        "n_docs": np.array([n], np.int64),
+        "n_agree": np.array([agree], np.int64),
+        "accuracy": [po],
+        "kappa": [(po - pe) / (1.0 - pe)]})

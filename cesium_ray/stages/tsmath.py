@@ -5239,3 +5239,85 @@ def conformal_interval(
         "n_covered": np.array([covered], np.int64),
         "coverage": [float(covered) / float(n_tst)],
         "target": [float(100 - alpha_pct) / 100.0]})
+
+
+def multi_regression(
+    ds: ray.data.Dataset,
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> pd.DataFrame:
+    """Exact two-regressor OLS of value on (hour-of-day,
+    day-of-week) with intercept, solved by integer Cramer's rule:
+    the 3×3 normal-equation matrix and all four determinants are
+    EXACT Python ints (HUGEINT oracle — det terms overflow int64
+    at ~10⁴ rows), so the coefficients are exact-integer ratios
+    and R² one further mirrored expression.  The multivariate
+    member of the trend ladder (linear_trend fits one regressor;
+    this asks "hour effect controlling for weekday").
+
+    No exchange at all: one map-side moment partial (ten exact
+    sums), driver closes."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df[ts_col].to_numpy("datetime64[us]").view(np.int64)
+        h = (tus // 3_600_000_000) % 24
+        d = (tus // 86_400_000_000 + 4) % 7   # epoch day 0 = Thu
+        y = np.rint(df[val_col].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(y))],
+            "sh": [int(h.sum())], "sd": [int(d.sum())],
+            "shh": [int((h * h).sum())],
+            "sdd": [int((d * d).sum())],
+            "shd": [int((h * d).sum())],
+            "sy": [int(y.sum())],
+            "shy": [sum(int(a) * int(b) for a, b in zip(h, y))],
+            "sdy": [sum(int(a) * int(b) for a, b in zip(d, y))],
+            "syy": [sum(int(b) * int(b) for b in y)]})
+
+    p = ds.select_columns([ts_col, val_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    cols = {"n": pd.Series(dtype="int64"),
+            "beta0": pd.Series(dtype="float64"),
+            "beta_hour": pd.Series(dtype="float64"),
+            "beta_dow": pd.Series(dtype="float64"),
+            "r2": pd.Series(dtype="float64")}
+    if p.empty:
+        return pd.DataFrame(cols)
+    n = int(p["n"].sum())
+    sh = sum(int(v) for v in p["sh"])
+    sd = sum(int(v) for v in p["sd"])
+    shh = sum(int(v) for v in p["shh"])
+    sdd = sum(int(v) for v in p["sdd"])
+    shd = sum(int(v) for v in p["shd"])
+    sy = sum(int(v) for v in p["sy"])
+    shy = sum(int(v) for v in p["shy"])
+    sdy = sum(int(v) for v in p["sdy"])
+    syy = sum(int(v) for v in p["syy"])
+    if n < 4:
+        return pd.DataFrame(cols)
+
+    def det3(a, b, c, d_, e, f, g, h_, i):
+        return (a * (e * i - f * h_) - b * (d_ * i - f * g)
+                + c * (d_ * h_ - e * g))
+
+    da = det3(n, sh, sd, sh, shh, shd, sd, shd, sdd)
+    if da == 0:
+        return pd.DataFrame(cols)
+    d0 = det3(sy, sh, sd, shy, shh, shd, sdy, shd, sdd)
+    d1 = det3(n, sy, sd, sh, shy, shd, sd, sdy, sdd)
+    d2 = det3(n, sh, sy, sh, shh, shy, sd, shd, sdy)
+    b0 = float(d0) / float(da)
+    b1 = float(d1) / float(da)
+    b2 = float(d2) / float(da)
+    sst = float(syy) - float(sy) * float(sy) / float(n)
+    if sst <= 0.0:
+        return pd.DataFrame(cols)
+    ssr = (b0 * float(sy) + b1 * float(shy) + b2 * float(sdy)
+           - float(sy) * float(sy) / float(n))
+    return pd.DataFrame({
+        "n": np.array([n], np.int64),
+        "beta0": [b0 / 100.0],
+        "beta_hour": [b1 / 100.0],
+        "beta_dow": [b2 / 100.0],
+        "r2": [ssr / sst]})

@@ -3713,3 +3713,75 @@ def test_conformal_interval_bruteforce(ray_session):
     assert np.isclose(got["coverage"].iloc[0], covered / n_tst)
     # conformal validity: coverage near the 90% target on iid data
     assert 0.85 < got["coverage"].iloc[0] < 0.96
+
+
+def test_multi_regression_bruteforce(ray_session):
+    from cesium_ray.stages.tsmath import multi_regression
+
+    rng = np.random.default_rng(445)
+    n = 3000
+    h = rng.integers(0, 24, n)
+    d = rng.integers(0, 7, n)
+    # planted plane: value = 2 + 0.3*h - 0.5*d + noise
+    v = np.round(2 + 0.3 * h - 0.5 * d + rng.normal(0, 0.5, n), 2)
+    t = (d.astype(np.int64) - 4) % 7 * 86_400_000_000 \
+        + h.astype(np.int64) * 3_600_000_000 \
+        + rng.integers(0, 3.6e9, n).astype(np.int64)
+    ev = pd.DataFrame({
+        "ts": pd.to_datetime(t, unit="us")
+        .astype("datetime64[us]"), "value": v})
+    got = multi_regression(ray.data.from_pandas(ev)
+                           .repartition(5))
+    # numpy lstsq reference on the same integer design
+    y = np.rint(v * 100).astype(np.int64)
+    # recompute h, d exactly as the stage does (epoch arithmetic)
+    tus = ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+    hh = (tus // 3_600_000_000) % 24
+    dd = (tus // 86_400_000_000 + 4) % 7
+    X = np.c_[np.ones(n), hh, dd]
+    beta, *_ = np.linalg.lstsq(X, y.astype(float), rcond=None)
+    assert np.isclose(got["beta0"].iloc[0], beta[0] / 100,
+                      atol=1e-6)
+    assert np.isclose(got["beta_hour"].iloc[0], beta[1] / 100,
+                      atol=1e-6)
+    assert np.isclose(got["beta_dow"].iloc[0], beta[2] / 100,
+                      atol=1e-6)
+    # planted coefficients recovered
+    assert 0.27 < got["beta_hour"].iloc[0] < 0.33
+    assert -0.56 < got["beta_dow"].iloc[0] < -0.44
+    assert got["r2"].iloc[0] > 0.9
+
+
+def test_cohen_kappa_langid_bruteforce(ray_session):
+    from cesium_ray.stages.text import cohen_kappa_langid
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "lang": ["en", "en", "de", "fr", "es", "it"],
+        "text": ["the quick brown fox and the lazy dog",
+                 "this is the best of all the things",
+                 "der hund und die katze sind nicht hier",
+                 "le chat et le chien sont dans la maison",
+                 "el perro y el gato no las casas son",
+                 "il cane e il gatto sono nella casa"]})
+    got = cohen_kappa_langid(ray.data.from_pandas(docs)
+                             .repartition(2))
+    assert int(got["n_docs"].iloc[0]) == 6
+    po = got["accuracy"].iloc[0]
+    # brute-force kappa from the engine's own predictions
+    from cesium_ray.stages.text import language_id
+    import ray as _r
+    pred = language_id(_r.data.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id")["lang_pred"].to_numpy(object)
+    truth = docs["lang"].to_numpy(object)
+    n = len(truth)
+    agree = int((pred == truth).sum())
+    import collections
+    r = collections.Counter(truth)
+    c = collections.Counter(pred)
+    pe = sum(r[k] * c[k] for k in set(r) | set(c)) / (n * n)
+    kappa = (agree / n - pe) / (1 - pe)
+    assert np.isclose(po, agree / n)
+    assert np.isclose(got["kappa"].iloc[0], kappa)
+    # clean stopword-rich samples classify well above chance
+    assert got["kappa"].iloc[0] > 0.5
