@@ -12105,6 +12105,76 @@ WHERE mm.n > 0 AND mm.m > 0
 """
 
 
+def q_logrank(sf_dir):
+    """★-checked log-rank (Mantel–Cox) survival comparison, even
+    vs odd cohorts (stages/analytics.py): exact at-risk/death
+    counts per event time, ordered E/V accumulation, one z."""
+    from ..stages.analytics import logrank_test
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"])
+    return round6(logrank_test(ev, num_partitions=8))
+
+
+LOGRANK_SQL = """
+WITH su AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+pu AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+  FROM events e JOIN su USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > su.t0
+  GROUP BY 1
+),
+mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+dur AS (SELECT su.user_id,
+               coalesce(pu.tp, mx.tmax) - su.t0 AS d_us,
+               (pu.tp IS NOT NULL) AS ev
+        FROM su LEFT JOIN pu USING (user_id), mx),
+mm AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              CAST(sum(CASE WHEN user_id % 2 = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       FROM dur),
+evtt AS (SELECT DISTINCT d_us FROM dur WHERE ev),
+rk AS (SELECT e.d_us,
+              (SELECT CAST(count(*) AS BIGINT) FROM dur
+               WHERE dur.d_us >= e.d_us) AS n_t,
+              (SELECT CAST(count(*) AS BIGINT) FROM dur
+               WHERE dur.d_us >= e.d_us
+                 AND user_id % 2 = 0) AS n1,
+              (SELECT CAST(count(*) AS BIGINT) FROM dur
+               WHERE ev AND dur.d_us = e.d_us) AS d_t,
+              (SELECT CAST(count(*) AS BIGINT) FROM dur
+               WHERE ev AND dur.d_us = e.d_us
+                 AND user_id % 2 = 0) AS d1
+       FROM evtt e),
+terms AS (SELECT d_us,
+                 CAST(d1 AS DOUBLE)
+                 - CAST(n1 AS DOUBLE)*CAST(d_t AS DOUBLE)
+                   /CAST(n_t AS DOUBLE) AS t_ome,
+                 CAST(n1 AS DOUBLE)*CAST(n_t - n1 AS DOUBLE)
+                 *CAST(d_t AS DOUBLE)*CAST(n_t - d_t AS DOUBLE)
+                 /(CAST(n_t AS DOUBLE)*CAST(n_t AS DOUBLE)
+                   *CAST(n_t - 1 AS DOUBLE)) AS t_var
+          FROM rk WHERE n_t >= 2),
+run AS (SELECT sum(t_ome) OVER (ORDER BY d_us
+                                ROWS UNBOUNDED PRECEDING)
+                 AS ome,
+               sum(t_var) OVER (ORDER BY d_us
+                                ROWS UNBOUNDED PRECEDING)
+                 AS var,
+               row_number() OVER (ORDER BY d_us) AS rn
+        FROM terms),
+fin AS (SELECT ome, var FROM run ORDER BY rn DESC LIMIT 1)
+SELECT mm.na AS n_a, mm.nb AS n_b, round(fin.ome, 6) AS o_minus_e,
+       round(fin.ome/sqrt(fin.var), 6) AS z_stat
+FROM fin, mm WHERE mm.na > 0 AND mm.nb > 0 AND fin.var > 0.0
+"""
+
+
 def q_multi_regression(sf_dir):
     """★-checked exact two-regressor OLS (value ~ hour + dow)
     (stages/tsmath.py): integer Cramer determinants in
@@ -14058,6 +14128,7 @@ EXTRA_QUERIES = {
     "risk_ratios": q_risk_ratios,
     "multi_regression": q_multi_regression,
     "cohen_kappa": q_cohen_kappa,
+    "logrank": q_logrank,
     "lincoln_petersen": q_lincoln_petersen,
     "chao1": q_chao1,
     "brunner_munzel": q_brunner_munzel,
@@ -14346,6 +14417,7 @@ EXTRA_ORACLE_SQL = {
     "risk_ratios": RISK_RATIOS_SQL,
     "multi_regression": MULTI_REG_SQL,
     "cohen_kappa": _cohen_kappa_sql(),
+    "logrank": LOGRANK_SQL,
     "lincoln_petersen": LINCOLN_SQL,
     "chao1": CHAO1_SQL,
     "brunner_munzel": BRUNNER_MUNZEL_SQL,

@@ -5385,3 +5385,91 @@ def risk_ratios(
         "rel_risk": [rr],
         "rr_lo": [float(np.exp(np.log(rr) - 1.96 * se_rr))],
         "rr_hi": [float(np.exp(np.log(rr) + 1.96 * se_rr))]})
+
+
+def logrank_test(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Log-rank (Mantel–Cox) test between the even/odd cohorts'
+    censored time-to-conversion — the equal-weighted survival
+    comparison next to gehan_wilcoxon (which weights early times
+    by n at risk): O−E and the hypergeometric variance accumulate
+    over event times.
+
+    Durations/censoring are kaplan_meier's cells; at each distinct
+    event time the at-risk and death counts per cohort are exact
+    ints from cumulative tails, and the float E/V terms accumulate
+    in ascending event-time order (the ordered-prefix device) —
+    z = (O−E)/√V closes."""
+    from .partition import group_apply
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in df.groupby(key, observed=True):
+            tus = g[ts_col].to_numpy("datetime64[us]").view(np.int64)
+            et = g[type_col].to_numpy()
+            st = tus[et == start_type]
+            if not len(st):
+                out.append((int(uid), -1, -1, int(tus.max())))
+                continue
+            t0 = int(st.min())
+            ev = tus[(et == event_type) & (tus > t0)]
+            out.append((int(uid), t0,
+                        int(ev.min()) if len(ev) else -1,
+                        int(tus.max())))
+        return pd.DataFrame(out, columns=[key, "t0", "tp", "tmax"])
+
+    cells = group_apply(
+        ds.select_columns([key, type_col, ts_col]),
+        per_key, num_partitions=num_partitions, key=key,
+    ).to_pandas()
+    cols = {"n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "o_minus_e": pd.Series(dtype="float64"),
+            "z_stat": pd.Series(dtype="float64")}
+    if not len(cells):
+        return pd.DataFrame(cols)
+    tmax = int(cells["tmax"].max())
+    cells = cells[cells["t0"] >= 0]
+    if not len(cells):
+        return pd.DataFrame(cols)
+    obs = cells["tp"].to_numpy(np.int64) >= 0
+    dur = np.where(obs, cells["tp"].to_numpy(np.int64),
+                   tmax) - cells["t0"].to_numpy(np.int64)
+    grp_a = (cells[key].to_numpy(np.int64) % 2) == 0
+    na, nb = int(grp_a.sum()), int((~grp_a).sum())
+    if na == 0 or nb == 0:
+        return pd.DataFrame(cols)
+    evt_times = np.unique(dur[obs])
+    if not len(evt_times):
+        return pd.DataFrame(cols)
+    ome = 0.0
+    var = 0.0
+    for t in evt_times:
+        at = dur >= t
+        n_t = int(at.sum())
+        n1 = int((at & grp_a).sum())
+        dmask = obs & (dur == t)
+        d_t = int(dmask.sum())
+        d1 = int((dmask & grp_a).sum())
+        if n_t < 2:
+            continue
+        e1 = float(n1) * float(d_t) / float(n_t)
+        v1 = (float(n1) * float(n_t - n1) * float(d_t)
+              * float(n_t - d_t)
+              / (float(n_t) * float(n_t) * float(n_t - 1)))
+        ome = ome + (float(d1) - e1)
+        var = var + v1
+    if var <= 0.0:
+        return pd.DataFrame(cols)
+    return pd.DataFrame({
+        "n_a": np.array([na], np.int64),
+        "n_b": np.array([nb], np.int64),
+        "o_minus_e": [ome],
+        "z_stat": [ome / float(np.sqrt(var))]})

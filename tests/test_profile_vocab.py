@@ -2604,3 +2604,57 @@ def test_risk_ratios_bruteforce_and_direction(ray_session):
     # even cohort favored: RR > 1 and its CI excludes 1
     assert got["rel_risk"].iloc[0] > 1.3
     assert got["rr_lo"].iloc[0] > 1.0
+
+
+def test_logrank_bruteforce_and_separation(ray_session):
+    from cesium_ray.stages.analytics import logrank_test
+
+    rng = np.random.default_rng(88)
+    rows = []
+    for uid in range(80):
+        t0 = int(rng.integers(0, 500))
+        rows.append((uid, "signup", t0))
+        if rng.random() > 0.2:
+            lag = int(rng.integers(1, 1200)) if uid % 2 == 0 \
+                else int(rng.integers(2500, 6000))
+            rows.append((uid, "purchase", t0 + lag))
+        rows.append((uid, "view", 9000 + uid))
+    ev = pd.DataFrame(rows, columns=["user_id", "event_type", "t"])
+    ev["ts"] = pd.to_datetime(ev["t"] * 10**6, unit="us") \
+        .astype("datetime64[us]")
+    ev = ev.drop(columns=["t"])
+    got = logrank_test(ray.data.from_pandas(ev).repartition(4),
+                       num_partitions=3)
+    # brute force
+    tmax = int(ev["ts"].to_numpy("datetime64[us]").view(np.int64)
+               .max())
+    durs, obs, grp = [], [], []
+    for uid, g in ev.groupby("user_id"):
+        tus = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        et = g["event_type"].to_numpy()
+        t0 = int(tus[et == "signup"].min())
+        pv = tus[(et == "purchase") & (tus > t0)]
+        durs.append(int(pv.min()) - t0 if len(pv) else tmax - t0)
+        obs.append(bool(len(pv)))
+        grp.append(uid % 2 == 0)
+    durs = np.array(durs); obs = np.array(obs)
+    grp = np.array(grp)
+    ome = var = 0.0
+    for t in np.unique(durs[obs]):
+        at = durs >= t
+        n_t = int(at.sum()); n1 = int((at & grp).sum())
+        dm = obs & (durs == t)
+        d_t = int(dm.sum()); d1 = int((dm & grp).sum())
+        if n_t < 2:
+            continue
+        ome += d1 - n1 * d_t / n_t
+        var += (n1 * (n_t - n1) * d_t * (n_t - d_t)
+                / (n_t * n_t * (n_t - 1)))
+    assert np.isclose(got["o_minus_e"].iloc[0], ome)
+    assert np.isclose(got["z_stat"].iloc[0], ome / np.sqrt(var))
+    # even cohort converts much sooner -> positive O−E (its
+    # deaths come early while its at-risk share is ~half; the
+    # late-time tail where only censored A remain pulls the
+    # equal-weighted statistic back, unlike gehan's n_t weights)
+    assert got["o_minus_e"].iloc[0] > 3.0
+    assert got["z_stat"].iloc[0] > 1.8
